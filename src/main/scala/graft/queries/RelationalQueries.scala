@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator surface (SURVEY.md §2.8): scans, projections,
+  * filters, joins (broadcast/shuffle/semi/anti), aggregations, windows,
+  * sorts/limits, set ops, grouping sets, scalar functions.
+  *
+  * The reference (traject) has no cross-record relational algebra — its only
+  * "join" is the broadcast translation-map lookup
+  * (/root/reference/lib/traject/translation_map.rb:187-198) — so this surface
+  * is the Spark-native foundation the rest of the engine sits on. Each query
+  * is written the way it should run at 100 TB: dimension joins broadcast,
+  * fact-fact joins shuffle on their keys, aggregates are partial (map-side
+  * combine comes free with groupBy), and all filters/projections sit directly
+  * on the parquet scan so pushdown + pruning apply.
+  */
+object RelationalQueries extends QueryPack {
+
+  /** decimal-exact money math: cast before aggregating, round + double after. */
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: scan → filter → partial agg → final agg. One shuffle,
+    // 4-row result; at 100 TB this is the canonical map-side-combine plan.
+    "q01_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(dec("l_quantity")), 2).cast("double").as("sum_qty"),
+          round(sum(dec("l_extendedprice")), 2).cast("double").as("sum_base_price"),
+          round(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))), 2)
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Pure scan+filter+project: both predicate and projection must reach the
+    // parquet reader (PushedFilters / ReadSchema in explain).
+    "q02_filter_project" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2000-01-01") &&
+                col("l_shipdate") < lit("2000-04-01") &&
+                col("l_discount") >= 0.08 && col("l_quantity") > 40)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+                col("l_extendedprice"), col("l_returnflag"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Dimension chain: customer ⋈ nation ⋈ region with the two small dims
+    // broadcast — zero shuffles for the join itself, one for the agg.
+    "q03_join_broadcast" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("num_customers"),
+             round(sum(dec("c_acctbal")), 2).cast("double").as("total_acctbal"))
+        .orderBy("n_name")
+    }),
+
+    // Fact-fact shuffle join on the natural key; AQE picks the exchange plan.
+    "q04_join_shuffle" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderstatus") === "F")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("line_count"),
+             round(sum(dec("l_extendedprice")), 2).cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Window function: per-customer top-3 orders by price (deterministic
+    // tie-break on the unique key).
+    "q05_window_topn" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // Global sort + limit = TakeOrderedAndProject (no full sort at scale).
+    "q06_topk_orders" -> ((s, d) => {
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(25)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // DISTINCT = shuffle-dedup on the grouping key.
+    "q07_distinct" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_mktsegment")).distinct().orderBy("c_mktsegment")
+    }),
+
+    // Set ops: customers who placed both an 'O' and an 'F' order (INTERSECT).
+    "q08_intersect" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+        .orderBy("o_custkey")
+    }),
+
+    // Anti join: customers with no large order (NOT EXISTS) — the plain
+    // "no orders at all" variant is empty at sf0.01, which would make the
+    // check trivially green.
+    "q09_anti_join" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // Semi join: suppliers in nations that actually have customers.
+    "q10_semi_join" -> ((s, d) => {
+      Tables.supplier(s, d)
+        .join(Tables.customer(s, d).select(col("c_nationkey")),
+              col("s_nationkey") === col("c_nationkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy("s_suppkey")
+    }),
+
+    // Aggregate + HAVING.
+    "q11_having" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("order_count"),
+             round(sum(dec("o_totalprice")), 2).cast("double").as("total_spent"))
+        .filter(col("order_count") >= 15)
+        .orderBy("o_custkey")
+    }),
+
+    // ROLLUP grouping sets over the region/nation hierarchy.
+    "q12_rollup" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("num_customers"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+
+    // Scalar function surface: string/date/math in one projection.
+    "q13_scalar_functions" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_size") <= 5)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("name_upper"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_type"), 1, 6).as("type_prefix"),
+          concat_ws("#", col("p_brand"), col("p_size").cast("string")).as("brand_size"),
+          round(dec("p_retailprice") * lit(2).cast("decimal(18,2)"), 2).cast("double").as("double_price"),
+          pmod(col("p_partkey"), lit(7)).as("key_mod7"),
+          abs(col("p_size") - 3).as("size_dist3"))
+        .orderBy("p_partkey")
+    }),
+
+    // CASE WHEN bucketing + conditional aggregation.
+    "q14_case_buckets" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 200000, "medium")
+            .otherwise("large").as("bucket"),
+          col("o_totalprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+             round(sum(dec("o_totalprice")), 2).cast("double").as("bucket_total"))
+        .orderBy("bucket")
+    }),
+
+    // Date/time functions over the events stream table. `ts` arrives as long
+    // nanoseconds (see GraftSession nanosAsLong); integer-divide to micros —
+    // double division would lose precision on 1.7e18-scale values.
+    "q15_events_by_day" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(to_date(timestamp_micros(expr("ts DIV 1000"))).as("day"),
+                col("event_type"), dec("value").as("v"))
+        .groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n"),
+             round(sum(col("v")), 2).cast("double").as("sum_value"))
+        .orderBy("day", "event_type")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2000-04-01'
+           AND l_discount >= 0.08 AND l_quantity > 40
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q03_join_broadcast" ->
+      """SELECT n_name, count(*) AS num_customers,
+         CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name""",
+
+    "q04_join_shuffle" ->
+      """SELECT o_orderpriority, count(*) AS line_count,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderstatus = 'F'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q05_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) t
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    "q06_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""",
+
+    "q07_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+
+    "q08_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         ORDER BY o_custkey""",
+
+    "q09_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+         ORDER BY c_custkey""",
+
+    "q10_semi_join" ->
+      """SELECT s_suppkey, s_name FROM supplier
+         WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = s_nationkey)
+         ORDER BY s_suppkey""",
+
+    "q11_having" ->
+      """SELECT o_custkey, count(*) AS order_count,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_spent
+         FROM orders GROUP BY o_custkey HAVING count(*) >= 15 ORDER BY o_custkey""",
+
+    "q12_rollup" ->
+      """SELECT r_name, n_name, count(*) AS num_customers
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+
+    "q13_scalar_functions" ->
+      """SELECT p_partkey, upper(p_name) AS name_upper, length(p_name) AS name_len,
+         substring(p_type, 1, 6) AS type_prefix,
+         concat_ws('#', p_brand, CAST(p_size AS VARCHAR)) AS brand_size,
+         CAST(round(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(2 AS DECIMAL(18,2)), 2) AS DOUBLE) AS double_price,
+         p_partkey % 7 AS key_mod7,
+         abs(p_size - 3) AS size_dist3
+         FROM part WHERE p_size <= 5 ORDER BY p_partkey""",
+
+    "q14_case_buckets" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                     WHEN o_totalprice < 200000 THEN 'medium'
+                     ELSE 'large' END AS bucket,
+         count(*) AS n,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS bucket_total
+         FROM orders GROUP BY 1 ORDER BY bucket""",
+
+    "q15_events_by_day" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+         CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type"""
+  )
+}
