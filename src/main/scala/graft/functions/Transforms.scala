@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.marc.TranslationMap
+
+/** The per-field value pipeline (SURVEY.md §2.4): every operator from the
+  * reference's Traject::Macros::Transformation
+  * (/root/reference/lib/traject/macros/transformation.rb) re-expressed as an
+  * `array<string> → array<string>` Column combinator.
+  *
+  * Everything here stays inside whole-stage codegen: built-in higher-order
+  * functions only (transform/filter/flatten/array_*), no UDFs — at 100 TB the
+  * hot path must not fall out of Tungsten. Translation maps become literal
+  * map columns (embedded in the plan ≈ broadcast), i.e. the map-side
+  * broadcast-join the reference's TranslationMap lookup amounts to.
+  */
+object Transforms {
+
+  type Tx = Column => Column
+
+  /** Compose in declaration order, like chained to_field steps. */
+  def chain(ts: Tx*): Tx = c => ts.foldLeft(c)((acc, t) => t(acc))
+
+  /** translation_map(...) — transformation.rb:34-42. Map each value through
+    * merged map(s); nil-mapped and missing keys drop; array values flatten;
+    * `__default__`/`__passthrough__` honored. */
+  def translationMap(tms: TranslationMap*): Tx = {
+    val tm = tms.reduce(_ merge _)
+    val m = typedlit(tm.toFlatMap)
+    val defaultExpr: Column => Column = tm.default match {
+      case Some(TranslationMap.Passthrough) => v => array(v)
+      case Some(d)                          => _ => array(lit(d))
+      case None                             => _ => array().cast("array<string>")
+    }
+    c => flatten(transform(c, v => coalesce(element_at(m, v), defaultExpr(v))))
+  }
+
+  /** transform(proc) — transformation.rb:60-79; fn over each value. */
+  def transformValues(f: Column => Column): Tx =
+    c => transform(c, f)
+
+  /** default("x") — transformation.rb:85-91. */
+  def default(value: String): Tx =
+    c => when(size(c) === 0, array(lit(value))).otherwise(c)
+
+  /** first_only — transformation.rb:97-102. */
+  val firstOnly: Tx = c => slice(c, 1, 1)
+
+  /** unique — transformation.rb:109-113. */
+  val unique: Tx = c => array_distinct(c)
+
+  /** strip — transformation.rb:121-128; unicode-whitespace aware. */
+  val strip: Tx =
+    c => transform(c, v => regexp_replace(v, """^[\s\p{Z}]+|[\s\p{Z}]+$""", ""))
+
+  /** split(sep) — transformation.rb:134-138; literal separator, flattened.
+    * Ruby String#split with a string arg splits on the literal string and
+    * drops trailing empties, which java's split(.., -1)/(0) matches with
+    * limit 0. */
+  def splitValues(sep: String): Tx =
+    c => flatten(transform(c, v =>
+      split(v, java.util.regex.Pattern.quote(sep), 0))) // limit 0: drop trailing empties like ruby
+
+  /** append / prepend — transformation.rb:141-152. */
+  def append(suffix: String): Tx = c => transform(c, v => concat(v, lit(suffix)))
+  def prepend(prefix: String): Tx = c => transform(c, v => concat(lit(prefix), v))
+
+  /** gsub(pattern, replace) — transformation.rb:155-159 (global replace). */
+  def gsub(pattern: String, replacement: String): Tx =
+    c => transform(c, v => regexp_replace(v, pattern, replacement))
+
+  /** delete_if / select — transformation.rb:166-189, regex or set arg. */
+  def deleteIfMatches(pattern: String): Tx =
+    c => filter(c, v => !v.rlike(pattern))
+  def deleteIfIn(values: Seq[String]): Tx = {
+    val arr = typedlit(values)
+    c => filter(c, v => !array_contains(arr, v))
+  }
+  def selectMatches(pattern: String): Tx =
+    c => filter(c, v => v.rlike(pattern))
+  def selectIn(values: Seq[String]): Tx = {
+    val arr = typedlit(values)
+    c => filter(c, v => array_contains(arr, v))
+  }
+
+  /** trim_punctuation — marc21.rb:252-271, as three chained regexp_replace
+    * (same order: trailing [ ,/;:] → trailing period after ≥3 word chars →
+    * bracket strip) plus trim. See graft.marc.TrimPunctuation for the
+    * row-level twin; goldens cover both. */
+  val trimPunctuation: Tx = {
+    val word = """[\p{L}\p{M}\p{Nd}\p{Pc}]"""
+    c => transform(c, v => {
+      val s1 = regexp_replace(v, """ *[ ,/;:] *$""", "")
+      val s2 = regexp_replace(s1, """( *""" + word + """{3,})\. *$""", "$1")
+      val s3 = regexp_replace(s2, """^\[?([^\[\]]+)\]?$""", "$1")
+      trim(s3)
+    })
+  }
+
+  /** Literal constant field — macros/basic.rb:3-8. */
+  def literal(value: String): Column = array(lit(value))
+
+  // ---- output-hash normalization (context.rb:117-129 + indexer defaults) --
+
+  /** Remove SQL NULL elements (the reference compacts nils at add_output
+    * unless allow_nil_values). */
+  val compactNulls: Tx = c => filter(c, v => v.isNotNull)
+
+  /** Output field normalization: compact nils, optional output-level dedup
+    * (allow_duplicate_values default TRUE at output — dedup happens in
+    * extract_marc by default instead), empty array → NULL column unless
+    * allow_empty_fields. */
+  def normalizeOutput(allowNilValues: Boolean = false,
+                      allowDuplicateValues: Boolean = true,
+                      allowEmptyFields: Boolean = false): Tx = c0 => {
+    var c = c0
+    if (!allowNilValues) c = compactNulls(c)
+    if (!allowDuplicateValues) c = array_distinct(c)
+    if (!allowEmptyFields) c = when(size(c) === 0, lit(null)).otherwise(c)
+    c
+  }
+}

