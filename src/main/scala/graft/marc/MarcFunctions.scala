@@ -57,6 +57,48 @@ object MarcFunctions {
     val ex = marcExtract(spec)
     rec => size(ex(rec)) === 0
   }
+
+  // ---- §2.5 semantic operators as typed UDFs -----------------------------
+
+  /** Lift any pure record function into a Column op (compiled once, codegen
+    * around the call; the record pass itself is single-traversal). */
+  def recordFn(f: MarcRecord => Vector[String]): Column => Column = {
+    val u = udf((rec: MarcRecord) => if (rec == null) Vector.empty[String] else f(rec))
+    rec => u(rec)
+  }
+
+  def marcPublicationDate(tolerance: Int = 15, minYear: Int = 500,
+                          maxYear: Int = java.time.Year.now.getValue + 6): Column => Column = {
+    val u = udf((rec: MarcRecord) =>
+      if (rec == null) None
+      else Marc21Semantics.publicationDate(rec, tolerance, minYear, maxYear))
+    rec => u(rec)
+  }
+
+  def marcFormats: Column => Column = recordFn(MarcFormatClassifier.formats)
+  def marcOclcnum: Column => Column = recordFn(Marc21Semantics.oclcnum(_))
+  def marcLanguages: Column => Column = recordFn(Marc21Semantics.languages(_))
+  def marcGeoFacet: Column => Column = recordFn(Marc21Semantics.geoFacet(_))
+  def marcEraFacet: Column => Column = recordFn(Marc21Semantics.eraFacet(_))
+  def marcLcshFormatted: Column => Column = recordFn(Marc21Semantics.lcshFormatted(_))
+  def marcSeriesFacet: Column => Column = recordFn(Marc21Semantics.seriesFacet(_))
+  def marcInstrumentCodes: Column => Column = recordFn(Marc21Semantics.instrumentCodesNormalized)
+  def marcLccBroadCategory: Column => Column = recordFn(Marc21Semantics.lccBroadCategory(_))
+
+  def marcFilingVersion(spec: String, includeOriginal: Boolean = false): Column => Column =
+    recordFn(Marc21Semantics.extractFilingVersion(_, spec, includeOriginal))
+
+  def marcSortableAuthor: Column => Column = {
+    val u = udf((rec: MarcRecord) =>
+      if (rec == null) null else Marc21Semantics.sortableAuthor(rec))
+    rec => array(u(rec))
+  }
+
+  def marcSortableTitle: Column => Column = {
+    val u = udf((rec: MarcRecord) =>
+      if (rec == null) None else Marc21Semantics.sortableTitle(rec))
+    rec => u(rec)
+  }
 }
 
 /** Readers for MARC serializations into Dataset[MarcRecord]

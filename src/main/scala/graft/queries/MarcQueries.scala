@@ -39,13 +39,24 @@ object MarcQueries extends QueryPack {
       .map { case (id, text, lang, source) =>
         val words = text.split(" ")
         val a = words.take(5).mkString(" ")
-        val f008 = (" " * 35) + lang3.getOrElse(lang, "und") + "  "
+        val year = 1900 + (id % 120).toInt
+        // structured 008: date-entered(6) + type 's' + date1 + blank date2 +
+        // filler to byte 35 + language code (bytes 35-37)
+        val f008 = "000000" + "s" + year.toString + "    " + (" " * 20) +
+          lang3.getOrElse(lang, "und") + "  "
         val base = Vector(
           MarcField.control("001", s"doc$id"),
           MarcField.control("008", f008),
-          MarcField.data("245", "1", "0",
+          MarcField.data("245", "1", (id % 4).toString,
             "a" -> a, "b" -> s"by $source /", "c" -> source),
-          MarcField.data("650", " ", "0", "a" -> s"Subject $source"))
+          MarcField.data("650", " ", "0",
+            "a" -> s"Subject $source", "x" -> "History", "z" -> "Europe")) ++
+          (if (id % 2 == 0)
+            Vector(MarcField.data("035", " ", " ", "a" -> s"(OCoLC)${100000000L + id}"))
+          else
+            Vector(MarcField.data("035", " ", " ", "a" -> "notanoclc"))) ++
+          (if (id % 7 == 0) Vector(MarcField.data("502", " ", " ", "a" -> "Thesis note"))
+          else Vector.empty)
         val fields =
           if (id % 5 == 0)
             base :+ MarcField.data("880", "1", "0", "6" -> "245-01", "a" -> a.reverse)
@@ -106,6 +117,51 @@ object MarcQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // publication-date state machine over synthesized 008 (date_type 's')
+    "m07_marc_pub_date" -> ((s, d) => {
+      docsAsMarc(s, d)
+        .select(col("doc_id"),
+          MarcFunctions.marcPublicationDate()(col("record")).cast("long").as("pub_year"))
+        .orderBy("doc_id")
+    }),
+
+    // non-filing-character stripping driven by indicator 2
+    "m08_marc_filing_version" -> ((s, d) => {
+      Pipeline.builder
+        .toField("fv", MarcFunctions.marcFilingVersion("245ab"))
+        .run(docsAsMarc(s, d), keep = Seq("doc_id"))
+        .select(col("doc_id"), array_join(col("fv"), "|").as("filing_title"))
+        .orderBy("doc_id")
+    }),
+
+    // format classifier vocabulary (genre + print + thesis override)
+    "m09_marc_formats" -> ((s, d) => {
+      Pipeline.builder
+        .toField("fmt", MarcFunctions.marcFormats)
+        .run(docsAsMarc(s, d), keep = Seq("doc_id"))
+        .select(col("doc_id"), array_join(col("fmt"), "|").as("formats"))
+        .orderBy("doc_id")
+    }),
+
+    // OCLC-number prefix recognition + digit extraction
+    "m10_marc_oclcnum" -> ((s, d) => {
+      Pipeline.builder
+        .toField("o", MarcFunctions.marcOclcnum)
+        .run(docsAsMarc(s, d), keep = Seq("doc_id"))
+        // empty field → NULL after output normalization; surface as '' here
+        .select(col("doc_id"), coalesce(array_join(col("o"), "|"), lit("")).as("oclc"))
+        .orderBy("doc_id")
+    }),
+
+    // pre-coordinated LCSH heading assembly (subdivision separators)
+    "m11_marc_lcsh" -> ((s, d) => {
+      Pipeline.builder
+        .toField("h", MarcFunctions.marcLcshFormatted)
+        .run(docsAsMarc(s, d), keep = Seq("doc_id"))
+        .select(col("doc_id"), array_join(col("h"), "|").as("lcsh"))
+        .orderBy("doc_id")
+    }),
+
     // value-pipeline ops end-to-end: split → translate → unique → default,
     // over the packed language subfield pattern (041a-style)
     "m06_marc_value_pipeline" -> ((s, d) => {
@@ -151,14 +207,45 @@ object MarcQueries extends QueryPack {
                ELSE $firstFive END AS titles
           FROM documents ORDER BY doc_id""",
 
+    // note: the 035 field sits below extract_all's default "100".."899" tag
+    // range, so it is rightly absent here
     "m05_marc_all_values" ->
       s"""SELECT doc_id,
           $firstFive || ' by ' || source || ' / ' || source
-            || ' ; Subject ' || source
+            || ' ; Subject ' || source || ' History Europe'
+            || CASE WHEN doc_id % 7 = 0 THEN ' ; Thesis note' ELSE '' END
             || CASE WHEN doc_id % 5 = 0
                     THEN ' ; 245-01 ' || reverse($firstFive)
                     ELSE '' END AS all_values
           FROM documents ORDER BY doc_id""",
+
+    "m07_marc_pub_date" ->
+      "SELECT doc_id, 1900 + doc_id % 120 AS pub_year FROM documents ORDER BY doc_id",
+
+    // alternate-script 880s are included by default, contributing the linked
+    // (reversed) title as a second value on every 5th doc
+    "m08_marc_filing_version" ->
+      s"""SELECT doc_id,
+          substr($firstFive || ' by ' || source || ' /',
+                 1 + CAST(doc_id % 4 AS INTEGER))
+          || CASE WHEN doc_id % 5 = 0 THEN '|' || reverse($firstFive)
+                  ELSE '' END AS filing_title
+          FROM documents ORDER BY doc_id""",
+
+    "m09_marc_formats" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 'Print|Dissertation/Thesis'
+              ELSE 'Book|Print' END AS formats
+         FROM documents ORDER BY doc_id""",
+
+    "m10_marc_oclcnum" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN CAST(100000000 + doc_id AS VARCHAR)
+              ELSE '' END AS oclc
+         FROM documents ORDER BY doc_id""",
+
+    "m11_marc_lcsh" ->
+      "SELECT doc_id, 'Subject ' || source || ' — History — Europe' AS lcsh FROM documents ORDER BY doc_id",
 
     "m06_marc_value_pipeline" ->
       s"SELECT doc_id, $langCase AS language FROM documents ORDER BY doc_id"
