@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (SURVEY.md §2.9).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k — the exactness baseline; dot products via
+  *    zip_with/aggregate (codegen, no UDF). O(n·m) pairs: fine for a
+  *    broadcast-sized query set against a big corpus (broadcast the queries,
+  *    the corpus streams through one narrow stage), wrong tool for all-pairs
+  *    at 100 TB.
+  *  - random-hyperplane LSH bucketing — the scale path: each vector maps to
+  *    a small bucket signature (narrow map), candidates meet in a bucket
+  *    equi-join, exact cosine re-ranks only within buckets.
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns (element-wise, sequential —
+    * same accumulation order as a plain loop). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbours for every vector in `queries` against `corpus`.
+    * Both frames: (idCol, vecCol: array<float|double>). Output:
+    * (query_id, neighbor_id, cosine, rank). Broadcasts the query side. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv")))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+    val scored = c.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes (seeded) for sign-LSH. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Int = 42): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id for a vector column: bit i = sign(v · plane_i).
+    * Pure column expression over a literal plane matrix. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedlit(p.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Approximate top-k: bucket corpus and queries by sign-LSH, join within
+    * buckets (optionally with multi-probe via numTables different seeds),
+    * exact cosine re-rank inside the candidate set. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              numPlanes: Int = 12, numTables: Int = 4, dim: Int = 64): DataFrame = {
+    val tables = (0 until numTables).map { t =>
+      val planes = hyperplanes(numPlanes, dim, seed = 42 + t)
+      val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"),
+        lit(t).as("table"), lshBucket(col(vecCol).cast("array<double>"), planes).as("bucket"))
+      val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"),
+        lit(t).as("table"), lshBucket(col(vecCol).cast("array<double>"), planes).as("bucket"))
+      c.join(q, Seq("table", "bucket"))
+    }
+    val candidates = tables.reduce(_ unionByName _)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (cos >= threshold), by LSH
+    * bucketing + exact verification — the embedding-space analog of
+    * Dedup.minhashNearDupPairs. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double = 0.95,
+                         numPlanes: Int = 10, numTables: Int = 6,
+                         dim: Int = 64): DataFrame = {
+    val tables = (0 until numTables).map { t =>
+      val planes = hyperplanes(numPlanes, dim, seed = 137 + t)
+      df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"),
+        lit(t).as("table"), lshBucket(col(vecCol).cast("array<double>"), planes).as("bucket"))
+    }
+    val bucketed = tables.reduce(_ unionByName _)
+    val pairs = bucketed.alias("a").join(bucketed.alias("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+    pairs.withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+}

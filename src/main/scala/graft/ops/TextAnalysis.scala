@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language identification, document
+  * fingerprinting. Extension surface (SURVEY.md §2.9) — not present in the
+  * reference, but generalizing its per-value string pipeline (§2.4).
+  *
+  * All column ops are built from codegen'd built-ins (no UDFs) so they run
+  * inside whole-stage codegen over a 100 TB corpus: a narrow map over the
+  * text column, no shuffle, pushdown-friendly.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    size(split(trim(text), """\s+""", 0))
+
+  /** BPE-ish token count: letter runs, digit runs, or single non-space
+    * symbols — a cheap proxy for subword tokenizer load. */
+  def tokenCountRegex(text: Column): Column =
+    size(regexp_extract_all(text, lit("""[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""), lit(0)))
+
+  /** Fraction of characters that are ASCII letters, rounded to 4 places. */
+  def alphaRatio(text: Column): Column =
+    round(length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / length(text), 4)
+
+  /** Mean word length (chars per whitespace token), rounded to 4. */
+  def meanWordLen(text: Column): Column =
+    round(length(regexp_replace(text, """\s+""", "")).cast("double") / tokenCountWs(text), 4)
+
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "was", "it",
+    "for", "on", "with", "as", "by", "at", "this", "that", "be")
+
+  /** Fraction of tokens that are stopwords, rounded to 4. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val sw = typedlit(stopwords)
+    val toks = split(trim(text), """\s+""", 0)
+    round(size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks), 4)
+  }
+
+  /** Composite quality score in [0,1]: rewards alphabetic text with
+    * mid-length words and some (but not all) stopwords. Deterministic and
+    * reproducible in plain SQL: the three summands are pre-rounded, and the
+    * final sum is NOT rounded — a final round(…,4) sits on a half-way
+    * boundary often enough to diverge between engines with different
+    * rounding modes (Spark HALF_UP vs nearbyint half-to-even). */
+  def qualityScore(text: Column): Column =
+    alphaRatio(text) * lit(0.4) +
+      least(meanWordLen(text) / lit(8.0), lit(1.0)) * lit(0.3) +
+      least(stopwordRatio(text) * lit(4.0), lit(1.0)) * lit(0.3)
+
+  /** Language-marker stopword sets for the n-gram/stopword-hit language-ID
+    * heuristic. Sets chosen to be pairwise disjoint. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "was", "with", "this"),
+    "es" -> Seq("el", "los", "una", "pero", "como"),
+    "fr" -> Seq("le", "les", "dans", "avec", "pour"),
+    "de" -> Seq("der", "und", "nicht", "auch", "eine"),
+    "zh" -> Seq("的", "是", "不", "了", "在"))
+
+  /** Heuristic language ID: count marker-token hits per language, pick the
+    * argmax (ties broken by language-list order, 'und' when no hits). */
+  def langId(text: Column): Column = {
+    val toks = split(trim(text), """\s+""", 0)
+    val scored = LangMarkers.map { case (lang, markers) =>
+      val m = typedlit(markers)
+      lang -> size(filter(toks, t => array_contains(m, t)))
+    }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und"): Column) { case ((lang, score), acc) =>
+      when(score === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Exact content fingerprint: md5 of the lowercased, space-collapsed text
+    * — the exact-dedup key for 100 TB runs (hash-shuffle on 16 bytes instead
+    * of full documents). */
+  def fingerprintMd5(text: Column): Column =
+    md5(to_binary(regexp_replace(lower(text), """\s+""", " "), lit("utf-8")))
+
+  /** Winnowing fingerprint (row-level; Schleimer/Wilkerson/Aiken-style):
+    * k-gram rolling hashes, minimum per sliding window, distinct kept set.
+    * Used for robust near-dup document signatures; exposed as a UDF where
+    * needed and unit-tested directly. */
+  def winnow(text: String, k: Int = 5, window: Int = 4): Set[Long] = {
+    val s = text.toLowerCase.replaceAll("""\s+""", " ")
+    if (s.length < k) return if (s.isEmpty) Set.empty else Set(rollingHash(s))
+    val grams = s.sliding(k).map(rollingHash).toArray
+    if (grams.length <= window) return Set(grams.min)
+    grams.sliding(window).map(_.min).toSet
+  }
+
+  /** Polynomial rolling hash (base 257, mod 2^61-1). */
+  def rollingHash(s: String): Long = {
+    val Mod = (1L << 61) - 1
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = (h * 257 + s.charAt(i)) % Mod
+      i += 1
+    }
+    h
+  }
+}

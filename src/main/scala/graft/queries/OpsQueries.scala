@@ -1,0 +1,245 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Extension-operator surface (SURVEY.md §2.9): dedup, similarity search,
+  * text analysis, multimodal plumbing — driver-checkable over the
+  * documents/embeddings tables.
+  *
+  * Oracle philosophy: where feasible the DuckDB SQL recomputes the ground
+  * truth *exactly and independently* (full pairwise Jaccard vs the engine's
+  * LSH+verify; planted language labels vs the marker classifier), so
+  * probabilistic shortcuts in the engine are graded against exact answers.
+  */
+object OpsQueries extends QueryPack {
+
+  /** Originals ∪ planted near-duplicates (text + one appended token ⇒
+    * shingle-Jaccard (w-2)/(w-1) ≥ 8/9 for w ≥ 10 words). */
+  private def withPlantedDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionByName(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zzz")).as("text")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup via hash-groupBy on a derived key (first 3 words)
+    "d01_exact_dedup" -> ((s, d) => {
+      Dedup.exactDedupGroups(
+          Tables.documents(s, d),
+          substring_index(col("text"), " ", 3), col("doc_id"))
+        .filter(col("group_size") >= 2)
+        .orderBy("dup_key")
+    }),
+
+    // MinHash+LSH near-dup detection, graded against exact pairwise Jaccard
+    "d02_minhash_neardup" -> ((s, d) => {
+      Dedup.minhashNearDupPairs(withPlantedDups(s, d), "doc_id", "text",
+          threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // exact n-gram Jaccard on the planted pairs (deterministic set math)
+    "d03_ngram_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), Dedup.shingleCol(col("text")).as("sh"))
+      val planted = Tables.documents(s, d)
+        .select(col("doc_id"),
+          Dedup.shingleCol(concat(col("text"), lit(" zzz"))).as("sh2"))
+      docs.join(planted, "doc_id")
+        .select(col("doc_id"),
+          round(Dedup.jaccardCol(col("sh"), col("sh2")), 4).as("jaccard"))
+        .orderBy("doc_id")
+    }),
+
+    // SimHash near-dup (pigeonhole banding + hamming verify): identical
+    // texts at distance 0 must all be found
+    "d04_simhash_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val dupped = docs.unionByName(docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.simhashNearDupPairs(dupped, "doc_id", "text", maxDistance = 0)
+        .filter(col("id_b") === col("id_a") + 1000000L) // exact-copy pairs
+        .select(col("id_a").as("doc_id"), col("distance"))
+        .orderBy("doc_id")
+    }),
+
+    // text analysis: token counts + ratios + quality score
+    "t01_text_stats" -> ((s, d) => {
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_tokens"),
+          TextAnalysis.tokenCountRegex(col("text")).as("n_btokens"),
+          TextAnalysis.alphaRatio(col("text")).as("alpha_ratio"),
+          TextAnalysis.meanWordLen(col("text")).as("mean_word_len"),
+          TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // language ID: marker tokens planted per row's true label; the
+    // classifier must recover the label (oracle = the label itself)
+    "t02_lang_id" -> ((s, d) => {
+      val markers = TextAnalysis.LangMarkers.map { case (l, ms) =>
+        l -> Array.fill(15)(ms).flatten.mkString(" ")
+      }.toMap
+      val markerCol = TextAnalysis.LangMarkers.foldRight(lit(""): org.apache.spark.sql.Column) {
+        case ((lang, _), acc) => when(col("lang") === lang, lit(markers(lang))).otherwise(acc)
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.langId(concat_ws(" ", col("text"), markerCol)).as("detected"))
+        .orderBy("doc_id")
+    }),
+
+    // md5 content fingerprint (dedup key for 100 TB exact dedup)
+    "t03_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // brute-force cosine top-1 neighbour per embedding
+    "s01_cosine_top1" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 1)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
+        .orderBy("query_id")
+    }),
+
+    // LSH-bucketed ANN: recall of the exact top-1 within LSH candidates —
+    // rows-only (approximate by construction), asserted against brute force
+    // in the test suite
+    "s02_lsh_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.limit(64), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // multimodal plumbing: binary payload synthesized from text; metadata
+    // extraction (length, magic-head, format sniff) over the binary column
+    "mm01_media_metadata" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          to_binary(col("text"), lit("utf-8")).as("payload"))
+        .select(col("doc_id"),
+          Multimodal.byteLen(col("payload")).as("byte_len"),
+          Multimodal.headHex(col("payload"), 8).as("head_hex"),
+          Multimodal.sniffFormat(col("payload")).as("sniffed"))
+        .orderBy("doc_id")
+    }),
+
+    // stubbed decode through the partition-batched pipeline: deterministic
+    // fake features (len, mean byte, min, max) — oracle recomputes from text
+    "mm02_decode_features" -> ((s, d) => {
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"), to_binary(col("text"), lit("utf-8")).as("payload"))
+      Multimodal.decodeFeatures(media, "doc_id", "payload")
+        .select(col("media_id"),
+          round(element_at(col("features"), 1), 4).as("f_len"),
+          round(element_at(col("features"), 2), 4).as("f_mean"),
+          round(element_at(col("features"), 3), 4).as("f_min"),
+          round(element_at(col("features"), 4), 4).as("f_max"))
+        .orderBy("media_id")
+    })
+  )
+
+  private val shingleCte =
+    """WITH docs AS (
+         SELECT doc_id, string_split(text, ' ') w FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000, string_split(text || ' zzz', ' ') FROM documents),
+       sh AS (
+         SELECT doc_id,
+           list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]
+           END) s
+         FROM docs)"""
+
+  def oracleSql: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT array_to_string(string_split(text, ' ')[1:3], ' ') AS dup_key,
+                min(doc_id) AS survivor_id, count(*) AS group_size
+         FROM documents GROUP BY 1 HAVING count(*) >= 2 ORDER BY dup_key""",
+
+    // exact full-pairwise ground truth: every pair with true Jaccard >= 0.8
+    // (the engine's LSH miss probability at 32 bands x 3 rows is ~1e-10)
+    "d02_minhash_neardup" ->
+      (shingleCte +
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s)) * 1.0 /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+         ORDER BY id_a, id_b"""),
+
+    "d03_ngram_jaccard" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) s,
+             list_distinct([array_to_string(w2[i:i+2], ' ') for i in range(1, len(w2) - 1)]) s2
+           FROM (SELECT doc_id, string_split(text, ' ') w,
+                        string_split(text || ' zzz', ' ') w2 FROM documents))
+         SELECT doc_id,
+           round(len(list_intersect(s, s2)) * 1.0 /
+                 (len(s) + len(s2) - len(list_intersect(s, s2))), 4) AS jaccard
+         FROM sh ORDER BY doc_id""",
+
+    "d04_simhash_neardup" ->
+      "SELECT doc_id, 0 AS distance FROM documents ORDER BY doc_id",
+
+    "t01_text_stats" ->
+      """SELECT doc_id,
+           len(string_split(trim(text), ' ')) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_btokens,
+           round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text), 4) AS alpha_ratio,
+           round(length(replace(text, ' ', '')) * 1.0 / len(string_split(trim(text), ' ')), 4) AS mean_word_len,
+           round(len(list_filter(string_split(trim(text), ' '),
+             x -> list_contains(['the','a','an','and','or','of','to','in','is','was','it','for','on','with','as','by','at','this','that','be'], x))) * 1.0
+             / len(string_split(trim(text), ' ')), 4) AS stopword_ratio,
+           round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text), 4) * 0.4
+             + least(round(length(replace(text, ' ', '')) * 1.0 / len(string_split(trim(text), ' ')), 4) / 8.0, 1.0) * 0.3
+             + least(round(len(list_filter(string_split(trim(text), ' '),
+                 x -> list_contains(['the','a','an','and','or','of','to','in','is','was','it','for','on','with','as','by','at','this','that','be'], x))) * 1.0
+                 / len(string_split(trim(text), ' ')), 4) * 4.0, 1.0) * 0.3 AS quality
+         FROM documents ORDER BY doc_id""",
+
+    // independent truth: the planted label
+    "t02_lang_id" ->
+      "SELECT doc_id, lang AS detected FROM documents ORDER BY doc_id",
+
+    "t03_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+         FROM documents ORDER BY doc_id""",
+
+    "s01_cosine_top1" ->
+      """SELECT query_id, neighbor_id, cosine FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cosine,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                        c.vec_id ASC) AS rn
+           FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id) t
+         WHERE rn = 1 ORDER BY query_id""",
+
+    "mm01_media_metadata" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+                hex(encode(substr(text, 1, 8))) AS head_hex,
+                'unknown' AS sniffed
+         FROM documents ORDER BY doc_id""",
+
+    "mm02_decode_features" ->
+      """SELECT doc_id AS media_id,
+           round(octet_length(encode(text)) * 1.0, 4) AS f_len,
+           round((SELECT sum(unicode(c)) FROM unnest(string_split_regex(text, '')) AS t(c))
+                 * 1.0 / octet_length(encode(text)), 4) AS f_mean,
+           round((SELECT min(unicode(c)) FROM unnest(string_split_regex(text, '')) AS t(c)) * 1.0, 4) AS f_min,
+           round((SELECT max(unicode(c)) FROM unnest(string_split_regex(text, '')) AS t(c)) * 1.0, 4) AS f_max
+         FROM documents ORDER BY doc_id"""
+  )
+}

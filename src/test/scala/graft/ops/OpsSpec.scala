@@ -1,0 +1,98 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+
+  test("shingles and jaccard row-level match column-level") {
+    val a = "the quick brown fox jumps over the lazy dog"
+    val b = "the quick brown fox jumps over the lazy dog zzz"
+    val ra = Dedup.shingles(a)
+    val rb = Dedup.shingles(b)
+    val rowJ = Dedup.jaccard(ra, rb)
+    import spark.implicits._
+    val colJ = Seq((a, b)).toDF("a", "b")
+      .select(Dedup.jaccardCol(Dedup.shingleCol(col("a")), Dedup.shingleCol(col("b"))))
+      .head().getDouble(0)
+    assert(math.abs(rowJ - colJ) < 1e-12)
+    assert(rowJ == 7.0 / 8.0) // 7 shared of 8 union (9-word doc: 7 vs 8 shingles)
+  }
+
+  test("minhash LSH finds planted near-dups with exact verification") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfSmoke).select("doc_id", "text")
+    val planted = docs.unionByName(docs.select((col("doc_id") + 1000L).as("doc_id"),
+      concat(col("text"), lit(" zzz")).as("text")))
+    val pairs = Dedup.minhashNearDupPairs(planted, "doc_id", "text").collect()
+    val plantedPairs = pairs.filter(r => r.getLong(1) == r.getLong(0) + 1000L)
+    val nDocs = docs.count()
+    assert(plantedPairs.length == nDocs, s"found ${plantedPairs.length} of $nDocs planted pairs")
+    assert(pairs.forall(_.getDouble(2) >= 0.8))
+  }
+
+  test("simhash: identical texts distance 0, different texts far") {
+    val s1 = Dedup.simhash("the quick brown fox")
+    assert(Dedup.hamming(s1, Dedup.simhash("the quick brown fox")) == 0)
+    assert(Dedup.hamming(s1, Dedup.simhash("completely unrelated words entirely")) > 10)
+  }
+
+  test("winnowing fingerprint is stable and near-dup tolerant") {
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val f1 = TextAnalysis.winnow(t)
+    assert(f1 == TextAnalysis.winnow(t))
+    val f2 = TextAnalysis.winnow(t + " x")
+    val overlap = f1.intersect(f2).size.toDouble / f1.union(f2).size
+    assert(overlap > 0.7, s"winnow overlap $overlap")
+    assert(f1.intersect(TextAnalysis.winnow("zzz yyy xxx www vvv uuu")).isEmpty)
+  }
+
+  test("LSH ANN retrieves high-similarity neighbours (planted copies)") {
+    // Sign-LSH recall is a function of cosine: for random unrelated vectors
+    // (top-1 cos ≈ 0.37 in this table) buckets rarely collide — that's the
+    // design tradeoff, not a bug. The machinery test plants exact copies
+    // (cos = 1 ⇒ identical signatures in every table ⇒ guaranteed collision)
+    // and requires the original to come back as top-1.
+    val emb = Tables.embeddings(spark, sfSmoke)
+    val queries = emb.limit(32).select((col("vec_id") + 10000L).as("vec_id"),
+      col("embedding"), col("label"))
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hits = (0 until 32).count(i => approx.get(10000L + i).contains(i.toLong))
+    assert(hits == 32, s"planted-copy top-1 recall: $hits/32")
+  }
+
+  test("cosine near-dup pairs finds planted duplicate vectors") {
+    val emb = Tables.embeddings(spark, sfSmoke).limit(100)
+    val dupped = emb.unionByName(
+      emb.select((col("vec_id") + 10000L).as("vec_id"), col("embedding"), col("label")))
+    val pairs = Similarity.cosineNearDupPairs(dupped, "vec_id", "embedding",
+      threshold = 0.999)
+    val found = pairs.filter(col("id_b") === col("id_a") + 10000L).count()
+    assert(found == 100, s"found $found of 100 planted identical vectors")
+  }
+
+  test("multimodal decode stub produces deterministic features") {
+    val payload = "hello world".getBytes("UTF-8")
+    val f = Multimodal.decodeStub(payload)
+    assert(f(0) == 11.0)
+    assert(f(2) == ' '.toInt.toDouble)
+    assert(Multimodal.decodeStub(null).toSeq == Seq(0.0, 0.0, 0.0, 0.0))
+    import spark.implicits._
+    val df = Seq((1L, payload)).toDF("media_id", "payload")
+    val out = Multimodal.decodeFeatures(df, "media_id", "payload").head()
+    assert(out.getSeq[Double](1) == f.toSeq)
+  }
+
+  test("langId picks the marker language") {
+    import spark.implicits._
+    val rows = Seq(
+      "el los una pero como el los una",
+      "the and was with this the and",
+      "der und nicht auch eine der",
+      "xyzzy qwerty").toDF("text")
+      .select(TextAnalysis.langId(col("text"))).as[String].collect()
+    assert(rows.toSeq == Seq("es", "en", "de", "und"))
+  }
+}
