@@ -44,10 +44,30 @@ object MarcFunctions {
   }
 
   /** serialized_marc(format=json) — marc21.rb:174-198; the whole record
-    * re-serialized as marc-in-json. (binary/xml variants live with the
-    * ISO-2709 writer in graft.sources.) */
+    * re-serialized as marc-in-json. */
   def serializedMarcJson: Column => Column = {
     val u = udf((rec: MarcRecord) => if (rec == null) null else MarcJson.write(rec))
+    rec => array(u(rec))
+  }
+
+  /** serialized_marc(format=binary): ISO 2709, Base64-encoded by default for
+    * a Solr binary field (marc21.rb:186-190). */
+  def serializedMarcBinary(binaryEscape: Boolean = true,
+                           allowOversized: Boolean = false): Column => Column = {
+    val u = udf((rec: MarcRecord) =>
+      if (rec == null) null
+      else {
+        val bytes = graft.sources.Iso2709.encode(rec, allowOversized)
+        if (binaryEscape) java.util.Base64.getMimeEncoder.encodeToString(bytes)
+        else new String(bytes, "ISO-8859-1")
+      })
+    rec => array(u(rec))
+  }
+
+  /** serialized_marc(format=xml): MARCXML (marc21.rb:191-192). */
+  def serializedMarcXml: Column => Column = {
+    val u = udf((rec: MarcRecord) =>
+      if (rec == null) null else graft.sources.MarcXmlWriter.encode(rec))
     rec => array(u(rec))
   }
 

@@ -162,6 +162,24 @@ object MarcQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // full binary round trip through the splittable ISO-2709 DSv2: encode
+    // the synthesized records to .mrc part files, read them back with
+    // format("marc"), extract ids — proves source + sink + codec end-to-end
+    "m12_marc_binary_roundtrip" -> ((s, d) => {
+      import MarcFunctions.marcRecordEncoder
+      val recs = docsAsMarc(s, d).select("record.*").as[MarcRecord](marcRecordEncoder)
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_marc_rt_${d.replaceAll("[^A-Za-z0-9]", "_")}").getAbsolutePath
+      graft.sources.MarcIo.writeBinary(recs.repartition(4), dir)
+      Pipeline.builder
+        .toField("id_arr", MarcFunctions.marcExtract("001", ExtractMarc.Options(first = true)))
+        .run(graft.sources.MarcIo.readBinary(s, dir).toDF()
+          .select(struct(col("leader"), col("fields")).as("record")))
+        .select(array_join(col("id_arr"), "|").as("rec_id"))
+        .orderBy(expr("CAST(substr(rec_id, 4) AS BIGINT)"))
+    }),
+
     // value-pipeline ops end-to-end: split → translate → unique → default,
     // over the packed language subfield pattern (041a-style)
     "m06_marc_value_pipeline" -> ((s, d) => {
@@ -246,6 +264,9 @@ object MarcQueries extends QueryPack {
 
     "m11_marc_lcsh" ->
       "SELECT doc_id, 'Subject ' || source || ' — History — Europe' AS lcsh FROM documents ORDER BY doc_id",
+
+    "m12_marc_binary_roundtrip" ->
+      "SELECT 'doc' || CAST(doc_id AS VARCHAR) AS rec_id FROM documents ORDER BY doc_id",
 
     "m06_marc_value_pipeline" ->
       s"SELECT doc_id, $langCase AS language FROM documents ORDER BY doc_id"

@@ -1,0 +1,201 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.{AgnosticEncoders, ExpressionEncoder}
+import org.apache.spark.sql.catalyst.encoders.AgnosticEncoder
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.Encoders
+
+import graft.marc.MarcRecord
+
+/** Splittable DataSource V2 for ISO 2709 MARC binary files:
+  * `spark.read.format("marc").load(path)` → rows of (leader, fields).
+  *
+  * Scale design: files are split into `maxPartitionBytes` chunks planned on
+  * the driver; each reader aligns to the next record terminator (0x1D) past
+  * its split start — records are length-prefixed and terminator-delimited,
+  * so any byte offset can resynchronize, making a 100 TB MARC dump read as
+  * parallel as its block count. Corresponds to the reference's sequential
+  * MarcReader for `marc_source.type = binary`
+  * (/root/reference/lib/traject/marc_reader.rb:54-90), which our planner
+  * replaces with a parallel scan.
+  */
+class MarcDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "marc"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MarcDataSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new MarcTable(MarcDataSource.resolvePaths(properties.asScala.toMap))
+}
+
+object MarcDataSource {
+  val schema: StructType =
+    ExpressionEncoder(Encoders.product[MarcRecord].asInstanceOf[AgnosticEncoder[MarcRecord]]).schema
+
+  /** Worst-case record size: the length field is 5 ASCII digits. */
+  val MaxRecordBytes: Int = 100000
+
+  def resolvePaths(props: Map[String, String]): Seq[String] =
+    props.get("paths")
+      .map(p => com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+        .readValue(p, classOf[Array[String]]).toSeq)
+      .orElse(props.get("path").map(Seq(_)))
+      .getOrElse(Seq.empty)
+}
+
+final class MarcTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"marc(${paths.mkString(",")})"
+  override def schema(): StructType = MarcDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MarcScanBuilder(paths)
+}
+
+final class MarcScanBuilder(paths: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = MarcDataSource.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new MarcScan(paths, required)
+}
+
+final case class MarcInputPartition(path: String, start: Long, length: Long)
+  extends InputPartition
+
+final class MarcScan(paths: Seq[String], required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val conf = spark.sessionState.newHadoopConf()
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    paths.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val statuses =
+        if (fs.getFileStatus(path).isDirectory)
+          fs.listStatus(path).toSeq.filter(_.isFile).filterNot(_.getPath.getName.startsWith("_"))
+        else Seq(fs.getFileStatus(path))
+      statuses.flatMap { st =>
+        val len = st.getLen
+        (0L until math.max(len, 1L) by maxSplit).map { off =>
+          MarcInputPartition(st.getPath.toString, off, math.min(maxSplit, len - off))
+        }
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MarcReaderFactory(required)
+}
+
+final class MarcReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new MarcPartitionReader(partition.asInstanceOf[MarcInputPartition], required)
+}
+
+/** Reads records whose start offset lies in [start, start+length), aligning
+  * to the first record boundary at/after `start` (except at offset 0). */
+final class MarcPartitionReader(part: MarcInputPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val fullSchema = MarcDataSource.schema
+  private val serializer =
+    ExpressionEncoder(Encoders.product[MarcRecord].asInstanceOf[AgnosticEncoder[MarcRecord]]).createSerializer()
+  private val ordinals = required.fields.map(f => fullSchema.fieldIndex(f.name))
+
+  private val records: Iterator[MarcRecord] = {
+    // Executors have no active SparkSession; a default Hadoop conf handles
+    // file:// (and picks up HADOOP_CONF_DIR on a real cluster).
+    val conf = SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val path = new Path(part.path)
+    val fs = path.getFileSystem(conf)
+    val fileLen = fs.getFileStatus(path).getLen
+    // read the split plus one max-record overflow so a record straddling the
+    // split end can be completed by THIS reader (the next split skips it)
+    val readEnd = math.min(part.start + part.length + MarcDataSource.MaxRecordBytes, fileLen)
+    val in = fs.open(path)
+    val buf = new Array[Byte]((readEnd - part.start).toInt)
+    try { in.readFully(part.start, buf) } finally in.close()
+
+    // Alignment protocol (LineRecordReader-style, with 0x1D as the line
+    // terminator): a reader at offset 0 owns from byte 0; any other reader
+    // skips to just past the FIRST record terminator in its buffer. A record
+    // beginning exactly at a split boundary therefore belongs to the
+    // PREVIOUS split (ownership condition `cur <= limit`, inclusive), and
+    // the next split's alignment scan skips over it via its terminator.
+    var pos = 0
+    if (part.start > 0) {
+      while (pos < buf.length && buf(pos) != Iso2709.RecordTerminator) pos += 1
+      pos += 1
+    }
+    val limit = part.length.toInt
+    new Iterator[MarcRecord] {
+      private var cur = pos
+      private var nextRec: Option[MarcRecord] = advance()
+      private def advance(): Option[MarcRecord] = {
+        while (cur < buf.length) {
+          // skip padding between records
+          while (cur < buf.length &&
+            (buf(cur) == Iso2709.RecordTerminator || buf(cur) == '\n' ||
+             buf(cur) == '\r' || buf(cur) == ' ' || buf(cur) == 0)) cur += 1
+          if (cur >= buf.length || cur > limit) return None
+          val (rec, next) = Iso2709.decodeAt(buf, cur)
+          cur = math.max(next, cur + 1)
+          if (rec.isDefined) return rec
+        }
+        None
+      }
+      def hasNext: Boolean = nextRec.isDefined
+      def next(): MarcRecord = {
+        val r = nextRec.get
+        nextRec = advance()
+        r
+      }
+    }
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (records.hasNext) {
+      val full = serializer(records.next()).copy()
+      current =
+        if (ordinals.length == fullSchema.length) full
+        else {
+          val proj = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(ordinals.length)
+          var i = 0
+          while (i < ordinals.length) {
+            proj.update(i, full.get(ordinals(i), fullSchema(ordinals(i)).dataType))
+            i += 1
+          }
+          proj
+        }
+      true
+    } else false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

@@ -1,0 +1,101 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.marc.{MarcFunctions, MarcJson, MarcRecord}
+
+/** High-level MARC read/write surface (SURVEY.md §2.1/§2.2) spanning the
+  * three serializations the reference's MarcReader dispatches on
+  * (marc_source.type binary|xml|json, marc_reader.rb:54-90).
+  */
+object MarcIo {
+  import MarcFunctions.marcRecordEncoder
+
+  /** ISO 2709 binary via the splittable DSv2 ("marc" format). */
+  def readBinary(spark: SparkSession, path: String): Dataset[MarcRecord] =
+    spark.read.format("marc").load(path).as[MarcRecord]
+
+  /** marc-in-json NDJ (gz transparent) — see MarcSource.readJson. */
+  def readJson(spark: SparkSession, path: String): Dataset[MarcRecord] =
+    graft.marc.MarcSource.readJson(spark, path)
+
+  /** MARC-XML via Spark's built-in XML source: one row per <record>,
+    * mapped into the MarcRecord model. */
+  def readXml(spark: SparkSession, path: String): Dataset[MarcRecord] = {
+    import spark.implicits._
+    // explicit schema: inference would type tag "001" as a number
+    val xmlSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      """leader STRING,
+         controlfield ARRAY<STRUCT<_VALUE: STRING, _tag: STRING>>,
+         datafield ARRAY<STRUCT<_VALUE: STRING, _ind1: STRING, _ind2: STRING,
+           _tag: STRING, subfield: ARRAY<STRUCT<_VALUE: STRING, _code: STRING>>>>""")
+    val raw = spark.read.format("xml")
+      .option("rowTag", "record")
+      // MARC control fields are fixed-position: surrounding whitespace is data
+      .option("ignoreSurroundingSpaces", "false")
+      .schema(xmlSchema)
+      .load(path)
+    // Parse each record element through the lenient XML field mapper; going
+    // via the row's XML is awkward, so re-read as text blocks is avoided by
+    // projecting the known structure directly.
+    val hasLeader = raw.columns.contains("leader")
+    val sel = raw.select(
+      (if (hasLeader) col("leader").cast("string") else lit(null).cast("string")).as("leader"),
+      (if (raw.columns.contains("controlfield")) col("controlfield") else lit(null)).as("cf"),
+      (if (raw.columns.contains("datafield")) col("datafield") else lit(null)).as("df"))
+    sel.map { row =>
+      val leader = row.getString(0)
+      val controls = Option(row.get(1))
+        .map(_ => row.getSeq[org.apache.spark.sql.Row](1).toVector)
+        .getOrElse(Vector.empty).filter(_ != null).map { cf =>
+        graft.marc.MarcField.control(
+          str(cf, "_tag"), str(cf, "_VALUE"))
+      }
+      val datas = Option(row.get(2))
+        .map(_ => row.getSeq[org.apache.spark.sql.Row](2).toVector)
+        .getOrElse(Vector.empty).filter(_ != null).map { df =>
+        val subIdx = try Some(df.fieldIndex("subfield")) catch {
+          case _: IllegalArgumentException => None
+        }
+        val subs = subIdx.filterNot(df.isNullAt)
+          .map(i => df.getSeq[org.apache.spark.sql.Row](i).toVector)
+          .getOrElse(Vector.empty).filter(_ != null)
+          .map(sf => graft.marc.Subfield(str(sf, "_code"), str(sf, "_VALUE")))
+        graft.marc.MarcField(str(df, "_tag"), str(df, "_ind1"), str(df, "_ind2"), null, subs)
+      }
+      MarcRecord(leader, controls ++ datas)
+    }
+  }
+
+  private def str(r: org.apache.spark.sql.Row, field: String): String =
+    try {
+      val i = r.fieldIndex(field)
+      if (r.isNullAt(i)) null else String.valueOf(r.get(i))
+    } catch { case _: IllegalArgumentException => null }
+
+  /** Write a record Dataset as ISO 2709 part files (one per partition) —
+    * the distributed analog of `marcout`/serialized binary
+    * (command_line.rb:102-142). */
+  def writeBinary(ds: Dataset[MarcRecord], outDir: String,
+                  allowOversized: Boolean = false): Unit = {
+    val dir = outDir
+    ds.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val path = new Path(f"$dir/part-$idx%05d.mrc")
+      val fs = path.getFileSystem(conf)
+      val out = fs.create(path, true)
+      try rows.foreach(r => out.write(Iso2709.encode(r, allowOversized)))
+      finally out.close()
+      Iterator.empty
+    }.count(): Unit
+  }
+
+  /** Write as marc-in-json NDJ via the JSON codec + text sink. */
+  def writeJson(ds: Dataset[MarcRecord], outDir: String): Unit = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.map(MarcJson.write).write.mode("overwrite").text(outDir)
+  }
+}

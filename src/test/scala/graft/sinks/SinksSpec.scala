@@ -1,0 +1,94 @@
+package graft.sinks
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+/** Sink behavior tests with a fake transport, mirroring the reference's
+  * FakeHTTPClient-driven suite (test/solr_json_writer_test.rb). */
+/** Serializable fake (top-level — must not capture the spec class):
+  * records every POST in a JVM-static queue; programmable failures. */
+class FakeTransport(failBodiesContaining: String = null,
+                    failAllBatches: Boolean = false)
+    extends SolrJsonSink.SolrTransport {
+  def postJson(url: String, body: String): SolrJsonSink.Response = {
+    FakeTransport.queue.add((url, body))
+    val isBatch = body.startsWith("[") && body.count(_ == '{') > 1
+    if (failAllBatches && isBatch) SolrJsonSink.Response(500, "batch boom")
+    else if (failBodiesContaining != null && body.contains(failBodiesContaining))
+      SolrJsonSink.Response(500, "doc boom")
+    else SolrJsonSink.Response(200, "ok")
+  }
+}
+object FakeTransport {
+  val queue = new ConcurrentLinkedQueue[(String, String)]()
+}
+
+class SinksSpec extends SparkSpec {
+  import SolrJsonSink._
+
+  private def docsFrame = {
+    import spark.implicits._
+    (1 to 10).map(i => (Seq(s"id$i"), Seq(s"title $i")))
+      .toDF("id", "title_display").coalesce(1)
+  }
+
+  test("batches docs and commits on close") {
+    FakeTransport.queue.clear()
+    val t = new FakeTransport()
+    val stats = SolrJsonSink.write(docsFrame,
+      Settings("http://solr.example/core", batchSize = 4), t)
+    assert(stats == WriteStats(10, 0))
+    val posts = FakeTransport.queue.asScala.toVector
+    val updates = posts.filter(_._1.endsWith("/update/json"))
+    assert(updates.length == 3) // 4 + 4 + 2
+    assert(posts.exists(_._1.contains("commit=true")), "commit on close")
+  }
+
+  test("failed batch retries docs individually; skips counted") {
+    FakeTransport.queue.clear()
+    val t = new FakeTransport(failBodiesContaining = "id7", failAllBatches = true)
+    val stats = SolrJsonSink.write(docsFrame,
+      Settings("http://solr.example/core", batchSize = 5, maxSkipped = Some(5)), t)
+    assert(stats == WriteStats(9, 1))
+  }
+
+  test("maxSkipped aborts the write") {
+    FakeTransport.queue.clear()
+    val t = new FakeTransport(failBodiesContaining = "title", failAllBatches = true)
+    val ex = intercept[Exception] {
+      SolrJsonSink.write(docsFrame,
+        Settings("http://solr.example/core", batchSize = 5, maxSkipped = Some(2)), t)
+    }
+    def causes(e: Throwable): Seq[Throwable] =
+      if (e == null) Nil else e +: causes(e.getCause)
+    assert(causes(ex).exists(_.isInstanceOf[MaxSkippedExceeded]),
+      s"expected MaxSkippedExceeded in cause chain, got $ex")
+  }
+
+  test("null columns are omitted from docs like empty output fields") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    import spark.implicits._
+    val row = Seq((Seq("x"), null: Seq[String])).toDF("id", "gone").head()
+    val json = SolrJsonSink.docJson(row, mapper)
+    assert(json == """{"id":["x"]}""")
+  }
+
+  test("debug writer formats id/field/values lines sorted by field") {
+    import spark.implicits._
+    val df = Seq((Seq("b1"), Seq("T :"), Seq("A", "B")))
+      .toDF("id", "title", "author")
+    val lines = Writers.debugFrame(df, "id").collect().map(_.getString(0))
+    assert(lines.length == 2)
+    assert(lines(0).startsWith("b1") && lines(0).contains("author") && lines(0).endsWith("A | B"))
+    assert(lines(1).contains("title"))
+  }
+
+  test("delimited writer joins multi-values with internal separator") {
+    import spark.implicits._
+    val df = Seq((Seq("1"), Seq("x", "y"))).toDF("id", "vals")
+    val flat = Writers.delimitedFrame(df, Seq("id", "vals")).head()
+    assert(flat.getString(0) == "1" && flat.getString(1) == "x|y")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.marc.{Fixtures, MarcJson, MarcRecord}
+import java.nio.file.{Files, Paths}
+
+class SourcesSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("ISO-2709 codec round-trips the full fixture corpus") {
+    val recs = Fixtures.records("test_data.utf8")
+    recs.foreach { r =>
+      val bytes = Iso2709.encode(r)
+      val decoded = Iso2709.decodeAll(bytes)
+      assert(decoded.length == 1)
+      assert(decoded.head.fields == r.fields, s"fields mismatch")
+      // leader lengths/base are recomputed on encode; compare the rest
+      assert(decoded.head.leader.substring(5, 12) == r.leader.substring(5, 12))
+    }
+  }
+
+  test("marc DSv2 reads an encoded corpus identically to the JSON fixtures") {
+    val recs = Fixtures.records("test_data.utf8")
+    val dir = tmpDir("marcdsv2")
+    val out = Files.newOutputStream(Paths.get(dir, "data.mrc"))
+    recs.foreach(r => out.write(Iso2709.encode(r)))
+    out.close()
+
+    val read = MarcIo.readBinary(spark, s"$dir/data.mrc").collect().toVector
+    assert(read.length == 30)
+    // compare by fields (leader re-derived lengths differ)
+    val got = read.map(_.fields).sortBy(_.headOption.map(_.value).getOrElse(""))
+    val want = recs.map(_.fields).sortBy(_.headOption.map(_.value).getOrElse(""))
+    assert(got == want)
+  }
+
+  test("marc DSv2 splits: small maxPartitionBytes still reads every record exactly once") {
+    val recs = Fixtures.records("test_data.utf8")
+    val dir = tmpDir("marcsplit")
+    val out = Files.newOutputStream(Paths.get(dir, "data.mrc"))
+    recs.foreach(r => out.write(Iso2709.encode(r)))
+    out.close()
+
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "2048") // ~2 records per split
+      val df = spark.read.format("marc").load(s"$dir/data.mrc")
+      assert(df.rdd.getNumPartitions > 5, "expected many splits")
+      val ids = df.collect().map(r =>
+        r.getSeq[org.apache.spark.sql.Row](1).head.getString(3)).sorted.toVector
+      val wantIds = recs.map(_.fields.head.value).sorted
+      assert(ids == wantIds, "split reads must cover each record exactly once")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  test("marc DSv2 column pruning serves a leader-only projection") {
+    val recs = Fixtures.records("test_data.utf8").take(3)
+    val dir = tmpDir("marcprune")
+    val out = Files.newOutputStream(Paths.get(dir, "d.mrc"))
+    recs.foreach(r => out.write(Iso2709.encode(r)))
+    out.close()
+    val leaders = spark.read.format("marc").load(s"$dir/d.mrc")
+      .select("leader").collect().map(_.getString(0))
+    assert(leaders.length == 3)
+    assert(leaders.forall(_.length == 24))
+  }
+
+  test("writeBinary + readBinary round trip through the filesystem") {
+    import graft.marc.MarcFunctions.marcRecordEncoder
+    val recs = Fixtures.records("test_data.utf8")
+    val ds = spark.createDataset(recs)
+    val dir = tmpDir("marcout") + "/out"
+    MarcIo.writeBinary(ds.repartition(3), dir)
+    val back = MarcIo.readBinary(spark, dir).collect().toVector
+    assert(back.map(_.fields).toSet == recs.map(_.fields).toSet)
+  }
+
+  test("MARC-XML reader maps the reference XML corpus") {
+    val ds = MarcIo.readXml(spark, "/root/reference/test/test_support/test_data.utf8.marc.xml")
+    val recs = ds.collect().toVector
+    assert(recs.length == 30)
+    val want = Fixtures.records("test_data.utf8")
+    val byId = recs.map(r => r.fields.head.value -> r).toMap
+    val wantById = want.map(r => r.fields.head.value -> r).toMap
+    assert(byId.keySet == wantById.keySet)
+    // spot-check one record's full field list matches the JSON serialization
+    val k = byId.keySet.head
+    assert(byId(k).fields == wantById(k).fields)
+  }
+}

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Deterministic 3-page fake OAI feed (2 records per page, resumption
+  * tokens t1, t2, then exhausted) — top-level with a no-arg constructor so
+  * the source can instantiate it by class name on any executor. */
+class FakeOaiFetcher extends OaiPageFetcher {
+  def fetch(token: Option[String]): (Seq[String], Option[String]) = token match {
+    case None       => (Seq("<record>r1</record>", "<record>r2</record>"), Some("t1"))
+    case Some("t1") => (Seq("<record>r3</record>", "<record>r4</record>"), Some("t2"))
+    case Some("t2") => (Seq("<record>r5</record>"), None)
+    case other      => throw new IllegalStateException(s"unexpected token $other")
+  }
+}
+
+class StreamingSpec extends SparkSpec {
+
+  test("oai-paged micro-batch source streams every page exactly once") {
+    val stream = spark.readStream.format("oai-paged")
+      .option("fetcher", classOf[FakeOaiFetcher].getName)
+      .option("maxPagesPerTrigger", "1")
+      .load()
+    val query = stream.writeStream
+      .format("memory").queryName("oai_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT record FROM oai_out ORDER BY record")
+        .collect().map(_.getString(0)).toVector
+      assert(rows == (1 to 5).map(i => s"<record>r$i</record>").toVector)
+    } finally query.stop()
+  }
+
+  test("oai-paged checkpointed offsets replay deterministically") {
+    // second run from scratch sees the same 5 records (token chain replay)
+    val stream = spark.readStream.format("oai-paged")
+      .option("fetcher", classOf[FakeOaiFetcher].getName)
+      .option("maxPagesPerTrigger", "2")
+      .load()
+    val query = stream.writeStream.format("memory").queryName("oai_out2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      query.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM oai_out2").head().getLong(0) == 5)
+    } finally query.stop()
+  }
+
+  test("HttpOaiPageFetcher XML extraction (records + resumption token)") {
+    val f = new HttpOaiPageFetcher("http://x")
+    val xml =
+      """<OAI-PMH><ListRecords>
+        |<record><header/><metadata>a</metadata></record>
+        |<record status="deleted">b</record>
+        |<resumptionToken cursor="0">tokABC</resumptionToken>
+        |</ListRecords></OAI-PMH>""".stripMargin
+    assert(f.extractRecords(xml).size == 2)
+    assert(f.extractToken(xml).contains("tokABC"))
+    assert(f.extractToken("<OAI-PMH><resumptionToken/></OAI-PMH>").isEmpty)
+    assert(f.extractToken("<OAI-PMH></OAI-PMH>").isEmpty)
+  }
+
+  test("windowed stats with watermark over the events table (batch parity)") {
+    val events = graft.Tables.events(spark, sfSmoke)
+      .select(timestamp_micros(expr("ts DIV 1000")).as("ts"),
+        col("event_type"), col("value"))
+    val out = EventPipelines.windowedStats(events, window_ = "1 hour")
+    val rows = out.orderBy("window_start", "event_type").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == events.count())
+  }
+
+  test("windowed stats runs as a real stream with watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val query = EventPipelines.windowedStats(df, watermark = "0 seconds", window_ = "1 minute")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:10"), "view", 1.0),
+        (Timestamp.valueOf("2024-01-01 00:00:20"), "view", 2.0))
+      query.processAllAvailable()
+      // advance event time past the window so append-mode emits it
+      mem.addData((Timestamp.valueOf("2024-01-01 00:05:00"), "view", 9.0))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM win_out").collect()
+      assert(rows.exists(r => r.getAs[Long]("n") == 2 && r.getAs[Double]("sum_value") == 3.0))
+    } finally query.stop()
+  }
+
+  test("sessionize with mapGroupsWithState counts per-user events") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import EventPipelines._
+    implicit val eventEnc = org.apache.spark.sql.Encoders.product[Event]
+    val mem = MemoryStream[Event]
+    val sessions = EventPipelines.sessionize(mem.toDS().as[Event])
+    val query = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(
+        Event(1, Timestamp.valueOf("2024-01-01 00:00:01"), 7, "view", 1.0),
+        Event(2, Timestamp.valueOf("2024-01-01 00:00:02"), 7, "click", 1.0),
+        Event(3, Timestamp.valueOf("2024-01-01 00:00:03"), 9, "view", 1.0))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM sess_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("events"))).toMap
+      assert(rows == Map(7L -> 2L, 9L -> 1L))
+    } finally query.stop()
+  }
+}
