@@ -116,23 +116,28 @@ object Dedup {
       }
     })
 
-    val withBuckets = df
-      .select(col(idCol).as("id"), col(textCol).as("text"),
-        shingleCol(col(textCol), shingleN).as("sh"),
-        explode(sigUdf(col(textCol))).as("bucket"))
-      .select(col("id"), col("sh"), col("bucket._1").as("band"), col("bucket._2").as("bhash"))
+    // Shuffle discipline: the band self-join moves ONLY (id, band, bhash)
+    // triples — never the shingle arrays. Shingles are attached to just the
+    // deduplicated candidate pairs afterwards (two hash joins against a
+    // compact id→shingles frame). At 100 TB the band frame is ~rows×bands
+    // small fixed-width tuples; carrying document-sized arrays through that
+    // explode+join would multiply shuffle volume by the document size.
+    val buckets = df
+      .select(col(idCol).as("id"), explode(sigUdf(col(textCol))).as("bucket"))
+      .select(col("id"), col("bucket._1").as("band"), col("bucket._2").as("bhash"))
 
-    val a = withBuckets.alias("a")
-    val b = withBuckets.alias("b")
-    val candidates = a.join(b,
+    val candidates = buckets.alias("a").join(buckets.alias("b"),
         col("a.band") === col("b.band") &&
         col("a.bhash") === col("b.bhash") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
+    val shingled = df.select(col(idCol).as("id"), shingleCol(col(textCol), shingleN).as("sh"))
+
     candidates
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccardCol(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))

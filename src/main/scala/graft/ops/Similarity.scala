@@ -18,10 +18,11 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Dot product of two array<double> columns (element-wise, sequential —
-    * same accumulation order as a plain loop). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two array<double> columns — a native codegen Catalyst
+    * expression (see graft.functions.DotProduct); same sequential
+    * accumulation order as a plain loop, so results are bit-identical to
+    * the HOF formulation it replaces. */
+  def dot(a: Column, b: Column): Column = graft.functions.GraftFunctions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -29,16 +30,20 @@ object Similarity {
 
   /** Exact top-k neighbours for every vector in `queries` against `corpus`.
     * Both frames: (idCol, vecCol: array<float|double>). Output:
-    * (query_id, neighbor_id, cosine, rank). Broadcasts the query side. */
+    * (query_id, neighbor_id, cosine, rank). Broadcasts the query side; each
+    * side's norm is computed ONCE per row before the join (the O(n·m) stage
+    * then does a single dot per pair). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(
-      col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv")))
+        col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv"))))
     val c = corpus.select(
-      col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+        col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = c.crossJoin(q)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
