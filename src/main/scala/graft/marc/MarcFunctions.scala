@@ -117,7 +117,8 @@ object MarcFunctions {
   def marcSortableTitle: Column => Column = {
     val u = udf((rec: MarcRecord) =>
       if (rec == null) None else Marc21Semantics.sortableTitle(rec))
-    rec => u(rec)
+    // array-shaped like every to_field value; nil (record bailed) → empty
+    rec => filter(array(u(rec)), v => v.isNotNull)
   }
 }
 
