@@ -24,16 +24,28 @@ object Transforms {
 
   /** translation_map(...) — transformation.rb:34-42. Map each value through
     * merged map(s); nil-mapped and missing keys drop; array values flatten;
-    * `__default__`/`__passthrough__` honored. */
+    * `__default__`/`__passthrough__` honored.
+    *
+    * Small maps inline as a literal map column (pure codegen). Large maps
+    * (the 8k-entry marc_languages) switch to a hash-map UDF: `element_at`
+    * on a literal ArrayBasedMapData is a LINEAR scan per value, which
+    * dominates wide pipelines at scale, while the captured Scala HashMap is
+    * O(1) and ships to executors once per task like a broadcast. */
   def translationMap(tms: TranslationMap*): Tx = {
     val tm = tms.reduce(_ merge _)
-    val m = typedlit(tm.toFlatMap)
-    val defaultExpr: Column => Column = tm.default match {
-      case Some(TranslationMap.Passthrough) => v => array(v)
-      case Some(d)                          => _ => array(lit(d))
-      case None                             => _ => array().cast("array<string>")
+    if (tm.entries.size <= 64) {
+      val m = typedlit(tm.toFlatMap)
+      val defaultExpr: Column => Column = tm.default match {
+        case Some(TranslationMap.Passthrough) => v => array(v)
+        case Some(d)                          => _ => array(lit(d))
+        case None                             => _ => array().cast("array<string>")
+      }
+      c => flatten(transform(c, v => coalesce(element_at(m, v), defaultExpr(v))))
+    } else {
+      val u = udf((vals: Seq[String]) =>
+        if (vals == null) null else tm.translateArray(vals))
+      c => u(c)
     }
-    c => flatten(transform(c, v => coalesce(element_at(m, v), defaultExpr(v))))
   }
 
   /** transform(proc) — transformation.rb:60-79; fn over each value. */

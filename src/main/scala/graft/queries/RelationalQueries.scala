@@ -178,6 +178,61 @@ object RelationalQueries extends QueryPack {
         .orderBy("bucket")
     }),
 
+    // CUBE grouping sets across two independent dimensions.
+    "q16_cube" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .cube(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+    }),
+
+    // Orders above their customer's average price. Spark side: join against
+    // a pre-aggregated frame; oracle: correlated scalar subqueries — two
+    // different formulations must agree. Compared as price*count > sum in
+    // exact decimal (a float average could flip a hairline > either way).
+    "q17_above_avg" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val aggs = o.groupBy(col("o_custkey").as("k"))
+        .agg(sum(dec("o_totalprice")).as("cust_sum"), count(lit(1)).as("cust_n"))
+      o.join(aggs, col("o_custkey") === col("k"))
+        .filter(dec("o_totalprice") * col("cust_n") > col("cust_sum"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    // EXCEPT ALL (bag semantics) over projections.
+    "q18_except_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.select(col("o_custkey"))
+        .exceptAll(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .orderBy("o_custkey")
+    }),
+
+    // Date arithmetic: parts, day differences, month shifts.
+    "q19_date_arithmetic" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 2000)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date")).as("days_since"),
+          add_months(to_date(col("o_orderdate")), 3).as("plus3m"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Ordered string aggregation per group (deterministic: sorted distinct).
+    "q20_string_agg" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_mktsegment")
+        .agg(array_join(array_sort(collect_set(col("n_name"))), ",").as("nations"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Date/time functions over the events stream table. `ts` arrives as long
     // nanoseconds (see GraftSession nanosAsLong); integer-divide to micros —
     // double division would lose precision on 1.7e18-scale values.
@@ -282,6 +337,42 @@ object RelationalQueries extends QueryPack {
          count(*) AS n,
          CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS bucket_total
          FROM orders GROUP BY 1 ORDER BY bucket""",
+
+    "q16_cube" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY CUBE(n_name, c_mktsegment)
+         ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""",
+
+    "q17_above_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+         WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+               (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+             > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders i
+                WHERE i.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey""",
+
+    "q18_except_all" ->
+      """SELECT o_custkey, count(*) AS n FROM (
+           SELECT o_custkey FROM orders
+           EXCEPT ALL
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t
+         GROUP BY o_custkey ORDER BY o_custkey""",
+
+    "q19_date_arithmetic" ->
+      """SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS INT) AS days_since,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m
+         FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""",
+
+    "q20_string_agg" ->
+      """SELECT c_mktsegment,
+           string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "q15_events_by_day" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
