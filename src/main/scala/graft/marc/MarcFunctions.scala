@@ -18,8 +18,28 @@ object MarcFunctions {
 
   /** marc_extract(spec, opts) over a MarcRecord struct column —
     * extract_marc macro semantics incl. post-options
-    * (/root/reference/lib/traject/macros/marc21.rb:62-140). */
+    * (/root/reference/lib/traject/macros/marc21.rb:62-140).
+    *
+    * Extraction is the native `MarcExtractExpression` (single buffer
+    * traversal, no record deserialization); the post-options compose as
+    * column ops in the reference's order: first → translation_map →
+    * trim_punctuation → dedup (ON by default) → default. */
   def marcExtract(spec: String, opts: ExtractMarc.Options = ExtractMarc.Options()): Column => Column = {
+    import graft.functions.{MarcExtractExpression, Transforms}
+    rec => {
+      var c = MarcExtractExpression.extract(rec, spec, opts.separator, opts.alternateScript)
+      if (opts.first) c = filter(slice(c, 1, 1), v => v.isNotNull) // Array(acc[0]) drops a nil head
+      opts.translationMap.foreach(tm => c = Transforms.translationMap(tm)(c))
+      if (opts.trimPunctuation) c = Transforms.trimPunctuation(c)
+      if (!opts.allowDuplicates) c = array_distinct(c)
+      opts.default.foreach(d => c = Transforms.default(d)(c))
+      c
+    }
+  }
+
+  /** The UDF formulation (kept for differential testing of the native
+    * expression against the row-level extractor). */
+  def marcExtractUdf(spec: String, opts: ExtractMarc.Options = ExtractMarc.Options()): Column => Column = {
     val compiled = ExtractMarc.compile(spec, opts)
     val u = udf((rec: MarcRecord) => if (rec == null) Vector.empty[String] else compiled(rec))
     rec => u(rec)

@@ -34,7 +34,8 @@ final case class TranslationMap(
     }
 
   def translateArray(values: Seq[String]): Vector[String] =
-    values.iterator.flatMap(v => lookup(v).getOrElse(Vector.empty)).toVector
+    values.iterator.flatMap(v => lookup(v).getOrElse(Vector.empty))
+      .filter(_ != null).toVector // ruby translate_array drops nil outputs
 
   def merge(other: TranslationMap): TranslationMap =
     TranslationMap(entries ++ other.entries, other.default.orElse(default))
