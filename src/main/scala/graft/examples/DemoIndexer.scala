@@ -53,6 +53,9 @@ object DemoIndexer {
   }
 
   def pipeline: Pipeline = Pipeline.builder
+    // one record pass for ALL semantic macros (clipboard column); fields
+    // below select from the bundle struct
+    .eachRecord("_sem", semanticBundle)
     .toField("id", marcExtract("001", ExtractMarc.Options(first = true)),
       Transforms.prepend("bib_"))
     .toField("source_field", _ => Transforms.literal("traject_test_last"))
@@ -61,8 +64,8 @@ object DemoIndexer {
     .toField("text", extractAllMarcValues())
     .toField("text_extra_boost_t", marcExtract("505art"))
     .toField("publisher_t", marcExtract("260abef:261abef:262ab:264ab"))
-    .toField("language_facet", marcLanguages)
-    .toField("format", marcFormats)
+    .toField("language_facet", _ => col("_sem").getField("languages"))
+    .toField("format", _ => col("_sem").getField("formats"))
     .toField("isbn_t", marcExtract("020a:773z:776z:534z:556z"))
     .toField("lccn", marcExtract("010a"))
     .toField("material_type_display",
@@ -74,13 +77,14 @@ object DemoIndexer {
     .toField("title3_t", title3From505r) // same field twice: values append
     .toField("title_display",
       marcExtract("245abk", ExtractMarc.Options(trimPunctuation = true, first = true)))
-    .toField("title_sort", marcSortableTitle)
+    .toField("title_sort", _ =>
+      filter(array(col("_sem").getField("sortableTitle")), v => v.isNotNull))
     .toField("title_series_t", marcExtract("440a:490a:800abcdt:400abcd:810abcdt:410abcd:811acdeft:411acdef:830adfgklmnoprst:760ast:762ast"))
-    .toField("series_facet", marcSeriesFacet)
+    .toField("series_facet", _ => col("_sem").getField("seriesFacet"))
     .toField("author_unstem", marcExtract("100abcdgqu:110abcdgnu:111acdegjnqu"))
     .toField("author2_unstem", marcExtract("700abcdegqu:710abcdegnu:711acdegjnqu:720a:505r:245c:191abcdegqu"))
     .toField("author_display", marcExtract("100abcdq:110:111"))
-    .toField("author_sort", marcSortableAuthor)
+    .toField("author_sort", _ => array(col("_sem").getField("sortableAuthor")))
     .toField("author_facet",
       marcExtract("100abcdq:110abcdgnu:111acdenqu:700abcdq:710abcdgnu:711acdenqu",
         ExtractMarc.Options(trimPunctuation = true)))
@@ -89,18 +93,18 @@ object DemoIndexer {
       marcExtract("600abcdtq:610abt:610x:611abt:611x:630aa:630x:648a:648x:650aa:650x:651a:651x:691a:691x:653aa:654ab:656aa:690a:690x",
         ExtractMarc.Options(trimPunctuation = true)),
       upcaseFirstLetter)
-    .toField("subject_geo_facet", marcGeoFacet)
-    .toField("subject_era_facet", marcEraFacet)
+    .toField("subject_geo_facet", _ => col("_sem").getField("geoFacet"))
+    .toField("subject_era_facet", _ => col("_sem").getField("eraFacet"))
     .toField("published_display",
       marcExtract("260a", ExtractMarc.Options(trimPunctuation = true)))
     .toField("pub_date", publicationDateAsString)
     .toField("discipline_facet", disciplineFacet)
-    .toField("instrumentation_facet", recordFn(Marc21Semantics.instrumentationHumanized(_)))
-    .toField("instrumentation_code_unstem", marcInstrumentCodes)
+    .toField("instrumentation_facet", _ => col("_sem").getField("instrumentation"))
+    .toField("instrumentation_code_unstem", _ => col("_sem").getField("instrumentCodes"))
     .toField("issn", marcExtract("022a:022l:022y:773x:774x:776x", ExtractMarc.Options(separator = None)))
     .toField("issn_related", marcExtract("490x:440x:800x:400x:410x:411x:810x:811x:830x:700x:710x:711x:730x:780x:785x:777x:543x:760x:762x:765x:767x:770x:772x:775x:786x:787x",
       ExtractMarc.Options(separator = None)))
-    .toField("oclcnum_t", marcOclcnum)
+    .toField("oclcnum_t", _ => col("_sem").getField("oclcnum"))
     .toField("other_number_unstem", marcExtract("024a:028a"))
 
   /** MeSH fixup from the reference's subject_topic_facet block: upcase a
@@ -110,10 +114,9 @@ object DemoIndexer {
       concat(upper(substring(v, 1, 1)), substring(v, 2, Int.MaxValue)))
 
   /** pub_date as array<string> for the uniform output-document shape. */
-  private def publicationDateAsString: Column => Column = {
-    val pd = marcPublicationDate()
-    rec => filter(array(pd(rec).cast("string")), v => v.isNotNull)
-  }
+  private def publicationDateAsString: Column => Column =
+    _ => filter(array(col("_sem").getField("publicationDate").cast("string")),
+      v => v.isNotNull)
 
   /** End-to-end run: record-struct frame in, output documents out. */
   def index(df: DataFrame): DataFrame = pipeline.run(df)

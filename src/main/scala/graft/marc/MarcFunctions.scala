@@ -134,6 +134,37 @@ object MarcFunctions {
     rec => array(u(rec))
   }
 
+  /** All semantic macros computed in ONE record pass — each `marc*` UDF
+    * deserializes the record struct independently, so a config using ten of
+    * them pays ten deserializations per record; the bundle pays one.
+    * Select individual outputs with `.getField`. */
+  final case class SemanticBundle(
+      languages: Seq[String], formats: Seq[String],
+      sortableAuthor: String, sortableTitle: Option[String],
+      geoFacet: Seq[String], eraFacet: Seq[String],
+      seriesFacet: Seq[String], oclcnum: Seq[String],
+      instrumentation: Seq[String], instrumentCodes: Seq[String],
+      publicationDate: Option[Int], lcsh: Seq[String])
+
+  def semanticBundle: Column => Column = {
+    val u = udf((rec: MarcRecord) =>
+      if (rec == null) null
+      else SemanticBundle(
+        Marc21Semantics.languages(rec),
+        MarcFormatClassifier.formats(rec),
+        Marc21Semantics.sortableAuthor(rec),
+        Marc21Semantics.sortableTitle(rec),
+        Marc21Semantics.geoFacet(rec),
+        Marc21Semantics.eraFacet(rec),
+        Marc21Semantics.seriesFacet(rec),
+        Marc21Semantics.oclcnum(rec),
+        Marc21Semantics.instrumentationHumanized(rec).filter(_ != null),
+        Marc21Semantics.instrumentCodesNormalized(rec),
+        Marc21Semantics.publicationDate(rec),
+        Marc21Semantics.lcshFormatted(rec)))
+    rec => u(rec)
+  }
+
   def marcSortableTitle: Column => Column = {
     val u = udf((rec: MarcRecord) =>
       if (rec == null) None else Marc21Semantics.sortableTitle(rec))
