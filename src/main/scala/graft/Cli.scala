@@ -69,6 +69,7 @@ object Cli {
             records.toDF().select(struct(col("leader"), col("fields")).as("record")))
           writer match {
             case "json"  => Writers.writeJson(docs, outDir)
+            case "yaml"  => Writers.writeYaml(docs, outDir)
             case "csv"   => Writers.writeCsv(docs, docs.columns.toSeq, outDir)
             case "debug" => Writers.writeDebug(docs, "id", outDir)
             case "null"  => Writers.writeNull(docs)

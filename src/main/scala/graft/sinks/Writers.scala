@@ -49,4 +49,29 @@ object Writers {
   /** NullWriter — discard (null_writer.rb): noop format. */
   def writeNull(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
+
+  /** YamlWriter (yaml_writer.rb:4-8): one YAML document per record,
+    * `---`-separated, field order = column order. */
+  def yamlFrame(df: DataFrame): DataFrame = {
+    val names = df.columns
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper(
+      new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+    val toYaml = org.apache.spark.sql.functions.udf { (row: org.apache.spark.sql.Row) =>
+      val m = new java.util.LinkedHashMap[String, Any]()
+      names.zipWithIndex.foreach { case (n, i) =>
+        if (!row.isNullAt(i)) row.get(i) match {
+          case s: scala.collection.Seq[_] =>
+            val l = new java.util.ArrayList[String]()
+            s.foreach(v => l.add(String.valueOf(v)))
+            m.put(n, l)
+          case other => m.put(n, String.valueOf(other))
+        }
+      }
+      mapper.writeValueAsString(m)
+    }
+    df.select(toYaml(struct(df.columns.map(col): _*)).as("yaml"))
+  }
+
+  def writeYaml(df: DataFrame, path: String): Unit =
+    yamlFrame(df).write.mode("overwrite").text(path)
 }

@@ -1,0 +1,50 @@
+package graft
+
+import graft.marc.{Fixtures, MarcFunctions, MarcSource}
+import graft.pipeline.Pipeline
+import graft.queries.{OpsQueries, RelationalQueries}
+import org.apache.spark.sql.functions._
+
+/** Guards on physical plan shape — the properties that make these plans
+  * scale, asserted so a refactor can't silently regress them. */
+class PlanShapeSpec extends SparkSpec {
+
+  test("the mapping pipeline compiles to a shuffle-free plan") {
+    val df = MarcSource.fromRecords(spark, Fixtures.records("test_data.utf8"))
+    val out = Pipeline.builder
+      .toField("id", MarcFunctions.marcExtract("001"))
+      .toField("title", MarcFunctions.marcExtract("245ab"))
+      .run(df)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mapping must not shuffle:\n$plan")
+  }
+
+  test("documents scan prunes to referenced columns only") {
+    val df = OpsQueries.queries("t03_fingerprint")(spark, sfSmoke)
+    val scan = df.queryExecution.executedPlan.toString
+    // fingerprint reads doc_id + text; lang/source/n_chars must be pruned
+    assert(scan.contains("ReadSchema"))
+    assert(!scan.contains("n_chars"), s"unused column not pruned:\n$scan")
+  }
+
+  test("fact-dimension join broadcasts the dimension, not the fact") {
+    val df = RelationalQueries.queries("q03_join_broadcast")(spark, sfSmoke)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"), "dimension join must not sort-merge")
+  }
+
+  test("top-k order+limit plans as TakeOrderedAndProject (no global sort)") {
+    val df = RelationalQueries.queries("q06_topk_orders")(spark, sfSmoke)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("minhash banding join is an equi-join, never a cross join") {
+    val df = OpsQueries.queries("d02_minhash_neardup")(spark, sfSmoke)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"LSH must not cross join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"LSH must bucket-join, not nested-loop:\n$plan")
+  }
+}
