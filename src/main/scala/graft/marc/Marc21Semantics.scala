@@ -26,7 +26,7 @@ object Marc21Semantics {
     OclcPat.findPrefixMatchOf(num).map(_.group(1))
 
   def oclcnum(rec: MarcRecord, spec: String = "035a"): Vector[String] = {
-    val ex = MarcExtractor(MarcSpec.parse(spec), separator = None)
+    val ex = MarcExtractor.cached(spec, separator = None)
     ex.extract(rec).flatMap(v => oclcnumExtract(v)).distinct
   }
 
@@ -91,7 +91,7 @@ object Marc21Semantics {
   // --- languages (marc21_semantics.rb:195-223) ----------------------------
 
   def languages(rec: MarcRecord, spec: String = "008[35-37]:041a:041d"): Vector[String] = {
-    val ex = MarcExtractor(MarcSpec.parse(spec), separator = None)
+    val ex = MarcExtractor.cached(spec, separator = None)
     val codes = ex.collectMatchingLines(rec) { (field, sp) =>
       if (field.isControl)
         Vector(if (sp.hasByteSlice) sp.byteSlice(field.value).orNull else field.value)
@@ -119,7 +119,7 @@ object Marc21Semantics {
 
   def instrumentationHumanized(rec: MarcRecord, spec: String = "048ab"): Vector[String] = {
     val tm = TranslationMap.named("marc_instruments")
-    val ex = MarcExtractor(MarcSpec.parse(spec), separator = None)
+    val ex = MarcExtractor.cached(spec, separator = None)
     ex.extract(rec)
       .map(v => tm.lookup(v.take(2)).map(_.mkString(" ")).orNull)
       .distinct
@@ -127,7 +127,7 @@ object Marc21Semantics {
 
   def instrumentCodesNormalized(rec: MarcRecord): Vector[String] = {
     val soloist = ".s"
-    val ex = MarcExtractor(MarcSpec.parse("048"), separator = None)
+    val ex = MarcExtractor.cached("048", separator = None)
     ex.collectMatchingLines(rec) { (field, _) =>
       field.subfields.flatMap { sf =>
         val v = sf.value
@@ -183,9 +183,9 @@ object Marc21Semantics {
     }
 
     if (found.isEmpty) {
-      val v264c = MarcExtractor(MarcSpec.parse("264c"), separator = None).extract(rec)
+      val v264c = MarcExtractor.cached("264c", separator = None).extract(rec)
         .headOption.filter(_ != null)
-      val v260c = MarcExtractor(MarcSpec.parse("260c"), separator = None).extract(rec)
+      val v260c = MarcExtractor.cached("260c", separator = None).extract(rec)
         .headOption.filter(_ != null)
       val fourDigit = """(\d{4})""".r
       found = v264c.flatMap(v => fourDigit.findFirstIn(v))
@@ -203,7 +203,7 @@ object Marc21Semantics {
   def lccBroadCategory(rec: MarcRecord, default: Option[String] = Some("Unknown"),
                        spec: String = "050a:060a:090a:096a"): Vector[String] = {
     val tm = TranslationMap.named("lcc_top_level")
-    val ex = MarcExtractor(MarcSpec.parse(spec), separator = None)
+    val ex = MarcExtractor.cached(spec, separator = None)
     val candidates = ex.extract(rec).filter(c =>
       c != null && LccRegex.pattern.matcher(c).matches())
     val mapped = tm.translateArray(
@@ -217,9 +217,9 @@ object Marc21Semantics {
                aFieldsSpec: String = "651a:691a",
                zFieldsSpec: String = "600:610:611:630:648:650:654:655:656:690:651:691"): Vector[String] = {
     val geoMap = TranslationMap.named("marc_geographic")
-    val from043 = MarcExtractor(MarcSpec.parse("043a"), separator = None).extract(rec)
+    val from043 = MarcExtractor.cached("043a", separator = None).extract(rec)
       .flatMap(code => geoMap.lookup(code.replaceAll("""\-+\z""", "")).map(_.mkString(" ")))
-    val fromA = MarcExtractor(MarcSpec.parse(aFieldsSpec), separator = None).extract(rec)
+    val fromA = MarcExtractor.cached(aFieldsSpec, separator = None).extract(rec)
       .map(_.replaceFirst("""\. *""", "")) // unanchored first-occurrence sub, as in the reference
     val zEx = MarcExtractor(zFieldsSpec)
     val fromZ = zEx.collectMatchingLines(rec) { (field, _) =>

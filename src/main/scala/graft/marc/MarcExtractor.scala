@@ -74,11 +74,23 @@ final case class MarcExtractor(
 }
 
 object MarcExtractor {
-  def apply(spec: String): MarcExtractor = MarcExtractor(MarcSpec.parse(spec))
+  def apply(spec: String): MarcExtractor = cached(spec)
 
   def apply(spec: String, separator: Option[String],
             alternateScript: AlternateScript): MarcExtractor =
-    MarcExtractor(MarcSpec.parse(spec), separator, alternateScript)
+    cached(spec, separator, alternateScript)
+
+  /** Spec-parse + tag-set precompute once per (spec, options) per JVM — the
+    * reference's MarcExtractor.cached (marc_extractor.rb:182-202), which its
+    * profiling showed to be THE hotspot when constructed per record. All
+    * row-level semantic functions route through this. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Option[String], AlternateScript), MarcExtractor]()
+
+  def cached(spec: String, separator: Option[String] = Some(" "),
+             alternateScript: AlternateScript = AlternateScript.Include): MarcExtractor =
+    cache.computeIfAbsent((spec, separator, alternateScript),
+      k => MarcExtractor(MarcSpec.parse(k._1), k._2, k._3))
 }
 
 /** Row-level `extract_marc` with its post-options, applied in the reference's
@@ -95,7 +107,7 @@ object ExtractMarc {
       alternateScript: AlternateScript = AlternateScript.Include)
 
   def compile(spec: String, opts: Options = Options()): MarcRecord => Vector[String] = {
-    val extractor = MarcExtractor(MarcSpec.parse(spec), opts.separator, opts.alternateScript)
+    val extractor = MarcExtractor.cached(spec, opts.separator, opts.alternateScript)
     rec => postProcess(extractor.extract(rec), opts)
   }
 
