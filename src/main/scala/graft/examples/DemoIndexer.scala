@@ -3,7 +3,7 @@ package graft.examples
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Transforms
+import graft.functions.{BatchEntry, MarcExtractBatch, Transforms}
 import graft.marc._
 import graft.marc.MarcFunctions._
 import graft.pipeline.Pipeline
@@ -52,60 +52,87 @@ object DemoIndexer {
     acc
   }
 
+
+  /** All pure extract_marc specs fused into ONE fields traversal
+    * (MarcExtractBatch); post-options apply per field below. */
+  private val extractBatch: Seq[BatchEntry] = Seq(
+    BatchEntry("e_id", "001"),
+    BatchEntry("e_505art", "505art"),
+    BatchEntry("e_publisher", "260abef:261abef:262ab:264ab"),
+    BatchEntry("e_isbn", "020a:773z:776z:534z:556z"),
+    BatchEntry("e_lccn", "010a"),
+    BatchEntry("e_material", "300a", separator = None),
+    BatchEntry("e_title_t", "245ak"),
+    BatchEntry("e_title1", "245abk"),
+    BatchEntry("e_title2", "245nps:130:240abcdefgklmnopqrs:210ab:222ab:242abcehnp:243abcdefgklmnopqrs:246abcdefgnp:247abcdefgnp"),
+    BatchEntry("e_title3", "700gklmnoprst:710fgklmnopqrst:711fgklnpst:730abdefgklmnopqrst:740anp:505t:780abcrst:785abcrst:773abrst"),
+    BatchEntry("e_series_t", "440a:490a:800abcdt:400abcd:810abcdt:410abcd:811acdeft:411acdef:830adfgklmnoprst:760ast:762ast"),
+    BatchEntry("e_author_unstem", "100abcdgqu:110abcdgnu:111acdegjnqu"),
+    BatchEntry("e_author2_unstem", "700abcdegqu:710abcdegnu:711acdegjnqu:720a:505r:245c:191abcdegqu"),
+    BatchEntry("e_author_display", "100abcdq:110:111"),
+    BatchEntry("e_author_facet", "100abcdq:110abcdgnu:111acdenqu:700abcdq:710abcdgnu:711acdenqu"),
+    BatchEntry("e_subject_t", "600:610:611:630:650:651avxyz:653aa:654abcvyz:655abcvxyz:690abcdxyz:691abxyz:692abxyz:693abxyz:656akvxyz:657avxyz:652axyz:658abcd"),
+    BatchEntry("e_subject_topic", "600abcdtq:610abt:610x:611abt:611x:630aa:630x:648a:648x:650aa:650x:651a:651x:691a:691x:653aa:654ab:656aa:690a:690x"),
+    BatchEntry("e_published", "260a"),
+    BatchEntry("e_issn", "022a:022l:022y:773x:774x:776x", separator = None),
+    BatchEntry("e_issn_related", "490x:440x:800x:400x:410x:411x:810x:811x:830x:700x:710x:711x:730x:780x:785x:777x:543x:760x:762x:765x:767x:770x:772x:775x:786x:787x", separator = None),
+    BatchEntry("e_other_number", "024a:028a"))
+
+  private def ext(name: String, opts: ExtractMarc.Options = ExtractMarc.Options()): Column => Column =
+    _ => applyExtractOptions(col("_ext").getField(name), opts)
+
   def pipeline: Pipeline = Pipeline.builder
     // one record pass for ALL semantic macros (clipboard column); fields
     // below select from the bundle struct
     .eachRecord("_sem", semanticBundle)
-    .toField("id", marcExtract("001", ExtractMarc.Options(first = true)),
+    .eachRecord("_ext", rec => MarcExtractBatch.extract(rec, extractBatch))
+    .toField("id", ext("e_id", ExtractMarc.Options(first = true)),
       Transforms.prepend("bib_"))
     .toField("source_field", _ => Transforms.literal("traject_test_last"))
     .toField("marc_display",
       serializedMarcBinary(binaryEscape = false, allowOversized = true))
     .toField("text", extractAllMarcValues())
-    .toField("text_extra_boost_t", marcExtract("505art"))
-    .toField("publisher_t", marcExtract("260abef:261abef:262ab:264ab"))
+    .toField("text_extra_boost_t", ext("e_505art"))
+    .toField("publisher_t", ext("e_publisher"))
     .toField("language_facet", _ => col("_sem").getField("languages"))
     .toField("format", _ => col("_sem").getField("formats"))
-    .toField("isbn_t", marcExtract("020a:773z:776z:534z:556z"))
-    .toField("lccn", marcExtract("010a"))
+    .toField("isbn_t", ext("e_isbn"))
+    .toField("lccn", ext("e_lccn"))
     .toField("material_type_display",
-      marcExtract("300a", ExtractMarc.Options(separator = None, trimPunctuation = true)))
-    .toField("title_t", marcExtract("245ak"))
-    .toField("title1_t", marcExtract("245abk"))
-    .toField("title2_t", marcExtract("245nps:130:240abcdefgklmnopqrs:210ab:222ab:242abcehnp:243abcdefgklmnopqrs:246abcdefgnp:247abcdefgnp"))
-    .toField("title3_t", marcExtract("700gklmnoprst:710fgklmnopqrst:711fgklnpst:730abdefgklmnopqrst:740anp:505t:780abcrst:785abcrst:773abrst"))
+      ext("e_material", ExtractMarc.Options(separator = None, trimPunctuation = true)))
+    .toField("title_t", ext("e_title_t"))
+    .toField("title1_t", ext("e_title1"))
+    .toField("title2_t", ext("e_title2"))
+    .toField("title3_t", ext("e_title3"))
     .toField("title3_t", title3From505r) // same field twice: values append
     .toField("title_display",
-      marcExtract("245abk", ExtractMarc.Options(trimPunctuation = true, first = true)))
+      ext("e_title1", ExtractMarc.Options(trimPunctuation = true, first = true)))
     .toField("title_sort", _ =>
       filter(array(col("_sem").getField("sortableTitle")), v => v.isNotNull))
-    .toField("title_series_t", marcExtract("440a:490a:800abcdt:400abcd:810abcdt:410abcd:811acdeft:411acdef:830adfgklmnoprst:760ast:762ast"))
+    .toField("title_series_t", ext("e_series_t"))
     .toField("series_facet", _ => col("_sem").getField("seriesFacet"))
-    .toField("author_unstem", marcExtract("100abcdgqu:110abcdgnu:111acdegjnqu"))
-    .toField("author2_unstem", marcExtract("700abcdegqu:710abcdegnu:711acdegjnqu:720a:505r:245c:191abcdegqu"))
-    .toField("author_display", marcExtract("100abcdq:110:111"))
+    .toField("author_unstem", ext("e_author_unstem"))
+    .toField("author2_unstem", ext("e_author2_unstem"))
+    .toField("author_display", ext("e_author_display"))
     .toField("author_sort", _ => array(col("_sem").getField("sortableAuthor")))
     .toField("author_facet",
-      marcExtract("100abcdq:110abcdgnu:111acdenqu:700abcdq:710abcdgnu:711acdenqu",
-        ExtractMarc.Options(trimPunctuation = true)))
-    .toField("subject_t", marcExtract("600:610:611:630:650:651avxyz:653aa:654abcvyz:655abcvxyz:690abcdxyz:691abxyz:692abxyz:693abxyz:656akvxyz:657avxyz:652axyz:658abcd"))
+      ext("e_author_facet", ExtractMarc.Options(trimPunctuation = true)))
+    .toField("subject_t", ext("e_subject_t"))
     .toField("subject_topic_facet",
-      marcExtract("600abcdtq:610abt:610x:611abt:611x:630aa:630x:648a:648x:650aa:650x:651a:651x:691a:691x:653aa:654ab:656aa:690a:690x",
-        ExtractMarc.Options(trimPunctuation = true)),
+      ext("e_subject_topic", ExtractMarc.Options(trimPunctuation = true)),
       upcaseFirstLetter)
     .toField("subject_geo_facet", _ => col("_sem").getField("geoFacet"))
     .toField("subject_era_facet", _ => col("_sem").getField("eraFacet"))
     .toField("published_display",
-      marcExtract("260a", ExtractMarc.Options(trimPunctuation = true)))
+      ext("e_published", ExtractMarc.Options(trimPunctuation = true)))
     .toField("pub_date", publicationDateAsString)
     .toField("discipline_facet", disciplineFacet)
     .toField("instrumentation_facet", _ => col("_sem").getField("instrumentation"))
     .toField("instrumentation_code_unstem", _ => col("_sem").getField("instrumentCodes"))
-    .toField("issn", marcExtract("022a:022l:022y:773x:774x:776x", ExtractMarc.Options(separator = None)))
-    .toField("issn_related", marcExtract("490x:440x:800x:400x:410x:411x:810x:811x:830x:700x:710x:711x:730x:780x:785x:777x:543x:760x:762x:765x:767x:770x:772x:775x:786x:787x",
-      ExtractMarc.Options(separator = None)))
+    .toField("issn", ext("e_issn", ExtractMarc.Options(separator = None)))
+    .toField("issn_related", ext("e_issn_related", ExtractMarc.Options(separator = None)))
     .toField("oclcnum_t", _ => col("_sem").getField("oclcnum"))
-    .toField("other_number_unstem", marcExtract("024a:028a"))
+    .toField("other_number_unstem", ext("e_other_number"))
 
   /** MeSH fixup from the reference's subject_topic_facet block: upcase a
     * downcased first letter. */

@@ -106,48 +106,12 @@ case class MarcExtractExpression(
     tag880
   }
 
-  private def matchesIndicators(spec: MarcSpec, field: InternalRow): Boolean = {
-    def indMatches(want: Option[String], ord: Int): Boolean = want match {
-      case None => true
-      case Some(w) =>
-        val v = if (field.isNullAt(ord)) "" else field.getUTF8String(ord).toString
-        w == v
-    }
-    indMatches(spec.ind1, IND1) && indMatches(spec.ind2, IND2)
-  }
+  private def matchesIndicators(spec: MarcSpec, field: InternalRow): Boolean =
+    MarcExtractEval.matchesIndicators(spec, field)
 
   private def extractField(spec: MarcSpec, field: InternalRow,
-                           out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
-    val isControl = !field.isNullAt(VALUE)
-    if (isControl) {
-      val value = field.getUTF8String(VALUE)
-      if (spec.hasByteSlice)
-        out += spec.byteSlice(value.toString).map(UTF8String.fromString).orNull
-      else out += value
-    } else {
-      val subs = if (field.isNullAt(SUBFIELDS)) null else field.getArray(SUBFIELDS)
-      if (subs == null) return
-      val vals = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
-      var i = 0
-      val n = subs.numElements()
-      while (i < n) {
-        val sf = subs.getStruct(i, 2)
-        if (sf != null) {
-          val code = sf.getUTF8String(0)
-          if (code != null && spec.includesSubfieldCode(code.toString))
-            vals += sf.getUTF8String(1)
-        }
-        i += 1
-      }
-      if (vals.nonEmpty) {
-        sepUtf match {
-          case Some(sep) if spec.joinable =>
-            out += UTF8String.concatWs(sep, vals.toSeq: _*)
-          case _ => vals.foreach(out += _)
-        }
-      }
-    }
-  }
+                           out: scala.collection.mutable.ArrayBuffer[Any]): Unit =
+    MarcExtractEval.extractField(spec, field, sepUtf, out)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

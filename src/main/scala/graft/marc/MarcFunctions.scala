@@ -25,16 +25,23 @@ object MarcFunctions {
     * column ops in the reference's order: first → translation_map →
     * trim_punctuation → dedup (ON by default) → default. */
   def marcExtract(spec: String, opts: ExtractMarc.Options = ExtractMarc.Options()): Column => Column = {
-    import graft.functions.{MarcExtractExpression, Transforms}
-    rec => {
-      var c = MarcExtractExpression.extract(rec, spec, opts.separator, opts.alternateScript)
-      if (opts.first) c = filter(slice(c, 1, 1), v => v.isNotNull) // Array(acc[0]) drops a nil head
-      opts.translationMap.foreach(tm => c = Transforms.translationMap(tm)(c))
-      if (opts.trimPunctuation) c = Transforms.trimPunctuation(c)
-      if (!opts.allowDuplicates) c = array_distinct(c)
-      opts.default.foreach(d => c = Transforms.default(d)(c))
-      c
-    }
+    import graft.functions.MarcExtractExpression
+    rec => applyExtractOptions(
+      MarcExtractExpression.extract(rec, spec, opts.separator, opts.alternateScript), opts)
+  }
+
+  /** The extract_marc post-option chain as column ops (reference order:
+    * first → translation_map → trim_punctuation → dedup → default) —
+    * applied to any already-extracted array column (e.g. a batch field). */
+  def applyExtractOptions(extracted: Column, opts: ExtractMarc.Options): Column = {
+    import graft.functions.Transforms
+    var c = extracted
+    if (opts.first) c = filter(slice(c, 1, 1), v => v.isNotNull) // Array(acc[0]) drops a nil head
+    opts.translationMap.foreach(tm => c = Transforms.translationMap(tm)(c))
+    if (opts.trimPunctuation) c = Transforms.trimPunctuation(c)
+    if (!opts.allowDuplicates) c = array_distinct(c)
+    opts.default.foreach(d => c = Transforms.default(d)(c))
+    c
   }
 
   /** The UDF formulation (kept for differential testing of the native
