@@ -14,7 +14,8 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     RelationalQueries,
     MarcQueries,
-    OpsQueries
+    OpsQueries,
+    XmlQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.{XmlDom, XmlWork}
+
+/** `extract_xpath(xml, 'xpath', ns, to_text)` — namespace-aware XPath
+  * extraction over an XML string column, with the reference's semantics
+  * (/root/reference/lib/traject/macros/nokogiri_macros.rb:13-46):
+  *
+  *  - every XPath match contributes one accumulator value;
+  *  - `toText = true` (default): attribute matches yield their value;
+  *    element matches yield all non-blank descendant text joined by single
+  *    spaces ("José" + "Lopez" → "José Lopez");
+  *  - `toText = false`: matches yield standalone serialized XML (the Spark
+  *    representation of "raw Nokogiri nodes"), namespaces re-declared.
+  *
+  * Spark's built-in Hive-compat `xpath()` family parses namespace-UNaware
+  * and cannot express prefix-mapped queries like `//oai:record`; this
+  * expression exists for that namespace parity. The XPath is compiled once
+  * per thread (not per row); the DOM parse per row is the price of
+  * arbitrary-XPath semantics — identical to the reference's per-record
+  * Nokogiri documents. For fixed schemas prefer Spark's native XML
+  * source/`from_xml`, which stays in codegen.
+  */
+case class XPathExtractExpression(
+    child: Expression,
+    xpath: String,
+    namespaces: Map[String, String],
+    toText: Boolean)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "extract_xpath"
+
+  @transient private lazy val work = new XmlWork(xpath, namespaces)
+
+  override def eval(input: InternalRow): Any = {
+    val xml = child.eval(input).asInstanceOf[UTF8String]
+    if (xml == null) return new GenericArrayData(Array.empty[Any])
+    val doc = XmlDom.parse(work.builder, xml.getBytes)
+    val nodes = XmlDom.evalNodes(work.compiled, doc)
+    val out = nodes.map { n =>
+      val s = if (toText) XmlDom.nodeToText(n) else XmlDom.serializeSubtree(n)
+      UTF8String.fromString(s): Any
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object XPathExtractExpression {
+  /** Column form: `extractXpath(col("xml"), "//oai:record/dc:title", ns)`. */
+  def extractXpath(xml: Column, xpath: String,
+                   ns: Map[String, String] = Map.empty,
+                   toText: Boolean = true): Column =
+    ColumnBridge.column(XPathExtractExpression(
+      ColumnBridge.expression(xml), xpath, ns, toText))
+}

@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.XPathExtractExpression.extractXpath
+
+/** Generic-XML extraction surface (SURVEY.md §2.3 `extract_xpath`, §2.1
+  * NokogiriReader): namespaced XML is synthesized per row from the
+  * documents table, then extracted back via [[graft.functions.XPathExtractExpression]];
+  * the DuckDB oracle recomputes the same values straight from the parquet
+  * columns, so the XML build → parse → XPath → to_text round trip is
+  * hash-checked end-to-end (escaping included).
+  */
+object XmlQueries extends QueryPack {
+
+  private val Ns = Map("g" -> "http://graft.example/ns")
+
+  private def esc(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+
+  /** One namespaced XML doc per documents row. */
+  private def docXml(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      concat(
+        lit("<g:rec xmlns:g=\"http://graft.example/ns\" id=\""), col("doc_id"), lit("\">"),
+        lit("<g:src>"), esc(col("source")), lit("</g:src>"),
+        lit("<g:body>"), esc(col("text")), lit("</g:body>"),
+        lit("<name><first>"), col("lang"), lit("</first><last>"), col("source"),
+        lit("</last></name>"),
+        lit("<name><first>"), col("source"), lit("</first><last>"), col("lang"),
+        lit("</last></name>"),
+        lit("</g:rec>")).as("xml"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // attribute + namespaced-element extraction, escaped-text round trip
+    "x01_xpath_extract" -> ((s, d) => {
+      docXml(s, d).select(
+          element_at(extractXpath(col("xml"), "/g:rec/@id", Ns), 1)
+            .cast("long").as("doc_id"),
+          element_at(extractXpath(col("xml"), "/g:rec/g:src", Ns), 1).as("src"),
+          element_at(extractXpath(col("xml"), "//g:body", Ns), 1).as("body"))
+        .orderBy("doc_id")
+    }),
+
+    // non-terminal elements: each match joins its descendant text with
+    // spaces (nokogiri_macros.rb:28-38 "José Lopez" semantics), and
+    // multi-match ordering is document order
+    "x02_xpath_totext" -> ((s, d) => {
+      docXml(s, d).select(
+          col("doc_id"),
+          array_join(extractXpath(col("xml"), "/g:rec/name", Ns), "|").as("names"),
+          size(extractXpath(col("xml"), "//name/first", Ns)).as("n_first"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "x01_xpath_extract" ->
+      "SELECT doc_id, source AS src, text AS body FROM documents ORDER BY doc_id",
+
+    "x02_xpath_totext" ->
+      """SELECT doc_id,
+              lang || ' ' || source || '|' || source || ' ' || lang AS names,
+              2 AS n_first
+         FROM documents ORDER BY doc_id"""
+  )
+}
