@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -17,12 +17,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * shape (/root/reference/lib/traject/oai_pmh_nokogiri_reader.rb:28-163):
   * fetch page, follow resumptionToken, stop when the token is empty.
   *
-  * Streaming mapping: one page = one micro-batch unit; the page index is
-  * the checkpointable offset, and the resumption-token chain is replayed
-  * deterministically by the fetcher. Pages are an order-dependent server
-  * cursor, so fetching happens in offset order (single partition per page —
-  * SURVEY §7 "single-partition read, parallelize downstream"); heavy
-  * per-record work belongs in the downstream stages, which Spark fans out.
+  * Streaming mapping: one page = one micro-batch unit. The checkpointable
+  * offset is `(page, resumptionToken)` — the token needed to fetch that
+  * page — so neither restart nor partition planning ever replays the token
+  * chain from page 0. Every page is fetched exactly ONCE (by the driver's
+  * probe in `latestOffset`), cached until its batch is planned, and shipped
+  * to executors inside the InputPartition: a 10,000-page harvest performs
+  * 10,000 HTTP fetches, not O(P²). Pages are an order-dependent server
+  * cursor, so fetching is inherently sequential (the reference's model
+  * too); parallelize the heavy per-record work downstream.
   *
   * The fetcher is pluggable: `OaiPageFetcher` implementations are looked up
   * by class name from the `fetcher` option, so tests inject a deterministic
@@ -36,24 +39,35 @@ trait OaiPageFetcher extends Serializable {
 object PagedSource {
   val schema: StructType = StructType(Seq(StructField("record", StringType)))
 
-  /** Resolve + cache fetcher instances per class name (one per executor). */
+  /** Resolve + cache fetcher instances per class name (one per JVM). */
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, OaiPageFetcher]()
   def fetcherFor(className: String): OaiPageFetcher =
     cache.computeIfAbsent(className, cn =>
       Class.forName(cn).getDeclaredConstructor().newInstance().asInstanceOf[OaiPageFetcher])
 
-  /** Walk the token chain from page 0 to `page`, returning its records.
-    * Fetchers are deterministic, so replay from a checkpoint is exact. */
-  def fetchPage(fetcher: OaiPageFetcher, page: Long): (Seq[String], Option[String]) = {
-    var token: Option[String] = None
-    var i = 0L
-    var result: (Seq[String], Option[String]) = (Seq.empty, None)
-    while (i <= page) {
-      result = fetcher.fetch(token)
-      token = result._2
-      i += 1
+  private[streaming] def jsonQuote(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private[streaming] def jsonUnquote(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' if i + 1 < s.length =>
+          s.charAt(i + 1) match {
+            case 'u' if i + 5 < s.length =>
+              sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+            case c => sb.append(c); i += 2
+          }
+        case c => sb.append(c); i += 1
+      }
     }
-    result
+    sb.toString
   }
 }
 
@@ -76,8 +90,21 @@ final class PagedTable(props: Map[String, String]) extends Table with SupportsRe
     }
 }
 
-final case class PageOffset(page: Long) extends Offset {
-  override def json(): String = s"""{"page":$page}"""
+/** `page` counts completed pages; `token` is the resumption token that
+  * fetches page `page` (None at page 0, or when the chain is exhausted). */
+final case class PageOffset(page: Long, token: Option[String]) extends Offset {
+  override def json(): String = token match {
+    case Some(t) => s"""{"page":$page,"token":${PagedSource.jsonQuote(t)}}"""
+    case None    => s"""{"page":$page}"""
+  }
+}
+
+object PageOffset {
+  private val PageRe = """"page"\s*:\s*(\d+)""".r
+  private val TokenRe = """"token"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+  def fromJson(json: String): PageOffset = PageOffset(
+    PageRe.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L),
+    TokenRe.findFirstMatchIn(json).map(m => PagedSource.jsonUnquote(m.group(1))))
 }
 
 final class PagedScan(options: Map[String, String]) extends Scan {
@@ -88,67 +115,114 @@ final class PagedScan(options: Map[String, String]) extends Scan {
 }
 
 /** Offsets count completed pages: batch (start, end] replays pages
-  * start..end-1. `latestOffset` keeps a monotonic probe cursor (page +
-  * resumption token) independent of commit timing — the engine may call it
-  * any number of times per trigger and before commits; each call advances
-  * the cursor by at most `maxPagesPerTrigger` pages (backpressure, like
-  * maxOffsetsPerTrigger). On checkpoint restart the cursor re-probes from
-  * page 0 and catches up — deterministic fetchers make the replay exact. */
+  * start..end-1.
+  *
+  * `latestOffset` keeps a monotonic probe cursor (page + resumption token)
+  * independent of commit timing — the engine may call it any number of
+  * times per trigger; each call advances by at most `maxPagesPerTrigger`
+  * pages (backpressure, like maxOffsetsPerTrigger) and caches each fetched
+  * page for partition planning, so a page is never fetched twice.
+  *
+  * On checkpoint restart `deserializeOffset` fast-forwards the cursor to
+  * the restored (page, token) — `latestOffset` can therefore never return
+  * an offset below a committed one (offsets regressing would make Spark
+  * re-deliver committed pages), and no replay from page 0 is needed: the
+  * token in the offset resumes the chain exactly where it stopped. Only a
+  * batch that was planned-but-uncommitted at the crash is re-fetched, by
+  * chaining forward from its start offset's token (bounded by
+  * maxPagesPerTrigger).
+  */
 final class PagedMicroBatchStream(fetcherClass: String, maxPagesPerTrigger: Int)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private val fetcher = PagedSource.fetcherFor(fetcherClass)
   private var probedPage: Long = 0
   private var probedToken: Option[String] = None
   private var exhausted = false
+  // pages fetched by the probe, awaiting planning: page -> (records, nextToken)
+  private val pageCache = scala.collection.mutable.Map.empty[Long, (Seq[String], Option[String])]
 
-  override def initialOffset(): Offset = PageOffset(0)
+  override def initialOffset(): Offset = PageOffset(0, None)
 
-  override def latestOffset(): Offset = synchronized {
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxPagesPerTrigger)
+
+  /** Engine entry point (SupportsAdmissionControl): Spark hands us the
+    * restored start offset, so a fresh stream instance fast-forwards its
+    * probe cursor before probing — latestOffset can never regress below a
+    * committed offset, and restart resumes the token chain in place. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = synchronized {
+    fastForward(start.asInstanceOf[PageOffset])
     var advanced = 0
     while (!exhausted && advanced < maxPagesPerTrigger) {
-      val (_, next) = fetcher.fetch(probedToken)
+      val (records, next) = fetcher.fetch(probedToken)
+      pageCache(probedPage) = (records, next)
       probedPage += 1
       advanced += 1
       probedToken = next
       if (next.isEmpty) exhausted = true
     }
-    PageOffset(probedPage)
+    PageOffset(probedPage, probedToken)
   }
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[PageOffset].page
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  private def fastForward(off: PageOffset): Unit =
+    if (off.page > probedPage) {
+      probedPage = off.page
+      probedToken = off.token
+      exhausted = off.page > 0 && off.token.isEmpty
+      pageCache.filterInPlace { case (page, _) => page >= off.page }
+    }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = synchronized {
+    val s = start.asInstanceOf[PageOffset]
     val e = end.asInstanceOf[PageOffset].page
-    (s until e).map(p => PagePartition(fetcherClass, p): InputPartition).toArray
+    // Fill any cache gap (restart replay of a planned-but-uncommitted
+    // batch) by chaining forward from the start offset's token.
+    var token = s.token
+    var p = s.page
+    while (p < e) {
+      pageCache.get(p) match {
+        case Some((_, next)) => token = next
+        case None =>
+          val (records, next) = fetcher.fetch(token)
+          pageCache(p) = (records, next)
+          token = next
+      }
+      p += 1
+    }
+    (s.page until e).map(p => PagePartition(pageCache(p)._1.toArray): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
-      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-        val pp = partition.asInstanceOf[PagePartition]
-        new PagePartitionReader(pp)
-      }
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new PagePartitionReader(partition.asInstanceOf[PagePartition])
     }
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = synchronized {
+    val e = end.asInstanceOf[PageOffset].page
+    pageCache.filterInPlace { case (page, _) => page >= e }
+  }
 
   override def deserializeOffset(json: String): Offset = {
-    val page = """"page"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
-      .map(_.group(1).toLong).getOrElse(0L)
-    PageOffset(page)
+    val off = PageOffset.fromJson(json)
+    synchronized { fastForward(off) }
+    off
   }
 
   override def stop(): Unit = ()
 }
 
-final case class PagePartition(fetcherClass: String, page: Long) extends InputPartition
+/** Page payload travels inside the partition: fetched once on the driver,
+  * shipped with the task — executors do no HTTP. */
+final case class PagePartition(records: Array[String]) extends InputPartition
 
 final class PagePartitionReader(part: PagePartition)
     extends PartitionReader[InternalRow] {
-  private val records: Iterator[String] = {
-    val fetcher = PagedSource.fetcherFor(part.fetcherClass)
-    PagedSource.fetchPage(fetcher, part.page)._1.iterator
-  }
+  private val records: Iterator[String] = part.records.iterator
   private var current: InternalRow = _
   override def next(): Boolean =
     if (records.hasNext) {
@@ -161,7 +235,7 @@ final class PagePartitionReader(part: PagePartition)
 
 /** Production fetcher: OAI-PMH ListRecords over HTTP with resumptionToken
   * pagination and gzip (oai_pmh_nokogiri_reader.rb:72-99). Records are the
-  * raw <record> elements; parse downstream with xpath()/from_xml. */
+  * raw <record> elements; parse downstream with extract_xpath/from_xml. */
 final class HttpOaiPageFetcher(baseUrl: String, metadataPrefix: String = "oai_dc")
     extends OaiPageFetcher {
   def this() = this(sys.props.getOrElse("graft.oai.url", ""))

@@ -18,9 +18,11 @@ class FakeOaiFetcher extends OaiPageFetcher {
 }
 
 /** Growable fake feed for checkpoint-restart tests: pages come from a
-  * JVM-static buffer so a test can extend the feed between runs. */
+  * JVM-static buffer so a test can extend the feed between runs; every
+  * fetch call is counted so tests can pin the fetch-per-page contract. */
 class GrowingOaiFetcher extends OaiPageFetcher {
   def fetch(token: Option[String]): (Seq[String], Option[String]) = {
+    GrowingOaiFetcher.fetchCount.incrementAndGet()
     val pages = GrowingOaiFetcher.pages.get()
     val idx = token.map(_.toInt).getOrElse(0)
     val next = if (idx + 1 < pages.length) Some((idx + 1).toString) else None
@@ -29,17 +31,24 @@ class GrowingOaiFetcher extends OaiPageFetcher {
 }
 object GrowingOaiFetcher {
   val pages = new java.util.concurrent.atomic.AtomicReference[Vector[Seq[String]]](Vector.empty)
+  val fetchCount = new java.util.concurrent.atomic.AtomicInteger(0)
 }
 
 class StreamingSpec extends SparkSpec {
 
   test("oai-paged restart from checkpoint delivers only new pages, no replays") {
-    GrowingOaiFetcher.pages.set(Vector(Seq("p0a", "p0b"), Seq("p1a")))
+    // Interrupted-harvest restart with 3 committed pages and a LIVE token:
+    // the restored (page, token) offset must floor the probe cursor, so a
+    // regressing latestOffset would re-deliver pages 0..2 — the exact
+    // failure mode a 2-page test masks.
+    GrowingOaiFetcher.pages.set(Vector(
+      Seq("p0a", "p0b"), Seq("p1a"), Seq("p2a"), Seq("p3a", "p3b"), Seq("p4a")))
+    GrowingOaiFetcher.fetchCount.set(0)
     val ckpt = java.nio.file.Files.createTempDirectory("oai_ckpt").toString
     val received = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
 
-    def runOnce(): Unit = {
-      val q = spark.readStream.format("oai-paged")
+    def runOnce(oneBatch: Boolean): Unit = {
+      val writer = spark.readStream.format("oai-paged")
         .option("fetcher", classOf[GrowingOaiFetcher].getName)
         .option("maxPagesPerTrigger", "1")
         .load()
@@ -49,25 +58,56 @@ class StreamingSpec extends SparkSpec {
           batch.collect().foreach(r => received.add(r.getString(0)))
         }
         .outputMode(OutputMode.Append())
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      val q = if (oneBatch)
+        writer.trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+      else writer.start()
+      try {
+        if (oneBatch) q.awaitTermination() else q.processAllAvailable()
+      } finally q.stop()
     }
 
-    runOnce()
-    assert(received.toArray(Array.empty[String]).toVector.sorted == Vector("p0a", "p0b", "p1a"))
+    // run 1: three single-batch runs commit pages 0..2; token "3" is live
+    (1 to 3).foreach(_ => runOnce(oneBatch = true))
+    assert(received.toArray(Array.empty[String]).toVector == Vector("p0a", "p0b", "p1a", "p2a"))
+    assert(GrowingOaiFetcher.fetchCount.get() == 3,
+      "3 committed pages must mean exactly 3 fetches")
 
-    // feed grows; restart from the same checkpoint. foreachBatch is
-    // at-least-once: the LAST batch of run 1 (page 1) may re-execute if its
-    // sink commit wasn't logged before stop — but earlier committed pages
-    // must never replay, and nothing may be lost.
-    GrowingOaiFetcher.pages.set(Vector(Seq("p0a", "p0b"), Seq("p1a"), Seq("p2a", "p2b")))
-    runOnce()
+    // restart from the checkpoint and drain: only pages 3..4 may arrive
+    val fetchesBefore = GrowingOaiFetcher.fetchCount.get()
+    runOnce(oneBatch = false)
+    val fetchesInRun2 = GrowingOaiFetcher.fetchCount.get() - fetchesBefore
     val all = received.toArray(Array.empty[String]).toVector
-    assert(all.distinct.sorted == Vector("p0a", "p0b", "p1a", "p2a", "p2b"),
-      s"nothing lost: $all")
-    assert(all.count(_ == "p0a") == 1 && all.count(_ == "p0b") == 1,
-      s"committed early pages must not replay: $all")
-    assert(all.count(_ == "p1a") <= 2, s"only the final uncommitted batch may replay: $all")
+    assert(all == Vector("p0a", "p0b", "p1a", "p2a", "p3a", "p3b", "p4a"),
+      s"committed pages must not replay and nothing may be lost: $all")
+    // no probe-from-zero, no O(P²) chain replay: the 2 remaining pages cost
+    // exactly 2 fetches (the restored token resumes the chain in place)
+    assert(fetchesInRun2 == 2, s"expected 2 fetches for 2 new pages, got $fetchesInRun2")
+  }
+
+  test("oai-paged fetches each page exactly once (no chain replay)") {
+    GrowingOaiFetcher.pages.set(Vector(Seq("a1"), Seq("b1", "b2"), Seq("c1"), Seq("d1")))
+    GrowingOaiFetcher.fetchCount.set(0)
+    val before = GrowingOaiFetcher.fetchCount.get()
+    val stream = spark.readStream.format("oai-paged")
+      .option("fetcher", classOf[GrowingOaiFetcher].getName)
+      .option("maxPagesPerTrigger", "1")
+      .load()
+    val query = stream.writeStream.format("memory").queryName("oai_once")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      query.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM oai_once").head().getLong(0)
+      assert(n == 5)
+      val fetches = GrowingOaiFetcher.fetchCount.get() - before
+      assert(fetches == 4, s"4 pages must mean exactly 4 fetches, got $fetches")
+    } finally query.stop()
+  }
+
+  test("PageOffset json round-trips tokens with escapes") {
+    val off = PageOffset(7, Some("""tok "quoted" \ back"""))
+    assert(PageOffset.fromJson(off.json()) == off)
+    assert(PageOffset.fromJson(PageOffset(3, None).json()) == PageOffset(3, None))
+    assert(PageOffset.fromJson("""{"page":5}""") == PageOffset(5, None))
   }
 
   test("oai-paged micro-batch source streams every page exactly once") {
