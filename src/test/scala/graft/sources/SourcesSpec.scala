@@ -55,6 +55,33 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("marc DSv2 splits: padded files lose no record when padding straddles a boundary") {
+    // newline/NUL/space padding between records, varied lengths, so split
+    // boundaries sweep through padding runs with no 0x1D ahead of the next
+    // record — the padded-split loss scenario
+    val recs = Fixtures.records("test_data.utf8")
+    val dir = tmpDir("marcpad")
+    val out = Files.newOutputStream(Paths.get(dir, "data.mrc"))
+    recs.zipWithIndex.foreach { case (r, i) =>
+      out.write(Iso2709.encode(r))
+      out.write(("\n" * (1 + i % 5)).getBytes)
+      if (i % 3 == 0) out.write(Array[Byte](0, 0, ' ', '\r'))
+    }
+    out.close()
+    val wantIds = recs.map(_.fields.head.value).sorted
+
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    try {
+      for (split <- Seq("517", "1031", "2048", "4099")) {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", split)
+        val ids = spark.read.format("marc").load(s"$dir/data.mrc")
+          .collect().map(r => r.getSeq[org.apache.spark.sql.Row](1).head.getString(3))
+          .sorted.toVector
+        assert(ids == wantIds, s"split=$split must read each record exactly once")
+      }
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("marc DSv2 column pruning serves a leader-only projection") {
     val recs = Fixtures.records("test_data.utf8").take(3)
     val dir = tmpDir("marcprune")
