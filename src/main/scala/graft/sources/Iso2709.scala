@@ -26,6 +26,27 @@ object Iso2709 {
 
   def isControlTag(tag: String): Boolean = tag < "010"
 
+  /** Decodes value bytes to a String. Structural bytes (leader, tags,
+    * indicators, lengths) are always ASCII; only field VALUES go through
+    * the decoder — matching the reference's per-value transcode
+    * (marc_reader.rb:27-35 external_encoding + invalid: :replace). */
+  type ValueDecoder = (Array[Byte], Int, Int) => String
+
+  val Utf8Replace: ValueDecoder =
+    (b, from, len) => new String(b, from, len, UTF_8) // invalid bytes -> U+FFFD
+
+  val Marc8Decoder: ValueDecoder = (b, from, len) => Marc8.toUtf8(b, from, len)
+
+  /** Resolve `marc_source.encoding` (ArgumentError parity on unknown names,
+    * test/marc_reader_test.rb:66-72). */
+  def decoderFor(encoding: String): ValueDecoder =
+    encoding.toUpperCase.replace("_", "-") match {
+      case "UTF-8" | "UTF8" => Utf8Replace
+      case "MARC-8" | "MARC8" => Marc8Decoder
+      case other => throw new IllegalArgumentException(
+        s"Unrecognized marc_source.encoding: $other (supported: UTF-8, MARC-8)")
+    }
+
   private def str(bytes: Array[Byte], from: Int, len: Int): String =
     new String(bytes, from, len, UTF_8) // java replaces invalid sequences with U+FFFD
 
@@ -70,7 +91,8 @@ object Iso2709 {
 
   /** Decode one record from `bytes` starting at `offset`; returns the
     * record (None if malformed) and the offset just past it. */
-  def decodeAt(bytes: Array[Byte], offset: Int): (Option[MarcRecord], Int) = {
+  def decodeAt(bytes: Array[Byte], offset: Int,
+               dec: ValueDecoder = Utf8Replace): (Option[MarcRecord], Int) = {
     if (offset + LeaderLength > bytes.length) return (None, bytes.length)
     val recLen = asciiInt(bytes, offset, 5).getOrElse(0)
     if (recLen < LeaderLength) {
@@ -95,7 +117,7 @@ object Iso2709 {
         // strip the trailing field terminator
         val dataEnd = if (to > from && bytes(to - 1) == FieldTerminator) to - 1 else to
         if (isControlTag(tag)) {
-          fields += MarcField.control(tag, str(bytes, from, dataEnd - from))
+          fields += MarcField.control(tag, dec(bytes, from, dataEnd - from))
         } else if (dataEnd - from >= 2) {
           val ind1 = str(bytes, from, 1)
           val ind2 = str(bytes, from + 1, 1)
@@ -107,7 +129,7 @@ object Iso2709 {
               val codeStart = p + 1
               var q = codeStart + 1
               while (q < dataEnd && bytes(q) != SubfieldDelimiter) q += 1
-              subs += Subfield(str(bytes, codeStart, 1), str(bytes, codeStart + 1, q - codeStart - 1))
+              subs += Subfield(str(bytes, codeStart, 1), dec(bytes, codeStart + 1, q - codeStart - 1))
               p = q
             } else p += 1
           }
@@ -120,7 +142,7 @@ object Iso2709 {
   }
 
   /** Decode every record in a byte buffer. */
-  def decodeAll(bytes: Array[Byte]): Vector[MarcRecord] = {
+  def decodeAll(bytes: Array[Byte], dec: ValueDecoder = Utf8Replace): Vector[MarcRecord] = {
     val out = Vector.newBuilder[MarcRecord]
     var pos = 0
     while (pos < bytes.length) {
@@ -129,7 +151,7 @@ object Iso2709 {
         (bytes(pos) == RecordTerminator || bytes(pos) == '\n' || bytes(pos) == '\r' ||
          bytes(pos) == ' ' || bytes(pos) == 0)) pos += 1
       if (pos < bytes.length) {
-        val (rec, next) = decodeAt(bytes, pos)
+        val (rec, next) = decodeAt(bytes, pos, dec)
         rec.foreach(out += _)
         pos = math.max(next, pos + 1)
       }

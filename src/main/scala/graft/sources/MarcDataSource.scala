@@ -37,8 +37,12 @@ class MarcDataSource extends TableProvider with DataSourceRegister {
     MarcDataSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new MarcTable(MarcDataSource.resolvePaths(properties.asScala.toMap))
+                        properties: util.Map[String, String]): Table = {
+    val props = properties.asScala.toMap
+    val encoding = props.getOrElse("encoding", "UTF-8")
+    Iso2709.decoderFor(encoding) // validate eagerly (ArgumentError parity)
+    new MarcTable(MarcDataSource.resolvePaths(props), encoding)
+  }
 }
 
 object MarcDataSource {
@@ -65,30 +69,33 @@ object MarcDataSource {
       .getOrElse(Seq.empty)
 }
 
-final class MarcTable(paths: Seq[String]) extends Table with SupportsRead {
+final class MarcTable(paths: Seq[String], encoding: String = "UTF-8")
+    extends Table with SupportsRead {
   override def name(): String = s"marc(${paths.mkString(",")})"
   override def schema(): StructType = MarcDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MarcScanBuilder(paths)
+    new MarcScanBuilder(paths, encoding)
 }
 
-final class MarcScanBuilder(paths: Seq[String])
+final class MarcScanBuilder(paths: Seq[String], encoding: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = MarcDataSource.schema
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new MarcScan(paths, required)
+  override def build(): Scan = new MarcScan(paths, required, encoding)
 }
 
-final case class MarcInputPartition(path: String, start: Long, length: Long)
+final case class MarcInputPartition(path: String, start: Long, length: Long,
+                                    encoding: String = "UTF-8")
   extends InputPartition
 
-final class MarcScan(paths: Seq[String], required: StructType) extends Scan with Batch {
+final class MarcScan(paths: Seq[String], required: StructType,
+                     encoding: String = "UTF-8") extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -106,7 +113,7 @@ final class MarcScan(paths: Seq[String], required: StructType) extends Scan with
       statuses.flatMap { st =>
         val len = st.getLen
         (0L until math.max(len, 1L) by maxSplit).map { off =>
-          MarcInputPartition(st.getPath.toString, off, math.min(maxSplit, len - off))
+          MarcInputPartition(st.getPath.toString, off, math.min(maxSplit, len - off), encoding)
         }
       }
     }.toArray
@@ -127,6 +134,7 @@ final class MarcReaderFactory(required: StructType)
 final class MarcPartitionReader(part: MarcInputPartition, required: StructType)
     extends PartitionReader[InternalRow] {
 
+  private val decoder = Iso2709.decoderFor(part.encoding)
   private val fullSchema = MarcDataSource.schema
   private val serializer =
     ExpressionEncoder(Encoders.product[MarcRecord].asInstanceOf[AgnosticEncoder[MarcRecord]]).createSerializer()
@@ -194,7 +202,7 @@ final class MarcPartitionReader(part: MarcInputPartition, required: StructType)
             (buf(cur) == Iso2709.RecordTerminator || buf(cur) == '\n' ||
              buf(cur) == '\r' || buf(cur) == ' ' || buf(cur) == 0)) cur += 1
           if (cur >= buf.length || cur > limit) return None
-          val (rec, next) = Iso2709.decodeAt(buf, cur)
+          val (rec, next) = Iso2709.decodeAt(buf, cur, decoder)
           cur = math.max(next, cur + 1)
           if (rec.isDefined) return rec
         }

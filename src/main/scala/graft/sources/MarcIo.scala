@@ -13,9 +13,13 @@ import graft.marc.{MarcFunctions, MarcJson, MarcRecord}
 object MarcIo {
   import MarcFunctions.marcRecordEncoder
 
-  /** ISO 2709 binary via the splittable DSv2 ("marc" format). */
-  def readBinary(spark: SparkSession, path: String): Dataset[MarcRecord] =
-    spark.read.format("marc").load(path).as[MarcRecord]
+  /** ISO 2709 binary via the splittable DSv2 ("marc" format).
+    * `encoding` = marc_source.encoding: "UTF-8" (default) or "MARC-8"
+    * (transcoded per value, invalid: :replace). */
+  def readBinary(spark: SparkSession, path: String,
+                 encoding: String = "UTF-8"): Dataset[MarcRecord] =
+    spark.read.format("marc").option("encoding", encoding)
+      .load(path).as[MarcRecord]
 
   /** marc-in-json NDJ (gz transparent) — see MarcSource.readJson. */
   def readJson(spark: SparkSession, path: String): Dataset[MarcRecord] =
