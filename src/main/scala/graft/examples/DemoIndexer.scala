@@ -23,17 +23,16 @@ object DemoIndexer {
 
   /** title3_t second rule: $t of 505 fields that also carry $r
     * (demo_config.rb "mention the same field twice"). */
-  private val title3From505r: Column => Column = recordFn { rec =>
+  private val title3From505r: MarcRecord => Vector[String] = rec =>
     rec.fields.iterator
       .filter(f => f.tag == "505" && f.subfield("r").isDefined)
       .flatMap(_.subfields.collect { case Subfield("t", v) => v })
       .toVector
-  }
 
   /** discipline_facet custom logic: LCC broad category with no default,
     * plus local holdings (991/937) call-number handling, 086 ⇒ Government
     * Publication, uniq, then "Unknown" fill. */
-  private val disciplineFacet: Column => Column = recordFn { rec =>
+  private val disciplineFacet: MarcRecord => Vector[String] = rec => {
     var acc = Marc21Semantics.lccBroadCategory(rec, default = None)
     val lccMap = TranslationMap.named("lcc_top_level")
     MarcExtractor("991:937").matchingLines(rec).foreach { case (field, _) =>
@@ -50,6 +49,21 @@ object DemoIndexer {
     acc = acc.distinct
     if (acc.filter(_ != null).isEmpty) acc :+= "Unknown"
     acc
+  }
+
+  /** Every record-level computation in the config — the 12 semantic macros
+    * plus both inline-lambda rules, the ISO-2709 re-serialization and the
+    * all-values text harvest — bundled into ONE record materialization per
+    * row (MarcRecordBundleExpression). Previously these were 5 separate
+    * record-deserializing UDFs. */
+  private val recordEntries: Seq[(String, org.apache.spark.sql.types.DataType, MarcRecord => Any)] = {
+    import graft.functions.MarcRecordBundleExpression.{Arr, Str}
+    MarcFunctions.semanticEntries ++ Seq(
+      ("t505r", Arr, title3From505r),
+      ("discipline", Arr, disciplineFacet),
+      ("marcBin", Str, (rec: MarcRecord) =>
+        new String(graft.sources.Iso2709.encode(rec, allowOversized = true), "ISO-8859-1")),
+      ("allValues", Arr, (rec: MarcRecord) => MarcFunctions.allMarcValues(rec)))
   }
 
 
@@ -82,16 +96,16 @@ object DemoIndexer {
     _ => applyExtractOptions(col("_ext").getField(name), opts)
 
   def pipeline: Pipeline = Pipeline.builder
-    // one record pass for ALL semantic macros (clipboard column); fields
-    // below select from the bundle struct
-    .eachRecord("_sem", semanticBundle)
+    // one record materialization for ALL record-level rules (clipboard
+    // column); fields below select from the bundle struct
+    .eachRecord("_sem", MarcFunctions.recordBundle(recordEntries))
     .eachRecord("_ext", rec => MarcExtractBatch.extract(rec, extractBatch))
     .toField("id", ext("e_id", ExtractMarc.Options(first = true)),
       Transforms.prepend("bib_"))
     .toField("source_field", _ => Transforms.literal("traject_test_last"))
     .toField("marc_display",
-      serializedMarcBinary(binaryEscape = false, allowOversized = true))
-    .toField("text", extractAllMarcValues())
+      _ => filter(array(col("_sem").getField("marcBin")), v => v.isNotNull))
+    .toField("text", _ => col("_sem").getField("allValues"))
     .toField("text_extra_boost_t", ext("e_505art"))
     .toField("publisher_t", ext("e_publisher"))
     .toField("language_facet", _ => col("_sem").getField("languages"))
@@ -104,7 +118,7 @@ object DemoIndexer {
     .toField("title1_t", ext("e_title1"))
     .toField("title2_t", ext("e_title2"))
     .toField("title3_t", ext("e_title3"))
-    .toField("title3_t", title3From505r) // same field twice: values append
+    .toField("title3_t", _ => col("_sem").getField("t505r")) // same field twice: values append
     .toField("title_display",
       ext("e_title1", ExtractMarc.Options(trimPunctuation = true, first = true)))
     .toField("title_sort", _ =>
@@ -126,7 +140,7 @@ object DemoIndexer {
     .toField("published_display",
       ext("e_published", ExtractMarc.Options(trimPunctuation = true)))
     .toField("pub_date", publicationDateAsString)
-    .toField("discipline_facet", disciplineFacet)
+    .toField("discipline_facet", _ => col("_sem").getField("discipline"))
     .toField("instrumentation_facet", _ => col("_sem").getField("instrumentation"))
     .toField("instrumentation_code_unstem", _ => col("_sem").getField("instrumentCodes"))
     .toField("issn", ext("e_issn", ExtractMarc.Options(separator = None)))

@@ -187,9 +187,8 @@ object Marc21Semantics {
         .headOption.filter(_ != null)
       val v260c = MarcExtractor.cached("260c", separator = None).extract(rec)
         .headOption.filter(_ != null)
-      val fourDigit = """(\d{4})""".r
-      found = v264c.flatMap(v => fourDigit.findFirstIn(v))
-        .orElse(v260c.flatMap(v => fourDigit.findFirstIn(v)))
+      found = v264c.flatMap(v => FourDigit.findFirstIn(v))
+        .orElse(v260c.flatMap(v => FourDigit.findFirstIn(v)))
         .map(_.toInt)
     }
 
@@ -199,6 +198,19 @@ object Marc21Semantics {
   // --- LCC broad category (marc21_semantics.rb:396-433) -------------------
 
   val LccRegex = """\A *[A-Z]{1,3}[ .]*(?:(\d+)(?:\s*?\.\s*?(\d+))?).*""".r
+
+  // hot-path patterns compiled once (String.replaceAll would recompile per
+  // value per record)
+  private val FourDigit = """(\d{4})""".r
+  private val TrailingDotSpace = java.util.regex.Pattern.compile("""\. *\z""")
+  private val FirstDotSpace = java.util.regex.Pattern.compile("""\. *""")
+  private val TrailingHyphens = java.util.regex.Pattern.compile("""\-+\z""")
+  private val TrailingDot = java.util.regex.Pattern.compile("""\.\z""")
+  private val EraSpecial =
+    """\A\s*.+,\s+(ca.\s+)?\d\d\d\d?(-\d\d\d\d?)?( B\.C\.)?[.,; ]*\z""".r
+
+  @inline private def stripTrailingDot(s: String): String =
+    TrailingDotSpace.matcher(s).replaceAll("")
 
   def lccBroadCategory(rec: MarcRecord, default: Option[String] = Some("Unknown"),
                        spec: String = "050a:060a:090a:096a"): Vector[String] = {
@@ -218,13 +230,13 @@ object Marc21Semantics {
                zFieldsSpec: String = "600:610:611:630:648:650:654:655:656:690:651:691"): Vector[String] = {
     val geoMap = TranslationMap.named("marc_geographic")
     val from043 = MarcExtractor.cached("043a", separator = None).extract(rec)
-      .flatMap(code => geoMap.lookup(code.replaceAll("""\-+\z""", "")).map(_.mkString(" ")))
+      .flatMap(code => geoMap.lookup(TrailingHyphens.matcher(code).replaceAll("")).map(_.mkString(" ")))
     val fromA = MarcExtractor.cached(aFieldsSpec, separator = None).extract(rec)
-      .map(_.replaceFirst("""\. *""", "")) // unanchored first-occurrence sub, as in the reference
+      .map(v => FirstDotSpace.matcher(v).replaceFirst("")) // unanchored first-occurrence sub, as in the reference
     val zEx = MarcExtractor(zFieldsSpec)
     val fromZ = zEx.collectMatchingLines(rec) { (field, _) =>
       val zs = field.subfields.filter(_.code == "z").map(_.value)
-        .map(_.replaceAll("""\. *\z""", ""))
+        .map(stripTrailingDot)
       if (zs.length == 2) Vector(s"${zs(1)} (${zs(0)})", zs(0))
       else zs.toVector
     }
@@ -235,15 +247,13 @@ object Marc21Semantics {
 
   def eraFacet(rec: MarcRecord): Vector[String] = {
     val ordinary = MarcExtractor("600y:610y:611y:630y:648ay:650y:654y:656y:690y")
-      .extract(rec).map(_.replaceAll("""\. *\z""", ""))
-    val specialRegex =
-      """\A\s*.+,\s+(ca.\s+)?\d\d\d\d?(-\d\d\d\d?)?( B\.C\.)?[.,; ]*\z""".r
+      .extract(rec).map(stripTrailingDot)
     val specialEx = MarcExtractor("651:691")
     val special = specialEx.collectMatchingLines(rec) { (field, _) =>
       field.subfields.filter(_.code == "y").map { sf =>
-        if (specialRegex.pattern.matcher(sf.value).matches())
-          s"${field.subfield("a").getOrElse("")}: ${sf.value.replaceAll("""\. *\z""", "")}"
-        else sf.value.replaceAll("""\. *\z""", "")
+        if (EraSpecial.pattern.matcher(sf.value).matches())
+          s"${field.subfield("a").getOrElse("")}: ${stripTrailingDot(sf.value)}"
+        else stripTrailingDot(sf.value)
       }.toVector
     }
     (ordinary ++ special).distinct
@@ -263,7 +273,7 @@ object Marc21Semantics {
         sb.append(prefix).append(sf.value)
       }
     }
-    val str = sb.toString.replaceAll("""\.\z""", "")
+    val str = TrailingDot.matcher(sb.toString).replaceAll("")
     if (str.isEmpty) None else Some(str)
   }
 

@@ -55,18 +55,21 @@ object MarcFunctions {
   /** extract_all_marc_values(from, to, separator) — marc21.rb:213-238:
     * all subfield text of data fields with from <= tag <= to, one joined
     * string per field (or flattened when separator is None). */
+  def allMarcValues(rec: MarcRecord, from: String = "100", to: String = "899",
+                    separator: Option[String] = Some(" ")): Vector[String] =
+    rec.fields.iterator
+      .filter(f => !f.isControl && f.tag >= from && f.tag <= to)
+      .map(_.subfieldValues)
+      .filter(_.nonEmpty)
+      .flatMap(vals => separator match {
+        case Some(sep) => Seq(vals.mkString(sep))
+        case None      => vals
+      }).toVector
+
   def extractAllMarcValues(from: String = "100", to: String = "899",
                            separator: Option[String] = Some(" ")): Column => Column = {
     val u = udf((rec: MarcRecord) =>
-      if (rec == null) Vector.empty[String]
-      else rec.fields.iterator
-        .filter(f => !f.isControl && f.tag >= from && f.tag <= to)
-        .map(_.subfieldValues)
-        .filter(_.nonEmpty)
-        .flatMap(vals => separator match {
-          case Some(sep) => Seq(vals.mkString(sep))
-          case None      => vals
-        }).toVector)
+      if (rec == null) Vector.empty[String] else allMarcValues(rec, from, to, separator))
     rec => u(rec)
   }
 
@@ -141,36 +144,36 @@ object MarcFunctions {
     rec => array(u(rec))
   }
 
-  /** All semantic macros computed in ONE record pass — each `marc*` UDF
-    * deserializes the record struct independently, so a config using ten of
-    * them pays ten deserializations per record; the bundle pays one.
-    * Select individual outputs with `.getField`. */
-  final case class SemanticBundle(
-      languages: Seq[String], formats: Seq[String],
-      sortableAuthor: String, sortableTitle: Option[String],
-      geoFacet: Seq[String], eraFacet: Seq[String],
-      seriesFacet: Seq[String], oclcnum: Seq[String],
-      instrumentation: Seq[String], instrumentCodes: Seq[String],
-      publicationDate: Option[Int], lcsh: Seq[String])
-
-  def semanticBundle: Column => Column = {
-    val u = udf((rec: MarcRecord) =>
-      if (rec == null) null
-      else SemanticBundle(
-        Marc21Semantics.languages(rec),
-        MarcFormatClassifier.formats(rec),
-        Marc21Semantics.sortableAuthor(rec),
-        Marc21Semantics.sortableTitle(rec),
-        Marc21Semantics.geoFacet(rec),
-        Marc21Semantics.eraFacet(rec),
-        Marc21Semantics.seriesFacet(rec),
-        Marc21Semantics.oclcnum(rec),
-        Marc21Semantics.instrumentationHumanized(rec).filter(_ != null),
-        Marc21Semantics.instrumentCodesNormalized(rec),
-        Marc21Semantics.publicationDate(rec),
-        Marc21Semantics.lcshFormatted(rec)))
-    rec => u(rec)
+  /** All semantic macros computed in ONE record pass and ONE record
+    * materialization — each `marc*` UDF deserializes the record struct
+    * independently, so a config using ten of them pays ten
+    * deserializations per record; the bundle (a native
+    * `MarcRecordBundleExpression`) pays one and writes its results
+    * straight into the output row. Select individual outputs with
+    * `.getField`. Extend with extra entries (user lambdas, serializations)
+    * via `recordBundle(semanticEntries ++ ...)`. */
+  val semanticEntries: Seq[(String, org.apache.spark.sql.types.DataType, MarcRecord => Any)] = {
+    import graft.functions.MarcRecordBundleExpression.{Arr, Int32, Str}
+    Seq(
+      ("languages", Arr, Marc21Semantics.languages(_)),
+      ("formats", Arr, MarcFormatClassifier.formats(_)),
+      ("sortableAuthor", Str, Marc21Semantics.sortableAuthor(_)),
+      ("sortableTitle", Str, Marc21Semantics.sortableTitle(_)),
+      ("geoFacet", Arr, Marc21Semantics.geoFacet(_)),
+      ("eraFacet", Arr, Marc21Semantics.eraFacet(_)),
+      ("seriesFacet", Arr, Marc21Semantics.seriesFacet(_)),
+      ("oclcnum", Arr, Marc21Semantics.oclcnum(_)),
+      ("instrumentation", Arr, Marc21Semantics.instrumentationHumanized(_).filter(_ != null)),
+      ("instrumentCodes", Arr, Marc21Semantics.instrumentCodesNormalized(_)),
+      ("publicationDate", Int32, Marc21Semantics.publicationDate(_)),
+      ("lcsh", Arr, Marc21Semantics.lcshFormatted(_)))
   }
+
+  /** One-materialization bundle of arbitrary record functions. */
+  def recordBundle(entries: Seq[(String, org.apache.spark.sql.types.DataType, MarcRecord => Any)]): Column => Column =
+    rec => graft.functions.MarcRecordBundleExpression.bundle(rec, entries)
+
+  def semanticBundle: Column => Column = recordBundle(semanticEntries)
 
   def marcSortableTitle: Column => Column = {
     val u = udf((rec: MarcRecord) =>
