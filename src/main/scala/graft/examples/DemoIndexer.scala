@@ -19,7 +19,7 @@ import graft.pipeline.Pipeline
   * This is the "user could switch" proof: read any MARC serialization with
   * MarcIo, run `DemoIndexer.pipeline`, write with Writers/SolrJsonSink.
   */
-object DemoIndexer {
+object DemoIndexer extends graft.pipeline.IndexerConfig {
 
   /** title3_t second rule: $t of 505 fields that also carry $r
     * (demo_config.rb "mention the same field twice"). */

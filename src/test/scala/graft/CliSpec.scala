@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.marc.{Fixtures, MarcFunctions}
+import graft.pipeline.{IndexerConfig, Pipeline}
+import graft.sinks.FakeTransport
+import graft.sources.Iso2709
+
+/** A user-supplied pipeline for the `-c` CLI drive (command_line.rb's
+  * config-file contract): id + title only. Top-level so Class.forName can
+  * see it. */
+object TinyUserConfig extends IndexerConfig {
+  def index(records: DataFrame): DataFrame = Pipeline.builder
+    .toField("id", MarcFunctions.marcExtract("001"))
+    .toField("title_display", MarcFunctions.marcExtract("245ab"))
+    .run(records)
+}
+
+class CliSpec extends SparkSpec {
+
+  private def marcFile: String = {
+    val dir = Files.createTempDirectory("cli").toString
+    val out = Files.newOutputStream(Paths.get(dir, "in.mrc"))
+    Fixtures.records("test_data.utf8").foreach(r => out.write(Iso2709.encode(r)))
+    out.close()
+    s"$dir/in.mrc"
+  }
+
+  test("-c loads a user pipeline class and runs it end to end") {
+    val outDir = Files.createTempDirectory("cliout").toString + "/docs"
+    Cli.run(Seq("process", "-c", "graft.TinyUserConfig", "-i", "marc",
+      "-o", outDir, "-w", "json", marcFile), spark, new FakeTransport())
+    val docs = spark.read.json(outDir)
+    assert(docs.count() == 30)
+    assert(docs.columns.toSet == Set("id", "title_display"))
+  }
+
+  test("-c rejects unknown config names with a clear error") {
+    val e = intercept[IllegalArgumentException] {
+      IndexerConfig.load("no.such.ConfigClass")
+    }
+    assert(e.getMessage.contains("no.such.ConfigClass"))
+  }
+
+  test("commit command posts commit=true to the normalized update URL") {
+    FakeTransport.queue.clear()
+    Cli.run(Seq("commit", "-u", "http://s/core/update/json"), spark, new FakeTransport())
+    import scala.jdk.CollectionConverters._
+    val urls = FakeTransport.queue.asScala.toVector.map(_._1)
+    assert(urls == Vector("http://s/core/update?commit=true"))
+  }
+
+  test("default process path still runs the demo indexer") {
+    val outDir = Files.createTempDirectory("cliout2").toString + "/docs"
+    Cli.run(Seq("process", "-i", "marc", "-o", outDir, "-w", "json", marcFile),
+      spark, new FakeTransport())
+    val docs = spark.read.json(outDir)
+    assert(docs.count() == 30)
+    assert(docs.columns.contains("title_t"))
+  }
+}

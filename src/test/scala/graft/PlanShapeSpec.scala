@@ -19,6 +19,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"mapping must not shuffle:\n$plan")
   }
 
+  test("repeated marc_extract calls auto-fuse into one fields traversal") {
+    import graft.functions.{MarcExtractBatch, MarcExtractExpression}
+    // a real scan (ConvertToLocalRelation would fold a local Seq away)
+    val dir = java.nio.file.Files.createTempDirectory("fuse").toString
+    MarcSource.fromRecords(spark, Fixtures.records("test_data.utf8"))
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    // naive spelling: four independent extract expressions, no manual batch
+    val out = df.select(
+      MarcFunctions.marcExtract("001")(col("record")).as("id"),
+      MarcFunctions.marcExtract("245ab")(col("record")).as("title"),
+      MarcFunctions.marcExtract("260abef")(col("record")).as("publisher"),
+      MarcFunctions.marcExtract("020a")(col("record")).as("isbn"))
+    val optimized = out.queryExecution.optimizedPlan
+    val batches = optimized.collect {
+      case p if p.expressions.exists(_.exists(_.isInstanceOf[MarcExtractBatch])) => p
+    }
+    val loose = optimized.collect {
+      case p if p.expressions.exists(_.exists(_.isInstanceOf[MarcExtractExpression])) => p
+    }
+    assert(batches.nonEmpty, s"expected a fused MarcExtractBatch:\n$optimized")
+    assert(loose.isEmpty, s"no un-fused extract may remain:\n$optimized")
+    // and the fused result matches the naive semantics
+    val row = out.orderBy(col("id").getItem(0)).collect().head
+    assert(row.getSeq[String](0).nonEmpty && row.getSeq[String](1).nonEmpty)
+  }
+
   test("documents scan prunes to referenced columns only") {
     val df = OpsQueries.queries("t03_fingerprint")(spark, sfSmoke)
     val scan = df.queryExecution.executedPlan.toString

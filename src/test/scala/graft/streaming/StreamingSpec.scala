@@ -34,7 +34,55 @@ object GrowingOaiFetcher {
   val fetchCount = new java.util.concurrent.atomic.AtomicInteger(0)
 }
 
+/** Pages of marc-in-json lines for the streaming→Solr end-to-end test. */
+class MarcPageFetcher extends OaiPageFetcher {
+  def fetch(token: Option[String]): (Seq[String], Option[String]) = {
+    val pages = MarcPageFetcher.pages
+    val idx = token.map(_.toInt).getOrElse(0)
+    (pages(idx), if (idx + 1 < pages.length) Some((idx + 1).toString) else None)
+  }
+}
+object MarcPageFetcher { @volatile var pages: Vector[Seq[String]] = Vector.empty }
+
 class StreamingSpec extends SparkSpec {
+
+  test("oai-paged → DemoIndexer → SolrJsonSink delivers each doc exactly once across restart") {
+    import graft.sinks.{FakeTransport, SolrJsonSink}
+    val recs = graft.marc.Fixtures.records("test_data.utf8").take(6)
+    MarcPageFetcher.pages = recs.grouped(2).map(_.map(graft.marc.MarcJson.write)).toVector // 3 pages
+    FakeTransport.queue.clear()
+    val ckpt = java.nio.file.Files.createTempDirectory("solr_stream_ckpt").toString
+    val settings = SolrJsonSink.Settings("http://s/core", batchSize = 100)
+    val transport = new FakeTransport()
+
+    def runOnce(oneBatch: Boolean): Unit = {
+      val stream = spark.readStream.format("oai-paged")
+        .option("fetcher", classOf[MarcPageFetcher].getName)
+        .option("maxPagesPerTrigger", "1")
+        .load()
+      val q = StreamingSolr.start(stream, ckpt,
+        b => graft.examples.DemoIndexer.index(StreamingSolr.marcJsonRecords(b)),
+        settings, transport, oneBatch = oneBatch)
+      try { if (oneBatch) q.awaitTermination() else q.processAllAvailable() }
+      finally q.stop()
+    }
+
+    runOnce(oneBatch = true)  // page 0 committed
+    runOnce(oneBatch = true)  // page 1 committed
+    runOnce(oneBatch = false) // restart from checkpoint: only page 2 remains
+
+    import scala.jdk.CollectionConverters._
+    val posts = FakeTransport.queue.asScala.toVector
+    val postedIds = posts.filter(_._1.contains("/update"))
+      .flatMap(p => """"id":\["([^"]*)"""".r.findAllMatchIn(p._2).map(_.group(1)))
+    val wantIds = recs.map(r => "bib_" + r.fields.head.value)
+    assert(postedIds.sorted == wantIds.sorted.toVector,
+      s"each doc exactly once: got ${postedIds.sorted}")
+    assert(!posts.exists(_._1.contains("commit=true")), "no commit during batches")
+
+    StreamingSolr.commit(settings, transport)
+    assert(FakeTransport.queue.asScala.exists(_._1 == "http://s/core/update?commit=true"))
+  }
 
   test("oai-paged restart from checkpoint delivers only new pages, no replays") {
     // Interrupted-harvest restart with 3 committed pages and a LIVE token:
