@@ -67,3 +67,56 @@ object XPathExtractExpression {
     ColumnBridge.column(XPathExtractExpression(
       ColumnBridge.expression(xml), xpath, ns, toText))
 }
+
+/** N XPath extractions over ONE DOM parse — the dominant per-row cost of
+  * the XML path is the parse, so a row queried by k xpaths pays k parses
+  * as independent expressions but one here. Auto-applied by
+  * [[graft.plans.FuseMarcExtracts]] when ≥2 extractions share a child
+  * column and namespace map. */
+case class XPathExtractBatch(
+    child: Expression,
+    entries: Seq[(String, Boolean)], // (xpath, toText)
+    namespaces: Map[String, String])
+  extends UnaryExpression with CodegenFallback {
+
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def dataType: DataType = StructType(entries.zipWithIndex.map {
+    case (_, i) => StructField(s"x$i", ArrayType(StringType, containsNull = false), nullable = false)
+  })
+  override def nullable: Boolean = false
+  override def prettyName: String = "extract_xpath_batch"
+
+  @transient private lazy val local =
+    ThreadLocal.withInitial[(javax.xml.parsers.DocumentBuilder, Array[javax.xml.xpath.XPathExpression])] { () =>
+      (XmlDom.newDocumentBuilder(),
+        entries.map(e => XmlDom.compileXPath(e._1, namespaces)).toArray)
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val xml = child.eval(input).asInstanceOf[UTF8String]
+    val n = entries.length
+    val out = new Array[Any](n)
+    if (xml == null) {
+      var i = 0
+      while (i < n) { out(i) = new GenericArrayData(Array.empty[Any]); i += 1 }
+    } else {
+      val (builder, compiled) = local.get()
+      val doc = XmlDom.parse(builder, xml.getBytes)
+      var i = 0
+      while (i < n) {
+        val toText = entries(i)._2
+        val vals = XmlDom.evalNodes(compiled(i), doc).map { node =>
+          val s = if (toText) XmlDom.nodeToText(node) else XmlDom.serializeSubtree(node)
+          UTF8String.fromString(s): Any
+        }
+        out(i) = new GenericArrayData(vals.toArray)
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, GetStructFi
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{BatchEntry, MarcExtractBatch, MarcExtractExpression}
+import graft.functions.{BatchEntry, MarcExtractBatch, MarcExtractExpression, XPathExtractBatch, XPathExtractExpression}
 
 /** Auto-fusion of repeated `marc_extract` calls — the reference's SpecSet
   * idea (/root/reference/lib/traject/marc_extractor_spec.rb:13-68) lifted
@@ -25,17 +25,23 @@ object FuseMarcExtracts extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(projectList, child) =>
-      val extracts = projectList.flatMap(_.collect { case m: MarcExtractExpression => m })
-      // group by the record expression they extract from
-      val byRecord = extracts.groupBy(_.child.canonicalized)
-      val fusable = byRecord.filter { case (_, ms) =>
-        ms.map(m => (m.specString, m.separator, m.alternateScript)).distinct.size >= 2
-      }
-      if (fusable.isEmpty) p
+      val marcFusable = projectList
+        .flatMap(_.collect { case m: MarcExtractExpression => m })
+        .groupBy(_.child.canonicalized)
+        .filter { case (_, ms) =>
+          ms.map(m => (m.specString, m.separator, m.alternateScript)).distinct.size >= 2
+        }
+      val xpathFusable = projectList
+        .flatMap(_.collect { case x: XPathExtractExpression => x })
+        .groupBy(x => (x.child.canonicalized, x.namespaces))
+        .filter { case (_, xs) => xs.map(x => (x.xpath, x.toText)).distinct.size >= 2 }
+
+      if (marcFusable.isEmpty && xpathFusable.isEmpty) p
       else {
         var innerExtra = Vector.empty[NamedExpression]
         var rewritten: Seq[NamedExpression] = projectList
-        fusable.foreach { case (recKey, ms) =>
+
+        marcFusable.foreach { case (recKey, ms) =>
           val recChild: Expression = ms.head.child
           val variants = ms.map(m => (m.specString, m.separator, m.alternateScript)).distinct
           val entries = variants.zipWithIndex.map { case ((spec, sep, alt), i) =>
@@ -51,6 +57,22 @@ object FuseMarcExtracts extends Rule[LogicalPlan] {
               GetStructField(batchRef, i, Some(s"e$i"))
           }.asInstanceOf[NamedExpression])
         }
+
+        xpathFusable.foreach { case (key @ (childKey, ns), xs) =>
+          val xmlChild: Expression = xs.head.child
+          val variants = xs.map(x => (x.xpath, x.toText)).distinct
+          val index = variants.zipWithIndex.toMap
+          val batchAlias = Alias(XPathExtractBatch(xmlChild, variants, ns), "_xpath_fused")()
+          innerExtra :+= batchAlias
+          val batchRef = batchAlias.toAttribute
+          rewritten = rewritten.map(_.transform {
+            case x: XPathExtractExpression
+                if x.child.canonicalized == childKey && x.namespaces == ns =>
+              val i = index((x.xpath, x.toText))
+              GetStructField(batchRef, i, Some(s"x$i"))
+          }.asInstanceOf[NamedExpression])
+        }
+
         Project(rewritten, Project(child.output ++ innerExtra, child))
       }
   }

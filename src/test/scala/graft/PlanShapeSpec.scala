@@ -46,6 +46,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(row.getSeq[String](0).nonEmpty && row.getSeq[String](1).nonEmpty)
   }
 
+  test("multiple xpath extractions fuse into one DOM parse per row") {
+    import graft.functions.{XPathExtractBatch, XPathExtractExpression}
+    val df = graft.queries.XmlQueries.queries("x01_xpath_extract")(spark, sfSmoke)
+    val optimized = df.queryExecution.optimizedPlan
+    val batches = optimized.collect {
+      case p if p.expressions.exists(_.exists(_.isInstanceOf[XPathExtractBatch])) => p
+    }
+    val loose = optimized.collect {
+      case p if p.expressions.exists(_.exists(_.isInstanceOf[XPathExtractExpression])) => p
+    }
+    assert(batches.nonEmpty, s"expected a fused XPathExtractBatch:\n$optimized")
+    assert(loose.isEmpty, s"no un-fused xpath extract may remain:\n$optimized")
+  }
+
   test("documents scan prunes to referenced columns only") {
     val df = OpsQueries.queries("t03_fingerprint")(spark, sfSmoke)
     val scan = df.queryExecution.executedPlan.toString
