@@ -94,6 +94,91 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer of `nlist` centroids
+    * partitions the corpus into cells; each query probes its `nprobe`
+    * nearest cells and exact-cosine re-ranks only those candidates.
+    *
+    * Scale shape: centroids are tiny (nlist × dim) — trained on a seeded
+    * sample collected to the driver (Lloyd iterations over the sample),
+    * then broadcast inside the assignment expression. Corpus assignment is
+    * a narrow map; the probe is an equi-join on cell id. At 100 TB the
+    * corpus assignment is computed once and reused (write `cell` as a
+    * partition column), and nprobe bounds the scanned fraction to
+    * ~nprobe/nlist of the corpus per query.
+    *
+    * Identical query/corpus vectors always land in the same cell (argmin
+    * over the same centroids), so exact-duplicate queries are found with
+    * certainty — which is what makes the approximate path oracle-checkable
+    * (see s03 in OpsQueries). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nlist: Int = 16, nprobe: Int = 2, lloydIters: Int = 5,
+              sampleSize: Int = 512, seed: Int = 42): DataFrame = {
+    val centroids = trainCentroids(corpus, vecCol, nlist, lloydIters, sampleSize, seed)
+
+    def cellsFor(vec: Column, n: Int): Column = {
+      // distances to every centroid, take the n nearest cell ids
+      val dists = array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(cosine(vec, typedlit(c.toSeq)).as("sim"), lit(i).as("cell"))
+      }: _*)
+      slice(reverse(array_sort(dists)), 1, n) // array_sort ascending by sim, reverse = best first
+    }
+
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cell", element_at(cellsFor(col("cv"), 1), 1).getField("cell"))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("cell", explode(transform(cellsFor(col("qv"), nprobe), _.getField("cell"))))
+
+    val candidates = c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
+  /** Deterministic Lloyd k-means over a seeded sample (driver-side: the
+    * sample is `sampleSize` vectors, the centroids nlist × dim doubles). */
+  private[ops] def trainCentroids(corpus: DataFrame, vecCol: String,
+                                  nlist: Int, iters: Int,
+                                  sampleSize: Int, seed: Int): Array[Array[Double]] = {
+    val sample = corpus.select(col(vecCol).cast("array<double>"))
+      .orderBy(xxhash64(col(vecCol).cast("array<string>").cast("string"), lit(seed)))
+      .limit(sampleSize)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    var centroids = Array.tabulate(math.min(nlist, sample.length))(i => sample(i).clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var ci = 0
+        while (ci < centroids.length) {
+          var d = 0.0; var j = 0
+          val c = centroids(ci)
+          while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = ci }
+          ci += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < v.length) { sums(best)(j) += v(j); j += 1 }
+      }
+      centroids = centroids.indices.map { ci =>
+        if (counts(ci) == 0) centroids(ci)
+        else sums(ci).map(_ / counts(ci))
+      }.toArray
+    }
+    centroids
+  }
+
   /** Embedding-cosine near-duplicate pairs (cos >= threshold), by LSH
     * bucketing + exact verification — the embedding-space analog of
     * Dedup.minhashNearDupPairs. */

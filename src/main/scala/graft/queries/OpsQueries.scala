@@ -129,6 +129,28 @@ object OpsQueries extends QueryPack {
         .orderBy("query_id")
     }),
 
+    // IVF ANN (coarse-quantizer cells + nprobe + exact re-rank): planted
+    // exact-duplicate queries land in their source's cell with certainty,
+    // so the approximate path is graded against the exact oracle
+    "s03_ivf_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 1)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
+        .orderBy("query_id")
+    }),
+
+    // embedding-cosine near-duplicate pairs (LSH buckets + exact verify):
+    // planted exact copies are the complete ground truth — the organic
+    // corpus maxes out at cosine ~0.51 (measured), far from the threshold
+    "s04_cosine_neardup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val withCopies = emb.select(col("vec_id"), col("embedding")).unionByName(
+        emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      Similarity.cosineNearDupPairs(withCopies, "vec_id", "embedding", threshold = 0.9)
+        .orderBy("id_a", "id_b")
+    }),
+
     // multimodal plumbing: binary payload synthesized from text; metadata
     // extraction (length, magic-head, format sniff) over the binary column
     "mm01_media_metadata" -> ((s, d) => {
@@ -245,6 +267,16 @@ object OpsQueries extends QueryPack {
                 1.0::DOUBLE AS cosine
          FROM embeddings q JOIN embeddings c ON q.embedding = c.embedding
          GROUP BY q.vec_id ORDER BY query_id""",
+
+    "s03_ivf_ann" ->
+      """SELECT q.vec_id + 1000000 AS query_id, min(c.vec_id) AS neighbor_id,
+                1.0::DOUBLE AS cosine
+         FROM embeddings q JOIN embeddings c ON q.embedding = c.embedding
+         GROUP BY q.vec_id ORDER BY query_id""",
+
+    "s04_cosine_neardup" ->
+      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0::DOUBLE AS cosine
+         FROM embeddings ORDER BY id_a, id_b""",
 
     "mm01_media_metadata" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,

@@ -92,6 +92,23 @@ class OpsSpec extends SparkSpec {
     assert(hits == 32, s"planted-copy top-1 recall: $hits/32")
   }
 
+  test("IVF ANN recalls noisy planted near-duplicates") {
+    // query = v + 0.05 * reverse(v): cosine to its source >= 0.99, so the
+    // true top-1 is the source; IVF with nprobe=4 must find nearly all
+    val emb = Tables.embeddings(spark, sfSmoke).limit(64)
+    val queries = emb.select((col("vec_id") + 5000L).as("vec_id"),
+      zip_with(col("embedding").cast("array<double>"),
+        reverse(col("embedding").cast("array<double>")),
+        (a, b) => a + lit(0.05) * b).as("embedding"))
+    val corpus = Tables.embeddings(spark, sfSmoke)
+    val got = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+        k = 1, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = got.count { case (q, n) => n == q - 5000L }
+    assert(hits >= 58, s"IVF recall too low: $hits/64")
+  }
+
   test("cosine near-dup pairs finds planted duplicate vectors") {
     val emb = Tables.embeddings(spark, sfSmoke).limit(100)
     val dupped = emb.unionByName(
