@@ -6,8 +6,10 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
   * Methodology:
-  *  - a warmup pass (one cheap query) pays JVM/classloading/codegen startup
-  *    so per-query numbers measure the engine, not the first-query tax;
+  *  - every query runs once UNTIMED first (JVM/classloading/codegen/JIT),
+  *    then once timed — steady-state throughput, the same discipline as
+  *    the reference's benchmark-ips harness
+  *    (/root/reference/index_bench/index_bench.rb warmup phase);
   *  - timing forces FULL materialization through a noop sink —
   *    `df.count()` would let Catalyst prune away every projected column and
   *    benchmark an empty aggregate instead of the actual query.
@@ -32,11 +34,9 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warmup: exercise scan + agg + join codegen paths once, untimed
-    runOnce("q01_pricing_summary")
-    runOnce("q13_scalar_functions")
-
+    // warmup pass: every query once, untimed
     val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach(runOnce)
     val results = names.map(n => n -> runOnce(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -21,5 +21,15 @@ object Tables {
   def lineitem(s: SparkSession, d: String)  = load(s, d, "lineitem")
   def events(s: SparkSession, d: String)    = load(s, d, "events")
   def documents(s: SparkSession, d: String) = load(s, d, "documents")
+
+  /** documents rebalanced across the cluster for CPU-bound per-row
+    * operators (shingling, DOM parsing, language ID, MARC synthesis): the
+    * local test files are single-row-group parquet — ONE input split — so
+    * a narrow plan would run its whole per-row stage on one core. One
+    * cheap shuffle of the raw rows buys full parallelism; on production
+    * inputs (thousands of splits) the scan itself provides it and the
+    * repartition coalesces away under AQE or can be dropped. */
+  def documentsBalanced(s: SparkSession, d: String) =
+    documents(s, d).repartition(s.sparkContext.defaultParallelism)
   def embeddings(s: SparkSession, d: String) = load(s, d, "embeddings")
 }

@@ -41,9 +41,12 @@ object Similarity {
     val c = corpus.select(
         col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", norm(col("cv")))
+    // project the vectors away BEFORE the window: the top-k shuffle moves
+    // only (query_id, neighbor_id, cosine) triples, never embeddings
     val scored = c.crossJoin(q)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -82,10 +85,13 @@ object Similarity {
         lit(t).as("table"), lshBucket(col(vecCol).cast("array<double>"), planes).as("bucket"))
       c.join(q, Seq("table", "bucket"))
     }
+    // score inside each table first, then dedupe/rank over plain triples —
+    // the dropDuplicates and window shuffles never move embedding arrays
     val candidates = tables.reduce(_ unionByName _)
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     candidates.withColumn("rank", row_number().over(w))
@@ -116,25 +122,33 @@ object Similarity {
               sampleSize: Int = 512, seed: Int = 42): DataFrame = {
     val centroids = trainCentroids(corpus, vecCol, nlist, lloydIters, sampleSize, seed)
 
-    def cellsFor(vec: Column, n: Int): Column = {
-      // distances to every centroid, take the n nearest cell ids
+    // centroid norms precomputed on the driver; the row norm is computed
+    // once per row and reused across all nlist similarity terms
+    def cellsFor(vec: Column, vnorm: Column, n: Int): Column = {
       val dists = array(centroids.zipWithIndex.map { case (c, i) =>
-        struct(cosine(vec, typedlit(c.toSeq)).as("sim"), lit(i).as("cell"))
+        val cn = math.sqrt(c.map(x => x * x).sum)
+        struct((dot(vec, typedlit(c.toSeq)) / (vnorm * lit(cn))).as("sim"),
+          lit(i).as("cell"))
       }: _*)
       slice(reverse(array_sort(dists)), 1, n) // array_sort ascending by sim, reverse = best first
     }
 
     val c = corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("cell", element_at(cellsFor(col("cv"), 1), 1).getField("cell"))
+      .withColumn("cn", norm(col("cv")))
+      .withColumn("cell", element_at(cellsFor(col("cv"), col("cn"), 1), 1).getField("cell"))
     val q = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("cell", explode(transform(cellsFor(col("qv"), nprobe), _.getField("cell"))))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("cell", explode(transform(cellsFor(col("qv"), col("qn"), nprobe), _.getField("cell"))))
 
+    // a corpus row lives in exactly one cell and a query probes distinct
+    // cells, so (query, neighbor) pairs are already unique — no dedup
+    // shuffle; vectors are projected away before the top-k window
     val candidates = c.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     candidates.withColumn("rank", row_number().over(w))
@@ -191,14 +205,20 @@ object Similarity {
       df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"),
         lit(t).as("table"), lshBucket(col(vecCol).cast("array<double>"), planes).as("bucket"))
     }
-    val bucketed = tables.reduce(_ unionByName _)
+    // shuffle discipline (the d02 pattern): the bucket self-join and the
+    // dedup move ONLY (table, bucket, id) / (id_a, id_b) tuples — vectors
+    // are re-attached to just the deduplicated candidate pairs
+    val bucketed = tables.reduce(_ unionByName _).drop("v")
     val pairs = bucketed.alias("a").join(bucketed.alias("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    pairs.withColumn("cosine", cosine(col("va"), col("vb")))
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .withColumn("cosine", cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }

@@ -33,7 +33,7 @@ object MarcQueries extends QueryPack {
     import MarcFunctions.marcRecordEncoder
     implicit val enc = org.apache.spark.sql.Encoders.tuple(
       org.apache.spark.sql.Encoders.scalaLong, marcRecordEncoder)
-    Tables.documents(s, dir)
+    Tables.documentsBalanced(s, dir)
       .select($"doc_id", $"text", $"lang", $"source")
       .as[(Long, String, String, String)]
       .map { case (id, text, lang, source) =>

@@ -19,6 +19,8 @@ object OpsQueries extends QueryPack {
   /** Originals ∪ planted near-duplicates (text + one appended token ⇒
     * shingle-Jaccard (w-2)/(w-1) ≥ 8/9 for w ≥ 10 words). */
   private def withPlantedDups(s: SparkSession, d: String): DataFrame = {
+    // no rebalance: minhashNearDupPairs starts with a groupBy shuffle that
+    // redistributes anyway
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     docs.unionByName(
       docs.select((col("doc_id") + 1000000L).as("doc_id"),
@@ -42,14 +44,13 @@ object OpsQueries extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
-    // exact n-gram Jaccard on the planted pairs (deterministic set math)
+    // exact n-gram Jaccard on the planted pairs (deterministic set math) —
+    // both shingle sets derive from ONE scan; no join, no shuffle of
+    // shingle arrays
     "d03_ngram_jaccard" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), Dedup.shingleCol(col("text")).as("sh"))
-      val planted = Tables.documents(s, d)
-        .select(col("doc_id"),
+      Tables.documentsBalanced(s, d)
+        .select(col("doc_id"), Dedup.shingleCol(col("text")).as("sh"),
           Dedup.shingleCol(concat(col("text"), lit(" zzz"))).as("sh2"))
-      docs.join(planted, "doc_id")
         .select(col("doc_id"),
           round(Dedup.jaccardCol(col("sh"), col("sh2")), 4).as("jaccard"))
         .orderBy("doc_id")
@@ -58,7 +59,7 @@ object OpsQueries extends QueryPack {
     // SimHash near-dup (pigeonhole banding + hamming verify): identical
     // texts at distance 0 must all be found
     "d04_simhash_neardup" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val docs = Tables.documentsBalanced(s, d).select(col("doc_id"), col("text"))
       val dupped = docs.unionByName(docs.select(
         (col("doc_id") + 1000000L).as("doc_id"), col("text")))
       Dedup.simhashNearDupPairs(dupped, "doc_id", "text", maxDistance = 0)
@@ -69,7 +70,7 @@ object OpsQueries extends QueryPack {
 
     // text analysis: token counts + ratios + quality score
     "t01_text_stats" -> ((s, d) => {
-      Tables.documents(s, d).select(
+      Tables.documentsBalanced(s, d).select(
           col("doc_id"),
           TextAnalysis.tokenCountWs(col("text")).as("n_tokens"),
           TextAnalysis.tokenCountRegex(col("text")).as("n_btokens"),
@@ -89,7 +90,7 @@ object OpsQueries extends QueryPack {
       val markerCol = TextAnalysis.LangMarkers.foldRight(lit(""): org.apache.spark.sql.Column) {
         case ((lang, _), acc) => when(col("lang") === lang, lit(markers(lang))).otherwise(acc)
       }
-      Tables.documents(s, d)
+      Tables.documentsBalanced(s, d)
         .select(col("doc_id"),
           TextAnalysis.langId(concat_ws(" ", col("text"), markerCol)).as("detected"))
         .orderBy("doc_id")
@@ -97,7 +98,7 @@ object OpsQueries extends QueryPack {
 
     // md5 content fingerprint (dedup key for 100 TB exact dedup)
     "t03_fingerprint" -> ((s, d) => {
-      Tables.documents(s, d)
+      Tables.documentsBalanced(s, d)
         .select(col("doc_id"),
           TextAnalysis.fingerprintMd5(col("text")).as("fp"))
         .orderBy("doc_id")
@@ -154,7 +155,7 @@ object OpsQueries extends QueryPack {
     // multimodal plumbing: binary payload synthesized from text; metadata
     // extraction (length, magic-head, format sniff) over the binary column
     "mm01_media_metadata" -> ((s, d) => {
-      Tables.documents(s, d)
+      Tables.documentsBalanced(s, d)
         .select(col("doc_id"),
           to_binary(col("text"), lit("utf-8")).as("payload"))
         .select(col("doc_id"),
@@ -167,7 +168,7 @@ object OpsQueries extends QueryPack {
     // stubbed decode through the partition-batched pipeline: deterministic
     // fake features (len, mean byte, min, max) — oracle recomputes from text
     "mm02_decode_features" -> ((s, d) => {
-      val media = Tables.documents(s, d)
+      val media = Tables.documentsBalanced(s, d)
         .select(col("doc_id"), to_binary(col("text"), lit("utf-8")).as("payload"))
       Multimodal.decodeFeatures(media, "doc_id", "payload")
         .select(col("media_id"),

@@ -22,7 +22,7 @@ object XmlQueries extends QueryPack {
 
   /** One namespaced XML doc per documents row. */
   private def docXml(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
+    Tables.documentsBalanced(s, d).select(
       col("doc_id"),
       concat(
         lit("<g:rec xmlns:g=\"http://graft.example/ns\" id=\""), col("doc_id"), lit("\">"),
