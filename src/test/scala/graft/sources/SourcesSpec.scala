@@ -82,6 +82,45 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("marc DSv2 splits: fuzzed padding and split sizes stay exactly-once") {
+    // randomized padding runs (incl. stray terminators) × randomized split
+    // sizes: the ownership protocol must deliver every record exactly once
+    val recs = Fixtures.records("test_data.utf8")
+    val wantIds = recs.map(_.fields.head.value).sorted
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    try {
+      for (seed <- 1 to 4) {
+        val rnd = new scala.util.Random(seed)
+        val dir = tmpDir(s"marcfuzz$seed")
+        val out = Files.newOutputStream(Paths.get(dir, "data.mrc"))
+        val padBytes = Array[Byte]('\n', '\r', ' ', 0, Iso2709.RecordTerminator)
+        recs.foreach { r =>
+          out.write(Iso2709.encode(r))
+          (0 until rnd.nextInt(7)).foreach(_ => out.write(padBytes(rnd.nextInt(padBytes.length))))
+        }
+        out.close()
+        val split = 300 + rnd.nextInt(4700)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", split.toString)
+        val ids = spark.read.format("marc").load(s"$dir/data.mrc")
+          .collect().map(r => r.getSeq[org.apache.spark.sql.Row](1).head.getString(3))
+          .sorted.toVector
+        assert(ids == wantIds, s"seed=$seed split=$split must read exactly once")
+      }
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  test("MARC-8 transcoder is total: never throws on arbitrary bytes") {
+    for (seed <- 1 to 50) {
+      val rnd = new scala.util.Random(seed)
+      val bytes = Array.fill(rnd.nextInt(300))(rnd.nextInt(256).toByte)
+      val s = Marc8.toUtf8(bytes, 0, bytes.length) // must not throw
+      assert(s != null)
+    }
+    // pure ASCII is identity
+    val ascii = "Hello, MARC world 123!"
+    assert(Marc8.toUtf8(ascii.getBytes("ASCII"), 0, ascii.length) == ascii)
+  }
+
   test("marc DSv2 column pruning serves a leader-only projection") {
     val recs = Fixtures.records("test_data.utf8").take(3)
     val dir = tmpDir("marcprune")
