@@ -28,26 +28,45 @@ import org.apache.spark.sql.functions._
 object XmlRead {
 
   /** Read XML files into one row per record:
-    * (input_file, record_index, xml). */
+    * (input_file, record_index, xml).
+    *
+    * `permissive = false` (default): malformed XML raises, the reference's
+    * strict-mode contract. `permissive = true`: malformed FILES are
+    * skipped (logged to executor stderr) — at 100 TB one corrupt file must
+    * not kill the job; count skips by diffing file counts. */
   def readRecords(spark: SparkSession, paths: Seq[String],
                   eachRecordXpath: Option[String] = None,
-                  namespaces: Map[String, String] = Map.empty): DataFrame = {
+                  namespaces: Map[String, String] = Map.empty,
+                  permissive: Boolean = false): DataFrame = {
     eachRecordXpath.foreach(XmlDom.validateXpathPrefixes(_, namespaces, "each_record_xpath"))
     import spark.implicits._
     val files = wholeFiles(spark, paths)
+
+    def guard[T](path: String, bytes: Array[Byte])(parse: => Seq[T]): Seq[T] =
+      if (!permissive) parse
+      else try parse catch {
+        case e: org.xml.sax.SAXException =>
+          System.err.println(s"[graft.xml] skipping malformed $path: ${e.getMessage}")
+          Seq.empty
+      }
+
     eachRecordXpath match {
       case None =>
         // whole input doc is the single source record (parse validates)
-        files.map { case (path, bytes) =>
-          val doc = XmlDom.parse(XmlDom.newDocumentBuilder(), bytes)
-          (path, 0, XmlDom.serialize(doc))
+        files.flatMap { case (path, bytes) =>
+          guard(path, bytes) {
+            val doc = XmlDom.parse(XmlDom.newDocumentBuilder(), bytes)
+            Seq((path, 0, XmlDom.serialize(doc)))
+          }
         }.toDF("input_file", "record_index", "xml")
       case Some(xp) =>
         val work = new XmlWork(xp, namespaces)
         files.flatMap { case (path, bytes) =>
-          val doc = XmlDom.parse(work.builder, bytes)
-          XmlDom.evalNodes(work.compiled, doc).zipWithIndex.map { case (node, i) =>
-            (path, i, XmlDom.serializeSubtree(node))
+          guard(path, bytes) {
+            val doc = XmlDom.parse(work.builder, bytes)
+            XmlDom.evalNodes(work.compiled, doc).zipWithIndex.map { case (node, i) =>
+              (path, i, XmlDom.serializeSubtree(node))
+            }
           }
         }.toDF("input_file", "record_index", "xml")
     }

@@ -131,6 +131,15 @@ class XmlSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("permissive mode skips malformed files instead of failing the job") {
+    val bad = tmpXml("<doc></doc><doc></doc>")
+    val good = tmpXml("<doc><v>ok</v></doc>")
+    val df = XmlRead.readRecords(spark, Seq(bad, good), permissive = true)
+    val rows = df.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(2).contains("<v>ok</v>"))
+  }
+
   // ---- extract_xpath macro semantics (nokogiri_indexer_test.rb) ----
 
   private def extract(xml: String, xpath: String, ns: Map[String, String] = Map.empty,

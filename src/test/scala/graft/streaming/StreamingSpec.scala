@@ -84,6 +84,32 @@ class StreamingSpec extends SparkSpec {
     assert(FakeTransport.queue.asScala.exists(_._1 == "http://s/core/update?commit=true"))
   }
 
+  test("oai-paged XML records → extract_xpath → Solr (the reference's marquee flow)") {
+    import graft.sinks.{FakeTransport, SolrJsonSink}
+    import graft.functions.XPathExtractExpression.extractXpath
+    // OAI-shaped XML records in pages, extracted with namespaced xpaths
+    val ns = Map("dc" -> "http://purl.org/dc/elements/1.1/")
+    val recXml = (i: Int) =>
+      s"""<record xmlns:dc="http://purl.org/dc/elements/1.1/">""" +
+        s"<dc:identifier>oai-$i</dc:identifier><dc:title>Title $i</dc:title></record>"
+    MarcPageFetcher.pages = Vector(Seq(recXml(1), recXml(2)), Seq(recXml(3)))
+    FakeTransport.queue.clear()
+    val ckpt = java.nio.file.Files.createTempDirectory("oai_xml_ckpt").toString
+    val stream = spark.readStream.format("oai-paged")
+      .option("fetcher", classOf[MarcPageFetcher].getName)
+      .option("maxPagesPerTrigger", "1").load()
+    val q = StreamingSolr.start(stream, ckpt,
+      batch => batch.select(
+        extractXpath(col("record"), "//dc:identifier", ns).as("id"),
+        extractXpath(col("record"), "//dc:title", ns).as("title_display")),
+      SolrJsonSink.Settings("http://s/core"), new FakeTransport())
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val ids = FakeTransport.queue.asScala.toVector
+      .flatMap(p => """oai-\d""".r.findAllIn(p._2))
+    assert(ids.sorted == Vector("oai-1", "oai-2", "oai-3"))
+  }
+
   test("oai-paged restart from checkpoint delivers only new pages, no replays") {
     // Interrupted-harvest restart with 3 committed pages and a LIVE token:
     // the restored (page, token) offset must floor the probe cursor, so a
