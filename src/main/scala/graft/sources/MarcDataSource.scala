@@ -129,12 +129,55 @@ final class MarcReaderFactory(required: StructType)
     new MarcPartitionReader(partition.asInstanceOf[MarcInputPartition], required)
 }
 
+/** Forward-only sliding byte window over a file region: `base` is the
+  * absolute offset of `exposed(0)`, and `exposed` always holds exactly the
+  * loaded bytes (so decoders can treat `exposed.length` as end-of-data, as
+  * they did with the old whole-split buffer). Access must be monotonic. */
+private[sources] final class MarcFileWindow(
+    in: org.apache.hadoop.fs.FSDataInputStream,
+    fileLen: Long, startAbs: Long, capacity: Int) {
+  private val buf = new Array[Byte](capacity)
+  var base: Long = startAbs
+  private var valid: Int = 0
+  var exposed: Array[Byte] = Array.emptyByteArray
+  private var closed = false
+
+  /** Make [abs, abs+need) available (clipped at EOF); returns the index of
+    * `abs` within `exposed`. */
+  def ensure(abs: Long, need0: Int): Int = {
+    val need = math.min(need0.toLong, math.max(fileLen - abs, 0L)).toInt
+    if (abs < base) throw new IllegalStateException(s"window rewind: $abs < $base")
+    if (abs + need > base + valid) {
+      val keepFrom = (abs - base).toInt
+      val keep = if (keepFrom < valid) valid - keepFrom else 0
+      if (keep > 0 && keepFrom > 0) System.arraycopy(buf, keepFrom, buf, 0, keep)
+      base = abs
+      valid = keep
+      val target = math.min(capacity.toLong, fileLen - base).toInt
+      if (target > valid) {
+        in.readFully(base + valid, buf, valid, target - valid)
+        valid = target
+      }
+      exposed = if (valid == buf.length) buf else java.util.Arrays.copyOf(buf, valid)
+    }
+    (abs - base).toInt
+  }
+
+  def byteAt(abs: Long): Byte = {
+    val i = ensure(abs, 1) // must run before reading `exposed` (it swaps it)
+    exposed(i)
+  }
+
+  def close(): Unit = if (!closed) { closed = true; in.close() }
+}
+
 /** Reads records whose start offset lies in [start, start+length), aligning
   * to the first record boundary at/after `start` (except at offset 0). */
 final class MarcPartitionReader(part: MarcInputPartition, required: StructType)
     extends PartitionReader[InternalRow] {
 
   private val decoder = Iso2709.decoderFor(part.encoding)
+  private var window: MarcFileWindow = _
   private val fullSchema = MarcDataSource.schema
   private val serializer =
     ExpressionEncoder(Encoders.product[MarcRecord].asInstanceOf[AgnosticEncoder[MarcRecord]]).createSerializer()
@@ -149,14 +192,14 @@ final class MarcPartitionReader(part: MarcInputPartition, required: StructType)
     val path = new Path(part.path)
     val fs = path.getFileSystem(conf)
     val fileLen = fs.getFileStatus(path).getLen
-    // read the split plus one max-record overflow so a record straddling the
-    // split end can be completed by THIS reader (the next split skips it)
-    val readEnd = math.min(
-      part.start + part.length + MarcDataSource.MaxRecordBytes + MarcDataSource.PaddingAllowance,
-      fileLen)
+    // Streaming decode through a bounded sliding window: task memory is
+    // O(2 × max record) regardless of split size (a 128 MiB split no
+    // longer buffers 128 MiB; a straddling record is completed by sliding
+    // past the split end).
     val in = fs.open(path)
-    val buf = new Array[Byte]((readEnd - part.start).toInt)
-    try { in.readFully(part.start, buf) } finally in.close()
+    window = new MarcFileWindow(in, fileLen, part.start,
+      2 * (MarcDataSource.MaxRecordBytes + MarcDataSource.PaddingAllowance))
+    val w = window
 
     // Alignment protocol (LineRecordReader-style): ownership is by a
     // record's FIRST byte — a record starting at absolute position f
@@ -178,34 +221,38 @@ final class MarcPartitionReader(part: MarcInputPartition, required: StructType)
     // The padding branch is guarded by a leader plausibility check because
     // record CONTENT may legally contain padding-class bytes (space, NUL,
     // newline) — a false match falls back to the terminator scan.
-    var pos = 0
+    var start: Long = part.start
     if (part.start > 0) {
       var aligned = false
-      if (MarcDataSource.isSeparator(buf(0))) {
-        var p = 0
-        while (p < buf.length && MarcDataSource.isSeparator(buf(p))) p += 1
-        if (Iso2709.plausibleRecordAt(buf, p)) { pos = p; aligned = true }
+      if (part.start < fileLen && MarcDataSource.isSeparator(w.byteAt(part.start))) {
+        var p = part.start
+        while (p < fileLen && MarcDataSource.isSeparator(w.byteAt(p))) p += 1
+        if (p < fileLen) {
+          val rel = w.ensure(p, MarcDataSource.MaxRecordBytes)
+          if (Iso2709.plausibleRecordAt(w.exposed, rel)) { start = p; aligned = true }
+        }
       }
       if (!aligned) {
-        while (pos < buf.length && buf(pos) != Iso2709.RecordTerminator) pos += 1
-        pos += 1
+        var p = part.start
+        while (p < fileLen && w.byteAt(p) != Iso2709.RecordTerminator) p += 1
+        start = p + 1
       }
     }
-    val limit = part.length.toInt
+    val limitAbs = part.start + part.length
     new Iterator[MarcRecord] {
-      private var cur = pos
+      private var cur: Long = start
       private var nextRec: Option[MarcRecord] = advance()
       private def advance(): Option[MarcRecord] = {
-        while (cur < buf.length) {
+        while (cur < fileLen) {
           // skip padding between records
-          while (cur < buf.length &&
-            (buf(cur) == Iso2709.RecordTerminator || buf(cur) == '\n' ||
-             buf(cur) == '\r' || buf(cur) == ' ' || buf(cur) == 0)) cur += 1
-          if (cur >= buf.length || cur > limit) return None
-          val (rec, next) = Iso2709.decodeAt(buf, cur, decoder)
-          cur = math.max(next, cur + 1)
+          while (cur < fileLen && MarcDataSource.isSeparator(w.byteAt(cur))) cur += 1
+          if (cur >= fileLen || cur > limitAbs) { w.close(); return None }
+          val rel = w.ensure(cur, MarcDataSource.MaxRecordBytes)
+          val (rec, next) = Iso2709.decodeAt(w.exposed, rel, decoder)
+          cur = w.base + math.max(next, rel + 1)
           if (rec.isDefined) return rec
         }
+        w.close()
         None
       }
       def hasNext: Boolean = nextRec.isDefined
@@ -238,5 +285,5 @@ final class MarcPartitionReader(part: MarcInputPartition, required: StructType)
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = if (window != null) window.close()
 }
