@@ -131,6 +131,31 @@ class OpsSpec extends SparkSpec {
     assert(out.getSeq[Double](1) == f.toSeq)
   }
 
+  test("salted join equals plain join on a skewed key distribution") {
+    import spark.implicits._
+    // 90% of rows share one hot key
+    val large = (1 to 2000).map(i => (if (i % 10 == 0) s"k$i" else "HOT", i))
+      .toDF("k", "v")
+    val small = Seq(("HOT", "hot-dim"), ("k10", "ten"), ("k20", "twenty"))
+      .toDF("k", "name")
+    val plain = large.join(small, "k").select("k", "v", "name")
+    val salted = Skew.saltedJoin(large, small, "k", salts = 8)
+      .select("k", "v", "name")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
+  test("salted collect_set equals plain collect_set per key") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => ("HOT", s"v${i % 37}")).toDF("k", "v")
+      .unionByName(Seq(("cold", "x")).toDF("k", "v"))
+    val got = Skew.saltedCollectSet(df, "k", "v", salts = 8)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    assert(got("HOT") === (0 until 37).map(i => s"v$i").toSet)
+    assert(got("cold") === Set("x"))
+  }
+
   test("langId picks the marker language") {
     import spark.implicits._
     val rows = Seq(
