@@ -12,9 +12,15 @@ import graft.sources.MarcIo
 /** spark-submit main mirroring the reference's `traject` CLI
   * (/root/reference/lib/traject/command_line.rb:14-278):
   *
-  *   graft.Cli [process|marcout|commit] [-c config.Class] -i marc|json|xml
+  *   graft.Cli [process|marcout|commit] [-c config.Class]
+  *             -i marc|json|xml|genericxml
   *             [-o outDir] [-w json|csv|debug|null|solr] [-u solrUrl]
   *             [-s key=value ...] input files...
+  *
+  * `-i genericxml` is the NokogiriIndexer route: files split into records
+  * by `-s xml.each_record_xpath=...` (namespaces via
+  * `-s xml.namespaces=p=uri;p2=uri`), passed to the `-c` config as raw-XML
+  * rows (column `xml`) for extract_xpath rules.
   *
   * `-c` loads a user pipeline (an object/class implementing
   * `graft.pipeline.IndexerConfig`, the compiled analog of an eval'd ruby
@@ -81,23 +87,37 @@ object Cli {
     require(inputs.nonEmpty, "no input files given")
     val encoding = settings.getOrElse("marc_source.encoding", "UTF-8")
 
-    val records = inputType match {
-      case "marc" => inputs.map(MarcIo.readBinary(spark, _, encoding)).reduce(_ unionByName _)
-      case "json" => inputs.map(MarcIo.readJson(spark, _)).reduce(_ unionByName _)
-      case "xml"  => inputs.map(MarcIo.readXml(spark, _)).reduce(_ unionByName _)
+    def xmlNamespaces: Map[String, String] =
+      settings.get("xml.namespaces").map(_.split(";").toSeq.flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(k.trim -> v.trim)
+          case _ => None
+        }
+      }.toMap).getOrElse(Map.empty)
+
+    val records: DataFrame = inputType match {
+      case "marc" => inputs.map(MarcIo.readBinary(spark, _, encoding).toDF()).reduce(_ unionByName _)
+      case "json" => inputs.map(MarcIo.readJson(spark, _).toDF()).reduce(_ unionByName _)
+      case "xml"  => inputs.map(MarcIo.readXml(spark, _).toDF()).reduce(_ unionByName _)
+      case "genericxml" =>
+        graft.sources.XmlRead.readRecords(spark, inputs.toSeq,
+          settings.get("xml.each_record_xpath"), xmlNamespaces)
       case other  => sys.error(s"unknown input type $other")
     }
 
     command match {
       case "marcout" =>
-        MarcIo.writeBinary(records, outDir)
+        require(inputType != "genericxml", "marcout requires a MARC input type")
+        import graft.marc.MarcFunctions.marcRecordEncoder
+        MarcIo.writeBinary(records.as[graft.marc.MarcRecord], outDir)
         System.err.println(s"[graft] marcout: wrote ${records.count()} records to $outDir")
 
       case "process" =>
         val indexer: IndexerConfig =
           configName.map(IndexerConfig.load).getOrElse(DemoIndexer)
         val docs = indexer.index(
-          records.toDF().select(struct(col("leader"), col("fields")).as("record")))
+          if (inputType == "genericxml") records
+          else records.select(struct(col("leader"), col("fields")).as("record")))
         writer match {
           case "json"  => Writers.writeJson(docs, outDir)
           case "yaml"  => Writers.writeYaml(docs, outDir)

@@ -53,6 +53,32 @@ class CliSpec extends SparkSpec {
     assert(urls == Vector("http://s/core/update?commit=true"))
   }
 
+  test("-i genericxml drives an XML pipeline end to end (NokogiriIndexer route)") {
+    val xml =
+      """<OAI-PMH xmlns="http://www.openarchives.org/OAI/2.0/"><ListRecords>
+        |<record><metadata><oai_dc:dc xmlns:oai_dc="http://www.openarchives.org/OAI/2.0/oai_dc/"
+        |  xmlns:dc="http://purl.org/dc/elements/1.1/">
+        |  <dc:identifier>gx-1</dc:identifier><dc:title>One</dc:title>
+        |</oai_dc:dc></metadata></record>
+        |<record><metadata><oai_dc:dc xmlns:oai_dc="http://www.openarchives.org/OAI/2.0/oai_dc/"
+        |  xmlns:dc="http://purl.org/dc/elements/1.1/">
+        |  <dc:identifier>gx-2</dc:identifier><dc:title>Two</dc:title>
+        |</oai_dc:dc></metadata></record>
+        |</ListRecords></OAI-PMH>""".stripMargin
+    val dir = Files.createTempDirectory("clixml").toString
+    Files.write(Paths.get(dir, "oai.xml"), xml.getBytes("UTF-8"))
+    val outDir = Files.createTempDirectory("clixmlout").toString + "/docs"
+    Cli.run(Seq("process", "-i", "genericxml",
+      "-c", "graft.examples.XmlDemoIndexer",
+      "-s", "xml.each_record_xpath=//oai:record",
+      "-s", "xml.namespaces=oai=http://www.openarchives.org/OAI/2.0/;dc=http://purl.org/dc/elements/1.1/;oai_dc=http://www.openarchives.org/OAI/2.0/oai_dc/",
+      "-o", outDir, "-w", "json", s"$dir/oai.xml"), spark, new FakeTransport())
+    val docs = spark.read.json(outDir)
+    assert(docs.count() == 2)
+    val ids = docs.select("id").collect().flatMap(_.getSeq[String](0)).sorted
+    assert(ids.toSeq == Seq("gx-1", "gx-2"))
+  }
+
   test("default process path still runs the demo indexer") {
     val outDir = Files.createTempDirectory("cliout2").toString + "/docs"
     Cli.run(Seq("process", "-i", "marc", "-o", outDir, "-w", "json", marcFile),

@@ -197,6 +197,22 @@ class XmlSpec extends SparkSpec {
     assert(extract(recs(0), "//title", OaiNs) === Seq.empty)
   }
 
+  test("escape → parse → extract round-trips arbitrary XML-safe text") {
+    // the x01 oracle depends on this property: esc(s) embedded in an
+    // element must extract back to exactly s
+    val rnd = new scala.util.Random(11)
+    val pool = "ab <>&\"' &amp; x&#xFFFD;y <tag> ]]> é中文 \n\t"
+    for (_ <- 1 to 40) {
+      val s = Seq.fill(rnd.nextInt(30) + 1)(pool(rnd.nextInt(pool.length))).mkString
+      val escaped = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      val got = extract(s"<d>$escaped</d>", "/d")
+      // to_text joins non-blank descendant text; an all-whitespace or empty
+      // payload yields a single empty-joined value
+      val want = if (s.forall(Character.isWhitespace)) Seq("") else Seq(s)
+      assert(got === want, s"round trip failed for ${s.map(_.toInt)}")
+    }
+  }
+
   test("extract_xpath: ns override merge (indexer_test 'namespaces to extract_xpath')") {
     // default namespaces carry a wrong uri for edm; per-call ns wins
     val xml = """<r xmlns:e="http://right.example/"><e:rights>CC</e:rights></r>"""
