@@ -177,6 +177,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("crash recovery: a planned-but-uncommitted batch refetches by chaining from its start token") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    GrowingOaiFetcher.pages.set(Vector(Seq("c0"), Seq("c1a", "c1b"), Seq("c2")))
+    GrowingOaiFetcher.fetchCount.set(0)
+    // instance 1: the engine probes 3 pages and plans 3 batches, but only
+    // batches 0 and 1 commit before the "crash"
+    val s1 = new PagedMicroBatchStream(classOf[GrowingOaiFetcher].getName, 1)
+    val o0 = s1.initialOffset().asInstanceOf[PageOffset]
+    val o1 = s1.latestOffset(o0, ReadLimit.allAvailable()).asInstanceOf[PageOffset]
+    val o2 = s1.latestOffset(o1, ReadLimit.allAvailable()).asInstanceOf[PageOffset]
+    val o3 = s1.latestOffset(o2, ReadLimit.allAvailable()).asInstanceOf[PageOffset]
+    assert(s1.planInputPartitions(o0, o1).length == 1)
+    assert(s1.planInputPartitions(o1, o2).length == 1)
+    s1.commit(o1); s1.commit(o2)
+    assert(GrowingOaiFetcher.fetchCount.get() == 3, "probe fetches each page once")
+
+    // instance 2 = restarted driver: the offset log holds start=o2 (last
+    // committed) and end=o3 (the pending batch); its page cache is empty,
+    // so planning must chain-fill from o2's token — exactly one refetch
+    val s2 = new PagedMicroBatchStream(classOf[GrowingOaiFetcher].getName, 1)
+    val start = s2.deserializeOffset(o2.json()).asInstanceOf[PageOffset]
+    val end = s2.deserializeOffset(o3.json()).asInstanceOf[PageOffset]
+    val parts = s2.planInputPartitions(start, end)
+    assert(parts.length == 1)
+    assert(parts.head.asInstanceOf[PagePartition].records.toSeq == Seq("c2"))
+    assert(GrowingOaiFetcher.fetchCount.get() == 4, "exactly one refetch for the pending batch")
+
+    // and the restored floor: latestOffset from the pending end never
+    // regresses even though this instance probed nothing before it
+    val next = s2.latestOffset(end, ReadLimit.allAvailable()).asInstanceOf[PageOffset]
+    assert(next.page >= end.page, s"latestOffset must not regress: $next < $end")
+  }
+
   test("PageOffset json round-trips tokens with escapes") {
     val off = PageOffset(7, Some("""tok "quoted" \ back"""))
     assert(PageOffset.fromJson(off.json()) == off)
