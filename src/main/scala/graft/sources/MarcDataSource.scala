@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.{AgnosticEncoders, ExpressionEncoder}
 import org.apache.spark.sql.catalyst.encoders.AgnosticEncoder
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -70,11 +71,27 @@ object MarcDataSource {
 }
 
 final class MarcTable(paths: Seq[String], encoding: String = "UTF-8")
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsMetadataColumns {
   override def name(): String = s"marc(${paths.mkString(",")})"
   override def schema(): StructType = MarcDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
+
+  /** Provenance metadata (SURVEY §7 "per-record position"): the reference's
+    * sequential position/input_name ordinals (indexer.rb:549-574) become
+    * (file, byte offset) — stable under a parallel scan and
+    * ordering-compatible within each input file. */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = "_input_file"
+      override def dataType(): DataType = StringType
+      override def comment(): String = "input file path (input_name analog)"
+    },
+    new MetadataColumn {
+      override def name(): String = "_record_offset"
+      override def dataType(): DataType = LongType
+      override def comment(): String = "record's byte offset in its file (position analog)"
+    })
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MarcScanBuilder(paths, encoding)
@@ -181,9 +198,17 @@ final class MarcPartitionReader(part: MarcInputPartition, required: StructType)
   private val fullSchema = MarcDataSource.schema
   private val serializer =
     ExpressionEncoder(Encoders.product[MarcRecord].asInstanceOf[AgnosticEncoder[MarcRecord]]).createSerializer()
-  private val ordinals = required.fields.map(f => fullSchema.fieldIndex(f.name))
+  // ordinal into the full record schema, or a metadata marker
+  private final val InputFileOrd = -1
+  private final val RecordOffsetOrd = -2
+  private val ordinals = required.fields.map(_.name match {
+    case "_input_file"   => InputFileOrd
+    case "_record_offset" => RecordOffsetOrd
+    case other           => fullSchema.fieldIndex(other)
+  })
+  private val pathUtf8 = org.apache.spark.unsafe.types.UTF8String.fromString(part.path)
 
-  private val records: Iterator[MarcRecord] = {
+  private val records: Iterator[(MarcRecord, Long)] = {
     // Executors have no active SparkSession; a default Hadoop conf handles
     // file:// (and picks up HADOOP_CONF_DIR on a real cluster).
     val conf = SparkSession.getActiveSession
@@ -239,24 +264,25 @@ final class MarcPartitionReader(part: MarcInputPartition, required: StructType)
       }
     }
     val limitAbs = part.start + part.length
-    new Iterator[MarcRecord] {
+    new Iterator[(MarcRecord, Long)] {
       private var cur: Long = start
-      private var nextRec: Option[MarcRecord] = advance()
-      private def advance(): Option[MarcRecord] = {
+      private var nextRec: Option[(MarcRecord, Long)] = advance()
+      private def advance(): Option[(MarcRecord, Long)] = {
         while (cur < fileLen) {
           // skip padding between records
           while (cur < fileLen && MarcDataSource.isSeparator(w.byteAt(cur))) cur += 1
           if (cur >= fileLen || cur > limitAbs) { w.close(); return None }
+          val recordStart = cur
           val rel = w.ensure(cur, MarcDataSource.MaxRecordBytes)
           val (rec, next) = Iso2709.decodeAt(w.exposed, rel, decoder)
           cur = w.base + math.max(next, rel + 1)
-          if (rec.isDefined) return rec
+          if (rec.isDefined) return rec.map((_, recordStart))
         }
         w.close()
         None
       }
       def hasNext: Boolean = nextRec.isDefined
-      def next(): MarcRecord = {
+      def next(): (MarcRecord, Long) = {
         val r = nextRec.get
         nextRec = advance()
         r
@@ -268,14 +294,19 @@ final class MarcPartitionReader(part: MarcInputPartition, required: StructType)
 
   override def next(): Boolean = {
     if (records.hasNext) {
-      val full = serializer(records.next()).copy()
+      val (rec, offset) = records.next()
+      val full = serializer(rec).copy()
       current =
-        if (ordinals.length == fullSchema.length) full
+        if (ordinals.length == fullSchema.length && !ordinals.exists(_ < 0)) full
         else {
           val proj = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(ordinals.length)
           var i = 0
           while (i < ordinals.length) {
-            proj.update(i, full.get(ordinals(i), fullSchema(ordinals(i)).dataType))
+            ordinals(i) match {
+              case InputFileOrd    => proj.update(i, pathUtf8)
+              case RecordOffsetOrd => proj.update(i, offset)
+              case ord             => proj.update(i, full.get(ord, fullSchema(ord).dataType))
+            }
             i += 1
           }
           proj

@@ -109,6 +109,27 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("marc DSv2 provenance metadata columns: _input_file and _record_offset") {
+    val recs = Fixtures.records("test_data.utf8").take(5)
+    val dir = tmpDir("marcmeta")
+    val out = Files.newOutputStream(Paths.get(dir, "data.mrc"))
+    recs.foreach(r => out.write(Iso2709.encode(r)))
+    out.close()
+    val df = spark.read.format("marc").load(s"$dir/data.mrc")
+      .select(org.apache.spark.sql.functions.col("leader"),
+        org.apache.spark.sql.functions.col("_input_file"),
+        org.apache.spark.sql.functions.col("_record_offset"))
+    val rows = df.orderBy("_record_offset").collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getString(1).endsWith("data.mrc")))
+    // offsets are the records' byte positions: strictly increasing, first 0,
+    // and each gap equals the previous record's encoded length
+    val offsets = rows.map(_.getLong(2))
+    assert(offsets.head == 0L)
+    val lens = recs.map(Iso2709.encode(_).length.toLong)
+    assert(offsets.toSeq == lens.scanLeft(0L)(_ + _).take(5))
+  }
+
   test("MARC-8 transcoder is total: never throws on arbitrary bytes") {
     for (seed <- 1 to 50) {
       val rnd = new scala.util.Random(seed)
