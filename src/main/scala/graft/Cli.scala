@@ -37,7 +37,17 @@ object Cli {
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("graft-cli")
-    try run(args.toSeq, spark, new SolrJsonSink.HttpTransport())
+    // basic auth from -s solr_writer.basic_auth_user/password (URL userinfo
+    // also works; HttpTransport extracts it)
+    def setting(prefix: String): Option[String] =
+      args.toSeq.sliding(2).collectFirst {
+        case Seq("-s", kv) if kv.startsWith(prefix + "=") => kv.split("=", 2)(1)
+      }
+    val auth = for {
+      u <- setting("solr_writer.basic_auth_user")
+      p <- setting("solr_writer.basic_auth_password")
+    } yield (u, p)
+    try run(args.toSeq, spark, new SolrJsonSink.HttpTransport(auth = auth))
     catch { case ExitCode(c) => sys.exit(c) }
     finally spark.stop()
   }
