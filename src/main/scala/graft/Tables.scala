@@ -22,14 +22,26 @@ object Tables {
   def events(s: SparkSession, d: String)    = load(s, d, "events")
   def documents(s: SparkSession, d: String) = load(s, d, "documents")
 
-  /** documents rebalanced across the cluster for CPU-bound per-row
-    * operators (shingling, DOM parsing, language ID, MARC synthesis): the
-    * local test files are single-row-group parquet — ONE input split — so
-    * a narrow plan would run its whole per-row stage on one core. One
-    * cheap shuffle of the raw rows buys full parallelism; on production
-    * inputs (thousands of splits) the scan itself provides it and the
-    * repartition coalesces away under AQE or can be dropped. */
-  def documentsBalanced(s: SparkSession, d: String) =
-    documents(s, d).repartition(s.sparkContext.defaultParallelism)
+  /** documents rebalanced for CPU-bound per-row operators (shingling, DOM
+    * parsing, language ID): the local test files are single-row-group
+    * parquet — ONE non-empty input split — so a narrow plan would run its
+    * whole per-row stage on one core. Use this ONLY where the per-row work
+    * dominates the shuffle cost; cheap map-only queries should read
+    * [[documents]] directly. */
+  def documentsBalanced(s: SparkSession, d: String): DataFrame =
+    balanced(s, documents(s, d))
+
+  /** Repartition `df` only when its scan yields far fewer splits than the
+    * cluster has cores — i.e. the input genuinely lacks parallelism (few
+    * files / few row groups). Production inputs with thousands of splits
+    * pass through untouched: an explicit `repartition(n)` is a real
+    * shuffle that AQE does NOT remove, so it must never be baked in
+    * unconditionally. */
+  def balanced(s: SparkSession, df: DataFrame): DataFrame = {
+    val splits = df.rdd.getNumPartitions
+    val target = s.sparkContext.defaultParallelism
+    if (splits * 4 <= target) df.repartition(target) else df
+  }
+
   def embeddings(s: SparkSession, d: String) = load(s, d, "embeddings")
 }

@@ -59,7 +59,8 @@ object OpsQueries extends QueryPack {
     // SimHash near-dup (pigeonhole banding + hamming verify): identical
     // texts at distance 0 must all be found
     "d04_simhash_neardup" -> ((s, d) => {
-      val docs = Tables.documentsBalanced(s, d).select(col("doc_id"), col("text"))
+      // no rebalance: simhashNearDupPairs band join shuffles anyway
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val dupped = docs.unionByName(docs.select(
         (col("doc_id") + 1000000L).as("doc_id"), col("text")))
       Dedup.simhashNearDupPairs(dupped, "doc_id", "text", maxDistance = 0)
@@ -70,7 +71,8 @@ object OpsQueries extends QueryPack {
 
     // text analysis: token counts + ratios + quality score
     "t01_text_stats" -> ((s, d) => {
-      Tables.documentsBalanced(s, d).select(
+      // codegen'd string built-ins: cheaper than a repartition shuffle
+      Tables.documents(s, d).select(
           col("doc_id"),
           TextAnalysis.tokenCountWs(col("text")).as("n_tokens"),
           TextAnalysis.tokenCountRegex(col("text")).as("n_btokens"),
@@ -98,7 +100,7 @@ object OpsQueries extends QueryPack {
 
     // md5 content fingerprint (dedup key for 100 TB exact dedup)
     "t03_fingerprint" -> ((s, d) => {
-      Tables.documentsBalanced(s, d)
+      Tables.documents(s, d)
         .select(col("doc_id"),
           TextAnalysis.fingerprintMd5(col("text")).as("fp"))
         .orderBy("doc_id")
@@ -155,7 +157,7 @@ object OpsQueries extends QueryPack {
     // multimodal plumbing: binary payload synthesized from text; metadata
     // extraction (length, magic-head, format sniff) over the binary column
     "mm01_media_metadata" -> ((s, d) => {
-      Tables.documentsBalanced(s, d)
+      Tables.documents(s, d)
         .select(col("doc_id"),
           to_binary(col("text"), lit("utf-8")).as("payload"))
         .select(col("doc_id"),
@@ -168,7 +170,7 @@ object OpsQueries extends QueryPack {
     // stubbed decode through the partition-batched pipeline: deterministic
     // fake features (len, mean byte, min, max) — oracle recomputes from text
     "mm02_decode_features" -> ((s, d) => {
-      val media = Tables.documentsBalanced(s, d)
+      val media = Tables.documents(s, d)
         .select(col("doc_id"), to_binary(col("text"), lit("utf-8")).as("payload"))
       Multimodal.decodeFeatures(media, "doc_id", "payload")
         .select(col("media_id"),
