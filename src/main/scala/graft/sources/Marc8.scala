@@ -133,9 +133,14 @@ object Marc8 {
     }
     if (pending.length > 0) sb.append(pending) // trailing orphan diacritics
 
-    val expanded = NcrPattern.replaceAllIn(sb.toString, m =>
+    // totality: an out-of-range NCR (e.g. &#xFFFFFF; > U+10FFFF) must map to
+    // U+FFFD, never throw — one corrupt record must not kill a read job
+    val expanded = NcrPattern.replaceAllIn(sb.toString, m => {
+      val cp = Integer.parseInt(m.group(1), 16)
       scala.util.matching.Regex.quoteReplacement(
-        new String(Character.toChars(Integer.parseInt(m.group(1), 16)))))
+        if (Character.isValidCodePoint(cp)) new String(Character.toChars(cp))
+        else "�")
+    })
     Normalizer.normalize(expanded, Normalizer.Form.NFC)
   }
 

@@ -45,6 +45,14 @@ class Marc8UnitSpec extends AnyFunSuite {
     assert(t(m8("&#x0301;x")) == "́x")
   }
 
+  test("out-of-range numeric character references replace, never throw") {
+    // 6 hex digits can exceed U+10FFFF; invalid: :replace must stay total
+    assert(t(m8("bad: &#xFFFFFF; ref")) == "bad: � ref")
+    assert(t(m8("&#x110000;")) == "�")
+    // max valid code point still expands
+    assert(t(m8("&#x10FFFF;")) == new String(Character.toChars(0x10FFFF)))
+  }
+
   test("escape sequences: greek symbols, super/subscript, and back to ASCII") {
     assert(t(m8(0x1b, "g", "ab", 0x1b, "s", "x")) == "αβx")
     assert(t(m8(0x1b, "p", "2", 0x1b, "s")) == "²")
