@@ -71,30 +71,42 @@ object Similarity {
 
   /** Approximate top-k: bucket corpus and queries by sign-LSH, join within
     * buckets (optionally with multi-probe via numTables different seeds),
-    * exact cosine re-rank inside the candidate set. */
+    * exact cosine re-rank inside the candidate set.
+    *
+    * Shuffle discipline (the s04/d02 pattern): the numTables bucket joins
+    * and the candidate dedup move ONLY (table, bucket, id) tuples — the
+    * embedding arrays are re-attached by id-equi-join to just the
+    * deduplicated candidate pairs, so each vector crosses the wire once
+    * instead of numTables times. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               numPlanes: Int = 12, numTables: Int = 4, dim: Int = 64): DataFrame = {
     val tables = (0 until numTables).map { t =>
       val planes = hyperplanes(numPlanes, dim, seed = 42 + t)
       val c = corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).cast("array<double>").as("cv"),
         lit(t).as("table"), lshBucket(col(vecCol).cast("array<double>"), planes).as("bucket"))
       val q = queries.select(col(idCol).as("query_id"),
-        col(vecCol).cast("array<double>").as("qv"),
         lit(t).as("table"), lshBucket(col(vecCol).cast("array<double>"), planes).as("bucket"))
-      c.join(q, Seq("table", "bucket"))
+      c.join(q, Seq("table", "bucket")).select(col("query_id"), col("neighbor_id"))
     }
-    // score inside each table first, then dedupe/rank over plain triples —
-    // the dropDuplicates and window shuffles never move embedding arrays
     val candidates = tables.reduce(_ unionByName _)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cosine"))
       .dropDuplicates("query_id", "neighbor_id")
+    // vectors (and norms, computed once per row) join back onto candidates
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val qv = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = candidates
+      .join(qv, "query_id")
+      .join(cv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    candidates.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         round(col("cosine"), 4).as("cosine"), col("rank"))
@@ -133,25 +145,41 @@ object Similarity {
       slice(reverse(array_sort(dists)), 1, n) // array_sort ascending by sim, reverse = best first
     }
 
-    val c = corpus.select(col(idCol).as("neighbor_id"),
+    // cell assignment is a narrow map; the cell join then moves ONLY
+    // (cell, id) pairs — a corpus row lives in exactly one cell and a
+    // query probes distinct cells, so (query, neighbor) pairs are already
+    // unique and need no dedup shuffle
+    val cIds = corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", norm(col("cv")))
-      .withColumn("cell", element_at(cellsFor(col("cv"), col("cn"), 1), 1).getField("cell"))
-    val q = queries.select(col(idCol).as("query_id"),
+      .select(col("neighbor_id"),
+        element_at(cellsFor(col("cv"), col("cn"), 1), 1).getField("cell").as("cell"))
+    val qIds = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", norm(col("qv")))
-      .withColumn("cell", explode(transform(cellsFor(col("qv"), col("qn"), nprobe), _.getField("cell"))))
-
-    // a corpus row lives in exactly one cell and a query probes distinct
-    // cells, so (query, neighbor) pairs are already unique — no dedup
-    // shuffle; vectors are projected away before the top-k window
-    val candidates = c.join(q, Seq("cell"))
+      .select(col("query_id"),
+        explode(transform(cellsFor(col("qv"), col("qn"), nprobe), _.getField("cell"))).as("cell"))
+    val candidates = cIds.join(qIds, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+
+    // vectors re-attach by id-equi-join to the candidate pairs (the
+    // s04/d02 pattern): each embedding crosses the wire once, not once per
+    // probed cell; norms are computed once per row before the join
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val qv = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = candidates
+      .join(qv, "query_id")
+      .join(cv, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    candidates.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         round(col("cosine"), 4).as("cosine"), col("rank"))

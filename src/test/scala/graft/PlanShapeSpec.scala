@@ -81,6 +81,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("ANN candidate generation never shuffles embedding vectors") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    for (q <- Seq("s02_lsh_ann", "s03_ivf_ann", "s04_cosine_neardup")) {
+      val df = OpsQueries.queries(q)(spark, sfSmoke)
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+      // vectors may be broadcast (small side) but must never ride a
+      // partitioned shuffle: only id/bucket/score tuples repartition
+      plan.foreach {
+        case e: ShuffleExchangeExec =>
+          val arrays = e.output.filter(_.dataType.isInstanceOf[ArrayType])
+          assert(arrays.isEmpty,
+            s"$q: array attrs ${arrays.map(_.name).mkString(",")} cross a shuffle:\n${e.treeString}")
+        case _ =>
+      }
+    }
+  }
+
   test("minhash banding join is an equi-join, never a cross join") {
     val df = OpsQueries.queries("d02_minhash_neardup")(spark, sfSmoke)
     val plan = df.queryExecution.executedPlan.toString
