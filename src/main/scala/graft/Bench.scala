@@ -25,12 +25,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // a broken query must FAIL the bench run loudly, not silently lower the
+    // total by dropping out as -1
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.mode("overwrite").format("noop").save()
-      } catch { case _: Throwable => return -1.0 }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] query $name FAILED: $e")
+          spark.stop()
+          sys.exit(1)
+      }
       (System.nanoTime() - t0) / 1e9
     }
 

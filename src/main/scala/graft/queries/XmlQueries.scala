@@ -28,9 +28,9 @@ object XmlQueries extends QueryPack {
         lit("<g:rec xmlns:g=\"http://graft.example/ns\" id=\""), col("doc_id"), lit("\">"),
         lit("<g:src>"), esc(col("source")), lit("</g:src>"),
         lit("<g:body>"), esc(col("text")), lit("</g:body>"),
-        lit("<name><first>"), col("lang"), lit("</first><last>"), col("source"),
+        lit("<name><first>"), esc(col("lang")), lit("</first><last>"), esc(col("source")),
         lit("</last></name>"),
-        lit("<name><first>"), col("source"), lit("</first><last>"), col("lang"),
+        lit("<name><first>"), esc(col("source")), lit("</first><last>"), esc(col("lang")),
         lit("</last></name>"),
         lit("</g:rec>")).as("xml"))
 

@@ -55,19 +55,33 @@ object SolrJsonSink {
   }
 
   object HttpTransport {
-    /** Strip `user:pass@` from a URL, returning (clean url, credentials). */
+    /** Strip `user:pass@` from a URL, returning (clean url, credentials).
+      *
+      * Purely textual: the authority's userinfo span is cut out of the
+      * original string, so percent-encoded path/query components (`%2F` in
+      * a core path) survive byte-for-byte — rebuilding via the multi-arg
+      * URI constructor would decode and re-encode them, and a
+      * userinfo-bearing URL could then post to a different endpoint than
+      * the equivalent credential-option URL. */
     private[sinks] def splitUserinfo(url: String): (String, Option[(String, String)]) = {
-      val uri = java.net.URI.create(url)
-      Option(uri.getUserInfo) match {
-        case None => (url, None)
-        case Some(ui) =>
-          val creds = ui.split(":", 2) match {
-            case Array(u, p) => (u, p)
-            case Array(u)    => (u, "")
-          }
-          val clean = new java.net.URI(uri.getScheme, null, uri.getHost,
-            uri.getPort, uri.getPath, uri.getQuery, uri.getFragment).toString
-          (clean, Some(creds))
+      val schemeEnd = url.indexOf("://")
+      if (schemeEnd < 0) return (url, None)
+      val authStart = schemeEnd + 3
+      val authEnd = url.indexWhere(c => c == '/' || c == '?' || c == '#', authStart) match {
+        case -1 => url.length
+        case i  => i
+      }
+      val at = url.lastIndexOf('@', authEnd - 1)
+      if (at < authStart) (url, None)
+      else {
+        // split raw on the first ':' THEN percent-decode each part, so an
+        // encoded ':' (%3A) inside the password stays in the password
+        def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+        val creds = url.substring(authStart, at).split(":", 2) match {
+          case Array(u, p) => (dec(u), dec(p))
+          case Array(u)    => (dec(u), "")
+        }
+        (url.substring(0, authStart) + url.substring(at + 1), Some(creds))
       }
     }
   }

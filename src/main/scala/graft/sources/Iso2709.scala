@@ -77,13 +77,27 @@ object Iso2709 {
     while (i < 5) { if (!digit(i)) return false; i += 1 } // record length
     i = 12
     while (i < 17) { if (!digit(i)) return false; i += 1 } // base address
-    // leader bytes 5-9 (status/type/level flags) are never all digits in a
-    // real record — but always are inside the all-numeric directory region,
-    // which would otherwise pass every check above
-    i = 5
-    var allDigits = true
-    while (i < 10) { if (!digit(i)) allDigits = false; i += 1 }
-    if (allDigits) return false
+    // structural directory validation (instead of the old "leader bytes 5-9
+    // must not be all digits" heuristic, which silently skipped legal
+    // records with all-digit status/type/level flags): the directory must be
+    // whole 12-byte entries whose length/start fields (bytes 3-11 of each
+    // entry) are digits, terminated by the field terminator at base-1. An
+    // offset that actually points inside a real record's all-numeric
+    // directory region fails these checks with overwhelming probability.
+    val base = asciiInt(bytes, offset + 12, 5).getOrElse(0)
+    if (base < LeaderLength + 1) return false
+    if ((base - LeaderLength - 1) % 12 != 0) return false
+    if (offset + base <= bytes.length && bytes(offset + base - 1) != FieldTerminator)
+      return false
+    var e = offset + LeaderLength
+    val dirEnd = math.min(offset + base - 1, bytes.length)
+    while (e + 12 <= dirEnd) {
+      var j = 3
+      while (j < 12) {
+        val b = bytes(e + j); if (b < '0' || b > '9') return false; j += 1
+      }
+      e += 12
+    }
     val recLen = asciiInt(bytes, offset, 5).getOrElse(0)
     recLen >= LeaderLength &&
       (offset + recLen > bytes.length || bytes(offset + recLen - 1) == RecordTerminator)

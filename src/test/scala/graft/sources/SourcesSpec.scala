@@ -36,6 +36,29 @@ class SourcesSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("plausibleRecordAt accepts all-digit leader flags, rejects directory interiors") {
+    val recs = Fixtures.records("test_data.utf8").take(3)
+    val bytes = recs.flatMap(r => Iso2709.encode(r).toVector).toArray
+    // a legal record whose status/type/level bytes (leader 5-9) are all
+    // digits must still be recognized — the old heuristic skipped it
+    for (i <- 5 until 10) bytes(i) = '9'.toByte
+    assert(Iso2709.plausibleRecordAt(bytes, 0),
+      "record with all-digit leader flags must be plausible")
+    // true record starts are all plausible
+    var off = 0
+    for (r <- recs) {
+      assert(Iso2709.plausibleRecordAt(bytes, off), s"true start $off")
+      off += Iso2709.encode(r).length
+    }
+    // offsets inside the first record's all-numeric directory region must
+    // not look like record starts (split alignment would duplicate data)
+    val base = new String(bytes, 12, 5, "ASCII").toInt
+    for (dirOff <- Iso2709.LeaderLength until (base - 1)) {
+      assert(!Iso2709.plausibleRecordAt(bytes, dirOff),
+        s"directory interior offset $dirOff wrongly plausible")
+    }
+  }
+
   test("marc DSv2 splits: small maxPartitionBytes still reads every record exactly once") {
     val recs = Fixtures.records("test_data.utf8")
     val dir = tmpDir("marcsplit")

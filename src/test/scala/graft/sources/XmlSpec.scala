@@ -213,6 +213,27 @@ class XmlSpec extends SparkSpec {
     }
   }
 
+  test("x01/x02 queries survive markup characters in every embedded column") {
+    // regression: lang/source were embedded unescaped inside the <name>
+    // blocks, so an '&' or '<' in those columns made malformed XML and
+    // failed the whole query on other corpora
+    val dir = Files.createTempDirectory("xmlesc").toString
+    spark.range(1).select(
+        lit(7L).as("doc_id"),
+        lit("a & b <tag> \"q\"").as("text"),
+        lit("l&<g").as("lang"),
+        lit("s<&>rc").as("source"),
+        lit(10L).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val x1 = graft.queries.XmlQueries.queries("x01_xpath_extract")(spark, dir).collect()
+    assert(x1.length == 1)
+    assert(x1.head.getString(1) == "s<&>rc")
+    assert(x1.head.getString(2) == "a & b <tag> \"q\"")
+    val x2 = graft.queries.XmlQueries.queries("x02_xpath_totext")(spark, dir).collect()
+    assert(x2.head.getString(1) == "l&<g s<&>rc|s<&>rc l&<g")
+    assert(x2.head.getInt(2) == 2)
+  }
+
   test("extract_xpath: ns override merge (indexer_test 'namespaces to extract_xpath')") {
     // default namespaces carry a wrong uri for edm; per-call ns wins
     val xml = """<r xmlns:e="http://right.example/"><e:rights>CC</e:rights></r>"""
