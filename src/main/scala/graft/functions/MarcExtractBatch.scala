@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -28,7 +27,7 @@ final case class BatchEntry(name: String, spec: String,
                             alternateScript: AlternateScript = AlternateScript.Include)
 
 case class MarcExtractBatch(child: Expression, entries: Seq[BatchEntry])
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCodegen {
 
   override def dataType: DataType =
     StructType(entries.map(e => StructField(e.name, ArrayType(StringType), nullable = false)))
@@ -57,10 +56,10 @@ case class MarcExtractBatch(child: Expression, entries: Seq[BatchEntry])
   private case class CompiledEntry(specSet: SpecSet, sep: Option[UTF8String],
                                    fetchAlt: Boolean, interesting: Set[UTF8String])
 
-  override def eval(input: InternalRow): Any = {
+  override def evalChild(childValue: AnyRef): AnyRef = {
     val n = compiled.length
     val out = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Any])
-    val rec = child.eval(input).asInstanceOf[InternalRow]
+    val rec = childValue.asInstanceOf[InternalRow]
     if (rec != null) {
       val fields = rec.getArray(1)
       if (fields != null) {

@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -19,8 +18,8 @@ import graft.marc.{AlternateScript, MarcSpec, SpecSet}
   * materialization), with the spec compiled once at plan time — the
   * reference's "compile the extractor once, reuse per record" hotspot fix
   * (/root/reference/lib/traject/marc_extractor.rb:85-108,182-202) taken to
-  * its Spark conclusion. CodegenFallback: the eval itself is a single tight
-  * traversal; surrounding expressions still participate in codegen.
+  * its Spark conclusion. Codegen via [[KernelCodegen]]: the child struct is
+  * produced by whole-stage codegen and handed to the kernel directly.
   *
   * Input schema (child): struct<leader:string, fields:array<struct<
   * tag,ind1,ind2,value,subfields:array<struct<code,value>>>>>.
@@ -30,7 +29,7 @@ case class MarcExtractExpression(
     specString: String,
     separator: Option[String],
     alternateScript: AlternateScript)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCodegen {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def nullable: Boolean = false
@@ -56,8 +55,8 @@ case class MarcExtractExpression(
   private final val VALUE = 3
   private final val SUBFIELDS = 4
 
-  override def eval(input: InternalRow): Any = {
-    val rec = child.eval(input).asInstanceOf[InternalRow]
+  override def evalChild(childValue: AnyRef): AnyRef = {
+    val rec = childValue.asInstanceOf[InternalRow]
     if (rec == null) return new GenericArrayData(Array.empty[Any])
     val fields = rec.getArray(1)
     if (fields == null) return new GenericArrayData(Array.empty[Any])

@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -34,15 +33,15 @@ final case class MarcRecordBundleExpression(
     names: Seq[String],
     types: Seq[DataType],
     fns: Seq[MarcRecord => Any])
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCodegen {
 
   override def dataType: DataType =
     StructType(names.zip(types).map { case (n, t) => StructField(n, t, nullable = true) })
   override def nullable: Boolean = true
   override def prettyName: String = "marc_record_bundle"
 
-  override def eval(input: InternalRow): Any = {
-    val row = child.eval(input).asInstanceOf[InternalRow]
+  override def evalChild(childValue: AnyRef): AnyRef = {
+    val row = childValue.asInstanceOf[InternalRow]
     if (row == null) return null
     val rec = MarcRecordBundleExpression.materialize(row)
     val out = new Array[Any](fns.length)

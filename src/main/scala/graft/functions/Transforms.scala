@@ -96,19 +96,13 @@ object Transforms {
     c => filter(c, v => array_contains(arr, v))
   }
 
-  /** trim_punctuation — marc21.rb:252-271, as three chained regexp_replace
-    * (same order: trailing [ ,/;:] → trailing period after ≥3 word chars →
-    * bracket strip) plus trim. See graft.marc.TrimPunctuation for the
-    * row-level twin; goldens cover both. */
-  val trimPunctuation: Tx = {
-    val word = """[\p{L}\p{M}\p{Nd}\p{Pc}]"""
-    c => transform(c, v => {
-      val s1 = regexp_replace(v, """ *[ ,/;:] *$""", "")
-      val s2 = regexp_replace(s1, """( *""" + word + """{3,})\. *$""", "$1")
-      val s3 = regexp_replace(s2, """^\[?([^\[\]]+)\]?$""", "$1")
-      trim(s3)
-    })
-  }
+  /** trim_punctuation — marc21.rb:252-271: the same char-scan kernel as the
+    * row-level graft.marc.TrimPunctuation (whose property test pins it to
+    * the original regex formulation), exposed as a codegen-bridged scalar
+    * expression — three regexp_replace per value was the hottest part of
+    * the post-option chain. */
+  val trimPunctuation: Tx =
+    c => transform(c, v => TrimPunctuationExpression.trimPunct(v))
 
   /** Literal constant field — macros/basic.rb:3-8. */
   def literal(value: String): Column = array(lit(value))

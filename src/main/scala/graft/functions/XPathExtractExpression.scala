@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -35,7 +34,7 @@ case class XPathExtractExpression(
     xpath: String,
     namespaces: Map[String, String],
     toText: Boolean)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCodegen {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = false
@@ -43,8 +42,8 @@ case class XPathExtractExpression(
 
   @transient private lazy val work = new XmlWork(xpath, namespaces)
 
-  override def eval(input: InternalRow): Any = {
-    val xml = child.eval(input).asInstanceOf[UTF8String]
+  override def evalChild(childValue: AnyRef): AnyRef = {
+    val xml = childValue.asInstanceOf[UTF8String]
     if (xml == null) return new GenericArrayData(Array.empty[Any])
     val doc = XmlDom.parse(work.builder, xml.getBytes)
     val nodes = XmlDom.evalNodes(work.compiled, doc)
@@ -77,7 +76,7 @@ case class XPathExtractBatch(
     child: Expression,
     entries: Seq[(String, Boolean)], // (xpath, toText)
     namespaces: Map[String, String])
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelCodegen {
 
   import org.apache.spark.sql.types.{StructField, StructType}
 
@@ -93,8 +92,8 @@ case class XPathExtractBatch(
         entries.map(e => XmlDom.compileXPath(e._1, namespaces)).toArray)
     }
 
-  override def eval(input: InternalRow): Any = {
-    val xml = child.eval(input).asInstanceOf[UTF8String]
+  override def evalChild(childValue: AnyRef): AnyRef = {
+    val xml = childValue.asInstanceOf[UTF8String]
     val n = entries.length
     val out = new Array[Any](n)
     if (xml == null) {

@@ -124,9 +124,82 @@ object ExtractMarc {
 
 /** AACR2 punctuation-trimming heuristic; semantics from
   * /root/reference/lib/traject/macros/marc21.rb:252-271 (golden cases in
-  * test/indexer/macros/marc21/trim_punctuation_test.rb). */
+  * test/indexer/macros/marc21/trim_punctuation_test.rb).
+  *
+  * Implemented with direct char scans from the string's end instead of the
+  * original three `\z`-anchored regex replaceFirsts: regex leftmost-match
+  * search probes every position of the subject, which made this THE
+  * hottest function of the whole mapping pipeline (it runs on every
+  * extracted subfield). The scans preserve the regex semantics exactly —
+  * [[TrimPunctuationSpecOracle]] keeps the original regex formulation and
+  * a property test pins equivalence. */
 object TrimPunctuation {
-  // [[:word:]] in ruby = Letter | Mark | Decimal_Number | Connector_Punctuation.
+
+  /** `[[:word:]]` in ruby = Letter | Mark | Decimal_Number |
+    * Connector_Punctuation; code-point-aware like the regex engine. */
+  @inline private def isWordCp(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    Character.isLetter(cp) ||
+      t == Character.NON_SPACING_MARK || t == Character.COMBINING_SPACING_MARK ||
+      t == Character.ENCLOSING_MARK || t == Character.DECIMAL_DIGIT_NUMBER ||
+      t == Character.CONNECTOR_PUNCTUATION
+  }
+
+  def apply(s: String): String = {
+    if (s == null) return null
+    // step 1: """ *[ ,/;:] *\z""" → "" — strip trailing spaces; if the
+    // char before them is , / ; or : strip it and its preceding spaces too
+    var end = s.length
+    while (end > 0 && s.charAt(end - 1) == ' ') end -= 1
+    // (trailing spaces alone already satisfy the class — they are removed)
+    if (end > 0) {
+      val c = s.charAt(end - 1)
+      if (c == ',' || c == '/' || c == ';' || c == ':') {
+        end -= 1
+        while (end > 0 && s.charAt(end - 1) == ' ') end -= 1
+      }
+    }
+    // step 2: """( *[[:word:]]{3,})\. *\z""" → "$1" — a period ending a
+    // ≥3-word-char run (after optional spaces, which group 1 keeps) drops
+    var str = if (end == s.length) s else s.substring(0, end)
+    if (str.nonEmpty && str.charAt(str.length - 1) == '.') {
+      var k = str.length - 1
+      var words = 0
+      var cont = true
+      while (cont && k > 0) {
+        val cp = Character.codePointBefore(str, k)
+        if (isWordCp(cp)) { k -= Character.charCount(cp); words += 1 }
+        else cont = false
+      }
+      if (words >= 3) str = str.substring(0, str.length - 1)
+    }
+    // step 3: """\A\[?([^\[\]]+)\]?\z""" → "$1" — strip one balanced-ish
+    // layer of brackets when the interior has none
+    if (str.nonEmpty) {
+      val hasL = str.charAt(0) == '['
+      val hasR = str.charAt(str.length - 1) == ']'
+      if (hasL || hasR) {
+        val from = if (hasL) 1 else 0
+        val until = if (hasR) str.length - 1 else str.length
+        if (until > from) {
+          var i = from
+          var clean = true
+          while (clean && i < until) {
+            val c = str.charAt(i)
+            if (c == '[' || c == ']') clean = false
+            i += 1
+          }
+          if (clean) str = str.substring(from, until)
+        }
+      }
+    }
+    str.trim
+  }
+}
+
+/** The original regex formulation of [[TrimPunctuation]], kept as the
+  * equivalence oracle for its property test (marc21.rb:252-271). */
+private[marc] object TrimPunctuationSpecOracle {
   private val word = """[\p{L}\p{M}\p{Nd}\p{Pc}]"""
   private val trailing = """ *[ ,/;:] *\z""".r
   private val trailingPeriod = ("""( *""" + word + """{3,})\. *\z""").r

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{ByteArrayOutputStream, InputStream}
+import java.io.InputStream
 import java.nio.charset.StandardCharsets.UTF_8
 import graft.marc.{MarcField, MarcRecord, Subfield}
 
@@ -175,56 +175,158 @@ object Iso2709 {
 
   /** Encode a record; allowOversized pads illegal >99999-byte lengths with
     * zeros like MARC::Writer's allow_oversized (serialized_marc semantics,
-    * /root/reference/lib/traject/macros/marc21.rb:164-173). */
+    * /root/reference/lib/traject/macros/marc21.rb:164-173).
+    *
+    * Hot path of `serialized_marc` / marcout: one growable byte buffer and
+    * in-place digit writes — no per-field streams, no intermediate
+    * directory strings. Byte-identical to the straightforward
+    * stream-append formulation (round-trip pinned by SourcesSpec). */
   def encode(rec: MarcRecord, allowOversized: Boolean = false): Array[Byte] = {
-    val dataBuf = new ByteArrayOutputStream()
-    val dirBuf = new StringBuilder
-    var offset = 0
-    rec.fields.foreach { f =>
-      val body = new ByteArrayOutputStream()
-      if (f.isControl) body.write(f.value.getBytes(UTF_8))
+    val fields = rec.fields
+    val n = fields.length
+    var data = new Array[Byte](2048)
+    var dlen = 0
+    @inline def ensure(extra: Int): Unit =
+      if (dlen + extra > data.length) {
+        var cap = data.length << 1
+        while (cap < dlen + extra) cap <<= 1
+        data = java.util.Arrays.copyOf(data, cap)
+      }
+    @inline def put(b: Byte): Unit = { ensure(1); data(dlen) = b; dlen += 1 }
+    @inline def putStr(s: String): Unit = {
+      // fast path: ASCII copied char-by-char, no encoder/array allocation
+      val len = s.length
+      var ascii = true
+      var i = 0
+      while (ascii && i < len) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+      if (ascii) {
+        ensure(len)
+        i = 0
+        while (i < len) { data(dlen + i) = s.charAt(i).toByte; i += 1 }
+        dlen += len
+      } else {
+        val bs = s.getBytes(UTF_8)
+        ensure(bs.length)
+        System.arraycopy(bs, 0, data, dlen, bs.length)
+        dlen += bs.length
+      }
+    }
+    val fieldLens = new Array[Int](n)
+    val fieldOffs = new Array[Int](n)
+    var fi = 0
+    while (fi < n) {
+      val f = fields(fi)
+      val start = dlen
+      fieldOffs(fi) = start
+      if (f.isControl) putStr(f.value)
       else {
-        body.write(orBlank(f.ind1).getBytes(UTF_8))
-        body.write(orBlank(f.ind2).getBytes(UTF_8))
-        f.subfields.foreach { sf =>
-          body.write(SubfieldDelimiter)
-          body.write(sf.code.getBytes(UTF_8))
-          body.write(sf.value.getBytes(UTF_8))
+        putStr(orBlank(f.ind1))
+        putStr(orBlank(f.ind2))
+        val subs = f.subfields
+        val m = subs.length
+        var si = 0
+        while (si < m) {
+          val sf = subs(si)
+          put(SubfieldDelimiter)
+          putStr(sf.code)
+          putStr(sf.value)
+          si += 1
         }
       }
-      body.write(FieldTerminator)
-      val fieldBytes = body.toByteArray
-      dirBuf.append(f.tag)
-        .append(num(fieldBytes.length, 4, allowOversized))
-        .append(num(offset, 5, allowOversized))
-      dataBuf.write(fieldBytes)
-      offset += fieldBytes.length
+      put(FieldTerminator)
+      fieldLens(fi) = dlen - start
+      fi += 1
     }
-    val directory = dirBuf.toString.getBytes(UTF_8)
-    val base = LeaderLength + directory.length + 1
-    val total = base + dataBuf.size() + 1
-    val leader0 = Option(rec.leader).filter(_.length == LeaderLength)
-      .getOrElse((" " * LeaderLength))
-    val leader = num(total, 5, allowOversized) + leader0.substring(5, 12) +
-      num(base, 5, allowOversized) + leader0.substring(17)
-    val out = new ByteArrayOutputStream(total)
-    out.write(leader.getBytes(UTF_8))
-    out.write(directory)
-    out.write(FieldTerminator)
-    dataBuf.writeTo(out)
-    out.write(RecordTerminator)
-    out.toByteArray
+    // directory entries are tag + 4-digit length + 5-digit start; tags are
+    // 3 ASCII bytes in any legal record, but a non-ASCII tag falls back to
+    // its UTF-8 bytes exactly like the string-append formulation did
+    var dirLen = 0
+    fi = 0
+    while (fi < n) { dirLen += utf8Len(fields(fi).tag) + 9; fi += 1 }
+    val base = LeaderLength + dirLen + 1
+    val total = base + dlen + 1
+    val leader0 = {
+      val l = rec.leader
+      if (l != null && l.length == LeaderLength) l else " " * LeaderLength
+    }
+    val out = new Array[Byte](total)
+    writeNum(out, 0, total, 5, allowOversized)
+    writeAscii(out, 5, leader0, 5, 12)
+    writeNum(out, 12, base, 5, allowOversized)
+    writeAscii(out, 17, leader0, 17, 24)
+    var pos = LeaderLength
+    fi = 0
+    while (fi < n) {
+      val tag = fields(fi).tag
+      pos = writeStr(out, pos, tag)
+      writeNum(out, pos, fieldLens(fi), 4, allowOversized); pos += 4
+      writeNum(out, pos, fieldOffs(fi), 5, allowOversized); pos += 5
+      fi += 1
+    }
+    out(pos) = FieldTerminator
+    System.arraycopy(data, 0, out, base, dlen)
+    out(total - 1) = RecordTerminator
+    out
   }
 
   private def orBlank(s: String): String =
     if (s == null || s.isEmpty) " " else s.take(1)
 
-  private def num(v: Int, width: Int, allowOversized: Boolean): String = {
-    val s = v.toString
-    if (s.length > width) {
-      if (allowOversized) "0" * width
-      else throw new IllegalArgumentException(s"field too large for ISO 2709: $v > ${width} digits")
-    } else ("0" * (width - s.length)) + s
+  @inline private def utf8Len(s: String): Int = {
+    var i = 0
+    var ascii = true
+    while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) s.length else s.getBytes(UTF_8).length
+  }
+
+  private def writeStr(out: Array[Byte], pos: Int, s: String): Int = {
+    var i = 0
+    var ascii = true
+    while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) {
+      i = 0
+      while (i < s.length) { out(pos + i) = s.charAt(i).toByte; i += 1 }
+      pos + s.length
+    } else {
+      val bs = s.getBytes(UTF_8)
+      System.arraycopy(bs, 0, out, pos, bs.length)
+      pos + bs.length
+    }
+  }
+
+  /** leader substring copy — leaders are ASCII by spec; a stray non-ASCII
+    * char degrades to '?' exactly like the charset encoder would multi-byte
+    * it (out-of-contract input either way). */
+  private def writeAscii(out: Array[Byte], pos: Int, s: String, from: Int, until: Int): Unit = {
+    var i = from
+    while (i < until) {
+      val c = s.charAt(i)
+      out(pos + (i - from)) = if (c < 0x80) c.toByte else '?'.toByte
+      i += 1
+    }
+  }
+
+  private def writeNum(out: Array[Byte], pos: Int, v: Int, width: Int,
+                       allowOversized: Boolean): Unit = {
+    var digits = 1
+    var p = 10
+    while (digits < 10 && v >= p) { digits += 1; p *= 10 }
+    if (digits > width) {
+      if (allowOversized) {
+        var i = 0
+        while (i < width) { out(pos + i) = '0'; i += 1 }
+      } else throw new IllegalArgumentException(
+        s"field too large for ISO 2709: $v > ${width} digits")
+    } else {
+      var i = width - 1
+      var rem = v
+      while (i >= width - digits) {
+        out(pos + i) = ('0' + rem % 10).toByte
+        rem /= 10
+        i -= 1
+      }
+      while (i >= 0) { out(pos + i) = '0'; i -= 1 }
+    }
   }
 
   def readAll(in: InputStream): Vector[MarcRecord] = decodeAll(in.readAllBytes())

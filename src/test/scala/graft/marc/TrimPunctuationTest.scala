@@ -31,4 +31,19 @@ class TrimPunctuationTest extends AnyFunSuite {
   test("null passes through") {
     assert(t(null) == null)
   }
+
+  test("char-scan implementation matches the original regex formulation") {
+    // adversarial alphabet: punctuation classes, brackets, periods, spaces,
+    // multi-byte letters, combining marks, connector punctuation, and a
+    // supplementary-plane letter (surrogate pair)
+    val pool: Array[String] = Array(
+      "a", "b", "é", "中", "ʼ", "_", "9", "́", " ", "  ", ",", "/", ";",
+      ":", ".", "..", "[", "]", "[]", "(", "\t", "𐐷", "Jr.", "art")
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 20000) {
+      val s = Seq.fill(rnd.nextInt(8))(pool(rnd.nextInt(pool.length))).mkString
+      assert(TrimPunctuation(s) == TrimPunctuationSpecOracle(s),
+        s"mismatch for input ${s.map(_.toInt.toHexString).mkString("[", " ", "]")}")
+    }
+  }
 }
