@@ -119,7 +119,16 @@ object Cli {
       case "marcout" =>
         require(inputType != "genericxml", "marcout requires a MARC input type")
         import graft.marc.MarcFunctions.marcRecordEncoder
-        MarcIo.writeBinary(records.as[graft.marc.MarcRecord], outDir)
+        val recs = records.as[graft.marc.MarcRecord]
+        // marcout.type=binary|xml|human (command_line.rb:105-130); binary
+        // honors marcout.allow_oversized like MARC::Writer#allow_oversized
+        settings.getOrElse("marcout.type", "binary") match {
+          case "binary" => MarcIo.writeBinary(recs, outDir,
+            allowOversized = settings.get("marcout.allow_oversized").contains("true"))
+          case "xml"    => MarcIo.writeXml(recs, outDir)
+          case "human"  => MarcIo.writeHuman(recs, outDir)
+          case other    => sys.error(s"unrecognized marcout.type: $other")
+        }
         System.err.println(s"[graft] marcout: wrote ${records.count()} records to $outDir")
 
       case "process" =>

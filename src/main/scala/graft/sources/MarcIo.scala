@@ -102,4 +102,58 @@ object MarcIo {
     import spark.implicits._
     ds.map(MarcJson.write).write.mode("overwrite").text(outDir)
   }
+
+  /** Write as MARCXML part files (`marcout.type=xml`,
+    * command_line.rb:125-126): each part is a complete collection
+    * document, readable back with [[readXml]]. */
+  def writeXml(ds: Dataset[MarcRecord], outDir: String): Unit = {
+    val dir = outDir
+    ds.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val path = new Path(f"$dir/part-$idx%05d.xml")
+      val fs = path.getFileSystem(conf)
+      val out = fs.create(path, true)
+      try {
+        out.write(("""<?xml version="1.0" encoding="UTF-8"?>""" +
+          """<collection xmlns="http://www.loc.gov/MARC21/slim">""").getBytes("UTF-8"))
+        rows.foreach(r => out.write(
+          MarcXmlWriter.encode(r, includeNamespace = false).getBytes("UTF-8")))
+        out.write("</collection>".getBytes("UTF-8"))
+      } finally out.close()
+      Iterator.empty
+    }.count(): Unit
+  }
+
+  /** `marcout.type=human` (command_line.rb:127-128): the reference hands
+    * records to a plain IO, so each one prints as ruby-marc `Record#to_s` —
+    * "LEADER ..." then one line per field: control fields as `tag value`,
+    * data fields as `tag i1i2 ` followed by `$c value ` per subfield. */
+  def humanFormat(rec: MarcRecord): String = {
+    val sb = new StringBuilder(256)
+    sb.append("LEADER ").append(if (rec.leader == null) "" else rec.leader).append('\n')
+    rec.fields.foreach { f =>
+      sb.append(f.tag).append(' ')
+      if (f.isControl) sb.append(f.value)
+      else {
+        sb.append(or1(f.ind1)).append(or1(f.ind2)).append(' ')
+        f.subfields.foreach { sf =>
+          sb.append('$').append(sf.code).append(' ').append(sf.value).append(' ')
+        }
+      }
+      sb.append('\n')
+    }
+    sb.toString
+  }
+
+  private def or1(ind: String): String =
+    if (ind == null || ind.isEmpty) " " else ind.take(1)
+
+  /** Write human-readable part files (one [[humanFormat]] block per record;
+    * the text sink re-adds the block's trailing newline, so records abut
+    * exactly like sequential IO writes in the reference). */
+  def writeHuman(ds: Dataset[MarcRecord], outDir: String): Unit = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.map(r => humanFormat(r).stripSuffix("\n")).write.mode("overwrite").text(outDir)
+  }
 }

@@ -87,4 +87,40 @@ class CliSpec extends SparkSpec {
     assert(docs.count() == 30)
     assert(docs.columns.contains("title_t"))
   }
+
+  test("marcout -s marcout.type=xml round-trips through MarcIo.readXml") {
+    val outDir = Files.createTempDirectory("marcoutxml").toString + "/xml"
+    Cli.run(Seq("marcout", "-i", "marc", "-o", outDir,
+      "-s", "marcout.type=xml", marcFile), spark, new FakeTransport())
+    val back = graft.sources.MarcIo.readXml(spark, outDir).collect().toVector
+    assert(back.length == 30)
+    val got = back.map(_.fields).sortBy(_.headOption.map(_.value).getOrElse(""))
+    val want = Fixtures.records("test_data.utf8").map(_.fields)
+      .sortBy(_.headOption.map(_.value).getOrElse(""))
+    assert(got == want)
+  }
+
+  test("marcout -s marcout.type=human prints ruby-marc Record#to_s layout") {
+    val outDir = Files.createTempDirectory("marcouthuman").toString + "/human"
+    Cli.run(Seq("marcout", "-i", "marc", "-o", outDir,
+      "-s", "marcout.type=human", marcFile), spark, new FakeTransport())
+    val text = spark.read.text(outDir).collect().map(_.getString(0))
+    assert(text.count(_.startsWith("LEADER ")) == 30)
+    // data-field line shape: tag, indicators, subfields as `$c value `
+    val t245 = text.filter(_.startsWith("245 "))
+    assert(t245.length == 30)
+    assert(t245.forall(_.contains("$a ")))
+    // control-field line shape: `tag value` with value verbatim (the
+    // fixture's 001 keeps its fixed-position padding: "   00282214 ")
+    assert(text.contains("001    00282214 "))
+    assert(text.contains("005 20090120022042.0"))
+  }
+
+  test("marcout rejects an unrecognized marcout.type") {
+    val e = intercept[RuntimeException] {
+      Cli.run(Seq("marcout", "-i", "marc", "-o", "/tmp/never",
+        "-s", "marcout.type=bogus", marcFile), spark, new FakeTransport())
+    }
+    assert(e.getMessage.contains("bogus"))
+  }
 }
