@@ -233,10 +233,23 @@ final class PagePartitionReader(part: PagePartition)
   override def close(): Unit = ()
 }
 
-/** Production fetcher: OAI-PMH ListRecords over HTTP with resumptionToken
-  * pagination and gzip (oai_pmh_nokogiri_reader.rb:72-99). Records are the
-  * raw <record> elements; parse downstream with extract_xpath/from_xml. */
-final class HttpOaiPageFetcher(baseUrl: String, metadataPrefix: String = "oai_dc")
+/** Production fetcher: OAI-PMH over HTTP with resumptionToken pagination,
+  * reference parity with OaiPmhNokogiriReader:
+  *
+  *  - `startUrl` is the FULL initial request, verb and metadataPrefix plus
+  *    any selective-harvest parameters (`set`, `from`, `until`) included —
+  *    the `oai_pmh.start_url` contract (oai_pmh_nokogiri_reader.rb:12-16);
+  *  - resumption pages keep only `verb` + `resumptionToken` in the query,
+  *    as the OAI-PMH spec requires (oai_pmh_nokogiri_reader.rb:92-99);
+  *  - gzip is negotiated by default (`oai_pmh.try_gzip`) and inflated
+  *    transparently; `tryGzip = false` forces identity;
+  *  - per-request timeout (`oai_pmh.timeout`, default 10 s).
+  *
+  * Records are the raw <record> elements; parse downstream with
+  * extract_xpath/from_xml. */
+final class HttpOaiPageFetcher(startUrl: String,
+                               tryGzip: Boolean = true,
+                               timeoutSecs: Int = 10)
     extends OaiPageFetcher {
   def this() = this(sys.props.getOrElse("graft.oai.url", ""))
 
@@ -244,13 +257,41 @@ final class HttpOaiPageFetcher(baseUrl: String, metadataPrefix: String = "oai_dc
 
   def fetch(token: Option[String]): (Seq[String], Option[String]) = {
     val url = token match {
-      case Some(t) => s"$baseUrl?verb=ListRecords&resumptionToken=${java.net.URLEncoder.encode(t, "UTF-8")}"
-      case None    => s"$baseUrl?verb=ListRecords&metadataPrefix=$metadataPrefix"
+      case Some(t) => resumptionUrl(t)
+      case None    => startUrl
     }
     val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-      .header("Accept-Encoding", "identity").GET().build()
-    val body = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      .timeout(java.time.Duration.ofSeconds(timeoutSecs.toLong))
+      .header("Accept-Encoding",
+        if (tryGzip) "gzip;q=1.0, identity;q=0.5" else "identity")
+      .GET().build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+    val bytes =
+      if (resp.headers().firstValue("Content-Encoding").orElse("").contains("gzip"))
+        new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(resp.body())).readAllBytes()
+      else resp.body()
+    val body = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
     (extractRecords(body), extractToken(body))
+  }
+
+  /** Same scheme/host/path as the start URL, query reduced to the start
+    * URL's verb plus the resumption token. */
+  private[streaming] def resumptionUrl(token: String): String = {
+    val qIdx = startUrl.indexOf('?')
+    val base = if (qIdx < 0) startUrl else startUrl.substring(0, qIdx)
+    val verb = startUrlParam("verb").getOrElse("ListRecords")
+    s"$base?verb=${java.net.URLEncoder.encode(verb, "UTF-8")}" +
+      s"&resumptionToken=${java.net.URLEncoder.encode(token, "UTF-8")}"
+  }
+
+  private def startUrlParam(name: String): Option[String] = {
+    val qIdx = startUrl.indexOf('?')
+    if (qIdx < 0) return None
+    startUrl.substring(qIdx + 1).split("&").iterator
+      .map(_.split("=", 2))
+      .collectFirst { case Array(k, v) if k == name =>
+        java.net.URLDecoder.decode(v, "UTF-8") }
   }
 
   private[streaming] def extractRecords(xml: String): Seq[String] =
@@ -259,4 +300,20 @@ final class HttpOaiPageFetcher(baseUrl: String, metadataPrefix: String = "oai_dc
   private[streaming] def extractToken(xml: String): Option[String] =
     """(?s)<resumptionToken[^>]*>\s*([^<\s][^<]*?)\s*</resumptionToken>""".r
       .findFirstMatchIn(xml).map(_.group(1)).filter(_.nonEmpty)
+}
+
+object HttpOaiPageFetcher {
+  /** Compose a ListRecords start URL with selective-harvest parameters —
+    * the convenience layer over the raw start-url contract. */
+  def listRecordsUrl(baseUrl: String, metadataPrefix: String = "oai_dc",
+                     set: Option[String] = None,
+                     from: Option[String] = None,
+                     until: Option[String] = None): String = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val params = Seq("verb" -> Some("ListRecords"),
+      "metadataPrefix" -> Some(metadataPrefix),
+      "set" -> set, "from" -> from, "until" -> until)
+      .collect { case (k, Some(v)) => s"$k=${enc(v)}" }
+    s"$baseUrl?${params.mkString("&")}"
+  }
 }

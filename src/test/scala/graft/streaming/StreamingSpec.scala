@@ -262,6 +262,78 @@ class StreamingSpec extends SparkSpec {
     assert(f.extractToken("<OAI-PMH></OAI-PMH>").isEmpty)
   }
 
+  test("selective-harvest URL composition (set/from/until) and resumption stripping") {
+    // convenience composer: only provided params appear, values URL-encoded
+    assert(HttpOaiPageFetcher.listRecordsUrl("http://ex.org/oai") ==
+      "http://ex.org/oai?verb=ListRecords&metadataPrefix=oai_dc")
+    assert(HttpOaiPageFetcher.listRecordsUrl("http://ex.org/oai",
+        metadataPrefix = "marc21", set = Some("maps & charts"),
+        from = Some("2020-01-01"), until = Some("2020-12-31")) ==
+      "http://ex.org/oai?verb=ListRecords&metadataPrefix=marc21" +
+        "&set=maps+%26+charts&from=2020-01-01&until=2020-12-31")
+    // resumption pages keep ONLY verb + resumptionToken, per the OAI-PMH
+    // spec (oai_pmh_nokogiri_reader.rb:92-99): set/from/until must drop
+    val f = new HttpOaiPageFetcher(HttpOaiPageFetcher.listRecordsUrl(
+      "http://ex.org/oai", set = Some("s1"), from = Some("2020-01-01")))
+    assert(f.resumptionUrl("t/ok=1") ==
+      "http://ex.org/oai?verb=ListRecords&resumptionToken=t%2Fok%3D1")
+    // a non-ListRecords start verb is preserved on resumption
+    val f2 = new HttpOaiPageFetcher("http://ex.org/oai?verb=ListIdentifiers&metadataPrefix=oai_dc")
+    assert(f2.resumptionUrl("x") ==
+      "http://ex.org/oai?verb=ListIdentifiers&resumptionToken=x")
+  }
+
+  test("HttpOaiPageFetcher drives a set-scoped paged harvest over real HTTP with gzip") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    def page(recs: Seq[String], token: Option[String]): String =
+      s"""<OAI-PMH><ListRecords>${recs.map(r => s"<record>$r</record>").mkString}""" +
+        token.map(t => s"<resumptionToken>$t</resumptionToken>").getOrElse("") +
+        "</ListRecords></OAI-PMH>"
+    val hits = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/oai", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        hits.add(q)
+        // page 1 only when the set filter arrived; page 2 via token
+        val body =
+          if (q.contains("resumptionToken=page2")) page(Seq("c", "d"), None)
+          else if (q.contains("set=maps")) page(Seq("a", "b"), Some("page2"))
+          else page(Seq("WRONG-SET"), None)
+        val gzip = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
+          .exists(_.contains("gzip"))
+        val raw = body.getBytes("UTF-8")
+        val out =
+          if (gzip) {
+            val bos = new java.io.ByteArrayOutputStream()
+            val gz = new java.util.zip.GZIPOutputStream(bos)
+            gz.write(raw); gz.close()
+            ex.getResponseHeaders.add("Content-Encoding", "gzip")
+            bos.toByteArray
+          } else raw
+        ex.sendResponseHeaders(200, out.length.toLong)
+        ex.getResponseBody.write(out)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val f = new HttpOaiPageFetcher(HttpOaiPageFetcher.listRecordsUrl(
+        s"http://127.0.0.1:$port/oai", set = Some("maps")))
+      val (p1, t1) = f.fetch(None)
+      assert(p1 == Seq("<record>a</record>", "<record>b</record>"))
+      assert(t1.contains("page2"))
+      val (p2, t2) = f.fetch(t1)
+      assert(p2 == Seq("<record>c</record>", "<record>d</record>"))
+      assert(t2.isEmpty)
+      import scala.jdk.CollectionConverters._
+      val qs = hits.asScala.toVector
+      assert(qs.head.contains("set=maps"), "start request must carry the set")
+      assert(!qs(1).contains("set="), "resumption request must drop the set")
+    } finally server.stop(0)
+  }
+
   test("windowed stats with watermark over the events table (batch parity)") {
     val events = graft.Tables.events(spark, sfSmoke)
       .select(timestamp_micros(expr("ts DIV 1000")).as("ts"),
