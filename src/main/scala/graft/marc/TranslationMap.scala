@@ -73,28 +73,37 @@ object TranslationMap {
     TranslationMap(entries, default)
   }
 
-  /** Load a bundled map from classpath `translation_maps/<name>.yaml` —
-    * same search convention as the reference's load-path lookup
-    * (translation_map.rb:124-142), YAML-only here (.properties support via
-    * fromProperties for user files). Loaded once per JVM (the reference's
-    * file cache, translation_map.rb:107-155). */
+  /** Load a bundled map from classpath `translation_maps/<name>.yaml` or
+    * `.properties` — the reference's load-path lookup tries `.rb`, `.yaml`,
+    * `.properties` in that order (translation_map.rb:124-142); `.rb` is an
+    * eval'd Ruby literal with no Scala analog, so the search here is
+    * yaml → properties. Loaded once per JVM (the reference's file cache,
+    * translation_map.rb:107-155). */
   def named(name: String): TranslationMap =
-    cache.computeIfAbsent(name, loadYamlResource)
+    cache.computeIfAbsent(name, loadResource)
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, TranslationMap]()
 
-  private val loadYamlResource = new java.util.function.Function[String, TranslationMap] {
+  private val loadResource = new java.util.function.Function[String, TranslationMap] {
     def apply(name: String): TranslationMap = {
-      val path = s"translation_maps/$name.yaml"
-      val in = Option(getClass.getClassLoader.getResourceAsStream(path))
-        .getOrElse(throw new IllegalArgumentException(
-          s"No translation map definition found at classpath:$path"))
-      try {
-        val yaml = new org.yaml.snakeyaml.Yaml()
-        val loaded = yaml.load[java.util.Map[Any, Any]](
-          new InputStreamReader(in, StandardCharsets.UTF_8))
-        fromRaw(Option(loaded).map(_.asScala.toMap).getOrElse(Map.empty[Any, Any]))
-      } finally in.close()
+      val cl = getClass.getClassLoader
+      val yamlPath = s"translation_maps/$name.yaml"
+      val propPath = s"translation_maps/$name.properties"
+      Option(cl.getResourceAsStream(yamlPath)) match {
+        case Some(in) =>
+          try {
+            val yaml = new org.yaml.snakeyaml.Yaml()
+            val loaded = yaml.load[java.util.Map[Any, Any]](
+              new InputStreamReader(in, StandardCharsets.UTF_8))
+            fromRaw(Option(loaded).map(_.asScala.toMap).getOrElse(Map.empty[Any, Any]))
+          } finally in.close()
+        case None =>
+          val in = Option(cl.getResourceAsStream(propPath))
+            .getOrElse(throw new IllegalArgumentException(
+              s"No translation map definition found at classpath:$yamlPath or :$propPath"))
+          try fromProperties(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+          finally in.close()
+      }
     }
   }
 

@@ -48,6 +48,21 @@ class TranslationMapTest extends AnyFunSuite {
     assert(tm.translateArray(Seq("key1", "key2")) == Vector("Value One", "Value Two"))
   }
 
+  test("named() falls back to a classpath .properties map (translation_map.rb:124-142)") {
+    val tm = TranslationMap.named("test_props_map")
+    assert(tm.translateArray(Seq("eng", "fre", "spa")) ==
+      Vector("English", "French", "Spanish"))
+    assert(tm.lookup("key with space").contains(Vector("Spaced")))
+    // __default__ applies to missing keys
+    assert(tm.translateArray(Seq("zzz")) == Vector("Unknown"))
+    // __passthrough__ default returns the key itself
+    val pass = TranslationMap.named("test_props_passthrough")
+    assert(pass.translateArray(Seq("eng", "zzz")) == Vector("English", "zzz"))
+    // unknown names still raise with both searched paths in the message
+    val e = intercept[IllegalArgumentException](TranslationMap.named("no_such_map_xyz"))
+    assert(e.getMessage.contains(".yaml") && e.getMessage.contains(".properties"))
+  }
+
   test("extract_marc post-options order: first, translate, trim, dedup, default") {
     val rec = MarcRecord("", Vector(
       MarcField.data("040", " ", " ", "a" -> "DLC", "d" -> "DLC"),
