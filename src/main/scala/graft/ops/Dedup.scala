@@ -68,7 +68,11 @@ object Dedup {
 
   private val MersennePrime = (1L << 61) - 1
 
-  /** Deterministic (a,b) hash-family parameters. */
+  /** Deterministic (a,b) hash-family parameters (shared with the
+    * MinhashBandsExpression kernel so both produce identical signatures). */
+  private[graft] def hashParamsFor(k: Int, seed: Int): Array[(Long, Long)] =
+    hashParams(k, seed)
+
   private def hashParams(k: Int, seed: Int): Array[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(k)((math.abs(rnd.nextLong()) % MersennePrime max 1L,
@@ -80,7 +84,7 @@ object Dedup {
     * `(a*h + b) % p` would not be the claimed universal family and can go
     * negative). Mersenne reduction: 2^61 ≡ 1 (mod p) ⇒ 2^64 ≡ 8, so with
     * the product split as hi·2^64 + lo, x ≡ hi·8 + (lo & p) + (lo >>> 61). */
-  private[ops] def mulAddModP(a: Long, h: Long, b: Long): Long = {
+  private[graft] def mulAddModP(a: Long, h: Long, b: Long): Long = {
     val hi = Math.multiplyHigh(a, h) // a, h >= 0: signed high == unsigned high
     val lo = a * h                   // wrapping low 64 bits
     var r = hi * 8 + (lo & MersennePrime) + (lo >>> 61) + b // < 2^63, no overflow
@@ -119,8 +123,6 @@ object Dedup {
                           bands: Int = 32, rowsPerBand: Int = 3,
                           shingleN: Int = 3,
                           maxBucketSize: Int = 10000): DataFrame = {
-    val numHashes = bands * rowsPerBand
-
     // Degenerate-corpus hardening, part 1: collapse exact-identical texts
     // FIRST (md5-fingerprint groupBy — one narrow shuffle on a 16-byte
     // key). A corpus of N identical documents would otherwise put all N
@@ -147,14 +149,6 @@ object Dedup {
 
     val reps = groups.select(col("rep_id").as("id"), col("text"))
 
-    val sigUdf = udf((text: String) => {
-      val sig = minhashSignature(shingles(text, shingleN), numHashes)
-      (0 until bands).map { b =>
-        val bandVals = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
-        (b, MurmurHash3.arrayHash(bandVals))
-      }
-    })
-
     // Shuffle discipline: the band self-join moves ONLY (id, band, bhash)
     // triples — never the shingle arrays. Shingles are attached to just the
     // deduplicated candidate pairs afterwards (two hash joins against a
@@ -167,9 +161,13 @@ object Dedup {
     // are dropped rather than joined quadratically — with 32 independent
     // bands a true near-dup pair is overwhelmingly likely to meet in
     // another, smaller bucket.
+    // band signature via the primitive-array kernel expression (band index
+    // = array position, so posexplode recovers it); params precomputed per
+    // plan, result never round-trips through a tuple encoder
     val bucketsRaw = reps
-      .select(col("id"), explode(sigUdf(col("text"))).as("bucket"))
-      .select(col("id"), col("bucket._1").as("band"), col("bucket._2").as("bhash"))
+      .select(col("id"),
+        posexplode(graft.functions.MinhashBandsExpression.minhashBands(
+          col("text"), bands, rowsPerBand, shingleN)).as(Seq("band", "bhash")))
     val buckets = bucketsRaw
       .withColumn("bsize", count(lit(1)).over(Window.partitionBy("band", "bhash")))
       .filter(col("bsize") <= maxBucketSize)
