@@ -60,6 +60,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(loose.isEmpty, s"no un-fused xpath extract may remain:\n$optimized")
   }
 
+  test("balanced() repartitions single-split scans but passes many-split scans through") {
+    // single-row-group local file → one non-empty split → rebalance fires
+    val docs = Tables.documents(spark, sfSmoke)
+    val balanced = Tables.balanced(spark, docs)
+    assert(balanced.rdd.getNumPartitions == spark.sparkContext.defaultParallelism,
+      "a single-split scan must be repartitioned to full parallelism")
+    // a frame that already has cluster-scale parallelism must NOT gain a
+    // shuffle: an explicit repartition is never removed by AQE, so baking
+    // it in would be a pure-waste full shuffle on production inputs
+    val wide = docs.repartition(spark.sparkContext.defaultParallelism)
+    val untouched = Tables.balanced(spark, wide)
+    assert(untouched eq wide, "a many-split frame must pass through untouched")
+  }
+
   test("documents scan prunes to referenced columns only") {
     val df = OpsQueries.queries("t03_fingerprint")(spark, sfSmoke)
     val scan = df.queryExecution.executedPlan.toString
