@@ -123,19 +123,33 @@ object Dedup {
                           bands: Int = 32, rowsPerBand: Int = 3,
                           shingleN: Int = 3,
                           maxBucketSize: Int = 10000): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+
+    // Shuffle discipline, part 0: document bodies NEVER ride a shuffle.
+    // The fingerprint and the band signature (primitive-array kernel
+    // expression; band index = array position) are both computed in the
+    // narrow scan stage, so every downstream shuffle moves only ids,
+    // 16-byte fingerprints, band triples, or candidate shingle sets —
+    // at 100 TB the alternative (groupBy first(text)) is a full-corpus
+    // shuffle of raw text. The cost is recomputing the signature for
+    // exact-duplicate rows instead of once per distinct text; duplicates
+    // are a small fraction of a real corpus, raw text is not.
+    val sigs = base.select(col("id"), md5(col("text")).as("fp"),
+      graft.functions.MinhashBandsExpression.minhashBands(
+        col("text"), bands, rowsPerBand, shingleN).as("bands"))
+
     // Degenerate-corpus hardening, part 1: collapse exact-identical texts
-    // FIRST (md5-fingerprint groupBy — one narrow shuffle on a 16-byte
-    // key). A corpus of N identical documents would otherwise put all N
-    // rows into the SAME bucket of every band — a single quadratic join
-    // cell. After the collapse, LSH sees one representative per distinct
-    // text; identical-text pairs (jaccard exactly 1.0) are emitted
-    // directly from the groups, and cross-group verified pairs expand
-    // back to group members at the end.
-    val groups = df
-      .select(col(idCol).as("id"), col(textCol).as("text"))
-      .groupBy(md5(col("text")).as("fp"))
+    // FIRST (fingerprint groupBy — Catalyst prunes `bands` off this
+    // branch, so it shuffles (fp, id) pairs only). A corpus of N identical
+    // documents would otherwise put all N rows into the SAME bucket of
+    // every band — a single quadratic join cell. LSH sees one
+    // representative per distinct text; identical-text pairs (jaccard
+    // exactly 1.0) are emitted directly from the groups, and cross-group
+    // verified pairs expand back to group members at the end.
+    val groups = sigs
+      .groupBy(col("fp"))
       .agg(sort_array(collect_list(col("id"))).as("members"),
-        min(col("id")).as("rep_id"), first(col("text")).as("text"))
+        min(col("id")).as("rep_id"))
 
     // all (a, b) with a < b inside an identical-text group; posexplode the
     // left element first so the pair fan-out parallelizes across tasks
@@ -146,8 +160,6 @@ object Dedup {
       .select(col("id_a"),
         explode(slice(col("members"), col("ia") + lit(2), size(col("members")))).as("id_b"),
         lit(1.0).as("jaccard"))
-
-    val reps = groups.select(col("rep_id").as("id"), col("text"))
 
     // Shuffle discipline: the band self-join moves ONLY (id, band, bhash)
     // triples — never the shingle arrays. Shingles are attached to just the
@@ -161,13 +173,11 @@ object Dedup {
     // are dropped rather than joined quadratically — with 32 independent
     // bands a true near-dup pair is overwhelmingly likely to meet in
     // another, smaller bucket.
-    // band signature via the primitive-array kernel expression (band index
-    // = array position, so posexplode recovers it); params precomputed per
-    // plan, result never round-trips through a tuple encoder
-    val bucketsRaw = reps
+    val repIds = groups.select(col("rep_id").as("id"))
+    val bucketsRaw = sigs.select(col("id"), col("bands"))
+      .join(repIds, Seq("id"), "left_semi") // moves (id, 32 ints), not text
       .select(col("id"),
-        posexplode(graft.functions.MinhashBandsExpression.minhashBands(
-          col("text"), bands, rowsPerBand, shingleN)).as(Seq("band", "bhash")))
+        posexplode(col("bands")).as(Seq("band", "bhash")))
     val buckets = bucketsRaw
       .withColumn("bsize", count(lit(1)).over(Window.partitionBy("band", "bhash")))
       .filter(col("bsize") <= maxBucketSize)
@@ -180,7 +190,11 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    val shingled = reps.select(col("id"), shingleCol(col("text"), shingleN).as("sh"))
+    // shingles come from the original narrow frame (identical text ⇒
+    // identical shingles, and candidates only reference rep ids); AQE
+    // broadcasts the candidate side when small, leaving this scan
+    // shuffle-free
+    val shingled = base.select(col("id"), shingleCol(col("text"), shingleN).as("sh"))
 
     val repPairs = candidates
       .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")

@@ -117,6 +117,27 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("minhash dedup never shuffles raw document text") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val df = OpsQueries.queries("d02_minhash_neardup")(spark, sfSmoke)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    // fingerprints and band signatures are computed in the narrow scan
+    // stage; only ids/fingerprints/band triples/shingle sets may shuffle
+    plan.foreach {
+      case e: ShuffleExchangeExec =>
+        val textAttrs = e.output.filter(a =>
+          a.name == "text" && a.dataType == StringType)
+        assert(textAttrs.isEmpty,
+          s"document text crosses a shuffle:\n${e.treeString}")
+      case _ =>
+    }
+  }
+
   test("minhash banding join is an equi-join, never a cross join") {
     val df = OpsQueries.queries("d02_minhash_neardup")(spark, sfSmoke)
     val plan = df.queryExecution.executedPlan.toString
