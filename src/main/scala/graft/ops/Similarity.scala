@@ -69,6 +69,17 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** (table, bucket) pairs for ALL hash tables from ONE pass over the
+    * vector column: element t of the array is table t's bucket id, so
+    * posexplode recovers the table index. One corpus scan instead of
+    * numTables — per-table scan subtrees each re-read and re-decode every
+    * vector — and one kernel call instead of numTables × numPlanes inlined
+    * when/dot chains. */
+  private def allTableBuckets(vec: Column, numPlanes: Int, numTables: Int,
+                              dim: Int, seedBase: Int): Column =
+    graft.functions.SignLshBucketsExpression.signLshBuckets(
+      vec, numPlanes, numTables, dim, seedBase)
+
   /** Approximate top-k: bucket corpus and queries by sign-LSH, join within
     * buckets (optionally with multi-probe via numTables different seeds),
     * exact cosine re-rank inside the candidate set.
@@ -81,15 +92,13 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               numPlanes: Int = 12, numTables: Int = 4, dim: Int = 64): DataFrame = {
-    val tables = (0 until numTables).map { t =>
-      val planes = hyperplanes(numPlanes, dim, seed = 42 + t)
-      val c = corpus.select(col(idCol).as("neighbor_id"),
-        lit(t).as("table"), lshBucket(col(vecCol).cast("array<double>"), planes).as("bucket"))
-      val q = queries.select(col(idCol).as("query_id"),
-        lit(t).as("table"), lshBucket(col(vecCol).cast("array<double>"), planes).as("bucket"))
-      c.join(q, Seq("table", "bucket")).select(col("query_id"), col("neighbor_id"))
-    }
-    val candidates = tables.reduce(_ unionByName _)
+    def bucketed(df: DataFrame, outId: String) = df.select(
+      col(idCol).as(outId),
+      posexplode(allTableBuckets(col(vecCol).cast("array<double>"),
+        numPlanes, numTables, dim, seedBase = 42)).as(Seq("table", "bucket")))
+    val candidates = bucketed(corpus, "neighbor_id")
+      .join(bucketed(queries, "query_id"), Seq("table", "bucket"))
+      .select(col("query_id"), col("neighbor_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
     // vectors (and norms, computed once per row) join back onto candidates
@@ -134,31 +143,17 @@ object Similarity {
               sampleSize: Int = 512, seed: Int = 42): DataFrame = {
     val centroids = trainCentroids(corpus, vecCol, nlist, lloydIters, sampleSize, seed)
 
-    // centroid norms precomputed on the driver; the row norm is computed
-    // once per row and reused across all nlist similarity terms
-    def cellsFor(vec: Column, vnorm: Column, n: Int): Column = {
-      val dists = array(centroids.zipWithIndex.map { case (c, i) =>
-        val cn = math.sqrt(c.map(x => x * x).sum)
-        struct((dot(vec, typedlit(c.toSeq)) / (vnorm * lit(cn))).as("sim"),
-          lit(i).as("cell"))
-      }: _*)
-      slice(reverse(array_sort(dists)), 1, n) // array_sort ascending by sim, reverse = best first
-    }
-
-    // cell assignment is a narrow map; the cell join then moves ONLY
-    // (cell, id) pairs — a corpus row lives in exactly one cell and a
-    // query probes distinct cells, so (query, neighbor) pairs are already
-    // unique and need no dedup shuffle
+    // cell assignment is a narrow map (one kernel pass over the broadcast
+    // centroid matrix — graft.functions.IvfCellsExpression); the cell join
+    // then moves ONLY (cell, id) pairs — a corpus row lives in exactly one
+    // cell and a query probes distinct cells, so (query, neighbor) pairs
+    // are already unique and need no dedup shuffle
+    def cellsOf(vec: Column, n: Int): Column =
+      graft.functions.IvfCellsExpression.ivfCells(vec, centroids, n)
     val cIds = corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("cn", norm(col("cv")))
-      .select(col("neighbor_id"),
-        element_at(cellsFor(col("cv"), col("cn"), 1), 1).getField("cell").as("cell"))
+        element_at(cellsOf(col(vecCol).cast("array<double>"), 1), 1).as("cell"))
     val qIds = queries.select(col(idCol).as("query_id"),
-        col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("qn", norm(col("qv")))
-      .select(col("query_id"),
-        explode(transform(cellsFor(col("qv"), col("qn"), nprobe), _.getField("cell"))).as("cell"))
+        explode(cellsOf(col(vecCol).cast("array<double>"), nprobe)).as("cell"))
     val candidates = cIds.join(qIds, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
@@ -228,15 +223,13 @@ object Similarity {
                          threshold: Double = 0.95,
                          numPlanes: Int = 10, numTables: Int = 6,
                          dim: Int = 64): DataFrame = {
-    val tables = (0 until numTables).map { t =>
-      val planes = hyperplanes(numPlanes, dim, seed = 137 + t)
-      df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"),
-        lit(t).as("table"), lshBucket(col(vecCol).cast("array<double>"), planes).as("bucket"))
-    }
     // shuffle discipline (the d02 pattern): the bucket self-join and the
     // dedup move ONLY (table, bucket, id) / (id_a, id_b) tuples — vectors
-    // are re-attached to just the deduplicated candidate pairs
-    val bucketed = tables.reduce(_ unionByName _).drop("v")
+    // are re-attached to just the deduplicated candidate pairs; all
+    // numTables bucket ids come from ONE scan of the vector column
+    val bucketed = df.select(col(idCol).as("id"),
+      posexplode(allTableBuckets(col(vecCol).cast("array<double>"),
+        numPlanes, numTables, dim, seedBase = 137)).as(Seq("table", "bucket")))
     val pairs = bucketed.alias("a").join(bucketed.alias("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
