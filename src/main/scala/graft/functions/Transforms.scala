@@ -101,8 +101,7 @@ object Transforms {
     * the original regex formulation), exposed as a codegen-bridged scalar
     * expression — three regexp_replace per value was the hottest part of
     * the post-option chain. */
-  val trimPunctuation: Tx =
-    c => transform(c, v => TrimPunctuationExpression.trimPunct(v))
+  val trimPunctuation: Tx = c => ArrayKernels.arrayTrimPunctuation(c)
 
   /** Literal constant field — macros/basic.rb:3-8. */
   def literal(value: String): Column = array(lit(value))
@@ -116,14 +115,17 @@ object Transforms {
   /** Output field normalization: compact nils, optional output-level dedup
     * (allow_duplicate_values default TRUE at output — dedup happens in
     * extract_marc by default instead), empty array → NULL column unless
-    * allow_empty_fields. */
+    * allow_empty_fields. One kernel evaluation per field — see
+    * [[graft.functions.ArrayKernels]] for why the column formulation
+    * (filter HOF + when/otherwise repeating the field's whole expression
+    * tree) was the hottest part of a wide output projection. */
   def normalizeOutput(allowNilValues: Boolean = false,
                       allowDuplicateValues: Boolean = true,
-                      allowEmptyFields: Boolean = false): Tx = c0 => {
-    var c = c0
-    if (!allowNilValues) c = compactNulls(c)
-    if (!allowDuplicateValues) c = array_distinct(c)
-    if (!allowEmptyFields) c = when(size(c) === 0, lit(null)).otherwise(c)
-    c
+                      allowEmptyFields: Boolean = false): Tx = c => {
+    if (allowNilValues && allowDuplicateValues && allowEmptyFields) c
+    else ArrayKernels.normalizeOutput(c,
+      keepNils = allowNilValues,
+      dedup = !allowDuplicateValues,
+      emptyToNull = !allowEmptyFields)
   }
 }

@@ -36,7 +36,7 @@ object MarcFunctions {
   def applyExtractOptions(extracted: Column, opts: ExtractMarc.Options): Column = {
     import graft.functions.Transforms
     var c = extracted
-    if (opts.first) c = filter(slice(c, 1, 1), v => v.isNotNull) // Array(acc[0]) drops a nil head
+    if (opts.first) c = graft.functions.ArrayKernels.headNonNull(c) // Array(acc[0]) drops a nil head
     opts.translationMap.foreach(tm => c = Transforms.translationMap(tm)(c))
     if (opts.trimPunctuation) c = Transforms.trimPunctuation(c)
     if (!opts.allowDuplicates) c = array_distinct(c)

@@ -110,4 +110,43 @@ class PipelineSpec extends SparkSpec {
     val parsed = MarcJson.parse(out("marc_display").head)
     assert(parsed == rec)
   }
+
+  test("normalize/head kernels match their column formulations on adversarial arrays") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    // the straightforward formulations the kernels replaced, kept as oracle
+    def normOracle(allowNil: Boolean, allowDup: Boolean, allowEmpty: Boolean)(c0: Column): Column = {
+      var c = c0
+      if (!allowNil) c = filter(c, v => v.isNotNull)
+      if (!allowDup) c = array_distinct(c)
+      if (!allowEmpty) c = when(size(c) === 0, lit(null)).otherwise(c)
+      c
+    }
+    def headOracle(c: Column): Column = filter(slice(c, 1, 1), v => v.isNotNull)
+
+    val rnd = new scala.util.Random(13)
+    val pool = Seq[String](null, "", "a", "b", "a", "é", " ", null)
+    val rows = Seq.fill(200)(Seq.fill(rnd.nextInt(6))(pool(rnd.nextInt(pool.length))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(org.apache.spark.sql.Row(_)), 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("arr",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, true)))))
+    for {
+      nil <- Seq(true, false); dup <- Seq(true, false); empty <- Seq(true, false)
+    } {
+      val got = df.select(
+          graft.functions.Transforms.normalizeOutput(nil, dup, empty)(col("arr")).as("k"),
+          normOracle(nil, dup, empty)(col("arr")).as("o"))
+        .collect()
+      got.foreach { r =>
+        assert(r.isNullAt(0) == r.isNullAt(1) &&
+          (r.isNullAt(0) || r.getSeq[String](0) == r.getSeq[String](1)),
+          s"normalize mismatch (nil=$nil dup=$dup empty=$empty): $r")
+      }
+    }
+    val heads = df.select(graft.functions.ArrayKernels.headNonNull(col("arr")).as("k"),
+      headOracle(col("arr")).as("o")).collect()
+    heads.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), s"head mismatch: $r"))
+  }
 }
