@@ -48,21 +48,17 @@ object Dedup {
     inter.toDouble / (a.size + b.size - inter)
   }
 
-  /** Column form: distinct 3-gram shingle array, built from built-ins only
-    * (transform over word indexes — stays in codegen). */
-  def shingleCol(text: Column, n: Int = 3): Column = {
-    val words = split(text, " ", 0)
-    val grams = transform(
-      sequence(lit(0), greatest(size(words) - n, lit(0))),
-      i => array_join(slice(words, i + 1, lit(n)), " "))
-    array_distinct(when(size(words) < n, array(text)).otherwise(grams))
-  }
+  /** Column form: distinct 3-gram shingle array — one kernel pass
+    * (graft.functions.ShinglesExpression); the higher-order-function
+    * formulation (transform over word indexes + array_join slices +
+    * array_distinct) evaluated interpreted and built several intermediate
+    * arrays per document. */
+  def shingleCol(text: Column, n: Int = 3): Column =
+    graft.functions.ShingleExpressions.shingles(text, n)
 
   /** Exact jaccard between two shingle-array columns (set semantics). */
-  def jaccardCol(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(array_union(a, b)).cast("double"))
-  }
+  def jaccardCol(a: Column, b: Column): Column =
+    graft.functions.ShingleExpressions.jaccard(a, b)
 
   // ---- MinHash + LSH -------------------------------------------------------
 

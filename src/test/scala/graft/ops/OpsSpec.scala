@@ -19,6 +19,40 @@ class OpsSpec extends SparkSpec {
     assert(rowJ == 7.0 / 8.0) // 7 shared of 8 union (9-word doc: 7 vs 8 shingles)
   }
 
+  test("shingle/jaccard kernels match their column formulations on fuzzed texts") {
+    import org.apache.spark.sql.Column
+    // the built-in formulations the kernels replaced, kept as the oracle
+    def shingleOracle(text: Column, n: Int): Column = {
+      val words = split(text, " ", 0)
+      val grams = transform(
+        sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => array_join(slice(words, i + 1, lit(n)), " "))
+      array_distinct(when(size(words) < n, array(text)).otherwise(grams))
+    }
+    def jaccardOracle(a: Column, b: Column): Column =
+      size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)).cast("double")
+
+    val rnd = new scala.util.Random(29)
+    val vocab = Seq("a", "b", "cc", "ddd", "", "é中")
+    val texts = Seq("", " ", "one", "one two", "a  b") ++
+      Seq.fill(120)(Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) =>
+      (t, texts((i + 7) % texts.length))
+    }.toDF("a", "b")
+    val rows = df.select(
+        Dedup.shingleCol(col("a")).as("k_sh"), shingleOracle(col("a"), 3).as("o_sh"),
+        Dedup.jaccardCol(Dedup.shingleCol(col("a")), Dedup.shingleCol(col("b"))).as("k_j"),
+        jaccardOracle(shingleOracle(col("a"), 3), shingleOracle(col("b"), 3)).as("o_j"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"shingle mismatch: $r")
+      val (kj, oj) = (r.getDouble(2), r.getDouble(3))
+      assert(kj == oj || (kj.isNaN && oj.isNaN), s"jaccard mismatch: $r")
+    }
+  }
+
   test("minhash LSH finds planted near-dups with exact verification") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfSmoke).select("doc_id", "text")
