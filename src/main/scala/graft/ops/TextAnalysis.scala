@@ -64,17 +64,8 @@ object TextAnalysis {
 
   /** Heuristic language ID: count marker-token hits per language, pick the
     * argmax (ties broken by language-list order, 'und' when no hits). */
-  def langId(text: Column): Column = {
-    val toks = split(trim(text), """\s+""", 0)
-    val scored = LangMarkers.map { case (lang, markers) =>
-      val m = typedlit(markers)
-      lang -> size(filter(toks, t => array_contains(m, t)))
-    }
-    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
-    scored.foldRight(lit("und"): Column) { case ((lang, score), acc) =>
-      when(score === best && best > 0, lit(lang)).otherwise(acc)
-    }
-  }
+  def langId(text: Column): Column =
+    graft.functions.LangIdExpression.langId(text, LangMarkers)
 
   /** Exact content fingerprint: md5 of the lowercased, space-collapsed text
     * — the exact-dedup key for 100 TB runs (hash-shuffle on 16 bytes instead

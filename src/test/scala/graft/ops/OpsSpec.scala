@@ -200,4 +200,30 @@ class OpsSpec extends SparkSpec {
       .select(TextAnalysis.langId(col("text"))).as[String].collect()
     assert(rows.toSeq == Seq("es", "en", "de", "und"))
   }
+
+  test("langId kernel matches the column formulation on fuzzed token soups") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    // the filter/greatest/when formulation the kernel replaced, as oracle
+    def oracle(text: Column): Column = {
+      val toks = split(trim(text), """\s+""", 0)
+      val scored = TextAnalysis.LangMarkers.map { case (lang, markers) =>
+        val m = typedlit(markers)
+        lang -> size(filter(toks, t => array_contains(m, t)))
+      }
+      val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+      scored.foldRight(lit("und"): Column) { case ((lang, score), acc) =>
+        when(score === best && best > 0, lit(lang)).otherwise(acc)
+      }
+    }
+    val rnd = new scala.util.Random(31)
+    val vocab = TextAnalysis.LangMarkers.flatMap(_._2) ++ Seq("xyz", "", "的the", "Le")
+    val texts = Seq("", "  ", "\tthe\n", "the el le der 的") ++
+      Seq.fill(150)(Seq.fill(rnd.nextInt(14))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(if (rnd.nextBoolean()) " " else "  "))
+    val got = texts.toDF("text")
+      .select(TextAnalysis.langId(col("text")).as("k"), oracle(col("text")).as("o"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), s"langId mismatch: $r"))
+  }
 }
