@@ -27,6 +27,18 @@ object TextAnalysis {
   def alphaRatio(text: Column): Column =
     round(length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / length(text), 4)
 
+  /** Within-document duplicate n-gram ratio — the Gopher-style repetition
+    * quality signal (fraction of word n-gram occurrences that repeat an
+    * earlier one; 0 for documents shorter than n words). High values flag
+    * boilerplate/spam for training-data filtering. One narrow pass: total
+    * grams from the word count, distinct grams via the shingle kernel. */
+  def duplicateNgramRatio(text: Column, n: Int): Column = {
+    val words = split(text, " ", 0)
+    val total = (size(words) - n + 1).cast("double")
+    when(size(words) < n, lit(0.0))
+      .otherwise(round(lit(1.0) - size(Dedup.shingleCol(text, n)) / total, 4))
+  }
+
   /** Mean word length (chars per whitespace token), rounded to 4. */
   def meanWordLen(text: Column): Column =
     round(length(regexp_replace(text, """\s+""", "")).cast("double") / tokenCountWs(text), 4)

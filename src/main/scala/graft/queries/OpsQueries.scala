@@ -98,6 +98,17 @@ object OpsQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style repetition quality signal: within-document duplicate
+    // bigram/trigram ratios — the oracle recomputes both exactly from the
+    // raw text in SQL
+    "t04_repetition" -> ((s, d) => {
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          TextAnalysis.duplicateNgramRatio(col("text"), 2).as("dup2"),
+          TextAnalysis.duplicateNgramRatio(col("text"), 3).as("dup3"))
+        .orderBy("doc_id")
+    }),
+
     // md5 content fingerprint (dedup key for 100 TB exact dedup)
     "t03_fingerprint" -> ((s, d) => {
       Tables.documents(s, d)
@@ -250,6 +261,19 @@ object OpsQueries extends QueryPack {
     "t03_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
          FROM documents ORDER BY doc_id""",
+
+    "t04_repetition" ->
+      """WITH g AS (SELECT doc_id, string_split(text, ' ') w FROM documents)
+         SELECT doc_id,
+           CASE WHEN len(w) < 2 THEN 0.0
+                ELSE round(1.0 - len(list_distinct(
+                       [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+                     )) * 1.0 / (len(w) - 1), 4) END AS dup2,
+           CASE WHEN len(w) < 3 THEN 0.0
+                ELSE round(1.0 - len(list_distinct(
+                       [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]
+                     )) * 1.0 / (len(w) - 2), 4) END AS dup3
+         FROM g ORDER BY doc_id""",
 
     "s01_cosine_top1" ->
       """SELECT query_id, neighbor_id, cosine FROM (

@@ -190,6 +190,26 @@ class OpsSpec extends SparkSpec {
     assert(got("cold") === Set("x"))
   }
 
+  test("duplicate n-gram ratio flags repetitive documents") {
+    import spark.implicits._
+    val rows = Seq(
+      "a b a b a b a b",       // bigrams: 7 total, 2 distinct -> 5/7
+      "all words here differ", // no repeats -> 0
+      "one two",               // shorter than a trigram -> dup3 = 0
+      "w").toDF("text")
+      .select(
+        TextAnalysis.duplicateNgramRatio(col("text"), 2).as("dup2"),
+        TextAnalysis.duplicateNgramRatio(col("text"), 3).as("dup3"))
+      .collect()
+    assert(rows(0).getDouble(0) == math.rint((1.0 - 2.0 / 7.0) * 1e4) / 1e4 ||
+      rows(0).getDouble(0) == BigDecimal(1.0 - 2.0 / 7.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(rows(0).getDouble(1) > 0.5) // "a b a" repeats heavily
+    assert(rows(1).getDouble(0) == 0.0 && rows(1).getDouble(1) == 0.0)
+    assert(rows(2).getDouble(0) == 0.0 && rows(2).getDouble(1) == 0.0)
+    assert(rows(3).getDouble(0) == 0.0)
+  }
+
   test("langId picks the marker language") {
     import spark.implicits._
     val rows = Seq(
