@@ -213,6 +213,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  // ---- cross-document boilerplate (C4-style repeated spans) ----------------
+
+  /** Spans (sentence-ish fragments split on `sepPattern`) occurring in at
+    * least `minDocs` DISTINCT documents — the detection half of C4-style
+    * boilerplate removal ("remove any line seen in multiple documents").
+    * Output: (span, n_docs).
+    *
+    * Scale shape: the explode is narrow; the groupBy shuffles (span, id)
+    * pairs with map-side partial aggregation, and countDistinct is the
+    * standard two-phase expand — no document ever moves whole. */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    minDocs: Long, sepPattern: String = "\\. "): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(split(col(textCol), sepPattern)).as("span"))
+      .filter(length(trim(col("span"))) > 0)
+      .groupBy("span")
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** The removal half: rebuild each document without the blacklisted spans
+    * (span order preserved; fragments re-joined with ". " — the separator
+    * the split consumed). `spans` needs a `span` column, e.g. the output of
+    * [[repeatedSpans]]. Documents whose every span is blacklisted drop out.
+    *
+    * Scale shape: spans are sentence-sized, so the anti-join is
+    * broadcast-able for any realistic blacklist; the rebuild groupBy
+    * shuffles (id, pos, span) — fragments once, not documents twice. */
+  def removeSpans(df: DataFrame, idCol: String, textCol: String,
+                  spans: DataFrame, sepPattern: String = "\\. "): DataFrame = {
+    val parts = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), sepPattern)).as(Seq("pos", "span")))
+      .filter(length(trim(col("span"))) > 0)
+    parts.join(broadcast(spans.select(col("span"))), Seq("span"), "left_anti")
+      .groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("span")))),
+          s => s.getField("span")), ". ").as("text"))
+  }
+
   // ---- SimHash -------------------------------------------------------------
 
   /** 64-bit SimHash over word features. */

@@ -98,6 +98,18 @@ object OpsQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // C4-style boilerplate detection: a banner sentence planted into every
+    // 10th document must surface as a cross-document repeated span; the
+    // oracle recomputes span document-frequencies exactly in SQL
+    "d05_boilerplate_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit("Subscribe to our newsletter. "), col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.repeatedSpans(docs, "doc_id", "text", minDocs = 4)
+        .orderBy("span")
+    }),
+
     // Gopher-style repetition quality signal: within-document duplicate
     // bigram/trigram ratios — the oracle recomputes both exactly from the
     // raw text in SQL
@@ -261,6 +273,19 @@ object OpsQueries extends QueryPack {
     "t03_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
          FROM documents ORDER BY doc_id""",
+
+    "d05_boilerplate_spans" ->
+      """WITH docs AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0
+                  THEN 'Subscribe to our newsletter. ' || text ELSE text END AS text
+           FROM documents),
+         spans AS (
+           SELECT doc_id, unnest(string_split(text, '. ')) AS span FROM docs)
+         SELECT span, count(DISTINCT doc_id) AS n_docs
+         FROM spans WHERE trim(span) <> ''
+         GROUP BY span HAVING count(DISTINCT doc_id) >= 4
+         ORDER BY span""",
 
     "t04_repetition" ->
       """WITH g AS (SELECT doc_id, string_split(text, ' ') w FROM documents)

@@ -190,6 +190,27 @@ class OpsSpec extends SparkSpec {
     assert(got("cold") === Set("x"))
   }
 
+  test("repeated spans are detected across documents and removable") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Buy now. Unique alpha text here. More alpha prose"),
+      (2L, "Buy now. Different beta content. Another beta line"),
+      (3L, "Buy now. Gamma body only"),
+      (4L, "Nothing shared at all. Just delta")).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", minDocs = 3)
+    assert(spans.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("Buy now", 3L)))
+    val cleaned = Dedup.removeSpans(docs, "doc_id", "text", spans)
+      .orderBy("id").collect().map(_.getString(1))
+    assert(cleaned(0) == "Unique alpha text here. More alpha prose")
+    assert(cleaned(2) == "Gamma body only")
+    assert(cleaned(3) == "Nothing shared at all. Just delta")
+    // a doc whose every span is boilerplate drops out entirely
+    val allBoiler = Seq((9L, "Buy now")).toDF("doc_id", "text")
+    assert(Dedup.removeSpans(docs.unionByName(allBoiler), "doc_id", "text", spans)
+      .filter(col("id") === 9L).count() == 0)
+  }
+
   test("duplicate n-gram ratio flags repetitive documents") {
     import spark.implicits._
     val rows = Seq(
