@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Extension-operator surface (SURVEY.md §2.9): dedup, similarity search,
   * text analysis, multimodal plumbing — driver-checkable over the
@@ -118,6 +118,22 @@ object OpsQueries extends QueryPack {
           col("doc_id"),
           TextAnalysis.duplicateNgramRatio(col("text"), 2).as("dup2"),
           TextAnalysis.duplicateNgramRatio(col("text"), 3).as("dup3"))
+        .orderBy("doc_id")
+    }),
+
+    // deterministic hash sampling: membership is a pure function of the
+    // key (md5-based), so the oracle reproduces the exact sample
+    "t05_sample" -> ((s, d) => {
+      Sampling.deterministicSample(Tables.documents(s, d), col("doc_id"), 0.1)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // reproducible train/val/test split assignment by key hash
+    "t06_split" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+          Sampling.splitAssign(col("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
         .orderBy("doc_id")
     }),
 
@@ -286,6 +302,20 @@ object OpsQueries extends QueryPack {
          FROM spans WHERE trim(span) <> ''
          GROUP BY span HAVING count(DISTINCT doc_id) >= 4
          ORDER BY span""",
+
+    // threshold 0x1999999A = round(0.1 * 2^32), zero-padded lowercase hex
+    "t05_sample" ->
+      """SELECT doc_id FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8) < '1999999a'
+         ORDER BY doc_id""",
+
+    // cuts 0xCCCCCCCD = round(0.8 * 2^32), 0xE6666666 = round(0.9 * 2^32)
+    "t06_split" ->
+      """SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8) < 'cccccccd' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8) < 'e6666666' THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
 
     "t04_repetition" ->
       """WITH g AS (SELECT doc_id, string_split(text, ' ') w FROM documents)

@@ -190,6 +190,29 @@ class OpsSpec extends SparkSpec {
     assert(got("cold") === Set("x"))
   }
 
+  test("deterministic sampling is reproducible, partition-independent, and ~fraction-sized") {
+    import spark.implicits._
+    val ids = (1L to 10000L).toDF("id")
+    val s1 = Sampling.deterministicSample(ids, col("id"), 0.1)
+      .as[Long].collect().sorted.toSeq
+    // same rows regardless of partitioning (no RNG state)
+    val s2 = Sampling.deterministicSample(ids.repartition(13), col("id"), 0.1)
+      .as[Long].collect().sorted.toSeq
+    assert(s1 == s2)
+    assert(s1.size > 800 && s1.size < 1200, s"got ${s1.size} of ~1000")
+    // disjoint fractions nest: a 5% sample is a subset of the 10% sample
+    val s05 = Sampling.deterministicSample(ids, col("id"), 0.05)
+      .as[Long].collect().toSet
+    assert(s05.subsetOf(s1.toSet))
+    // split assignment covers every row with sane proportions
+    val splits = ids.select(Sampling.splitAssign(col("id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(splits.keySet == Set("train", "val", "test"))
+    assert(splits("train") > 7500 && splits("val") > 700 && splits("test") > 700)
+    assert(splits.values.sum == 10000L)
+  }
+
   test("repeated spans are detected across documents and removable") {
     import spark.implicits._
     val docs = Seq(
