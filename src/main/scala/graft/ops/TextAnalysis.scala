@@ -79,6 +79,20 @@ object TextAnalysis {
   def langId(text: Column): Column =
     graft.functions.LangIdExpression.langId(text, LangMarkers)
 
+  /** Conservative PII patterns shared by the scrubber and its tests —
+    * written in the regex subset Java and RE2 (the DuckDB oracle) parse
+    * identically. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""" -> "<EMAIL>",
+    """\b\d{3}[-.]\d{3}[-.]\d{4}\b""" -> "<PHONE>",
+    """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""" -> "<IP>")
+
+  /** Replace email addresses, phone numbers, and IPv4 addresses with typed
+    * placeholder tags — the standard pre-training PII scrub pass. Pure
+    * codegen regexp_replace chain: narrow, no UDF. */
+  def scrubPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
   /** Exact content fingerprint: md5 of the lowercased, space-collapsed text
     * — the exact-dedup key for 100 TB runs (hash-shuffle on 16 bytes instead
     * of full documents). */

@@ -121,6 +121,19 @@ object OpsQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // PII scrub: deterministic synthetic PII planted from doc_id, scrubbed
+    // to typed tags; the oracle plants and scrubs identically in SQL
+    "t07_pii_scrub" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" Contact doc"), col("doc_id"), lit("@example.com or 555-"),
+          lpad(col("doc_id") % 1000, 3, "0"), lit("-1234 at 10.0."),
+          col("doc_id") % 256, lit(".1 now")).as("text"))
+      planted.select(col("doc_id"),
+          TextAnalysis.scrubPii(col("text")).as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
     // deterministic hash sampling: membership is a pure function of the
     // key (md5-based), so the oracle reproduces the exact sample
     "t05_sample" -> ((s, d) => {
@@ -302,6 +315,20 @@ object OpsQueries extends QueryPack {
          FROM spans WHERE trim(span) <> ''
          GROUP BY span HAVING count(DISTINCT doc_id) >= 4
          ORDER BY span""",
+
+    "t07_pii_scrub" ->
+      """WITH planted AS (
+           SELECT doc_id,
+             text || ' Contact doc' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-1234 at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 now' AS text
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
+         FROM planted ORDER BY doc_id""",
 
     // threshold 0x1999999A = round(0.1 * 2^32), zero-padded lowercase hex
     "t05_sample" ->

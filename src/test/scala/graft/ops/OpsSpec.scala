@@ -190,6 +190,21 @@ class OpsSpec extends SparkSpec {
     assert(got("cold") === Set("x"))
   }
 
+  test("PII scrub replaces emails, phones, and IPs with typed tags") {
+    import spark.implicits._
+    val rows = Seq(
+      "mail a.b+c@sub.example.org now",
+      "call 555-123-4567 or 555.987.6543",
+      "host 192.168.1.254 up",
+      "clean text, no pii at all",
+      "v1.2 not an ip; user@host misses the tld dot only if invalid@x").toDF("text")
+      .select(TextAnalysis.scrubPii(col("text"))).as[String].collect()
+    assert(rows(0) == "mail <EMAIL> now")
+    assert(rows(1) == "call <PHONE> or <PHONE>")
+    assert(rows(2) == "host <IP> up")
+    assert(rows(3) == "clean text, no pii at all")
+  }
+
   test("deterministic sampling is reproducible, partition-independent, and ~fraction-sized") {
     import spark.implicits._
     val ids = (1L to 10000L).toDF("id")
