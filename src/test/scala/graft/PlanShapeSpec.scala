@@ -117,6 +117,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("sampling, split assignment, and PII scrub compile to shuffle-free plans") {
+    import graft.ops.{Sampling, TextAnalysis}
+    val docs = graft.Tables.documents(spark, sfSmoke)
+    val sampled = Sampling.deterministicSample(docs, col("doc_id"), 0.5)
+    assert(!sampled.queryExecution.executedPlan.toString.contains("Exchange"),
+      "deterministic sampling must be a narrow filter on the scan")
+    val assigned = docs.select(Sampling.splitAssign(col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.2)))
+    assert(!assigned.queryExecution.executedPlan.toString.contains("Exchange"))
+    val scrubbed = docs.select(TextAnalysis.scrubPii(col("text")))
+    assert(!scrubbed.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("minhash dedup never shuffles raw document text") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
