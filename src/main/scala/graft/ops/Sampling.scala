@@ -36,6 +36,24 @@ object Sampling {
                           salt: String = "graft"): DataFrame =
     df.filter(hashKey(key, salt) < lit(hexThreshold(fraction)))
 
+  /** Stratified deterministic sample: per-stratum keep fractions (strata
+    * value → fraction; strata missing from the map are dropped). Same
+    * hash-threshold mechanism as [[deterministicSample]], so each
+    * stratum's sample nests across fractions and survives repartitioning
+    * — rebalancing a skewed corpus (e.g. downsampling a dominant
+    * language) without RNG state. */
+  def stratifiedSample(df: DataFrame, key: Column, strata: Column,
+                       fractions: Map[String, Double],
+                       salt: String = "graft"): DataFrame = {
+    require(fractions.nonEmpty, "at least one stratum fraction required")
+    val h = hashKey(key, salt)
+    val keep = fractions.foldRight(lit(false): Column) {
+      case ((stratum, f), acc) =>
+        when(strata === stratum, h < lit(hexThreshold(f))).otherwise(acc)
+    }
+    df.filter(keep)
+  }
+
   /** Assign each row a split label by key hash: `splits` maps label →
     * fraction (must sum to ~1; the last label absorbs rounding). Order of
     * the Seq defines the hash-range layout, so the same call always yields

@@ -142,6 +142,14 @@ object OpsQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // stratified rebalancing: per-language keep fractions, others dropped
+    "t08_stratified_sample" -> ((s, d) => {
+      Sampling.stratifiedSample(Tables.documents(s, d), col("doc_id"),
+          col("lang"), Map("en" -> 0.5, "es" -> 0.2))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // reproducible train/val/test split assignment by key hash
     "t06_split" -> ((s, d) => {
       Tables.documents(s, d).select(col("doc_id"),
@@ -334,6 +342,13 @@ object OpsQueries extends QueryPack {
     "t05_sample" ->
       """SELECT doc_id FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8) < '1999999a'
+         ORDER BY doc_id""",
+
+    // thresholds 0x80000000 = round(0.5 * 2^32), 0x33333333 = round(0.2 * 2^32)
+    "t08_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8) < '80000000')
+            OR (lang = 'es' AND substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8) < '33333333')
          ORDER BY doc_id""",
 
     // cuts 0xCCCCCCCD = round(0.8 * 2^32), 0xE6666666 = round(0.9 * 2^32)

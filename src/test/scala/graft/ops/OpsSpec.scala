@@ -219,6 +219,16 @@ class OpsSpec extends SparkSpec {
     val s05 = Sampling.deterministicSample(ids, col("id"), 0.05)
       .as[Long].collect().toSet
     assert(s05.subsetOf(s1.toSet))
+    // stratified: per-stratum fractions honored, unlisted strata dropped,
+    // and each stratum's sample is the plain sample restricted to it
+    val strat = Seq.tabulate(10000)(i => (i.toLong, if (i % 2 == 0) "en" else "es"))
+      .toDF("id", "lang")
+    val ss = Sampling.stratifiedSample(strat, col("id"), col("lang"),
+      Map("en" -> 0.1, "es" -> 0.0))
+    val kept = ss.select("id", "lang").as[(Long, String)].collect()
+    assert(kept.forall(_._2 == "en"))
+    assert(kept.length > 350 && kept.length < 650, s"got ${kept.length} of ~500")
+    assert(kept.map(_._1).toSet.subsetOf(s1.toSet))
     // split assignment covers every row with sane proportions
     val splits = ids.select(Sampling.splitAssign(col("id"),
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("s"))
