@@ -216,6 +216,25 @@ object Similarity {
     centroids
   }
 
+  /** Symmetric per-vector int8 quantization: scale = max|v|/127, elements
+    * round(v/scale) in [-127, 127] — 4× less vector IO for ANN sweeps at
+    * 100 TB (store the struct, dequantize on read or dot in int space).
+    * All-zero vectors quantize to zeros with scale 0. */
+  def quantizeInt8(vec: Column): Column = {
+    val m = array_max(transform(vec, x => abs(x)))
+    struct(
+      (m / lit(127.0)).as("scale"),
+      transform(vec, x =>
+        when(m === 0, lit(0)).otherwise(round(x * lit(127.0) / m))
+          .cast("tinyint")).as("q"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: element error is bounded by scale/2. */
+  def dequantizeInt8(quantized: Column): Column = {
+    val scale = quantized.getField("scale")
+    transform(quantized.getField("q"), x => x.cast("double") * scale)
+  }
+
   /** Embedding-cosine near-duplicate pairs (cos >= threshold), by LSH
     * bucketing + exact verification — the embedding-space analog of
     * Dedup.minhashNearDupPairs. */

@@ -214,6 +214,17 @@ object OpsQueries extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
+    // int8 embedding quantization: the oracle recomputes scale + quantized
+    // elements exactly (same IEEE arithmetic, same away-from-zero rounding)
+    "s05_quantize_int8" -> ((s, d) => {
+      Tables.embeddings(s, d).select(col("vec_id"),
+          Similarity.quantizeInt8(col("embedding").cast("array<double>")).as("qv"))
+        .select(col("vec_id"),
+          round(col("qv").getField("scale"), 6).as("scale"),
+          col("qv").getField("q").as("q"))
+        .orderBy("vec_id")
+    }),
+
     // multimodal plumbing: binary payload synthesized from text; metadata
     // extraction (length, magic-head, format sniff) over the binary column
     "mm01_media_metadata" -> ((s, d) => {
@@ -401,6 +412,13 @@ object OpsQueries extends QueryPack {
     "s04_cosine_neardup" ->
       """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0::DOUBLE AS cosine
          FROM embeddings ORDER BY id_a, id_b""",
+
+    "s05_quantize_int8" ->
+      """SELECT vec_id,
+           round(list_max([abs(x) for x in embedding::DOUBLE[]]) / 127.0, 6) AS scale,
+           [CAST(round(x * 127.0 / list_max([abs(y) for y in embedding::DOUBLE[]])) AS TINYINT)
+            for x in embedding::DOUBLE[]] AS q
+         FROM embeddings ORDER BY vec_id""",
 
     "mm01_media_metadata" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,

@@ -190,6 +190,30 @@ class OpsSpec extends SparkSpec {
     assert(got("cold") === Set("x"))
   }
 
+  test("int8 quantization round-trips within scale/2 per element") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(0.5, -1.0, 0.25, 0.0)),
+      (2L, Seq(127.0, -127.0, 1.0, -1.0)),
+      (3L, Seq(0.0, 0.0, 0.0, 0.0))).toDF("id", "v")
+    val out = vecs.select(col("id"), col("v"),
+        Similarity.dequantizeInt8(Similarity.quantizeInt8(col("v"))).as("dq"),
+        Similarity.quantizeInt8(col("v")).getField("q").as("q"))
+      .orderBy("id").collect()
+    // max-magnitude element maps to ±127 exactly
+    assert(out(0).getSeq[Byte](3) == Seq[Byte](64, -127, 32, 0))
+    assert(out(1).getSeq[Byte](3) == Seq[Byte](127, -127, 1, -1))
+    assert(out(2).getSeq[Byte](3) == Seq[Byte](0, 0, 0, 0))
+    for (r <- out) {
+      val v = r.getSeq[Double](1)
+      val dq = r.getSeq[Double](2)
+      val scale = v.map(math.abs).max / 127.0
+      v.zip(dq).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= scale / 2 + 1e-12, s"error too large: $x vs $y")
+      }
+    }
+  }
+
   test("PII scrub replaces emails, phones, and IPs with typed tags") {
     import spark.implicits._
     val rows = Seq(
