@@ -213,6 +213,55 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  // ---- connected components over near-dup pairs ----------------------------
+
+  /** Connected components of the near-dup pair graph — the final dedup
+    * step: a cluster {a~b, b~c} must keep ONE survivor, so every node
+    * needs its component id (the minimum member id).
+    *
+    * Min-label propagation with pointer jumping: each round takes, per
+    * node, the min over (its label, neighbours' labels, its label's
+    * label). The edge hop spreads the min locally; the label-of-label hop
+    * halves remaining distance like union-find path compression, so
+    * convergence is O(log diameter) rounds even on long chains (a plain
+    * per-hop propagation needs diameter rounds). Each round is two
+    * equi-joins + one groupBy over (id, label) pairs — never document
+    * payloads; results are localCheckpointed so the loop's lineage stays
+    * flat, which is the standard Spark shape for iterative algorithms.
+    *
+    * Output: (id, component) for every node appearing in `pairs`. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("component"))
+      // pointer jump: my label's current label
+      val viaJump = labels.alias("l")
+        .join(labels.alias("m"), col("l.component") === col("m.id"))
+        .select(col("l.id").as("id"), col("m.component").as("component"))
+      val next = labels.unionByName(viaEdges).unionByName(viaJump)
+        .groupBy("id").agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      val changed = next.alias("n").join(labels.alias("o"), "id")
+        .filter(col("n.component") =!= col("o.component")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   // ---- cross-document boilerplate (C4-style repeated spans) ----------------
 
   /** Spans (sentence-ish fragments split on `sepPattern`) occurring in at

@@ -98,6 +98,21 @@ object OpsQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // connected components over a planted near-dup chain graph: every
+    // doc joins a 3-node chain (id — id+1M — id+2M), plus a cross-chain
+    // bridge on every 50th doc; the oracle computes reachability exactly
+    // with a recursive CTE
+    "d06_components" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      val chain = ids.select(col("doc_id").as("a"), (col("doc_id") + 1000000L).as("b"))
+        .unionByName(ids.select((col("doc_id") + 1000000L).as("a"),
+          (col("doc_id") + 2000000L).as("b")))
+        .unionByName(ids.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("a"), (col("doc_id") + 2000001L).as("b")))
+      Dedup.connectedComponents(chain, "a", "b")
+        .orderBy("id")
+    }),
+
     // C4-style boilerplate detection: a banner sentence planted into every
     // 10th document must surface as a cross-document repeated span; the
     // oracle recomputes span document-frequencies exactly in SQL
@@ -321,6 +336,22 @@ object OpsQueries extends QueryPack {
     "t03_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
          FROM documents ORDER BY doc_id""",
+
+    "d06_components" ->
+      """WITH RECURSIVE
+         edges AS (
+           SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, doc_id + 2000000 FROM documents
+           UNION ALL
+           SELECT doc_id, doc_id + 2000001 FROM documents WHERE doc_id % 50 = 0),
+         bidir AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+         nodes AS (SELECT DISTINCT a AS id FROM bidir),
+         reach(id, r) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT bidir.b, reach.r FROM bidir JOIN reach ON bidir.a = reach.id)
+         SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""",
 
     "d05_boilerplate_spans" ->
       """WITH docs AS (

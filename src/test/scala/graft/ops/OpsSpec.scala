@@ -262,6 +262,30 @@ class OpsSpec extends SparkSpec {
     assert(splits.values.sum == 10000L)
   }
 
+  test("connected components match union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val n = 300
+    val edges = Seq.fill(260)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // driver-side union-find ground truth
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      .map { id =>
+        // component id = min node id in the component among graph nodes
+        val root = find(id.toInt)
+        id -> edges.flatMap(e => Seq(e._1, e._2)).filter(x => find(x.toInt) == root).min
+      }.toMap
+    val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == want, "components must equal union-find ground truth")
+  }
+
   test("repeated spans are detected across documents and removable") {
     import spark.implicits._
     val docs = Seq(
