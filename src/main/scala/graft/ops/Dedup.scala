@@ -262,6 +262,18 @@ object Dedup {
     labels
   }
 
+  /** End-to-end near-duplicate corpus dedup: MinHash+LSH pairs →
+    * connected components → keep each cluster's minimum-id member (plus
+    * every row in no cluster). The complete "dedup my corpus" call. */
+  def nearDupDedup(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashNearDupPairs(df, idCol, textCol, threshold)
+    val comps = connectedComponents(pairs, "id_a", "id_b")
+    val losers = comps.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---- cross-document boilerplate (C4-style repeated spans) ----------------
 
   /** Spans (sentence-ish fragments split on `sepPattern`) occurring in at

@@ -262,6 +262,39 @@ class OpsSpec extends SparkSpec {
     assert(splits.values.sum == 10000L)
   }
 
+  test("nearDupDedup keeps exactly one survivor per near-dup cluster") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfSmoke).select("doc_id", "text")
+    // two planted generations: id+1M (one extra token) and id+2M (two) —
+    // each original heads a 3-member cluster
+    val tripled = docs
+      .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zzz")).as("text")))
+      .unionByName(docs.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" zzz yyy")).as("text")))
+    val survivors = Dedup.nearDupDedup(tripled, "doc_id", "text", threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+
+    // independent ground truth: exact pairwise Jaccard + union-find; the
+    // expected survivors are each true cluster's minimum id (organic
+    // near-dups in the corpus merge clusters across planted triples)
+    val all = tripled.as[(Long, String)].collect()
+    val sh = all.map { case (id, t) => id -> Dedup.shingles(t) }
+    val parent = scala.collection.mutable.Map(all.map(_._1 -> -1L): _*)
+    def find(x: Long): Long = if (parent(x) < 0) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (i <- sh.indices; j <- (i + 1) until sh.length) {
+      if (Dedup.jaccard(sh(i)._2, sh(j)._2) >= 0.7) {
+        val (ra, rb) = (find(sh(i)._1), find(sh(j)._1))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val want = all.map(_._1).groupBy(find).values.map(_.min).toSet
+    assert(survivors == want,
+      s"expected ${want.size} cluster minima, got ${survivors.size}")
+    // and every planted copy is gone
+    assert(survivors.forall(_ < 1000000L))
+  }
+
   test("connected components match union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
