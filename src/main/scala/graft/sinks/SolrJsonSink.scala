@@ -75,8 +75,12 @@ object SolrJsonSink {
       if (at < authStart) (url, None)
       else {
         // split raw on the first ':' THEN percent-decode each part, so an
-        // encoded ':' (%3A) inside the password stays in the password
-        def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+        // encoded ':' (%3A) inside the password stays in the password.
+        // Percent-decode only: URI userinfo has no form-encoding, so a
+        // literal '+' must survive (pre-escape it before URLDecoder, whose
+        // contract maps '+' to space)
+        def dec(s: String) =
+          java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
         val creds = url.substring(authStart, at).split(":", 2) match {
           case Array(u, p) => (dec(u), dec(p))
           case Array(u)    => (dec(u), "")

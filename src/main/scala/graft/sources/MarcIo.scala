@@ -83,15 +83,36 @@ object MarcIo {
     * the distributed analog of `marcout`/serialized binary
     * (command_line.rb:102-142). */
   def writeBinary(ds: Dataset[MarcRecord], outDir: String,
-                  allowOversized: Boolean = false): Unit = {
+                  allowOversized: Boolean = false): Unit =
+    writePartFiles(ds, outDir, "mrc") { (rows, out) =>
+      rows.foreach(r => out.write(Iso2709.encode(r, allowOversized)))
+    }
+
+  /** `mode("overwrite")` + rename-on-commit semantics for raw part-file
+    * sinks: the output directory is cleared up front (a rerun with fewer
+    * partitions cannot leave stale part files mixed in), each task writes a
+    * task-attempt-unique temp file, and the first attempt to finish renames
+    * it into place — a retried/speculative attempt whose rename loses just
+    * deletes its temp. */
+  private def writePartFiles(ds: Dataset[MarcRecord], outDir: String, ext: String)(
+      write: (Iterator[MarcRecord], org.apache.hadoop.fs.FSDataOutputStream) => Unit): Unit = {
     val dir = outDir
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      ds.sparkSession.sparkContext.hadoopConfiguration)
+    val dirPath = new Path(dir)
+    val dfs = dirPath.getFileSystem(hconf.value)
+    if (dfs.exists(dirPath)) dfs.delete(dirPath, true): Unit
+    dfs.mkdirs(dirPath): Unit
     ds.rdd.mapPartitionsWithIndex { (idx, rows) =>
-      val conf = new org.apache.hadoop.conf.Configuration()
-      val path = new Path(f"$dir/part-$idx%05d.mrc")
-      val fs = path.getFileSystem(conf)
-      val out = fs.create(path, true)
-      try rows.foreach(r => out.write(Iso2709.encode(r, allowOversized)))
-      finally out.close()
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
+      val fin = new Path(f"$dir/part-$idx%05d.$ext")
+      val tmp = new Path(f"$dir/.part-$idx%05d-attempt-$attempt.$ext.tmp")
+      val fs = tmp.getFileSystem(hconf.value)
+      val out = fs.create(tmp, true)
+      try { write(rows, out); out.close() }
+      catch { case e: Throwable => out.close(); fs.delete(tmp, false); throw e }
+      if (!fs.rename(tmp, fin)) fs.delete(tmp, false): Unit
       Iterator.empty
     }.count(): Unit
   }
@@ -106,23 +127,14 @@ object MarcIo {
   /** Write as MARCXML part files (`marcout.type=xml`,
     * command_line.rb:125-126): each part is a complete collection
     * document, readable back with [[readXml]]. */
-  def writeXml(ds: Dataset[MarcRecord], outDir: String): Unit = {
-    val dir = outDir
-    ds.rdd.mapPartitionsWithIndex { (idx, rows) =>
-      val conf = new org.apache.hadoop.conf.Configuration()
-      val path = new Path(f"$dir/part-$idx%05d.xml")
-      val fs = path.getFileSystem(conf)
-      val out = fs.create(path, true)
-      try {
-        out.write(("""<?xml version="1.0" encoding="UTF-8"?>""" +
-          """<collection xmlns="http://www.loc.gov/MARC21/slim">""").getBytes("UTF-8"))
-        rows.foreach(r => out.write(
-          MarcXmlWriter.encode(r, includeNamespace = false).getBytes("UTF-8")))
-        out.write("</collection>".getBytes("UTF-8"))
-      } finally out.close()
-      Iterator.empty
-    }.count(): Unit
-  }
+  def writeXml(ds: Dataset[MarcRecord], outDir: String): Unit =
+    writePartFiles(ds, outDir, "xml") { (rows, out) =>
+      out.write(("""<?xml version="1.0" encoding="UTF-8"?>""" +
+        """<collection xmlns="http://www.loc.gov/MARC21/slim">""").getBytes("UTF-8"))
+      rows.foreach(r => out.write(
+        MarcXmlWriter.encode(r, includeNamespace = false).getBytes("UTF-8")))
+      out.write("</collection>".getBytes("UTF-8"))
+    }
 
   /** `marcout.type=human` (command_line.rb:127-128): the reference hands
     * records to a plain IO, so each one prints as ruby-marc `Record#to_s` —

@@ -251,7 +251,12 @@ final class HttpOaiPageFetcher(startUrl: String,
                                tryGzip: Boolean = true,
                                timeoutSecs: Int = 10)
     extends OaiPageFetcher {
-  def this() = this(sys.props.getOrElse("graft.oai.url", ""))
+  // The sys-prop path predates the full-start-URL contract: a bare base URL
+  // (no query) would issue a verb-less request, and the OAI error response
+  // harvests zero records *silently*. Normalize such configs to a default
+  // ListRecords request instead.
+  def this() = this(HttpOaiPageFetcher.normalizeStartUrl(
+    sys.props.getOrElse("graft.oai.url", "")))
 
   @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
 
@@ -303,6 +308,21 @@ final class HttpOaiPageFetcher(startUrl: String,
 }
 
 object HttpOaiPageFetcher {
+  /** A start URL must carry `verb=...` (the full-start-URL contract). A URL
+    * without one — typically a legacy bare base URL — gets the default
+    * `ListRecords`/`oai_dc` request appended so the harvest cannot silently
+    * complete empty on an OAI badVerb error response. */
+  private[streaming] def normalizeStartUrl(url: String): String =
+    if (url.isEmpty || hasVerbParam(url)) url
+    else url + (if (url.contains('?')) "&" else "?") +
+      "verb=ListRecords&metadataPrefix=oai_dc"
+
+  private def hasVerbParam(url: String): Boolean = {
+    val qIdx = url.indexOf('?')
+    qIdx >= 0 && url.substring(qIdx + 1).split("&")
+      .exists(_.takeWhile(_ != '=') == "verb")
+  }
+
   /** Compose a ListRecords start URL with selective-harvest parameters —
     * the convenience layer over the raw start-url contract. */
   def listRecordsUrl(baseUrl: String, metadataPrefix: String = "oai_dc",

@@ -187,6 +187,28 @@ class SourcesSpec extends SparkSpec {
     assert(back.map(_.fields).toSet == recs.map(_.fields).toSet)
   }
 
+  test("marcout rerun with fewer partitions leaves no stale part files") {
+    import graft.marc.MarcFunctions.marcRecordEncoder
+    val recs = Fixtures.records("test_data.utf8")
+    val ds = spark.createDataset(recs)
+    val dir = tmpDir("marcoverwrite") + "/out"
+    MarcIo.writeBinary(ds.repartition(4), dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".mrc")) == 4)
+    // rerun into the same directory with fewer partitions: overwrite
+    // semantics must clear the old part-000NN files and any temp residue
+    MarcIo.writeBinary(ds.repartition(2), dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName).toVector.sorted
+    assert(files.count(_.endsWith(".mrc")) == 2, files.toString)
+    assert(!files.exists(_.endsWith(".tmp")), files.toString)
+    assert(MarcIo.readBinary(spark, dir).count() == recs.length)
+    // same contract for the XML part-file writer
+    MarcIo.writeXml(ds.repartition(3), dir)
+    val xfiles = new java.io.File(dir).listFiles().map(_.getName).toVector.sorted
+    assert(xfiles.count(_.endsWith(".xml")) == 3, xfiles.toString)
+    assert(!xfiles.exists(_.endsWith(".mrc")), xfiles.toString)
+    assert(MarcIo.readXml(spark, s"$dir/*.xml").count() == recs.length)
+  }
+
   test("MARC-XML reader maps the reference XML corpus") {
     val ds = MarcIo.readXml(spark, "/root/reference/test/test_support/test_data.utf8.marc.xml")
     val recs = ds.collect().toVector

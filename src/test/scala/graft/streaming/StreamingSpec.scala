@@ -283,6 +283,20 @@ class StreamingSpec extends SparkSpec {
       "http://ex.org/oai?verb=ListIdentifiers&resumptionToken=x")
   }
 
+  test("legacy base-URL configs normalize to a default ListRecords request") {
+    import HttpOaiPageFetcher.normalizeStartUrl
+    // a bare base URL would issue a verb-less request whose OAI error
+    // response harvests zero records silently — normalize appends defaults
+    assert(normalizeStartUrl("http://ex.org/oai") ==
+      "http://ex.org/oai?verb=ListRecords&metadataPrefix=oai_dc")
+    assert(normalizeStartUrl("http://ex.org/oai?apikey=k") ==
+      "http://ex.org/oai?apikey=k&verb=ListRecords&metadataPrefix=oai_dc")
+    // full start URLs (the documented contract) pass through verbatim
+    val full = "http://ex.org/oai?verb=ListIdentifiers&metadataPrefix=marc21"
+    assert(normalizeStartUrl(full) == full)
+    assert(normalizeStartUrl("") == "")
+  }
+
   test("HttpOaiPageFetcher drives a set-scoped paged harvest over real HTTP with gzip") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     def page(recs: Seq[String], token: Option[String]): String =
