@@ -235,6 +235,57 @@ object Similarity {
     transform(quantized.getField("q"), x => x.cast("double") * scale)
   }
 
+  /** Approximate top-k over an int8-quantized corpus: the candidate sweep
+    * scores scale_q·scale_c·(q̂·ĉ)/(‖vq‖·‖vc‖) with an integer dot product
+    * (graft.functions.Int8DotProduct — exact in Long), then full-precision
+    * vectors are re-attached to just the k·overfetch survivors per query
+    * for an exact cosine re-rank. Same bounded-broadcast-|Q| contract as
+    * [[bruteForceTopK]], but the O(n·m) stage reads 1 byte per dimension
+    * instead of 8 — at 100 TB the quantized corpus is what sits on disk
+    * and in the scan, and only candidate ids cross a shuffle. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    overfetch: Int = 4): DataFrame = {
+    import graft.functions.GraftFunctions.dotInt8
+    def prep(df: DataFrame, id: String, p: String) = df
+      .select(col(idCol).as(id),
+        quantizeInt8(col(vecCol).cast("array<double>")).as("qz"),
+        norm(col(vecCol).cast("array<double>")).as(s"${p}n"))
+      .select(col(id), col("qz").getField("scale").as(s"${p}s"),
+        col("qz").getField("q").as(s"${p}q"), col(s"${p}n"))
+    val q = broadcast(prep(queries, "query_id", "q"))
+    val c = prep(corpus, "neighbor_id", "c")
+    // quantized scan: only (query_id, neighbor_id, approx) triples leave it
+    val approx = c.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("qs") * col("cs") * dotInt8(col("qq"), col("cq")) /
+          (col("qn") * col("cn"))).as("approx"))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    val candidates = approx.withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= k * overfetch)
+      .select("query_id", "neighbor_id")
+    // exact re-rank on candidates only, full vectors re-attached by id
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val qv = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = candidates
+      .join(qv, "query_id")
+      .join(cv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (cos >= threshold), by LSH
     * bucketing + exact verification — the embedding-space analog of
     * Dedup.minhashNearDupPairs. */
