@@ -240,6 +240,15 @@ object Dedup {
       .distinct()
       .select(col("id"), col("id").as("component"))
       .localCheckpoint(true)
+    // Convergence via the label-sum invariant: each round's per-node label
+    // is min(old label, ...), so the sum of labels is non-increasing and
+    // stalls exactly at the fixpoint — one aggregate over the already-
+    // materialized checkpoint instead of a full old⋈new join per round.
+    // Decimal sum: node ids are unbounded at scale, so a Long sum of 10^12
+    // labels could wrap and fake a stall.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -253,10 +262,10 @@ object Dedup {
       val next = labels.unionByName(viaEdges).unionByName(viaJump)
         .groupBy("id").agg(min(col("component")).as("component"))
         .localCheckpoint(true)
-      val changed = next.alias("n").join(labels.alias("o"), "id")
-        .filter(col("n.component") =!= col("o.component")).limit(1).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     labels
@@ -312,6 +321,45 @@ object Dedup {
         transform(array_sort(collect_list(struct(col("pos"), col("span")))),
           s => s.getField("span")), ". ").as("text"))
   }
+
+  // ---- decontamination + corpus n-gram statistics --------------------------
+
+  /** Benchmark decontamination: every corpus document sharing at least one
+    * word n-gram with the benchmark corpus, with its overlapping-n-gram
+    * count — the standard "did my training set swallow the test set" sweep
+    * (13-grams in GPT-3's report; n is a knob here).
+    *
+    * Scale shape: both sides explode to DISTINCT per-doc shingles hashed to
+    * 8-byte keys (xxhash64 — a false positive needs a 64-bit collision
+    * between two specific n-grams), the benchmark side is deduplicated and
+    * broadcast (benchmarks are MB-scale against a 100 TB corpus), and the
+    * groupBy moves (doc_id, hash) pairs only — document text never
+    * shuffles. Output: (doc_id, n_overlap). */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val ch = corpus
+      .select(col(idCol).as("doc_id"), explode(shingleCol(col(textCol), n)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
+    val bh = benchmark
+      .select(explode(shingleCol(col(textCol), n)).as("s"))
+      .select(xxhash64(col("s")).as("sh"))
+      .distinct()
+    ch.join(broadcast(bh), "sh")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("sh")).as("n_overlap"))
+  }
+
+  /** Document frequency of word n-grams: in how many DISTINCT documents
+    * does each n-gram appear (shingleCol is distinct-per-doc, so a plain
+    * count IS the document frequency — no countDistinct expand needed).
+    * The vocabulary/boilerplate-mining counterpart of [[repeatedSpans]]
+    * at n-gram rather than sentence granularity. */
+  def ngramDocFreq(df: DataFrame, textCol: String,
+                   n: Int, minDocs: Long): DataFrame =
+    df.select(explode(shingleCol(col(textCol), n)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
 
   // ---- SimHash -------------------------------------------------------------
 
