@@ -230,15 +230,53 @@ object OpsQueries extends QueryPack {
     }),
 
     // int8 embedding quantization: the oracle recomputes scale + quantized
-    // elements exactly (same IEEE arithmetic, same away-from-zero rounding)
+    // elements exactly (same IEEE arithmetic, same away-from-zero rounding).
+    // The q array is pinned via scalar aggregates (sum, position-weighted
+    // sum, min, max) because the driver's comparator hashes scalar cells
     "s05_quantize_int8" -> ((s, d) => {
       Tables.embeddings(s, d).select(col("vec_id"),
           Similarity.quantizeInt8(col("embedding").cast("array<double>")).as("qv"))
         .select(col("vec_id"),
           round(col("qv").getField("scale"), 6).as("scale"),
           col("qv").getField("q").as("q"))
+        .select(col("vec_id"), col("scale"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
+          aggregate(zip_with(col("q"), sequence(lit(1L), size(col("q")).cast("long")),
+              (x, i) => x.cast("long") * i),
+            lit(0L), (a, x) => a + x).as("q_wsum"),
+          array_min(col("q")).cast("long").as("q_min"),
+          array_max(col("q")).cast("long").as("q_max"))
         .orderBy("vec_id")
     }),
+
+    // quantized ANN: int8 candidate sweep + exact re-rank; planted exact
+    // copies quantize identically, so the copy tops the approx window and
+    // the exact re-rank grades against the same oracle as s02/s03
+    "s06_quantized_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Similarity.quantizedTopK(emb, queries, "vec_id", "embedding", k = 1)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
+        .orderBy("query_id")
+    }),
+
+    // benchmark decontamination: every 20th document IS the benchmark, so
+    // those docs (and any doc organically sharing an 8-gram) must surface;
+    // the oracle recomputes the overlap exactly on shingle strings while
+    // the engine joins on xxhash64 keys — identical absent a 64-bit
+    // collision between two specific n-grams
+    "d07_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+      Dedup.contamination(docs, bench, "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
+    // corpus n-gram document frequency (vocabulary/boilerplate mining):
+    // bigrams appearing in >= 25 distinct documents, exact oracle
+    "t09_ngram_df" -> ((s, d) =>
+      Dedup.ngramDocFreq(Tables.documents(s, d), "text", n = 2, minDocs = 25)
+        .orderBy("ngram")),
 
     // multimodal plumbing: binary payload synthesized from text; metadata
     // extraction (length, magic-head, format sniff) over the binary column
@@ -445,11 +483,54 @@ object OpsQueries extends QueryPack {
          FROM embeddings ORDER BY id_a, id_b""",
 
     "s05_quantize_int8" ->
-      """SELECT vec_id,
-           round(list_max([abs(x) for x in embedding::DOUBLE[]]) / 127.0, 6) AS scale,
-           [CAST(round(x * 127.0 / list_max([abs(y) for y in embedding::DOUBLE[]])) AS TINYINT)
-            for x in embedding::DOUBLE[]] AS q
-         FROM embeddings ORDER BY vec_id""",
+      """WITH qz AS (
+           SELECT vec_id,
+             list_max([abs(x) for x in embedding::DOUBLE[]]) AS m,
+             embedding::DOUBLE[] AS v
+           FROM embeddings),
+         q8 AS (
+           SELECT vec_id, m,
+             [CASE WHEN m = 0 THEN 0
+                   ELSE CAST(round(x * 127.0 / m) AS BIGINT) END
+              for x in v] AS q
+           FROM qz)
+         SELECT vec_id,
+           round(m / 127.0, 6) AS scale,
+           CAST(list_sum(q) AS BIGINT) AS q_sum,
+           CAST(list_sum([q[i] * i for i in range(1, len(q) + 1)]) AS BIGINT) AS q_wsum,
+           CAST(list_min(q) AS BIGINT) AS q_min,
+           CAST(list_max(q) AS BIGINT) AS q_max
+         FROM q8 ORDER BY vec_id""",
+
+    "s06_quantized_ann" ->
+      """SELECT q.vec_id + 1000000 AS query_id, min(c.vec_id) AS neighbor_id,
+                1.0::DOUBLE AS cosine
+         FROM embeddings q JOIN embeddings c ON q.embedding = c.embedding
+         GROUP BY q.vec_id ORDER BY query_id""",
+
+    "d07_decontaminate" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+                  ELSE [array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]
+             END)) AS sh
+           FROM docs),
+         bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0)
+         SELECT s.doc_id, count(DISTINCT s.sh) AS n_overlap
+         FROM sh s JOIN bench b USING (sh)
+         GROUP BY 1 ORDER BY doc_id""",
+
+    "t09_ngram_df" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+                  ELSE [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+             END)) AS ngram
+           FROM docs)
+         SELECT ngram, count(*) AS n_docs
+         FROM sh GROUP BY 1 HAVING count(*) >= 25 ORDER BY ngram""",
 
     "mm01_media_metadata" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,

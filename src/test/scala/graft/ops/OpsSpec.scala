@@ -79,6 +79,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("MinhashBandsExpression band hashes equal minhashSignature over shingles") {
+    import graft.functions.MinhashBandsExpression
+    import org.apache.spark.unsafe.types.UTF8String
+    import scala.util.hashing.MurmurHash3
+    val (bands, rows, n, seed) = (32, 3, 3, 42)
+    val expr = MinhashBandsExpression(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), bands, rows, n, seed)
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "short text",
+      "one",
+      "repeat repeat repeat repeat repeat repeat",
+      "trailing spaces here   ",
+      "a b c d e f g h i j k l m n o p q r s t u v w x y z")
+    for (t <- texts) {
+      val sig = Dedup.minhashSignature(Dedup.shingles(t, n), bands * rows, seed)
+      val expected = (0 until bands).map(b =>
+        MurmurHash3.arrayHash(java.util.Arrays.copyOfRange(sig, b * rows, (b + 1) * rows)))
+      val got = expr.evalChild(UTF8String.fromString(t))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray().toSeq
+      assert(got == expected, s"kernel/composition divergence on '$t'")
+    }
+    assert(expr.evalChild(null) == null)
+  }
+
   test("minhash near-dup survives a degenerate corpus of 10k identical docs") {
     import spark.implicits._
     // 10,000 identical documents + distinct decoys: without the exact-text
@@ -141,6 +166,65 @@ class OpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val hits = got.count { case (q, n) => n == q - 5000L }
     assert(hits >= 58, s"IVF recall too low: $hits/64")
+  }
+
+  test("quantized ANN: noisy planted near-duplicates re-rank to their source") {
+    // the int8 sweep must rank the ~0.999-cosine source into the overfetch
+    // window and the exact re-rank must then pick it as top-1
+    val emb = Tables.embeddings(spark, sfSmoke)
+    val queries = emb.limit(48).select((col("vec_id") + 7000L).as("vec_id"),
+      zip_with(col("embedding").cast("array<double>"),
+        reverse(col("embedding").cast("array<double>")),
+        (a, b) => a + lit(0.05) * b).as("embedding"))
+    val got = Similarity.quantizedTopK(emb, queries, "vec_id", "embedding", k = 1)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = got.count { case (q, n) => n == q - 7000L }
+    assert(hits == 48, s"quantized top-1 recall: $hits/48")
+  }
+
+  test("int8 dot kernel is exact vs a BigInt reference on fuzzed vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // Seq[Byte], not Array[Byte]: the latter encodes as BINARY
+    val rows = Seq.fill(200)((
+      Seq.fill(64)((rnd.nextInt(255) - 127).toByte),
+      Seq.fill(64)((rnd.nextInt(255) - 127).toByte)))
+    val got = rows.toDF("a", "b")
+      .select(graft.functions.GraftFunctions.dotInt8(col("a"), col("b")))
+      .collect().map(_.getLong(0))
+    rows.zip(got).foreach { case ((a, b), g) =>
+      val want = a.zip(b).map { case (x, y) => x.toLong * y }.sum
+      assert(g == want)
+    }
+  }
+
+  test("contamination flags benchmark members and only genuine 8-gram sharers") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, base),                       // benchmark member
+      (2L, s"prefix words here $base"), // shares all of base's 8-grams
+      (3L, "completely different text with no overlapping phrases at all today"),
+      (4L, base.split(" ").take(7).mkString(" ")) // only 7 words: no 8-gram
+    ).toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") === 1L)
+    val got = Dedup.contamination(docs, bench, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 2L), got.toString)
+    assert(got(1L) == 5L) // 12 words -> 5 distinct 8-grams
+    assert(got(2L) == 5L)
+  }
+
+  test("ngram document frequency counts distinct docs per n-gram") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b d"), (3L, "a b a b"), (4L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramDocFreq(docs, "text", n = 2, minDocs = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "a b" appears in docs 1,2,3 (once each despite repetition in 3)
+    assert(got == Map("a b" -> 3L), got.toString)
   }
 
   test("cosine near-dup pairs finds planted duplicate vectors") {
