@@ -1,0 +1,72 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-aware curated-corpus writer — the terminal step of a training-data
+  * pipeline (filter → dedup → decontaminate → sample → WRITE). At 100 TB
+  * the write layout decides whether every downstream read is cheap or
+  * ruined, and the two classic failure modes are both small-files bugs:
+  *
+  *  - `df.write.partitionBy(cols)` with hash-random task placement makes
+  *    every task write one file PER partition value it holds — T tasks × P
+  *    values files, each tiny. The fix is repartitioning BY the partition
+  *    columns first, so each value's rows co-locate in few tasks.
+  *  - one giant file per partition value (repartition alone) caps read
+  *    parallelism at P. The fix is `maxRecordsPerFile`, which rolls files
+  *    at a bound without an extra shuffle.
+  *
+  * Both fixes compose here; within-file ordering is optionally clustered
+  * (`sortWithinPartitions`) for run-length/dictionary compression and
+  * min-max skipping on read.
+  */
+object CorpusWriter {
+
+  /** Write `df` as parquet partitioned by `partitionCols` (e.g. split,
+    * lang), with at most `maxRecordsPerFile` rows per file and
+    * `tasksPerPartitionValue` writing tasks per partition value.
+    *
+    * The shuffle key is (partition values, salt < tasksPerPartitionValue):
+    * one shuffle total, each output directory receives exactly
+    * `tasksPerPartitionValue` writer tasks regardless of corpus skew, and
+    * file sizes stay inside [.., maxRecordsPerFile]. `clusterBy` sorts rows
+    * inside each writer task (a local sort, no extra shuffle) so the
+    * parquet row groups carry tight min-max stats on those columns.
+    */
+  def writeCurated(df: DataFrame, path: String,
+                   partitionCols: Seq[String],
+                   maxRecordsPerFile: Long = 1000000L,
+                   tasksPerPartitionValue: Int = 4,
+                   clusterBy: Seq[Column] = Nil): Unit = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    // pmod, not abs%: xxhash64 can yield Long.MinValue, whose abs is
+    // itself negative
+    val salt = pmod(xxhash64(df.columns.map(col).toSeq: _*),
+      lit(tasksPerPartitionValue.toLong)).as("_salt")
+    val salted = df.withColumn("_salt", salt)
+      .repartition((partitionCols.map(col) :+ col("_salt")): _*)
+    // partition cols lead the sort: the file writer requires rows ordered
+    // by partition columns within each task and would otherwise insert its
+    // own (clusterBy-destroying) sort; a sort it finds already satisfied
+    // is skipped and the clusterBy suffix survives into the files
+    val clustered =
+      if (clusterBy.isEmpty) salted
+      else salted.sortWithinPartitions(partitionCols.map(col) ++ clusterBy: _*)
+    clustered.drop("_salt")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
+  /** Compact an unpartitioned frame to ~`targetFileCount` parquet files of
+    * balanced size — the "finalize a shard" step after a filter has left
+    * ragged partitions. Round-robin repartition balances rows exactly;
+    * `maxRecordsPerFile` still bounds stragglers. */
+  def writeCompacted(df: DataFrame, path: String, targetFileCount: Int,
+                     maxRecordsPerFile: Long = 1000000L): Unit =
+    df.repartition(targetFileCount)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+}
