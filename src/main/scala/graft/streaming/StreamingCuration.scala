@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Streaming data-curation operators: the batch curation family (exact
+  * dedup, quality gating, PII scrubbing, near-dup candidate tagging) lifted
+  * onto Structured Streaming, so an always-on ingest pipeline curates
+  * documents as they arrive instead of in nightly batch sweeps.
+  *
+  * All transforms take a streaming-or-batch DataFrame and return one — the
+  * tests drive them from MemoryStream and the same code path serves
+  * readStream production. State discipline at scale: every stateful step
+  * bounds its store with a watermark (state is the #1 way a streaming
+  * curation job dies at 100 TB — an unbounded dedup set grows with the
+  * corpus, a watermarked one with the window).
+  */
+object StreamingCuration {
+
+  /** Streaming exact dedup by content fingerprint: a document whose md5
+    * matches one seen within the watermark window is dropped.
+    * `dropDuplicatesWithinWatermark` keeps ONE state row per distinct
+    * fingerprint and expires it at the watermark — memory is bounded by
+    * distinct-docs-per-window, not corpus size. Requires `tsCol` event
+    * time. */
+  def dedupExact(docs: DataFrame, textCol: String, tsCol: String,
+                 watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("_fp", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+
+  /** Stateless quality gate: keep documents whose composite quality score
+    * clears `minScore` — runs narrow inside the ingest stage, no state, no
+    * shuffle. The same TextAnalysis kernels as batch t01. */
+  def qualityFilter(docs: DataFrame, textCol: String,
+                    minScore: Double = 0.5): DataFrame =
+    docs.filter(TextAnalysis.qualityScore(col(textCol)) >= minScore)
+
+  /** Stateless PII scrub — email/phone/IPv4 replaced by typed tags in the
+    * ingest stage (batch t07's codegen regexp chain, unchanged). */
+  def scrubPii(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
+
+  /** Streaming near-duplicate SUPPRESSION by single-band MinHash: a
+    * document is dropped when its band key (the first `rowsPerBand`
+    * minhashes) was seen within the watermark window. One state row per
+    * band key, expired at the watermark.
+    *
+    * Semantics (the honest contract): this is ONE band of the batch d02
+    * family with no exact-Jaccard verification — streaming cannot re-read
+    * the earlier document to verify. A pair with Jaccard j collides with
+    * probability j^rowsPerBand (rowsPerBand=2: j=0.95 → 0.90, j=0.8 →
+    * 0.64), and unrelated documents collide only on a minhash coincidence.
+    * Use it as an ingest throttle in front of a periodic batch
+    * `minhashNearDupPairs` sweep (which has the full bands×rows recall),
+    * not as the system of record. Emits the surviving rows. */
+  def nearDupSuppress(docs: DataFrame, textCol: String,
+                      tsCol: String, watermark: String = "1 hour",
+                      rowsPerBand: Int = 2,
+                      shingleN: Int = 3): DataFrame =
+    docs
+      .withColumn("_bkey",
+        graft.functions.MinhashBandsExpression.minhashBands(
+          col(textCol), 1, rowsPerBand, shingleN).getItem(0))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_bkey")
+      .drop("_bkey")
+}

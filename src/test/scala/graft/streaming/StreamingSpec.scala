@@ -381,6 +381,73 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming exact dedup drops repeated content within the watermark window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val query = StreamingCuration.dedupExact(docs, "text", "ts", watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:01"), 1L, "alpha beta gamma"),
+        (Timestamp.valueOf("2024-01-01 00:00:02"), 2L, "different text entirely"),
+        (Timestamp.valueOf("2024-01-01 00:00:03"), 3L, "alpha beta gamma"))
+      query.processAllAvailable()
+      // a later batch re-sending the same content is still suppressed
+      mem.addData((Timestamp.valueOf("2024-01-01 00:10:00"), 4L, "alpha beta gamma"))
+      query.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM dedup_out").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L))
+    } finally query.stop()
+  }
+
+  test("streaming near-dup suppression drops band-colliding docs, keeps distinct ones") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val query = StreamingCuration.nearDupSuppress(docs, "text", "ts")
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:01"), 1L, base),
+        (Timestamp.valueOf("2024-01-01 00:00:02"), 2L, base), // exact dup: all minhashes equal
+        (Timestamp.valueOf("2024-01-01 00:00:03"), 3L, "completely unrelated content about database systems and query planners"))
+      query.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM neardup_out").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L))
+    } finally query.stop()
+  }
+
+  test("streaming quality filter and PII scrub run stateless on a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val curated = StreamingCuration.scrubPii(
+      StreamingCuration.qualityFilter(docs, "text", minScore = 0.3), "text")
+    val query = curated.writeStream.format("memory").queryName("quality_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:01"), 1L,
+          "A perfectly reasonable English sentence with an email bob@example.com in it."),
+        (Timestamp.valueOf("2024-01-01 00:00:02"), 2L, "@@@@ #### !!!! %%%% ^^^^ &&&&"))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, text FROM quality_out").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.keySet == Set(1L))
+      assert(rows(1L).contains("<EMAIL>") && !rows(1L).contains("bob@example.com"))
+    } finally query.stop()
+  }
+
   test("sessionize with mapGroupsWithState counts per-user events") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
