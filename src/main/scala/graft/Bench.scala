@@ -41,8 +41,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warmup pass: every query once, untimed
+    // warmup pass: every query once, untimed. SPARK_GRAFT_ONLY (comma-sep
+    // names) narrows the set for local profiling; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach(runOnce)
     val results = names.map(n => n -> runOnce(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
