@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over embedding columns (SURVEY.md §2.9).
   *
@@ -28,6 +27,26 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Top-k per query over scored (query_id, neighbor_id, cosine) triples,
+    * emitted as (query_id, neighbor_id, cosine, rank).
+    *
+    * Uses the bounded graft_topk aggregate instead of
+    * `row_number().over(Window)`: the window formulation shuffles EVERY
+    * scored triple into a sort, so an O(n·m) sweep moves n·m rows through
+    * one exchange. The aggregate reduces map-side (ObjectHashAggregate
+    * partial) to ≤ k rows per query per task before the shuffle — at 100 TB
+    * the exchange carries tasks × |Q| × k rows, independent of corpus size.
+    * Ordering (cosine desc, neighbor_id asc) matches the window it
+    * replaces, so output is deterministic and engine-portable. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate.topk(
+        col("cosine"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "c")))
+      .select(col("query_id"), col("c.id").as("neighbor_id"),
+        round(col("c.score"), 4).as("cosine"),
+        (col("pos") + 1).as("rank"))
+
   /** Exact top-k neighbours for every vector in `queries` against `corpus`.
     * Both frames: (idCol, vecCol: array<float|double>). Output:
     * (query_id, neighbor_id, cosine, rank). Broadcasts the query side; each
@@ -41,18 +60,14 @@ object Similarity {
     val c = corpus.select(
         col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", norm(col("cv")))
-    // project the vectors away BEFORE the window: the top-k shuffle moves
-    // only (query_id, neighbor_id, cosine) triples, never embeddings
+    // project the vectors away BEFORE the top-k: only (query_id,
+    // neighbor_id, cosine) triples leave the scan, and the bounded
+    // aggregate collapses them to k per query map-side
     val scored = c.crossJoin(q)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 4).as("cosine"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /** Deterministic random hyperplanes (seeded) for sign-LSH. */
@@ -113,12 +128,7 @@ object Similarity {
       .join(cv, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 4).as("cosine"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer of `nlist` centroids
@@ -172,12 +182,7 @@ object Similarity {
       .join(cv, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 4).as("cosine"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /** Deterministic Lloyd k-means over a seeded sample (driver-side: the
@@ -255,17 +260,20 @@ object Similarity {
         col("qz").getField("q").as(s"${p}q"), col(s"${p}n"))
     val q = broadcast(prep(queries, "query_id", "q"))
     val c = prep(corpus, "neighbor_id", "c")
-    // quantized scan: only (query_id, neighbor_id, approx) triples leave it
+    // quantized scan: only (query_id, neighbor_id, approx) triples leave
+    // it, and the bounded topk aggregate collapses them to k·overfetch per
+    // query INSIDE each scan task — the only exchange in the O(n·m) stage
+    // carries tasks × |Q| × k·overfetch rows, not n·m
     val approx = c.crossJoin(q)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (col("qs") * col("cs") * dotInt8(col("qq"), col("cq")) /
           (col("qn") * col("cn"))).as("approx"))
-    val wa = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx").desc, col("neighbor_id").asc)
-    val candidates = approx.withColumn("arank", row_number().over(wa))
-      .filter(col("arank") <= k * overfetch)
-      .select("query_id", "neighbor_id")
+    val candidates = approx.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate.topk(
+        col("approx"), col("neighbor_id"), k * overfetch).as("top"))
+      .select(col("query_id"),
+        explode(col("top").getField("id")).as("neighbor_id"))
     // exact re-rank on candidates only, full vectors re-attached by id
     val cv = corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cv"))
@@ -278,12 +286,7 @@ object Similarity {
       .join(cv, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 4).as("cosine"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs (cos >= threshold), by LSH

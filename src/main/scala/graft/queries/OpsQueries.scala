@@ -255,7 +255,11 @@ object OpsQueries extends QueryPack {
     "s06_quantized_ann" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      Similarity.quantizedTopK(emb, queries, "vec_id", "embedding", k = 1)
+      // the O(n·m) int8 sweep is pure CPU: rebalance the single-split local
+      // corpus scan so it spreads across cores (production multi-split
+      // inputs pass through the gate untouched)
+      Similarity.quantizedTopK(Tables.balanced(s, emb), queries,
+          "vec_id", "embedding", k = 1)
         .select(col("query_id"), col("neighbor_id"), col("cosine"))
         .orderBy("query_id")
     }),

@@ -95,20 +95,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  // the fully-prepared non-AQE plan: EnsureRequirements has inserted every
+  // distribution exchange, so shuffle-shape assertions are not vacuous
+  // (AdaptiveSparkPlanExec.inputPlan predates EnsureRequirements)
+  private def prepared(build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.execution.SparkPlan = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try build.queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("ANN candidate generation never shuffles embedding vectors") {
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.ArrayType
-    for (q <- Seq("s02_lsh_ann", "s03_ivf_ann", "s04_cosine_neardup")) {
-      val df = OpsQueries.queries(q)(spark, sfSmoke)
-      val plan = df.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.inputPlan
-        case p => p
-      }
-      // vectors may be broadcast (small side) but must never ride a
-      // partitioned shuffle: only id/bucket/score tuples repartition
+    for (q <- Seq("s02_lsh_ann", "s03_ivf_ann", "s04_cosine_neardup",
+                  "s06_quantized_ann")) {
+      val plan = prepared(OpsQueries.queries(q)(spark, sfSmoke))
+      // vectors may be broadcast (small side) and may ride the gated
+      // balanced() round-robin rebalance of a single-split LOCAL scan
+      // (production multi-split inputs pass that gate untouched) — but
+      // they must never ride a structural shuffle (join keys, groupBy):
+      // those move only id/bucket/score tuples or bounded topk buffers
+      import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
       plan.foreach {
-        case e: ShuffleExchangeExec =>
+        case e: ShuffleExchangeExec
+            if !e.outputPartitioning.isInstanceOf[RoundRobinPartitioning] =>
           val arrays = e.output.filter(_.dataType.isInstanceOf[ArrayType])
           assert(arrays.isEmpty,
             s"$q: array attrs ${arrays.map(_.name).mkString(",")} cross a shuffle:\n${e.treeString}")
@@ -131,14 +142,9 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("minhash dedup never shuffles raw document text") {
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.StringType
-    val df = OpsQueries.queries("d02_minhash_neardup")(spark, sfSmoke)
-    val plan = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.inputPlan
-      case p => p
-    }
+    val plan = prepared(OpsQueries.queries("d02_minhash_neardup")(spark, sfSmoke))
     // fingerprints and band signatures are computed in the narrow scan
     // stage; only ids/fingerprints/band triples/shingle sets may shuffle
     plan.foreach {
