@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 
 /** Extension-operator surface (SURVEY.md §2.9): dedup, similarity search,
   * text analysis, multimodal plumbing — driver-checkable over the
@@ -282,6 +282,17 @@ object OpsQueries extends QueryPack {
       Dedup.ngramDocFreq(Tables.documents(s, d), "text", n = 2, minDocs = 25)
         .orderBy("ngram")),
 
+    // concat-and-chunk sequence packing: docs in doc_id order fill
+    // 256-token bins; bin/offset are a pure function of the global token
+    // prefix sum, which the engine computes distributed (id-range groups +
+    // driver prefix of ~P group totals) and the oracle as one window
+    "t10_pack" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_tok"))
+      Packing.packSequences(toks, "doc_id", "n_tok", budget = 256)
+        .orderBy("doc_id")
+    }),
+
     // multimodal plumbing: binary payload synthesized from text; metadata
     // extraction (length, magic-head, format sniff) over the binary column
     "mm01_media_metadata" -> ((s, d) => {
@@ -535,6 +546,20 @@ object OpsQueries extends QueryPack {
            FROM docs)
          SELECT ngram, count(*) AS n_docs
          FROM sh GROUP BY 1 HAVING count(*) >= 25 ORDER BY ngram""",
+
+    "t10_pack" ->
+      """WITH toks AS (
+           SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens
+           FROM documents),
+         cum AS (
+           SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS s
+           FROM toks)
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                CAST(s // 256 AS BIGINT) AS bin,
+                CAST(s % 256 AS BIGINT) AS bin_offset
+         FROM cum ORDER BY doc_id""",
 
     "mm01_media_metadata" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
