@@ -82,6 +82,8 @@ object FuseMarcExtracts extends Rule[LogicalPlan] {
   * Install via GraftSession (all graft sessions) or
   * `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => FuseMarcExtracts)
+    GraftSqlFunctions.register(ext)
+  }
 }

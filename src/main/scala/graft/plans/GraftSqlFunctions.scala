@@ -1,0 +1,98 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions._
+import graft.marc.AlternateScript
+
+/** SQL FunctionRegistry entries for the graft kernel expressions, so the
+  * full operator surface is reachable from `spark.sql(...)` — not only
+  * the Column API. Config arguments (specs, k, shingle width) are
+  * required to be foldable literals, mirroring how Spark's own
+  * parameterized builtins (e.g. `xpath`) take their patterns.
+  *
+  * Registered via [[GraftExtensions]] (`spark.sql.extensions`), so any
+  * session the driver or a library user builds gets them without code. */
+object GraftSqlFunctions {
+
+  private def str(e: Expression, fn: String, arg: String): String = e match {
+    case Literal(v: UTF8String, _) => v.toString
+    case _ => throw new IllegalArgumentException(
+      s"$fn: argument <$arg> must be a string literal, got $e")
+  }
+
+  private def int(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case _ => throw new IllegalArgumentException(
+      s"$fn: argument <$arg> must be an integer literal, got $e")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  /** name → (usage, builder). */
+  private val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot",
+      "graft_dot(a, b) - dot product of two array<double> vectors",
+      { case Seq(a, b) => DotProduct(a, b) }),
+
+    ("graft_dot_int8",
+      "graft_dot_int8(a, b) - exact integer dot product of two array<tinyint> vectors",
+      { case Seq(a, b) => Int8DotProduct(a, b) }),
+
+    ("graft_topk",
+      "graft_topk(score, id, k) - aggregate: top-k (score desc, id asc) pairs as array<struct<score,id>>",
+      { case Seq(s, i, k) =>
+        TopKByScore(s, i, int(k, "graft_topk", "k")).toAggregateExpression() }),
+
+    ("graft_shingles",
+      "graft_shingles(text, n) - distinct space-joined word n-grams, order of first occurrence",
+      { case Seq(t, n) => ShinglesExpression(t, int(n, "graft_shingles", "n")) }),
+
+    ("graft_shingle_jaccard",
+      "graft_shingle_jaccard(a, b) - Jaccard similarity of two shingle arrays",
+      { case Seq(a, b) => ShingleJaccardExpression(a, b) }),
+
+    ("graft_minhash_bands",
+      "graft_minhash_bands(text, bands, rows, shingle_n, seed) - LSH band hashes of the text's shingle set",
+      { case Seq(t, b, r, n, s) => MinhashBandsExpression(t,
+          int(b, "graft_minhash_bands", "bands"), int(r, "graft_minhash_bands", "rows"),
+          int(n, "graft_minhash_bands", "shingle_n"), int(s, "graft_minhash_bands", "seed")) }),
+
+    ("graft_lang_id",
+      "graft_lang_id(text) - n-gram heuristic language id over the bundled marker set",
+      { case Seq(t) => LangIdExpression(t, graft.ops.TextAnalysis.LangMarkers) }),
+
+    ("marc_extract",
+      "marc_extract(record, spec[, separator]) - traject spec extraction over a MARC record struct; " +
+        "separator '' selects array output",
+      {
+        case Seq(rec, spec) =>
+          MarcExtractExpression(rec, str(spec, "marc_extract", "spec"),
+            Some(" "), AlternateScript.Include)
+        case Seq(rec, spec, sep) =>
+          val s = str(sep, "marc_extract", "separator")
+          MarcExtractExpression(rec, str(spec, "marc_extract", "spec"),
+            if (s.isEmpty) None else Some(s), AlternateScript.Include)
+      }),
+
+    ("extract_xpath",
+      "extract_xpath(xml, xpath[, to_text]) - xpath node extraction (serialized, or text with to_text=1)",
+      {
+        case Seq(xml, xp) =>
+          XPathExtractExpression(xml, str(xp, "extract_xpath", "xpath"), Map.empty, toText = true)
+        case Seq(xml, xp, toText) =>
+          XPathExtractExpression(xml, str(xp, "extract_xpath", "xpath"), Map.empty,
+            toText = int(toText, "extract_xpath", "to_text") != 0)
+      })
+  )
+
+  def register(ext: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((new FunctionIdentifier(name), info(name, usage), builder))
+    }
+}

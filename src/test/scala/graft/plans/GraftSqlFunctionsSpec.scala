@@ -1,0 +1,69 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.marc.{MarcField, MarcRecord, MarcSource}
+
+/** The SQL surface: every registered graft_* function must be reachable
+  * from spark.sql on a GraftSession (extensions-installed). */
+class GraftSqlFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vector kernels work from SQL") {
+    Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b").createOrReplaceTempView("v")
+    val dot = spark.sql("SELECT graft_dot(a, b) AS d FROM v").as[Double].head()
+    assert(dot == 11.0)
+    val d8 = spark.sql(
+      "SELECT graft_dot_int8(CAST(ARRAY(1,2) AS ARRAY<TINYINT>), CAST(ARRAY(3,4) AS ARRAY<TINYINT>)) AS d"
+    ).as[Long].head()
+    assert(d8 == 11L)
+  }
+
+  test("graft_topk aggregates from SQL with the documented ordering") {
+    (1L to 10L).map(i => (i % 2, i.toDouble, i)).toDF("g", "score", "id")
+      .createOrReplaceTempView("scored")
+    val top = spark.sql(
+      """SELECT g, graft_topk(score, id, 2) AS top FROM scored GROUP BY g ORDER BY g"""
+    ).selectExpr("g", "top.id AS ids").as[(Long, Seq[Long])].collect().toMap
+    assert(top(0L) == Seq(10L, 8L))
+    assert(top(1L) == Seq(9L, 7L))
+  }
+
+  test("text kernels work from SQL") {
+    val sh = spark.sql("SELECT graft_shingles('a b c d', 3) AS s")
+      .as[Seq[String]].head()
+    assert(sh == Seq("a b c", "b c d"))
+    val j = spark.sql(
+      "SELECT graft_shingle_jaccard(graft_shingles('a b c d', 2), graft_shingles('a b c e', 2)) AS j"
+    ).as[Double].head()
+    assert(j == 0.5)
+    val lang = spark.sql("SELECT graft_lang_id('the of and to in a') AS l").as[String].head()
+    assert(lang == "en")
+    val bands = spark.sql("SELECT graft_minhash_bands('x y z w v', 4, 2, 3, 42) AS b")
+      .as[Seq[Int]].head()
+    assert(bands.length == 4)
+  }
+
+  test("marc_extract and extract_xpath work from SQL") {
+    val rec = MarcRecord("00000cam a2200000 a 4500", Seq(
+      MarcField.data("245", "1", "0", "a" -> "Title", "b" -> "subtitle")))
+    MarcSource.fromRecords(spark, Seq(rec)).createOrReplaceTempView("marc")
+    val title = spark.sql("SELECT marc_extract(record, '245ab') AS t FROM marc")
+      .as[Seq[String]].head()
+    assert(title == Seq("Title subtitle"))
+    val noSep = spark.sql("SELECT marc_extract(record, '245ab', '') AS t FROM marc")
+      .as[Seq[String]].head()
+    assert(noSep == Seq("Title", "subtitle"))
+
+    val x = spark.sql(
+      "SELECT extract_xpath('<r><a>1</a><a>2</a></r>', '//a') AS v"
+    ).as[Seq[String]].head()
+    assert(x == Seq("1", "2"))
+  }
+
+  test("config arguments must be literals") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_shingles('a b', CAST(rand()*3 AS INT)) AS s").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}
