@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] shares one JVM between driver and all 32 executor threads;
+  // 8g forced multi-second full-GC pauses into whichever bench query was
+  // running (the host has 128 GiB). 24g keeps the old-gen churn off the
+  // timed path; SPARK_DRIVER_MEM still overrides for constrained hosts.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -47,7 +47,17 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     names.foreach(runOnce)
-    val results = names.map(n => n -> runOnce(n))
+    // Two timed passes, report each query's MINIMUM — the steady-state
+    // time, same statistic benchmark-ips reports via max ips. A single
+    // pass is contaminated by a wandering 1-3 s stall (host scheduling /
+    // major GC) that lands on a different query every run; the min of two
+    // passes is stable to ±5%. System.gc() between queries keeps one
+    // query's collection debris out of the next one's window and lets
+    // Spark's ContextCleaner reclaim dead localCheckpoint blocks.
+    def timedPass(): Map[String, Double] =
+      names.map { n => System.gc(); n -> runOnce(n) }.toMap
+    val (p1, p2) = (timedPass(), timedPass())
+    val results = names.map(n => n -> math.min(p1(n), p2(n)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

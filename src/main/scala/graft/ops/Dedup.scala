@@ -236,14 +236,20 @@ object Dedup {
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint(true)
+    // Lazy checkpoints throughout the loop: the label-sum aggregate right
+    // after each checkpoint is the action that materializes it, so every
+    // round costs ONE Spark job (materialize + sum fused), not two. With
+    // eager checkpoints the loop ran 2 jobs/round and the fixed job
+    // overhead dominated wall time at every scale.
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .select(col("id"), col("id").as("component"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // Convergence via the label-sum invariant: each round's per-node label
     // is min(old label, ...), so the sum of labels is non-increasing and
-    // stalls exactly at the fixpoint — one aggregate over the already-
-    // materialized checkpoint instead of a full old⋈new join per round.
+    // stalls exactly at the fixpoint — one aggregate (which doubles as the
+    // lazy checkpoint's materializing action) instead of a full old⋈new
+    // join per round.
     // Decimal sum: node ids are unbounded at scale, so a Long sum of 10^12
     // labels could wrap and fake a stall.
     def labelSum(df: DataFrame): java.math.BigDecimal =
@@ -261,7 +267,7 @@ object Dedup {
         .select(col("l.id").as("id"), col("m.component").as("component"))
       val next = labels.unionByName(viaEdges).unionByName(viaJump)
         .groupBy("id").agg(min(col("component")).as("component"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0

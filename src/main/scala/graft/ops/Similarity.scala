@@ -224,8 +224,17 @@ object Similarity {
   /** Symmetric per-vector int8 quantization: scale = max|v|/127, elements
     * round(v/scale) in [-127, 127] — 4× less vector IO for ANN sweeps at
     * 100 TB (store the struct, dequantize on read or dot in int space).
-    * All-zero vectors quantize to zeros with scale 0. */
-  def quantizeInt8(vec: Column): Column = {
+    * All-zero vectors quantize to zeros with scale 0.
+    *
+    * One-pass codegen kernel (graft.functions.QuantizeInt8); semantically
+    * identical to [[quantizeInt8Hof]], which stays as the parity oracle. */
+  def quantizeInt8(vec: Column): Column =
+    graft.functions.QuantizeInt8.quantize(vec)
+
+  /** The built-in-functions formulation of [[quantizeInt8]] — interpreted
+    * (HOFs have no codegen) and re-inlined per consumer by projection
+    * collapse, so it is the test oracle, not the production path. */
+  private[graft] def quantizeInt8Hof(vec: Column): Column = {
     val m = array_max(transform(vec, x => abs(x)))
     struct(
       (m / lit(127.0)).as("scale"),

@@ -298,6 +298,41 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("quantize kernel matches the HOF formulation bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 200L).map { i =>
+      (i, Seq.fill(16)((rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(6) - 2)))
+    } ++ Seq(
+      (900L, Seq(0.0, 0.0, 0.0)),            // zero vector -> scale 0, q zeros
+      (901L, Seq(2.0)),                      // single element -> exactly 127
+      (902L, Seq(-0.5, 1.0)),                // negative half-way: -63.5 -> HALF_UP
+      (903L, Seq(0.25, 0.5, 0.75, -1.0)),    // exact .25/.5/.75 grid
+      (904L, Seq.empty[Double]))             // empty array
+    val df = rows.toDF("id", "v")
+      .unionByName(Seq(905L).toDF("id")      // null element mid-array
+        .selectExpr("id", "array(1.0, cast(null as double), -2.0) as v"))
+    val both = df.select(col("id"),
+        Similarity.quantizeInt8(col("v")).as("k"),
+        Similarity.quantizeInt8Hof(col("v")).as("h"))
+      .orderBy("id").collect()
+    for (r <- both) {
+      val (k, h) = (r.getStruct(1), r.getStruct(2))
+      assert(k.get(0) == h.get(0), s"scale diverges for id=${r.getLong(0)}: $k vs $h")
+      assert(k.get(1) == h.get(1), s"q diverges for id=${r.getLong(0)}: $k vs $h")
+    }
+    // totality where the HOF throws: ANSI cast of a NaN scaled value kills
+    // the HOF plan; the kernel quantizes it to 0 with a NaN scale flag
+    val nan = Seq(906L).toDF("id")
+      .selectExpr("id", "array(1.0, cast('NaN' as double)) as v")
+    intercept[Exception] {
+      nan.select(Similarity.quantizeInt8Hof(col("v"))).collect()
+    }
+    val kq = nan.select(Similarity.quantizeInt8(col("v")).as("k"))
+      .select(col("k.scale"), col("k.q")).collect()(0)
+    assert(kq.getDouble(0).isNaN && kq.getSeq[Byte](1) == Seq[Byte](0, 0))
+  }
+
   test("PII scrub replaces emails, phones, and IPs with typed tags") {
     import spark.implicits._
     val rows = Seq(
