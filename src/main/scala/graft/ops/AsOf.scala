@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Time-series joins Spark's DataFrame API lacks as built-ins: backward
+  * as-of join and bounded time-band (range) join. Feature-engineering
+  * staples ("latest reading at or before this event", "all events within
+  * the preceding hour") for event/training-data pipelines.
+  *
+  * Both are formulated to scale:
+  *  - the naive as-of is a per-row ORDER BY ... LIMIT 1 lateral — O(n·m)
+  *    or a nested-loop join. Here it is a tagged UNION + one running
+  *    `last` window per key: ONE shuffle on the key, one partition-local
+  *    sort, O(n+m) total, no join at all.
+  *  - the naive range join is an inequality join — BroadcastNestedLoop in
+  *    Spark. Here right rows are bucketed at the band width and left rows
+  *    probe their (at most two) overlapping buckets: an equi-join on
+  *    (keys, bucket) plus an exact residual filter, so the shuffle is
+  *    hash-partitioned and the per-bucket work is bounded by band density,
+  *    independent of total history length.
+  *
+  * Skew note (100 TB): both partition by the equi-key (+ bucket for the
+  * band join). A single pathological key (one user with billions of
+  * events) serializes in the as-of's window sort; the band join already
+  * sub-partitions hot keys by time bucket. For as-of under that skew,
+  * pre-chunk by coarse time range and carry each chunk's last state
+  * forward (two-phase prefix pattern, as in [[Packing.packSequences]]).
+  */
+object AsOf {
+
+  /** Backward as-of LEFT join: for each left row, the single right row
+    * with the greatest (rightTime, rightTie) such that
+    * `right.rightTime <= left.leftTime`, matched within equal `keys`.
+    *
+    * Emits every left column plus `prefix`-renamed `payload` columns from
+    * the matched right row (nulls when no right row precedes). Ties at
+    * equal time break by `rightTie` (greatest wins) — deterministic,
+    * engine-portable output.
+    *
+    * Time columns must be mutually comparable (same unit); payload names
+    * must not collide with left columns after prefixing. */
+  def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTime: String, rightTime: String, rightTie: String,
+                   payload: Seq[String], prefix: String = "asof_"): DataFrame = {
+    val payStruct = struct(payload.map(col): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).cast("long").as("_t"),
+        lit(0).as("_side"),
+        col(rightTie).cast("long").as("_tie"),
+        payStruct.as("_pay")): _*)
+    val payType = r.schema("_pay").dataType.asInstanceOf[StructType]
+    val l = left
+      .withColumn("_t", col(leftTime).cast("long"))
+      .withColumn("_side", lit(1))
+      .withColumn("_tie", lit(null).cast("long"))
+      .withColumn("_pay", lit(null).cast(payType))
+    // rights sort before lefts at equal time (_side 0 < 1), so "<=" holds;
+    // among equal-time rights the larger tie comes last and wins `last`.
+    // The running frame is computed incrementally by Spark's
+    // UnboundedPreceding window frame — O(1) per row after the sort.
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").asc, col("_side").asc, col("_tie").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_m", last(col("_pay"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(left.columns.map(col) ++
+        payload.map(p => col("_m").getField(p).as(prefix + p)): _*)
+  }
+
+  /** Time-band (range) INNER join: all (left, right) pairs with equal
+    * `keys` and `right.rightTime` in `[left.leftTime + lower,
+    * left.leftTime + upper]` (units of the time columns; lower <= upper).
+    *
+    * Right rows land in one `width = upper - lower` bucket; each left row
+    * probes its two candidate buckets via equi-join, and the exact BETWEEN
+    * filters the residue. Emits all left columns plus `prefix`-renamed
+    * right `payload` columns. */
+  def bandJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               lower: Long, upper: Long,
+               payload: Seq[String], prefix: String = "band_"): DataFrame = {
+    require(lower <= upper, s"empty band: [$lower, $upper]")
+    val width = math.max(upper - lower, 1L)
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).cast("long").as("_rt"),
+        struct(payload.map(col): _*).as("_pay")): _*)
+      .withColumn("_bucket", floorDiv("_rt", 0L, width))
+    // a width-sized band starting at lt+lower overlaps exactly the buckets
+    // of its two endpoints (they differ by at most 1)
+    val l = left
+      .withColumn("_lt", col(leftTime).cast("long"))
+      .withColumn("_bucket", explode(array_distinct(array(
+        floorDiv("_lt", lower, width),
+        floorDiv("_lt", upper, width)))))
+    l.join(r, keys :+ "_bucket")
+      .filter(col("_rt").between(col("_lt") + lower, col("_lt") + upper))
+      .select(left.columns.map(col) ++
+        payload.map(p => col("_pay").getField(p).as(prefix + p)): _*)
+  }
+
+  /** floor((col + off) / d) in pure LONG arithmetic. SQL DIV truncates
+    * toward zero (mis-buckets negative times, so adjust by the remainder
+    * sign); float division is NOT an option — ns-epoch values exceed
+    * 2^53 and a double quotient mis-buckets edge rows. */
+  private def floorDiv(c: String, off: Long, d: Long) = expr(
+    s"""CASE WHEN (($c + $off) % $d) < 0 THEN (($c + $off) DIV $d) - 1
+             ELSE ($c + $off) DIV $d END""")
+}

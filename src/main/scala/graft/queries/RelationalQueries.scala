@@ -244,8 +244,52 @@ object RelationalQueries extends QueryPack {
         .agg(count(lit(1)).as("n"),
              round(sum(col("v")), 2).cast("double").as("sum_value"))
         .orderBy("day", "event_type")
+    }),
+
+    // backward as-of join (graft.ops.AsOf): each click gets the latest
+    // preceding view per user. Times compared at µs (ts is long nanos on
+    // the Spark side; DuckDB timestamps are µs) and the right side is
+    // deduplicated per (user, µs) so the match is deterministic in both
+    // engines. One shuffle, no nested loop — see AsOf.asofBackward.
+    "q21_asof_join" -> ((s, d) => {
+      val (clicks, views) = clicksAndViews(s, d)
+      graft.ops.AsOf.asofBackward(clicks, dedupViews(views),
+          Seq("user_id"), "click_ts_us", "ts_us", "event_id",
+          payload = Seq("event_id", "value"), prefix = "view_")
+        .orderBy("click_id")
+    }),
+
+    // time-band (range) join: every (click, view) pair within the
+    // preceding hour per user — bucketed equi-join, never a nested loop
+    "q22_band_join" -> ((s, d) => {
+      val (clicks, views) = clicksAndViews(s, d)
+      graft.ops.AsOf.bandJoin(clicks, views, Seq("user_id"),
+          "click_ts_us", "ts_us", lower = -3600000000L, upper = 0L,
+          payload = Seq("event_id", "value"), prefix = "view_")
+        .orderBy("click_id", "view_event_id")
     })
   )
+
+  /** Shared q21/q22 inputs: clicks and views off one events scan, times
+    * as µs longs (`ts DIV 1000` — matches DuckDB's epoch_us exactly for
+    * the positive epochs in play). */
+  private def clicksAndViews(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val ev = Tables.events(s, d).select(col("event_id"),
+      expr("ts DIV 1000").as("ts_us"), col("user_id"), col("event_type"),
+      col("value"))
+    (ev.filter(col("event_type") === "click")
+       .select(col("event_id").as("click_id"), col("user_id"),
+         col("ts_us").as("click_ts_us"), col("value").as("click_value")),
+     ev.filter(col("event_type") === "view")
+       .select(col("user_id"), col("ts_us"), col("event_id"), col("value")))
+  }
+
+  /** One view per (user, µs): max event_id survives, mirroring the
+    * oracle's QUALIFY — makes the as-of match unique. */
+  private def dedupViews(views: DataFrame): DataFrame = views
+    .withColumn("_rn", row_number().over(
+      Window.partitionBy("user_id", "ts_us").orderBy(col("event_id").desc)))
+    .filter(col("_rn") === 1).drop("_rn")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -377,6 +421,36 @@ object RelationalQueries extends QueryPack {
     "q15_events_by_day" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
          CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1, 2 ORDER BY day, event_type"""
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+
+    "q21_asof_join" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+                            event_type, value FROM events),
+         views AS (SELECT user_id, ts_us, event_id, value FROM ev
+                   WHERE event_type = 'view'
+                   QUALIFY row_number() OVER (PARTITION BY user_id, ts_us
+                                              ORDER BY event_id DESC) = 1),
+         clicks AS (SELECT event_id AS click_id, user_id,
+                           ts_us AS click_ts_us, value AS click_value
+                    FROM ev WHERE event_type = 'click')
+         SELECT c.click_id, c.user_id, c.click_ts_us, c.click_value,
+                v.event_id AS view_event_id, v.value AS view_value
+         FROM clicks c ASOF LEFT JOIN views v
+           ON c.user_id = v.user_id AND c.click_ts_us >= v.ts_us
+         ORDER BY c.click_id""",
+
+    "q22_band_join" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+                            event_type, value FROM events),
+         views AS (SELECT user_id, ts_us, event_id, value FROM ev
+                   WHERE event_type = 'view'),
+         clicks AS (SELECT event_id AS click_id, user_id,
+                           ts_us AS click_ts_us, value AS click_value
+                    FROM ev WHERE event_type = 'click')
+         SELECT c.click_id, c.user_id, c.click_ts_us, c.click_value,
+                v.event_id AS view_event_id, v.value AS view_value
+         FROM clicks c JOIN views v ON c.user_id = v.user_id
+           AND v.ts_us BETWEEN c.click_ts_us - 3600000000 AND c.click_ts_us
+         ORDER BY c.click_id, view_event_id"""
   )
 }

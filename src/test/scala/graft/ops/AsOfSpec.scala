@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lefts = Seq(
+    // (lid, key, t)
+    (1L, "a", 100L), (2L, "a", 200L), (3L, "a", 50L),
+    (4L, "b", 100L), (5L, "c", 100L)).toDF("lid", "key", "lt")
+
+  private def rights = Seq(
+    // (rid, key, t, v)
+    (10L, "a", 100L, 1.0),  // equal time: matches lid=1 (<=)
+    (11L, "a", 150L, 2.0),
+    (12L, "a", 150L, 3.0),  // tie at t=150: larger rid wins
+    (13L, "b", 101L, 4.0)   // after the only b click: no match
+  ).toDF("rid", "key", "rt", "v")
+
+  test("asofBackward: latest preceding right, ties by tie column, null when none") {
+    val got = AsOf.asofBackward(lefts, rights, Seq("key"), "lt", "rt", "rid",
+        payload = Seq("rid", "v"), prefix = "m_")
+      .orderBy("lid")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, 10L, 1.0),   // rt=100 <= lt=100 counts
+      (2L, 12L, 3.0),   // t=150 tie -> rid 12
+      (3L, null, null), // nothing at or before 50
+      (4L, null, null), // only b-right is later
+      (5L, null, null)  // key with no rights at all
+    ))
+  }
+
+  test("asofBackward emits exactly one row per left row") {
+    val got = AsOf.asofBackward(lefts, rights, Seq("key"), "lt", "rt", "rid",
+      payload = Seq("v"))
+    assert(got.count() == 5)
+    assert(got.columns.toSeq == Seq("lid", "key", "lt", "asof_v"))
+  }
+
+  test("bandJoin equals the naive inequality join on random data") {
+    val rnd = new scala.util.Random(11)
+    val l = (1 to 300).map(i =>
+      (i.toLong, s"k${rnd.nextInt(5)}", rnd.nextLong(10000))).toDF("lid", "key", "lt")
+    val r = (1 to 300).map(i =>
+      (i.toLong + 1000, s"k${rnd.nextInt(5)}", rnd.nextLong(10000), rnd.nextDouble()))
+      .toDF("rid", "key", "rt", "v")
+    for ((lo, hi) <- Seq((-500L, 0L), (-250L, 250L), (0L, 0L), (7L, 13L))) {
+      val got = AsOf.bandJoin(l, r, Seq("key"), "lt", "rt", lo, hi,
+          payload = Seq("rid"), prefix = "b_")
+        .select("lid", "b_rid").as[(Long, Long)].collect().toSet
+      val want = l.join(r, Seq("key"))
+        .filter(col("rt").between(col("lt") + lo, col("lt") + hi))
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      assert(got == want, s"band [$lo,$hi]: ${got.size} vs ${want.size}")
+    }
+  }
+
+  test("bandJoin handles negative times (floor bucketing, not truncation)") {
+    val l = Seq((1L, "k", -5L), (2L, "k", 3L)).toDF("lid", "key", "lt")
+    val r = Seq((10L, "k", -8L), (11L, "k", -1L), (12L, "k", 2L)).toDF("rid", "key", "rt")
+    val got = AsOf.bandJoin(l, r, Seq("key"), "lt", "rt", -4L, 0L,
+        payload = Seq("rid"), prefix = "b_")
+      .select("lid", "b_rid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 11L), (2L, 12L)))
+  }
+
+  test("asof plans one exchange; band join plans a shuffled equi-join") {
+    val asofPlan = AsOf.asofBackward(lefts, rights, Seq("key"), "lt", "rt", "rid",
+      payload = Seq("v")).queryExecution.executedPlan.toString
+    assert(!asofPlan.contains("Join"), s"asof must not join:\n$asofPlan")
+    val bandPlan = AsOf.bandJoin(lefts, rights, Seq("key"), "lt", "rt", -10L, 0L,
+      payload = Seq("v")).queryExecution.executedPlan.toString
+    assert(!bandPlan.contains("BroadcastNestedLoopJoin") &&
+      !bandPlan.contains("CartesianProduct"),
+      s"band join must stay an equi-join:\n$bandPlan")
+  }
+}
