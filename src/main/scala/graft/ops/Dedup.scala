@@ -174,10 +174,18 @@ object Dedup {
       .join(repIds, Seq("id"), "left_semi") // moves (id, 32 ints), not text
       .select(col("id"),
         posexplode(col("bands")).as(Seq("band", "bhash")))
+    // Oversized buckets via groupBy, not count().over(Window): the window
+    // formulation shuffles AND sorts every (id, band, bhash) triple just
+    // to learn bucket sizes, while the groupBy partial-aggregates map-side
+    // (distinct keys per task cross the wire) and the surviving oversized
+    // set — normally empty, pathologically tiny — broadcasts into an
+    // anti-join. At 100 TB that removes a full sort of rows×bands triples.
+    val oversized = bucketsRaw.groupBy("band", "bhash")
+      .agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") > maxBucketSize)
+      .select(col("band"), col("bhash"))
     val buckets = bucketsRaw
-      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("band", "bhash")))
-      .filter(col("bsize") <= maxBucketSize)
-      .drop("bsize")
+      .join(broadcast(oversized), Seq("band", "bhash"), "left_anti")
 
     val candidates = buckets.alias("a").join(buckets.alias("b"),
         col("a.band") === col("b.band") &&
