@@ -99,6 +99,54 @@ object TextAnalysis {
   def fingerprintMd5(text: Column): Column =
     md5(to_binary(regexp_replace(lower(text), """\s+""", " "), lit("utf-8")))
 
+  // ---- linear text classifier (fastText-style quality filtering) ---------
+
+  /** Deterministic hashed token weight in [-128, 127]: the first two hex
+    * digits of md5(token), minus 128. Integer weights keep the per-doc sum
+    * EXACT and order-independent, so the score is bit-identical across
+    * engines and partitionings (a double-weight sum is neither). */
+  def hashTokenWeight(token: Column): Column =
+    conv(substring(md5(token), 1, 2), 16, 10).cast("long") - 128
+
+  /** Hashing-trick linear classifier score per document — the distributed
+    * shape of fastText-style quality filtering (classify each doc against
+    * a reference corpus, keep high scorers). The hashed weight table
+    * stands in for trained weights (the real path is
+    * [[linearScoreWithWeights]]); the Spark-side mechanics are identical:
+    * tokenize narrow, score per token in codegen, one (id, long) groupBy
+    * with map-side combine. Output: (idCol, n_tokens, score in [-1, 1]).
+    */
+  def hashedLinearScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("_tok"))
+      .select(col(idCol), hashTokenWeight(col("_tok")).as("_w"))
+      .groupBy(idCol)
+      .agg(sum(col("_w")).as("_wsum"), count(lit(1)).as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        // no round(): the operands are exactly-representable integers, so
+        // the IEEE quotient is bit-identical on every engine — while
+        // round() diverges on decimal ties (Spark rounds the shortest
+        // decimal rendering, DuckDB the binary double)
+        (col("_wsum") / (lit(128.0) * col("n_tokens"))).as("score"))
+
+  /** Linear classifier with a REAL weight table (token, weight): tokens
+    * explode narrow, weights broadcast-join (a vocabulary fits an executor
+    * at any corpus scale), unknown tokens contribute 0, one groupBy of
+    * (id, double) pairs. The mean-weight score feeds a keep/drop gate. */
+  def linearScoreWithWeights(df: org.apache.spark.sql.DataFrame, idCol: String,
+                             textCol: String,
+                             weights: org.apache.spark.sql.DataFrame,
+                             tokenCol: String = "token",
+                             weightCol: String = "weight"): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as(tokenCol))
+      .join(broadcast(weights.select(col(tokenCol), col(weightCol))),
+        Seq(tokenCol), "left")
+      .groupBy(idCol)
+      .agg(sum(coalesce(col(weightCol), lit(0.0))).as("wsum"),
+        count(lit(1)).as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        (col("wsum") / col("n_tokens")).as("score"))
+
   /** Winnowing fingerprint (row-level; Schleimer/Wilkerson/Aiken-style):
     * k-gram rolling hashes, minimum per sliding window, distinct kept set.
     * Used for robust near-dup document signatures; exposed as a UDF where

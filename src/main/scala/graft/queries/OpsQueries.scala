@@ -282,6 +282,13 @@ object OpsQueries extends QueryPack {
       Dedup.ngramDocFreq(Tables.documents(s, d), "text", n = 2, minDocs = 25)
         .orderBy("ngram")),
 
+    // hashing-trick linear quality classifier (fastText-style filtering
+    // shape): integer md5-bucket weights keep the per-doc sum exact, so
+    // the mean-weight score is bit-identical across engines
+    "t11_quality_classifier" -> ((s, d) =>
+      TextAnalysis.hashedLinearScore(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // concat-and-chunk sequence packing: docs in doc_id order fill
     // 256-token bins; bin/offset are a pure function of the global token
     // prefix sum, which the engine computes distributed (id-range groups +
@@ -546,6 +553,18 @@ object OpsQueries extends QueryPack {
            FROM docs)
          SELECT ngram, count(*) AS n_docs
          FROM sh GROUP BY 1 HAVING count(*) >= 25 ORDER BY ngram""",
+
+    "t11_quality_classifier" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         w AS (
+           SELECT doc_id,
+             (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) - 128 AS wt
+           FROM toks)
+         SELECT doc_id, count(*) AS n_tokens,
+                sum(wt) / (128.0 * count(*)) AS score
+         FROM w GROUP BY doc_id ORDER BY doc_id""",
 
     "t10_pack" ->
       """WITH toks AS (

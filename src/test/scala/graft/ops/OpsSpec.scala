@@ -333,6 +333,27 @@ class OpsSpec extends SparkSpec {
     assert(kq.getDouble(0).isNaN && kq.getSeq[Byte](1) == Seq[Byte](0, 0))
   }
 
+  test("linear classifier scores: weight table, unknown-token zero, exact means") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "good good bad"),
+      (2L, "unknown words only"),
+      (3L, "good")).toDF("doc_id", "text")
+    // exactly-representable weights -> exact expected means
+    val weights = Seq(("good", 0.5), ("bad", -0.25)).toDF("token", "weight")
+    val got = TextAnalysis.linearScoreWithWeights(docs, "doc_id", "text", weights)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 0.25),  // (0.5 + 0.5 - 0.25) / 3
+      (2L, 3L, 0.0),   // all unknown
+      (3L, 1L, 0.5)))
+    // broadcast of the vocabulary, no shuffle of it
+    val plan = TextAnalysis.linearScoreWithWeights(docs, "doc_id", "text", weights)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("PII scrub replaces emails, phones, and IPs with typed tags") {
     import spark.implicits._
     val rows = Seq(
