@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Substring, Subtract}
+import org.apache.spark.sql.types.{BinaryType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions._
@@ -62,6 +63,20 @@ object GraftSqlFunctions {
       { case Seq(t, b, r, n, s) => MinhashBandsExpression(t,
           int(b, "graft_minhash_bands", "bands"), int(r, "graft_minhash_bands", "rows"),
           int(n, "graft_minhash_bands", "shingle_n"), int(s, "graft_minhash_bands", "seed")) }),
+
+    ("graft_quantize_int8",
+      "graft_quantize_int8(v) - one-pass symmetric int8 quantization: struct(scale, q array<tinyint>)",
+      { case Seq(v) => QuantizeInt8(v) }),
+
+    ("graft_token_weight",
+      "graft_token_weight(token) - deterministic hashed classifier weight in [-128, 127]",
+      { case Seq(t) =>
+        // catalyst nodes directly: a Column-built tree stays unresolved
+        // inside a FunctionRegistry builder
+        Subtract(
+          Cast(Conv(Substring(Md5(Cast(t, BinaryType)),
+            Literal(1), Literal(2)), Literal(16), Literal(10)), LongType),
+          Literal(128L)) }),
 
     ("graft_lang_id",
       "graft_lang_id(text) - n-gram heuristic language id over the bundled marker set",

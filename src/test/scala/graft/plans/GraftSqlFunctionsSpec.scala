@@ -28,6 +28,20 @@ class GraftSqlFunctionsSpec extends SparkSpec {
     assert(top(1L) == Seq(9L, 7L))
   }
 
+  test("quantize and token-weight kernels work from SQL") {
+    val (scale, q) = spark.sql(
+      "SELECT graft_quantize_int8(CAST(ARRAY(0.5, -1.0, 0.0) AS ARRAY<DOUBLE>)) AS z")
+      .selectExpr("z.scale", "z.q").as[(Double, Seq[Byte])].head()
+    assert(scale == 1.0 / 127.0 && q == Seq[Byte](64, -127, 0))
+    val w = spark.sql("SELECT graft_token_weight('hello') AS w").as[Long].head()
+    assert(-128L <= w && w <= 127L)
+    // pins the md5-bucket definition: first two hex digits minus 128
+    val expected = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("hello".getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString, 16) - 128
+    assert(w == expected)
+  }
+
   test("text kernels work from SQL") {
     val sh = spark.sql("SELECT graft_shingles('a b c d', 3) AS s")
       .as[Seq[String]].head()
