@@ -1,0 +1,80 @@
+package graft.examples
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Sampling, TextAnalysis}
+import graft.sinks.CorpusWriter
+
+/** End-to-end training-corpus curation — the composed "user could switch"
+  * example for the §2.9 extension surface, chaining the operators the way
+  * a production 100 TB run would:
+  *
+  *   1. exact dedup on the content fingerprint (16-byte-key shuffle);
+  *   2. MinHash+LSH near-dup dedup with connected-components survivor
+  *      election (text never crosses a shuffle);
+  *   3. benchmark decontamination (8-gram overlap, benchmark broadcast);
+  *   4. quality gates: heuristic quality score, duplicate-n-gram
+  *      repetition cap, language allowlist — all narrow codegen columns;
+  *   5. PII scrub (typed tags, regexp chain);
+  *   6. deterministic md5-keyed train/val/test split;
+  *   7. partitioned parquet out via CorpusWriter (bounded writer tasks
+  *      per partition value, maxRecordsPerFile rolling).
+  *
+  * Stage order is the cost order: each dedup/filter stage shrinks the
+  * corpus before the next pays for it, and every per-row stage after the
+  * near-dup join is narrow, so the whole tail pipelines inside one scan.
+  */
+object CurationPipeline {
+
+  /** Gate thresholds; defaults match the t01/t04 oracle semantics. */
+  final case class Config(
+      nearDupThreshold: Double = 0.8,
+      maxBenchmarkOverlap: Long = 0,       // drop any doc sharing >N 8-grams
+      minQuality: Double = 0.3,
+      maxDup3Ratio: Double = 0.5,
+      langs: Seq[String] = Seq("en", "es", "de", "fr"),
+      // last entry is the remainder bucket (splitAssign semantics)
+      splits: Seq[(String, Double)] = Seq(
+        "train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      splitSalt: String = "graft")
+
+  /** Curate `docs` (idCol, textCol, langCol) against a held-out
+    * `benchmark` (textCol). Returns the cleaned frame with the original
+    * columns plus `split`; every dropped row is dropped for exactly one
+    * reason, in stage order. */
+  def curate(docs: DataFrame, benchmark: DataFrame,
+             idCol: String = "doc_id", textCol: String = "text",
+             langCol: String = "lang",
+             cfg: Config = Config()): DataFrame = {
+    // 1. exact dedup: min-id survivor per normalized-content fingerprint
+    val exact = Dedup.exactDedup(
+      docs, TextAnalysis.fingerprintMd5(col(textCol)), col(idCol))
+
+    // 2. near-dup dedup (LSH pairs -> components -> min-id survivor)
+    val uniq = Dedup.nearDupDedup(exact, idCol, textCol, cfg.nearDupThreshold)
+
+    // 3. decontamination: drop docs overlapping the held-out benchmark
+    val contaminated = Dedup.contamination(uniq, benchmark, idCol, textCol)
+      .filter(col("n_overlap") > cfg.maxBenchmarkOverlap)
+      .select(col("doc_id").as(idCol))
+    val clean = uniq.join(contaminated, Seq(idCol), "left_anti")
+
+    // 4-6. narrow tail: quality gates, PII scrub, split assignment
+    clean
+      .filter(TextAnalysis.qualityScore(col(textCol)) >= cfg.minQuality)
+      .filter(TextAnalysis.duplicateNgramRatio(col(textCol), 3) <= cfg.maxDup3Ratio)
+      .filter(col(langCol).isin(cfg.langs: _*))
+      .withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
+      .withColumn("split",
+        Sampling.splitAssign(col(idCol), cfg.splits, cfg.splitSalt))
+  }
+
+  /** Curate and write, partitioned by (split, lang) with bounded writer
+    * tasks — the complete ingest-to-corpus call. */
+  def curateAndWrite(docs: DataFrame, benchmark: DataFrame, path: String,
+                     cfg: Config = Config()): Unit =
+    CorpusWriter.writeCurated(curate(docs, benchmark, cfg = cfg), path,
+      partitionCols = Seq("split", "lang"),
+      clusterBy = Seq(col("doc_id")))
+}

@@ -260,8 +260,12 @@ object Dedup {
     // join per round.
     // Decimal sum: node ids are unbounded at scale, so a Long sum of 10^12
     // labels could wrap and fake a stall.
+    // coalesce to 0: sum over an EMPTY label frame is NULL, and an empty
+    // pair graph (a corpus with no near-dups at all) is a legitimate
+    // input, not a crash
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+      Option(df.agg(sum(col("component").cast("decimal(38,0)")))
+        .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false

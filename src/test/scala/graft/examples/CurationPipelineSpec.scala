@@ -1,0 +1,92 @@
+package graft.examples
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ops.TextAnalysis
+
+class CurationPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = {
+    val base = (1L to 40L).map { i =>
+      // distinct, reasonably "clean" english-ish text per doc: a per-doc
+      // seeded draw from a wide vocabulary keeps cross-doc shingle
+      // Jaccard far below the near-dup threshold (a patterned/shifted
+      // vocabulary makes every doc a near-dup of every other)
+      val r = new scala.util.Random(i)
+      val words = (0 until 30).map(_ => s"w${r.nextInt(500)}")
+      (i, ("the of and to in a " * 3) + words.mkString(" "), "en")
+    }
+    val extras = Seq(
+      // exact duplicate of doc 1 (higher id loses)
+      (101L, base.head._2, "en"),
+      // near duplicate of doc 2: one vocabulary word changed
+      (102L, base(1)._2.replaceFirst("""\bw\d+\b""", "changed"), "en"),
+      // contaminated: contains the benchmark text verbatim
+      (103L, ("the of and to in a " * 3) + ("bench mark secret eight gram span here okay " * 3), "en"),
+      // junk quality (no stopwords, all punctuation-ish)
+      (104L, "%% ## !! ?? ** (( )) [[ ]] {{ }} ;; :: ,, .. // \\\\ || ~~ ^^", "en"),
+      // repetitive (one trigram over and over)
+      (105L, "spam spam spam " * 20, "en"),
+      // wrong language tag
+      (106L, base(2)._2, "zz"),
+      // PII to scrub, otherwise clean
+      (107L, ("the of and to in a " * 3) + "contact someone@example.com " +
+        (0 until 24).map(j => s"tail${j % 40}").mkString(" "), "en"))
+    (base ++ extras).toDF("doc_id", "text", "lang")
+  }
+
+  private def benchmark =
+    Seq(("bench mark secret eight gram span here okay " * 3)).toDF("text")
+
+  test("curate drops each bad row for its stage's reason and keeps the rest") {
+    val out = CurationPipeline.curate(docs, benchmark)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+
+    assert(!kept.contains(101L), "exact duplicate survived")
+    assert(!kept.contains(102L), "near duplicate survived")
+    assert(!kept.contains(103L), "contaminated doc survived")
+    assert(!kept.contains(104L), "junk-quality doc survived")
+    assert(!kept.contains(105L), "repetitive doc survived")
+    assert(!kept.contains(106L), "disallowed language survived")
+    assert(kept.contains(107L), "PII doc should be scrubbed, not dropped")
+    assert(kept.contains(1L) && kept.contains(2L), "survivor election must keep min ids")
+    assert((1L to 40L).toSet.subsetOf(kept), s"clean docs dropped: ${(1L to 40L).toSet -- kept}")
+
+    val scrubbed = out.filter(col("doc_id") === 107L)
+      .select("text").as[String].head()
+    assert(scrubbed.contains("<EMAIL>") && !scrubbed.contains("example.com"))
+
+    // every row carries a split; assignment is deterministic
+    val splits = out.select("split").distinct().as[String].collect().toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    val again = CurationPipeline.curate(docs, benchmark)
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(again == out.select("doc_id", "split").as[(Long, String)].collect().toSet)
+  }
+
+  test("curateAndWrite produces a (split, lang)-partitioned parquet corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-curated").toString
+    CurationPipeline.curateAndWrite(docs, benchmark, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == CurationPipeline.curate(docs, benchmark).count())
+    assert(back.columns.toSet == Set("doc_id", "text", "lang", "split"))
+    // partition pruning works against the layout
+    val trainOnly = back.filter(col("split") === "train")
+    assert(trainOnly.count() > 0)
+  }
+
+  test("real corpus smoke: sf0.001 documents flow through every stage") {
+    val d = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select("doc_id", "text", "lang")
+    val bench = d.filter(col("doc_id") % 20 === 0).select("text")
+    val out = CurationPipeline.curate(d, bench,
+      cfg = CurationPipeline.Config(langs = Seq("en", "es", "de", "fr", "ja", "zz")))
+    val n = out.count()
+    assert(n > 0, "curation must keep something at sf0.001")
+    assert(n < d.count(), "benchmark members must be dropped (planted contamination)")
+    // no surviving doc shares its normalized fingerprint with another
+    val fps = out.select(TextAnalysis.fingerprintMd5(col("text"))).distinct().count()
+    assert(fps == n, "exact-dup fingerprints survived curation")
+  }
+}

@@ -298,6 +298,18 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("components and nearDupDedup are total on a corpus with no near-dups") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() == 0)
+    val distinctDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "red orange yellow green blue indigo")).toDF("doc_id", "text")
+    val out = Dedup.nearDupDedup(distinctDocs, "doc_id", "text")
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
   test("quantize kernel matches the HOF formulation bit-for-bit") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
