@@ -152,6 +152,14 @@ object Similarity {
               nlist: Int = 16, nprobe: Int = 2, lloydIters: Int = 5,
               sampleSize: Int = 512, seed: Int = 42): DataFrame = {
     val centroids = trainCentroids(corpus, vecCol, nlist, lloydIters, sampleSize, seed)
+    // an EMPTY corpus (e.g. a filtered-to-nothing pipeline stage) has no
+    // quantizer to train and no neighbours to return — empty result, not
+    // a crash; the sample collect above already paid the emptiness check
+    if (centroids.isEmpty) {
+      import corpus.sparkSession.implicits._
+      return Seq.empty[(Long, Long, Double, Int)]
+        .toDF("query_id", "neighbor_id", "cosine", "rank")
+    }
 
     // cell assignment is a narrow map (one kernel pass over the broadcast
     // centroid matrix — graft.functions.IvfCellsExpression); the cell join
@@ -194,7 +202,7 @@ object Similarity {
       .orderBy(xxhash64(col(vecCol).cast("array<string>").cast("string"), lit(seed)))
       .limit(sampleSize)
       .collect().map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "empty corpus")
+    if (sample.isEmpty) return Array.empty // caller decides (empty top-k)
     var centroids = Array.tabulate(math.min(nlist, sample.length))(i => sample(i).clone())
     for (_ <- 1 to iters) {
       val sums = Array.fill(centroids.length)(new Array[Double](sample.head.length))

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Totality sweep: every curation operator must be well-defined — empty
+  * result, identity, or a DOCUMENTED loud error — on degenerate inputs
+  * (empty frames, single rows, filtered-to-nothing pipelines). At 100 TB
+  * a stage that crashes on an empty partition-of-the-work kills a day of
+  * compute; these cases are cheap to pin and easy to regress. */
+class DegenerateInputsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyDocs: DataFrame =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def oneDoc: DataFrame =
+    Seq((1L, "just one lonely document here")).toDF("doc_id", "text")
+  private def emptyVecs: DataFrame =
+    Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+  private def someVecs: DataFrame = Seq(
+    (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)), (3L, Seq(1.0, 1.0)))
+    .toDF("vec_id", "embedding")
+
+  test("dedup family: empty and single-row corpora pass through") {
+    assert(Dedup.minhashNearDupPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashNearDupPairs(oneDoc, "doc_id", "text").count() == 0)
+    assert(Dedup.nearDupDedup(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.nearDupDedup(oneDoc, "doc_id", "text").count() == 1)
+    assert(Dedup.simhashNearDupPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.exactDedup(emptyDocs, col("text"), col("doc_id")).count() == 0)
+    assert(Dedup.repeatedSpans(emptyDocs, "doc_id", "text", minDocs = 2).count() == 0)
+    assert(Dedup.ngramDocFreq(emptyDocs, "text", 2, 1).count() == 0)
+  }
+
+  test("decontamination: empty corpus, empty benchmark, both") {
+    assert(Dedup.contamination(emptyDocs, oneDoc.select("text"), "doc_id", "text").count() == 0)
+    assert(Dedup.contamination(oneDoc, emptyDocs.select("text"), "doc_id", "text").count() == 0)
+    assert(Dedup.contamination(emptyDocs, emptyDocs.select("text"), "doc_id", "text").count() == 0)
+  }
+
+  test("similarity family: empty corpus or empty query set yields empty top-k") {
+    assert(Similarity.lshTopK(emptyVecs, someVecs, "vec_id", "embedding", 1).count() == 0)
+    assert(Similarity.lshTopK(someVecs, emptyVecs, "vec_id", "embedding", 1).count() == 0)
+    assert(Similarity.quantizedTopK(emptyVecs, someVecs, "vec_id", "embedding", 1).count() == 0)
+    assert(Similarity.quantizedTopK(someVecs, emptyVecs, "vec_id", "embedding", 1).count() == 0)
+    assert(Similarity.ivfTopK(emptyVecs, someVecs, "vec_id", "embedding", 1).count() == 0)
+    assert(Similarity.ivfTopK(someVecs, emptyVecs, "vec_id", "embedding", 1).count() == 0)
+    assert(Similarity.cosineNearDupPairs(emptyVecs, "vec_id", "embedding").count() == 0)
+  }
+
+  test("text analysis and packing: empty frames flow through") {
+    assert(TextAnalysis.hashedLinearScore(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Packing.packSequences(
+      emptyDocs.select(col("doc_id"), lit(1L).as("n_tok")),
+      "doc_id", "n_tok", budget = 16).count() == 0)
+    val one = Packing.packSequences(
+      oneDoc.select(col("doc_id"), lit(5L).as("n_tok")),
+      "doc_id", "n_tok", budget = 16).collect()(0)
+    assert(one.getLong(2) == 0L && one.getLong(3) == 0L) // bin 0, offset 0
+  }
+
+  test("as-of and band join: empty sides are totalities, not crashes") {
+    val l = Seq((1L, "k", 10L)).toDF("lid", "key", "lt")
+    val r = Seq.empty[(Long, String, Long, Double)].toDF("rid", "key", "rt", "v")
+    val asof = AsOf.asofBackward(l, r, Seq("key"), "lt", "rt", "rid", Seq("v"))
+    assert(asof.count() == 1 && asof.filter(col("asof_v").isNull).count() == 1)
+    assert(AsOf.asofBackward(l.limit(0), r, Seq("key"), "lt", "rt", "rid", Seq("v")).count() == 0)
+    assert(AsOf.bandJoin(l, r, Seq("key"), "lt", "rt", -5L, 5L, Seq("v")).count() == 0)
+    assert(AsOf.bandJoin(l.limit(0), r, Seq("key"), "lt", "rt", -5L, 5L, Seq("v")).count() == 0)
+  }
+}
