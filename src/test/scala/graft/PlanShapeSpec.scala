@@ -164,4 +164,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"LSH must bucket-join, not nested-loop:\n$plan")
   }
+
+  test("as-of joins with no join operator; band join never nested-loops") {
+    val asof = RelationalQueries.queries("q21_asof_join")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    // the registered query's only joins are its own window machinery —
+    // the as-of itself is a union + running window, not a join
+    assert(!asof.contains("NestedLoop") && !asof.contains("CartesianProduct"),
+      s"as-of must not nested-loop:\n$asof")
+    val band = RelationalQueries.queries("q22_band_join")(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(!band.contains("NestedLoop") && !band.contains("CartesianProduct"),
+      s"band join must stay an equi-join:\n$band")
+  }
+
+  test("classifier scoring shuffles (id, weight) pairs, never text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val plan = prepared(OpsQueries.queries("t11_quality_classifier")(spark, sfSmoke))
+    plan.foreach {
+      case e: ShuffleExchangeExec =>
+        assert(!e.output.exists(a => a.dataType == StringType),
+          s"strings cross the classifier shuffle:\n${e.treeString}")
+      case _ =>
+    }
+  }
 }
