@@ -24,10 +24,11 @@ import org.apache.spark.sql.types.StructType
   *
   * Skew note (100 TB): both partition by the equi-key (+ bucket for the
   * band join). A single pathological key (one user with billions of
-  * events) serializes in the as-of's window sort; the band join already
-  * sub-partitions hot keys by time bucket. For as-of under that skew,
-  * pre-chunk by coarse time range and carry each chunk's last state
-  * forward (two-phase prefix pattern, as in [[Packing.packSequences]]).
+  * events) serializes in [[asofBackward]]'s window sort; the band join
+  * already sub-partitions hot keys by time bucket, and
+  * [[asofBackwardChunked]] is the skew-hardened as-of — identical output
+  * (equivalence-tested across chunk widths), windows bounded by chunk
+  * density, cross-chunk state carried on per-chunk summaries.
   */
 object AsOf {
 
@@ -68,6 +69,83 @@ object AsOf {
     l.unionByName(r, allowMissingColumns = true)
       .withColumn("_m", last(col("_pay"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
+      .select(left.columns.map(col) ++
+        payload.map(p => col("_m").getField(p).as(prefix + p)): _*)
+  }
+
+  /** Skew-hardened [[asofBackward]]: identical output, but no per-key
+    * serialization. A key with billions of rows makes the plain as-of's
+    * window partition a single sorted run on one task; here rows are
+    * windowed per (key, time-chunk) — bounded by chunk density — and
+    * cross-chunk carry-forward happens on per-chunk SUMMARIES (one row
+    * per key per chunk with rights), which are orders of magnitude
+    * smaller than the raw stream:
+    *
+    *   1. within-chunk as-of (the plain union+window, partitioned by
+    *      (keys, chunk));
+    *   2. per-(key, chunk) last-right summary via max(struct(t, tie,
+    *      payload)) — a groupBy, no sort;
+    *   3. a window over the chunk AXIS (distinct (key, chunk) from both
+    *      sides) takes the latest summary strictly before each chunk;
+    *   4. unmatched left rows coalesce to their chunk's carried summary.
+    *
+    * `chunkWidth` is in time units; pick it so one chunk of the hottest
+    * key fits a task (e.g. an hour of events). */
+  def asofBackwardChunked(left: DataFrame, right: DataFrame, keys: Seq[String],
+                          leftTime: String, rightTime: String, rightTie: String,
+                          payload: Seq[String], chunkWidth: Long,
+                          prefix: String = "asof_"): DataFrame = {
+    require(chunkWidth > 0, s"chunkWidth must be positive: $chunkWidth")
+    val keyCols = keys.map(col)
+    val payStruct = struct(payload.map(col): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).cast("long").as("_t"),
+        lit(0).as("_side"),
+        col(rightTie).cast("long").as("_tie"),
+        payStruct.as("_pay")): _*)
+      .withColumn("_ck", floorDiv("_t", 0L, chunkWidth))
+    val payType = r.schema("_pay").dataType.asInstanceOf[StructType]
+    val l = left
+      .withColumn("_t", col(leftTime).cast("long"))
+      .withColumn("_side", lit(1))
+      .withColumn("_tie", lit(null).cast("long"))
+      .withColumn("_pay", lit(null).cast(payType))
+      .withColumn("_ck", floorDiv("_t", 0L, chunkWidth))
+
+    // 1. within-chunk running match (same ordering contract as the plain
+    // as-of, partition bounded by chunk density, never by key volume)
+    val wChunk = Window.partitionBy((keyCols :+ col("_ck")): _*)
+      .orderBy(col("_t").asc, col("_side").asc, col("_tie").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inChunk = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_m1", last(col("_pay"), ignoreNulls = true).over(wChunk))
+      .filter(col("_side") === 1)
+
+    // 2. last right per (key, chunk): lexicographic max over (t, tie,
+    // payload) — (t, tie) already orders rights totally, payload never
+    // decides
+    val summaries = r.groupBy((keyCols :+ col("_ck")): _*)
+      .agg(max(struct(col("_t"), col("_tie"), col("_pay"))).as("_lastr"))
+
+    // 3. carry the latest summary STRICTLY before each chunk along the
+    // chunk axis (axis includes right-less left chunks, so every left row
+    // finds its carry row)
+    val axis = l.select((keyCols :+ col("_ck")): _*).distinct()
+      .unionByName(summaries.select((keyCols :+ col("_ck")): _*))
+      .distinct()
+    val wAxis = Window.partitionBy(keyCols: _*).orderBy(col("_ck").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carried = axis
+      .join(summaries, keys :+ "_ck", "left")
+      .withColumn("_prev", last(col("_lastr"), ignoreNulls = true).over(wAxis))
+      .select((keyCols :+ col("_ck") :+
+        col("_prev").getField("_pay").as("_x")): _*)
+
+    // 4. resolve: in-chunk match wins (it is later by construction)
+    inChunk
+      .join(carried, keys :+ "_ck", "left")
+      .withColumn("_m", coalesce(col("_m1"), col("_x")))
       .select(left.columns.map(col) ++
         payload.map(p => col("_m").getField(p).as(prefix + p)): _*)
   }

@@ -69,6 +69,42 @@ class AsOfSpec extends SparkSpec {
     assert(got == Set((1L, 10L), (2L, 11L), (2L, 12L)))
   }
 
+  test("chunked as-of equals the plain as-of for every chunk width") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val l = (1 to 400).map(i =>
+      (i.toLong, s"k${rnd.nextInt(4)}", rnd.nextLong(5000))).toDF("lid", "key", "lt")
+    val r = (1 to 400).map(i =>
+      (i.toLong + 1000, s"k${rnd.nextInt(4)}", rnd.nextLong(5000), rnd.nextDouble()))
+      .toDF("rid", "key", "rt", "v")
+    val want = AsOf.asofBackward(l, r, Seq("key"), "lt", "rt", "rid",
+        payload = Seq("rid", "v"))
+      .select("lid", "asof_rid").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+    for (width <- Seq(1L, 7L, 100L, 5000L, 1000000L)) {
+      val got = AsOf.asofBackwardChunked(l, r, Seq("key"), "lt", "rt", "rid",
+          payload = Seq("rid", "v"), chunkWidth = width)
+        .select("lid", "asof_rid").collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+      assert(got == want, s"chunk width $width diverges: " +
+        s"${(got -- want).take(5)} extra, ${(want -- got).take(5)} missing")
+    }
+  }
+
+  test("chunked as-of: equal-time tie within chunk and exactly-at-boundary rights") {
+    import spark.implicits._
+    val l = Seq((1L, "k", 10L), (2L, "k", 20L)).toDF("lid", "key", "lt")
+    val r = Seq(
+      (10L, "k", 10L, 1.0),  // equal time to lid=1, chunk boundary at width 10
+      (11L, "k", 19L, 2.0),
+      (12L, "k", 19L, 3.0)   // tie -> rid 12
+    ).toDF("rid", "key", "rt", "v")
+    val got = AsOf.asofBackwardChunked(l, r, Seq("key"), "lt", "rt", "rid",
+        payload = Seq("rid"), chunkWidth = 10L)
+      .orderBy("lid").select("lid", "asof_rid").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10L), (2L, 12L)))
+  }
+
   test("asof plans one exchange; band join plans a shuffled equi-join") {
     val asofPlan = AsOf.asofBackward(lefts, rights, Seq("key"), "lt", "rt", "rid",
       payload = Seq("v")).queryExecution.executedPlan.toString
