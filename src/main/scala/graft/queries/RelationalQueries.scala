@@ -267,6 +267,22 @@ object RelationalQueries extends QueryPack {
           "click_ts_us", "ts_us", lower = -3600000000L, upper = 0L,
           payload = Seq("event_id", "value"), prefix = "view_")
         .orderBy("click_id", "view_event_id")
+    }),
+
+    // offset windows (lead/lag): per-user session deltas. Ordering is
+    // total — (ts_us, event_id) — so offsets are deterministic; values
+    // pass through untouched (exact doubles, no arithmetic).
+    "q23_lead_lag" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("ts DIV 1000").as("ts_us"), col("event_type"), col("value"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("gap_us"))
+        .orderBy("event_id")
     })
   )
 
@@ -451,6 +467,17 @@ object RelationalQueries extends QueryPack {
                 v.event_id AS view_event_id, v.value AS view_value
          FROM clicks c JOIN views v ON c.user_id = v.user_id
            AND v.ts_us BETWEEN c.click_ts_us - 3600000000 AND c.click_ts_us
-         ORDER BY c.click_id, view_event_id"""
+         ORDER BY c.click_id, view_event_id""",
+
+    "q23_lead_lag" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                            event_type, value FROM events)
+         SELECT event_id, user_id, ts_us,
+           lag(value, 1) OVER w AS prev_value,
+           lead(event_type, 1) OVER w AS next_type,
+           ts_us - lag(ts_us, 1) OVER w AS gap_us
+         FROM ev
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)
+         ORDER BY event_id"""
   )
 }
