@@ -45,7 +45,24 @@ object AsOf {
     * must not collide with left columns after prefixing. */
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTime: String, rightTime: String, rightTie: String,
-                   payload: Seq[String], prefix: String = "asof_"): DataFrame = {
+                   payload: Seq[String], prefix: String = "asof_"): DataFrame =
+    asofDirected(left, right, keys, leftTime, rightTime, rightTie, payload,
+      prefix, forward = false)
+
+  /** Forward as-of LEFT join: the single right row with the SMALLEST
+    * (rightTime, rightTie) such that `right.rightTime >= left.leftTime` —
+    * "the next reading at or after this event". Same machinery as
+    * [[asofBackward]] with the scan direction reversed. */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTime: String, rightTime: String, rightTie: String,
+                  payload: Seq[String], prefix: String = "asof_"): DataFrame =
+    asofDirected(left, right, keys, leftTime, rightTime, rightTie, payload,
+      prefix, forward = true)
+
+  private def asofDirected(left: DataFrame, right: DataFrame, keys: Seq[String],
+                           leftTime: String, rightTime: String, rightTie: String,
+                           payload: Seq[String], prefix: String,
+                           forward: Boolean): DataFrame = {
     val payStruct = struct(payload.map(col): _*)
     val r = right.select(
       keys.map(col) ++ Seq(
@@ -59,12 +76,17 @@ object AsOf {
       .withColumn("_side", lit(1))
       .withColumn("_tie", lit(null).cast("long"))
       .withColumn("_pay", lit(null).cast(payType))
-    // rights sort before lefts at equal time (_side 0 < 1), so "<=" holds;
-    // among equal-time rights the larger tie comes last and wins `last`.
-    // The running frame is computed incrementally by Spark's
-    // UnboundedPreceding window frame — O(1) per row after the sort.
+    // Backward: ascending time scan, rights before lefts at equal time
+    // (_side 0 < 1) so "<=" holds, larger tie later — the running `last`
+    // is the greatest (t, tie) <= lt. Forward: time (and tie) DESCENDING,
+    // so the running `last` is the smallest (t, tie) >= lt. Either way
+    // the UnboundedPreceding frame is computed incrementally — O(1) per
+    // row after the sort.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t").asc, col("_side").asc, col("_tie").asc_nulls_first)
+      .orderBy(
+        (if (forward) col("_t").desc else col("_t").asc),
+        col("_side").asc,
+        (if (forward) col("_tie").desc_nulls_first else col("_tie").asc_nulls_first))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
       .withColumn("_m", last(col("_pay"), ignoreNulls = true).over(w))

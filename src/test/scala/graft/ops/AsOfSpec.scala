@@ -69,6 +69,28 @@ class AsOfSpec extends SparkSpec {
     assert(got == Set((1L, 10L), (2L, 11L), (2L, 12L)))
   }
 
+  test("asofForward: earliest at-or-after right, smallest tie, null when none") {
+    val got = AsOf.asofForward(lefts, rights, Seq("key"), "lt", "rt", "rid",
+        payload = Seq("rid", "v"), prefix = "m_")
+      .orderBy("lid")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, 10L, 1.0),   // rt=100 >= lt=100 counts (equal time)
+      (2L, null, null), // nothing at or after 200
+      (3L, 10L, 1.0),   // earliest a-right after 50 is t=100
+      (4L, 13L, 4.0),   // b-right at 101 >= 100
+      (5L, null, null)  // key with no rights
+    ))
+    // tie at equal time: SMALLEST rid wins going forward
+    val tied = AsOf.asofForward(
+      Seq((1L, "a", 120L)).toDF("lid", "key", "lt"),
+      rights, Seq("key"), "lt", "rt", "rid", payload = Seq("rid"))
+      .collect()(0).getLong(3)
+    assert(tied == 11L)
+  }
+
   test("chunked as-of equals the plain as-of for every chunk width") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
