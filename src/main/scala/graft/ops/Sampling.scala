@@ -68,4 +68,40 @@ object Sampling {
       when(h < lit(cut), lit(label)).otherwise(acc)
     }
   }
+
+  /** Deterministic corpus shuffle with explicit positions: every row gets
+    * its 0-based rank in the global (md5(key||salt), key) ordering — a
+    * reproducible random permutation for training-data export, identical
+    * across runs, engines, partitionings, and cluster sizes.
+    *
+    * Scale shape: the naive spelling is `row_number() OVER (ORDER BY
+    * hash)` — one global sort partition. Instead the hash's first 8 hex
+    * chars (uniform over 2^32) are range-grouped; per-group counts are
+    * prefix-summed on the driver (O(groups) rows, like
+    * [[Packing.packSequences]]); positions are the broadcast group offset
+    * plus a partition-local rank. Lexicographic order of the full 32-hex
+    * digest equals numeric order of its top-32-bit prefix groups, so
+    * cross-group ordering is exact; (hash, key) breaks intra-group ties
+    * totally. Output: `df` plus a `position` long column. */
+  def shuffleIndex(df: DataFrame, key: Column, salt: String = "graft",
+                   numGroups: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val groups = if (numGroups > 0) numGroups
+      else math.max(spark.sparkContext.defaultParallelism, 1)
+    val span = math.max((1L << 32) / groups, 1L)
+    val withHash = df
+      .withColumn("_h", md5(concat(key.cast("string"), lit(salt))))
+      .withColumn("_g",
+        expr(s"CAST(conv(substring(_h, 1, 8), 16, 10) AS BIGINT) DIV $span"))
+    val totals = withHash.groupBy("_g").agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val prefix = totals.map(_._2).scanLeft(0L)(_ + _)
+    import spark.implicits._
+    val offDf = totals.map(_._1).zip(prefix).toSeq.toDF("_g", "_goff")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_g").orderBy(col("_h"), key)
+    withHash.join(broadcast(offDf), "_g")
+      .withColumn("position", row_number().over(w).cast("long") + col("_goff") - 1)
+      .drop("_h", "_g", "_goff")
+  }
 }

@@ -282,6 +282,14 @@ object OpsQueries extends QueryPack {
       Dedup.ngramDocFreq(Tables.documents(s, d), "text", n = 2, minDocs = 25)
         .orderBy("ngram")),
 
+    // deterministic corpus shuffle: every doc's 0-based rank in the
+    // global md5-hash order — a reproducible permutation computed with
+    // range-grouped prefix sums, never one global sort partition
+    "t12_shuffle" -> ((s, d) =>
+      Sampling.shuffleIndex(
+          Tables.documents(s, d).select(col("doc_id")), col("doc_id"))
+        .orderBy("doc_id")),
+
     // hashing-trick linear quality classifier (fastText-style filtering
     // shape): integer md5-bucket weights keep the per-doc sum exact, so
     // the mean-weight score is bit-identical across engines
@@ -553,6 +561,12 @@ object OpsQueries extends QueryPack {
            FROM docs)
          SELECT ngram, count(*) AS n_docs
          FROM sh GROUP BY 1 HAVING count(*) >= 25 ORDER BY ngram""",
+
+    "t12_shuffle" ->
+      """SELECT doc_id,
+           row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || 'graft'),
+                              doc_id) - 1 AS position
+         FROM documents ORDER BY doc_id""",
 
     "t11_quality_classifier" ->
       """WITH toks AS (

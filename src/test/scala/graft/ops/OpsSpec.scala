@@ -345,6 +345,26 @@ class OpsSpec extends SparkSpec {
     assert(kq.getDouble(0).isNaN && kq.getSeq[Byte](1) == Seq[Byte](0, 0))
   }
 
+  test("shuffleIndex equals the naive global-sort rank for any group count") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 500L).toDF("id")
+    val naive = df
+      .withColumn("h", md5(concat(col("id").cast("string"), lit("graft"))))
+      .withColumn("position",
+        row_number().over(Window.orderBy(col("h"), col("id"))).cast("long") - 1)
+      .select("id", "position").as[(Long, Long)].collect().toSet
+    for (g <- Seq(1, 3, 16, 1000)) {
+      val got = Sampling.shuffleIndex(df, col("id"), numGroups = g)
+        .select("id", "position").as[(Long, Long)].collect().toSet
+      assert(got == naive, s"numGroups=$g diverges")
+    }
+    // a permutation: positions are exactly 0..n-1
+    assert(naive.map(_._2) == (0L until 500L).toSet)
+    // total on empty input
+    assert(Sampling.shuffleIndex(df.limit(0), col("id")).count() == 0)
+  }
+
   test("linear classifier scores: weight table, unknown-token zero, exact means") {
     import spark.implicits._
     val docs = Seq(
