@@ -47,9 +47,11 @@ object CurationPipeline {
              idCol: String = "doc_id", textCol: String = "text",
              langCol: String = "lang",
              cfg: Config = Config()): DataFrame = {
-    // 1. exact dedup: min-id survivor per normalized-content fingerprint
-    val exact = Dedup.exactDedup(
-      docs, TextAnalysis.fingerprintMd5(col(textCol)), col(idCol))
+    // 1. exact dedup: min-id survivor per normalized-content fingerprint.
+    // The anti-join form shuffles only (fingerprint, id) pairs — the
+    // window form would move every document body through the exchange
+    val exact = Dedup.exactDedupAnti(
+      docs, TextAnalysis.fingerprintMd5(col(textCol)), idCol)
 
     // 2. near-dup dedup (LSH pairs -> components -> min-id survivor)
     val uniq = Dedup.nearDupDedup(exact, idCol, textCol, cfg.nearDupThreshold)

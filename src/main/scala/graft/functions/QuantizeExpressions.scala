@@ -42,8 +42,15 @@ case class QuantizeInt8(child: Expression)
 
   override def prettyName: String = "graft_quantize_int8"
 
+  // never null: a null input maps to struct(null, null), like the HOF
+  override def nullable: Boolean = false
+
   override def evalChild(childValue: AnyRef): AnyRef = {
-    if (childValue == null) return null
+    // null vector -> struct(null, null), matching the HOF oracle: struct()
+    // over null-yielding children is a NON-null row of null fields, so the
+    // kernel must not collapse it to a null struct (isNull / non-null
+    // counts would diverge between the two formulations)
+    if (childValue == null) return new GenericInternalRow(Array[Any](null, null))
     val v = childValue.asInstanceOf[ArrayData]
     val n = v.numElements()
 

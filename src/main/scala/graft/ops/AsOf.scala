@@ -66,13 +66,13 @@ object AsOf {
     val payStruct = struct(payload.map(col): _*)
     val r = right.select(
       keys.map(col) ++ Seq(
-        col(rightTime).cast("long").as("_t"),
+        timeAsLong(right, rightTime).as("_t"),
         lit(0).as("_side"),
         col(rightTie).cast("long").as("_tie"),
         payStruct.as("_pay")): _*)
     val payType = r.schema("_pay").dataType.asInstanceOf[StructType]
     val l = left
-      .withColumn("_t", col(leftTime).cast("long"))
+      .withColumn("_t", timeAsLong(left, leftTime))
       .withColumn("_side", lit(1))
       .withColumn("_tie", lit(null).cast("long"))
       .withColumn("_pay", lit(null).cast(payType))
@@ -122,14 +122,14 @@ object AsOf {
     val payStruct = struct(payload.map(col): _*)
     val r = right.select(
       keys.map(col) ++ Seq(
-        col(rightTime).cast("long").as("_t"),
+        timeAsLong(right, rightTime).as("_t"),
         lit(0).as("_side"),
         col(rightTie).cast("long").as("_tie"),
         payStruct.as("_pay")): _*)
       .withColumn("_ck", floorDiv("_t", 0L, chunkWidth))
     val payType = r.schema("_pay").dataType.asInstanceOf[StructType]
     val l = left
-      .withColumn("_t", col(leftTime).cast("long"))
+      .withColumn("_t", timeAsLong(left, leftTime))
       .withColumn("_side", lit(1))
       .withColumn("_tie", lit(null).cast("long"))
       .withColumn("_pay", lit(null).cast(payType))
@@ -188,13 +188,13 @@ object AsOf {
     val width = math.max(upper - lower, 1L)
     val r = right.select(
       keys.map(col) ++ Seq(
-        col(rightTime).cast("long").as("_rt"),
+        timeAsLong(right, rightTime).as("_rt"),
         struct(payload.map(col): _*).as("_pay")): _*)
       .withColumn("_bucket", floorDiv("_rt", 0L, width))
     // a width-sized band starting at lt+lower overlaps exactly the buckets
     // of its two endpoints (they differ by at most 1)
     val l = left
-      .withColumn("_lt", col(leftTime).cast("long"))
+      .withColumn("_lt", timeAsLong(left, leftTime))
       .withColumn("_bucket", explode(array_distinct(array(
         floorDiv("_lt", lower, width),
         floorDiv("_lt", upper, width)))))
@@ -203,6 +203,21 @@ object AsOf {
       .select(left.columns.map(col) ++
         payload.map(p => col("_pay").getField(p).as(prefix + p)): _*)
   }
+
+  /** Time column → long. A bare cast('long') on TimestampType truncates
+    * to whole SECONDS — a right row 850 ms in the future would match a
+    * backward as-of — so timestamps convert via unix_micros (µs). Longs
+    * and other numerics pass through the cast; the caller owns unit
+    * agreement between the two sides (timestamps are always µs). */
+  private def timeAsLong(df: DataFrame, c: String) =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case t @ (org.apache.spark.sql.types.TimestampNTZType |
+                org.apache.spark.sql.types.DateType) =>
+        throw new IllegalArgumentException(
+          s"convert $c ($t) to TimestampType or an epoch long first")
+      case _ => col(c).cast("long")
+    }
 
   /** floor((col + off) / d) in pure LONG arithmetic. SQL DIV truncates
     * toward zero (mis-buckets negative times, so adjust by the remainder

@@ -27,10 +27,28 @@ object Dedup {
     df.groupBy(key.as("dup_key"))
       .agg(min(idCol).as("survivor_id"), count(lit(1)).as("group_size"))
 
-  /** Drop exact duplicates, keeping the row with the smallest id per key. */
+  /** Drop exact duplicates, keeping the row with the smallest id per key.
+    *
+    * Window formulation: the exchange carries FULL rows partitioned by
+    * the key. Right when rows are narrow; for wide rows (document text)
+    * use [[exactDedupAnti]], which shuffles only (key, id) pairs. */
   def exactDedup(df: DataFrame, key: Column, idCol: Column): DataFrame = {
     val w = Window.partitionBy(key).orderBy(idCol.asc)
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** [[exactDedup]] for WIDE rows: the loser set (every id that is not
+    * its key group's minimum) is computed from a narrow (key, id)
+    * projection — only those pairs shuffle — and anti-joined back, so
+    * document bodies never cross an exchange. Losers are a small
+    * fraction of a real corpus, so the anti-join broadcasts under AQE. */
+  def exactDedupAnti(df: DataFrame, key: Column, idCol: String): DataFrame = {
+    val pairs = df.select(key.as("_k"), col(idCol).as("_id"))
+    val losers = pairs
+      .join(pairs.groupBy("_k").agg(min(col("_id")).as("_survivor")), "_k")
+      .filter(col("_id") =!= col("_survivor"))
+      .select(col("_id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
   }
 
   // ---- shingles + exact jaccard -------------------------------------------
@@ -260,12 +278,22 @@ object Dedup {
     // join per round.
     // Decimal sum: node ids are unbounded at scale, so a Long sum of 10^12
     // labels could wrap and fake a stall.
-    // coalesce to 0: sum over an EMPTY label frame is NULL, and an empty
-    // pair graph (a corpus with no near-dups at all) is a legitimate
-    // input, not a crash
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("component").cast("decimal(38,0)")))
-        .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+    // A NULL sum means either an EMPTY label frame (a corpus with no
+    // near-dups — legitimate, treated as zero so the loop converges
+    // immediately) or NON-NUMERIC ids whose decimal cast nulled out —
+    // which must fail loudly: silently treating it as zero would fake
+    // convergence after one round and return wrong components.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val row = df.agg(
+        sum(col("component").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n")).head
+      Option(row.getDecimal(0)).getOrElse {
+        require(row.getLong(1) == 0L,
+          "connectedComponents requires numeric node ids (the decimal cast " +
+            "of a label returned null on a non-empty graph)")
+        java.math.BigDecimal.ZERO
+      }
+    }
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false

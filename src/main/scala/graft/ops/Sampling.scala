@@ -94,7 +94,14 @@ object Sampling {
       .withColumn("_g",
         expr(s"CAST(conv(substring(_h, 1, 8), 16, 10) AS BIGINT) DIV $span"))
     val totals = withHash.groupBy("_g").agg(count(lit(1)).as("_n"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .collect().map { r =>
+        // a null group means null KEYS (md5 of null is null): a permutation
+        // position is undefined for an identity-less row — fail loudly
+        // instead of NPE-ing here or silently dropping rows in the join
+        require(!r.isNullAt(0),
+          s"shuffleIndex requires non-null keys (${r.getLong(1)} null-key rows)")
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
     val prefix = totals.map(_._2).scanLeft(0L)(_ + _)
     import spark.implicits._
     val offDf = totals.map(_._1).zip(prefix).toSeq.toDF("_g", "_goff")

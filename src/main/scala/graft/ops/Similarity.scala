@@ -154,11 +154,15 @@ object Similarity {
     val centroids = trainCentroids(corpus, vecCol, nlist, lloydIters, sampleSize, seed)
     // an EMPTY corpus (e.g. a filtered-to-nothing pipeline stage) has no
     // quantizer to train and no neighbours to return — empty result, not
-    // a crash; the sample collect above already paid the emptiness check
+    // a crash; the sample collect above already paid the emptiness check.
+    // Built through rankTopK on an empty scored frame so the id columns
+    // keep idCol's ACTUAL type (a hardcoded bigint schema would diverge
+    // from the non-empty path and break per-shard unions on string ids).
     if (centroids.isEmpty) {
-      import corpus.sparkSession.implicits._
-      return Seq.empty[(Long, Long, Double, Int)]
-        .toDF("query_id", "neighbor_id", "cosine", "rank")
+      val scored0 = queries.select(col(idCol).as("query_id")).limit(0)
+        .crossJoin(corpus.select(col(idCol).as("neighbor_id")).limit(0))
+        .withColumn("cosine", lit(0.0))
+      return rankTopK(scored0, k)
     }
 
     // cell assignment is a narrow map (one kernel pass over the broadcast

@@ -127,6 +127,34 @@ class AsOfSpec extends SparkSpec {
     assert(got == Seq((1L, 10L), (2L, 12L)))
   }
 
+  test("timestamp columns keep sub-second precision (µs, not a seconds cast)") {
+    import spark.implicits._
+    // right row 850ms AFTER the left row, same wall-clock second: a
+    // seconds-truncating cast would make it "preceding" and match
+    val l = Seq((1L, "k", "2024-01-01 10:00:01.100"))
+      .toDF("lid", "key", "ts").selectExpr("lid", "key", "CAST(ts AS TIMESTAMP) AS lt")
+    val r = Seq(
+      (10L, "k", "2024-01-01 10:00:01.950", 1.0),
+      (11L, "k", "2024-01-01 10:00:00.900", 2.0))
+      .toDF("rid", "key", "ts", "v")
+      .selectExpr("rid", "key", "CAST(ts AS TIMESTAMP) AS rt", "v")
+    val got = AsOf.asofBackward(l, r, Seq("key"), "lt", "rt", "rid",
+      payload = Seq("rid"))
+    assert(got.collect()(0).getLong(3) == 11L,
+      "backward as-of matched a right row from the future")
+    val fwd = AsOf.asofForward(l, r, Seq("key"), "lt", "rt", "rid",
+      payload = Seq("rid"))
+    assert(fwd.collect()(0).getLong(3) == 10L)
+    val band = AsOf.bandJoin(l, r, Seq("key"), "lt", "rt",
+      lower = -500000L, upper = 0L, payload = Seq("rid")) // preceding 500ms
+    assert(band.select("band_rid").as[Long].collect().toSeq == Seq(11L))
+    // dates must be converted by the caller, not silently second-cast
+    val dl = l.selectExpr("lid", "key", "CAST(lt AS DATE) AS lt")
+    intercept[IllegalArgumentException] {
+      AsOf.asofBackward(dl, r, Seq("key"), "lt", "rt", "rid", payload = Seq("rid"))
+    }
+  }
+
   test("asof plans one exchange; band join plans a shuffled equi-join") {
     val asofPlan = AsOf.asofBackward(lefts, rights, Seq("key"), "lt", "rt", "rid",
       payload = Seq("v")).queryExecution.executedPlan.toString

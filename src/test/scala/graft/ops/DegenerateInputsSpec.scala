@@ -46,6 +46,14 @@ class DegenerateInputsSpec extends SparkSpec {
     assert(Similarity.quantizedTopK(someVecs, emptyVecs, "vec_id", "embedding", 1).count() == 0)
     assert(Similarity.ivfTopK(emptyVecs, someVecs, "vec_id", "embedding", 1).count() == 0)
     assert(Similarity.ivfTopK(someVecs, emptyVecs, "vec_id", "embedding", 1).count() == 0)
+    // the empty-corpus short-circuit must produce the same schema as the
+    // non-empty path (built through the same rankTopK), or per-shard
+    // unions break exactly when one shard is empty
+    val emptySchema =
+      Similarity.ivfTopK(emptyVecs, someVecs, "vec_id", "embedding", 1).schema
+    val fullSchema =
+      Similarity.ivfTopK(someVecs, someVecs, "vec_id", "embedding", 1).schema
+    assert(emptySchema == fullSchema, s"$emptySchema vs $fullSchema")
     assert(Similarity.cosineNearDupPairs(emptyVecs, "vec_id", "embedding").count() == 0)
   }
 

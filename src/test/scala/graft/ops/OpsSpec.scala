@@ -324,6 +324,8 @@ class OpsSpec extends SparkSpec {
     val df = rows.toDF("id", "v")
       .unionByName(Seq(905L).toDF("id")      // null element mid-array
         .selectExpr("id", "array(1.0, cast(null as double), -2.0) as v"))
+      .unionByName(Seq(907L).toDF("id")      // null VECTOR -> struct(null, null)
+        .selectExpr("id", "cast(null as array<double>) as v"))
     val both = df.select(col("id"),
         Similarity.quantizeInt8(col("v")).as("k"),
         Similarity.quantizeInt8Hof(col("v")).as("h"))
@@ -363,6 +365,37 @@ class OpsSpec extends SparkSpec {
     assert(naive.map(_._2) == (0L until 500L).toSet)
     // total on empty input
     assert(Sampling.shuffleIndex(df.limit(0), col("id")).count() == 0)
+    // null keys have no position: loud error, not an NPE or silent drop
+    val withNull = df.selectExpr("CASE WHEN id = 7 THEN NULL ELSE id END AS id")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.shuffleIndex(withNull, col("id")).count()
+    }
+    assert(e.getMessage.contains("non-null keys"))
+  }
+
+  test("exactDedupAnti equals the window exactDedup and keeps min ids") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aaa"), (5L, "aaa"), (3L, "aaa"),
+      (2L, "bbb"), (4L, "ccc"), (6L, "ccc")).toDF("doc_id", "text")
+    val anti = Dedup.exactDedupAnti(df, col("text"), "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val win = Dedup.exactDedup(df, col("text"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(anti == Set(1L, 2L, 4L) && anti == win)
+  }
+
+  test("connectedComponents rejects non-numeric ids loudly") {
+    import spark.implicits._
+    val pairs = Seq(("id1", "id5"), ("id5", "id3")).toDF("id_a", "id_b")
+    val e = intercept[Exception] {
+      Dedup.connectedComponents(pairs, "id_a", "id_b").count()
+    }
+    // ANSI sessions throw on the malformed decimal cast itself; the
+    // labelSum require covers non-ANSI sessions where the cast nulls out
+    // (silent fake convergence otherwise). Either way: loud, never wrong.
+    assert(e.getMessage.contains("numeric node ids") ||
+      e.getMessage.contains("CAST_INVALID_INPUT"))
   }
 
   test("linear classifier scores: weight table, unknown-token zero, exact means") {
