@@ -282,6 +282,23 @@ object OpsQueries extends QueryPack {
       Dedup.ngramDocFreq(Tables.documents(s, d), "text", n = 2, minDocs = 25)
         .orderBy("ngram")),
 
+    // group-wise top-k selection (data mixing: best docs per language by
+    // quality score) via the bounded topk aggregate — candidates collapse
+    // map-side to k per group per task, versus a window that shuffles and
+    // sorts every row
+    "t13_topk_per_lang" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .groupBy("lang")
+        .agg(graft.functions.TopKAggregate.topk(
+          col("quality"), col("doc_id"), 3).as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("pos", "c")))
+        .select(col("lang"), col("c.id").as("doc_id"),
+          col("c.score").as("quality"), (col("pos") + 1).as("rank"))
+        .orderBy("lang", "rank")
+    }),
+
     // deterministic corpus shuffle: every doc's 0-based rank in the
     // global md5-hash order — a reproducible permutation computed with
     // range-grouped prefix sums, never one global sort partition
@@ -567,6 +584,24 @@ object OpsQueries extends QueryPack {
            row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || 'graft'),
                               doc_id) - 1 AS position
          FROM documents ORDER BY doc_id""",
+
+    // quality subexpression mirrors t01's (t01 pins the doubles match)
+    "t13_topk_per_lang" ->
+      """WITH q AS (
+           SELECT lang, doc_id,
+             round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text), 4) * 0.4
+               + least(round(length(replace(text, ' ', '')) * 1.0 / len(string_split(trim(text), ' ')), 4) / 8.0, 1.0) * 0.3
+               + least(round(len(list_filter(string_split(trim(text), ' '),
+                   x -> list_contains(['the','a','an','and','or','of','to','in','is','was','it','for','on','with','as','by','at','this','that','be'], x))) * 1.0
+                   / len(string_split(trim(text), ' ')), 4) * 4.0, 1.0) * 0.3 AS quality
+           FROM documents),
+         r AS (
+           SELECT lang, doc_id, quality,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY quality DESC, doc_id) AS INT) AS rank
+           FROM q)
+         SELECT lang, doc_id, quality, rank FROM r
+         WHERE rank <= 3 ORDER BY lang, rank""",
 
     "t11_quality_classifier" ->
       """WITH toks AS (
