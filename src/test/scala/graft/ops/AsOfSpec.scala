@@ -91,6 +91,38 @@ class AsOfSpec extends SparkSpec {
     assert(tied == 11L)
   }
 
+  test("as-of joins match a brute-force reference under heavy time collisions") {
+    import spark.implicits._
+    // times drawn from a tiny range: many exact collisions, so the
+    // (time, tie) ordering contract is what decides most matches
+    val rnd = new scala.util.Random(31)
+    val lrows = (1 to 300).map(i => (i.toLong, s"k${rnd.nextInt(3)}", rnd.nextLong(20)))
+    val rrows = (1 to 300).map(i =>
+      (i.toLong + 1000, s"k${rnd.nextInt(3)}", rnd.nextLong(20), rnd.nextDouble()))
+    val l = lrows.toDF("lid", "key", "lt")
+    val r = rrows.toDF("rid", "key", "rt", "v")
+
+    def reference(forward: Boolean): Map[Long, Long] = lrows.map { case (lid, k, lt) =>
+      val cands = rrows.filter { case (_, rk, rt, _) =>
+        rk == k && (if (forward) rt >= lt else rt <= lt) }
+      val best =
+        if (cands.isEmpty) -1L
+        else if (forward) cands.minBy(c => (c._3, c._1))._1
+        else cands.maxBy(c => (c._3, c._1))._1
+      lid -> best
+    }.toMap
+
+    for (forward <- Seq(false, true)) {
+      val got = (if (forward)
+          AsOf.asofForward(l, r, Seq("key"), "lt", "rt", "rid", Seq("rid"))
+        else
+          AsOf.asofBackward(l, r, Seq("key"), "lt", "rt", "rid", Seq("rid")))
+        .select("lid", "asof_rid").collect()
+        .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+      assert(got == reference(forward), s"forward=$forward diverges from brute force")
+    }
+  }
+
   test("chunked as-of equals the plain as-of for every chunk width") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
