@@ -269,6 +269,32 @@ object RelationalQueries extends QueryPack {
         .orderBy("click_id", "view_event_id")
     }),
 
+    // discrete percentiles (p50/p90/p99 of value per event type): the
+    // emitted number is an actual member value selected by an integer
+    // index (smallest value with CDF >= p), so it is bit-identical across
+    // engines — interpolated percentiles differ by 1 ulp in op order.
+    // Exact quantiles need the per-group sort this window pays; at 100 TB
+    // the scale path is approx_percentile over the same grouping.
+    "q24_percentile_disc" -> ((s, d) => {
+      val byVal = Window.partitionBy("event_type")
+        .orderBy(col("value").asc, col("event_id").asc)
+      val all = Window.partitionBy("event_type")
+      Tables.events(s, d)
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("rn", row_number().over(byVal))
+        .withColumn("n", count(lit(1)).over(all))
+        .withColumn("c50", expr("(n + 1) DIV 2"))
+        .withColumn("c90", expr("(9 * n + 9) DIV 10"))
+        .withColumn("c99", expr("(99 * n + 99) DIV 100"))
+        .filter(col("rn") === col("c50") || col("rn") === col("c90") ||
+          col("rn") === col("c99"))
+        .withColumn("pct",
+          when(col("rn") === col("c50"), "p50")
+            .when(col("rn") === col("c90"), "p90").otherwise("p99"))
+        .select(col("event_type"), col("pct"), col("value"))
+        .orderBy("event_type", "pct")
+    }),
+
     // offset windows (lead/lag): per-user session deltas. Ordering is
     // total — (ts_us, event_id) — so offsets are deterministic; values
     // pass through untouched (exact doubles, no arithmetic).
@@ -468,6 +494,22 @@ object RelationalQueries extends QueryPack {
          FROM clicks c JOIN views v ON c.user_id = v.user_id
            AND v.ts_us BETWEEN c.click_ts_us - 3600000000 AND c.click_ts_us
          ORDER BY c.click_id, view_event_id""",
+
+    "q24_percentile_disc" ->
+      """WITH s AS (
+           SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+         SELECT event_type,
+           CASE WHEN rn = (n + 1) // 2 THEN 'p50'
+                WHEN rn = (9 * n + 9) // 10 THEN 'p90'
+                ELSE 'p99' END AS pct,
+           value
+         FROM s
+         WHERE rn IN ((n + 1) // 2, (9 * n + 9) // 10, (99 * n + 99) // 100)
+         ORDER BY event_type, pct""",
 
     "q23_lead_lag" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
