@@ -34,6 +34,29 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
   }
 
+  test("approx_percentile tracks the exact discrete percentiles (q24's scale path)") {
+    import org.apache.spark.sql.functions._
+    // q24's exact formulation needs a per-group sort; at 100 TB the same
+    // statistic comes from approx_percentile. Pin that the approximate
+    // answer lands within its accuracy contract of the exact one.
+    val exact = RelationalQueries.queries("q24_percentile_disc")(spark, sfSmoke)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val approx = graft.Tables.events(spark, sfSmoke)
+      .groupBy("event_type")
+      .agg(percentile_approx(col("value"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("p"))
+      .collect().flatMap { r =>
+        val ps = r.getSeq[Double](1)
+        Seq((r.getString(0), "p50") -> ps(0), (r.getString(0), "p90") -> ps(1),
+          (r.getString(0), "p99") -> ps(2))
+      }.toMap
+    for ((k, ex) <- exact) {
+      val ap = approx(k)
+      assert(math.abs(ap - ex) <= math.max(0.05 * math.abs(ex), 1e-9),
+        s"$k: approx $ap vs exact $ex")
+    }
+  }
+
   test("q02 pushes filters into the parquet scan") {
     val df = RelationalQueries.queries("q02_filter_project")(spark, sfSmoke)
     val scan = df.queryExecution.executedPlan.toString
