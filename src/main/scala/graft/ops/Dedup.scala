@@ -41,7 +41,14 @@ object Dedup {
     * its key group's minimum) is computed from a narrow (key, id)
     * projection — only those pairs shuffle — and anti-joined back, so
     * document bodies never cross an exchange. Losers are a small
-    * fraction of a real corpus, so the anti-join broadcasts under AQE. */
+    * fraction of a real corpus, so the anti-join broadcasts under AQE.
+    *
+    * Contract differences vs the window form: ids must be UNIQUE across
+    * the frame (the dedup family's standing contract — a duplicated id
+    * that loses in one key group would be anti-joined away everywhere);
+    * and NULL keys are kept as-is, each its own row (null content
+    * equality is unknowable), where the window form groups all nulls
+    * into one partition and collapses them. */
   def exactDedupAnti(df: DataFrame, key: Column, idCol: String): DataFrame = {
     val pairs = df.select(key.as("_k"), col(idCol).as("_id"))
     val losers = pairs
@@ -286,13 +293,15 @@ object Dedup {
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val row = df.agg(
         sum(col("component").cast("decimal(38,0)")).as("s"),
-        count(lit(1)).as("n")).head
-      Option(row.getDecimal(0)).getOrElse {
-        require(row.getLong(1) == 0L,
-          "connectedComponents requires numeric node ids (the decimal cast " +
-            "of a label returned null on a non-empty graph)")
-        java.math.BigDecimal.ZERO
-      }
+        count(lit(1)).as("n"),
+        // non-null casts: must equal n, or SOME id is non-numeric and the
+        // sum is blind to it (mixed numeric/string ids on a non-ANSI
+        // session would otherwise fake convergence; ANSI throws earlier)
+        count(col("component").cast("decimal(38,0)")).as("cast_ok")).head
+      require(row.getLong(2) == row.getLong(1),
+        "connectedComponents requires numeric node ids (the decimal cast " +
+          s"nulled ${row.getLong(1) - row.getLong(2)} of ${row.getLong(1)} labels)")
+      Option(row.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     }
     var prevSum = labelSum(labels)
     var iter = 0

@@ -155,9 +155,11 @@ object Similarity {
     // an EMPTY corpus (e.g. a filtered-to-nothing pipeline stage) has no
     // quantizer to train and no neighbours to return — empty result, not
     // a crash; the sample collect above already paid the emptiness check.
-    // Built through rankTopK on an empty scored frame so the id columns
-    // keep idCol's ACTUAL type (a hardcoded bigint schema would diverge
-    // from the non-empty path and break per-shard unions on string ids).
+    // Built through the same rankTopK as the non-empty path so column
+    // names, types, nullability, and metadata cannot drift between the
+    // two paths (per-shard unions break exactly when one shard is empty).
+    // Note ids must be long-castable either way: the top-k aggregate is
+    // (double, bigint)-typed.
     if (centroids.isEmpty) {
       val scored0 = queries.select(col(idCol).as("query_id")).limit(0)
         .crossJoin(corpus.select(col(idCol).as("neighbor_id")).limit(0))

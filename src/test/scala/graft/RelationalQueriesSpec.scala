@@ -37,23 +37,27 @@ class RelationalQueriesSpec extends SparkSpec {
   test("approx_percentile tracks the exact discrete percentiles (q24's scale path)") {
     import org.apache.spark.sql.functions._
     // q24's exact formulation needs a per-group sort; at 100 TB the same
-    // statistic comes from approx_percentile. Pin that the approximate
-    // answer lands within its accuracy contract of the exact one.
-    val exact = RelationalQueries.queries("q24_percentile_disc")(spark, sfSmoke)
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // statistic comes from approx_percentile. Its contract is RANK error
+    // (<= n/accuracy), not value error — adjacent order statistics can be
+    // far apart — so assert the approx value lies within a few ranks of
+    // the exact index in each group's sorted values.
+    val byGroup = graft.Tables.events(spark, sfSmoke)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getDouble(1)).sorted).toMap
     val approx = graft.Tables.events(spark, sfSmoke)
       .groupBy("event_type")
       .agg(percentile_approx(col("value"),
         array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("p"))
-      .collect().flatMap { r =>
-        val ps = r.getSeq[Double](1)
-        Seq((r.getString(0), "p50") -> ps(0), (r.getString(0), "p90") -> ps(1),
-          (r.getString(0), "p99") -> ps(2))
-      }.toMap
-    for ((k, ex) <- exact) {
-      val ap = approx(k)
-      assert(math.abs(ap - ex) <= math.max(0.05 * math.abs(ex), 1e-9),
-        s"$k: approx $ap vs exact $ex")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    for ((g, vals) <- byGroup; (p, i) <- Seq(0.5, 0.9, 0.99).zipWithIndex) {
+      val n = vals.length
+      val idx = math.ceil(p * n).toInt - 1              // q24's exact index
+      val allow = n / 10000 + 2                         // rank-error bound + slack
+      val (lo, hi) = (vals(math.max(0, idx - allow)), vals(math.min(n - 1, idx + allow)))
+      val ap = approx(g)(i)
+      assert(ap >= lo && ap <= hi,
+        s"$g p$p: approx $ap outside ranks [$lo, $hi] around exact ${vals(idx)}")
     }
   }
 
