@@ -269,6 +269,25 @@ object RelationalQueries extends QueryPack {
         .orderBy("click_id", "view_event_id")
     }),
 
+    // batch sessionization: 30-minute-gap session ids per user via a
+    // flag + running sum — two windows over one (user, time) sort, all
+    // integer arithmetic. The streaming analog lives in
+    // graft.streaming (mapGroupsWithState sessions).
+    "q25_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
+        .withColumn("new_s",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(w) > 1800000000L, 1L)
+            .when(lag(col("ts_us"), 1).over(w).isNull, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(run))
+        .select(col("event_id"), col("user_id"), col("session_id"))
+        .orderBy("event_id")
+    }),
+
     // discrete percentiles (p50/p90/p99 of value per event type): the
     // emitted number is an actual member value selected by an integer
     // index (smallest value with CDF >= p), so it is bit-identical across
@@ -494,6 +513,20 @@ object RelationalQueries extends QueryPack {
          FROM clicks c JOIN views v ON c.user_id = v.user_id
            AND v.ts_us BETWEEN c.click_ts_us - 3600000000 AND c.click_ts_us
          ORDER BY c.click_id, view_event_id""",
+
+    "q25_sessionize" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+         g AS (
+           SELECT event_id, user_id, ts_us,
+             CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                  WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+                  ELSE 0 END AS new_s
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+         SELECT event_id, user_id,
+           CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         FROM g ORDER BY event_id""",
 
     "q24_percentile_disc" ->
       """WITH s AS (
