@@ -23,9 +23,13 @@ object TextAnalysis {
   def tokenCountRegex(text: Column): Column =
     size(regexp_extract_all(text, lit("""[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""), lit(0)))
 
-  /** Fraction of characters that are ASCII letters, rounded to 4 places. */
+  /** Fraction of characters that are ASCII letters, rounded to 4 places.
+    * 0.0 for the empty string — the unguarded division throws
+    * DIVIDE_BY_ZERO under ANSI mode, so one empty document would kill a
+    * whole corpus scan (test data has no empties; real corpora do). */
   def alphaRatio(text: Column): Column =
-    round(length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / length(text), 4)
+    when(length(text) === 0, lit(0.0)).otherwise(
+      round(length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / length(text), 4))
 
   /** Within-document duplicate n-gram ratio — the Gopher-style repetition
     * quality signal (fraction of word n-gram occurrences that repeat an

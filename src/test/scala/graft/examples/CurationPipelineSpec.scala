@@ -76,6 +76,18 @@ class CurationPipelineSpec extends SparkSpec {
     assert(trainOnly.count() > 0)
   }
 
+  test("null and empty texts flow through curation without crashing") {
+    val withNulls = docs.unionByName(
+      Seq((200L, null.asInstanceOf[String], "en"), (201L, "", "en"))
+        .toDF("doc_id", "text", "lang"))
+    val out = CurationPipeline.curate(withNulls, benchmark)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    // both are junk by the quality gate, but the pipeline must be TOTAL:
+    // no stage may throw on a null/empty text
+    assert(!kept.contains(200L) && !kept.contains(201L))
+    assert(kept.contains(1L))
+  }
+
   test("real corpus smoke: sf0.001 documents flow through every stage") {
     val d = spark.read.parquet(s"$sfSmoke/documents.parquet")
       .select("doc_id", "text", "lang")
