@@ -25,7 +25,16 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity; 0.0 when either vector has zero magnitude —
+    * Spark 4's ANSI mode throws DIVIDE_BY_ZERO even on DOUBLE division,
+    * so an unguarded quotient lets one zero embedding kill a whole
+    * corpus-scale job. (Zero-norm rows never top a ranking at 0.0.) */
+  def cosine(a: Column, b: Column): Column =
+    safeCosine(dot(a, b), norm(a), norm(b))
+
+  /** dotv / (na * nb), guarded for zero norms (see [[cosine]]). */
+  private def safeCosine(dotv: Column, na: Column, nb: Column): Column =
+    when(na * nb === 0, lit(0.0)).otherwise(dotv / (na * nb))
 
   /** Top-k per query over scored (query_id, neighbor_id, cosine) triples,
     * emitted as (query_id, neighbor_id, cosine, rank).
@@ -66,7 +75,7 @@ object Similarity {
     val scored = c.crossJoin(q)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+        safeCosine(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
     rankTopK(scored, k)
   }
 
@@ -127,7 +136,7 @@ object Similarity {
       .join(qv, "query_id")
       .join(cv, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+        safeCosine(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
     rankTopK(scored, k)
   }
 
@@ -195,7 +204,7 @@ object Similarity {
       .join(qv, "query_id")
       .join(cv, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+        safeCosine(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
     rankTopK(scored, k)
   }
 
@@ -290,8 +299,8 @@ object Similarity {
     val approx = c.crossJoin(q)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (col("qs") * col("cs") * dotInt8(col("qq"), col("cq")) /
-          (col("qn") * col("cn"))).as("approx"))
+        safeCosine(col("qs") * col("cs") * dotInt8(col("qq"), col("cq")),
+          col("qn"), col("cn")).as("approx"))
     val candidates = approx.groupBy(col("query_id"))
       .agg(graft.functions.TopKAggregate.topk(
         col("approx"), col("neighbor_id"), k * overfetch).as("top"))
@@ -308,7 +317,7 @@ object Similarity {
       .join(qv, "query_id")
       .join(cv, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+        safeCosine(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
     rankTopK(scored, k)
   }
 

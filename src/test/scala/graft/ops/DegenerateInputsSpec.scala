@@ -57,6 +57,23 @@ class DegenerateInputsSpec extends SparkSpec {
     assert(Similarity.cosineNearDupPairs(emptyVecs, "vec_id", "embedding").count() == 0)
   }
 
+  test("zero-magnitude embeddings score 0.0 instead of killing the job") {
+    // Spark 4 ANSI throws DIVIDE_BY_ZERO even on double division; an
+    // unguarded cosine would crash every similarity path on the first
+    // all-zero embedding in a corpus
+    val withZero = someVecs.unionByName(
+      Seq((99L, Seq(0.0, 0.0))).toDF("vec_id", "embedding"))
+    val cos = withZero.select(col("vec_id"),
+        Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cos(99L) == 0.0 && cos(1L) == 1.0)
+    // end-to-end: brute force and quantized sweeps stay total
+    assert(Similarity.bruteForceTopK(withZero, withZero, "vec_id", "embedding", 1)
+      .count() > 0)
+    assert(Similarity.quantizedTopK(withZero, withZero, "vec_id", "embedding", 1)
+      .count() > 0)
+  }
+
   test("text analysis and packing: empty frames flow through") {
     assert(TextAnalysis.hashedLinearScore(emptyDocs, "doc_id", "text").count() == 0)
     assert(Packing.packSequences(
