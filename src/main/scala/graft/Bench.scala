@@ -58,10 +58,17 @@ object Bench {
       names.map { n => System.gc(); n -> runOnce(n) }.toMap
     val (p1, p2) = (timedPass(), timedPass())
     val results = names.map(n => n -> math.min(p1(n), p2(n)))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jsonMap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jsonMap(results)
+    // per-pass times ride along so a contended host is machine-detectable:
+    // uniform p1≈p2 inflation vs the previous round means the HOST was
+    // slow, not the code; a one-pass spike on one query is a stall
+    val passes = Seq(p1, p2)
+      .map(p => jsonMap(names.map(n => n -> p(n)))).mkString("[", ",", "]")
+    val passTotals = Seq(p1, p2).map(_.values.sum).mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_totals":$passTotals,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -32,6 +32,22 @@ import org.apache.spark.sql.types.StructType
   */
 object AsOf {
 
+  /** Working-column names the implementations inject via withColumn. A
+    * caller frame already owning one of these would be silently
+    * overwritten (and the final select(left.columns) would return the
+    * corrupted value), so every entry point rejects them up front. */
+  private val Reserved = Set(
+    "_t", "_side", "_tie", "_pay", "_m", "_m1", "_ck", "_lt", "_rt",
+    "_bucket", "_x", "_prev", "_lastp")
+
+  private def requireNoReserved(df: DataFrame, side: String): Unit = {
+    val clash = df.columns.filter(Reserved.contains)
+    require(clash.isEmpty,
+      s"$side frame uses reserved as-of working column name(s) " +
+        s"${clash.mkString(", ")} — rename them before joining " +
+        s"(reserved: ${Reserved.toSeq.sorted.mkString(", ")})")
+  }
+
   /** Backward as-of LEFT join: for each left row, the single right row
     * with the greatest (rightTime, rightTie) such that
     * `right.rightTime <= left.leftTime`, matched within equal `keys`.
@@ -63,6 +79,8 @@ object AsOf {
                            leftTime: String, rightTime: String, rightTie: String,
                            payload: Seq[String], prefix: String,
                            forward: Boolean): DataFrame = {
+    requireNoReserved(left, "left")
+    requireNoReserved(right, "right")
     val payStruct = struct(payload.map(col): _*)
     val r = right.select(
       keys.map(col) ++ Seq(
@@ -118,6 +136,8 @@ object AsOf {
                           payload: Seq[String], chunkWidth: Long,
                           prefix: String = "asof_"): DataFrame = {
     require(chunkWidth > 0, s"chunkWidth must be positive: $chunkWidth")
+    requireNoReserved(left, "left")
+    requireNoReserved(right, "right")
     val keyCols = keys.map(col)
     val payStruct = struct(payload.map(col): _*)
     val r = right.select(
@@ -144,11 +164,13 @@ object AsOf {
       .withColumn("_m1", last(col("_pay"), ignoreNulls = true).over(wChunk))
       .filter(col("_side") === 1)
 
-    // 2. last right per (key, chunk): lexicographic max over (t, tie,
-    // payload) — (t, tie) already orders rights totally, payload never
-    // decides
+    // 2. last right per (key, chunk): argmax payload by (t, tie). max_by
+    // keeps the payload OUT of the ordering, so unorderable payload types
+    // (maps) work here exactly as in the plain path; with duplicate
+    // (t, tie) rights the pick is arbitrary in both paths — (time, tie)
+    // should uniquely identify right rows for deterministic output
     val summaries = r.groupBy((keyCols :+ col("_ck")): _*)
-      .agg(max(struct(col("_t"), col("_tie"), col("_pay"))).as("_lastr"))
+      .agg(max_by(col("_pay"), struct(col("_t"), col("_tie"))).as("_lastp"))
 
     // 3. carry the latest summary STRICTLY before each chunk along the
     // chunk axis (axis includes right-less left chunks, so every left row
@@ -160,9 +182,8 @@ object AsOf {
       .rowsBetween(Window.unboundedPreceding, -1)
     val carried = axis
       .join(summaries, keys :+ "_ck", "left")
-      .withColumn("_prev", last(col("_lastr"), ignoreNulls = true).over(wAxis))
-      .select((keyCols :+ col("_ck") :+
-        col("_prev").getField("_pay").as("_x")): _*)
+      .withColumn("_prev", last(col("_lastp"), ignoreNulls = true).over(wAxis))
+      .select((keyCols :+ col("_ck") :+ col("_prev").as("_x")): _*)
 
     // 4. resolve: in-chunk match wins (it is later by construction)
     inChunk
@@ -185,6 +206,8 @@ object AsOf {
                lower: Long, upper: Long,
                payload: Seq[String], prefix: String = "band_"): DataFrame = {
     require(lower <= upper, s"empty band: [$lower, $upper]")
+    requireNoReserved(left, "left")
+    requireNoReserved(right, "right")
     val width = math.max(upper - lower, 1L)
     val r = right.select(
       keys.map(col) ++ Seq(

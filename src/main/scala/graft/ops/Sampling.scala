@@ -82,7 +82,15 @@ object Sampling {
     * plus a partition-local rank. Lexicographic order of the full 32-hex
     * digest equals numeric order of its top-32-bit prefix groups, so
     * cross-group ordering is exact; (hash, key) breaks intra-group ties
-    * totally. Output: `df` plus a `position` long column. */
+    * totally. Output: `df` plus a `position` long column.
+    *
+    * CONTRACT: `df` must be deterministic — the group-count pass and the
+    * final join are two separate Spark jobs, so a nondeterministic input
+    * (`.sample` without a seed, a source whose files change mid-run)
+    * can differ between them and yield gapped or duplicate positions
+    * instead of a permutation. Persist or localCheckpoint such inputs
+    * before calling (not done here unconditionally: materializing the
+    * full corpus to cache is exactly the cost this operator avoids). */
   def shuffleIndex(df: DataFrame, key: Column, salt: String = "graft",
                    numGroups: Int = 0): DataFrame = {
     val spark = df.sparkSession

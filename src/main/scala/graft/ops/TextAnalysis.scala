@@ -122,16 +122,22 @@ object TextAnalysis {
     */
   def hashedLinearScore(df: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String): org.apache.spark.sql.DataFrame =
-    df.select(col(idCol), explode(split(col(textCol), " ")).as("_tok"))
-      .select(col(idCol), hashTokenWeight(col("_tok")).as("_w"))
+    // explode_outer, not explode: a NULL text yields one null-token row,
+    // so the document survives as (id, 0 tokens, null score) instead of
+    // vanishing from the output — totality, like the rest of the stack
+    df.select(col(idCol), explode_outer(split(col(textCol), " ")).as("_tok"))
+      .select(col(idCol), hashTokenWeight(col("_tok")).as("_w"), col("_tok"))
       .groupBy(idCol)
-      .agg(sum(col("_w")).as("_wsum"), count(lit(1)).as("n_tokens"))
+      .agg(sum(col("_w")).as("_wsum"), count(col("_tok")).as("n_tokens"))
       .select(col(idCol), col("n_tokens"),
         // no round(): the operands are exactly-representable integers, so
         // the IEEE quotient is bit-identical on every engine — while
         // round() diverges on decimal ties (Spark rounds the shortest
-        // decimal rendering, DuckDB the binary double)
-        (col("_wsum") / (lit(128.0) * col("n_tokens"))).as("score"))
+        // decimal rendering, DuckDB the binary double). The zero-token
+        // guard keeps ANSI division total on null-text documents.
+        when(col("n_tokens") === 0, lit(null).cast("double"))
+          .otherwise(col("_wsum") / (lit(128.0) * col("n_tokens")))
+          .as("score"))
 
   /** Linear classifier with a REAL weight table (token, weight): tokens
     * explode narrow, weights broadcast-join (a vocabulary fits an executor
@@ -142,14 +148,15 @@ object TextAnalysis {
                              weights: org.apache.spark.sql.DataFrame,
                              tokenCol: String = "token",
                              weightCol: String = "weight"): org.apache.spark.sql.DataFrame =
-    df.select(col(idCol), explode(split(col(textCol), " ")).as(tokenCol))
+    df.select(col(idCol), explode_outer(split(col(textCol), " ")).as(tokenCol))
       .join(broadcast(weights.select(col(tokenCol), col(weightCol))),
         Seq(tokenCol), "left")
       .groupBy(idCol)
       .agg(sum(coalesce(col(weightCol), lit(0.0))).as("wsum"),
-        count(lit(1)).as("n_tokens"))
+        count(col(tokenCol)).as("n_tokens"))
       .select(col(idCol), col("n_tokens"),
-        (col("wsum") / col("n_tokens")).as("score"))
+        when(col("n_tokens") === 0, lit(null).cast("double"))
+          .otherwise(col("wsum") / col("n_tokens")).as("score"))
 
   /** Winnowing fingerprint (row-level; Schleimer/Wilkerson/Aiken-style):
     * k-gram rolling hashes, minimum per sliding window, distinct kept set.

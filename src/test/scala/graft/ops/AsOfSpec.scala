@@ -187,6 +187,41 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("reserved working-column names are rejected, not silently overwritten") {
+    import spark.implicits._
+    val l = Seq((1L, "k", 10L, 99L)).toDF("lid", "key", "lt", "_t")
+    val r = Seq((10L, "k", 5L, 1.0)).toDF("rid", "key", "rt", "v")
+    intercept[IllegalArgumentException] {
+      AsOf.asofBackward(l, r, Seq("key"), "lt", "rt", "rid", payload = Seq("v"))
+    }
+    intercept[IllegalArgumentException] {
+      AsOf.asofBackwardChunked(l, r, Seq("key"), "lt", "rt", "rid",
+        payload = Seq("v"), chunkWidth = 10L)
+    }
+    intercept[IllegalArgumentException] {
+      AsOf.bandJoin(l, r, Seq("key"), "lt", "rt", -10L, 0L, payload = Seq("v"))
+    }
+    val rBad = Seq((10L, "k", 5L, 1.0)).toDF("rid", "key", "rt", "_pay")
+    val lOk = Seq((1L, "k", 10L)).toDF("lid", "key", "lt")
+    intercept[IllegalArgumentException] {
+      AsOf.asofBackward(lOk, rBad, Seq("key"), "lt", "rt", "rid",
+        payload = Seq("_pay"))
+    }
+  }
+
+  test("chunked as-of accepts unorderable (map) payloads like the plain path") {
+    import spark.implicits._
+    val l = Seq((1L, "k", 25L), (2L, "k", 5L)).toDF("lid", "key", "lt")
+    val r = Seq((10L, "k", 10L, Map("a" -> 1)), (11L, "k", 20L, Map("b" -> 2)))
+      .toDF("rid", "key", "rt", "m")
+    // max(struct(..., map)) would throw AnalysisException; max_by must not
+    val got = AsOf.asofBackwardChunked(l, r, Seq("key"), "lt", "rt", "rid",
+        payload = Seq("rid", "m"), chunkWidth = 7L)
+      .orderBy("lid")
+      .select("lid", "asof_rid").as[(Long, Option[Long])].collect().toSeq
+    assert(got == Seq((1L, Some(11L)), (2L, None)))
+  }
+
   test("asof plans one exchange; band join plans a shuffled equi-join") {
     val asofPlan = AsOf.asofBackward(lefts, rights, Seq("key"), "lt", "rt", "rid",
       payload = Seq("v")).queryExecution.executedPlan.toString

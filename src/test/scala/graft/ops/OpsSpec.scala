@@ -419,6 +419,24 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("linear classifier scores are total on null-text documents") {
+    import spark.implicits._
+    val docs = Seq((1L, Some("good bad")), (2L, None), (3L, Some("good")))
+      .toDF("doc_id", "text")
+    val weights = Seq(("good", 0.5), ("bad", -0.25)).toDF("token", "weight")
+    // null-text docs must appear as (id, 0 tokens, null score), not vanish
+    val real = TextAnalysis.linearScoreWithWeights(docs, "doc_id", "text", weights)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(real.toSeq == Seq(
+      (1L, 2L, Some(0.125)), (2L, 0L, None), (3L, 1L, Some(0.5))))
+    val hashed = TextAnalysis.hashedLinearScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2)))
+    assert(hashed.map(_._1).toSeq == Seq(1L, 2L, 3L), "a document vanished")
+    assert(hashed(1) == ((2L, 0L, true)))
+  }
+
   test("PII scrub replaces emails, phones, and IPs with typed tags") {
     import spark.implicits._
     val rows = Seq(
