@@ -246,7 +246,7 @@ object AsOf {
     * toward zero (mis-buckets negative times, so adjust by the remainder
     * sign); float division is NOT an option — ns-epoch values exceed
     * 2^53 and a double quotient mis-buckets edge rows. */
-  private def floorDiv(c: String, off: Long, d: Long) = expr(
+  private[ops] def floorDiv(c: String, off: Long, d: Long) = expr(
     s"""CASE WHEN (($c + $off) % $d) < 0 THEN (($c + $off) DIV $d) - 1
              ELSE ($c + $off) DIV $d END""")
 }

@@ -437,22 +437,32 @@ object Dedup {
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Pigeonhole chunk values of a 64-bit signature: maxDistance+1 chunks
+    * of 64/(maxDistance+1) bits each. Pure bit built-ins (shift/and), all
+    * codegen. maxDistance = 0 is the full signature — `(1L << 64) - 1`
+    * is 0 under JVM shift-mod-64 semantics, which would collapse every
+    * row into ONE bucket and turn the candidate join all-pairs. */
+  private[graft] def simhashChunkCols(sig: Column, maxDistance: Int): Seq[Column] = {
+    val chunks = maxDistance + 1
+    val bits = 64 / chunks
+    val mask = if (bits >= 64) -1L else (1L << bits) - 1
+    (0 until chunks).map(i =>
+      shiftrightunsigned(sig, i * bits).bitwiseAND(lit(mask)))
+  }
+
   /** Near-dup pairs with hamming(simhash) <= maxDistance, using the
     * pigeonhole principle: split the 64-bit signature into maxDistance+1
     * chunks; any pair within distance shares at least one exact chunk, so
-    * candidates come from equi-joins on (chunkIdx, chunkValue). */
+    * candidates come from equi-joins on (chunkIdx, chunkValue). All
+    * codegen — signature via [[graft.functions.SimhashExpression]],
+    * chunking via bit built-ins, hamming via bit_count(a^b); no UDF in
+    * the per-document scan (d04 is a full-corpus pass at any scale). */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxDistance: Int = 3): DataFrame = {
-    val chunks = maxDistance + 1
-    val bits = 64 / chunks
-    val simUdf = udf((text: String) => simhash(text))
-    val chunkUdf = udf((sig: Long) =>
-      (0 until chunks).map(i => (i, (sig >>> (i * bits)) & ((1L << bits) - 1))))
-    val hamUdf = udf((a: Long, b: Long) => hamming(a, b))
-
-    val sigs = df.select(col(idCol).as("id"), simUdf(col(textCol)).as("sig"))
-    val buckets = sigs.select(col("id"), col("sig"), explode(chunkUdf(col("sig"))).as("c"))
-      .select(col("id"), col("sig"), col("c._1").as("ci"), col("c._2").as("cv"))
+    val sigs = df.select(col(idCol).as("id"),
+      graft.functions.SimhashExpression.simhash64(col(textCol)).as("sig"))
+    val buckets = sigs.select(col("id"), col("sig"),
+      posexplode(array(simhashChunkCols(col("sig"), maxDistance): _*)).as(Seq("ci", "cv")))
 
     buckets.alias("a").join(buckets.alias("b"),
         col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
@@ -460,7 +470,7 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("distance", hamUdf(col("sig_a"), col("sig_b")))
+      .withColumn("distance", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("distance") <= maxDistance)
       .select(col("id_a"), col("id_b"), col("distance"))
   }

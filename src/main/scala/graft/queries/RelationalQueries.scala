@@ -269,64 +269,59 @@ object RelationalQueries extends QueryPack {
         .orderBy("click_id", "view_event_id")
     }),
 
-    // batch sessionization: 30-minute-gap session ids per user via a
-    // flag + running sum — two windows over one (user, time) sort, all
-    // integer arithmetic. The streaming analog lives in
-    // graft.streaming (mapGroupsWithState sessions).
+    // batch sessionization: 30-minute-gap session ids per user. Chunked
+    // windows (ops/ChunkedWindows): partitions are (user, hour-chunk),
+    // cross-chunk state carried on per-chunk summaries — a single bot
+    // user with billions of events cannot serialize one window task the
+    // way the plain per-user window does. Output equivalence-tested
+    // against the plain two-window formulation across chunk widths.
+    // The streaming analog lives in graft.streaming
+    // (mapGroupsWithState sessions).
     "q25_sessionize" -> ((s, d) => {
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts_us").asc, col("event_id").asc)
-      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d)
-        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
-        .withColumn("new_s",
-          when(col("ts_us") - lag(col("ts_us"), 1).over(w) > 1800000000L, 1L)
-            .when(lag(col("ts_us"), 1).over(w).isNull, 1L)
-            .otherwise(0L))
-        .withColumn("session_id", sum(col("new_s")).over(run))
+      graft.ops.ChunkedWindows.sessionizeChunked(
+          Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us")),
+          keyCol = "user_id", tsCol = "ts_us", tieCol = "event_id",
+          gap = 1800000000L, chunkWidth = 3600000000L)
         .select(col("event_id"), col("user_id"), col("session_id"))
         .orderBy("event_id")
     }),
 
     // discrete percentiles (p50/p90/p99 of value per event type): the
     // emitted number is an actual member value selected by an integer
-    // index (smallest value with CDF >= p), so it is bit-identical across
+    // rank (smallest value with CDF >= p), so it is bit-identical across
     // engines — interpolated percentiles differ by 1 ulp in op order.
-    // Exact quantiles need the per-group sort this window pays; at 100 TB
-    // the scale path is approx_percentile over the same grouping.
+    // EXACT and scale-safe: distributed selection (ops/Percentiles) —
+    // pivot-histogram descent, never a per-group sort. The old window
+    // spelling (row_number over a partition keyed by event_type) sorts
+    // the whole table on ~|event_type| tasks at any scale.
     "q24_percentile_disc" -> ((s, d) => {
-      val byVal = Window.partitionBy("event_type")
-        .orderBy(col("value").asc, col("event_id").asc)
-      val all = Window.partitionBy("event_type")
-      Tables.events(s, d)
-        .select(col("event_type"), col("value"), col("event_id"))
-        .withColumn("rn", row_number().over(byVal))
-        .withColumn("n", count(lit(1)).over(all))
-        .withColumn("c50", expr("(n + 1) DIV 2"))
-        .withColumn("c90", expr("(9 * n + 9) DIV 10"))
-        .withColumn("c99", expr("(99 * n + 99) DIV 100"))
-        .filter(col("rn") === col("c50") || col("rn") === col("c90") ||
-          col("rn") === col("c99"))
-        .withColumn("pct",
-          when(col("rn") === col("c50"), "p50")
-            .when(col("rn") === col("c90"), "p90").otherwise("p99"))
-        .select(col("event_type"), col("pct"), col("value"))
+      import graft.ops.Percentiles
+      Percentiles.exactDiscrete(
+          Tables.events(s, d).select(col("event_type"), col("value")),
+          Seq("event_type"), "value",
+          Seq(Percentiles.Target("p50", 1, 2), Percentiles.Target("p90", 9, 10),
+            Percentiles.Target("p99", 99, 100)))
         .orderBy("event_type", "pct")
     }),
 
     // offset windows (lead/lag): per-user session deltas. Ordering is
     // total — (ts_us, event_id) — so offsets are deterministic; values
-    // pass through untouched (exact doubles, no arithmetic).
+    // pass through untouched (exact doubles, no arithmetic). Chunked
+    // (ops/ChunkedWindows): boundary rows pull edge payloads from the
+    // adjacent chunk's summary, so a hot key never serializes a task.
     "q23_lead_lag" -> ((s, d) => {
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts_us").asc, col("event_id").asc)
-      Tables.events(s, d)
-        .select(col("event_id"), col("user_id"),
-          expr("ts DIV 1000").as("ts_us"), col("event_type"), col("value"))
+      graft.ops.ChunkedWindows.leadLagChunked(
+          Tables.events(s, d)
+            .select(col("event_id"), col("user_id"),
+              expr("ts DIV 1000").as("ts_us"), col("event_type"), col("value")),
+          keyCol = "user_id", tsCol = "ts_us", tieCol = "event_id",
+          lagCols = Seq("value", "ts_us"), leadCols = Seq("event_type"),
+          chunkWidth = 3600000000L)
         .select(col("event_id"), col("user_id"), col("ts_us"),
-          lag(col("value"), 1).over(w).as("prev_value"),
-          lead(col("event_type"), 1).over(w).as("next_type"),
-          (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("gap_us"))
+          col("lag1_value").as("prev_value"),
+          col("lead1_event_type").as("next_type"),
+          (col("ts_us") - col("lag1_ts_us")).as("gap_us"))
         .orderBy("event_id")
     })
   )

@@ -104,6 +104,55 @@ class OpsSpec extends SparkSpec {
     assert(expr.evalChild(null) == null)
   }
 
+  test("SimhashExpression kernel equals Dedup.simhash; bit_count equals hamming") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val texts = Seq("the quick brown fox", "x", "", "repeat repeat repeat",
+      "trailing   spaces", "unicode λ ü ß text") ++
+      (1 to 20).map(_ => (1 to rnd.nextInt(30) + 1)
+        .map(_ => ('a' + rnd.nextInt(5)).toChar.toString * (rnd.nextInt(3) + 1))
+        .mkString(" "))
+    val got = texts.toDF("text")
+      .select(graft.functions.SimhashExpression.simhash64(col("text")))
+      .as[Long].collect().toSeq
+    assert(got == texts.map(Dedup.simhash), "kernel/scala simhash divergence")
+    // null text → null, not NPE
+    val nulls = Seq[Option[String]](None).toDF("text")
+      .select(graft.functions.SimhashExpression.simhash64(col("text")))
+      .collect()
+    assert(nulls(0).isNullAt(0))
+    // hamming as bit_count(a ^ b)
+    for (_ <- 1 to 500) {
+      val (a, b) = (rnd.nextLong(), rnd.nextLong())
+      val ham = Seq((a, b)).toDF("a", "b")
+        .select(bit_count(col("a").bitwiseXOR(col("b")))).collect()(0).getInt(0)
+      assert(ham == Dedup.hamming(a, b))
+    }
+  }
+
+  test("simhash chunking covers the full signature at maxDistance 0") {
+    import spark.implicits._
+    // (1L << 64) - 1 is 0 under JVM shift semantics: an unmasked chunk
+    // would put EVERY row in one bucket (all-pairs join). chunks=1 must
+    // key buckets by the whole signature.
+    val sig = 0x123456789abcdef0L
+    val cv = Seq(sig).toDF("sig")
+      .select(Dedup.simhashChunkCols(col("sig"), maxDistance = 0): _*)
+      .collect()(0).getLong(0)
+    assert(cv == sig, f"chunk value $cv%x must be the full signature")
+    // and at maxDistance 3 the four 16-bit chunks reassemble the signature
+    val cs = Seq(sig).toDF("sig")
+      .select(Dedup.simhashChunkCols(col("sig"), maxDistance = 3): _*)
+      .collect()(0)
+    val reassembled = (0 until 4).map(i => cs.getLong(i) << (i * 16)).reduce(_ | _)
+    assert(reassembled == sig)
+    // no UDF anywhere in the d04-shaped plan
+    val docs = (1L to 50L).map(i => (i, s"doc number $i words ${i * 3}")).toDF("doc_id", "text")
+    val plan = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDistance = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("udf"), s"UDF survives in simhash plan:\n$plan")
+  }
+
   test("minhash near-dup survives a degenerate corpus of 10k identical docs") {
     import spark.implicits._
     // 10,000 identical documents + distinct decoys: without the exact-text
