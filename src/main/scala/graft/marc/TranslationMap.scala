@@ -73,12 +73,13 @@ object TranslationMap {
     TranslationMap(entries, default)
   }
 
-  /** Load a bundled map from classpath `translation_maps/<name>.yaml` or
-    * `.properties` — the reference's load-path lookup tries `.rb`, `.yaml`,
-    * `.properties` in that order (translation_map.rb:124-142); `.rb` is an
-    * eval'd Ruby literal with no Scala analog, so the search here is
-    * yaml → properties. Loaded once per JVM (the reference's file cache,
-    * translation_map.rb:107-155). */
+  /** Load a bundled map from classpath `translation_maps/<name>.rb`,
+    * `.yaml`, or `.properties` — the reference's load-path order
+    * (translation_map.rb:124-142). `.rb` maps load through [[RbMap]]'s
+    * declarative-subset parser (hash literals, `%w` arrays, variable
+    * mutation — no eval; procedural maps fail loudly; `tools/`'s
+    * Rb2Yaml main converts them to YAML offline). Loaded once per JVM
+    * (the reference's file cache, translation_map.rb:107-155). */
   def named(name: String): TranslationMap =
     cache.computeIfAbsent(name, loadResource)
 
@@ -87,8 +88,14 @@ object TranslationMap {
   private val loadResource = new java.util.function.Function[String, TranslationMap] {
     def apply(name: String): TranslationMap = {
       val cl = getClass.getClassLoader
+      val rbPath = s"translation_maps/$name.rb"
       val yamlPath = s"translation_maps/$name.yaml"
       val propPath = s"translation_maps/$name.properties"
+      Option(cl.getResourceAsStream(rbPath)).foreach { in =>
+        try return RbMap.toTranslationMap(
+          new String(in.readAllBytes(), StandardCharsets.UTF_8))
+        finally in.close()
+      }
       Option(cl.getResourceAsStream(yamlPath)) match {
         case Some(in) =>
           try {
