@@ -213,12 +213,23 @@ object Similarity {
   private[ops] def trainCentroids(corpus: DataFrame, vecCol: String,
                                   nlist: Int, iters: Int,
                                   sampleSize: Int, seed: Int): Array[Array[Double]] = {
-    val sample = corpus.select(col(vecCol).cast("array<double>"))
+    val sample = sampleVectors(corpus, vecCol, sampleSize, seed)
+    if (sample.isEmpty) Array.empty // caller decides (empty top-k)
+    else lloyd(sample, nlist, iters)
+  }
+
+  /** Seeded deterministic vector sample collected to the driver. */
+  private def sampleVectors(corpus: DataFrame, vecCol: String,
+                            sampleSize: Int, seed: Int): Array[Array[Double]] =
+    corpus.select(col(vecCol).cast("array<double>"))
       .orderBy(xxhash64(col(vecCol).cast("array<string>").cast("string"), lit(seed)))
       .limit(sampleSize)
       .collect().map(_.getSeq[Double](0).toArray)
-    if (sample.isEmpty) return Array.empty // caller decides (empty top-k)
-    var centroids = Array.tabulate(math.min(nlist, sample.length))(i => sample(i).clone())
+
+  /** Deterministic Lloyd iterations over an in-memory sample. */
+  private[ops] def lloyd(sample: Array[Array[Double]], k: Int,
+                         iters: Int): Array[Array[Double]] = {
+    var centroids = Array.tabulate(math.min(k, sample.length))(i => sample(i).clone())
     for (_ <- 1 to iters) {
       val sums = Array.fill(centroids.length)(new Array[Double](sample.head.length))
       val counts = new Array[Int](centroids.length)
@@ -306,7 +317,15 @@ object Similarity {
         col("approx"), col("neighbor_id"), k * overfetch).as("top"))
       .select(col("query_id"),
         explode(col("top").getField("id")).as("neighbor_id"))
-    // exact re-rank on candidates only, full vectors re-attached by id
+    exactReRank(corpus, queries, idCol, vecCol, candidates, k)
+  }
+
+  /** Shared ANN tail: exact cosine over (query_id, neighbor_id) candidate
+    * pairs — full vectors re-attach by id-equi-join (each embedding
+    * crosses the wire once), norms computed once per row, bounded top-k. */
+  private def exactReRank(corpus: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String,
+                          candidates: DataFrame, k: Int): DataFrame = {
     val cv = corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", norm(col("cv")))
@@ -319,6 +338,77 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         safeCosine(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
     rankTopK(scored, k)
+  }
+
+  /** Per-subspace PQ codebooks off a seeded driver sample: subspace m of
+    * M covers dims [m·D/M, (m+1)·D/M); each gets `ksub` Lloyd centroids
+    * (clamped to the sample size; <= 256 so codes fit one byte). */
+  private[ops] def trainPqCodebooks(corpus: DataFrame, vecCol: String,
+                                    m: Int, ksub: Int, iters: Int,
+                                    sampleSize: Int, seed: Int): Array[Array[Array[Double]]] = {
+    require(ksub >= 1 && ksub <= 256, s"ksub must be in [1, 256]: $ksub")
+    require(m >= 1, s"m must be >= 1: $m")
+    val sample = sampleVectors(corpus, vecCol, sampleSize, seed)
+    if (sample.isEmpty) return Array.empty
+    val dim = sample.head.length
+    val mEff = math.min(m, dim) // low-dim vectors: one dim per subspace
+    val bounds = graft.functions.PqExpressions.subBounds(dim, mEff)
+    Array.tabulate(mEff) { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, bounds(s), bounds(s + 1)))
+      lloyd(sub, ksub, iters)
+    }
+  }
+
+  /** Product-quantization ANN: the 100 TB memory story for vector search.
+    * The corpus rides the O(n·m) sweep as M one-byte codes + one stored
+    * norm per row (16-32× smaller than the raw vectors, 4-8× smaller than
+    * [[quantizedTopK]]'s int8); queries precompute an M×ksub table of
+    * partial dot products ONCE on the broadcast side, so scoring a corpus
+    * row is M table lookups (asymmetric distance computation) — no vector
+    * arithmetic at all in the hot stage. Top k·overfetch approximate
+    * survivors per query re-rank against full-precision vectors
+    * re-attached by id, same as the int8 path.
+    *
+    * Codebooks train driver-side on a seeded sample (the IVF centroid
+    * pattern) and ship as expression literals — nothing joins against
+    * them. Identical vectors encode to identical codes, so planted
+    * exact-duplicate queries are recoverable (the s02/s03/s06 oracle
+    * pattern); near-misses are covered by the overfetch + exact re-rank. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int,
+             m: Int = 16, ksub: Int = 256, overfetch: Int = 4,
+             lloydIters: Int = 5, sampleSize: Int = 512,
+             seed: Int = 42): DataFrame = {
+    import graft.functions.PqExpressions
+    val codebooks = trainPqCodebooks(corpus, vecCol, m, ksub, lloydIters,
+      sampleSize, seed)
+    if (codebooks.isEmpty) { // empty corpus: the ivfTopK totality path
+      val scored0 = queries.select(col(idCol).as("query_id")).limit(0)
+        .crossJoin(corpus.select(col(idCol).as("neighbor_id")).limit(0))
+        .withColumn("cosine", lit(0.0))
+      return rankTopK(scored0, k)
+    }
+    val kmax = codebooks.map(_.length).max
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      PqExpressions.pqEncode(col(vecCol).cast("array<double>"), codebooks).as("codes"),
+      norm(col(vecCol).cast("array<double>")).as("cn"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      PqExpressions.pqLut(col(vecCol).cast("array<double>"), codebooks).as("lut"),
+      norm(col(vecCol).cast("array<double>")).as("qn")))
+    // the sweep reads M bytes + one norm per corpus row; the bounded topk
+    // aggregate collapses scores to k·overfetch per query inside each scan
+    // task — the only exchange carries tasks × |Q| × k·overfetch rows
+    val approx = c.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        safeCosine(PqExpressions.pqAdc(col("codes"), col("lut"), kmax),
+          col("qn"), col("cn")).as("approx"))
+    val candidates = approx.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate.topk(
+        col("approx"), col("neighbor_id"), k * overfetch).as("top"))
+      .select(col("query_id"),
+        explode(col("top").getField("id")).as("neighbor_id"))
+    exactReRank(corpus, queries, idCol, vecCol, candidates, k)
   }
 
   /** Embedding-cosine near-duplicate pairs (cos >= threshold), by LSH

@@ -264,6 +264,19 @@ object OpsQueries extends QueryPack {
         .orderBy("query_id")
     }),
 
+    // product-quantization ANN: M one-byte codes per corpus vector, ADC
+    // table lookups in the sweep, exact re-rank on survivors. Planted
+    // exact copies encode to identical codes, so the oracle is the same
+    // exact ground truth as s02/s03/s06
+    "s07_pq_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Similarity.pqTopK(Tables.balanced(s, emb), queries,
+          "vec_id", "embedding", k = 1)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
+        .orderBy("query_id")
+    }),
+
     // benchmark decontamination: every 20th document IS the benchmark, so
     // those docs (and any doc organically sharing an 8-gram) must surface;
     // the oracle recomputes the overlap exactly on shingle strings while
@@ -550,6 +563,12 @@ object OpsQueries extends QueryPack {
          FROM q8 ORDER BY vec_id""",
 
     "s06_quantized_ann" ->
+      """SELECT q.vec_id + 1000000 AS query_id, min(c.vec_id) AS neighbor_id,
+                1.0::DOUBLE AS cosine
+         FROM embeddings q JOIN embeddings c ON q.embedding = c.embedding
+         GROUP BY q.vec_id ORDER BY query_id""",
+
+    "s07_pq_ann" ->
       """SELECT q.vec_id + 1000000 AS query_id, min(c.vec_id) AS neighbor_id,
                 1.0::DOUBLE AS cosine
          FROM embeddings q JOIN embeddings c ON q.embedding = c.embedding

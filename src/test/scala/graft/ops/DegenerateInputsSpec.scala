@@ -46,6 +46,11 @@ class DegenerateInputsSpec extends SparkSpec {
     assert(Similarity.quantizedTopK(someVecs, emptyVecs, "vec_id", "embedding", 1).count() == 0)
     assert(Similarity.ivfTopK(emptyVecs, someVecs, "vec_id", "embedding", 1).count() == 0)
     assert(Similarity.ivfTopK(someVecs, emptyVecs, "vec_id", "embedding", 1).count() == 0)
+    assert(Similarity.pqTopK(emptyVecs, someVecs, "vec_id", "embedding", 1).count() == 0)
+    assert(Similarity.pqTopK(someVecs, emptyVecs, "vec_id", "embedding", 1).count() == 0)
+    assert(Similarity.pqTopK(emptyVecs, someVecs, "vec_id", "embedding", 1).schema ==
+      Similarity.pqTopK(someVecs, someVecs, "vec_id", "embedding", 1,
+        m = 2, ksub = 4).schema)
     // the empty-corpus short-circuit must produce the same schema as the
     // non-empty path (built through the same rankTopK), or per-shard
     // unions break exactly when one shard is empty

@@ -232,6 +232,71 @@ class OpsSpec extends SparkSpec {
     assert(hits == 48, s"quantized top-1 recall: $hits/48")
   }
 
+  test("PQ ANN: planted exact copies are recovered; noisy near-dups re-rank") {
+    val emb = Tables.embeddings(spark, sfSmoke)
+    // exact copies: identical vectors encode to identical codes, so the
+    // ADC sweep scores the source maximally among candidates and the
+    // exact re-rank pins cosine 1.0
+    val copies = emb.limit(32).select((col("vec_id") + 9000L).as("vec_id"),
+      col("embedding"))
+    val exact = Similarity.pqTopK(emb, copies, "vec_id", "embedding", k = 1,
+        m = 8, ksub = 32)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exactHits = exact.count { case (q, n) => n == q - 9000L }
+    assert(exactHits == 32, s"PQ exact-copy recall: $exactHits/32")
+    // noisy near-dups (~0.999 cosine): overfetch + exact re-rank recovers
+    val noisy = emb.limit(48).select((col("vec_id") + 9500L).as("vec_id"),
+      zip_with(col("embedding").cast("array<double>"),
+        reverse(col("embedding").cast("array<double>")),
+        (a, b) => a + lit(0.05) * b).as("embedding"))
+    val got = Similarity.pqTopK(emb, noisy, "vec_id", "embedding", k = 1,
+        m = 8, ksub = 32)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = got.count { case (q, n) => n == q - 9500L }
+    assert(hits >= 44, s"PQ noisy top-1 recall: $hits/48")
+  }
+
+  test("PQ kernels: encode/LUT/ADC agree with a scala reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val dim = 20 // NOT divisible by m=6: exercises uneven subspace bounds
+    val vecs = Seq.fill(40)(Seq.fill(dim)(rnd.nextGaussian()))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val cbs = Similarity.trainPqCodebooks(df, "embedding", m = 6, ksub = 7,
+      iters = 3, sampleSize = 40, seed = 1)
+    val bounds = graft.functions.PqExpressions.subBounds(dim, 6)
+    def encodeRef(v: Seq[Double]): Seq[Int] = (0 until 6).map { s =>
+      val sub = v.slice(bounds(s), bounds(s + 1))
+      cbs(s).zipWithIndex.minBy { case (c, j) =>
+        (sub.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, j)
+      }._2
+    }
+    val enc = df.select(col("vec_id"),
+        graft.functions.PqExpressions.pqEncode(col("embedding"), cbs).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1).map(_ & 0xFF)).toMap
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      assert(enc(i.toLong) == encodeRef(v), s"encode diverges on vec $i")
+    }
+    // ADC(q, codes(c)) == sum of q·centroid over c's assigned centroids
+    val kmax = cbs.map(_.length).max
+    val q = vecs.head
+    val adc = df.select(col("vec_id"),
+        graft.functions.PqExpressions.pqAdc(
+          graft.functions.PqExpressions.pqEncode(col("embedding"), cbs),
+          graft.functions.PqExpressions.pqLut(typedlit(q), cbs), kmax).as("adc"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      val want = encodeRef(v).zipWithIndex.map { case (code, s) =>
+        q.slice(bounds(s), bounds(s + 1)).zip(cbs(s)(code))
+          .map { case (a, b) => a * b }.sum
+      }.sum
+      assert(math.abs(adc(i.toLong) - want) < 1e-9, s"ADC diverges on vec $i")
+    }
+  }
+
   test("int8 dot kernel is exact vs a BigInt reference on fuzzed vectors") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
