@@ -68,4 +68,37 @@ object StreamingCuration {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("_bkey")
       .drop("_bkey")
+
+  /** Multi-band streaming near-dup suppression: a document is dropped
+    * when ANY of its `bands` MinHash band keys collides within the
+    * watermark window — recall per pair is 1-(1-j^rows)^bands (bands=4,
+    * rows=2: j=0.9 → 0.9985, vs 0.81 for the single-band gate), the
+    * batch d02 banding curve. All band signatures come from ONE kernel
+    * pass; band b dedups against its own state store (chained
+    * `dropDuplicatesWithinWatermark` stages — Spark runs multiple
+    * watermarked stateful operators in append mode), so state is bounded
+    * by bands × distinct-docs-per-window.
+    *
+    * Semantics note (still streaming-honest, like [[nearDupSuppress]]):
+    * no exact-Jaccard verification — a retained document registers every
+    * band; a dropped document registers the bands up to its colliding
+    * stage. Use as an ingest throttle in front of the periodic batch
+    * sweep, not as the system of record. */
+  def nearDupSuppressMultiBand(docs: DataFrame, textCol: String,
+                               tsCol: String, watermark: String = "1 hour",
+                               bands: Int = 4, rowsPerBand: Int = 2,
+                               shingleN: Int = 3): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1: $bands")
+    val banded = docs
+      .withColumn("_bands", graft.functions.MinhashBandsExpression.minhashBands(
+        col(textCol), bands, rowsPerBand, shingleN))
+      .withWatermark(tsCol, watermark)
+    (0 until bands).foldLeft(banded) { (df, b) =>
+      // band index rides in the key so a band-b hash can never collide
+      // with a band-c state row even though each stage has its own store
+      df.withColumn("_bkey", struct(lit(b).as("b"), col("_bands").getItem(b).as("h")))
+        .dropDuplicatesWithinWatermark("_bkey")
+        .drop("_bkey")
+    }.drop("_bands")
+  }
 }

@@ -25,6 +25,15 @@ object FakeTransport {
   val queue = new ConcurrentLinkedQueue[(String, String)]()
 }
 
+/** No-arg fakes for the DSv2 `transportClass` option (instantiated by
+  * class name inside writer tasks; local-mode tasks share the JVM-static
+  * queue). */
+class RecordingTransport extends FakeTransport()
+class FailSinglesTransport extends FakeTransport(
+  failBodiesContaining = "id7", failAllBatches = true)
+class FailAllTransport extends FakeTransport(
+  failBodiesContaining = "title", failAllBatches = true)
+
 class SinksSpec extends SparkSpec {
   import SolrJsonSink._
 
@@ -115,6 +124,64 @@ class SinksSpec extends SparkSpec {
       if (e == null) Nil else e +: causes(e.getCause)
     assert(causes(ex).exists(_.isInstanceOf[MaxSkippedExceeded]),
       s"expected MaxSkippedExceeded in cause chain, got $ex")
+  }
+
+  test("DSv2 write: format(\"solr\") batches docs and commits on close") {
+    FakeTransport.queue.clear()
+    docsFrame.write.format("solr")
+      .option("url", "http://solr.example/core")
+      .option("batchSize", "4")
+      .option("transportClass", classOf[RecordingTransport].getName)
+      .mode("append").save()
+    val posts = FakeTransport.queue.asScala.toVector
+    assert(posts.count(_._1.endsWith("/update/json")) == 3) // 4 + 4 + 2
+    assert(posts.last._1 == "http://solr.example/core/update?commit=true",
+      "commit must come last")
+    assert(posts.count(_._1.contains("commit=true")) == 1)
+  }
+
+  test("DSv2 write: failed batches retry docs individually, skips counted") {
+    FakeTransport.queue.clear()
+    docsFrame.write.format("solr")
+      .option("url", "http://solr.example/core")
+      .option("batchSize", "5")
+      .option("maxSkipped", "5")
+      .option("transportClass", classOf[FailSinglesTransport].getName)
+      .mode("append").save()
+    val posts = FakeTransport.queue.asScala.toVector
+    // 2 failed batches + 10 singles + commit
+    assert(posts.count(_._1.endsWith("/update/json")) == 12)
+    assert(posts.count(_._1.contains("commit=true")) == 1)
+  }
+
+  test("DSv2 write: maxSkipped aborts the job and withholds the commit") {
+    FakeTransport.queue.clear()
+    val ex = intercept[Exception] {
+      docsFrame.write.format("solr")
+        .option("url", "http://solr.example/core")
+        .option("batchSize", "5")
+        .option("maxSkipped", "2")
+        .option("transportClass", classOf[FailAllTransport].getName)
+        .mode("append").save()
+    }
+    def causes(e: Throwable): Seq[Throwable] =
+      if (e == null) Nil else e +: causes(e.getCause)
+    assert(causes(ex).exists(_.isInstanceOf[MaxSkippedExceeded]),
+      s"expected MaxSkippedExceeded in cause chain, got $ex")
+    assert(!FakeTransport.queue.asScala.exists(_._1.contains("commit=true")),
+      "an aborted job must not issue the Solr commit")
+  }
+
+  test("DSv2 write: overwrite mode delete-alls before posting") {
+    FakeTransport.queue.clear()
+    docsFrame.write.format("solr")
+      .option("url", "http://solr.example/core")
+      .option("transportClass", classOf[RecordingTransport].getName)
+      .mode("overwrite").save()
+    val posts = FakeTransport.queue.asScala.toVector
+    assert(posts.head._2.contains("\"delete\""), "delete-all must come first")
+    assert(posts.count(_._1.endsWith("/update/json")) == 1)
+    assert(posts.last._1.contains("commit=true"))
   }
 
   test("null columns are omitted from docs like empty output fields") {

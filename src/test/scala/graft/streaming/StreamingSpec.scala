@@ -425,6 +425,65 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("multi-band streaming near-dup matches the batch banding on a replayed stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val (bands, rows, n) = (4, 2, 3)
+    // 20 distinct originals; every original is followed later in the
+    // stream by a near-duplicate (one word swapped near the end: high
+    // jaccard, so at least one of the 4 bands collides w.h.p.) and by
+    // one exact duplicate (all bands collide with certainty)
+    val rnd = new scala.util.Random(5)
+    val originals = (1L to 20L).map { i =>
+      i -> (1 to 24).map(_ => s"w${rnd.nextInt(400)}").mkString(" ")
+    }
+    val nearDups = originals.map { case (i, t) =>
+      val ws = t.split(" "); ws(ws.length - 2) = "swapped"
+      (i + 100L) -> ws.mkString(" ")
+    }
+    val exactDups = originals.map { case (i, t) => (i + 200L) -> t }
+    def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:${s}%02d")
+
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val query = StreamingCuration.nearDupSuppressMultiBand(docs, "text", "ts",
+        bands = bands, rowsPerBand = rows, shingleN = n)
+      .writeStream.format("memory").queryName("mband_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(originals.map { case (i, t) => (ts(1), i, t) }: _*)
+      query.processAllAvailable()
+      mem.addData((nearDups ++ exactDups).map { case (i, t) => (ts(30), i, t) }: _*)
+      query.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM mband_out").collect()
+        .map(_.getLong(0)).toSet
+      assert((1L to 20L).forall(kept), "an original was wrongly suppressed")
+      assert(exactDups.forall { case (i, _) => !kept(i) },
+        "an exact duplicate survived the multi-band gate")
+
+      // recall parity with the batch banding: every near-dup pair the
+      // batch LSH (same bands/rows/shingles, no verify) finds against its
+      // original must be suppressed by the stream, which saw the original
+      // first. Threshold 0 disables the exact-jaccard verify so both
+      // sides express pure banding.
+      val batchDf = (originals ++ nearDups).toDF("doc_id", "text")
+      val batchPairs = graft.ops.Dedup.minhashNearDupPairs(batchDf, "doc_id",
+          "text", threshold = 0.0, bands = bands, rowsPerBand = rows, shingleN = n)
+        .select("id_a", "id_b").as[(Long, Long)].collect()
+      val batchCaught = batchPairs.collect {
+        case (a, b) if b == a + 100L => b
+        case (a, b) if a == b + 100L => a
+      }.toSet
+      assert(batchCaught.nonEmpty, "test corpus produced no banded near-dup pairs")
+      val wronglyKept = batchCaught.filter(kept)
+      assert(wronglyKept.isEmpty,
+        s"stream kept near-dups the batch banding catches: $wronglyKept")
+      // and the multi-band gate must beat the single-band one on this corpus
+      assert(batchCaught.size >= 15, s"weak corpus: only ${batchCaught.size}/20 banded")
+    } finally query.stop()
+  }
+
   test("streaming quality filter and PII scrub run stateless on a stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
