@@ -103,10 +103,32 @@ object Iso2709 {
       (offset + recLen > bytes.length || bytes(offset + recLen - 1) == RecordTerminator)
   }
 
+  /** Leader-only decode: IDENTICAL acceptance and cursor advance to
+    * [[decodeAt]] (both reject on the same header checks and resync the
+    * same way), but never touches the directory, field data, or the
+    * character decoder — the scan path when a query projects only the
+    * leader and/or the metadata columns (row counts must match the full
+    * decode exactly, or pruning would change query results). */
+  def decodeLeaderAt(bytes: Array[Byte], offset: Int): (Option[String], Int) = {
+    if (offset + LeaderLength > bytes.length) return (None, bytes.length)
+    val recLen = asciiInt(bytes, offset, 5).getOrElse(0)
+    if (recLen < LeaderLength) {
+      var i = offset
+      while (i < bytes.length && bytes(i) != RecordTerminator) i += 1
+      return (None, math.min(i + 1, bytes.length))
+    }
+    (Some(str(bytes, offset, LeaderLength)), offset + recLen)
+  }
+
   /** Decode one record from `bytes` starting at `offset`; returns the
-    * record (None if malformed) and the offset just past it. */
+    * record (None if malformed) and the offset just past it.
+    *
+    * `tagFilter` skips non-matching directory entries before any field
+    * data is read or decoded (the source-level interesting-tags
+    * optimization — the resulting record carries ONLY matching fields). */
   def decodeAt(bytes: Array[Byte], offset: Int,
-               dec: ValueDecoder = Utf8Replace): (Option[MarcRecord], Int) = {
+               dec: ValueDecoder = Utf8Replace,
+               tagFilter: String => Boolean = null): (Option[MarcRecord], Int) = {
     if (offset + LeaderLength > bytes.length) return (None, bytes.length)
     val recLen = asciiInt(bytes, offset, 5).getOrElse(0)
     if (recLen < LeaderLength) {
@@ -127,7 +149,7 @@ object Iso2709 {
       val fstart = asciiInt(bytes, d + 7, 5).getOrElse(0)
       val from = offset + base + fstart
       val to = math.min(from + flen, end)
-      if (flen > 0 && from < to) {
+      if (flen > 0 && from < to && (tagFilter == null || tagFilter(tag))) {
         // strip the trailing field terminator
         val dataEnd = if (to > from && bytes(to - 1) == FieldTerminator) to - 1 else to
         if (isControlTag(tag)) {

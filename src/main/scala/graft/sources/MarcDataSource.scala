@@ -94,27 +94,47 @@ final class MarcTable(paths: Seq[String], encoding: String = "UTF-8")
     })
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MarcScanBuilder(paths, encoding)
+    new MarcScanBuilder(paths, encoding,
+      Option(options.get("tags")).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet))
 }
 
-final class MarcScanBuilder(paths: Seq[String], encoding: String)
+final class MarcScanBuilder(paths: Seq[String], encoding: String,
+                            tags: Option[Set[String]])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = MarcDataSource.schema
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new MarcScan(paths, required, encoding)
+  override def build(): Scan = new MarcScan(paths, required, encoding, tags)
 }
 
 final case class MarcInputPartition(path: String, start: Long, length: Long,
                                     encoding: String = "UTF-8")
   extends InputPartition
 
+/** `tags`: the source-level interesting-tags restriction (opt-in via
+  * `.option("tags", "001,245,880")`): only matching directory entries are
+  * decoded — the `fields` column then CONTAINS only those fields, the
+  * same contract as the reference's interesting-tag prefilter computed
+  * from a MarcExtractor's spec set. Spark's DSv2 pushdown prunes
+  * top-level columns only (verified: a `fields.tag` projection still
+  * scans the full `fields`), so sub-record pruning has to ride an
+  * explicit scan option rather than pruneColumns. */
 final class MarcScan(paths: Seq[String], required: StructType,
-                     encoding: String = "UTF-8") extends Scan with Batch {
+                     encoding: String = "UTF-8",
+                     tags: Option[Set[String]] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Decode mode is visible in `explain()` via this description. */
+  override def description(): String = {
+    val mode =
+      if (!required.fieldNames.contains("fields")) "decode=leader-only"
+      else tags.map(t => s"decode=tags[${t.toSeq.sorted.mkString(",")}]")
+        .getOrElse("decode=full")
+    s"marc(${paths.mkString(",")}) $mode"
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
@@ -137,13 +157,13 @@ final class MarcScan(paths: Seq[String], required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new MarcReaderFactory(required)
+    new MarcReaderFactory(required, tags)
 }
 
-final class MarcReaderFactory(required: StructType)
+final class MarcReaderFactory(required: StructType, tags: Option[Set[String]])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new MarcPartitionReader(partition.asInstanceOf[MarcInputPartition], required)
+    new MarcPartitionReader(partition.asInstanceOf[MarcInputPartition], required, tags)
 }
 
 /** Forward-only sliding byte window over a file region: `base` is the
@@ -189,11 +209,22 @@ private[sources] final class MarcFileWindow(
 }
 
 /** Reads records whose start offset lies in [start, start+length), aligning
-  * to the first record boundary at/after `start` (except at offset 0). */
-final class MarcPartitionReader(part: MarcInputPartition, required: StructType)
+  * to the first record boundary at/after `start` (except at offset 0).
+  *
+  * Decode modes (same record ACCEPTANCE in all three — row counts are
+  * invariant under pruning):
+  *  - leader-only (no `fields` column required): skips the directory and
+  *    all field/subfield parsing and character decoding;
+  *  - tag subset (`tags` scan option): decodes only matching directory
+  *    entries;
+  *  - full: everything. */
+final class MarcPartitionReader(part: MarcInputPartition, required: StructType,
+                                tags: Option[Set[String]] = None)
     extends PartitionReader[InternalRow] {
 
   private val decoder = Iso2709.decoderFor(part.encoding)
+  private val leaderOnly = !required.fieldNames.contains("fields")
+  private val tagFilter: String => Boolean = tags.map(t => t.contains(_)).orNull
   private var window: MarcFileWindow = _
   private val fullSchema = MarcDataSource.schema
   private val serializer =
@@ -274,7 +305,11 @@ final class MarcPartitionReader(part: MarcInputPartition, required: StructType)
           if (cur >= fileLen || cur > limitAbs) { w.close(); return None }
           val recordStart = cur
           val rel = w.ensure(cur, MarcDataSource.MaxRecordBytes)
-          val (rec, next) = Iso2709.decodeAt(w.exposed, rel, decoder)
+          val (rec, next) =
+            if (leaderOnly) {
+              val (leader, n) = Iso2709.decodeLeaderAt(w.exposed, rel)
+              (leader.map(l => graft.marc.MarcRecord(l, Vector.empty)), n)
+            } else Iso2709.decodeAt(w.exposed, rel, decoder, tagFilter)
           cur = w.base + math.max(next, rel + 1)
           if (rec.isDefined) return rec.map((_, recordStart))
         }
