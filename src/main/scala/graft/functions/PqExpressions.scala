@@ -132,12 +132,17 @@ case class PqAdcExpression(left: Expression, right: Expression, ksub: Int)
   override def prettyName: String = "pq_adc"
 
   def compute(codesAny: AnyRef, lutAny: AnyRef): Double = {
-    val codes = codesAny.asInstanceOf[ArrayData].toByteArray()
-    val lut = lutAny.asInstanceOf[ArrayData].toDoubleArray()
+    val codes = codesAny.asInstanceOf[ArrayData]
+    val lut = lutAny.asInstanceOf[ArrayData]
+    // indexed ArrayData access, NOT toDoubleArray(): this runs once per
+    // (corpus row × query) pair, and materializing the M×K lut (32 KB at
+    // M=16, K=256) per pair would turn the sweep into a memcpy benchmark
+    // — M getDouble calls touch only the M entries actually needed
     var acc = 0.0
     var m = 0
-    while (m < codes.length) {
-      acc += lut(m * ksub + (codes(m) & 0xFF))
+    val n = codes.numElements()
+    while (m < n) {
+      acc += lut.getDouble(m * ksub + (codes.getByte(m) & 0xFF))
       m += 1
     }
     acc
@@ -146,10 +151,20 @@ case class PqAdcExpression(left: Expression, right: Expression, ksub: Int)
   override def nullSafeEval(a: Any, b: Any): Any =
     compute(a.asInstanceOf[AnyRef], b.asInstanceOf[AnyRef])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("pqAdcExpr", this, classOf[PqAdcExpression].getName)
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $b.getDouble($i * $ksub + ($a.getByte($i) & 0xFF));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): Expression =

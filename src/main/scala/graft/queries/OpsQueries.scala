@@ -267,12 +267,14 @@ object OpsQueries extends QueryPack {
     // product-quantization ANN: M one-byte codes per corpus vector, ADC
     // table lookups in the sweep, exact re-rank on survivors. Planted
     // exact copies encode to identical codes, so the oracle is the same
-    // exact ground truth as s02/s03/s06
+    // exact ground truth as s02/s03/s06. ksub=16 keeps the |Q|-wide LUT
+    // working set cache-resident (see Similarity.pqTopK's cache note);
+    // recall is unaffected here (overfetch + exact re-rank)
     "s07_pq_ann" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       Similarity.pqTopK(Tables.balanced(s, emb), queries,
-          "vec_id", "embedding", k = 1)
+          "vec_id", "embedding", k = 1, ksub = 16)
         .select(col("query_id"), col("neighbor_id"), col("cosine"))
         .orderBy("query_id")
     }),

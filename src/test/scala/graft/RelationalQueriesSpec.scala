@@ -36,8 +36,9 @@ class RelationalQueriesSpec extends SparkSpec {
 
   test("approx_percentile tracks the exact discrete percentiles (q24's scale path)") {
     import org.apache.spark.sql.functions._
-    // q24's exact formulation needs a per-group sort; at 100 TB the same
-    // statistic comes from approx_percentile. Its contract is RANK error
+    // q24's registered formulation is exact distributed selection
+    // (ops/Percentiles); approx_percentile is the one-pass alternative
+    // when a rank-bounded answer suffices. Its contract is RANK error
     // (<= n/accuracy), not value error — adjacent order statistics can be
     // far apart — so assert the approx value lies within a few ranks of
     // the exact index in each group's sorted values.
