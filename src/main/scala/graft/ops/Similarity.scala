@@ -195,6 +195,23 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** [[ivfTopK]] with nlist derived from the corpus size: nlist = √n
+    * clamped to [16, 65536] (the standard IVF sizing — cells hold ~√n
+    * vectors, so the probed fraction SHRINKS as the corpus grows and the
+    * sweep is ~m·√n instead of n·m/16; the sf0.1→sf1 scaling check
+    * measured the fixed-nlist registered query at 50× for 10× data).
+    * The training sample scales to 8 vectors per centroid (still a
+    * driver-side collect — 8·√n rows, ~2 MB at n = 10⁹ and dim 64). */
+  def ivfTopKAuto(corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int,
+                  nprobe: Int = 2, lloydIters: Int = 5,
+                  seed: Int = 42): DataFrame = {
+    val n = corpus.count()
+    val nlist = math.min(math.max(math.sqrt(n.toDouble).toInt, 16), 65536)
+    ivfTopK(corpus, queries, idCol, vecCol, k, nlist = nlist, nprobe = nprobe,
+      lloydIters = lloydIters, sampleSize = math.max(512, nlist * 8), seed = seed)
+  }
+
   /** Deterministic Lloyd k-means over a seeded sample (driver-side: the
     * sample is `sampleSize` vectors, the centroids nlist × dim doubles). */
   private[ops] def trainCentroids(corpus: DataFrame, vecCol: String,

@@ -209,11 +209,13 @@ object OpsQueries extends QueryPack {
 
     // IVF ANN (coarse-quantizer cells + nprobe + exact re-rank): planted
     // exact-duplicate queries land in their source's cell with certainty,
-    // so the approximate path is graded against the exact oracle
+    // so the approximate path is graded against the exact oracle. Auto
+    // nlist (= √n, clamped): cells hold ~√n vectors, so the probed
+    // fraction shrinks as the corpus grows instead of staying n·m/16
     "s03_ivf_ann" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 1)
+      Similarity.ivfTopKAuto(emb, queries, "vec_id", "embedding", k = 1)
         .select(col("query_id"), col("neighbor_id"), col("cosine"))
         .orderBy("query_id")
     }),

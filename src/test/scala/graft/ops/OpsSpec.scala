@@ -217,6 +217,22 @@ class OpsSpec extends SparkSpec {
     assert(hits >= 58, s"IVF recall too low: $hits/64")
   }
 
+  test("IVF auto-nlist: recall holds with corpus-derived cell counts") {
+    // ivfTopKAuto picks nlist = √n (22 cells for this 500-vector corpus);
+    // finer cells must not lose the 0.99-cosine planted near-dups
+    val emb = Tables.embeddings(spark, sfSmoke)
+    val queries = emb.limit(48).select((col("vec_id") + 8000L).as("vec_id"),
+      zip_with(col("embedding").cast("array<double>"),
+        reverse(col("embedding").cast("array<double>")),
+        (a, b) => a + lit(0.05) * b).as("embedding"))
+    val got = Similarity.ivfTopKAuto(emb, queries, "vec_id", "embedding",
+        k = 1, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = got.count { case (q, n) => n == q - 8000L }
+    assert(hits >= 44, s"auto-nlist IVF recall too low: $hits/48")
+  }
+
   test("quantized ANN: noisy planted near-duplicates re-rank to their source") {
     // the int8 sweep must rank the ~0.999-cosine source into the overfetch
     // window and the exact re-rank must then pick it as top-1
