@@ -38,7 +38,7 @@ object AsOf {
     * corrupted value), so every entry point rejects them up front. */
   private val Reserved = Set(
     "_t", "_side", "_tie", "_pay", "_m", "_m1", "_ck", "_lt", "_rt",
-    "_bucket", "_x", "_prev", "_lastp")
+    "_bucket", "_x", "_prev", "_lastp", "_negt", "_negtie")
 
   private def requireNoReserved(df: DataFrame, side: String): Unit = {
     val clash = df.columns.filter(Reserved.contains)
@@ -135,9 +135,19 @@ object AsOf {
                           leftTime: String, rightTime: String, rightTie: String,
                           payload: Seq[String], chunkWidth: Long,
                           prefix: String = "asof_"): DataFrame = {
-    require(chunkWidth > 0, s"chunkWidth must be positive: $chunkWidth")
     requireNoReserved(left, "left")
     requireNoReserved(right, "right")
+    asofBackwardChunkedImpl(left, right, keys, leftTime, rightTime, rightTie,
+      payload, chunkWidth, prefix)
+  }
+
+  /** Body of [[asofBackwardChunked]] minus the reserved-name check, so the
+    * forward wrapper can inject its own (reserved) working columns. */
+  private def asofBackwardChunkedImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
+                                      leftTime: String, rightTime: String, rightTie: String,
+                                      payload: Seq[String], chunkWidth: Long,
+                                      prefix: String): DataFrame = {
+    require(chunkWidth > 0, s"chunkWidth must be positive: $chunkWidth")
     val keyCols = keys.map(col)
     val payStruct = struct(payload.map(col): _*)
     val r = right.select(
@@ -191,6 +201,28 @@ object AsOf {
       .withColumn("_m", coalesce(col("_m1"), col("_x")))
       .select(left.columns.map(col) ++
         payload.map(p => col("_m").getField(p).as(prefix + p)): _*)
+  }
+
+  /** Skew-hardened [[asofForward]]: forward as-of on (t, tie) IS backward
+    * as-of on (-t, -tie) — the greatest negated key at or before -lt is
+    * the smallest original key at or after lt — so this is a thin wrapper
+    * over [[asofBackwardChunked]] with both orderings negated (time
+    * converted to long first; the µs-timestamp rule applies before
+    * negation). Identical output to the plain forward join,
+    * equivalence-tested across chunk widths. */
+  def asofForwardChunked(left: DataFrame, right: DataFrame, keys: Seq[String],
+                         leftTime: String, rightTime: String, rightTie: String,
+                         payload: Seq[String], chunkWidth: Long,
+                         prefix: String = "asof_"): DataFrame = {
+    requireNoReserved(left, "left")
+    requireNoReserved(right, "right")
+    val l2 = left.withColumn("_negt", -timeAsLong(left, leftTime))
+    val r2 = right
+      .withColumn("_negt", -timeAsLong(right, rightTime))
+      .withColumn("_negtie", -col(rightTie).cast("long"))
+    asofBackwardChunkedImpl(l2, r2, keys, "_negt", "_negt", "_negtie",
+        payload, chunkWidth, prefix)
+      .drop("_negt")
   }
 
   /** Time-band (range) INNER join: all (left, right) pairs with equal

@@ -145,6 +145,33 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("chunked forward as-of equals the plain forward as-of for every chunk width") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // negative times included: the negation trick must survive floorDiv
+    val l = (1 to 400).map(i =>
+      (i.toLong, s"k${rnd.nextInt(4)}", rnd.nextLong(5000) - 2500L)).toDF("lid", "key", "lt")
+    val r = (1 to 400).map(i =>
+      (i.toLong + 1000, s"k${rnd.nextInt(4)}", rnd.nextLong(5000) - 2500L, rnd.nextDouble()))
+      .toDF("rid", "key", "rt", "v")
+    val want = AsOf.asofForward(l, r, Seq("key"), "lt", "rt", "rid",
+        payload = Seq("rid", "v"))
+      .select("lid", "asof_rid").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+    for (width <- Seq(1L, 7L, 100L, 5000L, 1000000L)) {
+      val got = AsOf.asofForwardChunked(l, r, Seq("key"), "lt", "rt", "rid",
+          payload = Seq("rid", "v"), chunkWidth = width)
+        .select("lid", "asof_rid").collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+      assert(got == want, s"forward chunk width $width diverges: " +
+        s"${(got -- want).take(5)} extra, ${(want -- got).take(5)} missing")
+    }
+    // output columns match the plain forward join (working column dropped)
+    val cols = AsOf.asofForwardChunked(l, r, Seq("key"), "lt", "rt", "rid",
+      payload = Seq("v"), chunkWidth = 100L).columns.toSeq
+    assert(cols == Seq("lid", "key", "lt", "asof_v"), cols.toString)
+  }
+
   test("chunked as-of: equal-time tie within chunk and exactly-at-boundary rights") {
     import spark.implicits._
     val l = Seq((1L, "k", 10L), (2L, "k", 20L)).toDF("lid", "key", "lt")
