@@ -119,4 +119,38 @@ object Sampling {
       .withColumn("position", row_number().over(w).cast("long") + col("_goff") - 1)
       .drop("_h", "_g", "_goff")
   }
+
+  /** Deterministic per-group cap (the C4/RefinedWeb "at most n documents
+    * per domain" curation step): keep at most `n` rows per `groupCol`,
+    * chosen by md5-hash order of `keyCol` — a reproducible pseudo-random
+    * retention that is a pure function of the key, independent of
+    * partitioning and cluster size.
+    *
+    * Scale shape: the kept set is computed over (group, key) pairs only —
+    * the bounded [[graft.functions.TopKAggregate]] collapses candidates
+    * map-side to ≤ n per group per task (never a per-group window sort of
+    * the corpus), and the full rows survive via a LEFT SEMI join on the
+    * key. Payload columns (text, vectors) cross the wire only in that
+    * final semi join, pruned to whatever the caller selects downstream.
+    *
+    * Determinism contract: ordering is (first 13 hex chars of
+    * md5(key || salt) ascending, key ascending) on both engines — 13 hex
+    * digits = 52 bits, exact in the double score the aggregate orders by.
+    * `keyCol` must be unique per row (it identifies survivors in the semi
+    * join) and long-typed or castable to long. */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String, n: Int,
+                  salt: String = "graft"): DataFrame = {
+    require(n > 0, s"cap must be positive: $n")
+    // ascending hash order through a largest-first aggregate: negate the
+    // 52-bit hash prefix (exact in a double); ties fall back to id asc,
+    // matching the oracle's (substr(md5, 1, 13), key) ordering
+    val kept = df
+      .select(col(groupCol).as("_capg"), col(keyCol).cast("long").as("_capk"))
+      .groupBy("_capg")
+      .agg(graft.functions.TopKAggregate.topk(
+        -conv(substring(md5(concat(col("_capk").cast("string"), lit(salt))),
+          1, 13), 16, 10).cast("double"), col("_capk"), n).as("_top"))
+      .select(explode(col("_top.id")).as("_capk"))
+    df.join(kept, col(keyCol).cast("long") === col("_capk"), "left_semi")
+  }
 }

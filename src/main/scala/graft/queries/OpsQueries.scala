@@ -316,6 +316,16 @@ object OpsQueries extends QueryPack {
         .orderBy("lang", "rank")
     }),
 
+    // deterministic per-source document cap (C4/RefinedWeb "at most n per
+    // domain"): survivors chosen by md5 order of the key — kept set
+    // computed over (source, doc_id) pairs via the bounded topk aggregate
+    // (map-side collapse to n per group per task, no per-group window
+    // sort), rows re-attached by left-semi join
+    "t14_cap_per_source" -> ((s, d) =>
+      Sampling.capPerGroup(Tables.documents(s, d), "source", "doc_id", 10)
+        .select(col("source"), col("doc_id"))
+        .orderBy("source", "doc_id")),
+
     // deterministic corpus shuffle: every doc's 0-based rank in the
     // global md5-hash order — a reproducible permutation computed with
     // range-grouped prefix sums, never one global sort partition
@@ -607,6 +617,16 @@ object OpsQueries extends QueryPack {
            row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || 'graft'),
                               doc_id) - 1 AS position
          FROM documents ORDER BY doc_id""",
+
+    "t14_cap_per_source" ->
+      """WITH r AS (
+           SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 13),
+                        doc_id) AS rn
+           FROM documents)
+         SELECT source, doc_id FROM r WHERE rn <= 10
+         ORDER BY source, doc_id""",
 
     // quality subexpression mirrors t01's (t01 pins the doubles match)
     "t13_topk_per_lang" ->

@@ -615,6 +615,36 @@ class OpsSpec extends SparkSpec {
     assert(splits.values.sum == 10000L)
   }
 
+  test("capPerGroup keeps at most n per group, deterministically, full rows") {
+    import spark.implicits._
+    val docs = Seq.tabulate(300)(i =>
+      (i.toLong, s"g${i % 3}", s"text $i")).toDF("id", "grp", "payload")
+    val capped = Sampling.capPerGroup(docs, "grp", "id", 20)
+    val rows = capped.collect()
+    assert(rows.length == 60)
+    // full rows survive with payload intact
+    assert(rows.forall(r => r.getString(2) == s"text ${r.getLong(0)}"))
+    val byGroup = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(0)).toSet)
+    assert(byGroup.values.forall(_.size == 20))
+    // partition-independent (pure function of the key)
+    val again = Sampling.capPerGroup(docs.repartition(7), "grp", "id", 20)
+      .select("id").as[Long].collect().toSet
+    assert(again == rows.map(_.getLong(0)).toSet)
+    // matches the window formulation it replaces
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+      .orderBy(substring(md5(concat(col("id").cast("string"), lit("graft"))), 1, 13), col("id"))
+    val oracle = docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20).select("id").as[Long].collect().toSet
+    assert(rows.map(_.getLong(0)).toSet == oracle)
+    // groups under the cap are kept whole
+    val small = Sampling.capPerGroup(docs, "grp", "id", 1000).count()
+    assert(small == 300)
+    // plan shape: bounded aggregate + semi join, never a window sort
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"capPerGroup must not window-sort:\n$plan")
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
   test("nearDupDedup keeps exactly one survivor per near-dup cluster") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfSmoke).select("doc_id", "text")
