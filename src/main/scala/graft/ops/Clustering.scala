@@ -85,12 +85,17 @@ object Clustering {
     cents
   }
 
-  /** Train + assign: (id, cluster) with cluster in 0..k-1. */
+  /** Train + assign: (id, cluster) with cluster in 0..k-1. Total on an
+    * empty corpus (no centroids to train → empty assignment, same schema)
+    * — at 100 TB a filtered-to-nothing input must not kill the job. */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String, k: Int,
                    iters: Int = 5, sampleSize: Int = 4096,
-                   seed: Int = 42): DataFrame =
-    assign(df, idCol, vecCol,
-      trainKMeans(df, idCol, vecCol, k, iters, sampleSize, seed))
+                   seed: Int = 42): DataFrame = {
+    val cents = trainKMeans(df, idCol, vecCol, k, iters, sampleSize, seed)
+    if (cents.isEmpty)
+      df.select(col(idCol).as("id"), lit(0L).as("cluster")).limit(0)
+    else assign(df, idCol, vecCol, cents)
+  }
 
   /** (cluster, n) sizes — the shuffle carries (cluster, partial count). */
   def clusterSizes(assigned: DataFrame): DataFrame =

@@ -99,4 +99,34 @@ class DegenerateInputsSpec extends SparkSpec {
     assert(AsOf.bandJoin(l, r, Seq("key"), "lt", "rt", -5L, 5L, Seq("v")).count() == 0)
     assert(AsOf.bandJoin(l.limit(0), r, Seq("key"), "lt", "rt", -5L, 5L, Seq("v")).count() == 0)
   }
+
+  test("ranking: empty corpus, cap, and fusion are total") {
+    // empty corpus: stats are zero, no scores, no crash (avgdl division)
+    assert(Ranking.bm25Score(emptyDocs, "doc_id", "text", Seq("x")).count() == 0)
+    assert(Ranking.bm25TopK(emptyDocs, "doc_id", "text", Seq("x"), 5).count() == 0)
+    val s = Ranking.bm25Stats(emptyDocs, "text", Seq("x"))
+    assert(s.nDocs == 0 && s.sumDl == 0 && s.df("x") == 0)
+    assert(Ranking.termFreqs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Ranking.docFreqs(emptyDocs, "doc_id", "text").count() == 0)
+    val er = Seq.empty[(Long, Int)].toDF("id", "rank")
+    assert(Ranking.rrfFuse(er, er, "id", "rank", 5).count() == 0)
+    // one-sided fusion still ranks the populated list
+    val one = Seq((7L, 1)).toDF("id", "rank")
+    assert(Ranking.rrfFuse(one, er, "id", "rank", 5).count() == 1)
+    assert(Sampling.capPerGroup(emptyDocs.withColumn("g", lit("a")),
+      "g", "doc_id", 3).count() == 0)
+  }
+
+  test("clustering: empty corpus yields empty assignment, not a crash") {
+    val a = Clustering.kmeansAssign(emptyVecs, "vec_id", "embedding", k = 3)
+    assert(a.count() == 0)
+    assert(a.columns.toSeq == Seq("id", "cluster"))
+    val (labels, cents) = Clustering.seedCentroids(emptyVecs, "vec_id", "embedding", 3)
+    assert(labels.isEmpty && cents.isEmpty)
+    // k larger than the corpus: every vector seeds its own cluster
+    val tiny = Clustering.kmeansAssign(someVecs, "vec_id", "embedding",
+      k = 10, iters = 2)
+    assert(tiny.count() == 3)
+    assert(tiny.select("cluster").distinct().count() == 3)
+  }
 }
