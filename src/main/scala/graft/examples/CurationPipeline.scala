@@ -3,7 +3,7 @@ package graft.examples
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Sampling, TextAnalysis}
+import graft.ops.{Clustering, Dedup, Sampling, TextAnalysis}
 import graft.sinks.CorpusWriter
 
 /** End-to-end training-corpus curation — the composed "user could switch"
@@ -79,4 +79,28 @@ object CurationPipeline {
     CorpusWriter.writeCurated(curate(docs, benchmark, cfg = cfg), path,
       partitionCols = Seq("split", "lang"),
       clusterBy = Seq(col("doc_id")))
+
+  /** Diversity-balanced corpus mix: cluster the embedding space
+    * (spherical k-means, driver-trained centroids + one narrow
+    * assignment pass), then cap each cluster's document count — so no
+    * semantic neighborhood dominates the training mix, the
+    * embedding-space analogue of the per-domain cap.
+    *
+    * Scale shape: the only non-narrow stages are the (id, cluster)
+    * equi-join attaching cluster labels to documents and
+    * [[Sampling.capPerGroup]]'s bounded (group, key) aggregate +
+    * left-semi re-attach — document text crosses exactly one shuffle
+    * (the label join), and nothing is ever window-sorted per cluster.
+    * Returns the surviving docs with their `cluster` label. */
+  def balanceByCluster(docs: DataFrame, embeddings: DataFrame,
+                       k: Int, maxPerCluster: Int,
+                       idCol: String = "doc_id", vecIdCol: String = "vec_id",
+                       vecCol: String = "embedding", iters: Int = 5,
+                       salt: String = "graft"): DataFrame = {
+    val assigned = Clustering.kmeansAssign(embeddings, vecIdCol, vecCol, k,
+        iters)
+      .withColumnRenamed("id", idCol)
+    val labeled = docs.join(assigned, Seq(idCol))
+    Sampling.capPerGroup(labeled, "cluster", idCol, maxPerCluster, salt)
+  }
 }

@@ -101,4 +101,26 @@ class CurationPipelineSpec extends SparkSpec {
     val fps = out.select(TextAnalysis.fingerprintMd5(col("text"))).distinct().count()
     assert(fps == n, "exact-dup fingerprints survived curation")
   }
+
+  test("balanceByCluster caps every semantic cluster and keeps doc columns") {
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+    val emb = spark.read.parquet(s"$sfSmoke/embeddings.parquet")
+    val cap = 30
+    val out = CurationPipeline.balanceByCluster(docs, emb, k = 8,
+      maxPerCluster = cap)
+    val perCluster = out.groupBy("cluster").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perCluster.nonEmpty)
+    assert(perCluster.values.forall(_ <= cap), perCluster.toString)
+    // doc payloads survive the composition
+    assert(out.columns.contains("text") && out.columns.contains("cluster"))
+    // deterministic: same survivors on a differently-partitioned input
+    val again = CurationPipeline.balanceByCluster(docs.repartition(7), emb,
+      k = 8, maxPerCluster = cap)
+    assert(again.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      out.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // uncapped clusters keep every member: totals match a plain join count
+    val total = docs.join(out.select("doc_id"), Seq("doc_id"), "left_semi").count()
+    assert(out.count() == total)
+  }
 }
