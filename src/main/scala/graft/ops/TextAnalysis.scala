@@ -158,6 +158,54 @@ object TextAnalysis {
         when(col("n_tokens") === 0, lit(null).cast("double"))
           .otherwise(col("wsum") / col("n_tokens")).as("score"))
 
+  /** Unigram-LM quality score — the CCNet/KenLM-shaped perplexity filter,
+    * distributed. Each document scores its mean information content in
+    * BITS PER TOKEN under the corpus's own unigram model (Laplace
+    * smoothed): low = common fluent tokens, high = rare-token soup.
+    *
+    * Determinism: per-token weights are INTEGER milli-bits
+    * (round(−1000·log2 p̂), computed once on the driver), so the per-doc
+    * sum is exact and order-independent; the final score is one exact
+    * IEEE division. The oracle recomputes the same ln(x)/ln(2) operator
+    * tree, so both engines round the same doubles.
+    *
+    * Scale: pass 1 shuffles (token, count) pairs only; the retained
+    * vocabulary (top `maxVocab` by count, ties by token) is a bounded
+    * driver collect broadcast back; pass 2 is explode + broadcast join +
+    * one (id, long) groupBy with map-side combine — text never shuffles.
+    * Out-of-vocabulary tokens take the smoothed unseen-token weight.
+    * Output: (idCol, n_tokens, bits, score), null score on token-less
+    * docs (explode_outer totality, the [[hashedLinearScore]] contract). */
+  def lmBitsScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String,
+                  maxVocab: Int = 1 << 16): org.apache.spark.sql.DataFrame = {
+    val cnts = df.select(explode(split(col(textCol), " ")).as("_tok"))
+      .groupBy("_tok").agg(count(lit(1)).as("_c"))
+    val totRow = cnts.agg(coalesce(sum("_c"), lit(0L)), count(lit(1))).collect()(0)
+    val total = totRow.getLong(0)
+    val v = totRow.getLong(1)
+    def bits(c: Long): Long =
+      math.round(-1000.0 *
+        (math.log((c + 1.0) / ((total + v) + 1.0)) / math.log(2.0)))
+    val vocab = cnts.orderBy(col("_c").desc, col("_tok").asc).limit(maxVocab)
+      .collect().map(r => (r.getString(0), bits(r.getLong(1))))
+    val oov = bits(0L)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val weights = spark.createDataset(vocab.toSeq).toDF("_tok", "_wt")
+    df.select(col(idCol), explode_outer(split(col(textCol), " ")).as("_tok"))
+      .join(broadcast(weights), Seq("_tok"), "left")
+      .groupBy(idCol)
+      .agg(sum(when(col("_tok").isNull, lit(0L))
+            .otherwise(coalesce(col("_wt"), lit(oov)))).as("bits"),
+        count(col("_tok")).as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("bits"), lit(0L)).as("bits"),
+        when(col("n_tokens") === 0, lit(null).cast("double"))
+          .otherwise(col("bits") / (lit(1000.0) * col("n_tokens")))
+          .as("score"))
+  }
+
   /** Winnowing fingerprint (row-level; Schleimer/Wilkerson/Aiken-style):
     * k-gram rolling hashes, minimum per sliding window, distinct kept set.
     * Used for robust near-dup document signatures; exposed as a UDF where

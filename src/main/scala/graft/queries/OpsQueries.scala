@@ -316,6 +316,14 @@ object OpsQueries extends QueryPack {
         .orderBy("lang", "rank")
     }),
 
+    // unigram-LM perplexity-style filter (CCNet/KenLM shape): mean
+    // milli-bits per token under the corpus's own smoothed unigram model.
+    // Integer milli-bit weights make the per-doc sum exact; one division
+    // at the end — engine-portable without rounding
+    "t15_lm_bits" -> ((s, d) =>
+      TextAnalysis.lmBitsScore(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // deterministic per-source document cap (C4/RefinedWeb "at most n per
     // domain"): survivors chosen by md5 order of the key — kept set
     // computed over (source, doc_id) pairs via the bounded topk aggregate
@@ -617,6 +625,28 @@ object OpsQueries extends QueryPack {
            row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || 'graft'),
                               doc_id) - 1 AS position
          FROM documents ORDER BY doc_id""",
+
+    // weight tree mirrors the engine's ln(x)/ln(2) exactly (never log2():
+    // a different approximation could round a different milli-bit)
+    "t15_lm_bits" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         cnts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+         tot AS (SELECT sum(c) AS total, count(*) AS v FROM cnts),
+         w AS (
+           SELECT tok,
+             CAST(round(-1000 * (ln((c + 1.0) / ((total + v) + 1.0))
+                                 / ln(2.0))) AS BIGINT) AS wt
+           FROM cnts CROSS JOIN tot),
+         s AS (
+           -- sum(BIGINT) is HUGEINT in DuckDB; cast back so the column
+           -- hashes like the engine's long
+           SELECT t.doc_id, CAST(sum(w.wt) AS BIGINT) AS bits, count(*) AS n
+           FROM toks t JOIN w ON t.tok = w.tok GROUP BY t.doc_id)
+         SELECT doc_id, n AS n_tokens, bits,
+                bits / (1000.0 * n) AS score
+         FROM s ORDER BY doc_id""",
 
     "t14_cap_per_source" ->
       """WITH r AS (

@@ -615,6 +615,34 @@ class OpsSpec extends SparkSpec {
     assert(splits.values.sum == 10000L)
   }
 
+  test("lmBitsScore: reference parity, OOV weighting, null-text totality") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the the the cat"),
+      (2L, "cat sat"),
+      (3L, "the"),
+      (4L, null.asInstanceOf[String]))
+    val got = TextAnalysis.lmBitsScore(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // reference model: tokens {the:4, cat:2, sat:1}, total=7, v=3
+    def wt(c: Long): Long =
+      math.round(-1000.0 * (math.log((c + 1.0) / ((7L + 3L) + 1.0)) / math.log(2.0)))
+    val (wThe, wCat, wSat) = (wt(4), wt(2), wt(1))
+    assert(got(1L) == ((4L, 3 * wThe + wCat, Some((3 * wThe + wCat) / 4000.0))))
+    assert(got(2L) == ((2L, wCat + wSat, Some((wCat + wSat) / 2000.0))))
+    assert(got(3L) == ((1L, wThe, Some(wThe / 1000.0))))
+    // null text survives as (0 tokens, 0 bits, null score)
+    assert(got(4L) == ((0L, 0L, None)))
+    // rare tokens cost more bits than common ones
+    assert(wSat > wCat && wCat > wThe)
+    // capped vocabulary: only 'the' retained, others take the OOV weight
+    val capped = TextAnalysis.lmBitsScore(docs.toDF("doc_id", "text"),
+        "doc_id", "text", maxVocab = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(capped(2L) == 2 * wt(0))
+  }
+
   test("capPerGroup keeps at most n per group, deterministically, full rows") {
     import spark.implicits._
     val docs = Seq.tabulate(300)(i =>

@@ -111,6 +111,27 @@ class RankingSpec extends SparkSpec {
     assert(tied == List(3L, 5L))
   }
 
+  test("bm25Score matches the reference on fuzzed corpora (incl. term-free and dup-heavy)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val vocab = Seq("dup", "vector", "merge", "scan", "the", "zz", "q")
+    for (trial <- 1 to 5) {
+      val corpus = (1L to (20 + rnd.nextInt(60))).map { id =>
+        val n = rnd.nextInt(30)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val terms = rnd.shuffle(vocab).take(1 + rnd.nextInt(3))
+      val got = Ranking.bm25Score(corpus.toDF("doc_id", "text"), "doc_id",
+          "text", terms)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val want = referenceScores(corpus, terms)
+      assert(got.keySet == want.keySet, s"trial $trial")
+      for ((id, w) <- want)
+        assert(math.abs(got(id) - w) < 5e-5,
+          s"trial $trial doc $id: got ${got(id)}, want $w (terms $terms)")
+    }
+  }
+
   test("bm25 plan: no explode, no text shuffle; top-k is TakeOrderedAndProject") {
     import spark.implicits._
     val df = docs.toDF("doc_id", "text")
