@@ -79,7 +79,7 @@ object Ranking {
 
   /** BM25 score of every document against a bounded query-term set, in one
     * narrow scan (plus the one-row stats aggregate). Output:
-    * (doc_id, score) with score already rounded to 4 decimals — see the
+    * (idCol, score) with score already rounded to 4 decimals — see the
     * object doc for why rounding precedes ranking.
     *
     * score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
@@ -94,19 +94,18 @@ object Ranking {
     require(terms.nonEmpty, "bm25Score needs at least one query term")
     require(b >= 0 && b < 1, s"b must be in [0, 1): $b")
     val stats = bm25Stats(docs, textCol, terms)
-    val toked = docs.select(col(idCol).as("doc_id"),
-      tokens(col(textCol)).as("toks"))
-    val dl = size(col("toks")).cast("double")
+    val toked = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    val dl = size(col("_toks")).cast("double")
     val lenNorm =
       if (stats.avgdl == 0) lit(1.0 - b)
       else lit(1.0 - b) + lit(b) * dl / lit(stats.avgdl)
     // fixed-order component chain: term order is the caller's, both engines
     // add in the same sequence, so the float sum is bit-deterministic
     val score = terms.map { t =>
-      val tf = size(filter(col("toks"), x => x === t)).cast("double")
+      val tf = size(filter(col("_toks"), x => x === t)).cast("double")
       lit(stats.idf(t)) * tf * lit(k1 + 1.0) / (tf + lit(k1) * lenNorm)
     }.reduce(_ + _)
-    toked.select(col("doc_id"), round(score, 4).as("score"))
+    toked.select(col(idCol), round(score, 4).as("score"))
   }
 
   /** Top-k BM25 retrieval: (doc_id, score, rank), rank 1 = best, ties on
@@ -117,11 +116,11 @@ object Ranking {
                terms: Seq[String], k: Int, k1: Double = 1.2,
                b: Double = 0.75): DataFrame = {
     val scored = bm25Score(docs, idCol, textCol, terms, k1, b)
-      .orderBy(col("score").desc, col("doc_id")).limit(k)
+      .orderBy(col("score").desc, col(idCol)).limit(k)
     // the window runs over the k already-selected rows, not the corpus
     import org.apache.spark.sql.expressions.Window
     scored.withColumn("rank", row_number().over(
-      Window.orderBy(col("score").desc, col("doc_id"))))
+      Window.orderBy(col("score").desc, col(idCol))))
   }
 
   /** Reciprocal-rank fusion of two rank lists (full outer join on id):

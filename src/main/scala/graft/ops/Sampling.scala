@@ -141,6 +141,11 @@ object Sampling {
   def capPerGroup(df: DataFrame, groupCol: String, keyCol: String, n: Int,
                   salt: String = "graft"): DataFrame = {
     require(n > 0, s"cap must be positive: $n")
+    // working names would resolve ambiguously in the semi join — reject
+    // loudly instead of corrupting the kept set (the AsOf.Reserved rule)
+    val clash = df.columns.toSet.intersect(Set("_capg", "_capk", "_top"))
+    require(clash.isEmpty,
+      s"capPerGroup reserves column names ${clash.mkString(", ")}")
     // ascending hash order through a largest-first aggregate: negate the
     // 52-bit hash prefix (exact in a double); ties fall back to id asc,
     // matching the oracle's (substr(md5, 1, 13), key) ordering

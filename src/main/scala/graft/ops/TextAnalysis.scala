@@ -176,9 +176,14 @@ object TextAnalysis {
     * Out-of-vocabulary tokens take the smoothed unseen-token weight.
     * Output: (idCol, n_tokens, bits, score), null score on token-less
     * docs (explode_outer totality, the [[hashedLinearScore]] contract). */
-  def lmBitsScore(df: org.apache.spark.sql.DataFrame, idCol: String,
-                  textCol: String,
-                  maxVocab: Int = 1 << 16): org.apache.spark.sql.DataFrame = {
+  /** The trained model behind [[lmBitsScore]]: per-token integer
+    * milli-bit weights plus the smoothed unseen-token weight. Train once
+    * in batch, then score anywhere — including as a stateless literal-map
+    * column in a stream ([[lmBitsCol]]). */
+  final case class LmBitsModel(weights: Array[(String, Long)], oov: Long)
+
+  def lmBitsModel(df: org.apache.spark.sql.DataFrame, textCol: String,
+                  maxVocab: Int = 1 << 16): LmBitsModel = {
     val cnts = df.select(explode(split(col(textCol), " ")).as("_tok"))
       .groupBy("_tok").agg(count(lit(1)).as("_c"))
     val totRow = cnts.agg(coalesce(sum("_c"), lit(0L)), count(lit(1))).collect()(0)
@@ -187,9 +192,37 @@ object TextAnalysis {
     def bits(c: Long): Long =
       math.round(-1000.0 *
         (math.log((c + 1.0) / ((total + v) + 1.0)) / math.log(2.0)))
-    val vocab = cnts.orderBy(col("_c").desc, col("_tok").asc).limit(maxVocab)
-      .collect().map(r => (r.getString(0), bits(r.getLong(1))))
-    val oov = bits(0L)
+    LmBitsModel(
+      cnts.orderBy(col("_c").desc, col("_tok").asc).limit(maxVocab)
+        .collect().map(r => (r.getString(0), bits(r.getLong(1)))),
+      bits(0L))
+  }
+
+  /** Stateless per-row LM score from a trained model: mean milli-bits per
+    * token via a LITERAL weight map — a pure column expression (no join,
+    * no state), so it gates a structured stream inside the ingest stage.
+    * The map literal lives in the plan: meant for the bounded-vocab gate
+    * contract (10⁴-10⁵ entries), not an unbounded vocabulary. Null or
+    * token-less text scores null (same totality as the batch frame). */
+  def lmBitsCol(text: Column, model: LmBitsModel): Column = {
+    val m = map(model.weights.flatMap { case (t, w) =>
+      Seq(lit(t), lit(w)) }.toIndexedSeq: _*)
+    val toks = split(text, " ")
+    // try_element_at, not element_at: ANSI mode throws on a missing map
+    // key, and an OOV token must cost the smoothed unseen weight instead
+    // of killing the stream
+    val bits = aggregate(toks, lit(0L),
+      (acc, t) => acc + coalesce(try_element_at(m, t), lit(model.oov)))
+    when(text.isNull || size(toks) === 0, lit(null).cast("double"))
+      .otherwise(bits / (lit(1000.0) * size(toks)))
+  }
+
+  def lmBitsScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String,
+                  maxVocab: Int = 1 << 16): org.apache.spark.sql.DataFrame = {
+    val model = lmBitsModel(df, textCol, maxVocab)
+    val vocab = model.weights
+    val oov = model.oov
     val spark = df.sparkSession
     import spark.implicits._
     val weights = spark.createDataset(vocab.toSeq).toDF("_tok", "_wt")

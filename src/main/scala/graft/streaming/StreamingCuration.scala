@@ -44,6 +44,21 @@ object StreamingCuration {
   def scrubPii(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
 
+  /** Stateless LM perplexity gate (the streaming half of batch t15): drop
+    * documents whose mean milli-bits per token under a BATCH-TRAINED
+    * unigram model exceeds `maxBitsPerToken` — rare-token soup costs more
+    * bits than fluent text. The model rides the plan as a literal weight
+    * map ([[TextAnalysis.lmBitsCol]]): no join, no state, no shuffle —
+    * train periodically in batch, deploy the refreshed literal to the
+    * ingest stream. `keepUnscored` decides null/token-less docs. */
+  def lmFilter(docs: DataFrame, textCol: String,
+               model: TextAnalysis.LmBitsModel, maxBitsPerToken: Double,
+               keepUnscored: Boolean = false): DataFrame = {
+    val s = TextAnalysis.lmBitsCol(col(textCol), model)
+    docs.filter(if (keepUnscored) s.isNull || s <= maxBitsPerToken
+                else s <= maxBitsPerToken)
+  }
+
   /** Streaming near-duplicate SUPPRESSION by single-band MinHash: a
     * document is dropped when its band key (the first `rowsPerBand`
     * minhashes) was seen within the watermark window. One state row per

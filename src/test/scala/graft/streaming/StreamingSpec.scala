@@ -528,4 +528,39 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Map(7L -> 2L, 9L -> 1L))
     } finally query.stop()
   }
+
+  test("streaming LM gate drops rare-token soup using a batch-trained model") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    // batch-train on fluent text; the literal-map column must equal the
+    // batch join formulation on the training corpus itself
+    val corpus = Seq.tabulate(50)(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val model = TextAnalysis.lmBitsModel(corpus, "text")
+    val viaCol = corpus.select(col("doc_id"),
+        TextAnalysis.lmBitsCol(col("text"), model).as("score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaBatch = TextAnalysis.lmBitsScore(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(viaCol == viaBatch)
+
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val fluentBits = viaBatch(0L)
+    val query = StreamingCuration.lmFilter(docs, "text", model,
+        maxBitsPerToken = fluentBits + 1.0)
+      .writeStream.format("memory").queryName("lm_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"), // in-model
+        (2L, "zxqv wvuk qqjx mmvp zzkw"),                    // OOV soup
+        (3L, null.asInstanceOf[String]))                     // unscored
+      query.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM lm_out").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L)) // soup over threshold, null dropped by default
+    } finally query.stop()
+  }
 }
