@@ -62,21 +62,39 @@ object Similarity {
     * side's norm is computed ONCE per row before the join (the O(n·m) stage
     * then does a single dot per pair). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
-                     idCol: String, vecCol: String, k: Int): DataFrame = {
+                     idCol: String, vecCol: String, k: Int): DataFrame =
+    rankTopK(scoredPairs(corpus, queries, idCol, vecCol), k)
+
+  /** Hard-negative mining for contrastive training data: each query's
+    * top-k most-similar corpus rows EXCLUDING anything essentially
+    * identical to it (cosine > `maxCosine`) — exact and near duplicates
+    * are false "negatives", and the most instructive negatives are the
+    * closest non-duplicates. Same bounded-|Q| broadcast contract and
+    * bounded map-side top-k as [[bruteForceTopK]]; the ceiling filter
+    * runs before the aggregate, so excluded pairs never leave the scan
+    * stage. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    maxCosine: Double = 0.99): DataFrame =
+    rankTopK(scoredPairs(corpus, queries, idCol, vecCol)
+      .filter(col("cosine") <= maxCosine), k)
+
+  /** All (query, corpus) cosine pairs under the bounded-broadcast-|Q|
+    * contract, self-pairs excluded: only (query_id, neighbor_id, cosine)
+    * triples leave the scan — vectors are projected away before anything
+    * downstream. */
+  private def scoredPairs(corpus: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String): DataFrame = {
     val q = broadcast(queries.select(
         col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", norm(col("qv"))))
     val c = corpus.select(
         col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", norm(col("cv")))
-    // project the vectors away BEFORE the top-k: only (query_id,
-    // neighbor_id, cosine) triples leave the scan, and the bounded
-    // aggregate collapses them to k per query map-side
-    val scored = c.crossJoin(q)
+    c.crossJoin(q)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         safeCosine(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
-    rankTopK(scored, k)
   }
 
   /** Deterministic random hyperplanes (seeded) for sign-LSH. */

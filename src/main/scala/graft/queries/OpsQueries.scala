@@ -220,6 +220,21 @@ object OpsQueries extends QueryPack {
         .orderBy("query_id")
     }),
 
+    // hard-negative mining (contrastive training data): top-1 most-similar
+    // corpus row whose cosine is ≤ 0.999 — the planted duplicate queries
+    // make the exclusion observable (each query's exact copy, cosine 1.0,
+    // must be skipped in favor of the nearest organic neighbor, which
+    // maxes out at ~0.51 — far from the ceiling, so the filter cannot
+    // straddle an engine ulp)
+    "s08_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Similarity.hardNegatives(emb, queries, "vec_id", "embedding", k = 1,
+          maxCosine = 0.999)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
+        .orderBy("query_id")
+    }),
+
     // embedding-cosine near-duplicate pairs (LSH buckets + exact verify):
     // planted exact copies are the complete ground truth — the organic
     // corpus maxes out at cosine ~0.51 (measured), far from the threshold
@@ -563,6 +578,19 @@ object OpsQueries extends QueryPack {
     "s04_cosine_neardup" ->
       """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0::DOUBLE AS cosine
          FROM embeddings ORDER BY id_a, id_b""",
+
+    // the ceiling join predicate excludes the planted copy (cosine 1.0)
+    // and any duplicate corpus vectors; ranking then matches s01's shape
+    "s08_hard_negatives" ->
+      """SELECT query_id, neighbor_id, cosine FROM (
+           SELECT q.vec_id + 1000000 AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cosine,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                        c.vec_id ASC) AS rn
+           FROM embeddings q JOIN embeddings c
+             ON list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) <= 0.999) t
+         WHERE rn = 1 ORDER BY query_id""",
 
     "s05_quantize_int8" ->
       """WITH qz AS (

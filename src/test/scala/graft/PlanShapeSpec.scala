@@ -189,4 +189,23 @@ class PlanShapeSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("LM scoring: weights broadcast to the tokens, document text never shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val plan = prepared(OpsQueries.queries("t15_lm_bits")(spark, sfSmoke))
+    // the (token, weight) table rides a broadcast join, not an exchange;
+    // the aggregation shuffle carries (id, bits, count) partials only.
+    // Single-token strings (exploded _tok) may legitimately cross the
+    // vocabulary-count shuffle of the training pass; the document TEXT
+    // column must not cross any exchange
+    plan.foreach {
+      case e: ShuffleExchangeExec =>
+        assert(!e.output.exists(a => a.name == "text" && a.dataType == StringType),
+          s"document text crosses an LM-score shuffle:\n${e.treeString}")
+      case _ =>
+    }
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      "LM weights must broadcast-join the token stream")
+  }
 }

@@ -615,6 +615,30 @@ class OpsSpec extends SparkSpec {
     assert(splits.values.sum == 10000L)
   }
 
+  test("hardNegatives skips duplicates and returns the closest non-duplicate") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.0, 0.0)),   // exact duplicate of 1
+      (3L, Seq(0.9, 0.1, 0.0)),   // near but below the ceiling (cos ≈ 0.994)
+      (4L, Seq(0.0, 1.0, 0.0)))   // orthogonal
+      .toDF("vec_id", "embedding")
+    val q = Seq((100L, Seq(1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    // ceiling 0.99: both the exact copies AND doc 3 (0.994) are "too
+    // identical"; the hardest legal negative is the orthogonal doc 4
+    val strict = Similarity.hardNegatives(corpus, q, "vec_id", "embedding",
+      k = 1, maxCosine = 0.99).collect()
+    assert(strict.length == 1 && strict(0).getLong(1) == 4L)
+    // ceiling 0.999 admits doc 3 but still excludes the exact duplicates
+    val loose = Similarity.hardNegatives(corpus, q, "vec_id", "embedding",
+      k = 2, maxCosine = 0.999).collect().map(_.getLong(1)).toSeq
+    assert(loose == Seq(3L, 4L))
+    // sanity: plain top-k WOULD return a duplicate first
+    val plain = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 1)
+      .collect()(0)
+    assert(plain.getDouble(2) == 1.0)
+  }
+
   test("lmBitsScore: reference parity, OOV weighting, null-text totality") {
     import spark.implicits._
     val docs = Seq(
