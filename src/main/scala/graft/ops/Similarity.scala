@@ -79,17 +79,44 @@ object Similarity {
     rankTopK(scoredPairs(corpus, queries, idCol, vecCol)
       .filter(col("cosine") <= maxCosine), k)
 
+  /** Matryoshka-style truncated-prefix ANN: candidates are scored on the
+    * FIRST `dims` dimensions only (a narrow `slice` — the O(n·m) sweep
+    * reads dims/D of each vector's data), the bounded aggregate keeps
+    * k·overfetch per query, and survivors are exact-re-ranked on the full
+    * vectors — the standard cheap-filter / exact-verify two-stage used
+    * with Matryoshka-trained embeddings, where the prefix is trained to
+    * be a usable embedding on its own.
+    *
+    * Exact-duplicate queries keep certainty (an identical vector has an
+    * identical prefix, truncated cosine 1.0 = the maximum), which is what
+    * makes the approximate path oracle-checkable (s09). */
+  def truncatedTopK(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int, dims: Int,
+                    overfetch: Int = 4): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1: $dims")
+    require(overfetch >= 1, s"overfetch must be >= 1: $overfetch")
+    val candidates = rankTopK(
+      scoredPairs(corpus, queries, idCol, vecCol,
+        v => slice(v, 1, dims)), k * overfetch)
+      .select(col("query_id"), col("neighbor_id"))
+    exactReRank(corpus, queries, idCol, vecCol, candidates, k)
+  }
+
   /** All (query, corpus) cosine pairs under the bounded-broadcast-|Q|
     * contract, self-pairs excluded: only (query_id, neighbor_id, cosine)
     * triples leave the scan — vectors are projected away before anything
-    * downstream. */
+    * downstream. `prep` transforms each vector (e.g. prefix truncation)
+    * before norms and dots. */
   private def scoredPairs(corpus: DataFrame, queries: DataFrame,
-                          idCol: String, vecCol: String): DataFrame = {
+                          idCol: String, vecCol: String,
+                          prep: Column => Column = identity): DataFrame = {
     val q = broadcast(queries.select(
-        col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+        col(idCol).as("query_id"),
+        prep(col(vecCol).cast("array<double>")).as("qv"))
       .withColumn("qn", norm(col("qv"))))
     val c = corpus.select(
-        col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+        col(idCol).as("neighbor_id"),
+        prep(col(vecCol).cast("array<double>")).as("cv"))
       .withColumn("cn", norm(col("cv")))
     c.crossJoin(q)
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -220,6 +220,20 @@ object OpsQueries extends QueryPack {
         .orderBy("query_id")
     }),
 
+    // Matryoshka truncated-prefix ANN: candidates scored on the first 16
+    // of 64 dims (the sweep reads a quarter of the vector bytes), exact
+    // re-rank on full vectors. Planted exact copies have identical
+    // prefixes (truncated cosine 1.0 = max), so the true top-1 survives
+    // both stages with certainty and the exact-equality oracle applies
+    "s09_truncated_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Similarity.truncatedTopK(emb, queries, "vec_id", "embedding", k = 1,
+          dims = 16)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
+        .orderBy("query_id")
+    }),
+
     // hard-negative mining (contrastive training data): top-1 most-similar
     // corpus row whose cosine is ≤ 0.999 — the planted duplicate queries
     // make the exclusion observable (each query's exact copy, cosine 1.0,
@@ -578,6 +592,12 @@ object OpsQueries extends QueryPack {
     "s04_cosine_neardup" ->
       """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0::DOUBLE AS cosine
          FROM embeddings ORDER BY id_a, id_b""",
+
+    "s09_truncated_ann" ->
+      """SELECT q.vec_id + 1000000 AS query_id, min(c.vec_id) AS neighbor_id,
+                1.0::DOUBLE AS cosine
+         FROM embeddings q JOIN embeddings c ON q.embedding = c.embedding
+         GROUP BY q.vec_id ORDER BY query_id""",
 
     // the ceiling join predicate excludes the planted copy (cosine 1.0)
     // and any duplicate corpus vectors; ranking then matches s01's shape

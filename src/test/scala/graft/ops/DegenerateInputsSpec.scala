@@ -48,6 +48,10 @@ class DegenerateInputsSpec extends SparkSpec {
     assert(Similarity.ivfTopK(someVecs, emptyVecs, "vec_id", "embedding", 1).count() == 0)
     assert(Similarity.pqTopK(emptyVecs, someVecs, "vec_id", "embedding", 1).count() == 0)
     assert(Similarity.pqTopK(someVecs, emptyVecs, "vec_id", "embedding", 1).count() == 0)
+    assert(Similarity.truncatedTopK(emptyVecs, someVecs, "vec_id", "embedding", 1, dims = 2).count() == 0)
+    assert(Similarity.truncatedTopK(someVecs, emptyVecs, "vec_id", "embedding", 1, dims = 2).count() == 0)
+    assert(Similarity.hardNegatives(emptyVecs, someVecs, "vec_id", "embedding", 1).count() == 0)
+    assert(Similarity.hardNegatives(someVecs, emptyVecs, "vec_id", "embedding", 1).count() == 0)
     assert(Similarity.pqTopK(emptyVecs, someVecs, "vec_id", "embedding", 1).schema ==
       Similarity.pqTopK(someVecs, someVecs, "vec_id", "embedding", 1,
         m = 2, ksub = 4).schema)

@@ -615,6 +615,32 @@ class OpsSpec extends SparkSpec {
     assert(splits.values.sum == 10000L)
   }
 
+  test("truncated-prefix ANN recalls noisy planted near-duplicates") {
+    // prefix scoring is approximate on noisy queries; the overfetch +
+    // exact re-rank must still recover nearly every source
+    val emb = Tables.embeddings(spark, sfSmoke).limit(64)
+    val queries = emb.select((col("vec_id") + 5000L).as("vec_id"),
+      zip_with(col("embedding").cast("array<double>"),
+        reverse(col("embedding").cast("array<double>")),
+        (a, b) => a + lit(0.05) * b).as("embedding"))
+    val corpus = Tables.embeddings(spark, sfSmoke)
+    val got = Similarity.truncatedTopK(corpus, queries, "vec_id", "embedding",
+        k = 1, dims = 16, overfetch = 8)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = got.count { case (q, n) => n == q - 5000L }
+    assert(hits >= 58, s"truncated-ANN recall too low: $hits/64")
+    // dims >= full dimension degrades to exact brute force
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 1)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Similarity.truncatedTopK(corpus, queries, "vec_id", "embedding",
+        k = 1, dims = 4096, overfetch = 1)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == exact)
+  }
+
   test("hardNegatives skips duplicates and returns the closest non-duplicate") {
     import spark.implicits._
     val corpus = Seq(
