@@ -474,4 +474,33 @@ object Dedup {
       .filter(col("distance") <= maxDistance)
       .select(col("id_a"), col("id_b"), col("distance"))
   }
+
+  /** Fuzzy duplicate pairs by edit distance within blocking keys — the
+    * record-linkage shape (title/name dedup: same brand + name within k
+    * edits). Candidates meet ONLY inside a block (an equi-join on the
+    * blocking columns, never an all-pairs cross join), a cheap length
+    * bound prunes before the quadratic-cost comparison, and Spark's
+    * bounded `levenshtein(l, r, k)` early-exits past the threshold.
+    *
+    * Scale contract: pairs per block are O(b²) in the block size — pick
+    * blocking keys that keep b bounded (brand, zip, sort-key prefix, a
+    * fingerprint band). The shuffle carries (block, id, string) rows,
+    * each row once. Output: (id_a, id_b, dist), id_a < id_b. */
+  def fuzzyDupPairs(df: DataFrame, idCol: String, textCol: String,
+                    blockCols: Seq[String], maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    require(blockCols.nonEmpty,
+      "fuzzyDupPairs requires blocking columns (an unblocked fuzzy join " +
+        "is an all-pairs cross join — at scale, block first)")
+    val a = df.select(blockCols.map(col) :+ col(idCol).as("id_a") :+
+      col(textCol).as("_ta"): _*)
+    val b = df.select(blockCols.map(col) :+ col(idCol).as("id_b") :+
+      col(textCol).as("_tb"): _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(length(col("_ta")) - length(col("_tb"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("_ta"), col("_tb"), maxDist))
+      .filter(col("dist") >= 0) // bounded form returns -1 past the cap
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

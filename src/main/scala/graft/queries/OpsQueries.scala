@@ -322,6 +322,15 @@ object OpsQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // fuzzy record linkage: part-name pairs within 2 edits inside brand
+    // blocks — the equi-join on the block key bounds the quadratic (never
+    // an all-pairs cross join); a length bound + Spark's early-exit
+    // levenshtein(l, r, k) prune before the full comparison
+    "d08_fuzzy_pairs" -> ((s, d) =>
+      Dedup.fuzzyDupPairs(Tables.part(s, d), "p_partkey", "p_name",
+          Seq("p_brand"), maxDist = 2)
+        .orderBy("id_a", "id_b")),
+
     // corpus n-gram document frequency (vocabulary/boilerplate mining):
     // bigrams appearing in >= 25 distinct documents, exact oracle
     "t09_ngram_df" -> ((s, d) =>
@@ -656,6 +665,14 @@ object OpsQueries extends QueryPack {
          SELECT s.doc_id, count(DISTINCT s.sh) AS n_overlap
          FROM sh s JOIN bench b USING (sh)
          GROUP BY 1 ORDER BY doc_id""",
+
+    "d08_fuzzy_pairs" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                levenshtein(a.p_name, b.p_name) AS dist
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+         WHERE levenshtein(a.p_name, b.p_name) <= 2
+         ORDER BY id_a, id_b""",
 
     "t09_ngram_df" ->
       """WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),

@@ -615,6 +615,41 @@ class OpsSpec extends SparkSpec {
     assert(splits.values.sum == 10000L)
   }
 
+  test("fuzzyDupPairs: blocking, thresholds, and parity with the naive join") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "A", "hot gear"),
+      (2L, "A", "hot gears"),   // dist 1, same block
+      (3L, "A", "cold gear"),   // dist 2 vs "hot gear" ("h->c, +ol"? actually 3)
+      (4L, "B", "hot gear"),    // identical text, DIFFERENT block: no pair
+      (5L, "A", "completely different"),
+      (6L, "A", "hot gear"))    // exact dup of 1, dist 0
+      .toDF("id", "blk", "name")
+    val got = Dedup.fuzzyDupPairs(rows, "id", "name", Seq("blk"), maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // naive reference: unblocked predicate, then restricted to blocks
+    val data = rows.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, ba, ta) <- data; (ib, bb, tb) <- data
+      if ba == bb && ia < ib
+      dd = lev(ta, tb) if dd <= 2
+    } yield (ia, ib, dd)).toSet
+    assert(got == want)
+    assert(got.contains((1L, 2L, 1)) && got.contains((1L, 6L, 0)))
+    assert(!got.exists { case (a, b, _) => Set(a, b).contains(4L) })
+    // the plan blocks with an equi-join — no cartesian anywhere
+    val plan = Dedup.fuzzyDupPairs(rows, "id", "name", Seq("blk"), 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("truncated-prefix ANN recalls noisy planted near-duplicates") {
     // prefix scoring is approximate on noisy queries; the overfetch +
     // exact re-rank must still recover nearly every source
