@@ -328,7 +328,7 @@ object OpsQueries extends QueryPack {
     // levenshtein(l, r, k) prune before the full comparison
     "d08_fuzzy_pairs" -> ((s, d) =>
       Dedup.fuzzyDupPairs(Tables.part(s, d), "p_partkey", "p_name",
-          Seq("p_brand"), maxDist = 2)
+          Seq("p_brand", "p_type"), maxDist = 2)
         .orderBy("id_a", "id_b")),
 
     // corpus n-gram document frequency (vocabulary/boilerplate mining):
@@ -670,7 +670,8 @@ object OpsQueries extends QueryPack {
       """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
                 levenshtein(a.p_name, b.p_name) AS dist
          FROM part a JOIN part b
-           ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+           ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+              AND a.p_partkey < b.p_partkey
          WHERE levenshtein(a.p_name, b.p_name) <= 2
          ORDER BY id_a, id_b""",
 
