@@ -246,6 +246,37 @@ object RelationalQueries extends QueryPack {
         .orderBy("day", "event_type")
     }),
 
+    // PIVOT: per-day value totals spread across event-type columns. The
+    // pivot value list is explicit (no discovery pass over the data), so
+    // this is one groupBy with conditional aggregates — decimal sums for
+    // engine-exact money math, absent (day, type) cells stay null
+    "q26_pivot" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(to_date(timestamp_micros(expr("ts DIV 1000"))).as("day"),
+                col("event_type"), dec("value").as("v"))
+        .groupBy("day")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum(col("v")), 2).cast("double"))
+        .orderBy("day")
+    }),
+
+    // UNPIVOT (melt): the q26 wide frame back to (day, event_type, value)
+    // rows — Spark's unpivot operator, null cells dropped, equivalent to
+    // the long-form aggregate (the oracle recomputes it directly)
+    "q27_unpivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = Tables.events(s, d)
+        .select(to_date(timestamp_micros(expr("ts DIV 1000"))).as("day"),
+                col("event_type"), dec("value").as("v"))
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(round(sum(col("v")), 2).cast("double"))
+      wide.unpivot(Array(col("day")), types.map(col).toArray,
+          "event_type", "sum_value")
+        .filter(col("sum_value").isNotNull)
+        .orderBy("day", "event_type")
+    }),
+
     // backward as-of join (graft.ops.AsOf): each click gets the latest
     // preceding view per user. Times compared at µs (ts is long nanos on
     // the Spark side; DuckDB timestamps are µs) and the right side is
@@ -476,6 +507,21 @@ object RelationalQueries extends QueryPack {
 
     "q15_events_by_day" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+         CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+
+    "q26_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+         CAST(round(sum(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS click,
+         CAST(round(sum(CASE WHEN event_type = 'error'    THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS error,
+         CAST(round(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS purchase,
+         CAST(round(sum(CASE WHEN event_type = 'signup'   THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS signup,
+         CAST(round(sum(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS view
+         FROM events GROUP BY 1 ORDER BY day""",
+
+    // pivot→unpivot roundtrip == the long-form aggregate
+    "q27_unpivot" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
          CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
 
