@@ -277,6 +277,17 @@ object RelationalQueries extends QueryPack {
         .orderBy("day", "event_type")
     }),
 
+    // JSON scalar extraction (events.props payloads): get_json_object →
+    // typed column → grouped aggregates, all integer-exact
+    "q28_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")),
+
     // backward as-of join (graft.ops.AsOf): each click gets the latest
     // preceding view per user. Times compared at µs (ts is long nanos on
     // the Spark side; DuckDB timestamps are µs) and the right side is
@@ -518,6 +529,14 @@ object RelationalQueries extends QueryPack {
          CAST(round(sum(CASE WHEN event_type = 'signup'   THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS signup,
          CAST(round(sum(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS view
          FROM events GROUP BY 1 ORDER BY day""",
+
+    // sum(BIGINT) is HUGEINT in DuckDB — cast back (see the verify skill)
+    "q28_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+         max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY 1 ORDER BY event_type""",
 
     // pivot→unpivot roundtrip == the long-form aggregate
     "q27_unpivot" ->
