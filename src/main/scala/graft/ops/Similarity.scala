@@ -507,4 +507,48 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
+
+  /** SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by k-means bucketing + within-cluster cosine pruning.
+    * A row is dropped iff a LOWER-id row in the SAME cluster is at least
+    * `threshold`-cosine-similar — the deterministic keep-lowest-id form of
+    * the paper's "keep one representative per epsilon-ball", and (unlike a
+    * global near-dup graph) embarrassingly parallel per cluster.
+    *
+    * Returns the surviving rows of `df` (schema unchanged).
+    *
+    * Scale shape: clustering bounds the quadratic — the candidate
+    * self-join is an equi-join on the cluster id, so the pair count is
+    * sum(|cluster|^2), never n^2; choose k ~ n/targetClusterSize to cap
+    * it. The join sides carry (cluster, id, vector) ONLY; dropped ids
+    * collapse to a distinct (id) set and full rows re-attach by left-anti
+    * join, so document payloads never ride the quadratic stage. Cluster
+    * assignment itself is the one-kernel-pass broadcast-centroid scan
+    * from [[Clustering.assign]] — nothing shuffles to cluster. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               k: Int, threshold: Double, iters: Int = 5,
+               sampleSize: Int = 4096, seed: Int = 42): DataFrame = {
+    val cents = Clustering.trainKMeans(df, idCol, vecCol, k, iters,
+      sampleSize, seed)
+    semDedupWithCentroids(df, idCol, vecCol, cents, threshold)
+  }
+
+  /** [[semDedup]] with caller-supplied centroids (e.g. the deterministic
+    * seed Voronoi partition, or centroids trained on a previous corpus
+    * snapshot). Total on empty input: no centroids → nothing to compare →
+    * every row survives. */
+  def semDedupWithCentroids(df: DataFrame, idCol: String, vecCol: String,
+                            centroids: Array[Array[Double]],
+                            threshold: Double): DataFrame = {
+    if (centroids.isEmpty) return df
+    val side = df.select(col(idCol).as("id"),
+      element_at(graft.functions.IvfCellsExpression.ivfCells(
+        col(vecCol).cast("array<double>"), centroids, 1), 1).as("cluster"),
+      col(vecCol).cast("array<double>").as("v"))
+    val drops = side.alias("a").join(side.alias("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id") &&
+        cosine(col("a.v"), col("b.v")) >= lit(threshold))
+      .select(col("b.id").as("id")).distinct()
+    df.join(drops, df(idCol) === drops("id"), "left_anti")
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Clustering, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 
 /** Extension-operator surface (SURVEY.md §2.9): dedup, similarity search,
   * text analysis, multimodal plumbing — driver-checkable over the
@@ -330,6 +330,21 @@ object OpsQueries extends QueryPack {
       Dedup.fuzzyDupPairs(Tables.part(s, d), "p_partkey", "p_name",
           Seq("p_brand", "p_type"), maxDist = 2)
         .orderBy("id_a", "id_b")),
+
+    // SemDedup: k-means buckets (deterministic seed Voronoi, the c01
+    // contract) bound the quadratic; within-cluster cosine >= 0.9 drops
+    // the higher id. Planted exact copies are ground truth (cosine 1.0,
+    // same cluster as their original); organic pairs max out far below
+    // the threshold, so the kept set is engine-portable.
+    "d09_semdedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val withCopies = emb.unionByName(
+        emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      val (_, cents) = Clustering.seedCentroids(emb, "vec_id", "embedding", 8)
+      Similarity.semDedupWithCentroids(withCopies, "vec_id", "embedding",
+          cents, threshold = 0.9)
+        .select(col("vec_id")).orderBy("vec_id")
+    }),
 
     // corpus n-gram document frequency (vocabulary/boilerplate mining):
     // bigrams appearing in >= 25 distinct documents, exact oracle
@@ -674,6 +689,39 @@ object OpsQueries extends QueryPack {
               AND a.p_partkey < b.p_partkey
          WHERE levenshtein(a.p_name, b.p_name) <= 2
          ORDER BY id_a, id_b""",
+
+    // cluster assignment == c01's CTE (ties: cos DESC, cid DESC matches
+    // the kernel's ties-to-higher-index); the drop rule is the literal
+    // SemDedup keep-lowest-id definition
+    "d09_semdedup" ->
+      """WITH all_vecs AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000, embedding FROM embeddings),
+         seeds AS (
+           SELECT vec_id AS cid, embedding FROM embeddings
+           ORDER BY vec_id LIMIT 8),
+         d AS (
+           SELECT v.vec_id, s.cid,
+             list_cosine_similarity(v.embedding::DOUBLE[],
+                                    s.embedding::DOUBLE[]) AS cos
+           FROM all_vecs v CROSS JOIN seeds s),
+         asg AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid DESC) AS rn
+             FROM d) t WHERE rn = 1),
+         drops AS (
+           SELECT DISTINCT b.vec_id AS drop_id
+           FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           JOIN all_vecs va ON va.vec_id = a.vec_id
+           JOIN all_vecs vb ON vb.vec_id = b.vec_id
+           WHERE list_cosine_similarity(va.embedding::DOUBLE[],
+                                        vb.embedding::DOUBLE[]) >= 0.9)
+         SELECT vec_id FROM all_vecs
+         WHERE vec_id NOT IN (SELECT drop_id FROM drops)
+         ORDER BY vec_id""",
 
     "t09_ngram_df" ->
       """WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
