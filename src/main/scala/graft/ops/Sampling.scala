@@ -158,4 +158,49 @@ object Sampling {
       .select(explode(col("_top.id")).as("_capk"))
     df.join(kept, col(keyCol).cast("long") === col("_capk"), "left_semi")
   }
+
+  /** Temperature-weighted corpus mixing (the multilingual-LM data recipe,
+    * e.g. arXiv:1901.07291 §3.1): resample groups (languages, sources)
+    * toward weights w_g ∝ n_g^alpha, flattening the head and boosting the
+    * tail. Each group keeps rate r_g = min(1, target·w_g / Σw / n_g), so
+    * the expected output size is ≤ `target` rows with group shares
+    * proportional to n_g^alpha. Rows whose group is NULL are dropped.
+    *
+    * Deterministic end to end: membership is the md5-threshold rule of
+    * [[deterministicSample]] with a per-group threshold; thresholds are
+    * floor(r·2^32) buckets computed from the observed counts in GROUP-
+    * ASCENDING order, so an engine-portable oracle can recompute them
+    * bit-for-bit (alpha = 0.5 uses sqrt, which IEEE 754 rounds correctly
+    * — other alphas go through pow, whose last-ulp behavior is
+    * library-specific; stick to 0.5 when cross-engine equality matters).
+    * Like [[shuffleIndex]], the input is evaluated twice (count job +
+    * filter job) and must be deterministic between them.
+    *
+    * Scale shape: one O(groups) count aggregate collected to the driver,
+    * then ONE narrow filter over the scan — no shuffle of the data path,
+    * no RNG state, identical output at any partitioning or cluster size. */
+  def temperatureMix(df: DataFrame, key: Column, group: Column,
+                     target: Long, alpha: Double = 0.5,
+                     salt: String = "graft"): DataFrame = {
+    require(target >= 0, s"target out of range: $target")
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha out of range: $alpha")
+    def w(n: Double): Double =
+      if (alpha == 0.5) math.sqrt(n) else math.pow(n, alpha)
+    val counts = df.select(group.cast("string").as("g"))
+      .filter(col("g").isNotNull)
+      .groupBy("g").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    if (counts.isEmpty) return df.limit(0)
+    val denom = counts.foldLeft(0.0) { case (acc, (_, n)) => acc + w(n.toDouble) }
+    val h = hashKey(key, salt)
+    val keep = counts.foldRight(lit(false): Column) { case ((g, n), acc) =>
+      // literal left-assoc op order — the oracle mirrors it exactly
+      val rate = target.toDouble * w(n.toDouble) / denom / n.toDouble
+      val buckets = math.min(math.floor(rate * 4294967296.0).toLong, 1L << 32)
+      val thr = if (buckets >= (1L << 32)) "g" else f"$buckets%08x"
+      when(group.cast("string") === g, h < lit(thr)).otherwise(acc)
+    }
+    df.filter(keep)
+  }
 }

@@ -387,6 +387,16 @@ object OpsQueries extends QueryPack {
         .select(col("source"), col("doc_id"))
         .orderBy("source", "doc_id")),
 
+    // temperature-weighted language mixing (alpha = 0.5): head language
+    // downsampled hardest, tail boosted; per-lang md5 thresholds derived
+    // from the observed counts, floor(rate * 2^32) buckets — the oracle
+    // recomputes the same doubles in the same order
+    "t16_temperature_mix" -> ((s, d) =>
+      Sampling.temperatureMix(Tables.documents(s, d), col("doc_id"),
+          col("lang"), target = 300)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
     // deterministic corpus shuffle: every doc's 0-based rank in the
     // global md5-hash order — a reproducible permutation computed with
     // range-grouped prefix sums, never one global sort partition
@@ -771,6 +781,31 @@ object OpsQueries extends QueryPack {
            FROM documents)
          SELECT source, doc_id FROM r WHERE rn <= 10
          ORDER BY source, doc_id""",
+
+    // mirrors Sampling.temperatureMix's arithmetic exactly: group-asc
+    // ordered sum, left-assoc rate chain, floor(rate*2^32) buckets,
+    // lowercase 8-hex threshold vs the md5 prefix
+    "t16_temperature_mix" ->
+      """WITH counts AS (
+           SELECT lang AS g, count(*) AS n FROM documents
+           WHERE lang IS NOT NULL GROUP BY 1),
+         tot AS (
+           SELECT sum(sqrt(CAST(n AS DOUBLE)) ORDER BY g) AS denom
+           FROM counts),
+         thr AS (
+           SELECT g,
+             least(CAST(floor(300.0 * sqrt(CAST(n AS DOUBLE)) / denom
+                              / CAST(n AS DOUBLE) * 4294967296.0) AS BIGINT),
+                   4294967296) AS buckets
+           FROM counts CROSS JOIN tot),
+         thrs AS (
+           SELECT g, CASE WHEN buckets >= 4294967296 THEN 'g'
+                          ELSE lower(lpad(to_hex(buckets), 8, '0'))
+                     END AS thr
+           FROM thr)
+         SELECT d.doc_id, d.lang FROM documents d JOIN thrs t ON d.lang = t.g
+         WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || 'graft'), 1, 8) < t.thr
+         ORDER BY doc_id""",
 
     // quality subexpression mirrors t01's (t01 pins the doubles match)
     "t13_topk_per_lang" ->

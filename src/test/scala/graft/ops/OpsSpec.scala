@@ -758,6 +758,34 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), plan)
   }
 
+  test("temperatureMix flattens group shares toward n^alpha, deterministically") {
+    import spark.implicits._
+    // skewed corpus: en 1600, fr 400, de 100 (sqrt weights 40/20/10)
+    val docs = (Seq.fill(1600)("en") ++ Seq.fill(400)("fr") ++ Seq.fill(100)("de"))
+      .zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("id", "lang")
+    val out = Sampling.temperatureMix(docs, col("id"), col("lang"), target = 600)
+    val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // expected kept means: en 600*40/70 = 343, fr 171, de 86 (de's raw
+    // share 4.8% rises to ~14%, en's 76% falls to ~57%)
+    assert(counts("en") > 270 && counts("en") < 420, counts.toString)
+    assert(counts("fr") > 120 && counts("fr") < 230, counts.toString)
+    assert(counts("de") > 55 && counts("de") <= 100, counts.toString)
+    // partition-independent (pure function of the key)
+    val again = Sampling.temperatureMix(docs.repartition(7), col("id"),
+        col("lang"), 600).select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+    // rates clamp at 1: a huge target keeps the whole corpus
+    assert(Sampling.temperatureMix(docs, col("id"), col("lang"),
+      1000000L).count() == 2100)
+    // null groups dropped; empty input total
+    val withNull = docs.withColumn("lang",
+      when(col("id") < 10, lit(null)).otherwise(col("lang")))
+    assert(Sampling.temperatureMix(withNull, col("id"), col("lang"),
+      1000000L).count() == 2090)
+    assert(Sampling.temperatureMix(docs.limit(0), col("id"), col("lang"),
+      10L).count() == 0)
+  }
+
   test("nearDupDedup keeps exactly one survivor per near-dup cluster") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfSmoke).select("doc_id", "text")
