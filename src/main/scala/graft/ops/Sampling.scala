@@ -159,6 +159,75 @@ object Sampling {
     df.join(kept, col(keyCol).cast("long") === col("_capk"), "left_semi")
   }
 
+  /** Token-budget corpus selection: rows in (`score` DESC, `key` ASC)
+    * order until the cumulative `cost` exceeds `budget` — "take the best
+    * documents until the token budget is spent", the data-selection tail
+    * of a curation pipeline. A row is kept iff the running cost through
+    * it (inclusive) is ≤ budget; a row too big to fit blocks the prefix
+    * (greedy prefix semantics, not knapsack). Returns the surviving rows
+    * of `df`, schema unchanged.
+    *
+    * Requirements: `key` unique and non-null (ties and window frames are
+    * resolved by it), `cost` non-negative (the running sum must be
+    * monotone; NULL costs count as 0).
+    *
+    * Scale shape: the naive spelling is `sum(cost) OVER (ORDER BY score
+    * DESC)` — one global sort partition. Instead scores bucket on
+    * approx-quantile bounds collected once to the driver (a PURE function
+    * of the row value, so every job sees the same bucketing —
+    * `repartitionByRange` would NOT give that: its sampler is seeded by
+    * the RDD id, which changes between the totals job and the final job),
+    * per-bucket cost totals are prefix-summed on the driver (O(buckets)
+    * rows), and the running sum is the broadcast bucket offset plus a
+    * bucket-local window — the [[shuffleIndex]] machinery. Buckets whose
+    * offset already exceeds the budget are pruned BEFORE the window sort,
+    * so when budget ≪ corpus the sort only touches the buckets that can
+    * still contribute. The output is independent of where the bounds land
+    * (offsets absorb any imbalance); a degenerate distribution (all
+    * scores equal) collapses to one bucket — the honest cost of ordering
+    * by a constant. Same two-job determinism contract as
+    * [[shuffleIndex]]. */
+  def takeUntilBudget(df: DataFrame, key: Column, score: Column,
+                      cost: Column, budget: Long,
+                      numGroups: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val work = Set("_tb_s", "_tb_c", "_tb_k", "_tb_g", "_tb_off", "_tb_cum")
+    val clash = df.columns.toSet.intersect(work)
+    require(clash.isEmpty,
+      s"takeUntilBudget reserves column names ${clash.mkString(", ")}")
+    val groups = if (numGroups > 0) numGroups
+      else math.max(spark.sparkContext.defaultParallelism, 1)
+    val scored = df
+      .withColumn("_tb_s", score).withColumn("_tb_c", cost.cast("long"))
+      .withColumn("_tb_k", key)
+    // distinct ascending quantile bounds of score (cast to double only
+    // for BUCKETING — ordering below uses the exact column); bucket =
+    // count of bounds above the score, so bucket ids ascend as scores
+    // descend, matching the (score DESC) global order
+    val bounds = scored.stat
+      .approxQuantile("_tb_s",
+        (1 until groups).map(_.toDouble / groups).toArray, 0.001)
+      .distinct.sorted
+    val bucketed = scored.withColumn("_tb_g",
+      if (bounds.isEmpty) lit(0)
+      else size(filter(typedlit(bounds.toSeq),
+        b => b > col("_tb_s").cast("double"))))
+    val totals = bucketed.groupBy("_tb_g")
+      .agg(sum("_tb_c").as("_n")).collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy(_._1)
+    val prefix = totals.map(_._2).scanLeft(0L)(_ + _)
+    import spark.implicits._
+    val offDf = totals.map(_._1).zip(prefix).toSeq.toDF("_tb_g", "_tb_off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_tb_g").orderBy(col("_tb_s").desc, col("_tb_k"))
+    bucketed.join(broadcast(offDf), "_tb_g")
+      .filter(col("_tb_off") <= budget) // prune: cannot contribute
+      .withColumn("_tb_cum", sum(col("_tb_c")).over(w) + col("_tb_off"))
+      .filter(col("_tb_cum") <= budget)
+      .drop(work.toSeq: _*)
+  }
+
   /** Temperature-weighted corpus mixing (the multilingual-LM data recipe,
     * e.g. arXiv:1901.07291 §3.1): resample groups (languages, sources)
     * toward weights w_g ∝ n_g^alpha, flattening the head and boosting the

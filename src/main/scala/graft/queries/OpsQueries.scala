@@ -387,6 +387,17 @@ object OpsQueries extends QueryPack {
         .select(col("source"), col("doc_id"))
         .orderBy("source", "doc_id")),
 
+    // token-budget selection: best docs by n_chars until 15k whitespace
+    // tokens are spent — integer score + integer costs, so the greedy
+    // prefix is engine-exact; computed with range-partitioned prefix
+    // sums, never one global sort partition
+    "t17_take_budget" -> ((s, d) =>
+      Sampling.takeUntilBudget(
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+            TextAnalysis.tokenCountWs(col("text")).as("toks")),
+          col("doc_id"), col("n_chars"), col("toks"), budget = 15000L)
+        .orderBy("doc_id")),
+
     // temperature-weighted language mixing (alpha = 0.5): head language
     // downsampled hardest, tail boosted; per-lang md5 thresholds derived
     // from the observed counts, floor(rate * 2^32) buckets — the oracle
@@ -781,6 +792,20 @@ object OpsQueries extends QueryPack {
            FROM documents)
          SELECT source, doc_id FROM r WHERE rn <= 10
          ORDER BY source, doc_id""",
+
+    // the naive global-window spelling IS the semantics the distributed
+    // prefix-sum form must reproduce
+    "t17_take_budget" ->
+      """WITH c AS (
+           SELECT doc_id, n_chars,
+             len(string_split(trim(text), ' ')) AS toks
+           FROM documents),
+         r AS (
+           SELECT doc_id, n_chars, toks,
+             sum(toks) OVER (ORDER BY n_chars DESC, doc_id) AS cum
+           FROM c)
+         SELECT doc_id, n_chars, toks FROM r WHERE cum <= 15000
+         ORDER BY doc_id""",
 
     // mirrors Sampling.temperatureMix's arithmetic exactly: group-asc
     // ordered sum, left-assoc rate chain, floor(rate*2^32) buckets,

@@ -786,6 +786,42 @@ class OpsSpec extends SparkSpec {
       10L).count() == 0)
   }
 
+  test("takeUntilBudget equals the global-window prefix, without one") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = Seq.tabulate(5000)(i =>
+      (i.toLong, rnd.nextInt(1000), 1 + rnd.nextInt(50), s"pay $i"))
+    val df = rows.toDF("id", "score", "cost", "payload")
+    val out = Sampling.takeUntilBudget(df, col("id"), col("score"),
+      col("cost"), budget = 20000L, numGroups = 8)
+    val kept = out.select("id").as[Long].collect().toSet
+    // ground truth: driver-side greedy prefix over (score desc, id asc)
+    var cum = 0L
+    val expect = rows.sortBy(r => (-r._2, r._1)).iterator.takeWhile { r =>
+      cum += r._3; cum <= 20000L
+    }.map(_._1).toSet
+    assert(kept == expect)
+    assert(kept.nonEmpty && kept.size < 5000)
+    // full rows survive; partition-count independent
+    assert(out.columns.toSeq == Seq("id", "score", "cost", "payload"))
+    val again = Sampling.takeUntilBudget(df.repartition(13), col("id"),
+        col("score"), col("cost"), 20000L, numGroups = 3)
+      .select("id").as[Long].collect().toSet
+    assert(again == kept)
+    // budget beyond the corpus keeps everything; zero budget keeps nothing
+    assert(Sampling.takeUntilBudget(df, col("id"), col("score"), col("cost"),
+      10000000L).count() == 5000)
+    assert(Sampling.takeUntilBudget(df, col("id"), col("score"), col("cost"),
+      0L).count() == 0)
+    // empty input total; reserved-name clash rejected loudly
+    assert(Sampling.takeUntilBudget(df.limit(0), col("id"), col("score"),
+      col("cost"), 100L).count() == 0)
+    val bad = df.withColumnRenamed("payload", "_tb_cum")
+    intercept[IllegalArgumentException] {
+      Sampling.takeUntilBudget(bad, col("id"), col("score"), col("cost"), 1L)
+    }
+  }
+
   test("nearDupDedup keeps exactly one survivor per near-dup cluster") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfSmoke).select("doc_id", "text")
