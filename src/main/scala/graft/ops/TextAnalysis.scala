@@ -43,6 +43,32 @@ object TextAnalysis {
       .otherwise(round(lit(1.0) - size(Dedup.shingleCol(text, n)) / total, 4))
   }
 
+  /** Fraction of tokens equal to the single most frequent token (the
+    * Gopher "most common word" repetition gate, arXiv:2112.11446 A1.1) —
+    * high values flag keyword-stuffed spam. 0.0 for empty text; the raw
+    * IEEE quotient of two exact ints, so engine-portable bit-for-bit.
+    *
+    * ONE narrow pass, no explode: the token array is sorted and the top
+    * count is the longest run of equal neighbors (an `aggregate` HOF over
+    * the row's own array) — the explode + two-level groupBy spelling
+    * would shuffle every (doc, token) pair of the corpus to answer a
+    * per-document question. */
+  def topTokenFraction(text: Column): Column = {
+    val toks = split(trim(text), """\s+""", 0)
+    val best = aggregate(
+      array_sort(toks),
+      struct(lit("").as("p"), lit(0L).as("r"), lit(0L).as("b")),
+      (acc, x) => {
+        val run = when(x === acc.getField("p"), acc.getField("r") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("p"), run.as("r"),
+          greatest(acc.getField("b"), run).as("b"))
+      },
+      acc => acc.getField("b"))
+    when(length(trim(text)) === 0, lit(0.0))
+      .otherwise(best.cast("double") / size(toks))
+  }
+
   /** Mean word length (chars per whitespace token), rounded to 4. */
   def meanWordLen(text: Column): Column =
     round(length(regexp_replace(text, """\s+""", "")).cast("double") / tokenCountWs(text), 4)

@@ -387,6 +387,15 @@ object OpsQueries extends QueryPack {
         .select(col("source"), col("doc_id"))
         .orderBy("source", "doc_id")),
 
+    // Gopher most-common-word repetition gate: fraction of tokens that
+    // are the top token, computed as a sorted-array max-run in one
+    // narrow HOF pass (the explode+groupBy spelling would shuffle every
+    // token of the corpus for a per-document stat)
+    "t18_top_token" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          TextAnalysis.topTokenFraction(col("text")).as("top_frac"))
+        .orderBy("doc_id")),
+
     // token-budget selection: best docs by n_chars until 15k whitespace
     // tokens are spent — integer score + integer costs, so the greedy
     // prefix is engine-exact; computed with range-partitioned prefix
@@ -792,6 +801,19 @@ object OpsQueries extends QueryPack {
            FROM documents)
          SELECT source, doc_id FROM r WHERE rn <= 10
          ORDER BY source, doc_id""",
+
+    // top-count via group-by: equals the engine's max-run over the
+    // sorted token array; raw IEEE quotient of exact ints both sides
+    "t18_top_token" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+           FROM documents),
+         tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+         agg AS (SELECT doc_id, max(c) AS mx, sum(c) AS n FROM tc GROUP BY 1)
+         SELECT d.doc_id,
+           coalesce(CAST(a.mx AS DOUBLE) / CAST(a.n AS DOUBLE), 0.0) AS top_frac
+         FROM documents d LEFT JOIN agg a USING (doc_id)
+         ORDER BY doc_id""",
 
     // the naive global-window spelling IS the semantics the distributed
     // prefix-sum form must reproduce

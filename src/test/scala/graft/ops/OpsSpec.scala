@@ -786,6 +786,35 @@ class OpsSpec extends SparkSpec {
       10L).count() == 0)
   }
 
+  test("topTokenFraction is the most-common-token share, total on empties") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a b a c a"),            // 'a' 3 of 5
+      (2L, "x x x x"),              // 1.0
+      (3L, "each word once here"),  // 0.25
+      (4L, ""),                     // empty -> 0.0
+      (5L, "  "),                   // whitespace-only -> 0.0
+      (6L, "b a a b")               // tie: 2 of 4
+    ).toDF("id", "text")
+    val got = rows.select(col("id"),
+        TextAnalysis.topTokenFraction(col("text")).as("f"))
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 0.6, 2L -> 1.0, 3L -> 0.25, 4L -> 0.0,
+      5L -> 0.0, 6L -> 0.5))
+    // brute-force parity on the real corpus
+    val docs = Tables.documents(spark, sfSmoke).select("doc_id", "text")
+    val eng = docs.select(col("doc_id"),
+        TextAnalysis.topTokenFraction(col("text")).as("f"))
+      .as[(Long, Double)].collect().toMap
+    val brute = docs.as[(Long, String)].collect().map { case (id, t) =>
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+      val f = if (toks.isEmpty) 0.0
+        else toks.groupBy(identity).values.map(_.length).max.toDouble / toks.length
+      id -> f
+    }.toMap
+    assert(eng == brute)
+  }
+
   test("takeUntilBudget equals the global-window prefix, without one") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
