@@ -43,6 +43,14 @@ object TextAnalysis {
       .otherwise(round(lit(1.0) - size(Dedup.shingleCol(text, n)) / total, 4))
   }
 
+  /** Unicode NFC canonicalization ([[graft.functions.NormalizeTextExpression]])
+    * — run before exact dedup / fingerprinting so canonically-equal
+    * strings share one byte sequence; `stripControls` additionally drops
+    * C0/C1 controls except tab/newline/CR. Codegen kernel with an
+    * allocation-free ASCII fast path; null-total. */
+  def normalizeNfc(text: Column, stripControls: Boolean = false): Column =
+    graft.functions.NormalizeTextExpression.nfcNormalize(text, stripControls)
+
   /** Fraction of tokens equal to the single most frequent token (the
     * Gopher "most common word" repetition gate, arXiv:2112.11446 A1.1) —
     * high values flag keyword-stuffed spam. 0.0 for empty text; the raw

@@ -387,6 +387,19 @@ object OpsQueries extends QueryPack {
         .select(col("source"), col("doc_id"))
         .orderBy("source", "doc_id")),
 
+    // Unicode NFC canonicalization: planted decomposed suffixes (e +
+    // combining acute, A + combining ring) must compose to the same
+    // bytes DuckDB's nfc_normalize produces — compared via md5 of the
+    // normalized string
+    "t19_nfc_normalize" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"), lit(" cafe\u0301 A\u030A")).as("raw"))
+        .select(col("doc_id"),
+          md5(TextAnalysis.normalizeNfc(col("raw")).cast("binary")).as("norm_md5"),
+          (TextAnalysis.normalizeNfc(col("raw")) =!= col("raw"))
+            .cast("int").as("changed"))
+        .orderBy("doc_id")),
+
     // Gopher most-common-word repetition gate: fraction of tokens that
     // are the top token, computed as a sorted-array max-run in one
     // narrow HOF pass (the explode+groupBy spelling would shuffle every
@@ -801,6 +814,16 @@ object OpsQueries extends QueryPack {
            FROM documents)
          SELECT source, doc_id FROM r WHERE rn <= 10
          ORDER BY source, doc_id""",
+
+    // chr(769) = U+0301 combining acute, chr(778) = U+030A combining ring
+    "t19_nfc_normalize" ->
+      """WITH raw AS (
+           SELECT doc_id,
+             text || ' cafe' || chr(769) || ' A' || chr(778) AS raw
+           FROM documents)
+         SELECT doc_id, md5(nfc_normalize(raw)) AS norm_md5,
+                CAST(nfc_normalize(raw) <> raw AS INT) AS changed
+         FROM raw ORDER BY doc_id""",
 
     // top-count via group-by: equals the engine's max-run over the
     // sorted token array; raw IEEE quotient of exact ints both sides

@@ -1,0 +1,44 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class NormalizeTextSpec extends SparkSpec {
+
+  private def norm(s: String, strip: Boolean = false): String = {
+    import spark.implicits._
+    Seq(s).toDF("t")
+      .select(NormalizeTextExpression.nfcNormalize(col("t"), strip).as("n"))
+      .as[String].collect().head
+  }
+
+  test("composes decomposed sequences to canonical NFC") {
+    assert(norm("cafe\u0301") == "caf\u00e9")
+    assert(norm("A\u030angstro\u0308m") == "\u00c5ngstr\u00f6m")
+    // already-composed input unchanged
+    assert(norm("caf\u00e9") == "caf\u00e9")
+  }
+
+  test("ASCII fast path returns the input unchanged") {
+    val s = "plain ascii text 123 with tabs\tand newlines\n"
+    assert(norm(s) == s)
+  }
+
+  test("stripControls drops C0/C1 controls but keeps tab/newline/CR") {
+    assert(norm("a\u0000b\u0007c", strip = true) == "abc")
+    assert(norm("a\tb\nc\rd", strip = true) == "a\tb\nc\rd")
+    assert(norm("x\u009fy", strip = true) == "xy")
+    // combined: normalization happens before the strip
+    assert(norm("cafe\u0301\u0002", strip = true) == "caf\u00e9")
+  }
+
+  test("null-total and non-BMP-safe") {
+    import spark.implicits._
+    val out = Seq[(java.lang.Long, String)]((1L, null), (2L, "\ud83d\ude00 ok"))
+      .toDF("id", "t")
+      .select(col("id"), NormalizeTextExpression.nfcNormalize(col("t")).as("n"))
+      .collect()
+    assert(out.find(_.getLong(0) == 1L).get.isNullAt(1))
+    assert(out.find(_.getLong(0) == 2L).get.getString(1) == "\ud83d\ude00 ok")
+  }
+}
