@@ -404,6 +404,42 @@ object Dedup {
       .agg(countDistinct(col("sh")).as("n_overlap"))
   }
 
+  /** [[contamination]] behind a Bloom prefilter — the same answer, the
+    * 100 TB execution plan: a driver-built Bloom filter over the
+    * benchmark's n-gram hashes (benchmarks are MB-scale) rides the scan
+    * as a broadcast sketch, so the overwhelmingly-clean majority of the
+    * corpus is dismissed INSIDE the narrow projection — no explode, no
+    * join, no shuffle for those rows. Only docs with at least one
+    * might-contain hit explode their matching hashes into the exact
+    * broadcast join, which removes the Bloom's false positives (it has
+    * no false negatives, so the output is identical to [[contamination]]
+    * — pinned by OpsSpec). `fpp` trades sketch size against how many
+    * clean docs pay the join. */
+  def bloomContamination(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int = 8,
+                         fpp: Double = 0.01): DataFrame = {
+    val bh = benchmark
+      .select(explode(shingleCol(col(textCol), n)).as("s"))
+      .select(xxhash64(col("s")).as("sh"))
+      .distinct()
+    val nBench = bh.count()
+    if (nBench == 0)
+      return corpus.select(col(idCol).as("doc_id"),
+        lit(0L).as("n_overlap")).limit(0)
+    val bloom = bh.stat.bloomFilter("sh", nBench, fpp)
+    val bytes = graft.functions.BloomMightContainExpression.serialize(bloom)
+    val candidates = corpus
+      .select(col(idCol).as("doc_id"),
+        filter(transform(shingleCol(col(textCol), n), s => xxhash64(s)),
+          h => graft.functions.BloomMightContainExpression.mightContain(h, bytes))
+          .as("hits"))
+      .filter(size(col("hits")) > 0)
+      .select(col("doc_id"), explode(col("hits")).as("sh"))
+    candidates.join(broadcast(bh), "sh")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("sh")).as("n_overlap"))
+  }
+
   /** Document frequency of word n-grams: in how many DISTINCT documents
     * does each n-gram appear (shingleCol is distinct-per-doc, so a plain
     * count IS the document frequency — no countDistinct expand needed).

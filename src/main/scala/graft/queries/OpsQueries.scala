@@ -322,6 +322,16 @@ object OpsQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // decontamination behind a Bloom prefilter: same answer as d07
+    // (no false negatives; the exact join removes false positives), but
+    // clean docs are dismissed inside the narrow scan — the 100 TB plan
+    "d10_bloom_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+      Dedup.bloomContamination(docs, bench, "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
     // fuzzy record linkage: part-name pairs within 2 edits inside brand
     // blocks — the equi-join on the block key bounds the quadratic (never
     // an all-pairs cross join); a length bound + Spark's early-exit
@@ -712,6 +722,20 @@ object OpsQueries extends QueryPack {
          GROUP BY q.vec_id ORDER BY query_id""",
 
     "d07_decontaminate" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+                  ELSE [array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]
+             END)) AS sh
+           FROM docs),
+         bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0)
+         SELECT s.doc_id, count(DISTINCT s.sh) AS n_overlap
+         FROM sh s JOIN bench b USING (sh)
+         GROUP BY 1 ORDER BY doc_id""",
+
+    // ground truth identical to d07's — the Bloom stage must be invisible
+    "d10_bloom_decontaminate" ->
       """WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
          sh AS (
            SELECT doc_id, unnest(list_distinct(

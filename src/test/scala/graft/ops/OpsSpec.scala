@@ -786,6 +786,22 @@ class OpsSpec extends SparkSpec {
       10L).count() == 0)
   }
 
+  test("bloomContamination equals exact contamination; empty bench total") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfSmoke).select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val exact = Dedup.contamination(docs, bench, "doc_id", "text", n = 8)
+      .as[(Long, Long)].collect().toMap
+    val bloomed = Dedup.bloomContamination(docs, bench, "doc_id", "text", n = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(bloomed == exact)
+    assert(exact.nonEmpty) // the planted overlap actually exercised the path
+    // empty benchmark: no contamination, same schema, no crash
+    val none = Dedup.bloomContamination(docs, bench.limit(0), "doc_id", "text")
+    assert(none.columns.toSeq == Seq("doc_id", "n_overlap"))
+    assert(none.count() == 0)
+  }
+
   test("topTokenFraction is the most-common-token share, total on empties") {
     import spark.implicits._
     val rows = Seq(
