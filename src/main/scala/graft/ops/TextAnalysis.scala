@@ -77,6 +77,54 @@ object TextAnalysis {
       .otherwise(best.cast("double") / size(toks))
   }
 
+  /** Adjacent-token co-occurrence statistics with the PMI ratio
+    * P(xy)/(P(x)·P(y)) = c_xy·N / (c_x·c_y) — the association measure
+    * behind collocation mining and phrase vocabularies (PMI itself is
+    * ln(ratio): left to the caller, because the RATIO is a quotient of
+    * exact integer counts — bit-identical on every engine — while ln's
+    * last ulp is libm-specific). Output: (bigram "w1 w2", c_xy, c_x,
+    * c_y, pmi_ratio) for bigrams with c_xy ≥ minCount.
+    *
+    * Scale shape: two explode→groupBy count passes (unigrams, bigrams)
+    * whose shuffles carry (token, partial count) pairs with map-side
+    * combine — text never shuffles; the count join is an equi-join on
+    * the token key. The corpus token total N is a one-row aggregate
+    * collected to the driver. */
+  def cooccurrenceRatio(df: org.apache.spark.sql.DataFrame, textCol: String,
+                        minCount: Long = 5): org.apache.spark.sql.DataFrame = {
+    val toks = split(trim(col(textCol)), """\s+""", 0)
+    val uni = df.select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum("c")).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    if (n == 0L)
+      return df.sparkSession.emptyDataFrame
+        .select(lit("").as("bigram"), lit(0L).as("c_xy"), lit(0L).as("c_x"),
+          lit(0L).as("c_y"), lit(0.0).as("pmi_ratio")).limit(0)
+    val bigrams = df
+      .select(toks.as("_toks"))
+      .select(explode(when(size(col("_toks")) < 2,
+          array().cast("array<string>"))
+        .otherwise(expr(
+          "transform(sequence(1, size(_toks) - 1), " +
+            "i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))")))
+        .as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    bigrams
+      .join(uni.select(col("tok"), col("c").as("c_x")),
+        split_part(col("bigram"), lit(" "), lit(1)) === col("tok"))
+      .drop("tok")
+      .join(uni.select(col("tok"), col("c").as("c_y")),
+        split_part(col("bigram"), lit(" "), lit(2)) === col("tok"))
+      .drop("tok")
+      .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"),
+        (col("c_xy").cast("double") * lit(n.toDouble) /
+          (col("c_x").cast("double") * col("c_y"))).as("pmi_ratio"))
+  }
+
   /** Mean word length (chars per whitespace token), rounded to 4. */
   def meanWordLen(text: Column): Column =
     round(length(regexp_replace(text, """\s+""", "")).cast("double") / tokenCountWs(text), 4)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Clustering, Ranking, Similarity}
+import graft.ops.{Clustering, Ranking, Similarity, TextAnalysis}
 
 /** Retrieval + clustering queries: lexical BM25 ranking, hybrid
   * lexical/vector fusion, and k-means corpus bucketing.
@@ -93,6 +93,13 @@ object RankingQueries extends QueryPack {
     // one narrow pass over the broadcast centroid matrix, zero shuffles.
     // Lloyd-refined training is engine-side only and pinned by
     // ClusteringSpec (cohesion monotone, planted clusters recovered).
+    // collocation mining: adjacent-pair PMI ratio c_xy*N/(c_x*c_y) —
+    // quotients of exact integer counts, no ln, so engine-exact
+    "r03_pmi_bigrams" -> ((s, d) =>
+      TextAnalysis.cooccurrenceRatio(
+          Tables.documents(s, d).select(col("text")), "text", minCount = 20)
+        .orderBy("bigram")),
+
     "c01_kmeans_assign" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val (labels, cents) =
@@ -140,6 +147,30 @@ object RankingQueries extends QueryPack {
            FROM fused)
          SELECT doc_id, rrf, lex_rank, vec_rank, rank FROM r
          WHERE rank <= 10 ORDER BY rank""",
+
+    "r03_pmi_bigrams" ->
+      """WITH docs AS (
+           SELECT string_split(trim(text), ' ') AS w FROM documents),
+         uni AS (SELECT unnest(w) AS tok FROM docs),
+         uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uc),
+         big AS (
+           SELECT unnest(CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+             ELSE [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+             END) AS bigram
+           FROM docs),
+         bc AS (
+           SELECT bigram, count(*) AS cxy FROM big
+           GROUP BY 1 HAVING count(*) >= 20)
+         SELECT bigram, CAST(bc.cxy AS BIGINT) AS c_xy,
+           CAST(u1.c AS BIGINT) AS c_x, CAST(u2.c AS BIGINT) AS c_y,
+           CAST(bc.cxy AS DOUBLE) * tot.n
+             / (CAST(u1.c AS DOUBLE) * u2.c) AS pmi_ratio
+         FROM bc
+         JOIN uc u1 ON u1.tok = split_part(bigram, ' ', 1)
+         JOIN uc u2 ON u2.tok = split_part(bigram, ' ', 2)
+         CROSS JOIN tot
+         ORDER BY bigram""",
 
     "c01_kmeans_assign" ->
       """WITH seeds AS (

@@ -146,4 +146,19 @@ class RankingSpec extends SparkSpec {
     assert(topPlan.contains("TakeOrderedAndProject"),
       s"top-k must not global-sort:\n$topPlan")
   }
+
+  test("cooccurrenceRatio: exact counts and ratio on a known corpus") {
+    import spark.implicits._
+    // 4 docs, "a b" appears 3 times; tokens: a x5, b x4, N = 12
+    val docs = Seq("a b a b", "a b c", "c a a", "b x").toDF("text")
+    val out = TextAnalysis.cooccurrenceRatio(docs, "text", minCount = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.length == 1)
+    val (bg, cxy, cx, cy, ratio) = out.head
+    assert(bg == "a b" && cxy == 3 && cx == 5 && cy == 4)
+    assert(ratio == 3.0 * 12.0 / (5.0 * 4.0)) // = 1.8
+    // empty corpus total
+    assert(TextAnalysis.cooccurrenceRatio(docs.limit(0), "text").count() == 0)
+  }
 }
