@@ -251,25 +251,45 @@ object Sampling {
   def temperatureMix(df: DataFrame, key: Column, group: Column,
                      target: Long, alpha: Double = 0.5,
                      salt: String = "graft"): DataFrame = {
+    val counts = df.select(group.cast("string").as("g"))
+      .filter(col("g").isNotNull)
+      .groupBy("g").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    if (counts.isEmpty) return df.limit(0)
+    df.filter(keepByRates(key, group, temperatureRates(counts, target, alpha),
+      salt))
+  }
+
+  /** The [[temperatureMix]] rate table from observed group counts — split
+    * out so a STREAM can apply rates trained on a batch snapshot
+    * ([[graft.streaming.StreamingCuration.temperatureGate]]). Groups sum
+    * in group-ascending order (literal left-assoc op chain — the oracle
+    * mirrors it exactly). */
+  def temperatureRates(counts: Seq[(String, Long)], target: Long,
+                       alpha: Double = 0.5): Map[String, Double] = {
     require(target >= 0, s"target out of range: $target")
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha out of range: $alpha")
     def w(n: Double): Double =
       if (alpha == 0.5) math.sqrt(n) else math.pow(n, alpha)
-    val counts = df.select(group.cast("string").as("g"))
-      .filter(col("g").isNotNull)
-      .groupBy("g").agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-      .sortBy(_._1)
-    if (counts.isEmpty) return df.limit(0)
-    val denom = counts.foldLeft(0.0) { case (acc, (_, n)) => acc + w(n.toDouble) }
+    val sorted = counts.sortBy(_._1)
+    val denom = sorted.foldLeft(0.0) { case (acc, (_, n)) => acc + w(n.toDouble) }
+    sorted.map { case (g, n) =>
+      g -> target.toDouble * w(n.toDouble) / denom / n.toDouble
+    }.toMap
+  }
+
+  /** Membership predicate for a per-group rate table: the md5-threshold
+    * rule with floor(rate·2^32) hex-bucket thresholds. Groups absent
+    * from `rates` (and NULL groups) are dropped. Pure per-row function —
+    * safe in batch and streaming plans alike. */
+  def keepByRates(key: Column, group: Column, rates: Map[String, Double],
+                  salt: String = "graft"): Column = {
     val h = hashKey(key, salt)
-    val keep = counts.foldRight(lit(false): Column) { case ((g, n), acc) =>
-      // literal left-assoc op order — the oracle mirrors it exactly
-      val rate = target.toDouble * w(n.toDouble) / denom / n.toDouble
-      val buckets = math.min(math.floor(rate * 4294967296.0).toLong, 1L << 32)
-      val thr = if (buckets >= (1L << 32)) "g" else f"$buckets%08x"
-      when(group.cast("string") === g, h < lit(thr)).otherwise(acc)
+    rates.toSeq.sortBy(_._1).foldRight(lit(false): Column) {
+      case ((g, rate), acc) =>
+        val buckets = math.min(math.floor(rate * 4294967296.0).toLong, 1L << 32)
+        val thr = if (buckets >= (1L << 32)) "g" else f"$buckets%08x"
+        when(group.cast("string") === g, h < lit(thr)).otherwise(acc)
     }
-    df.filter(keep)
   }
 }

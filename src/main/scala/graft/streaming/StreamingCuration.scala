@@ -59,6 +59,19 @@ object StreamingCuration {
                 else s <= maxBitsPerToken)
   }
 
+  /** Temperature-mix gate for streams: per-group keep rates trained on a
+    * batch snapshot (e.g. `Sampling.temperatureRates` over yesterday's
+    * counts) ride the plan as literals — stateless ingest-time corpus
+    * rebalancing. Membership is the identical md5-threshold rule as
+    * `Sampling.temperatureMix`, so replaying a batch through the gate
+    * keeps EXACTLY the rows the batch operator keeps (parity-pinned by
+    * the streaming suite). Groups absent from `rates` drop. */
+  def temperatureGate(docs: DataFrame, keyCol: String, groupCol: String,
+                      rates: Map[String, Double],
+                      salt: String = "graft"): DataFrame =
+    docs.filter(graft.ops.Sampling.keepByRates(
+      col(keyCol), col(groupCol), rates, salt))
+
   /** Streaming near-duplicate SUPPRESSION by single-band MinHash: a
     * document is dropped when its band key (the first `rowsPerBand`
     * minhashes) was seen within the watermark window. One state row per

@@ -563,4 +563,32 @@ class StreamingSpec extends SparkSpec {
       assert(ids == Set(1L)) // soup over threshold, null dropped by default
     } finally query.stop()
   }
+
+  test("streaming temperature gate keeps exactly the batch mix on a replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // skewed batch corpus: en-heavy; rates trained on its counts
+    val rows = Seq.tabulate(600)(i =>
+      (i.toLong, if (i % 3 == 0) "fr" else "en"))
+    val batch = rows.toDF("doc_id", "lang")
+    val batchKept = graft.ops.Sampling.temperatureMix(batch, col("doc_id"),
+        col("lang"), target = 200)
+      .select("doc_id").as[Long].collect().toSet
+    val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+    val rates = graft.ops.Sampling.temperatureRates(counts, target = 200)
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "lang")
+    val query = StreamingCuration.temperatureGate(docs, "doc_id", "lang", rates)
+      .writeStream.format("memory").queryName("temp_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(rows)
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id FROM temp_out")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed == batchKept) // bit-for-bit the batch operator's mix
+      assert(streamed.nonEmpty && streamed.size < 600)
+    } finally query.stop()
+  }
 }
