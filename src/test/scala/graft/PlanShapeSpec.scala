@@ -208,4 +208,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.toString.contains("BroadcastHashJoin"),
       "LM weights must broadcast-join the token stream")
   }
+
+  test("temperature mix, top-token, and NFC normalize are narrow passes") {
+    import graft.ops.{Sampling, TextAnalysis}
+    val docs = graft.Tables.documents(spark, sfSmoke)
+    // rate training is a separate O(groups) count job; the RESULT plan
+    // must be a filter on the scan — no shuffle of the data path
+    val mixed = Sampling.temperatureMix(docs, col("doc_id"), col("lang"), 100L)
+    assert(!mixed.queryExecution.executedPlan.toString.contains("Exchange"),
+      "temperatureMix output must be a narrow filter")
+    val rep = docs.select(TextAnalysis.topTokenFraction(col("text")))
+    assert(!rep.queryExecution.executedPlan.toString.contains("Exchange"),
+      "topTokenFraction must not explode/shuffle tokens")
+    val norm = docs.select(TextAnalysis.normalizeNfc(col("text")))
+    assert(!norm.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("takeUntilBudget never opens a global (unpartitioned) window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import graft.ops.Sampling
+    val docs = graft.Tables.documents(spark, sfSmoke)
+    val out = Sampling.takeUntilBudget(docs, col("doc_id"), col("n_chars"),
+      col("n_chars"), budget = 10000L)
+    val windows = prepared(out).collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"running sum must be bucket-partitioned, not global:\n${w.treeString}")
+    }
+  }
+
+  test("bloom decontamination: text never shuffles; exact tail broadcasts") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val plan = prepared(OpsQueries.queries("d10_bloom_decontaminate")(spark, sfSmoke))
+    plan.foreach {
+      case e: ShuffleExchangeExec =>
+        assert(!e.output.exists(a => a.name == "text" && a.dataType == StringType),
+          s"document text crosses a decontamination shuffle:\n${e.treeString}")
+      case _ =>
+    }
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      "the exact verification join must broadcast the benchmark hashes")
+  }
 }
