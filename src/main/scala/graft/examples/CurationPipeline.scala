@@ -10,15 +10,21 @@ import graft.sinks.CorpusWriter
   * example for the §2.9 extension surface, chaining the operators the way
   * a production 100 TB run would:
   *
+  *   0. Unicode NFC canonicalization (codegen kernel, ASCII fast path) —
+  *      BEFORE fingerprinting, so canonically-equal texts dedup together;
   *   1. exact dedup on the content fingerprint (16-byte-key shuffle);
   *   2. MinHash+LSH near-dup dedup with connected-components survivor
   *      election (text never crosses a shuffle);
-  *   3. benchmark decontamination (8-gram overlap, benchmark broadcast);
+  *   3. benchmark decontamination (8-gram overlap, Bloom-prefiltered so
+  *      clean docs never reach the join);
   *   4. quality gates: heuristic quality score, duplicate-n-gram
-  *      repetition cap, language allowlist — all narrow codegen columns;
+  *      repetition cap, most-common-word cap, language allowlist — all
+  *      narrow codegen columns;
   *   5. PII scrub (typed tags, regexp chain);
-  *   6. deterministic md5-keyed train/val/test split;
-  *   7. partitioned parquet out via CorpusWriter (bounded writer tasks
+  *   6. optional temperature-weighted language rebalancing and
+  *      token-budget selection (quantile-bucketed prefix sums);
+  *   7. deterministic md5-keyed train/val/test split;
+  *   8. partitioned parquet out via CorpusWriter (bounded writer tasks
   *      per partition value, maxRecordsPerFile rolling).
   *
   * Stage order is the cost order: each dedup/filter stage shrinks the
@@ -33,7 +39,12 @@ object CurationPipeline {
       maxBenchmarkOverlap: Long = 0,       // drop any doc sharing >N 8-grams
       minQuality: Double = 0.3,
       maxDup3Ratio: Double = 0.5,
+      maxTopTokenFraction: Double = 1.0,   // 1.0 = gate off
       langs: Seq[String] = Seq("en", "es", "de", "fr"),
+      // temperature-mix the languages toward sqrt weights, ~N docs out
+      mixTarget: Option[Long] = None,
+      // then best-quality-first until the whitespace-token budget is spent
+      tokenBudget: Option[Long] = None,
       // last entry is the remainder bucket (splitAssign semantics)
       splits: Seq[(String, Double)] = Seq(
         "train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
@@ -47,29 +58,45 @@ object CurationPipeline {
              idCol: String = "doc_id", textCol: String = "text",
              langCol: String = "lang",
              cfg: Config = Config()): DataFrame = {
+    // 0. canonicalize bytes before anything hashes them (narrow kernel)
+    val canon = docs.withColumn(textCol,
+      TextAnalysis.normalizeNfc(col(textCol), stripControls = true))
+
     // 1. exact dedup: min-id survivor per normalized-content fingerprint.
     // The anti-join form shuffles only (fingerprint, id) pairs — the
     // window form would move every document body through the exchange
     val exact = Dedup.exactDedupAnti(
-      docs, TextAnalysis.fingerprintMd5(col(textCol)), idCol)
+      canon, TextAnalysis.fingerprintMd5(col(textCol)), idCol)
 
     // 2. near-dup dedup (LSH pairs -> components -> min-id survivor)
     val uniq = Dedup.nearDupDedup(exact, idCol, textCol, cfg.nearDupThreshold)
 
-    // 3. decontamination: drop docs overlapping the held-out benchmark
-    val contaminated = Dedup.contamination(uniq, benchmark, idCol, textCol)
+    // 3. decontamination: drop docs overlapping the held-out benchmark.
+    // Bloom-prefiltered: the clean majority never reaches the join
+    val contaminated = Dedup.bloomContamination(uniq, benchmark, idCol, textCol)
       .filter(col("n_overlap") > cfg.maxBenchmarkOverlap)
       .select(col("doc_id").as(idCol))
     val clean = uniq.join(contaminated, Seq(idCol), "left_anti")
 
-    // 4-6. narrow tail: quality gates, PII scrub, split assignment
-    clean
+    // 4-5. narrow tail: quality gates, PII scrub
+    val gated = clean
       .filter(TextAnalysis.qualityScore(col(textCol)) >= cfg.minQuality)
       .filter(TextAnalysis.duplicateNgramRatio(col(textCol), 3) <= cfg.maxDup3Ratio)
+      .filter(TextAnalysis.topTokenFraction(col(textCol)) <= cfg.maxTopTokenFraction)
       .filter(col(langCol).isin(cfg.langs: _*))
       .withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
-      .withColumn("split",
-        Sampling.splitAssign(col(idCol), cfg.splits, cfg.splitSalt))
+
+    // 6. optional corpus shaping: language rebalance, then token budget
+    val mixed = cfg.mixTarget.fold(gated)(t =>
+      Sampling.temperatureMix(gated, col(idCol), col(langCol), t))
+    val bounded = cfg.tokenBudget.fold(mixed)(b =>
+      Sampling.takeUntilBudget(mixed, col(idCol),
+        TextAnalysis.qualityScore(col(textCol)),
+        TextAnalysis.tokenCountWs(col(textCol)), b))
+
+    // 7. split assignment
+    bounded.withColumn("split",
+      Sampling.splitAssign(col(idCol), cfg.splits, cfg.splitSalt))
   }
 
   /** Curate and write, partitioned by (split, lang) with bounded writer

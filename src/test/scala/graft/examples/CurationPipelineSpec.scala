@@ -102,6 +102,28 @@ class CurationPipelineSpec extends SparkSpec {
     assert(fps == n, "exact-dup fingerprints survived curation")
   }
 
+  test("mix + budget stages shape the corpus; off by default") {
+    val d = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select("doc_id", "text", "lang")
+    val bench = d.filter(col("doc_id") % 20 === 0).select("text")
+    val base = CurationPipeline.curate(d, bench)
+    val shaped = CurationPipeline.curate(d, bench,
+      cfg = CurationPipeline.Config(
+        mixTarget = Some(200L), tokenBudget = Some(5000L)))
+    val nBase = base.count()
+    val nShaped = shaped.count()
+    assert(nShaped > 0 && nShaped < nBase)
+    // shaped output is a subset of the unshaped survivors
+    val baseIds = base.select("doc_id").collect().map(_.getLong(0)).toSet
+    val shapedIds = shaped.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(shapedIds.subsetOf(baseIds))
+    // the budget actually binds: kept token mass is within it
+    import org.apache.spark.sql.functions.sum
+    val toks = shaped.select(TextAnalysis.tokenCountWs(col("text")).as("t"))
+      .agg(sum("t")).collect()(0).getLong(0)
+    assert(toks <= 5000L, s"token budget exceeded: $toks")
+  }
+
   test("balanceByCluster caps every semantic cluster and keeps doc columns") {
     val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
     val emb = spark.read.parquet(s"$sfSmoke/embeddings.parquet")
