@@ -533,6 +533,22 @@ object Similarity {
     semDedupWithCentroids(df, idCol, vecCol, cents, threshold)
   }
 
+  /** [[semDedup]] with k scaled to the corpus (k = √n clamped to
+    * [16, 65536], the [[ivfTopKAuto]] rule): expected cluster size √n, so
+    * the within-cluster pair count is n^1.5 / tasks rather than n²/k for
+    * a k frozen at training time — the knob sf0.1 hides and sf1 exposes
+    * (the fixed-k d09 oracle query scales 3.7× for 10× data; the auto
+    * form stays near-linear). */
+  def semDedupAuto(df: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, iters: Int = 5,
+                   seed: Int = 42): DataFrame = {
+    val n = df.count()
+    if (n == 0) return df
+    val k = math.min(math.max(math.sqrt(n.toDouble).toInt, 16), 65536)
+    semDedup(df, idCol, vecCol, k, threshold, iters,
+      sampleSize = math.max(512, k * 8), seed = seed)
+  }
+
   /** [[semDedup]] with caller-supplied centroids (e.g. the deterministic
     * seed Voronoi partition, or centroids trained on a previous corpus
     * snapshot). Total on empty input: no centroids → nothing to compare →

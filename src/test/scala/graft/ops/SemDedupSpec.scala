@@ -73,6 +73,21 @@ class SemDedupSpec extends SparkSpec {
     assert(out.select("id").as[Long].collect().toSet == Set(2L))
   }
 
+  test("semDedupAuto scales k with the corpus and still drops planted copies") {
+    import spark.implicits._
+    val data = planted(seed = 31)
+    val df = data.toDF("id", "v")
+    val withCopies = df.unionByName(
+      df.select((col("id") + 1000L).as("id"), col("v")))
+    val out = Similarity.semDedupAuto(withCopies, "id", "v", threshold = 0.95)
+    val kept = out.select("id").as[Long].collect().toSet
+    // identical vectors land in the same cluster at ANY k, so every
+    // planted copy is dropped regardless of the auto-chosen bucket count
+    assert(kept == data.map(_._1).toSet)
+    // empty input total
+    assert(Similarity.semDedupAuto(df.limit(0), "id", "v", 0.9).count() == 0)
+  }
+
   test("threshold above 1 is a no-op; empty input is total") {
     import spark.implicits._
     val df = planted().toDF("id", "v")
