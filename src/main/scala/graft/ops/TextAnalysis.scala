@@ -77,6 +77,20 @@ object TextAnalysis {
       .otherwise(best.cast("double") / size(toks))
   }
 
+  /** First-occurrence span deduplication WITHIN a document (the
+    * RefinedWeb "remove repeated lines/sentences inside the page" step):
+    * split on `sepPattern`, keep each span's first occurrence in order,
+    * re-join with `joiner`. ONE narrow HOF pass per row — a span is kept
+    * iff its first position in the array is its own (array_position is
+    * 1-based, the filter index 0-based). Null-total. */
+  def dedupSpansInDoc(text: Column, sepPattern: String = "\\. ",
+                      joiner: String = ". "): Column = {
+    val spans = split(text, sepPattern, 0)
+    array_join(
+      filter(spans, (x, i) => array_position(spans, x) === (i + 1).cast("long")),
+      joiner)
+  }
+
   /** Adjacent-token co-occurrence statistics with the PMI ratio
     * P(xy)/(P(x)·P(y)) = c_xy·N / (c_x·c_y) — the association measure
     * behind collocation mining and phrase vocabularies (PMI itself is

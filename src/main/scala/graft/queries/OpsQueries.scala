@@ -397,6 +397,19 @@ object OpsQueries extends QueryPack {
         .select(col("source"), col("doc_id"))
         .orderBy("source", "doc_id")),
 
+    // intra-document span dedup: each doc's text is planted as two
+    // identical "sentences"; first-occurrence dedup must restore the
+    // original exactly (restored == 1 for every row)
+    "t20_span_dedup" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"), col("text"),
+          concat(col("text"), lit(". "), col("text")).as("raw"))
+        .select(col("doc_id"),
+          md5(TextAnalysis.dedupSpansInDoc(col("raw")).cast("binary"))
+            .as("dedup_md5"),
+          (TextAnalysis.dedupSpansInDoc(col("raw")) === col("text"))
+            .cast("int").as("restored"))
+        .orderBy("doc_id")),
+
     // Unicode NFC canonicalization: planted decomposed suffixes (e +
     // combining acute, A + combining ring) must compose to the same
     // bytes DuckDB's nfc_normalize produces — compared via md5 of the
@@ -838,6 +851,22 @@ object OpsQueries extends QueryPack {
            FROM documents)
          SELECT source, doc_id FROM r WHERE rn <= 10
          ORDER BY source, doc_id""",
+
+    // (x, i) -> list_position = i is the same first-occurrence rule
+    // (both 1-based on the DuckDB side; Spark's 0-based index compares
+    // against the 1-based array_position with a +1)
+    "t20_span_dedup" ->
+      """WITH raw AS (
+           SELECT doc_id, text, text || '. ' || text AS raw FROM documents),
+         ded AS (
+           SELECT doc_id, text,
+             array_to_string(list_filter(string_split(raw, '. '),
+               (x, i) -> list_position(string_split(raw, '. '), x) = i),
+               '. ') AS dd
+           FROM raw)
+         SELECT doc_id, md5(dd) AS dedup_md5,
+                CAST(dd = text AS INT) AS restored
+         FROM ded ORDER BY doc_id""",
 
     // chr(769) = U+0301 combining acute, chr(778) = U+030A combining ring
     "t19_nfc_normalize" ->

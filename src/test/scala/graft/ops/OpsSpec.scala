@@ -786,6 +786,23 @@ class OpsSpec extends SparkSpec {
       10L).count() == 0)
   }
 
+  test("dedupSpansInDoc keeps first occurrences in order, null-total") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a b. c d. a b. e f"),  // repeated sentence dropped
+      (2L, "x. x. x"),             // collapses to one
+      (3L, "solo"),                // unchanged
+      (4L, null.asInstanceOf[String]))
+    val got = rows.toDF("id", "t")
+      .select(col("id"), TextAnalysis.dedupSpansInDoc(col("t")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    assert(got(1L) == "a b. c d. e f")
+    assert(got(2L) == "x")
+    assert(got(3L) == "solo")
+    assert(got(4L) == null)
+  }
+
   test("bloomContamination equals exact contamination; empty bench total") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfSmoke).select("doc_id", "text")
