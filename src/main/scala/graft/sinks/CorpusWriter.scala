@@ -69,4 +69,33 @@ object CorpusWriter {
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)
+
+  /** Export as JSON-Lines — the lingua franca LM trainers ingest (one
+    * JSON object per line, gzip-compressed shards). Same layout
+    * discipline as [[writeCurated]]: repartition by the partition
+    * columns + bounded salt so skew can't concentrate writers,
+    * `maxRecordsPerFile` rolls shards without an extra shuffle. Shards
+    * are splittable-by-line after decompression; use `compression =
+    * "none"` when the training loader wants byte-range reads. */
+  def writeJsonl(df: DataFrame, path: String,
+                 partitionCols: Seq[String] = Nil,
+                 maxRecordsPerFile: Long = 1000000L,
+                 tasksPerPartitionValue: Int = 4,
+                 compression: String = "gzip"): Unit = {
+    val writer =
+      if (partitionCols.isEmpty)
+        df.write
+      else {
+        val salt = pmod(xxhash64(df.columns.map(col).toSeq: _*),
+          lit(tasksPerPartitionValue.toLong)).as("_salt")
+        df.withColumn("_salt", salt)
+          .repartition((partitionCols.map(col) :+ col("_salt")): _*)
+          .drop("_salt")
+          .write.partitionBy(partitionCols: _*)
+      }
+    writer.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("compression", compression)
+      .json(path)
+  }
 }

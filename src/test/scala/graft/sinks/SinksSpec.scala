@@ -240,6 +240,34 @@ class SinksSpec extends SparkSpec {
     assert(spans.min < 1500, spans.mkString(","))
   }
 
+  test("jsonl export: partitioned gzip shards round-trip, writers bounded") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (i.toLong, s"body $i", if (i % 4 == 0) "es" else "en"))
+      .toDF("doc_id", "text", "lang")
+      .repartition(16)
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString + "/out"
+    CorpusWriter.writeJsonl(df, dir, partitionCols = Seq("lang"),
+      maxRecordsPerFile = 600, tasksPerPartitionValue = 2)
+    def shards(lang: String) =
+      new java.io.File(s"$dir/lang=$lang").listFiles()
+        .filter(_.getName.endsWith(".json.gz"))
+    // 2 writer tasks per value; 1500 en rows roll into >=3 files of <=600
+    assert(shards("es").nonEmpty && shards("en").length >= 3)
+    val back = spark.read.json(dir)
+    assert(back.count() == 2000)
+    assert(back.columns.toSet == Set("doc_id", "text", "lang"))
+    // each line of a shard is one standalone JSON object
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      new java.util.zip.GZIPInputStream(
+        new java.io.FileInputStream(shards("es").head))))
+    val line = in.readLine(); in.close()
+    assert(line.startsWith("{") && line.endsWith("}") && line.contains("\"text\""))
+    // unpartitioned flavor writes plain shards too
+    val dir2 = java.nio.file.Files.createTempDirectory("jsonl2").toString + "/out"
+    CorpusWriter.writeJsonl(df.select("doc_id", "text"), dir2)
+    assert(spark.read.json(dir2).count() == 2000)
+  }
+
   test("compacted write balances rows across the target file count") {
     import spark.implicits._
     val df = (1 to 1000).map(i => (i.toLong, s"t$i")).toDF("id", "t")
