@@ -91,6 +91,50 @@ object TextAnalysis {
       joiner)
   }
 
+  /** Fixed-size token-window chunking with overlap — the RAG/pretraining
+    * prep step that splits long documents into model-window-sized pieces
+    * (stride = chunkTokens − overlap; the final partial window is kept,
+    * so every token lands in ≥ 1 chunk). Returns (idCol, chunk_ix,
+    * chunk, n_tokens) — one narrow generate pass: the chunk list is
+    * built per row from the token array (HOF slice+join), then
+    * posexplodes; nothing shuffles, and at 100 TB the output feeds a
+    * partitioned write directly. Documents with no tokens emit nothing.
+    *
+    * Unlike [[graft.ops.Packing.packSequences]] (which concatenates
+    * SHORT documents up to a budget), this SPLITS long ones; the two
+    * compose into the standard fixed-window training layout. */
+  def chunkDocs(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, chunkTokens: Int,
+                overlap: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens): $overlap")
+    val stride = chunkTokens - overlap
+    val toks = split(trim(col(textCol)), """\s+""", 0)
+    // last chunk start = ceil((n - chunkTokens)/stride)·stride + 1 (≥ 1):
+    // the stride-grid start whose window reaches the final token, adding
+    // one partial window when the tail would otherwise be orphaned.
+    // floor of the double quotient — small exact ints, and the same
+    // floor-division the oracle's SQL computes
+    val n = size(toks)
+    val lastStart = greatest(
+      floor((n - lit(chunkTokens) + lit(stride) - 1) / lit(stride))
+        * lit(stride) + lit(1),
+      lit(1)).cast("int")
+    // isNull check explicit: length(NULL)===0 is NULL (falls through to
+    // otherwise) and greatest() IGNORES nulls, so a null text would
+    // fabricate one null chunk instead of none
+    val starts = when(col(textCol).isNull ||
+        length(trim(col(textCol))) === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), lastStart, lit(stride)))
+    df.select(col(idCol), posexplode(
+        transform(starts, s =>
+          array_join(slice(toks, s, lit(chunkTokens)), " ")))
+        .as(Seq("chunk_ix", "chunk")))
+      .select(col(idCol), col("chunk_ix").cast("long").as("chunk_ix"),
+        col("chunk"), tokenCountWs(col("chunk")).cast("long").as("n_tokens"))
+  }
+
   /** Adjacent-token co-occurrence statistics with the PMI ratio
     * P(xy)/(P(x)·P(y)) = c_xy·N / (c_x·c_y) — the association measure
     * behind collocation mining and phrase vocabularies (PMI itself is

@@ -397,6 +397,16 @@ object OpsQueries extends QueryPack {
         .select(col("source"), col("doc_id"))
         .orderBy("source", "doc_id")),
 
+    // fixed-window chunking with overlap (30-token windows, 10-token
+    // overlap): every token covered, partial tail kept; chunks hashed
+    // so the oracle compares content without dumping it
+    "t21_chunking" -> ((s, d) =>
+      TextAnalysis.chunkDocs(Tables.documents(s, d), "doc_id", "text",
+          chunkTokens = 30, overlap = 10)
+        .select(col("doc_id"), col("chunk_ix"),
+          md5(col("chunk").cast("binary")).as("chunk_md5"), col("n_tokens"))
+        .orderBy("doc_id", "chunk_ix")),
+
     // intra-document span dedup: each doc's text is planted as two
     // identical "sentences"; first-occurrence dedup must restore the
     // original exactly (restored == 1 for every row)
@@ -851,6 +861,26 @@ object OpsQueries extends QueryPack {
            FROM documents)
          SELECT source, doc_id FROM r WHERE rn <= 10
          ORDER BY source, doc_id""",
+
+    // same floor-division chunk grid; stride 20, window 30, 1-based
+    // slices; struct-zip supplies the 0-based chunk index
+    "t21_chunking" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split(trim(text), ' ') AS w
+           FROM documents WHERE length(trim(text)) > 0),
+         ch AS (
+           SELECT doc_id,
+             [array_to_string(w[s : s + 29], ' ')
+              for s in generate_series(1,
+                CAST(greatest(floor((len(w) - 30 + 20 - 1) / 20.0) * 20 + 1,
+                              1) AS BIGINT), 20)] AS chunks
+           FROM docs)
+         SELECT doc_id, u.i AS chunk_ix, md5(u.c) AS chunk_md5,
+                len(string_split(u.c, ' ')) AS n_tokens
+         FROM ch,
+           unnest([{'c': chunks[i], 'i': i - 1}
+                   for i in generate_series(1, len(chunks))]) AS t(u)
+         ORDER BY doc_id, chunk_ix""",
 
     // (x, i) -> list_position = i is the same first-occurrence rule
     // (both 1-based on the DuckDB side; Spark's 0-based index compares

@@ -786,6 +786,46 @@ class OpsSpec extends SparkSpec {
       10L).count() == 0)
   }
 
+  test("chunkDocs: stride grid, tail coverage, degenerate totality") {
+    import spark.implicits._
+    def chunks(text: String, w: Int, ov: Int): Seq[(Long, String)] = {
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      TextAnalysis.chunkDocs(df, "doc_id", "text", w, ov)
+        .select("chunk_ix", "chunk").as[(Long, String)].collect().toSeq
+        .sortBy(_._1)
+    }
+    // exact grid: 7 tokens, window 3, overlap 1 (stride 2)
+    assert(chunks("a b c d e f g", 3, 1).map(_._2) ==
+      Seq("a b c", "c d e", "e f g"))
+    // orphaned tail gets a partial window
+    assert(chunks("a b c d e f g h", 3, 1).map(_._2) ==
+      Seq("a b c", "c d e", "e f g", "g h"))
+    // doc shorter than one window = one chunk
+    assert(chunks("a b", 5, 2).map(_._2) == Seq("a b"))
+    // no overlap = disjoint cover that reconstructs the doc
+    assert(chunks("a b c d e", 2, 0).map(_._2).mkString(" ") == "a b c d e")
+    // empty and whitespace-only texts emit nothing; null text emits nothing
+    assert(chunks("", 4, 0).isEmpty && chunks("  ", 4, 0).isEmpty)
+    val withNull = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(TextAnalysis.chunkDocs(withNull, "doc_id", "text", 4).count() == 0)
+    // property on the real corpus: every token covered, windows bounded
+    val docs = Tables.documents(spark, sfSmoke).limit(50)
+    val out = TextAnalysis.chunkDocs(docs, "doc_id", "text", 30, 10)
+      .groupBy("doc_id")
+      .agg(sum(col("n_tokens") - lit(10)).as("covered"), count(lit(1)).as("k"),
+        max("n_tokens").as("mx"))
+      .collect()
+    val nToks = docs.select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(3) <= 30, s"doc $id window too big")
+      // sum(len - overlap) + overlap >= n  <=>  full coverage
+      assert(r.getLong(1) + 10 >= nToks(id), s"doc $id tokens uncovered")
+    }
+  }
+
   test("dedupSpansInDoc keeps first occurrences in order, null-total") {
     import spark.implicits._
     val rows = Seq(
