@@ -288,6 +288,27 @@ object RelationalQueries extends QueryPack {
           min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type")),
 
+    // explicit GROUPING SETS (neither rollup nor cube): per-type and
+    // per-day marginals plus the grand total in ONE pass — at scale this
+    // beats three scans unioned; grouping_id() disambiguates the
+    // all-null grand-total row from real null keys. day as an ISO string:
+    // a NULL-bearing DATE column round-trips as datetime64/NaT in one
+    // engine's pandas and object/None in the other's
+    "q29_grouping_sets" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          date_format(to_date(timestamp_micros(expr("ts DIV 1000"))),
+            "yyyy-MM-dd").as("day"),
+          dec("value").as("v"))
+        .groupingSets(
+          Seq(Seq(col("event_type")), Seq(col("day")), Seq()),
+          col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("v")), 2).cast("double").as("total"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("event_type").asc_nulls_first,
+          col("day").asc_nulls_first)),
+
     // backward as-of join (graft.ops.AsOf): each click gets the latest
     // preceding view per user. Times compared at µs (ts is long nanos on
     // the Spark side; DuckDB timestamps are µs) and the right side is
@@ -529,6 +550,17 @@ object RelationalQueries extends QueryPack {
          CAST(round(sum(CASE WHEN event_type = 'signup'   THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS signup,
          CAST(round(sum(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS view
          FROM events GROUP BY 1 ORDER BY day""",
+
+    // GROUPING() bitmask: first argument = most significant bit on both
+    // engines, so gid disambiguates identically
+    "q29_grouping_sets" ->
+      """SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total,
+           CAST(GROUPING(event_type, day) AS BIGINT) AS gid
+         FROM events
+         GROUP BY GROUPING SETS ((event_type), (day), ())
+         ORDER BY gid, event_type ASC NULLS FIRST, day ASC NULLS FIRST""",
 
     // sum(BIGINT) is HUGEINT in DuckDB — cast back (see the verify skill)
     "q28_json_extract" ->
