@@ -288,6 +288,22 @@ object RelationalQueries extends QueryPack {
           min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type")),
 
+    // time-RANGE window frame: per-user trailing 1-hour count/sum at
+    // event granularity — the sliding-window analytics shape. Frames on
+    // exact µs longs (RANGE peers identical both engines); decimal sums.
+    // Hot-key caveat and its chunked-carry fix: see ops/ChunkedWindows
+    "q30_range_window" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("tus")
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("ts DIV 1000").as("tus"), dec("value").as("v"))
+        .select(col("event_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          round(sum(col("v")).over(w), 2).cast("double").as("sum_1h"))
+        .orderBy("event_id")
+    }),
+
     // explicit GROUPING SETS (neither rollup nor cube): per-type and
     // per-day marginals plus the grand total in ONE pass — at scale this
     // beats three scans unioned; grouping_id() disambiguates the
@@ -550,6 +566,15 @@ object RelationalQueries extends QueryPack {
          CAST(round(sum(CASE WHEN event_type = 'signup'   THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS signup,
          CAST(round(sum(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS view
          FROM events GROUP BY 1 ORDER BY day""",
+
+    "q30_range_window" ->
+      """SELECT event_id, count(*) OVER w AS n_1h,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE)
+             AS sum_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
 
     // GROUPING() bitmask: first argument = most significant bit on both
     // engines, so gid disambiguates identically
