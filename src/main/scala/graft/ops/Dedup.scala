@@ -430,15 +430,43 @@ object Dedup {
     val bytes = graft.functions.BloomMightContainExpression.serialize(bloom)
     val candidates = corpus
       .select(col(idCol).as("doc_id"),
-        filter(transform(shingleCol(col(textCol), n), s => xxhash64(s)),
-          h => graft.functions.BloomMightContainExpression.mightContain(h, bytes))
-          .as("hits"))
+        bloomHits(col(textCol), bytes, n).as("hits"))
       .filter(size(col("hits")) > 0)
       .select(col("doc_id"), explode(col("hits")).as("sh"))
     candidates.join(broadcast(bh), "sh")
       .groupBy("doc_id")
       .agg(countDistinct(col("sh")).as("n_overlap"))
   }
+
+  /** Serialized Bloom filter over `benchmark`'s distinct n-gram hashes —
+    * the batch-side trainer for [[graft.streaming.StreamingCuration
+    * .decontaminationGate]]. Empty benchmark → empty array (gate keeps
+    * everything). */
+  def benchmarkBloom(benchmark: DataFrame, textCol: String, n: Int = 8,
+                     fpp: Double = 0.01): Array[Byte] = {
+    val bh = benchmark
+      .select(explode(shingleCol(col(textCol), n)).as("s"))
+      .select(xxhash64(col("s")).as("sh"))
+      .distinct()
+    val nBench = bh.count()
+    if (nBench == 0) Array.emptyByteArray
+    else graft.functions.BloomMightContainExpression.serialize(
+      bh.stat.bloomFilter("sh", nBench, fpp))
+  }
+
+  /** The text's n-gram hashes that might be in the sketch (narrow HOF
+    * over the row's own shingles — nothing shuffles). */
+  private[graft] def bloomHits(text: Column, bytes: Array[Byte],
+                               n: Int): Column =
+    filter(transform(shingleCol(text, n), s => xxhash64(s)),
+      h => graft.functions.BloomMightContainExpression.mightContain(h, bytes))
+
+  /** TRUE iff any n-gram of `text` might be in the sketch — the
+    * streaming gate's predicate. An empty sketch matches nothing. */
+  def anyShingleInBloom(text: Column, bytes: Array[Byte], n: Int): Column =
+    if (bytes.isEmpty) lit(false)
+    else exists(transform(shingleCol(text, n), s => xxhash64(s)),
+      h => graft.functions.BloomMightContainExpression.mightContain(h, bytes))
 
   /** Document frequency of word n-grams: in how many DISTINCT documents
     * does each n-gram appear (shingleCol is distinct-per-doc, so a plain

@@ -59,6 +59,18 @@ object StreamingCuration {
                 else s <= maxBitsPerToken)
   }
 
+  /** Benchmark-decontamination gate for streams: a Bloom filter built
+    * batch-side over the benchmark's n-gram hashes
+    * (`Dedup.benchmarkBloom`) rides the stream plan as a literal sketch —
+    * stateless, no join, no state store. Conservative by construction:
+    * the Bloom has no false negatives, so every truly-contaminated doc
+    * drops; false positives (rate = the builder's fpp) cost only extra
+    * clean docs, the right trade at ingest. The batch
+    * `Dedup.bloomContamination` remains the exact system of record. */
+  def decontaminationGate(docs: DataFrame, textCol: String,
+                          bloomBytes: Array[Byte], n: Int = 8): DataFrame =
+    docs.filter(!graft.ops.Dedup.anyShingleInBloom(col(textCol), bloomBytes, n))
+
   /** Temperature-mix gate for streams: per-group keep rates trained on a
     * batch snapshot (e.g. `Sampling.temperatureRates` over yesterday's
     * counts) ride the plan as literals — stateless ingest-time corpus

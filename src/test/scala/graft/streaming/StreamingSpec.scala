@@ -564,6 +564,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming decontamination gate drops benchmark-overlapping docs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val bench = Seq(benchText).toDF("text")
+    val bloom = graft.ops.Dedup.benchmarkBloom(bench, "text", n = 8)
+    assert(bloom.nonEmpty)
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val query = StreamingCuration.decontaminationGate(docs, "text", bloom)
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (1L, s"prefix words here $benchText suffix tail"), // contains an 8-gram
+        (2L, "totally unrelated clean document with enough distinct words"),
+        (3L, "another clean one about spark partitions and shuffles"))
+      query.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM decon_out")
+        .collect().map(_.getLong(0)).toSet
+      assert(!ids.contains(1L), "contaminated doc must drop (no false negatives)")
+      assert(ids.contains(2L) && ids.contains(3L),
+        s"clean docs should survive at fpp=0.01: $ids")
+    } finally query.stop()
+    // empty benchmark -> empty sketch -> gate keeps everything
+    val none = graft.ops.Dedup.benchmarkBloom(bench.limit(0), "text")
+    assert(none.isEmpty)
+  }
+
   test("streaming temperature gate keeps exactly the batch mix on a replay") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
