@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+
+  /** Driver-side reference power iteration (same dangling handling). */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+                          d: Double = 0.85): Map[Long, Double] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val out = e.groupBy(_._1).view.mapValues(_.size).toMap
+    var pr = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dangling = nodes.filterNot(out.contains).map(pr).sum
+      val contrib = e.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => pr(u) / out(u) }.sum).toMap
+      val base = (1.0 - d) / n + d * dangling / n
+      pr = nodes.map(v => v -> (base + d * contrib.getOrElse(v, 0.0))).toMap
+    }
+    pr
+  }
+
+  private val diamond: Seq[(Long, Long)] =
+    Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)) // 4 is dangling
+
+  test("matches the driver reference on a dangling diamond") {
+    import spark.implicits._
+    val got = Graph.pageRank(diamond.toDF("src", "dst"), "src", "dst",
+        iters = 8)
+      .as[(Long, Double)].collect().toMap
+    val exp = refPageRank(diamond, iters = 8)
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - exp(k)) < 1e-9, k) }
+    // rank is conserved: sums to 1 with the dangling correction
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // the double-cited sink outranks everything
+    assert(got(4L) == got.values.max)
+  }
+
+  test("hub structure: a page cited by everyone dominates") {
+    import spark.implicits._
+    // pure in-star: the hub is dangling, so its mass redistributes
+    // uniformly instead of funneling to a single successor
+    val star = (1L to 20L).map(i => (i, 100L))
+    val got = Graph.pageRank(star.toDF("src", "dst"), "src", "dst", iters = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(got(100L) == got.values.max)
+    assert(got(100L) > 0.4) // ~14x any leaf's share (dangling mass recycles)
+    val exp = refPageRank(star, iters = 10)
+    got.foreach { case (k, v) => assert(math.abs(v - exp(k)) < 1e-9, k) }
+  }
+
+  test("duplicate and null edges are cleaned; empty graph is total") {
+    import spark.implicits._
+    val messy = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (1L, 2L), (null, 2L), (2L, null), (2L, 1L))
+      .toDF("src", "dst")
+    val got = Graph.pageRank(messy, "src", "dst", iters = 5)
+      .as[(Long, Double)].collect().toMap
+    val exp = refPageRank(Seq((1L, 2L), (2L, 1L)), iters = 5)
+    got.foreach { case (k, v) => assert(math.abs(v - exp(k)) < 1e-9, k) }
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.pageRank(empty, "src", "dst").count() == 0)
+  }
+
+  test("converges: successive-round L1 delta shrinks") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val edges = Seq.fill(300)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(e => e._1 != e._2)
+    def l1(a: Map[Long, Double], b: Map[Long, Double]): Double =
+      a.keys.map(k => math.abs(a(k) - b(k))).sum
+    val r4 = refPageRank(edges, 4); val r5 = refPageRank(edges, 5)
+    val r9 = refPageRank(edges, 9); val r10 = refPageRank(edges, 10)
+    assert(l1(r9, r10) < l1(r4, r5))
+    // and the distributed result tracks the reference at 10 rounds
+    val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", 10)
+      .as[(Long, Double)].collect().toMap
+    got.foreach { case (k, v) => assert(math.abs(v - r10(k)) < 1e-9, k) }
+  }
+}
