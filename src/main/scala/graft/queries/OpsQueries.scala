@@ -356,6 +356,23 @@ object OpsQueries extends QueryPack {
         .select(col("vec_id")).orderBy("vec_id")
     }),
 
+    // PageRank over the customer->nation citation graph (nations offset
+    // to avoid id collisions; nations are dangling, so the correction
+    // path is exercised). Output = rank POSITION (ulp-robust: distinct
+    // true ranks differ by >> ulp; equal ranks tie-break by id) plus the
+    // 4-decimal rank. The oracle unrolls the same 5 power iterations
+    // with the identical operation order
+    "d11_pagerank" -> ((s, d) => {
+      val e = Tables.customer(s, d).select(col("c_custkey").as("src"),
+        (col("c_nationkey") + 1000000L).as("dst"))
+      val pr = graft.ops.Graph.pageRank(e, "src", "dst", iters = 5)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rank").desc, col("id"))
+      pr.select(col("id"), round(col("rank"), 4).as("rank4"),
+          row_number().over(w).cast("long").as("pos"))
+        .orderBy("id")
+    }),
+
     // corpus n-gram document frequency (vocabulary/boilerplate mining):
     // bigrams appearing in >= 25 distinct documents, exact oracle
     "t09_ngram_df" -> ((s, d) =>
@@ -812,6 +829,60 @@ object OpsQueries extends QueryPack {
          SELECT vec_id FROM all_vecs
          WHERE vec_id NOT IN (SELECT drop_id FROM drops)
          ORDER BY vec_id""",
+
+    // 5 unrolled power iterations, identical op order to Graph.pageRank
+    // (incl. (1.0 - 0.85), NOT the literal 0.15 -- they differ in the
+    // last ulp); dangling set == the offset nation ids by construction
+    "d11_pagerank" ->
+      """WITH e AS (
+           SELECT DISTINCT c_custkey AS src, c_nationkey + 1000000 AS dst
+           FROM customer),
+         nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         pr0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+         d0 AS (SELECT sum(rank) AS dm FROM pr0 WHERE id >= 1000000),
+         c0 AS (SELECT e.dst AS id, sum(p.rank) AS contrib
+                  FROM e JOIN pr0 p ON p.id = e.src GROUP BY e.dst),
+         pr1 AS (
+           SELECT n.id,
+             ((1.0 - 0.85) / nn.n) + 0.85 * (SELECT dm FROM d0) / nn.n
+               + 0.85 * coalesce(c.contrib, 0.0) AS rank
+           FROM nodes n CROSS JOIN nn LEFT JOIN c0 c ON c.id = n.id),
+         d1 AS (SELECT sum(rank) AS dm FROM pr1 WHERE id >= 1000000),
+         c1 AS (SELECT e.dst AS id, sum(p.rank) AS contrib
+                  FROM e JOIN pr1 p ON p.id = e.src GROUP BY e.dst),
+         pr2 AS (
+           SELECT n.id,
+             ((1.0 - 0.85) / nn.n) + 0.85 * (SELECT dm FROM d1) / nn.n
+               + 0.85 * coalesce(c.contrib, 0.0) AS rank
+           FROM nodes n CROSS JOIN nn LEFT JOIN c1 c ON c.id = n.id),
+         d2 AS (SELECT sum(rank) AS dm FROM pr2 WHERE id >= 1000000),
+         c2 AS (SELECT e.dst AS id, sum(p.rank) AS contrib
+                  FROM e JOIN pr2 p ON p.id = e.src GROUP BY e.dst),
+         pr3 AS (
+           SELECT n.id,
+             ((1.0 - 0.85) / nn.n) + 0.85 * (SELECT dm FROM d2) / nn.n
+               + 0.85 * coalesce(c.contrib, 0.0) AS rank
+           FROM nodes n CROSS JOIN nn LEFT JOIN c2 c ON c.id = n.id),
+         d3 AS (SELECT sum(rank) AS dm FROM pr3 WHERE id >= 1000000),
+         c3 AS (SELECT e.dst AS id, sum(p.rank) AS contrib
+                  FROM e JOIN pr3 p ON p.id = e.src GROUP BY e.dst),
+         pr4 AS (
+           SELECT n.id,
+             ((1.0 - 0.85) / nn.n) + 0.85 * (SELECT dm FROM d3) / nn.n
+               + 0.85 * coalesce(c.contrib, 0.0) AS rank
+           FROM nodes n CROSS JOIN nn LEFT JOIN c3 c ON c.id = n.id),
+         d4 AS (SELECT sum(rank) AS dm FROM pr4 WHERE id >= 1000000),
+         c4 AS (SELECT e.dst AS id, sum(p.rank) AS contrib
+                  FROM e JOIN pr4 p ON p.id = e.src GROUP BY e.dst),
+         pr5 AS (
+           SELECT n.id,
+             ((1.0 - 0.85) / nn.n) + 0.85 * (SELECT dm FROM d4) / nn.n
+               + 0.85 * coalesce(c.contrib, 0.0) AS rank
+           FROM nodes n CROSS JOIN nn LEFT JOIN c4 c ON c.id = n.id)
+         SELECT id, round(rank, 4) AS rank4,
+           row_number() OVER (ORDER BY rank DESC, id) AS pos
+         FROM pr5 ORDER BY id""",
 
     "t09_ngram_df" ->
       """WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
