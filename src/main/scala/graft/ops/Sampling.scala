@@ -228,6 +228,36 @@ object Sampling {
       .drop(work.toSeq: _*)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-Res, Inf. Proc. Letters 97(5)): each row gets the key
+    * ln(u)/w with u a pure md5-derived uniform of the row key — the k
+    * LARGEST keys are exactly a weighted sample without replacement.
+    * Reproducible across runs/partitionings/engines like every sampler
+    * here; change `salt` for a fresh draw. Rows with weight ≤ 0 or NULL
+    * cannot be sampled and are filtered.
+    *
+    * Scale shape: the key is a narrow projection; selection is
+    * orderBy+limit → TakeOrderedAndProject (bounded per-partition heaps
+    * merged on the driver, never a global sort). The 13-hex-digit
+    * uniform (52 bits) is exact in a double on both engines; ln's last
+    * ulp is libm-specific (the BM25 caveat), flipping membership only
+    * when two keys collide within an ulp — measure-zero for continuous
+    * key material. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
+                     salt: String = "graft"): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    require(!df.columns.contains("_ws_key"),
+      "weightedSample reserves column name _ws_key")
+    val v = conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 13),
+      16, 10).cast("double")
+    val u = (v + lit(1.0)) / lit(4503599627370496.0) // (0, 1], 2^52 buckets
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn("_ws_key", log(u) / weight.cast("double"))
+      .orderBy(col("_ws_key").desc, key)
+      .limit(k)
+      .drop("_ws_key")
+  }
+
   /** Temperature-weighted corpus mixing (the multilingual-LM data recipe,
     * e.g. arXiv:1901.07291 §3.1): resample groups (languages, sources)
     * toward weights w_g ∝ n_g^alpha, flattening the head and boosting the

@@ -450,6 +450,14 @@ object OpsQueries extends QueryPack {
             .cast("int").as("changed"))
         .orderBy("doc_id")),
 
+    // weighted sampling without replacement (A-Res exponential keys):
+    // 50 docs drawn proportional to n_chars, deterministically
+    "t22_weighted_sample" -> ((s, d) =>
+      Sampling.weightedSample(Tables.documents(s, d), col("doc_id"),
+          col("n_chars"), k = 50)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")),
+
     // Gopher most-common-word repetition gate: fraction of tokens that
     // are the top token, computed as a sorted-array max-run in one
     // narrow HOF pass (the explode+groupBy spelling would shuffle every
@@ -978,6 +986,30 @@ object OpsQueries extends QueryPack {
          SELECT doc_id, md5(nfc_normalize(raw)) AS norm_md5,
                 CAST(nfc_normalize(raw) <> raw AS INT) AS changed
          FROM raw ORDER BY doc_id""",
+
+    // same A-Res keys: 13-hex md5 prefix -> exact 52-bit integer (digit
+    // products and partial sums all < 2^53, so double arithmetic is
+    // exact in any order), ln((v+1)/2^52)/w, top-50 by key
+    "t22_weighted_sample" ->
+      """WITH h AS (
+           SELECT doc_id, n_chars,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 13) AS hx
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+         v AS (
+           SELECT doc_id, n_chars,
+             (SELECT sum((strpos('0123456789abcdef', substr(hx, i, 1)) - 1)
+                         * power(16, 13 - i))
+              FROM generate_series(1, 13) AS g(i)) AS hv
+           FROM h),
+         akeys AS (
+           SELECT doc_id, n_chars,
+             ln((hv + 1.0) / 4503599627370496.0)
+               / CAST(n_chars AS DOUBLE) AS akey
+           FROM v),
+         pick AS (
+           SELECT doc_id, n_chars FROM akeys
+           ORDER BY akey DESC, doc_id LIMIT 50)
+         SELECT doc_id, n_chars FROM pick ORDER BY doc_id""",
 
     // top-count via group-by: equals the engine's max-run over the
     // sorted token array; raw IEEE quotient of exact ints both sides

@@ -786,6 +786,44 @@ class OpsSpec extends SparkSpec {
       10L).count() == 0)
   }
 
+  test("weightedSample: exact A-Res parity with a driver reference, weight-proportional") {
+    import spark.implicits._
+    val rows = Seq.tabulate(400)(i => (i.toLong, 1L + (i % 10).toLong * 10L))
+    val df = rows.toDF("id", "w")
+    def refKeys(salt: String): Map[Long, Double] = rows.map { case (id, w) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id$salt".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      val u = (java.lang.Long.parseLong(md, 16).toDouble + 1.0) / 4503599627370496.0
+      id -> math.log(u) / w.toDouble
+    }.toMap
+    val got = Sampling.weightedSample(df, col("id"), col("w"), k = 60)
+      .select("id").as[Long].collect().toSet
+    val expect = refKeys("graft").toSeq.sortBy { case (id, k) => (-k, id) }
+      .take(60).map(_._1).toSet
+    assert(got == expect)
+    // partition-independence
+    val again = Sampling.weightedSample(df.repartition(13), col("id"),
+      col("w"), 60).select("id").as[Long].collect().toSet
+    assert(again == got)
+    // aggregate weighting across salts: heavy rows (w=91) picked far more
+    // often than light ones (w=1)
+    val picks = (1 to 20).flatMap(s =>
+      Sampling.weightedSample(df, col("id"), col("w"), 60, salt = s"s$s")
+        .select("id").as[Long].collect())
+    val heavy = picks.count(id => id % 10 == 9)
+    val light = picks.count(id => id % 10 == 0)
+    assert(heavy > light * 3, s"heavy=$heavy light=$light")
+    // zero/null weights are unsampleable; plan is top-k, not global sort
+    val withZero = df.withColumn("w", when(col("id") < 390, lit(0L)).otherwise(col("w")))
+    val onlyPos = Sampling.weightedSample(withZero, col("id"), col("w"), 60)
+      .select("id").as[Long].collect()
+    assert(onlyPos.toSet.subsetOf((390L until 400L).toSet) && onlyPos.length == 10)
+    val plan = Sampling.weightedSample(df, col("id"), col("w"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("chunkDocs: stride grid, tail coverage, degenerate totality") {
     import spark.implicits._
     def chunks(text: String, w: Int, ov: Int): Seq[(Long, String)] = {
