@@ -450,6 +450,20 @@ object OpsQueries extends QueryPack {
             .cast("int").as("changed"))
         .orderBy("doc_id")),
 
+    // data-quality expectations: four checks counted in ONE aggregate
+    // pass over the scan (never one scan per check)
+    "t23_expectations" -> ((s, d) =>
+      graft.ops.Expectations.report(Tables.lineitem(s, d), Seq(
+          graft.ops.Expectations.Check("qty_in_range",
+            col("l_quantity") >= 1 && col("l_quantity") <= 45),
+          graft.ops.Expectations.Check("discount_cap",
+            col("l_discount") <= 0.05),
+          graft.ops.Expectations.Check("shipdate_present",
+            col("l_shipdate").isNotNull),
+          graft.ops.Expectations.Check("flag_domain",
+            col("l_returnflag").isin("A", "N", "R"))))
+        .orderBy("check")),
+
     // weighted sampling without replacement (A-Res exponential keys):
     // 50 docs drawn proportional to n_chars, deterministically
     "t22_weighted_sample" -> ((s, d) =>
@@ -986,6 +1000,27 @@ object OpsQueries extends QueryPack {
          SELECT doc_id, md5(nfc_normalize(raw)) AS norm_md5,
                 CAST(nfc_normalize(raw) <> raw AS INT) AS changed
          FROM raw ORDER BY doc_id""",
+
+    // count(*) FILTER mirrors the conditional sums; NULL predicate =
+    // violation on both sides (NOT (x) is NULL for NULL x -> FILTER
+    // counts only definite passes, subtracted from the total)
+    "t23_expectations" ->
+      """WITH t AS (SELECT
+           count(*) AS n,
+           count(*) FILTER (WHERE coalesce(l_quantity >= 1
+                                           AND l_quantity <= 45, false)) AS p1,
+           count(*) FILTER (WHERE coalesce(l_discount <= 0.05, false)) AS p2,
+           count(*) FILTER (WHERE l_shipdate IS NOT NULL) AS p3,
+           count(*) FILTER (WHERE coalesce(l_returnflag IN ('A','N','R'),
+                                           false)) AS p4
+         FROM lineitem)
+         SELECT check_name AS "check", n - p AS n_violations, n AS n_rows
+         FROM (
+           SELECT 'qty_in_range' AS check_name, p1 AS p, n FROM t
+           UNION ALL SELECT 'discount_cap', p2, n FROM t
+           UNION ALL SELECT 'shipdate_present', p3, n FROM t
+           UNION ALL SELECT 'flag_domain', p4, n FROM t)
+         ORDER BY "check"""",
 
     // same A-Res keys: 13-hex md5 prefix -> exact 52-bit integer (digit
     // products and partial sums all < 2^53, so double arithmetic is

@@ -786,6 +786,31 @@ class OpsSpec extends SparkSpec {
       10L).count() == 0)
   }
 
+  test("expectations report: one pass, null predicates count as violations") {
+    import spark.implicits._
+    import graft.ops.Expectations.{Check, report}
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (5L, "b"),
+      (null, "a"), (20L, null)).toDF("x", "s")
+    val out = report(df, Seq(
+        Check("x_small", col("x") < 10),      // null x -> violation
+        Check("s_known", col("s").isin("a", "b")), // null s -> violation
+        Check("never", lit(false)),
+        Check("always", lit(true))))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(
+      "x_small" -> (2L, 4L),  // 20 fails, null fails
+      "s_known" -> (1L, 4L),  // null s fails
+      "never" -> (4L, 4L),
+      "always" -> (0L, 4L)))
+    // single aggregate pass: exactly one Aggregate pair, no repeated scan
+    val plan = report(df, Seq(Check("a", col("x") < 10),
+      Check("b", col("s") === "a"))).queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), s"one scan, not one per check:\n$plan")
+    intercept[IllegalArgumentException] {
+      report(df, Seq(Check("dup", lit(true)), Check("dup", lit(false))))
+    }
+  }
+
   test("weightedSample: exact A-Res parity with a driver reference, weight-proportional") {
     import spark.implicits._
     val rows = Seq.tabulate(400)(i => (i.toLong, 1L + (i % 10).toLong * 10L))
