@@ -438,6 +438,54 @@ object Dedup {
       .agg(countDistinct(col("sh")).as("n_overlap"))
   }
 
+  /** Incremental corpus dedup: the rows of `batch` that are neither
+    * exact- nor near-duplicates of ANY `prior` row — the daily-crawl
+    * increment step (dedup today's batch against the standing corpus
+    * without re-deduping the corpus).
+    *
+    * Stage 1: exact — md5-fingerprint LEFT ANTI join, (fp, id) pairs
+    * only. Stage 2: near — band equi-join BETWEEN the batch's and the
+    * prior's minhash band signatures (a bipartite join, never a self
+    * join: the prior never pairs with itself), candidates verified by
+    * exact shingle Jaccard, survivors re-attached by anti-join on id.
+    * Shuffle discipline is d02's: text never crosses an exchange;
+    * shingles attach only to deduplicated candidate pairs.
+    *
+    * At production scale the prior's (id, band, bhash) signature table
+    * is materialized once per corpus build and reused every increment —
+    * pass the same `bands`/`rowsPerBand`/`shingleN` so signatures match.
+    * `prior` is assumed already deduplicated (its identical-text groups
+    * are its own problem; they only cost duplicate candidate checks
+    * here). */
+  def dedupAgainst(batch: DataFrame, prior: DataFrame,
+                   idCol: String, textCol: String,
+                   threshold: Double = 0.8, bands: Int = 32,
+                   rowsPerBand: Int = 3, shingleN: Int = 3): DataFrame = {
+    val newDocs = batch.select(col(idCol).as("id"), col(textCol).as("text"))
+    val oldDocs = prior.select(col(idCol).as("id"), col(textCol).as("text"))
+    // stage 1: exact fingerprints
+    val priorFp = oldDocs.select(md5(col("text")).as("fp")).distinct()
+    val fresh = newDocs.withColumn("fp", md5(col("text")))
+      .join(priorFp, Seq("fp"), "left_anti").drop("fp")
+    // stage 2: bipartite band join on (band, bhash)
+    def bandsOf(df: DataFrame, idAs: String) = df.select(
+      col("id").as(idAs),
+      posexplode(graft.functions.MinhashBandsExpression.minhashBands(
+        col("text"), bands, rowsPerBand, shingleN)).as(Seq("band", "bhash")))
+    val cand = bandsOf(fresh, "id").join(bandsOf(oldDocs, "pid"),
+        Seq("band", "bhash"))
+      .select(col("id"), col("pid")).distinct()
+    val newSh = fresh.select(col("id"),
+      shingleCol(col("text"), shingleN).as("sha"))
+    val oldSh = oldDocs.select(col("id").as("pid"),
+      shingleCol(col("text"), shingleN).as("shb"))
+    val drops = cand.join(newSh, "id").join(oldSh, "pid")
+      .filter(jaccardCol(col("sha"), col("shb")) >= threshold)
+      .select(col("id")).distinct()
+    val keepIds = fresh.select(col("id")).join(drops, Seq("id"), "left_anti")
+    batch.join(keepIds.select(col("id").as(idCol)), Seq(idCol), "left_semi")
+  }
+
   /** Serialized Bloom filter over `benchmark`'s distinct n-gram hashes —
     * the batch-side trainer for [[graft.streaming.StreamingCuration
     * .decontaminationGate]]. Empty benchmark → empty array (gate keeps

@@ -341,6 +341,24 @@ object OpsQueries extends QueryPack {
           Seq("p_brand", "p_type"), maxDist = 2)
         .orderBy("id_a", "id_b")),
 
+    // incremental dedup: today's batch (exact copies, near copies,
+    // genuinely novel reversed docs) against the standing corpus — only
+    // the novel rows survive; the oracle recomputes exact text equality
+    // and full bipartite max-Jaccard
+    "d12_dedup_increment" -> ((s, d) => {
+      val prior = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val batch = prior.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(prior.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" zzz")).as("text")))
+        .unionByName(prior.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            array_join(reverse(split(col("text"), " ", 0)), " ").as("text")))
+      Dedup.dedupAgainst(batch, prior, "doc_id", "text", threshold = 0.8)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // SemDedup: k-means buckets (deterministic seed Voronoi, the c01
     // contract) bound the quadratic; within-cluster cosine >= 0.9 drops
     // the higher id. Planted exact copies are ground truth (cosine 1.0,
@@ -851,6 +869,43 @@ object OpsQueries extends QueryPack {
          SELECT vec_id FROM all_vecs
          WHERE vec_id NOT IN (SELECT drop_id FROM drops)
          ORDER BY vec_id""",
+
+    // exact ground truth for the increment: text equality for stage 1,
+    // full bipartite max-Jaccard for stage 2 (the engine's LSH+verify
+    // must reproduce it — banding recall at j >= 8/9 is ~1-(1-j^3)^32)
+    "d12_dedup_increment" ->
+      """WITH prior AS (SELECT doc_id, text FROM documents),
+         batch AS (
+           SELECT doc_id + 1000000 AS id, text FROM documents
+           WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, text || ' zzz' FROM documents
+           WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT doc_id + 3000000,
+             array_to_string(list_reverse(string_split(text, ' ')), ' ')
+           FROM documents WHERE doc_id % 3 = 0),
+         fresh AS (
+           SELECT * FROM batch WHERE text NOT IN (SELECT text FROM prior)),
+         bsh AS (
+           SELECT id, list_distinct(
+             CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE [array_to_string(w[i:i+2], ' ')
+                        for i in range(1, len(w) - 1)] END) AS s
+           FROM (SELECT id, string_split(text, ' ') AS w FROM fresh)),
+         psh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE [array_to_string(w[i:i+2], ' ')
+                        for i in range(1, len(w) - 1)] END) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM prior)),
+         drops AS (
+           SELECT DISTINCT b.id FROM bsh b JOIN psh p
+           ON len(list_intersect(b.s, p.s)) * 1.0 /
+              (len(b.s) + len(p.s) - len(list_intersect(b.s, p.s))) >= 0.8)
+         SELECT id AS doc_id FROM fresh
+         WHERE id NOT IN (SELECT id FROM drops)
+         ORDER BY doc_id""",
 
     // 5 unrolled power iterations, identical op order to Graph.pageRank
     // (incl. (1.0 - 0.85), NOT the literal 0.15 -- they differ in the

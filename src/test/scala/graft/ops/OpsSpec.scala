@@ -786,6 +786,29 @@ class OpsSpec extends SparkSpec {
       10L).count() == 0)
   }
 
+  test("dedupAgainst: drops exact and near matches to prior, keeps novel full rows") {
+    import spark.implicits._
+    val prior = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),       // exact
+      (11L, "one two three four five six seven eight nine ten eleven twelve zzz"), // near
+      (12L, "completely different content about spark physical plans here"),   // novel
+      (13L, "totally novel second doc with its own vocabulary entirely"))      // novel
+      .toDF("doc_id", "text").withColumn("payload", col("doc_id") * 2)
+    val out = Dedup.dedupAgainst(batch, prior, "doc_id", "text", threshold = 0.8)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L, 13L))
+    // full rows (extra columns) survive the semi-join
+    assert(out.columns.toSeq == Seq("doc_id", "text", "payload"))
+    // empty batch and empty prior are total
+    assert(Dedup.dedupAgainst(batch.limit(0), prior, "doc_id", "text").count() == 0)
+    assert(Dedup.dedupAgainst(batch, prior.limit(0), "doc_id", "text")
+      .count() == 4) // nothing to collide with
+  }
+
   test("expectations report: one pass, null predicates count as violations") {
     import spark.implicits._
     import graft.ops.Expectations.{Check, report}
