@@ -52,6 +52,38 @@ object Ranking {
         explode(array_distinct(tokens(col(textCol)))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
 
+  /** Per-document TF-IDF keyword extraction: the k highest-scoring terms
+    * of each document, score = tf · ln(N/df) rounded to 4 BEFORE ranking
+    * (the BM25 rule: cross-engine rank comparisons must never hinge on
+    * ln's last ulp; ties break by term). Output (doc_id, term, score,
+    * rank ≤ k).
+    *
+    * Scale shape: ONE tokenize→(doc, term) count shuffle feeds both tf
+    * and df (df = per-term count of the distinct (doc, term) rows — no
+    * second scan of the text); df re-attaches by term equi-join; the
+    * per-document top-k window partitions on doc_id — high cardinality,
+    * so no task serializes (the q24 low-cardinality trap does not apply). */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val n = docs.count()
+    if (n == 0)
+      return docs.sparkSession.emptyDataFrame.select(
+        lit(0L).as("doc_id"), lit("").as("term"),
+        lit(0.0).as("score"), lit(0).as("rank")).limit(0)
+    val tf = termFreqs(docs, idCol, textCol)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("score",
+        round(col("tf").cast("double") *
+          log(lit(n.toDouble) / col("df").cast("double")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("score"), col("rank"))
+  }
+
   /** Corpus statistics for a bounded term set, from ONE aggregate pass:
     * document count, total token count, and per-term document frequency. */
   final case class Bm25Stats(nDocs: Long, sumDl: Long, df: Map[String, Long]) {

@@ -93,6 +93,14 @@ object RankingQueries extends QueryPack {
     // one narrow pass over the broadcast centroid matrix, zero shuffles.
     // Lloyd-refined training is engine-side only and pinned by
     // ClusteringSpec (cohesion monotone, planted clusters recovered).
+    // per-doc TF-IDF keywords: top-3 terms by tf*ln(N/df), rounded to 4
+    // before ranking (the BM25 ulp rule), ties by term
+    "r04_tfidf_keywords" -> ((s, d) =>
+      Ranking.tfidfKeywords(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")),
+
     // collocation mining: adjacent-pair PMI ratio c_xy*N/(c_x*c_y) —
     // quotients of exact integer counts, no ln, so engine-exact
     "r03_pmi_bigrams" -> ((s, d) =>
@@ -147,6 +155,33 @@ object RankingQueries extends QueryPack {
            FROM fused)
          SELECT doc_id, rrf, lex_rank, vec_rank, rank FROM r
          WHERE rank <= 10 ORDER BY rank""",
+
+    // same tokenization as bm25ToksCte; row_number cast to INT matches
+    // Spark's int rank
+    "r04_tfidf_keywords" ->
+      """WITH toked AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS toks
+           FROM documents),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM toked),
+         tf AS (
+           SELECT doc_id, unnest(toks) AS term FROM toked),
+         tfc AS (
+           SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+         dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+         scored AS (
+           SELECT t.doc_id, t.term,
+             round(CAST(t.tf AS DOUBLE)
+                   * ln(n.nd / CAST(d.df AS DOUBLE)), 4) AS score
+           FROM tfc t JOIN dfc d USING (term) CROSS JOIN n),
+         r AS (
+           SELECT doc_id, term, score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, term) AS INT) AS rank
+           FROM scored)
+         SELECT doc_id, term, score, rank FROM r WHERE rank <= 3
+         ORDER BY doc_id, rank""",
 
     "r03_pmi_bigrams" ->
       """WITH docs AS (

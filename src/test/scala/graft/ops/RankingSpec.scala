@@ -147,6 +147,27 @@ class RankingSpec extends SparkSpec {
       s"top-k must not global-sort:\n$topPlan")
   }
 
+  test("tfidfKeywords: discriminative terms outrank ubiquitous ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark shuffle common"),
+      (2L, "duck oracle common"),
+      (3L, "kernel codegen common")).toDF("doc_id", "text")
+    val out = Ranking.tfidfKeywords(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getInt(3)))
+    val byDoc = out.groupBy(_._1)
+    // doc 1's top term: 'spark' (tf=2, df=1) = 2*ln(3) = 2.1972
+    val d1 = byDoc(1L).sortBy(_._4)
+    assert(d1.head._2 == "spark" && d1.head._3 == 2.1972)
+    // 'common' appears in every doc: ln(3/3) = 0 score, never outranks
+    assert(byDoc.values.flatten.filter(_._2 == "common").forall(_._3 == 0.0))
+    // exactly k rows per doc, ranks 1..k
+    assert(byDoc.values.forall(v => v.map(_._4).sorted.toSeq == Seq(1, 2)))
+    // empty corpus total
+    assert(Ranking.tfidfKeywords(docs.limit(0), "doc_id", "text").count() == 0)
+  }
+
   test("cooccurrenceRatio: exact counts and ratio on a known corpus") {
     import spark.implicits._
     // 4 docs, "a b" appears 3 times; tokens: a x5, b x4, N = 12
