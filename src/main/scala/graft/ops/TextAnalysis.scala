@@ -91,6 +91,25 @@ object TextAnalysis {
       joiner)
   }
 
+  /** ROUGE-N overlap between a candidate and a reference text (Lin 2004)
+    * — the summarization/caption eval metric, needed when scoring
+    * generated training pairs. Distinct-n-gram overlap (set semantics,
+    * the common implementation): precision = |∩|/|cand grams|, recall =
+    * |∩|/|ref grams|, f1 = 2pr/(p+r). All three are quotients of exact
+    * integer set sizes (and one guarded composite), engine-portable
+    * bit-for-bit; 0.0 when either side has no n-grams. ONE narrow pass —
+    * both shingle sets derive from the row's own columns (the d03
+    * shape). Returns struct(p, r, f1). */
+  def rougeN(candidate: Column, reference: Column, n: Int = 2): Column = {
+    val cs = Dedup.shingleCol(candidate, n)
+    val rs = Dedup.shingleCol(reference, n)
+    val inter = size(array_intersect(cs, rs)).cast("double")
+    val p = when(size(cs) > 0, inter / size(cs)).otherwise(lit(0.0))
+    val r = when(size(rs) > 0, inter / size(rs)).otherwise(lit(0.0))
+    val f = when(p + r > 0, lit(2.0) * p * r / (p + r)).otherwise(lit(0.0))
+    struct(p.as("p"), r.as("r"), f.as("f1"))
+  }
+
   /** Fixed-size token-window chunking with overlap — the RAG/pretraining
     * prep step that splits long documents into model-window-sized pieces
     * (stride = chunkTokens − overlap; the final partial window is kept,

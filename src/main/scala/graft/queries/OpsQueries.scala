@@ -468,6 +468,20 @@ object OpsQueries extends QueryPack {
             .cast("int").as("changed"))
         .orderBy("doc_id")),
 
+    // ROUGE-2 of a truncated candidate (first 20 words) against the full
+    // text as reference: precision ~1, recall partial — quotients of
+    // exact set sizes, shipped raw (no rounding)
+    "t24_rouge" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_join(slice(split(col("text"), " ", 0), 1, 20), " ").as("cand"),
+          col("text").as("ref"))
+        .select(col("doc_id"),
+          TextAnalysis.rougeN(col("cand"), col("ref"), 2).as("rg"))
+        .select(col("doc_id"), col("rg.p").as("p"), col("rg.r").as("r"),
+          col("rg.f1").as("f1"))
+        .orderBy("doc_id")),
+
     // data-quality expectations: four checks counted in ONE aggregate
     // pass over the scan (never one scan per check)
     "t23_expectations" -> ((s, d) =>
@@ -1055,6 +1069,37 @@ object OpsQueries extends QueryPack {
          SELECT doc_id, md5(nfc_normalize(raw)) AS norm_md5,
                 CAST(nfc_normalize(raw) <> raw AS INT) AS changed
          FROM raw ORDER BY doc_id""",
+
+    // same distinct-bigram sets; f1 = 2*p*r/(p+r) in identical op order
+    "t24_rouge" ->
+      """WITH base AS (
+           SELECT doc_id, string_split(text, ' ') AS w,
+                  string_split(text, ' ')[1:20] AS cw
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(cw) < 2
+               THEN [array_to_string(cw, ' ')]
+               ELSE [array_to_string(cw[i:i+1], ' ')
+                     for i in range(1, len(cw))] END) AS cs,
+             list_distinct(CASE WHEN len(w) < 2
+               THEN [array_to_string(w, ' ')]
+               ELSE [array_to_string(w[i:i+1], ' ')
+                     for i in range(1, len(w))] END) AS rs
+           FROM base),
+         pr AS (
+           SELECT doc_id,
+             CASE WHEN len(cs) > 0 THEN
+               CAST(len(list_intersect(cs, rs)) AS DOUBLE) / len(cs)
+               ELSE 0.0 END AS p,
+             CASE WHEN len(rs) > 0 THEN
+               CAST(len(list_intersect(cs, rs)) AS DOUBLE) / len(rs)
+               ELSE 0.0 END AS r
+           FROM sh)
+         SELECT doc_id, p, r,
+           CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r)
+                ELSE 0.0 END AS f1
+         FROM pr ORDER BY doc_id""",
 
     // count(*) FILTER mirrors the conditional sums; NULL predicate =
     // violation on both sides (NOT (x) is NULL for NULL x -> FILTER
