@@ -91,6 +91,14 @@ object TextAnalysis {
       joiner)
   }
 
+  /** Deflate compression ratio (compressed/raw bytes) — the long-range
+    * repetition signal n-gram ratios miss; see
+    * [[graft.functions.CompressionRatioExpression]]. Filter-only (zlib
+    * lengths are implementation-versioned): gate with e.g.
+    * `compressionRatio(text).between(0.3, 0.95)`. */
+  def compressionRatio(text: Column): Column =
+    graft.functions.CompressionRatioExpression.compressionRatio(text)
+
   /** ROUGE-N overlap between a candidate and a reference text (Lin 2004)
     * — the summarization/caption eval metric, needed when scoring
     * generated training pairs. Distinct-n-gram overlap (set semantics,

@@ -32,6 +32,33 @@ class NormalizeTextSpec extends SparkSpec {
     assert(norm("cafe\u0301\u0002", strip = true) == "caf\u00e9")
   }
 
+  test("compression ratio separates template spam from prose, null-total") {
+    import spark.implicits._
+    val prose = "the quarterly report outlines revenue growth across " +
+      "distinct market segments with varied terminology throughout analysis"
+    val spam = ("buy cheap pills now " * 40).trim
+    val rows = Seq((1L, prose), (2L, spam), (3L, ""),
+      (4L, null.asInstanceOf[String]))
+    val got = rows.toDF("id", "t")
+      .select(col("id"),
+        CompressionRatioExpression.compressionRatio(col("t")).as("cr"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+        else java.lang.Double.valueOf(r.getDouble(1)))).toMap
+    assert(got(2L).doubleValue() < 0.2, s"template spam: ${got(2L)}")
+    assert(got(1L).doubleValue() > got(2L).doubleValue() * 2)
+    assert(got(3L).doubleValue() == 1.0)
+    assert(got(4L) == null)
+    // deterministic across partitionings (pure per-row function)
+    val again = rows.toDF("id", "t").repartition(3)
+      .select(col("id"),
+        CompressionRatioExpression.compressionRatio(col("t")).as("cr"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1))))
+      .toMap
+    assert(again == got)
+  }
+
   test("null-total and non-BMP-safe") {
     import spark.implicits._
     val out = Seq[(java.lang.Long, String)]((1L, null), (2L, "\ud83d\ude00 ok"))
