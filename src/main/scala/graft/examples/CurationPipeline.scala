@@ -40,6 +40,8 @@ object CurationPipeline {
       minQuality: Double = 0.3,
       maxDup3Ratio: Double = 0.5,
       maxTopTokenFraction: Double = 1.0,   // 1.0 = gate off
+      // deflate-ratio band: below = template spam, above = random soup
+      compressionBand: Option[(Double, Double)] = None,
       langs: Seq[String] = Seq("en", "es", "de", "fr"),
       // temperature-mix the languages toward sqrt weights, ~N docs out
       mixTarget: Option[Long] = None,
@@ -83,6 +85,8 @@ object CurationPipeline {
       .filter(TextAnalysis.qualityScore(col(textCol)) >= cfg.minQuality)
       .filter(TextAnalysis.duplicateNgramRatio(col(textCol), 3) <= cfg.maxDup3Ratio)
       .filter(TextAnalysis.topTokenFraction(col(textCol)) <= cfg.maxTopTokenFraction)
+      .filter(cfg.compressionBand.fold(lit(true)) { case (lo, hi) =>
+        TextAnalysis.compressionRatio(col(textCol)).between(lo, hi) })
       .filter(col(langCol).isin(cfg.langs: _*))
       .withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
 

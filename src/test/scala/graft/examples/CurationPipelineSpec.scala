@@ -102,6 +102,30 @@ class CurationPipelineSpec extends SparkSpec {
     assert(fps == n, "exact-dup fingerprints survived curation")
   }
 
+  test("compression band gate drops template spam when enabled") {
+    import org.apache.spark.sql.functions.lit
+    val d = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select("doc_id", "text", "lang")
+    val spam = d.limit(5).select(col("doc_id") + 900000L as "doc_id",
+      lit(("free offer click now " * 50).trim).as("text"), col("lang"))
+    val bench = d.filter(col("doc_id") % 20 === 0).select("text")
+    // dup3 off in both configs: the n-gram gate would already catch this
+    // SHORT-period spam — the band gate is for what zlib sees and
+    // trigrams don't, isolated here
+    val base = CurationPipeline.curate(d.unionByName(spam), bench,
+      cfg = CurationPipeline.Config(maxDup3Ratio = 1.0))
+    val gated = CurationPipeline.curate(d.unionByName(spam), bench,
+      cfg = CurationPipeline.Config(maxDup3Ratio = 1.0,
+        compressionBand = Some((0.25, 1.5))))
+    val baseIds = base.select("doc_id").collect().map(_.getLong(0)).toSet
+    val gatedIds = gated.select("doc_id").collect().map(_.getLong(0)).toSet
+    // near-dup dedup already collapses the identical spam rows to one
+    // survivor; the band gate removes even that one
+    assert(baseIds.exists(_ >= 900000L))
+    assert(!gatedIds.exists(_ >= 900000L))
+    assert(gatedIds.subsetOf(baseIds))
+  }
+
   test("mix + budget stages shape the corpus; off by default") {
     val d = spark.read.parquet(s"$sfSmoke/documents.parquet")
       .select("doc_id", "text", "lang")
