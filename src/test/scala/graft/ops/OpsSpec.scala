@@ -912,6 +912,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("chunkDocs fuzz: grid parity with a driver reference over random shapes") {
+    import spark.implicits._
+    def refChunks(text: String, w: Int, ov: Int): Seq[(Long, String)] = {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.isEmpty) return Nil
+      val stride = w - ov
+      val last = math.max(
+        math.floor((toks.length - w + stride - 1).toDouble / stride).toLong
+          * stride + 1, 1L).toInt
+      (1 to last by stride).zipWithIndex.map { case (s, i) =>
+        (i.toLong, toks.slice(s - 1, s - 1 + w).mkString(" "))
+      }
+    }
+    val rnd = new scala.util.Random(17)
+    val cases = Seq.tabulate(40) { i =>
+      val n = rnd.nextInt(60) // 0..59 tokens
+      val text = Seq.fill(n)(s"w${rnd.nextInt(9)}").mkString(" ")
+      val w = 1 + rnd.nextInt(12)
+      val ov = rnd.nextInt(w)
+      (i.toLong, text, w, ov)
+    }
+    cases.foreach { case (id, text, w, ov) =>
+      val got = TextAnalysis.chunkDocs(Seq((id, text)).toDF("doc_id", "text"),
+          "doc_id", "text", w, ov)
+        .select("chunk_ix", "chunk").as[(Long, String)].collect().toSeq
+        .sortBy(_._1)
+      val exp = refChunks(text, w, ov)
+      assert(got == exp, s"case id=$id n=${text.split(" ").length} w=$w ov=$ov")
+    }
+  }
+
   test("dedupSpansInDoc keeps first occurrences in order, null-total") {
     import spark.implicits._
     val rows = Seq(
