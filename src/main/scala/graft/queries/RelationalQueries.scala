@@ -288,6 +288,32 @@ object RelationalQueries extends QueryPack {
           min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type")),
 
+    // ordered funnel analysis (view -> click -> purchase): stage
+    // reached per user via chained min-after aggregations — each stage
+    // is one (user, ts) groupBy + equi-join, exact µs arithmetic; no
+    // per-user event-sequence collection, no window sort
+    "q31_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("event_type"), expr("ts DIV 1000").as("tus"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("tus").as("t1"))
+      val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("tus") > col("t1"))
+        .groupBy("user_id").agg(min("tus").as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("tus") > col("t2"))
+        .groupBy("user_id").agg(min("tus").as("t3"))
+      ev.select(col("user_id")).distinct()
+        .join(s1, Seq("user_id"), "left")
+        .join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+            .when(col("t1").isNotNull, 1).otherwise(0).as("stage"),
+          col("t1"), col("t2"), col("t3"))
+        .orderBy("user_id")
+    }),
+
     // time-RANGE window frame: per-user trailing 1-hour count/sum at
     // event granularity — the sliding-window analytics shape. Frames on
     // exact µs longs (RANGE peers identical both engines); decimal sums.
@@ -566,6 +592,26 @@ object RelationalQueries extends QueryPack {
          CAST(round(sum(CASE WHEN event_type = 'signup'   THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS signup,
          CAST(round(sum(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS view
          FROM events GROUP BY 1 ORDER BY day""",
+
+    "q31_funnel" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+         s1 AS (SELECT user_id, min(tus) AS t1 FROM ev
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.tus) AS t2
+                FROM ev e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.tus > s1.t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.tus) AS t3
+                FROM ev e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.tus > s2.t2 GROUP BY 1),
+         u AS (SELECT DISTINCT user_id FROM ev)
+         SELECT u.user_id,
+           CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage,
+           t1, t2, t3
+         FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+                LEFT JOIN s3 USING (user_id)
+         ORDER BY user_id""",
 
     "q30_range_window" ->
       """SELECT event_id, count(*) OVER w AS n_1h,
