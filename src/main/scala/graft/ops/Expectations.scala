@@ -32,4 +32,20 @@ object Expectations {
       .select(col("check"), col("n_violations"),
         col("_n").as("n_rows"))
   }
+
+  /** k-anonymity audit: quasi-identifier combinations shared by FEWER
+    * than `k` rows — each is a re-identification risk (Sweeney 2002),
+    * the privacy gate run before releasing a training corpus with
+    * metadata columns.
+    * Output: (quasi-identifier cols..., group_size) for violating
+    * groups only. One groupBy pass; the shuffle carries (QI tuple,
+    * partial count) with map-side combine. */
+  def kAnonymityViolations(df: DataFrame, quasiIdCols: Seq[String],
+                           k: Long): DataFrame = {
+    require(quasiIdCols.nonEmpty, "at least one quasi-identifier column")
+    require(k >= 2, s"k must be at least 2: $k")
+    df.groupBy(quasiIdCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") < k)
+  }
 }

@@ -468,6 +468,19 @@ object OpsQueries extends QueryPack {
             .cast("int").as("changed"))
         .orderBy("doc_id")),
 
+    // k-anonymity audit over (lang, source) quasi-identifiers: groups
+    // smaller than 8 are re-identification risks
+    "t25_k_anonymity" -> ((s, d) =>
+      graft.ops.Expectations.kAnonymityViolations(
+          Tables.documents(s, d), Seq("lang", "source"), k = 8)
+        .orderBy("lang", "source")),
+
+    // dataset-card statistics: every figure exact, incl. the median via
+    // the pivot-histogram percentile machinery (no global sort)
+    "t26_corpus_report" -> ((s, d) =>
+      graft.ops.CorpusReport.build(Tables.documents(s, d))
+        .orderBy("metric")),
+
     // ROUGE-2 of a truncated candidate (first 20 words) against the full
     // text as reference: precision ~1, recall partial — quotients of
     // exact set sizes, shipped raw (no rounding)
@@ -1069,6 +1082,37 @@ object OpsQueries extends QueryPack {
          SELECT doc_id, md5(nfc_normalize(raw)) AS norm_md5,
                 CAST(nfc_normalize(raw) <> raw AS INT) AS changed
          FROM raw ORDER BY doc_id""",
+
+    "t25_k_anonymity" ->
+      """SELECT lang, source, count(*) AS group_size
+         FROM documents GROUP BY 1, 2 HAVING count(*) < 8
+         ORDER BY lang, source""",
+
+    // p50 rank convention: k = (1*(n+1)) // 2, ties permute equal
+    // values only (the q24 contract)
+    "t26_corpus_report" ->
+      """WITH t AS (
+           SELECT doc_id, lang, source, n_chars,
+             len(string_split(trim(text), ' ')) AS toks
+           FROM documents),
+         p AS (
+           SELECT n_chars FROM (
+             SELECT n_chars,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+               count(*) OVER () AS n
+             FROM t) s
+           WHERE rn = greatest((n + 1) // 2, 1))
+         SELECT metric, value FROM (
+           SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM t
+           UNION ALL SELECT 'n_tokens', CAST(sum(toks) AS DOUBLE) FROM t
+           UNION ALL SELECT 'n_langs',
+             CAST(count(DISTINCT lang) AS DOUBLE) FROM t
+           UNION ALL SELECT 'n_sources',
+             CAST(count(DISTINCT source) AS DOUBLE) FROM t
+           UNION ALL SELECT 'mean_doc_tokens',
+             CAST(sum(toks) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM t
+           UNION ALL SELECT 'p50_chars', CAST(n_chars AS DOUBLE) FROM p) u
+         ORDER BY metric""",
 
     // same distinct-bigram sets; f1 = 2*p*r/(p+r) in identical op order
     "t24_rouge" ->

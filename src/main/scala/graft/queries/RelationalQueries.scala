@@ -288,6 +288,22 @@ object RelationalQueries extends QueryPack {
           min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type")),
 
+    // cohort retention: users grouped by first-activity day, counted by
+    // day offset — two aggregations + one (user) equi-join, all integer
+    // date arithmetic; the standard growth-analytics matrix
+    "q32_cohort_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        to_date(timestamp_micros(expr("ts DIV 1000"))).as("day"))
+      val cohorts = ev.groupBy("user_id").agg(min("day").as("cohort"))
+      ev.join(cohorts, "user_id")
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          datediff(col("day"), col("cohort")).as("day_offset"),
+          col("user_id"))
+        .groupBy("cohort", "day_offset")
+        .agg(countDistinct("user_id").as("active_users"))
+        .orderBy("cohort", "day_offset")
+    }),
+
     // ordered funnel analysis (view -> click -> purchase): stage
     // reached per user via chained min-after aggregations — each stage
     // is one (user, ts) groupBy + equi-join, exact µs arithmetic; no
@@ -592,6 +608,18 @@ object RelationalQueries extends QueryPack {
          CAST(round(sum(CASE WHEN event_type = 'signup'   THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS signup,
          CAST(round(sum(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS view
          FROM events GROUP BY 1 ORDER BY day""",
+
+    // cohort as ISO string (non-null, but symmetric with the q29 rule);
+    // datediff == date subtraction in days on both engines
+    "q32_cohort_retention" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         c AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY 1)
+         SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort,
+           CAST(ev.day - c.cohort AS INT) AS day_offset,
+           CAST(count(DISTINCT ev.user_id) AS BIGINT) AS active_users
+         FROM ev JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY cohort, day_offset""",
 
     "q31_funnel" ->
       """WITH ev AS (
