@@ -91,6 +91,23 @@ object TextAnalysis {
       joiner)
   }
 
+  /** Approximate top terms via the Misra–Gries sketch aggregate
+    * ([[graft.functions.HeavyHittersAggregate]]): ONE bounded-memory
+    * pass — each task reduces its tokens to a ≤ capacity-entry sketch
+    * before the exchange, so the shuffle carries tasks × capacity
+    * entries, never the term universe (the exact groupBy moves every
+    * distinct term). Estimates carry the MG guarantee: within
+    * N/(capacity+1) below true counts, exact when the vocabulary fits.
+    * Output: (term, est_count) sorted by (est desc, term). */
+  def approxTopTerms(df: org.apache.spark.sql.DataFrame, textCol: String,
+                     capacity: Int): org.apache.spark.sql.DataFrame =
+    df.select(explode(split(trim(col(textCol)), """\s+""", 0)).as("term"))
+      .filter(length(col("term")) > 0)
+      .agg(graft.functions.HeavyHittersAggregate
+        .heavyHitters(col("term"), capacity).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("term"), col("e.count").as("est_count"))
+
   /** Deflate compression ratio (compressed/raw bytes) — the long-range
     * repetition signal n-gram ratios miss; see
     * [[graft.functions.CompressionRatioExpression]]. Filter-only (zlib
