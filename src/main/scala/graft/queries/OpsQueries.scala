@@ -468,6 +468,21 @@ object OpsQueries extends QueryPack {
             .cast("int").as("changed"))
         .orderBy("doc_id")),
 
+    // video frame-sampling plan: every 24th frame index for a synthetic
+    // per-doc frame count — the deterministic sampling arithmetic a
+    // frame extractor follows (the extractor itself is the documented
+    // stub); pure integer sequences, engine-exact
+    "mm03_frame_sampling" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), (col("n_chars") % 1000 + 1).as("frames"))
+        .select(col("doc_id"), col("frames"),
+          Multimodal.sampleFrameIndexes(col("frames"), stride = 24)
+            .as("idx"))
+        .select(col("doc_id"), col("frames"),
+          size(col("idx")).cast("long").as("n_sampled"),
+          element_at(col("idx"), -1).cast("long").as("last_idx"))
+        .orderBy("doc_id")),
+
     // k-anonymity audit over (lang, source) quasi-identifiers: groups
     // smaller than 8 are re-identification risks
     "t25_k_anonymity" -> ((s, d) =>
@@ -1082,6 +1097,13 @@ object OpsQueries extends QueryPack {
          SELECT doc_id, md5(nfc_normalize(raw)) AS norm_md5,
                 CAST(nfc_normalize(raw) <> raw AS INT) AS changed
          FROM raw ORDER BY doc_id""",
+
+    // generate_series(0, frames-1, 24) == sequence(0, frames-1, 24)
+    "mm03_frame_sampling" ->
+      """SELECT doc_id, n_chars % 1000 + 1 AS frames,
+           len(generate_series(0, n_chars % 1000, 24)) AS n_sampled,
+           list_last(generate_series(0, n_chars % 1000, 24)) AS last_idx
+         FROM documents ORDER BY doc_id""",
 
     "t25_k_anonymity" ->
       """SELECT lang, source, count(*) AS group_size
