@@ -71,4 +71,61 @@ object Graph {
     }
     ranks
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999): auth(v) = Σ_{u→v} hub(u),
+    * hub(u) = Σ_{u→v} auth(v), each L1-normalized per round (L1, not the
+    * textbook L2: the normalizer is then a plain sum — one scalar
+    * aggregate — and normalization choice does not change the ranking).
+    * Returns (id, hub, auth). Same per-round shape as [[pageRank]]: two
+    * equi-join + groupBy-sum passes moving (node, partial score) pairs,
+    * flat lineage via localCheckpoint, one O(1)-row driver scalar per
+    * normalization. Nodes with no in-edges get auth 0 (and mirrored for
+    * hubs) — they stay in the output. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 10): DataFrame = {
+    require(iters >= 0, s"iters must be non-negative: $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(false)
+    val n = nodes.count()
+    if (n == 0)
+      return e.select(col("src").as("id"), lit(0.0).as("hub"),
+        lit(0.0).as("auth")).limit(0)
+    var scores = nodes.withColumn("hub", lit(1.0 / n))
+      .withColumn("auth", lit(1.0 / n))
+    def normalized(df: DataFrame, c: String): DataFrame = {
+      val total = df.agg(sum(c)).collect()(0) match {
+        case r if r.isNullAt(0) => 0.0
+        case r => r.getDouble(0)
+      }
+      if (total == 0.0) df
+      else df.withColumn(c, col(c) / lit(total))
+    }
+    for (_ <- 1 to iters) {
+      val auth2 = e.join(scores.select(col("id"), col("hub")),
+          e("src") === col("id"))
+        .groupBy(col("dst").as("aid")).agg(sum("hub").as("auth"))
+      val withAuth = normalized(
+        nodes.join(auth2, nodes("id") === col("aid"), "left")
+          .select(nodes("id"), coalesce(col("auth"), lit(0.0)).as("auth")),
+        "auth")
+      val hub2 = e.join(withAuth.select(col("id").as("aid"), col("auth")),
+          e("dst") === col("aid"))
+        .groupBy(col("src").as("hid")).agg(sum("auth").as("hub"))
+      scores = nodes
+        .join(hub2, nodes("id") === col("hid"), "left")
+        .select(nodes("id"), coalesce(col("hub"), lit(0.0)).as("hub"))
+      scores = normalized(scores, "hub")
+        .join(withAuth.withColumnRenamed("id", "_aid2"),
+          col("id") === col("_aid2"))
+        .select(col("id"), col("hub"), col("auth"))
+        .localCheckpoint(false)
+    }
+    scores
+  }
 }

@@ -66,6 +66,52 @@ class GraphSpec extends SparkSpec {
     assert(Graph.pageRank(empty, "src", "dst").count() == 0)
   }
 
+  /** Driver HITS with the same L1 normalization. */
+  private def refHits(edges: Seq[(Long, Long)],
+                      iters: Int): Map[Long, (Double, Double)] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    var hub = nodes.map(_ -> 1.0 / nodes.size).toMap
+    var auth = nodes.map(_ -> 1.0 / nodes.size).toMap
+    def norm(m: Map[Long, Double]): Map[Long, Double] = {
+      val t = m.values.sum
+      if (t == 0.0) m else m.view.mapValues(_ / t).toMap
+    }
+    for (_ <- 1 to iters) {
+      auth = norm(nodes.map(v =>
+        v -> e.filter(_._2 == v).map(x => hub(x._1)).sum).toMap)
+      hub = norm(nodes.map(v =>
+        v -> e.filter(_._1 == v).map(x => auth(x._2)).sum).toMap)
+    }
+    nodes.map(v => v -> (hub(v), auth(v))).toMap
+  }
+
+  test("HITS: hub/authority structure recovered, matches driver reference") {
+    import spark.implicits._
+    // 1..5 are hubs all pointing at authorities 100 and 200; 6 points
+    // only at 100; 7 is isolated-ish (points at 8)
+    val edges = (1L to 5L).flatMap(h => Seq((h, 100L), (h, 200L))) ++
+      Seq((6L, 100L), (7L, 8L))
+    val got = Graph.hits(edges.toDF("src", "dst"), "src", "dst", iters = 8)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val exp = refHits(edges, 8)
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (k, (h, a)) =>
+      assert(math.abs(h - exp(k)._1) < 1e-9, s"hub $k")
+      assert(math.abs(a - exp(k)._2) < 1e-9, s"auth $k")
+    }
+    // 100 (cited by 6 hubs) is the top authority; 200 second; hubs 1-5
+    // outrank hub 6 (they cite both authorities)
+    val topAuth = got.toSeq.sortBy(-_._2._2).map(_._1)
+    assert(topAuth.head == 100L && topAuth(1) == 200L)
+    assert(got(1L)._1 > got(6L)._1)
+    // authorities have ~zero hub score; empty graph total
+    assert(got(100L)._1 == 0.0)
+    assert(Graph.hits(Seq.empty[(Long, Long)].toDF("src", "dst"),
+      "src", "dst").count() == 0)
+  }
+
   test("converges: successive-round L1 delta shrinks") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
