@@ -564,6 +564,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("trending terms: the MG sketch aggregates per event-time window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+    val mem = MemoryStream[(Timestamp, String)]
+    val docs = mem.toDF().toDF("ts", "text")
+    val out = docs
+      .select(col("ts"), explode(split(col("text"), " ")).as("term"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "30 minutes"))
+      .agg(graft.functions.HeavyHittersAggregate
+        .heavyHitters(col("term"), 8).as("hh"))
+      .select(col("window.start").as("w"), col("hh"))
+    val query = out.writeStream.format("memory").queryName("trend_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (at(1), "gpu gpu gpu training run"),
+        (at(5), "gpu cluster training gpu"),
+        (at(12), "tokenizer bug gpu"))
+      query.processAllAvailable()
+      // advance the watermark past the first window to emit it
+      mem.addData((at(50), "later window content"))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT w, hh FROM trend_out").collect()
+      assert(rows.nonEmpty)
+      val first = rows.minBy(_.getTimestamp(0).getTime)
+      val top = first.getSeq[org.apache.spark.sql.Row](1).head
+      assert(top.getString(0) == "gpu" && top.getLong(1) == 6L,
+        s"got $top") // exact: vocabulary fits the capacity
+    } finally query.stop()
+  }
+
   test("streaming decontamination gate drops benchmark-overlapping docs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
