@@ -288,6 +288,21 @@ object RelationalQueries extends QueryPack {
           min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type")),
 
+    // LATERAL correlated subquery (the SQL-surface spelling of per-group
+    // top-n): top-2 customers by balance per nation — Catalyst rewrites
+    // the lateral into a join, exercising the SQL entry path end-to-end
+    "q33_lateral_topn" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      s.sql("""
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation_v n,
+        LATERAL (SELECT c_custkey, c_acctbal FROM customer_v c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        ORDER BY n_name, c_custkey""")
+    }),
+
     // cohort retention: users grouped by first-activity day, counted by
     // day offset — two aggregations + one (user) equi-join, all integer
     // date arithmetic; the standard growth-analytics matrix
@@ -608,6 +623,14 @@ object RelationalQueries extends QueryPack {
          CAST(round(sum(CASE WHEN event_type = 'signup'   THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS signup,
          CAST(round(sum(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS view
          FROM events GROUP BY 1 ORDER BY day""",
+
+    "q33_lateral_topn" ->
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+         FROM nation n,
+         LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+                  WHERE c.c_nationkey = n.n_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+         ORDER BY n_name, c_custkey""",
 
     // cohort as ISO string (non-null, but symmetric with the q29 rule);
     // datediff == date subtraction in days on both engines
