@@ -133,4 +133,36 @@ class DegenerateInputsSpec extends SparkSpec {
     assert(tiny.count() == 3)
     assert(tiny.select("cluster").distinct().count() == 3)
   }
+
+  test("session-2 ops: empty inputs are totalities, not crashes") {
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // corpus report: counting metrics survive an empty corpus
+    val report = CorpusReport.build(emptyDocs)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(report("n_docs") == 0.0 && report("n_tokens") == 0.0 &&
+      report("mean_doc_tokens") == 0.0)
+    assert(!report.contains("p50_chars")) // no median of nothing
+    // k-anonymity on empty: no violating groups
+    assert(Expectations.kAnonymityViolations(emptyDocs,
+      Seq("lang", "source"), 5).count() == 0)
+    // chunking / span dedup / rouge / top-token on empty frames
+    assert(TextAnalysis.chunkDocs(emptyDocs, "doc_id", "text", 10).count() == 0)
+    assert(emptyDocs.select(TextAnalysis.dedupSpansInDoc(col("text")))
+      .count() == 0)
+    assert(emptyDocs.select(TextAnalysis.rougeN(col("text"), col("text")))
+      .count() == 0)
+    // PMI on empty corpus
+    assert(TextAnalysis.cooccurrenceRatio(emptyDocs, "text").count() == 0)
+    // tfidf on empty corpus
+    assert(Ranking.tfidfKeywords(emptyDocs, "doc_id", "text").count() == 0)
+    // heavy hitters over zero rows: empty sketch, not a crash
+    val hh = emptyDocs.agg(graft.functions.HeavyHittersAggregate
+      .heavyHitters(col("text"), 4).as("hh")).collect()(0).getSeq[Any](0)
+    assert(hh.isEmpty)
+    // weighted sample of nothing
+    assert(Sampling.weightedSample(emptyDocs, col("doc_id"),
+      col("n_chars"), 5).count() == 0)
+  }
 }
