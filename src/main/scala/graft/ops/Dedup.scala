@@ -438,6 +438,48 @@ object Dedup {
       .agg(countDistinct(col("sh")).as("n_overlap"))
   }
 
+  /** Winnowing-fingerprint near-duplicate pairs: documents whose
+    * fingerprint-set Jaccard meets `threshold` — the SIGMOD'03 local
+    * fingerprinting that survives reordering/insertion better than
+    * full-text hashing (each fingerprint witnesses one small text
+    * region). At threshold 1.0 this is "identical normalized text"
+    * detection with ~|text|/window longs per doc instead of the text.
+    *
+    * Scale shape (the d02 discipline): fingerprints come from ONE
+    * narrow kernel pass; the self-join moves (id, fingerprint) pairs —
+    * text never shuffles; intersection sizes aggregate map-side; set
+    * sizes re-attach by id join. Ubiquitous fingerprints (boilerplate
+    * k-grams) make hot buckets — cap them with `maxDocsPerFp`, which
+    * drops fingerprints shared by more than that many docs (they carry
+    * no discriminating signal for CANDIDATE GENERATION; surviving
+    * pairs' exact Jaccard is recomputed over FULL sets, so the cap
+    * affects recall only — a pair sharing exclusively hot fingerprints
+    * is missed, never mis-scored). */
+  def winnowNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double = 1.0, k: Int = 5,
+                         window: Int = 4,
+                         maxDocsPerFp: Int = 1000): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+      graft.functions.WinnowExpression.winnowCol(col(textCol), k, window)
+        .as("fp"))
+    val exploded = fps.select(col("id"), explode(col("fp")).as("f"))
+    val hot = exploded.groupBy("f").agg(count(lit(1)).as("c"))
+      .filter(col("c") > maxDocsPerFp).select(col("f"))
+    val cool = exploded.join(broadcast(hot), Seq("f"), "left_anti")
+    val cand = cool.alias("a").join(cool.alias("b"),
+        col("a.f") === col("b.f") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(fps.select(col("id").as("id_a"), col("fp").as("fa")), "id_a")
+      .join(fps.select(col("id").as("id_b"), col("fp").as("fb")), "id_b")
+      .withColumn("common", size(array_intersect(col("fa"), col("fb"))))
+      .withColumn("overlap", col("common").cast("double") /
+        (size(col("fa")) + size(col("fb")) - col("common")))
+      .filter(col("overlap") >= threshold)
+      .select(col("id_a"), col("id_b"), col("overlap"))
+  }
+
   /** Incremental corpus dedup: the rows of `batch` that are neither
     * exact- nor near-duplicates of ANY `prior` row — the daily-crawl
     * increment step (dedup today's batch against the standing corpus

@@ -341,6 +341,21 @@ object OpsQueries extends QueryPack {
           Seq("p_brand", "p_type"), maxDist = 2)
         .orderBy("id_a", "id_b")),
 
+    // winnowing fingerprints at threshold 1.0: every planted copy must
+    // pair with its original at overlap exactly 1.0 (equal text ⇒ equal
+    // fingerprint sets). Filtered to the planted family (the d04
+    // pattern): winnow sets are deliberately lossy, so DIFFERENT texts
+    // can legitimately share a set — those extra true positives aren't
+    // SQL-expressible ground truth
+    "d13_winnow_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val dupped = docs.unionByName(docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.winnowNearDupPairs(dupped, "doc_id", "text", threshold = 1.0)
+        .filter(col("id_b") === col("id_a") + 1000000L && col("id_a") < 1000000L)
+        .orderBy("id_a", "id_b")
+    }),
+
     // incremental dedup: today's batch (exact copies, near copies,
     // genuinely novel reversed docs) against the standing corpus — only
     // the novel rows survive; the oracle recomputes exact text equality
@@ -911,6 +926,13 @@ object OpsQueries extends QueryPack {
          SELECT vec_id FROM all_vecs
          WHERE vec_id NOT IN (SELECT drop_id FROM drops)
          ORDER BY vec_id""",
+
+    // the planted family is complete ground truth: each original pairs
+    // its copy at exactly 1.0
+    "d13_winnow_pairs" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+                1.0::DOUBLE AS overlap
+         FROM documents ORDER BY id_a""",
 
     // exact ground truth for the increment: text equality for stage 1,
     // full bipartite max-Jaccard for stage 2 (the engine's LSH+verify

@@ -786,6 +786,29 @@ class OpsSpec extends SparkSpec {
       10L).count() == 0)
   }
 
+  test("winnow kernel matches the driver function; pairs find planted edits") {
+    import spark.implicits._
+    val texts = Seq("The quick brown fox jumps over the lazy dog tonight",
+      "a b", "", "some  Spaced   text HERE")
+    val viaKernel = texts.toDF("t")
+      .select(graft.functions.WinnowExpression.winnowCol(col("t")).as("w"))
+      .as[Seq[Long]].collect().map(_.toSet)
+    val viaDriver = texts.map(t => TextAnalysis.winnow(t))
+    viaKernel.zip(viaDriver).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a == b, s"text $i")
+    }
+    // a mid-document edit keeps most fingerprints but not all
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val edited = base.replace("epsilon", "EDITED")
+    val df = Seq((1L, base), (2L, edited), (3L, base)).toDF("id", "t")
+    val pairs = Dedup.winnowNearDupPairs(df, "id", "t", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 3L)
+    assert(exact.exists(_._3 == 1.0), pairs.mkString(","))
+    val near = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(near.exists(p => p._3 > 0.5 && p._3 < 1.0), pairs.mkString(","))
+  }
+
   test("dedupAgainst: drops exact and near matches to prior, keeps novel full rows") {
     import spark.implicits._
     val prior = Seq(
