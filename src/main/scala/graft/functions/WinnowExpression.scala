@@ -12,12 +12,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * whitespace-normalized lowercase text, minimum per sliding window,
   * DISTINCT minima sorted ascending — array<long>, null → null.
   *
-  * Bit-compatible with [[graft.ops.TextAnalysis.winnow]] (property-
-  * pinned): same base-257 rolling hash including its JVM wrap-around
-  * semantics, so existing driver-side fingerprints stay valid. The
-  * guarantee that matters downstream: EQUAL normalized texts produce
-  * EQUAL fingerprint sets (overlap exactly 1.0), and a local edit
-  * disturbs only the windows covering it. */
+  * Bit-compatible with [[graft.ops.TextAnalysis.winnow]] by
+  * construction — both call `winnowCore` (base-31 polynomial over
+  * Z/2^64, O(1) rolling update). The guarantee that matters downstream:
+  * EQUAL normalized texts produce EQUAL fingerprint sets (overlap
+  * exactly 1.0), and a local edit disturbs only the windows covering
+  * it. */
 case class WinnowExpression(child: Expression, k: Int, window: Int)
   extends UnaryExpression with KernelCodegen {
 
@@ -30,10 +30,8 @@ case class WinnowExpression(child: Expression, k: Int, window: Int)
   override def evalChild(childValue: AnyRef): AnyRef = {
     val utf = childValue.asInstanceOf[UTF8String]
     if (utf == null) return null
-    val fps = graft.ops.TextAnalysis.winnow(utf.toString, k, window)
-    val arr = fps.toArray
-    java.util.Arrays.sort(arr)
-    new GenericArrayData(arr)
+    new GenericArrayData(
+      graft.ops.TextAnalysis.winnowCore(utf.toString, k, window))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

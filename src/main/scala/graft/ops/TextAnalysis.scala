@@ -424,26 +424,69 @@ object TextAnalysis {
   }
 
   /** Winnowing fingerprint (row-level; Schleimer/Wilkerson/Aiken-style):
-    * k-gram rolling hashes, minimum per sliding window, distinct kept set.
-    * Used for robust near-dup document signatures; exposed as a UDF where
-    * needed and unit-tested directly. */
-  def winnow(text: String, k: Int = 5, window: Int = 4): Set[Long] = {
-    val s = text.toLowerCase.replaceAll("""\s+""", " ")
-    if (s.length < k) return if (s.isEmpty) Set.empty else Set(rollingHash(s))
-    val grams = s.sliding(k).map(rollingHash).toArray
-    if (grams.length <= window) return Set(grams.min)
-    grams.sliding(window).map(_.min).toSet
-  }
+    * k-gram rolling hashes, minimum per sliding window, distinct kept
+    * set. The kernel form ([[graft.functions.WinnowExpression]]) shares
+    * [[winnowCore]], so driver and engine fingerprints are identical. */
+  def winnow(text: String, k: Int = 5, window: Int = 4): Set[Long] =
+    winnowCore(text, k, window).toSet
 
-  /** Polynomial rolling hash (base 257, mod 2^61-1). */
-  def rollingHash(s: String): Long = {
-    val Mod = (1L << 61) - 1
+  /** Sorted distinct window minima of the k-gram rolling hashes —
+    * allocation-light: base-31 polynomial over Z/2^64 (a RING, so the
+    * leading term subtracts back out exactly: h' = (h − c_out·31^(k−1))
+    * ·31 + c_in, one multiply-add per character instead of O(k)); no
+    * per-gram strings; minima collected into one array, sorted,
+    * deduplicated in place. */
+  private[graft] def winnowCore(text: String, k: Int,
+                                window: Int): Array[Long] = {
+    val s = text.toLowerCase.replaceAll("""\s+""", " ")
+    val n = s.length
+    if (n == 0) return Array.emptyLongArray
+    if (n < k) return Array(polyHash(s))
+    val m = n - k + 1
+    var pow = 1L
+    var i = 1
+    while (i < k) { pow *= 31L; i += 1 }
+    val grams = new Array[Long](m)
     var h = 0L
-    var i = 0
-    while (i < s.length) {
-      h = (h * 257 + s.charAt(i)) % Mod
+    i = 0
+    while (i < k) { h = h * 31L + s.charAt(i); i += 1 }
+    grams(0) = h
+    i = 1
+    while (i < m) {
+      h = (h - s.charAt(i - 1) * pow) * 31L + s.charAt(i + k - 1)
+      grams(i) = h
       i += 1
     }
+    if (m <= window) {
+      var mn = grams(0); i = 1
+      while (i < m) { if (grams(i) < mn) mn = grams(i); i += 1 }
+      return Array(mn)
+    }
+    val mins = new Array[Long](m - window + 1)
+    i = 0
+    while (i <= m - window) {
+      var mn = grams(i)
+      var j = i + 1
+      while (j < i + window) { if (grams(j) < mn) mn = grams(j); j += 1 }
+      mins(i) = mn
+      i += 1
+    }
+    java.util.Arrays.sort(mins)
+    // in-place dedup of the sorted minima
+    var w = 1
+    i = 1
+    while (i < mins.length) {
+      if (mins(i) != mins(w - 1)) { mins(w) = mins(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(mins, w)
+  }
+
+  /** Whole-string base-31 polynomial over Z/2^64 (the short-text path). */
+  private def polyHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = h * 31L + s.charAt(i); i += 1 }
     h
   }
 }
