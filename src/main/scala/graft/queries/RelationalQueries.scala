@@ -288,6 +288,20 @@ object RelationalQueries extends QueryPack {
           min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type")),
 
+    // ntile quartile assignment per event type (total order: value,
+    // event_id) — the remaining window ranking function; integer output
+    "q34_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy("event_type", "quartile")
+        .agg(count(lit(1)).as("n"),
+          min("value").as("lo"), max("value").as("hi"))
+        .orderBy("event_type", "quartile")
+    }),
+
     // LATERAL correlated subquery (the SQL-surface spelling of per-group
     // top-n): top-2 customers by balance per nation — Catalyst rewrites
     // the lateral into a join, exercising the SQL entry path end-to-end
@@ -623,6 +637,16 @@ object RelationalQueries extends QueryPack {
          CAST(round(sum(CASE WHEN event_type = 'signup'   THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS signup,
          CAST(round(sum(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS view
          FROM events GROUP BY 1 ORDER BY day""",
+
+    "q34_ntile" ->
+      """WITH q AS (
+           SELECT event_id, event_type, value,
+             ntile(4) OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS quartile
+           FROM events)
+         SELECT event_type, quartile, count(*) AS n,
+                min(value) AS lo, max(value) AS hi
+         FROM q GROUP BY 1, 2 ORDER BY event_type, quartile""",
 
     "q33_lateral_topn" ->
       """SELECT n.n_name, t.c_custkey, t.c_acctbal
