@@ -227,6 +227,38 @@ object TextAnalysis {
           (col("c_x").cast("double") * col("c_y"))).as("pmi_ratio"))
   }
 
+  /** Type-token ratio: distinct tokens / tokens — the classic lexical-
+    * diversity signal (low = repetitive/templated). Raw IEEE quotient of
+    * exact ints; 0.0 on empty text. One narrow pass. */
+  def typeTokenRatio(text: Column): Column = {
+    val toks = split(trim(text), """\s+""", 0)
+    when(length(trim(text)) === 0, lit(0.0))
+      .otherwise(size(array_distinct(toks)).cast("double") / size(toks))
+  }
+
+  /** Fraction of DISTINCT tokens occurring exactly once (hapax legomena
+    * share — vocabulary-richness companion to [[typeTokenRatio]]).
+    * Computed as run-length-1 counting over the sorted token array (the
+    * [[topTokenFraction]] shape — no explode, no shuffle); 0.0 on empty
+    * text. */
+  def hapaxFraction(text: Column): Column = {
+    val toks = split(trim(text), """\s+""", 0)
+    val hapax = aggregate(
+      array_sort(toks),
+      struct(lit("").as("p"), lit(0L).as("r"), lit(0L).as("h")),
+      (acc, x) => {
+        val isNew = x =!= acc.getField("p")
+        struct(x.as("p"),
+          when(isNew, lit(1L)).otherwise(acc.getField("r") + 1L).as("r"),
+          when(isNew && acc.getField("r") === 1L, acc.getField("h") + 1L)
+            .otherwise(acc.getField("h")).as("h"))
+      },
+      acc => when(acc.getField("r") === 1L, acc.getField("h") + 1L)
+        .otherwise(acc.getField("h")))
+    when(length(trim(text)) === 0, lit(0.0))
+      .otherwise(hapax.cast("double") / size(array_distinct(toks)))
+  }
+
   /** Mean word length (chars per whitespace token), rounded to 4. */
   def meanWordLen(text: Column): Column =
     round(length(regexp_replace(text, """\s+""", "")).cast("double") / tokenCountWs(text), 4)

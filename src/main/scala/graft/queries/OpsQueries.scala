@@ -547,6 +547,14 @@ object OpsQueries extends QueryPack {
         .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")),
 
+    // lexical diversity: type-token ratio + hapax share, both narrow
+    // sorted-array passes, raw IEEE quotients of exact counts
+    "t27_lexical_diversity" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          TextAnalysis.typeTokenRatio(col("text")).as("ttr"),
+          TextAnalysis.hapaxFraction(col("text")).as("hapax_frac"))
+        .orderBy("doc_id")),
+
     // Gopher most-common-word repetition gate: fraction of tokens that
     // are the top token, computed as a sorted-array max-run in one
     // narrow HOF pass (the explode+groupBy spelling would shuffle every
@@ -1233,6 +1241,24 @@ object OpsQueries extends QueryPack {
            SELECT doc_id, n_chars FROM akeys
            ORDER BY akey DESC, doc_id LIMIT 50)
          SELECT doc_id, n_chars FROM pick ORDER BY doc_id""",
+
+    "t27_lexical_diversity" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+           FROM documents),
+         tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id,
+             count(*) AS n_distinct,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) FILTER (WHERE c = 1) AS n_hapax
+           FROM tc GROUP BY 1)
+         SELECT d.doc_id,
+           coalesce(CAST(a.n_distinct AS DOUBLE) / a.n_tokens, 0.0) AS ttr,
+           coalesce(CAST(a.n_hapax AS DOUBLE) / a.n_distinct, 0.0)
+             AS hapax_frac
+         FROM documents d LEFT JOIN agg a USING (doc_id)
+         ORDER BY doc_id""",
 
     // top-count via group-by: equals the engine's max-run over the
     // sorted token array; raw IEEE quotient of exact ints both sides

@@ -999,6 +999,24 @@ class OpsSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("lexical diversity: ttr and hapax share on known inputs") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a b a c a"),           // distinct 3/5; hapax {b,c} 2/3
+      (2L, "x x x"),               // 1/3; hapax 0/1
+      (3L, "all words differ here"), // 1.0; 1.0
+      (4L, ""))                    // 0.0; 0.0
+    val got = rows.toDF("id", "t")
+      .select(col("id"), TextAnalysis.typeTokenRatio(col("t")).as("ttr"),
+        TextAnalysis.hapaxFraction(col("t")).as("h"))
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == (3.0 / 5.0, 2.0 / 3.0))
+    assert(got(2L) == (1.0 / 3.0, 0.0))
+    assert(got(3L) == (1.0, 1.0))
+    assert(got(4L) == (0.0, 0.0))
+  }
+
   test("topTokenFraction is the most-common-token share, total on empties") {
     import spark.implicits._
     val rows = Seq(
