@@ -106,7 +106,10 @@ object RbMap {
           val m = env.getOrElse(id, fail(s"undefined variable $id"))
             .asInstanceOf[mutable.LinkedHashMap[String, Any]]
           m.put(key, v)
-          m
+          // Ruby: `h["k"] = v` evaluates to v, NOT the hash — so a file
+          // whose LAST statement is a mutation yields the value and the
+          // reference loader rejects it (non-Hash result); match that.
+          v
         } else if (!eof && s.charAt(i) == '=' && (i + 1 >= s.length || s.charAt(i + 1) != '=')) {
           i += 1
           val v = expr(); end()

@@ -26,11 +26,25 @@ import org.apache.spark.sql.functions._
   * chunk widths (ChunkedWindowsSpec). Pick `chunkWidth` so one chunk of
   * the hottest key fits a task — e.g. an hour of events.
   *
-  * Working columns `_id _u _ts _ck _prev _f _ff _s _before _feff _lp _np
-  * _lag _lead _firstp _lastp _plast _first _last` are reserved; inputs
-  * must not use them.
+  * Working columns `_id _u _ts _ck _prev _f _ff _s _before _feff
+  * _lag _lead _firstp _lastp _plast _nfirst _first _last` are reserved;
+  * inputs must not use them (checked at runtime — a clashing input
+  * would silently corrupt the carry joins otherwise).
   */
 object ChunkedWindows {
+
+  private val Reserved: Set[String] = Set(
+    "_id", "_u", "_ts", "_ck", "_prev", "_f", "_ff", "_s", "_before",
+    "_feff", "_lag", "_lead", "_firstp", "_lastp", "_plast", "_nfirst",
+    "_first", "_last")
+
+  private def requireNoReserved(df: DataFrame): Unit = {
+    val clash = df.columns.filter(Reserved.contains)
+    require(clash.isEmpty,
+      s"input frame uses reserved chunked-window working column name(s) " +
+        s"${clash.mkString(", ")} — rename them first " +
+        s"(reserved: ${Reserved.toSeq.sorted.mkString(", ")})")
+  }
 
   /** Gap-based sessionization, chunked: session_id counts 30-minute-gap
     * (or `gap`-unit) session starts per key in (ts, tie) order — output
@@ -39,6 +53,7 @@ object ChunkedWindows {
   def sessionizeChunked(df: DataFrame, keyCol: String, tsCol: String,
                         tieCol: String, gap: Long, chunkWidth: Long): DataFrame = {
     require(chunkWidth > 0, s"chunkWidth must be positive: $chunkWidth")
+    requireNoReserved(df)
     val e = df.select(col(tieCol).as("_id"), col(keyCol).as("_u"),
         col(tsCol).cast("long").as("_ts"))
       .withColumn("_ck", AsOf.floorDiv("_ts", 0L, chunkWidth))
@@ -89,6 +104,7 @@ object ChunkedWindows {
                      tieCol: String, lagCols: Seq[String], leadCols: Seq[String],
                      chunkWidth: Long): DataFrame = {
     require(chunkWidth > 0, s"chunkWidth must be positive: $chunkWidth")
+    requireNoReserved(df)
     val e = df
       .withColumn("_ts", col(tsCol).cast("long"))
       .withColumn("_ck", AsOf.floorDiv("_ts", 0L, chunkWidth))

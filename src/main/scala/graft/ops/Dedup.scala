@@ -597,6 +597,10 @@ object Dedup {
     * is 0 under JVM shift-mod-64 semantics, which would collapse every
     * row into ONE bucket and turn the candidate join all-pairs. */
   private[graft] def simhashChunkCols(sig: Column, maxDistance: Int): Seq[Column] = {
+    require(maxDistance >= 0 && maxDistance <= 63,
+      s"maxDistance must be in [0, 63]: $maxDistance (>= 64 makes the " +
+        "chunk width 0 bits, so every chunk value is 0 and the candidate " +
+        "join degenerates to an all-pairs cross join)")
     val chunks = maxDistance + 1
     val bits = 64 / chunks
     val mask = if (bits >= 64) -1L else (1L << bits) - 1

@@ -136,8 +136,10 @@ object Sampling {
     * Determinism contract: ordering is (first 13 hex chars of
     * md5(key || salt) ascending, key ascending) on both engines — 13 hex
     * digits = 52 bits, exact in the double score the aggregate orders by.
-    * `keyCol` must be unique per row (it identifies survivors in the semi
-    * join) and long-typed or castable to long. */
+    * `keyCol` must be unique per row WITHIN its group (survivors are
+    * re-attached on (group, key), so cross-group key reuse is fine) and
+    * non-null long-castable — a value that casts to null fails the job
+    * loudly rather than silently dropping the row. */
   def capPerGroup(df: DataFrame, groupCol: String, keyCol: String, n: Int,
                   salt: String = "graft"): DataFrame = {
     require(n > 0, s"cap must be positive: $n")
@@ -146,17 +148,30 @@ object Sampling {
     val clash = df.columns.toSet.intersect(Set("_capg", "_capk", "_top"))
     require(clash.isEmpty,
       s"capPerGroup reserves column names ${clash.mkString(", ")}")
+    // a null long-cast (null key, or a non-numeric string key) would
+    // silently drop the row from the kept set — error instead
+    val keyLong = {
+      val c = col(keyCol).cast("long")
+      when(c.isNotNull, c).otherwise(raise_error(concat(
+        lit(s"capPerGroup: keyCol '$keyCol' must be non-null and " +
+          "long-castable; got "),
+        coalesce(col(keyCol).cast("string"), lit("NULL")))))
+    }
     // ascending hash order through a largest-first aggregate: negate the
     // 52-bit hash prefix (exact in a double); ties fall back to id asc,
     // matching the oracle's (substr(md5, 1, 13), key) ordering
     val kept = df
-      .select(col(groupCol).as("_capg"), col(keyCol).cast("long").as("_capk"))
+      .select(col(groupCol).as("_capg"), keyLong.as("_capk"))
       .groupBy("_capg")
       .agg(graft.functions.TopKAggregate.topk(
         -conv(substring(md5(concat(col("_capk").cast("string"), lit(salt))),
           1, 13), 16, 10).cast("double"), col("_capk"), n).as("_top"))
-      .select(explode(col("_top.id")).as("_capk"))
-    df.join(kept, col(keyCol).cast("long") === col("_capk"), "left_semi")
+      .select(col("_capg"), explode(col("_top.id")).as("_capk"))
+    // survivors re-attach on (group, key) — a key duplicated across
+    // groups must not re-admit rows past the cap in OTHER groups; <=>
+    // keeps null-group rows eligible (groupBy groups them together)
+    df.join(kept, col(groupCol) <=> col("_capg") &&
+      col(keyCol).cast("long") === col("_capk"), "left_semi")
   }
 
   /** Token-budget corpus selection: rows in (`score` DESC, `key` ASC)

@@ -1242,10 +1242,13 @@ object OpsQueries extends QueryPack {
            ORDER BY akey DESC, doc_id LIMIT 50)
          SELECT doc_id, n_chars FROM pick ORDER BY doc_id""",
 
+    // empty/whitespace-only text guard: DuckDB string_split('') yields
+    // [''] (one empty token → ttr 1.0) where the engine returns 0.0; the
+    // filter + LEFT JOIN + coalesce mirror the engine's empty-text zero
     "t27_lexical_diversity" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
-           FROM documents),
+           FROM documents WHERE length(trim(text)) > 0),
          tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
          agg AS (
            SELECT doc_id,
@@ -1261,11 +1264,12 @@ object OpsQueries extends QueryPack {
          ORDER BY doc_id""",
 
     // top-count via group-by: equals the engine's max-run over the
-    // sorted token array; raw IEEE quotient of exact ints both sides
+    // sorted token array; raw IEEE quotient of exact ints both sides.
+    // Same empty-text guard as t27 (engine returns 0.0 for empty text).
     "t18_top_token" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
-           FROM documents),
+           FROM documents WHERE length(trim(text)) > 0),
          tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
          agg AS (SELECT doc_id, max(c) AS mx, sum(c) AS n FROM tc GROUP BY 1)
          SELECT d.doc_id,

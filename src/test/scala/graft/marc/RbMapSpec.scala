@@ -76,7 +76,10 @@ class RbMapSpec extends AnyFunSuite {
       """{ "k" => "#{interpolated}" }""",
       "h = { \"k\" => \"v\" }\nh.merge({})",
       """def f; end""",
-      """foo = "bar"""")                         // last line not a hash
+      """foo = "bar"""",                         // last line not a hash
+      // Ruby evaluates `h["k"] = v` to v, so a mutation-last file is a
+      // non-Hash result — the reference loader rejects it; so do we
+      "h = { \"a\" => \"b\" }\nh[\"c\"] = \"d\"")
     for (src <- bad) {
       val e = intercept[IllegalArgumentException](RbMap.parse(src))
       assert(e.getMessage.contains("declarative") ||

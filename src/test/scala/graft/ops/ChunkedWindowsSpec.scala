@@ -104,4 +104,18 @@ class ChunkedWindowsSpec extends SparkSpec {
       .select("lag1_value", "lead1_event_type").collect()(0)
     assert(ll.isNullAt(0) && ll.isNullAt(1))
   }
+
+  test("reserved working columns are rejected loudly, not silently corrupted") {
+    for (bad <- Seq("_nfirst", "_ts", "_ck", "_plast")) {
+      val tainted = events.withColumn(bad, lit(1))
+      val e1 = intercept[IllegalArgumentException](
+        ChunkedWindows.sessionizeChunked(tainted, "user_id", "ts_us",
+          "event_id", 200L, 100L))
+      assert(e1.getMessage.contains(bad), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException](
+        ChunkedWindows.leadLagChunked(tainted, "user_id", "ts_us",
+          "event_id", Seq("value"), Seq("event_type"), 100L))
+      assert(e2.getMessage.contains(bad), e2.getMessage)
+    }
+  }
 }

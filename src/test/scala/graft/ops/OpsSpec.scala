@@ -758,6 +758,53 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), plan)
   }
 
+  test("capPerGroup: cross-group key reuse, bad keys fail loudly, null groups") {
+    import spark.implicits._
+    // the same key value in EVERY group: survivors must re-attach on
+    // (group, key), so each group still caps at n — a key kept in group
+    // A must not re-admit the same key's row in group B past B's cap
+    val reused = Seq.tabulate(90)(i =>
+      (i.toLong % 30, s"g${i / 30}", s"p$i")).toDF("id", "grp", "payload")
+    val capped = Sampling.capPerGroup(reused, "grp", "id", 5)
+    val byGroup = capped.collect().groupBy(_.getString(1))
+    assert(byGroup.size == 3 && byGroup.values.forall(_.length == 5))
+    // and each group's survivors are the hash-order head independently
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+      .orderBy(substring(md5(concat(col("id").cast("string"), lit("graft"))), 1, 13), col("id"))
+    val oracle = reused.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).select("grp", "id").as[(String, Long)].collect().toSet
+    assert(byGroup.toSeq.flatMap { case (g, rs) =>
+      rs.map(r => (g, r.getLong(0))) }.toSet == oracle)
+    // a null group is a group like any other, not silently dropped
+    val nullG = Seq((1L, null: String, "a"), (2L, null: String, "b"), (3L, "g", "c"))
+      .toDF("id", "grp", "payload")
+    assert(Sampling.capPerGroup(nullG, "grp", "id", 10).count() == 3)
+    // non-long-castable key: loud failure, never a silent drop
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse("")).mkString("|")
+    // (under ANSI mode the cast itself throws CAST_INVALID_INPUT before
+    // our raise_error can — either way the failure is loud)
+    val badKey = Seq(("not-a-number", "g", "x")).toDF("id", "grp", "payload")
+    val e = intercept[Exception](Sampling.capPerGroup(badKey, "grp", "id", 5).count())
+    assert(chain(e).contains("long-castable") ||
+      chain(e).contains("CAST_INVALID_INPUT"), chain(e))
+    // null key: same loud failure
+    val nullKey = Seq((null: java.lang.Long, "g", "x")).toDF("id", "grp", "payload")
+    val e2 = intercept[Exception](Sampling.capPerGroup(nullKey, "grp", "id", 5).count())
+    assert(chain(e2).contains("long-castable"), chain(e2))
+  }
+
+  test("simhashNearDupPairs rejects maxDistance outside [0, 63]") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("id", "text")
+    // >= 64 would make the chunk width 0 bits → all-pairs cross join
+    val e = intercept[IllegalArgumentException](
+      Dedup.simhashNearDupPairs(docs, "id", "text", maxDistance = 64))
+    assert(e.getMessage.contains("[0, 63]"))
+    intercept[IllegalArgumentException](
+      Dedup.simhashNearDupPairs(docs, "id", "text", maxDistance = -1))
+  }
+
   test("temperatureMix flattens group shares toward n^alpha, deterministically") {
     import spark.implicits._
     // skewed corpus: en 1600, fr 400, de 100 (sqrt weights 40/20/10)
