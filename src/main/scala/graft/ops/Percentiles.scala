@@ -44,23 +44,43 @@ object Percentiles {
     sid: Int, gk: String, groupVals: Row, label: String,
     lo: Double, hi: Double, k: Long, cnt: Long)
 
-  /** (groupCols..., pct, value): one row per group × target. */
+  /** (groupCols..., pct, value): one row per group × target.
+    *
+    * Group-cardinality contract: driver state is O(groups × percentiles
+    * × buckets), so the group key must be LOW-cardinality (q24's
+    * event_type: a handful of states). `maxGroups` bounds it loudly —
+    * the driver materializes at most maxGroups+1 aggregate rows (take,
+    * not collect) and fails with guidance instead of OOMing. For
+    * high-cardinality keys use the plain window formulation
+    * (`percentile_disc OVER (PARTITION BY key)`): with many groups each
+    * per-group sort is small, which is exactly when windows are fine and
+    * this machinery is not needed. */
   def exactDiscrete(df0: DataFrame, groupCols: Seq[String], valueCol: String,
                     targets: Seq[Target], buckets: Int = 64,
-                    threshold: Long = 10000L): DataFrame = {
+                    threshold: Long = 10000L, maxGroups: Int = 10000): DataFrame = {
     require(groupCols.nonEmpty && targets.nonEmpty)
-    require(buckets >= 2 && threshold >= 1)
+    require(buckets >= 2 && threshold >= 1 && maxGroups >= 1)
     val spark = df0.sparkSession
     val keyed = df0
       .select(groupCols.map(col) :+ col(valueCol).cast("double").as("_v"): _*)
       .filter(col("_v").isNotNull)
       .withColumn("_gk", to_json(struct(groupCols.map(col): _*)))
 
-    // 1. per-group extent + count (one narrow aggregate)
+    // 1. per-group extent + count (one narrow aggregate); bounded take —
+    // the driver never holds more than maxGroups+1 rows even when the
+    // caller hands us a 10M-group key by mistake
     val base = keyed.groupBy("_gk")
       .agg(first(struct(groupCols.map(col): _*)).as("_gv"),
         count(lit(1)).as("_n"), min("_v").as("_mn"), max("_v").as("_mx"))
-      .collect()
+      .take(maxGroups + 1)
+    require(base.length <= maxGroups,
+      s"exactDiscrete observed more than $maxGroups groups on " +
+        s"${groupCols.mkString("(", ", ", ")")} — driver selection state " +
+        "is O(groups × percentiles × buckets), so this operator is for " +
+        "LOW-cardinality group keys. For high-cardinality keys use " +
+        "percentile_disc OVER (PARTITION BY ...): per-group sorts are " +
+        "small exactly when groups are many. (Raise maxGroups only if " +
+        "you have measured the driver headroom.)")
 
     var resolved = Vector.empty[(Row, String, Double)] // (groupVals, label, value)
     var active = Vector.empty[State]

@@ -62,21 +62,32 @@ object Ranking {
     * and df (df = per-term count of the distinct (doc, term) rows — no
     * second scan of the text); df re-attaches by term equi-join; the
     * per-document top-k window partitions on doc_id — high cardinality,
-    * so no task serializes (the q24 low-cardinality trap does not apply). */
+    * so no task serializes (the q24 low-cardinality trap does not apply).
+    * The corpus size N rides the plan as a broadcast one-row aggregate
+    * (the bm25Stats pattern folded inline) instead of a separate
+    * `docs.count()` ACTION — one job total, and the count branch is a
+    * zero-column scan (metadata-weight on parquet), not a second pass
+    * over the text. */
   def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val n = docs.count()
-    if (n == 0)
-      return docs.sparkSession.emptyDataFrame.select(
-        lit(0L).as("doc_id"), lit("").as("term"),
-        lit(0.0).as("score"), lit(0).as("rank")).limit(0)
     val tf = termFreqs(docs, idCol, textCol)
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // count(when(tf >= 1, 1)), not count(1): tf >= 1 always holds (a tf
+    // row exists only for counted pairs) so the value is identical, but
+    // an expression the optimizer cannot fold away keeps this branch's
+    // subtree canonically EQUAL to the join's tf branch (plain count(1)
+    // lets pruning drop the count from the lower aggregate, splitting
+    // the subtrees), so the planner reuses ONE tokenize shuffle instead
+    // of scanning + exploding the text twice — pinned by PlanShapeSpec
+    val dfreq = tf.groupBy("term")
+      .agg(count(when(col("tf") >= 1, 1)).as("df"))
+    // one-row broadcast: the only crossJoin form that is scale-safe
+    val nDf = broadcast(docs.agg(count(lit(1)).cast("double").as("_n")))
     val scored = tf.join(dfreq, "term")
+      .crossJoin(nDf)
       .withColumn("score",
         round(col("tf").cast("double") *
-          log(lit(n.toDouble) / col("df").cast("double")), 4))
+          log(col("_n") / col("df").cast("double")), 4))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
     scored.withColumn("rank", row_number().over(w))

@@ -251,4 +251,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.toString.contains("BroadcastHashJoin"),
       "the exact verification join must broadcast the benchmark hashes")
   }
+
+  test("tfidf keywords: one pass over the text, corpus size rides the plan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = graft.queries.RankingQueries.queries("r04_tfidf_keywords")(spark, sfSmoke)
+    val plan = prepared(df)
+    // the corpus-size branch is a zero-column count scan; exactly ONE
+    // scan may read the text column (tf and df share the tokenize
+    // shuffle via ReusedExchange, and the old separate docs.count()
+    // ACTION is gone — N is a broadcast one-row aggregate in this plan)
+    val textScans = plan.collect {
+      case s: FileSourceScanExec if s.output.exists(_.name == "text") => s
+    }
+    assert(textScans.length == 1,
+      s"expected exactly one text scan, got ${textScans.length}:\n$plan")
+    assert(plan.toString.contains("ReusedExchange"),
+      s"tf and df must share one tokenize shuffle:\n$plan")
+  }
 }

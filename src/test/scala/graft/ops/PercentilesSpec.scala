@@ -82,4 +82,18 @@ class PercentilesSpec extends SparkSpec {
       buckets = 8, threshold = 10L).as[(String, String, Double)].collect().toSet
     assert(got == brute(rows))
   }
+
+  test("high-cardinality group key fails loudly instead of OOMing the driver") {
+    // a per-row group key — the misuse the guard exists for; driver
+    // materializes at most maxGroups+1 rows before rejecting
+    val rows = (1 to 500).map(i => (s"user_$i", i.toDouble))
+    val e = intercept[IllegalArgumentException](
+      Percentiles.exactDiscrete(rows.toDF("g", "v"), Seq("g"), "v",
+        targets, buckets = 8, threshold = 10L, maxGroups = 100))
+    assert(e.getMessage.contains("PARTITION BY"), e.getMessage)
+    // at exactly the bound it still runs
+    val ok = Percentiles.exactDiscrete(rows.take(100).toDF("g", "v"),
+      Seq("g"), "v", targets, buckets = 8, threshold = 10L, maxGroups = 100)
+    assert(ok.count() == 300)
+  }
 }
