@@ -68,7 +68,17 @@ object Bench {
       .map(p => jsonMap(names.map(n => n -> p(n)))).mkString("[", ",", "]")
     val passTotals = Seq(p1, p2).map(_.values.sum).mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_totals":$passTotals,"passes":$passes,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_totals":$passTotals,"passes":$passes,"sf":"$sfDir"}"""
+    println(json)
+    // the same JSON as a FILE artifact, so consumers can ingest the result
+    // directly instead of scraping it out of sbt's interleaved stdout
+    // (override the path with SPARK_GRAFT_BENCH_OUT; never fail the bench
+    // over an unwritable artifact path)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: $e") }
     spark.stop()
   }
 }
