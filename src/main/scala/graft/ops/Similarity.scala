@@ -549,6 +549,26 @@ object Similarity {
       sampleSize = math.max(512, k * 8), seed = seed)
   }
 
+  /** [[semDedupWithCentroids]] at the auto scale k = √n (clamped to
+    * [16, 65536], the [[ivfTopKAuto]] rule) with the deterministic seed
+    * Voronoi partition (first k of `seedsFrom` by id) instead of trained
+    * Lloyd centroids — the SQL-expressible spelling of [[semDedupAuto]]'s
+    * scale contract, so the oracle can grade the production k rather than
+    * a pinned training-time constant. Expected cluster size √n keeps the
+    * within-cluster pair count ~n^1.5 as the corpus grows; a k frozen at
+    * 8 degrades to n²/8 (the sf0.1-hides / sf1-exposes knob). Use
+    * [[semDedupAuto]] when real (trained) centroids are wanted; this form
+    * when deterministic reproducibility across engines is the point. */
+  def semDedupAutoSeeded(df: DataFrame, seedsFrom: DataFrame,
+                         idCol: String, vecCol: String,
+                         threshold: Double): DataFrame = {
+    val n = df.count()
+    if (n == 0) return df
+    val k = math.min(math.max(math.sqrt(n.toDouble).toInt, 16), 65536)
+    val (_, cents) = Clustering.seedCentroids(seedsFrom, idCol, vecCol, k)
+    semDedupWithCentroids(df, idCol, vecCol, cents, threshold)
+  }
+
   /** [[semDedup]] with caller-supplied centroids (e.g. the deterministic
     * seed Voronoi partition, or centroids trained on a previous corpus
     * snapshot). Total on empty input: no centroids → nothing to compare →

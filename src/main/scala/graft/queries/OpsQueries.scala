@@ -183,11 +183,12 @@ object OpsQueries extends QueryPack {
 
     // brute-force cosine top-1 over a BOUNDED broadcast query set — the
     // documented contract of the exact path (Similarity.bruteForceTopK):
-    // |Q| stays O(1) as the corpus scales, so the O(|Q|·n) stage is one
-    // narrow broadcast pass, never an all-pairs cross join
+    // a FIXED 64-query panel (vec_id < 64), so |Q| stays O(1) as the
+    // corpus scales and the O(|Q|·n) stage is one narrow broadcast pass,
+    // never an all-pairs cross join
     "s01_cosine_top1" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val queries = emb.filter(col("vec_id") % 10 === 0)
+      val queries = emb.filter(col("vec_id") < 64)
       Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 1)
         .select(col("query_id"), col("neighbor_id"), col("cosine"))
         .orderBy("query_id")
@@ -222,12 +223,15 @@ object OpsQueries extends QueryPack {
 
     // Matryoshka truncated-prefix ANN: candidates scored on the first 16
     // of 64 dims (the sweep reads a quarter of the vector bytes), exact
-    // re-rank on full vectors. Planted exact copies have identical
-    // prefixes (truncated cosine 1.0 = max), so the true top-1 survives
-    // both stages with certainty and the exact-equality oracle applies
+    // re-rank on full vectors. Planted exact-copy queries (a FIXED
+    // 64-query panel — the bounded-|Q| production contract, so the
+    // O(|Q|·n) sweep stays linear in the corpus) have identical prefixes
+    // (truncated cosine 1.0 = max), so the true top-1 survives both
+    // stages with certainty and the exact-equality oracle applies
     "s09_truncated_ann" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val queries = emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") < 64)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       Similarity.truncatedTopK(emb, queries, "vec_id", "embedding", k = 1,
           dims = 16)
         .select(col("query_id"), col("neighbor_id"), col("cosine"))
@@ -235,14 +239,17 @@ object OpsQueries extends QueryPack {
     }),
 
     // hard-negative mining (contrastive training data): top-1 most-similar
-    // corpus row whose cosine is ≤ 0.999 — the planted duplicate queries
-    // make the exclusion observable (each query's exact copy, cosine 1.0,
-    // must be skipped in favor of the nearest organic neighbor, which
-    // maxes out at ~0.51 — far from the ceiling, so the filter cannot
-    // straddle an engine ulp)
+    // corpus row whose cosine is ≤ 0.999, for a FIXED 64-query panel of
+    // planted duplicates (bounded |Q| — the ceiling filter and top-k tail
+    // run inside one linear corpus sweep). The planted copies make the
+    // exclusion observable (each query's exact copy, cosine 1.0, must be
+    // skipped in favor of the nearest organic neighbor, which maxes out
+    // at ~0.51 — far from the ceiling, so the filter cannot straddle an
+    // engine ulp)
     "s08_hard_negatives" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val queries = emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") < 64)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       Similarity.hardNegatives(emb, queries, "vec_id", "embedding", k = 1,
           maxCosine = 0.999)
         .select(col("query_id"), col("neighbor_id"), col("cosine"))
@@ -280,13 +287,16 @@ object OpsQueries extends QueryPack {
         .orderBy("vec_id")
     }),
 
-    // quantized ANN: int8 candidate sweep + exact re-rank; planted exact
-    // copies quantize identically, so the copy tops the approx window and
-    // the exact re-rank grades against the same oracle as s02/s03
+    // quantized ANN: int8 candidate sweep + exact re-rank over a FIXED
+    // 64-query panel (the bounded-|Q| broadcast contract — the sweep is
+    // LINEAR in the corpus, not n·m); planted exact copies quantize
+    // identically, so the copy tops the approx window and the exact
+    // re-rank grades against the same oracle as s02/s03
     "s06_quantized_ann" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val queries = emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      // the O(n·m) int8 sweep is pure CPU: rebalance the single-split local
+      val queries = emb.filter(col("vec_id") < 64)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      // the linear int8 sweep is pure CPU: rebalance the single-split local
       // corpus scan so it spreads across cores (production multi-split
       // inputs pass through the gate untouched)
       Similarity.quantizedTopK(Tables.balanced(s, emb), queries,
@@ -296,14 +306,17 @@ object OpsQueries extends QueryPack {
     }),
 
     // product-quantization ANN: M one-byte codes per corpus vector, ADC
-    // table lookups in the sweep, exact re-rank on survivors. Planted
-    // exact copies encode to identical codes, so the oracle is the same
-    // exact ground truth as s02/s03/s06. ksub=16 keeps the |Q|-wide LUT
-    // working set cache-resident (see Similarity.pqTopK's cache note);
-    // recall is unaffected here (overfetch + exact re-rank)
+    // table lookups in the sweep, exact re-rank on survivors — over the
+    // same FIXED 64-query panel (bounded |Q|: the 64×M×ksub LUT block is
+    // a few KB broadcast-side, and the sweep is linear in the corpus).
+    // Planted exact copies encode to identical codes, so the oracle is
+    // the same exact ground truth as s02/s03/s06. ksub=16 keeps the
+    // LUT working set cache-resident (see Similarity.pqTopK's cache
+    // note); recall is unaffected here (overfetch + exact re-rank)
     "s07_pq_ann" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val queries = emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") < 64)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       Similarity.pqTopK(Tables.balanced(s, emb), queries,
           "vec_id", "embedding", k = 1, ksub = 16)
         .select(col("query_id"), col("neighbor_id"), col("cosine"))
@@ -374,18 +387,20 @@ object OpsQueries extends QueryPack {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
-    // SemDedup: k-means buckets (deterministic seed Voronoi, the c01
-    // contract) bound the quadratic; within-cluster cosine >= 0.9 drops
-    // the higher id. Planted exact copies are ground truth (cosine 1.0,
-    // same cluster as their original); organic pairs max out far below
-    // the threshold, so the kept set is engine-portable.
+    // SemDedup at the PRODUCTION k: auto k = √n seed-Voronoi buckets
+    // (clamped ≥ 16 — the semDedupAuto scale rule, so the within-cluster
+    // pair count stays ~n^1.5 as the corpus grows instead of n²/k for a
+    // pinned k); within-cluster cosine >= 0.9 drops the higher id.
+    // Planted exact copies are ground truth (cosine 1.0, same cluster as
+    // their original); organic pairs max out far below the threshold, so
+    // the kept set is engine-portable and the oracle recomputes the same
+    // k from the same count.
     "d09_semdedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val withCopies = emb.unionByName(
         emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
-      val (_, cents) = Clustering.seedCentroids(emb, "vec_id", "embedding", 8)
-      Similarity.semDedupWithCentroids(withCopies, "vec_id", "embedding",
-          cents, threshold = 0.9)
+      Similarity.semDedupAutoSeeded(withCopies, emb, "vec_id", "embedding",
+          threshold = 0.9)
         .select(col("vec_id")).orderBy("vec_id")
     }),
 
@@ -793,7 +808,7 @@ object OpsQueries extends QueryPack {
                ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
                         c.vec_id ASC) AS rn
            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-           WHERE q.vec_id % 10 = 0) t
+           WHERE q.vec_id < 64) t
          WHERE rn = 1 ORDER BY query_id""",
 
     // exact ground truth for the planted-duplicate ANN queries: the true
@@ -819,6 +834,7 @@ object OpsQueries extends QueryPack {
       """SELECT q.vec_id + 1000000 AS query_id, min(c.vec_id) AS neighbor_id,
                 1.0::DOUBLE AS cosine
          FROM embeddings q JOIN embeddings c ON q.embedding = c.embedding
+         WHERE q.vec_id < 64
          GROUP BY q.vec_id ORDER BY query_id""",
 
     // the ceiling join predicate excludes the planted copy (cosine 1.0)
@@ -831,7 +847,8 @@ object OpsQueries extends QueryPack {
                ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
                         c.vec_id ASC) AS rn
            FROM embeddings q JOIN embeddings c
-             ON list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) <= 0.999) t
+             ON list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) <= 0.999
+           WHERE q.vec_id < 64) t
          WHERE rn = 1 ORDER BY query_id""",
 
     "s05_quantize_int8" ->
@@ -858,12 +875,14 @@ object OpsQueries extends QueryPack {
       """SELECT q.vec_id + 1000000 AS query_id, min(c.vec_id) AS neighbor_id,
                 1.0::DOUBLE AS cosine
          FROM embeddings q JOIN embeddings c ON q.embedding = c.embedding
+         WHERE q.vec_id < 64
          GROUP BY q.vec_id ORDER BY query_id""",
 
     "s07_pq_ann" ->
       """SELECT q.vec_id + 1000000 AS query_id, min(c.vec_id) AS neighbor_id,
                 1.0::DOUBLE AS cosine
          FROM embeddings q JOIN embeddings c ON q.embedding = c.embedding
+         WHERE q.vec_id < 64
          GROUP BY q.vec_id ORDER BY query_id""",
 
     "d07_decontaminate" ->
@@ -910,9 +929,15 @@ object OpsQueries extends QueryPack {
            SELECT vec_id, embedding FROM embeddings
            UNION ALL
            SELECT vec_id + 1000000, embedding FROM embeddings),
+         -- production auto-k: k = greatest(floor(sqrt(n)), 16) over the
+         -- deduped-input row count, same integer math as semDedupAutoSeeded
          seeds AS (
-           SELECT vec_id AS cid, embedding FROM embeddings
-           ORDER BY vec_id LIMIT 8),
+           SELECT vec_id AS cid, embedding FROM (
+             SELECT vec_id, embedding,
+               row_number() OVER (ORDER BY vec_id) AS rn
+             FROM embeddings) t
+           WHERE rn <= greatest(CAST(floor(sqrt(
+             (SELECT count(*) FROM all_vecs))) AS BIGINT), 16)),
          d AS (
            SELECT v.vec_id, s.cid,
              list_cosine_similarity(v.embedding::DOUBLE[],
