@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Substring, Subtract}
-import org.apache.spark.sql.types.{BinaryType, LongType}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, Conv, Expression, ExpressionInfo, Literal, Md5, Substring, Subtract, UnaryMinus}
+import org.apache.spark.sql.types.{BinaryType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions._
@@ -49,6 +49,29 @@ object GraftSqlFunctions {
       "graft_topk(score, id, k) - aggregate: top-k (score desc, id asc) pairs as array<struct<score,id>>",
       { case Seq(s, i, k) =>
         TopKByScore(s, i, int(k, "graft_topk", "k")).toAggregateExpression() }),
+
+    ("graft_percentile_disc",
+      "graft_percentile_disc(value, num, den) - aggregate: exact discrete percentile, " +
+        "the member value at rank clamp((num*(n+1)) DIV den, 1, n); buffer is " +
+        "O(distinct values) - for discrete domains",
+      { case Seq(v, num, den) =>
+        PercentileDiscAgg(Cast(v, DoubleType),
+          int(num, "graft_percentile_disc", "num"),
+          int(den, "graft_percentile_disc", "den")).toAggregateExpression() }),
+
+    ("graft_cap_keys",
+      "graft_cap_keys(key, n, salt) - aggregate: the <= n keys kept per group under " +
+        "capPerGroup's deterministic md5-hash retention, as array<struct<score,id>> " +
+        "(ids ascend in hash order; extract .id)",
+      { case Seq(key, n, salt) =>
+        // the capPerGroup scoring tree verbatim (Sampling.capPerGroup):
+        // ascending (md5(key||salt) 13-hex prefix, key) via a negated
+        // 52-bit-exact double through the largest-first topk aggregate
+        val hash = Conv(Substring(
+          Md5(Cast(Concat(Seq(Cast(key, StringType), salt)), BinaryType)),
+          Literal(1), Literal(13)), Literal(16), Literal(10))
+        TopKByScore(UnaryMinus(Cast(hash, DoubleType)), Cast(key, LongType),
+          int(n, "graft_cap_keys", "n")).toAggregateExpression() }),
 
     ("graft_shingles",
       "graft_shingles(text, n) - distinct space-joined word n-grams, order of first occurrence",

@@ -462,6 +462,26 @@ object OpsQueries extends QueryPack {
         .select(col("source"), col("doc_id"))
         .orderBy("source", "doc_id")),
 
+    // capPerGroup's retention reachable from pure spark.sql via the
+    // graft_cap_keys aggregate (GraftExtensions registry): the bounded
+    // topk collapses candidates map-side to <= n per group per task, the
+    // kept keys explode back and survivors re-attach by LEFT SEMI JOIN
+    // on (group, key) — the same plan shape as the Scala operator, with
+    // no window sort anywhere
+    "t28_sql_cap_keys" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("documents_v")
+      s.sql("""
+        SELECT d.source, d.doc_id
+        FROM documents_v d
+        LEFT SEMI JOIN (
+          SELECT source, k.id AS doc_id FROM (
+            SELECT source, graft_cap_keys(doc_id, 7, 'graft') AS keys
+            FROM documents_v GROUP BY source) t
+          LATERAL VIEW explode(keys) e AS k
+        ) c ON d.source = c.source AND d.doc_id = c.doc_id
+        ORDER BY d.source, d.doc_id""")
+    }),
+
     // fixed-window chunking with overlap (30-token windows, 10-token
     // overlap): every token covered, partial tail kept; chunks hashed
     // so the oracle compares content without dumping it
@@ -1096,6 +1116,18 @@ object OpsQueries extends QueryPack {
          SELECT doc_id, n AS n_tokens, bits,
                 bits / (1000.0 * n) AS score
          FROM s ORDER BY doc_id""",
+
+    // t14's window twin at n=7 — the SQL-registry path must reproduce
+    // the identical deterministic retention
+    "t28_sql_cap_keys" ->
+      """WITH r AS (
+           SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 13),
+                        doc_id) AS rn
+           FROM documents)
+         SELECT source, doc_id FROM r WHERE rn <= 7
+         ORDER BY source, doc_id""",
 
     "t14_cap_per_source" ->
       """WITH r AS (

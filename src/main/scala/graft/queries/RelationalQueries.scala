@@ -305,6 +305,22 @@ object RelationalQueries extends QueryPack {
     // LATERAL correlated subquery (the SQL-surface spelling of per-group
     // top-n): top-2 customers by balance per nation — Catalyst rewrites
     // the lateral into a join, exercising the SQL entry path end-to-end
+    // the SQL-surface spelling of exact discrete percentiles:
+    // graft_percentile_disc (GraftExtensions FunctionRegistry) from
+    // spark.sql — a mergeable value->count-map aggregate, exact on the
+    // discrete l_quantity domain (50 distinct values), same integer rank
+    // convention as q24's Percentiles.Target. One aggregate pass; the
+    // shuffle carries one bounded map per task per group.
+    "q35_sql_percentile" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT l_returnflag,
+          graft_percentile_disc(l_quantity, 1, 2) AS p50,
+          graft_percentile_disc(l_quantity, 9, 10) AS p90,
+          graft_percentile_disc(l_quantity, 99, 100) AS p99
+        FROM lineitem_v GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+
     "q33_lateral_topn" -> ((s, d) => {
       Tables.customer(s, d).createOrReplaceTempView("customer_v")
       Tables.nation(s, d).createOrReplaceTempView("nation_v")
@@ -647,6 +663,21 @@ object RelationalQueries extends QueryPack {
          SELECT event_type, quartile, count(*) AS n,
                 min(value) AS lo, max(value) AS hi
          FROM q GROUP BY 1, 2 ORDER BY event_type, quartile""",
+
+    // member-at-rank-k twin of the aggregate: rank k = (num*(n+1)) DIV den
+    // (no clamp needed: 0 < num < den keeps k in [1, n] for n >= 1)
+    "q35_sql_percentile" ->
+      """WITH s AS (
+           SELECT l_returnflag, l_quantity AS v,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem)
+         SELECT l_returnflag,
+           max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS p50,
+           max(CASE WHEN rn = (9 * n + 9) // 10 THEN v END) AS p90,
+           max(CASE WHEN rn = (99 * n + 99) // 100 THEN v END) AS p99
+         FROM s GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q33_lateral_topn" ->
       """SELECT n.n_name, t.c_custkey, t.c_acctbal

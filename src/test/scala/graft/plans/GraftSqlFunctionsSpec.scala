@@ -74,6 +74,42 @@ class GraftSqlFunctionsSpec extends SparkSpec {
     assert(x == Seq("1", "2"))
   }
 
+  test("graft_percentile_disc matches the rank-k member convention from SQL") {
+    // 1..10 twice per group: p50 member of n=20 is rank (21)//2 = 10 -> 5.0
+    val rows = (1 to 10).flatMap(i => Seq(("a", i.toDouble), ("a", i.toDouble))) :+ (("b", 7.0))
+    rows.toDF("g", "v").createOrReplaceTempView("pd")
+    val got = spark.sql(
+      """SELECT g, graft_percentile_disc(v, 1, 2) AS p50,
+                   graft_percentile_disc(v, 99, 100) AS p99
+         FROM pd GROUP BY g ORDER BY g""")
+      .as[(String, Double, Double)].collect().toSeq
+    // group a: n=20, k50 = 10 -> value 5.0; k99 = floor(99*21/100) = 20 -> 10.0
+    // group b: single member is every percentile
+    assert(got == Seq(("a", 5.0, 10.0), ("b", 7.0, 7.0)))
+    // nulls are excluded; empty (all-null) group yields NULL
+    Seq(("a", Some(1.0)), ("a", None), ("b", Option.empty[Double]))
+      .toDF("g", "v").createOrReplaceTempView("pdn")
+    val nn = spark.sql(
+      "SELECT g, graft_percentile_disc(v, 1, 2) AS p FROM pdn GROUP BY g ORDER BY g")
+      .collect()
+    assert(nn(0).getDouble(1) == 1.0 && nn(1).isNullAt(1))
+  }
+
+  test("graft_cap_keys reproduces capPerGroup's kept set from SQL") {
+    import graft.ops.Sampling
+    val docs = Seq.tabulate(60)(i => (i.toLong, s"g${i % 3}")).toDF("id", "grp")
+    docs.createOrReplaceTempView("caps")
+    val sql = spark.sql(
+      """SELECT grp, k.id AS id FROM (
+           SELECT grp, graft_cap_keys(id, 5, 'graft') AS keys
+           FROM caps GROUP BY grp) t
+         LATERAL VIEW explode(keys) e AS k""")
+      .as[(String, Long)].collect().toSet
+    val scala = Sampling.capPerGroup(docs, "grp", "id", 5)
+      .as[(Long, String)].collect().map(_.swap).toSet
+    assert(sql == scala && sql.size == 15)
+  }
+
   test("config arguments must be literals") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_shingles('a b', CAST(rand()*3 AS INT)) AS s").collect()
