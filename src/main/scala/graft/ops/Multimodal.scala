@@ -8,14 +8,15 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with typed metadata, processed per-partition in
   * batches.
   *
-  * The Spark-side machinery — schema, partition-batched processing shape,
-  * metadata extraction, deterministic frame sampling — is real and tested.
-  * The actual media decode is STUBBED (this container ships no image/audio
-  * codecs): `decodeStub` produces a deterministic fake "decoded" summary so
-  * the pipeline shape (including failure routing) can be exercised
-  * end-to-end. Swap `decodeStub` for a real codec (or route the binary
-  * column through mapInPandas + PIL/torchaudio on a Python cluster) without
-  * touching the surrounding plan.
+  * The decode is a REAL bounded header decoder
+  * ([[graft.functions.MediaHeader]]): JPEG SOF dimensions + EXIF
+  * orientation, PNG IHDR dimensions + bit depth, GIF screen dimensions —
+  * pure JVM, O(header bytes) per payload, total on malformed input. Full
+  * pixel/audio decompression remains out of scope in this container (no
+  * codec libraries); to attach one, swap the kernel inside
+  * [[decodeHeaders]]' partition loop (or route the binary column through
+  * mapInPandas + PIL/torchaudio on a Python cluster) — the surrounding
+  * plan, schema and batch shape do not change.
   */
 object Multimodal {
 
@@ -46,34 +47,29 @@ object Multimodal {
       .otherwise("unknown")
   }
 
-  /** STUB decode: a deterministic fake feature vector derived from payload
-    * bytes (byte histogram moments). Stands in for image decode / audio
-    * feature extraction — same signature, same batch shape. */
-  def decodeStub(payload: Array[Byte]): Array[Double] = {
-    if (payload == null || payload.isEmpty) return Array.fill(4)(0.0)
-    var sum = 0L; var min = 255; var max = 0
-    payload.foreach { b =>
-      val v = b & 0xff
-      sum += v; if (v < min) min = v; if (v > max) max = v
-    }
-    Array(payload.length.toDouble, sum.toDouble / payload.length, min.toDouble, max.toDouble)
-  }
-
-  /** Partition-batched decode: the Scala analog of mapInPandas — one
-    * iterator pass per partition, batch-sized work units, no per-row task
-    * overhead. Returns (media_id, features array<double>). */
-  def decodeFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
-    val spark = df.sparkSession
+  /** Partition-batched header decode: the Scala analog of mapInPandas —
+    * one iterator pass per partition, no per-row task overhead, opaque
+    * bytes never leave the partition (only the small decoded fields do).
+    * Returns (media_id, format, width, height, orientation, bit_depth);
+    * -1 marks fields the payload does not provide, format is never null.
+    * The kernel is [[graft.functions.MediaHeader.decode]] — a real JPEG/
+    * PNG/GIF header parser, bounded by header size, total on garbage. */
+  def decodeHeaders(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
-      StructField("features", ArrayType(DoubleType))))
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("orientation", IntegerType),
+      StructField("bit_depth", IntegerType)))
     val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     df.select(col(idCol).cast("long"), col(payloadCol))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
           val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-          Row(id, decodeStub(payload).toSeq)
+          val m = graft.functions.MediaHeader.decode(payload)
+          Row(id, m.format, m.width, m.height, m.orientation, m.bitDepth)
         }
       }(encoder)
   }

@@ -659,17 +659,45 @@ object OpsQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
-    // stubbed decode through the partition-batched pipeline: deterministic
-    // fake features (len, mean byte, min, max) — oracle recomputes from text
+    // REAL header decode through the partition-batched pipeline: payloads
+    // are genuine PNG (IHDR) and JPEG (EXIF APP1 + SOF0) byte streams
+    // synthesized per row with dimensions/orientation derived
+    // arithmetically from (doc_id, n_chars) — the engine must PARSE the
+    // bytes (MediaHeader.decode) while the oracle recomputes the planted
+    // values, so the byte-level decoder is what the hash grades. Every
+    // 97th payload is truncated garbage: the decoder degrades to
+    // 'unknown' instead of throwing (totality is graded too)
     "mm02_decode_features" -> ((s, d) => {
+      val w = (col("doc_id") % 4096 + 1).cast("long")
+      val h = (col("n_chars") % 4096 + 1).cast("long")
+      val orient = (col("doc_id") % 8 + 1).cast("long")
+      val pngHex = concat(
+        lit("89504E470D0A1A0A0000000D49484452"), // magic + IHDR length/tag
+        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
+        lit("0806000000")) // bit depth 8, RGBA, default methods
+      val jpegHex = concat(
+        lit("FFD8" +                            // SOI
+          "FFE10022457869660000" +              // APP1 len 0x22, "Exif\0\0"
+          "4D4D002A00000008" +                  // TIFF: MM, 42, IFD0 @ 8
+          "0001" + "01120003" + "00000001"),    // 1 entry: tag 0x0112 SHORT ×1
+        lpad(hex(orient), 4, "0"), lit("0000" + // SHORT value, padding
+          "00000000" +                          // no next IFD
+          "FFC00011" + "08"),                   // SOF0 len 17, precision 8
+        lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
+        lit("03" + "011100" + "021101" + "031101" + // 3 components
+          "FFD9"))                              // EOI
+      val payload = unhex(
+        when(col("doc_id") % 97 === 0, lit("89504E47")) // truncated garbage
+          .when(col("doc_id") % 2 === 0, pngHex)
+          .otherwise(jpegHex))
       val media = Tables.documents(s, d)
-        .select(col("doc_id"), to_binary(col("text"), lit("utf-8")).as("payload"))
-      Multimodal.decodeFeatures(media, "doc_id", "payload")
-        .select(col("media_id"),
-          round(element_at(col("features"), 1), 4).as("f_len"),
-          round(element_at(col("features"), 2), 4).as("f_mean"),
-          round(element_at(col("features"), 3), 4).as("f_min"),
-          round(element_at(col("features"), 4), 4).as("f_max"))
+        .select(col("doc_id"), payload.as("payload"))
+      Multimodal.decodeHeaders(media, "doc_id", "payload")
+        .select(col("media_id"), col("format").as("fmt"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("orientation").cast("long").as("orientation"),
+          col("bit_depth").cast("long").as("bit_depth"))
         .orderBy("media_id")
     })
   )
@@ -1423,13 +1451,20 @@ object OpsQueries extends QueryPack {
                 'unknown' AS sniffed
          FROM documents ORDER BY doc_id""",
 
+    // the planted ground truth: the engine parses synthesized PNG/JPEG
+    // bytes, the oracle recomputes the planted fields arithmetically
     "mm02_decode_features" ->
       """SELECT doc_id AS media_id,
-           round(octet_length(encode(text)) * 1.0, 4) AS f_len,
-           round((SELECT sum(unicode(c)) FROM unnest(string_split_regex(text, '')) AS t(c))
-                 * 1.0 / octet_length(encode(text)), 4) AS f_mean,
-           round((SELECT min(unicode(c)) FROM unnest(string_split_regex(text, '')) AS t(c)) * 1.0, 4) AS f_min,
-           round((SELECT max(unicode(c)) FROM unnest(string_split_regex(text, '')) AS t(c)) * 1.0, 4) AS f_max
-         FROM documents ORDER BY doc_id"""
+           CASE WHEN doc_id % 97 = 0 THEN 'unknown'
+                WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+           CAST(CASE WHEN doc_id % 97 = 0 THEN -1
+                ELSE doc_id % 4096 + 1 END AS BIGINT) AS width,
+           CAST(CASE WHEN doc_id % 97 = 0 THEN -1
+                ELSE n_chars % 4096 + 1 END AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 97 = 0 OR doc_id % 2 = 0 THEN -1
+                ELSE doc_id % 8 + 1 END AS BIGINT) AS orientation,
+           CAST(CASE WHEN doc_id % 97 = 0 THEN -1 ELSE 8 END AS BIGINT)
+             AS bit_depth
+         FROM documents ORDER BY media_id"""
   )
 }

@@ -367,16 +367,51 @@ class OpsSpec extends SparkSpec {
     assert(found == 100, s"found $found of 100 planted identical vectors")
   }
 
-  test("multimodal decode stub produces deterministic features") {
-    val payload = "hello world".getBytes("UTF-8")
-    val f = Multimodal.decodeStub(payload)
-    assert(f(0) == 11.0)
-    assert(f(2) == ' '.toInt.toDouble)
-    assert(Multimodal.decodeStub(null).toSeq == Seq(0.0, 0.0, 0.0, 0.0))
+  test("media header decoder: PNG, JPEG (both EXIF byte orders), GIF, garbage") {
+    import graft.functions.{MediaHeader, MediaInfo}
+    def hx(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // PNG 640x480, bit depth 8
+    val png = hx("89504E470D0A1A0A 0000000D 49484452 00000280 000001E0 08 06 000000")
+    assert(MediaHeader.decode(png) == MediaInfo("png", 640, 480, -1, 8))
+    // JPEG: APP1 EXIF (big-endian TIFF, orientation 6) + SOF0 480x640
+    val jpegBE = hx("FFD8 FFE10022 457869660000 4D4D002A00000008" +
+      " 0001 0112 0003 00000001 00060000 00000000" +
+      " FFC00011 08 01E0 0280 03 011100 021101 031101 FFD9")
+    assert(MediaHeader.decode(jpegBE) == MediaInfo("jpeg", 640, 480, 6, 8))
+    // same EXIF in little-endian (II) byte order, orientation 3; SOF2
+    val jpegLE = hx("FFD8 FFE10022 457869660000 49492A0008000000" +
+      " 0100 1201 0300 01000000 03000000 00000000" +
+      " FFC20011 08 01E0 0280 03 011100 021101 031101 FFD9")
+    assert(MediaHeader.decode(jpegLE) == MediaInfo("jpeg", 640, 480, 3, 8))
+    // JPEG with no EXIF: dimensions still decode, orientation absent
+    val plain = hx("FFD8 FFC00011 08 0010 0020 03 011100 021101 031101 FFD9")
+    assert(MediaHeader.decode(plain) == MediaInfo("jpeg", 32, 16, -1, 8))
+    // GIF89a 100x50
+    val gif = hx("474946383961 6400 3200 F7 00 00")
+    assert(MediaHeader.decode(gif) == MediaInfo("gif", 100, 50, -1, 8))
+    // totality: null, empty, truncated magic, desynced marker stream
+    assert(MediaHeader.decode(null) == MediaHeader.Unknown)
+    assert(MediaHeader.decode(Array.empty[Byte]) == MediaHeader.Unknown)
+    assert(MediaHeader.decode(hx("89504E47")) == MediaHeader.Unknown)
+    assert(MediaHeader.decode(hx("FFD8 0000 FFC0 0011 08")) ==
+      MediaInfo("jpeg", -1, -1, -1, -1))
+    // truncated SOF segment: claimed length exceeds the payload
+    assert(MediaHeader.decode(hx("FFD8 FFC0FFFF 08")) ==
+      MediaInfo("jpeg", -1, -1, -1, -1))
+    // EXIF with a hostile IFD offset pointing outside the segment
+    val evil = hx("FFD8 FFE10010 457869660000 4D4D002A 7FFFFFFF FFD9")
+    assert(MediaHeader.decode(evil).orientation == -1)
+
+    // the partition-batched DataFrame surface
     import spark.implicits._
-    val df = Seq((1L, payload)).toDF("media_id", "payload")
-    val out = Multimodal.decodeFeatures(df, "media_id", "payload").head()
-    assert(out.getSeq[Double](1) == f.toSeq)
+    val df = Seq((1L, png), (2L, jpegBE), (3L, Array.empty[Byte]))
+      .toDF("media_id", "payload")
+    val out = Multimodal.decodeHeaders(df, "media_id", "payload")
+      .orderBy("media_id")
+      .as[(Long, String, Int, Int, Int, Int)].collect().toSeq
+    assert(out == Seq((1L, "png", 640, 480, -1, 8),
+      (2L, "jpeg", 640, 480, 6, 8), (3L, "unknown", -1, -1, -1, -1)))
   }
 
   test("salted join equals plain join on a skewed key distribution") {
