@@ -34,6 +34,15 @@ object GrowingOaiFetcher {
   val fetchCount = new java.util.concurrent.atomic.AtomicInteger(0)
 }
 
+/** Sink for the failure-injection test: records one entry per foreachBatch
+  * invocation (batchId, delivered ids) and, while armed, crashes AFTER a
+  * partial side effect — the worst case for a non-transactional sink. */
+object CrashingBatchSink {
+  val attempts = new java.util.concurrent.CopyOnWriteArrayList[(Long, Vector[Long])]()
+  @volatile var armed = false
+  def reset(): Unit = { attempts.clear(); armed = false }
+}
+
 /** Pages of marc-in-json lines for the streaming→Solr end-to-end test. */
 class MarcPageFetcher extends OaiPageFetcher {
   def fetch(token: Option[String]): (Seq[String], Option[String]) = {
