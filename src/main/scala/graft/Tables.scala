@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
@@ -19,7 +21,35 @@ object Tables {
   def part(s: SparkSession, d: String)      = load(s, d, "part")
   def orders(s: SparkSession, d: String)    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String)  = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String)    = load(s, d, "events")
+  /** The events table with `ts` normalized ONCE at this choke point to a
+    * stable epoch-µs long column `ts_us` (the raw `ts` is kept untouched).
+    * The testdata generator has already shipped the column as INT64
+    * nanoseconds (legacy parquet, Spark surfaces BIGINT) and as
+    * `timestamp[us]` (Spark surfaces TIMESTAMP_NTZ) — per-query casts
+    * against either physical type break wholesale when the generator
+    * changes again, so every event-time consumer reads `ts_us` and only
+    * this dispatch knows the physical schema. DuckDB's `epoch_us(ts)`
+    * agrees with each branch (session timezone is pinned UTC in every
+    * entry point, so NTZ naive micros == epoch micros). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    raw.withColumn("ts_us", tsMicros(raw, "ts"))
+  }
+
+  /** Epoch-µs long for a time column of any physical type the generator
+    * has produced. TIMESTAMP → unix_micros; TIMESTAMP_NTZ → cast to
+    * TIMESTAMP first (session tz is UTC everywhere, so the naive value IS
+    * the epoch — a bare cast-to-long would truncate to whole seconds);
+    * BIGINT → legacy INT64-nanos, integer-divide (double division loses
+    * precision on 1.7e18-scale values). Anything else fails loudly. */
+  def tsMicros(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case TimestampType    => unix_micros(col(c))
+      case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+      case LongType         => org.apache.spark.sql.functions.expr(s"$c DIV 1000")
+      case t => throw new IllegalArgumentException(
+        s"events.$c has unsupported physical type $t; extend Tables.tsMicros")
+    }
   def documents(s: SparkSession, d: String) = load(s, d, "documents")
 
   /** documents rebalanced for CPU-bound per-row operators (shingling, DOM

@@ -233,12 +233,13 @@ object RelationalQueries extends QueryPack {
         .orderBy("c_mktsegment")
     }),
 
-    // Date/time functions over the events stream table. `ts` arrives as long
-    // nanoseconds (see GraftSession nanosAsLong); integer-divide to micros —
-    // double division would lose precision on 1.7e18-scale values.
+    // Date/time functions over the events stream table. All event-time
+    // queries consume the normalized epoch-µs `ts_us` column that
+    // Tables.events emits — the physical type of the raw `ts` (INT64-nanos
+    // vs timestamp[us]) is dispatched ONCE there, never per query.
     "q15_events_by_day" -> ((s, d) => {
       Tables.events(s, d)
-        .select(to_date(timestamp_micros(expr("ts DIV 1000"))).as("day"),
+        .select(to_date(timestamp_micros(col("ts_us"))).as("day"),
                 col("event_type"), dec("value").as("v"))
         .groupBy("day", "event_type")
         .agg(count(lit(1)).as("n"),
@@ -252,7 +253,7 @@ object RelationalQueries extends QueryPack {
     // engine-exact money math, absent (day, type) cells stay null
     "q26_pivot" -> ((s, d) => {
       Tables.events(s, d)
-        .select(to_date(timestamp_micros(expr("ts DIV 1000"))).as("day"),
+        .select(to_date(timestamp_micros(col("ts_us"))).as("day"),
                 col("event_type"), dec("value").as("v"))
         .groupBy("day")
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
@@ -266,7 +267,7 @@ object RelationalQueries extends QueryPack {
     "q27_unpivot" -> ((s, d) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
       val wide = Tables.events(s, d)
-        .select(to_date(timestamp_micros(expr("ts DIV 1000"))).as("day"),
+        .select(to_date(timestamp_micros(col("ts_us"))).as("day"),
                 col("event_type"), dec("value").as("v"))
         .groupBy("day")
         .pivot("event_type", types)
@@ -338,7 +339,7 @@ object RelationalQueries extends QueryPack {
     // date arithmetic; the standard growth-analytics matrix
     "q32_cohort_retention" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("user_id"),
-        to_date(timestamp_micros(expr("ts DIV 1000"))).as("day"))
+        to_date(timestamp_micros(col("ts_us"))).as("day"))
       val cohorts = ev.groupBy("user_id").agg(min("day").as("cohort"))
       ev.join(cohorts, "user_id")
         .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
@@ -355,7 +356,7 @@ object RelationalQueries extends QueryPack {
     // per-user event-sequence collection, no window sort
     "q31_funnel" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("user_id"),
-        col("event_type"), expr("ts DIV 1000").as("tus"))
+        col("event_type"), col("ts_us").as("tus"))
       val s1 = ev.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min("tus").as("t1"))
       val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
@@ -384,7 +385,7 @@ object RelationalQueries extends QueryPack {
         .rangeBetween(-3600L * 1000000L, 0L)
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"),
-          expr("ts DIV 1000").as("tus"), dec("value").as("v"))
+          col("ts_us").as("tus"), dec("value").as("v"))
         .select(col("event_id"),
           count(lit(1)).over(w).as("n_1h"),
           round(sum(col("v")).over(w), 2).cast("double").as("sum_1h"))
@@ -400,7 +401,7 @@ object RelationalQueries extends QueryPack {
     "q29_grouping_sets" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_type"),
-          date_format(to_date(timestamp_micros(expr("ts DIV 1000"))),
+          date_format(to_date(timestamp_micros(col("ts_us"))),
             "yyyy-MM-dd").as("day"),
           dec("value").as("v"))
         .groupingSets(
@@ -413,8 +414,8 @@ object RelationalQueries extends QueryPack {
           col("day").asc_nulls_first)),
 
     // backward as-of join (graft.ops.AsOf): each click gets the latest
-    // preceding view per user. Times compared at µs (ts is long nanos on
-    // the Spark side; DuckDB timestamps are µs) and the right side is
+    // preceding view per user. Times compared at µs (Tables.events ts_us;
+    // DuckDB timestamps are µs) and the right side is
     // deduplicated per (user, µs) so the match is deterministic in both
     // engines. One shuffle, no nested loop — see AsOf.asofBackward.
     "q21_asof_join" -> ((s, d) => {
@@ -446,7 +447,7 @@ object RelationalQueries extends QueryPack {
     "q25_sessionize" -> ((s, d) => {
       graft.ops.ChunkedWindows.sessionizeChunked(
           Tables.events(s, d)
-            .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us")),
+            .select(col("event_id"), col("user_id"), col("ts_us")),
           keyCol = "user_id", tsCol = "ts_us", tieCol = "event_id",
           gap = 1800000000L, chunkWidth = 3600000000L)
         .select(col("event_id"), col("user_id"), col("session_id"))
@@ -480,7 +481,7 @@ object RelationalQueries extends QueryPack {
       graft.ops.ChunkedWindows.leadLagChunked(
           Tables.events(s, d)
             .select(col("event_id"), col("user_id"),
-              expr("ts DIV 1000").as("ts_us"), col("event_type"), col("value")),
+              col("ts_us"), col("event_type"), col("value")),
           keyCol = "user_id", tsCol = "ts_us", tieCol = "event_id",
           lagCols = Seq("value", "ts_us"), leadCols = Seq("event_type"),
           chunkWidth = 3600000000L)
@@ -493,11 +494,11 @@ object RelationalQueries extends QueryPack {
   )
 
   /** Shared q21/q22 inputs: clicks and views off one events scan, times
-    * as µs longs (`ts DIV 1000` — matches DuckDB's epoch_us exactly for
-    * the positive epochs in play). */
+    * as µs longs (Tables.events' normalized `ts_us` — matches DuckDB's
+    * epoch_us exactly for the positive epochs in play). */
   private def clicksAndViews(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val ev = Tables.events(s, d).select(col("event_id"),
-      expr("ts DIV 1000").as("ts_us"), col("user_id"), col("event_type"),
+      col("ts_us"), col("user_id"), col("event_type"),
       col("value"))
     (ev.filter(col("event_type") === "click")
        .select(col("event_id").as("click_id"), col("user_id"),

@@ -359,7 +359,7 @@ class StreamingSpec extends SparkSpec {
 
   test("windowed stats with watermark over the events table (batch parity)") {
     val events = graft.Tables.events(spark, sfSmoke)
-      .select(timestamp_micros(expr("ts DIV 1000")).as("ts"),
+      .select(timestamp_micros(col("ts_us")).as("ts"),
         col("event_type"), col("value"))
     val out = EventPipelines.windowedStats(events, window_ = "1 hour")
     val rows = out.orderBy("window_start", "event_type").collect()
