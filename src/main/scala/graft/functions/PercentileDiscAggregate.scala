@@ -35,7 +35,8 @@ case class PercentileDiscAgg(
     num: Int,
     den: Int,
     mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+    inputAggBufferOffset: Int = 0,
+    maxDistinct: Int = PercentileDiscAgg.MaxDistinct)
   extends TypedImperativeAggregate[mutable.HashMap[Double, Long]]
   with ExpectsInputTypes {
 
@@ -51,10 +52,14 @@ case class PercentileDiscAgg(
   override def createAggregationBuffer(): mutable.HashMap[Double, Long] =
     mutable.HashMap.empty
 
+  // the cap applies on EVERY insertion path — map-side updates AND each
+  // entry a merge folds in — so a group that only exceeds it when
+  // per-task maps combine at final merge still fails loudly (pinned by
+  // PercentileDiscAggSpec's under-cap-partitions/over-cap-union test)
   private def bump(buf: mutable.HashMap[Double, Long], v: Double, c: Long): Unit = {
     buf.updateWith(v) { prev => Some(prev.getOrElse(0L) + c) }
-    require(buf.size <= PercentileDiscAgg.MaxDistinct,
-      s"graft_percentile_disc saw more than ${PercentileDiscAgg.MaxDistinct} " +
+    require(buf.size <= maxDistinct,
+      s"graft_percentile_disc saw more than $maxDistinct " +
         "distinct values in one group — this aggregate is for DISCRETE value " +
         "domains (its buffer is a value->count map). For continuous values " +
         "use Percentiles.exactDiscrete (low-cardinality group keys) or a " +

@@ -120,6 +120,48 @@ object Sampling {
       .drop("_h", "_g", "_goff")
   }
 
+  /** Global 1-based ordinal under an arbitrary TOTAL ordering — the
+    * scale-safe replacement for `row_number() OVER (ORDER BY …)`, which
+    * moves every row to ONE task (Spark plans an unpartitioned window as
+    * Exchange SinglePartition).
+    *
+    * Scale shape: range-repartition on the order columns (sampled bounds,
+    * the same machinery a global sort uses), then rank WITHIN each range
+    * partition and add the broadcast prefix-sum of partition counts —
+    * O(partitions) driver rows, like [[shuffleIndex]]'s group offsets, so
+    * a billion-row frame ranks on every core instead of one.
+    *
+    * CONTRACT: `order` must be a total order (include a unique tie-break
+    * column) — ties can straddle a range boundary, making their relative
+    * ordinals partition-dependent.
+    *
+    * The range-partitioned frame is localCheckpoint'd (lazily) before the
+    * two jobs read it: range bounds come from a SAMPLE whose seed varies
+    * per evaluation (it folds in the RDD id), so without the checkpoint
+    * the count job and the rank job can draw DIFFERENT boundaries and
+    * every position downstream of the first divergent bound shifts by the
+    * difference. The checkpoint pins one partitioning for both jobs (and
+    * pays the one materialization a consistent global ordinal costs). */
+  def globalOrdinal(df: DataFrame, order: Seq[Column], outCol: String,
+                    numParts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts = if (numParts > 0) numParts
+      else math.max(spark.sparkContext.defaultParallelism, 1)
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn("_op", spark_partition_id())
+      .localCheckpoint(false)
+    val counts = ranged.groupBy("_op").agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val prefix = counts.map(_._2).scanLeft(0L)(_ + _)
+    import spark.implicits._
+    val offDf = counts.map(_._1).zip(prefix).toSeq.toDF("_op", "_ooff")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_op").orderBy(order: _*)
+    ranged.join(broadcast(offDf), "_op")
+      .withColumn(outCol, row_number().over(w).cast("long") + col("_ooff"))
+      .drop("_op", "_ooff")
+  }
+
   /** Deterministic per-group cap (the C4/RefinedWeb "at most n documents
     * per domain" curation step): keep at most `n` rows per `groupCol`,
     * chosen by md5-hash order of `keyCol` — a reproducible pseudo-random

@@ -410,14 +410,18 @@ object OpsQueries extends QueryPack {
     // true ranks differ by >> ulp; equal ranks tie-break by id) plus the
     // 4-decimal rank. The oracle unrolls the same 5 power iterations
     // with the identical operation order
+    // rank POSITION via Sampling.globalOrdinal (range-partitioned prefix
+    // sums), NOT row_number over an unpartitioned window — the latter
+    // plans as Exchange SinglePartition and serializes every node
+    // through one task at scale. pageRank's output is localCheckpoint'd,
+    // so the ordinal's two passes read materialized partitions.
     "d11_pagerank" -> ((s, d) => {
       val e = Tables.customer(s, d).select(col("c_custkey").as("src"),
         (col("c_nationkey") + 1000000L).as("dst"))
       val pr = graft.ops.Graph.pageRank(e, "src", "dst", iters = 5)
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("rank").desc, col("id"))
-      pr.select(col("id"), round(col("rank"), 4).as("rank4"),
-          row_number().over(w).cast("long").as("pos"))
+      graft.ops.Sampling.globalOrdinal(pr,
+          Seq(col("rank").desc, col("id")), "pos")
+        .select(col("id"), round(col("rank"), 4).as("rank4"), col("pos"))
         .orderBy("id")
     }),
 

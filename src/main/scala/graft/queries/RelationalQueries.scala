@@ -426,6 +426,23 @@ object RelationalQueries extends QueryPack {
         .orderBy("click_id")
     }),
 
+    // forward as-of join through the skew-hardened CHUNKED path: each
+    // click gets the EARLIEST view at-or-after it per user
+    // (AsOf.asofForwardChunked — windows bounded by per-chunk density,
+    // a hot user never serializes one task; output equivalence-tested
+    // against the plain forward join across chunk widths). Right side
+    // deduplicated per (user, µs) keeping the MIN event_id — forward
+    // semantics pick the smallest (time, tie), so the surviving row is
+    // the one both engines agree on.
+    "q36_asof_forward" -> ((s, d) => {
+      val (clicks, views) = clicksAndViews(s, d)
+      graft.ops.AsOf.asofForwardChunked(clicks, dedupViewsMin(views),
+          Seq("user_id"), "click_ts_us", "ts_us", "event_id",
+          payload = Seq("event_id", "value"), chunkWidth = 3600000000L,
+          prefix = "view_")
+        .orderBy("click_id")
+    }),
+
     // time-band (range) join: every (click, view) pair within the
     // preceding hour per user — bucketed equi-join, never a nested loop
     "q22_band_join" -> ((s, d) => {
@@ -512,6 +529,14 @@ object RelationalQueries extends QueryPack {
   private def dedupViews(views: DataFrame): DataFrame = views
     .withColumn("_rn", row_number().over(
       Window.partitionBy("user_id", "ts_us").orderBy(col("event_id").desc)))
+    .filter(col("_rn") === 1).drop("_rn")
+
+  /** Forward twin of [[dedupViews]]: MIN event_id survives — forward
+    * as-of picks the smallest (time, tie), so this is the row the engine
+    * would match among equal-µs ties. */
+  private def dedupViewsMin(views: DataFrame): DataFrame = views
+    .withColumn("_rn", row_number().over(
+      Window.partitionBy("user_id", "ts_us").orderBy(col("event_id").asc)))
     .filter(col("_rn") === 1).drop("_rn")
 
   def oracleSql: Map[String, String] = Map(
@@ -768,6 +793,24 @@ object RelationalQueries extends QueryPack {
                 v.event_id AS view_event_id, v.value AS view_value
          FROM clicks c ASOF LEFT JOIN views v
            ON c.user_id = v.user_id AND c.click_ts_us >= v.ts_us
+         ORDER BY c.click_id""",
+
+    // forward direction: ASOF with the inequality flipped picks the
+    // smallest v.ts_us >= click; ties pre-collapsed to MIN event_id
+    "q36_asof_forward" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+                            event_type, value FROM events),
+         views AS (SELECT user_id, ts_us, event_id, value FROM ev
+                   WHERE event_type = 'view'
+                   QUALIFY row_number() OVER (PARTITION BY user_id, ts_us
+                                              ORDER BY event_id ASC) = 1),
+         clicks AS (SELECT event_id AS click_id, user_id,
+                           ts_us AS click_ts_us, value AS click_value
+                    FROM ev WHERE event_type = 'click')
+         SELECT c.click_id, c.user_id, c.click_ts_us, c.click_value,
+                v.event_id AS view_event_id, v.value AS view_value
+         FROM clicks c ASOF LEFT JOIN views v
+           ON c.user_id = v.user_id AND c.click_ts_us <= v.ts_us
          ORDER BY c.click_id""",
 
     "q22_band_join" ->

@@ -238,6 +238,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("pagerank rank position never opens a global (unpartitioned) window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = prepared(OpsQueries.queries("d11_pagerank")(spark, sfSmoke))
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the ordinal's bucket-local window")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"rank position must be range-bucketed, not a single-partition " +
+          s"row_number:\n${w.treeString}")
+    }
+  }
+
   test("bloom decontamination: text never shuffles; exact tail broadcasts") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.StringType

@@ -538,6 +538,47 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("non-null keys"))
   }
 
+  test("globalOrdinal equals the naive global row_number for any partition count") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // skewed scores with ties (tie-break on id makes the order total)
+    val df = (1L to 400L).map(i => (i, (i % 7).toDouble)).toDF("id", "score")
+    val naive = df.withColumn("pos",
+        row_number().over(Window.orderBy(col("score").desc, col("id"))).cast("long"))
+      .select("id", "pos").as[(Long, Long)].collect().toSet
+    for (p <- Seq(1, 3, 16, 100)) {
+      val got = Sampling.globalOrdinal(df,
+          Seq(col("score").desc, col("id")), "pos", numParts = p)
+        .select("id", "pos").as[(Long, Long)].collect().toSet
+      assert(got == naive, s"numParts=$p diverges")
+    }
+    // exactly 1..n — a ranking, no gaps or duplicates
+    assert(naive.map(_._2) == (1L to 400L).toSet)
+    // total on empty input
+    assert(Sampling.globalOrdinal(df.limit(0),
+      Seq(col("score").desc, col("id")), "pos").count() == 0)
+  }
+
+  test("globalOrdinal is consistent across its two jobs on a large tie block") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // regression: range bounds are SAMPLED with a per-evaluation seed (it
+    // folds in the RDD id), so without the internal localCheckpoint the
+    // count job and rank job could draw different boundaries — every
+    // position after the first divergent bound then shifts. A big run of
+    // exactly-equal scores (the d11 pagerank shape: all leaf nodes share
+    // one rank) makes any boundary drift visible as a block shift.
+    val df = (1L to 3000L).map(i => (i, if (i <= 25) i.toDouble else 0.5))
+      .toDF("id", "score").repartition(7)
+    val naive = df.withColumn("pos",
+        row_number().over(Window.orderBy(col("score").desc, col("id"))).cast("long"))
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    val got = Sampling.globalOrdinal(df,
+        Seq(col("score").desc, col("id")), "pos", numParts = 5)
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(got == naive)
+  }
+
   test("exactDedupAnti equals the window exactDedup and keeps min ids") {
     import spark.implicits._
     val df = Seq(
