@@ -124,3 +124,57 @@ object MediaHeader {
     -1
   }
 }
+
+/** `graft_media_info(payload)` — [[MediaHeader.decode]] as a Catalyst
+  * expression returning the full MediaInfo struct
+  * `struct<format:string, width:int, height:int, orientation:int,
+  * bit_depth:int>`, so the header decoder is reachable from
+  * `spark.sql(...)` (registered in
+  * [[graft.plans.GraftSqlFunctions]]) and stays inside whole-stage
+  * codegen — the kernel is the same bounded JVM method the
+  * partition-batched [[graft.ops.Multimodal.decodeHeaders]] uses.
+  * Null payload yields null; malformed bytes degrade to "unknown"
+  * per the decoder's totality contract. */
+case class MediaInfoExpression(child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("orientation", IntegerType, nullable = false),
+    StructField("bit_depth", IntegerType, nullable = false)))
+  override def prettyName: String = "graft_media_info"
+
+  def compute(payload: AnyRef): InternalRow = {
+    val m = MediaHeader.decode(payload.asInstanceOf[Array[Byte]])
+    InternalRow(UTF8String.fromString(m.format), m.width, m.height,
+      m.orientation, m.bitDepth)
+  }
+
+  override def nullSafeEval(p: Any): Any = compute(p.asInstanceOf[AnyRef])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mediaInfoExpr", this,
+      classOf[MediaInfoExpression].getName)
+    nullSafeCodeGen(ctx, ev, p => s"${ev.value} = $ref.compute($p);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): MediaInfoExpression =
+    copy(child = newChild)
+}
+
+object MediaInfoExpression {
+  def mediaInfo(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      MediaInfoExpression(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(payload)))
+}

@@ -73,6 +73,12 @@ object GraftSqlFunctions {
         TopKByScore(UnaryMinus(Cast(hash, DoubleType)), Cast(key, LongType),
           int(n, "graft_cap_keys", "n")).toAggregateExpression() }),
 
+    ("graft_media_info",
+      "graft_media_info(payload) - decode an image container header (JPEG SOF+EXIF, " +
+        "PNG IHDR, GIF) from a binary column: struct<format,width,height,orientation,bit_depth>; " +
+        "-1 marks absent fields, malformed bytes degrade to 'unknown'",
+      { case Seq(p) => MediaInfoExpression(p) }),
+
     ("graft_shingles",
       "graft_shingles(text, n) - distinct space-joined word n-grams, order of first occurrence",
       { case Seq(t, n) => ShinglesExpression(t, int(n, "graft_shingles", "n")) }),

@@ -672,30 +672,7 @@ object OpsQueries extends QueryPack {
     // 97th payload is truncated garbage: the decoder degrades to
     // 'unknown' instead of throwing (totality is graded too)
     "mm02_decode_features" -> ((s, d) => {
-      val w = (col("doc_id") % 4096 + 1).cast("long")
-      val h = (col("n_chars") % 4096 + 1).cast("long")
-      val orient = (col("doc_id") % 8 + 1).cast("long")
-      val pngHex = concat(
-        lit("89504E470D0A1A0A0000000D49484452"), // magic + IHDR length/tag
-        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
-        lit("0806000000")) // bit depth 8, RGBA, default methods
-      val jpegHex = concat(
-        lit("FFD8" +                            // SOI
-          "FFE10022457869660000" +              // APP1 len 0x22, "Exif\0\0"
-          "4D4D002A00000008" +                  // TIFF: MM, 42, IFD0 @ 8
-          "0001" + "01120003" + "00000001"),    // 1 entry: tag 0x0112 SHORT ×1
-        lpad(hex(orient), 4, "0"), lit("0000" + // SHORT value, padding
-          "00000000" +                          // no next IFD
-          "FFC00011" + "08"),                   // SOF0 len 17, precision 8
-        lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
-        lit("03" + "011100" + "021101" + "031101" + // 3 components
-          "FFD9"))                              // EOI
-      val payload = unhex(
-        when(col("doc_id") % 97 === 0, lit("89504E47")) // truncated garbage
-          .when(col("doc_id") % 2 === 0, pngHex)
-          .otherwise(jpegHex))
-      val media = Tables.documents(s, d)
-        .select(col("doc_id"), payload.as("payload"))
+      val media = syntheticMedia(s, d)
       Multimodal.decodeHeaders(media, "doc_id", "payload")
         .select(col("media_id"), col("format").as("fmt"),
           col("width").cast("long").as("width"),
@@ -703,8 +680,55 @@ object OpsQueries extends QueryPack {
           col("orientation").cast("long").as("orientation"),
           col("bit_depth").cast("long").as("bit_depth"))
         .orderBy("media_id")
+    }),
+
+    // the same planted-byte ground truth through the SQL surface:
+    // graft_media_info (GraftExtensions FunctionRegistry) decodes the
+    // header struct inside spark.sql — one codegen'd expression per
+    // row, struct fields projected out; oracle identical to mm02's
+    "mm04_sql_media_info" -> ((s, d) => {
+      syntheticMedia(s, d).createOrReplaceTempView("media_v")
+      s.sql("""
+        SELECT doc_id AS media_id, m.format AS fmt,
+               CAST(m.width AS BIGINT) AS width,
+               CAST(m.height AS BIGINT) AS height,
+               CAST(m.orientation AS BIGINT) AS orientation,
+               CAST(m.bit_depth AS BIGINT) AS bit_depth
+        FROM (SELECT doc_id, graft_media_info(payload) AS m FROM media_v)
+        ORDER BY media_id""")
     })
   )
+
+  /** mm02/mm04 shared input: genuine PNG (IHDR) and JPEG (EXIF APP1 +
+    * SOF0) byte streams synthesized per row with dimensions/orientation
+    * derived arithmetically from (doc_id, n_chars), so the decoder must
+    * PARSE the bytes while the oracle recomputes the planted values.
+    * Every 97th payload is truncated garbage (totality is graded). */
+  private def syntheticMedia(s: SparkSession, d: String): DataFrame = {
+    val w = (col("doc_id") % 4096 + 1).cast("long")
+    val h = (col("n_chars") % 4096 + 1).cast("long")
+    val orient = (col("doc_id") % 8 + 1).cast("long")
+    val pngHex = concat(
+      lit("89504E470D0A1A0A0000000D49484452"), // magic + IHDR length/tag
+      lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
+      lit("0806000000")) // bit depth 8, RGBA, default methods
+    val jpegHex = concat(
+      lit("FFD8" +                            // SOI
+        "FFE10022457869660000" +              // APP1 len 0x22, "Exif\0\0"
+        "4D4D002A00000008" +                  // TIFF: MM, 42, IFD0 @ 8
+        "0001" + "01120003" + "00000001"),    // 1 entry: tag 0x0112 SHORT ×1
+      lpad(hex(orient), 4, "0"), lit("0000" + // SHORT value, padding
+        "00000000" +                          // no next IFD
+        "FFC00011" + "08"),                   // SOF0 len 17, precision 8
+      lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
+      lit("03" + "011100" + "021101" + "031101" + // 3 components
+        "FFD9"))                              // EOI
+    val payload = unhex(
+      when(col("doc_id") % 97 === 0, lit("89504E47")) // truncated garbage
+        .when(col("doc_id") % 2 === 0, pngHex)
+        .otherwise(jpegHex))
+    Tables.documents(s, d).select(col("doc_id"), payload.as("payload"))
+  }
 
   private val shingleCte =
     """WITH docs AS (
@@ -1458,6 +1482,23 @@ object OpsQueries extends QueryPack {
     // the planted ground truth: the engine parses synthesized PNG/JPEG
     // bytes, the oracle recomputes the planted fields arithmetically
     "mm02_decode_features" ->
+      """SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 97 = 0 THEN 'unknown'
+                WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+           CAST(CASE WHEN doc_id % 97 = 0 THEN -1
+                ELSE doc_id % 4096 + 1 END AS BIGINT) AS width,
+           CAST(CASE WHEN doc_id % 97 = 0 THEN -1
+                ELSE n_chars % 4096 + 1 END AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 97 = 0 OR doc_id % 2 = 0 THEN -1
+                ELSE doc_id % 8 + 1 END AS BIGINT) AS orientation,
+           CAST(CASE WHEN doc_id % 97 = 0 THEN -1 ELSE 8 END AS BIGINT)
+             AS bit_depth
+         FROM documents ORDER BY media_id""",
+
+    // same planted ground truth as mm02 — mm04 only changes the ENGINE
+    // path (graft_media_info through spark.sql vs the partition-batched
+    // decodeHeaders), the decoded values must be identical
+    "mm04_sql_media_info" ->
       """SELECT doc_id AS media_id,
            CASE WHEN doc_id % 97 = 0 THEN 'unknown'
                 WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,

@@ -110,6 +110,22 @@ class GraftSqlFunctionsSpec extends SparkSpec {
     assert(sql == scala && sql.size == 15)
   }
 
+  test("graft_media_info decodes headers from SQL and is total on garbage") {
+    val row = spark.sql(
+      """SELECT graft_media_info(unhex(
+           '89504E470D0A1A0A0000000D494844520000002000000010080600000000')) AS m"""
+    ).selectExpr("m.format", "m.width", "m.height", "m.bit_depth")
+      .as[(String, Int, Int, Int)].head()
+    assert(row == (("png", 32, 16, 8)))
+    val garbage = spark.sql(
+      "SELECT graft_media_info(CAST('notanimage' AS BINARY)) AS m")
+      .selectExpr("m.format").as[String].head()
+    assert(garbage == "unknown")
+    val nul = spark.sql("SELECT graft_media_info(CAST(NULL AS BINARY)) AS m")
+      .filter("m IS NULL").count()
+    assert(nul == 1L)
+  }
+
   test("config arguments must be literals") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_shingles('a b', CAST(rand()*3 AS INT)) AS s").collect()
