@@ -31,4 +31,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // running (the host has 128 GiB). 24g keeps the old-gen churn off the
   // timed path; SPARK_DRIVER_MEM still overrides for constrained hosts.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // the 111-query bench generates thousands of whole-stage-codegen
+  // classes across its 3 passes; at the JDK-17 default 240m the code
+  // cache sweeper starts flushing HOT third-party methods (Xerces DOM
+  // parsing) long before the "CodeCache is full" warning, and queries
+  // late in the run degrade to interpreted speed (x01 19s vs 0.96s
+  // isolated, round-8 bench regression). 1g keeps every compiled method
+  // resident for the whole run — same remedy long-running codegen-heavy
+  // Spark drivers apply in production.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -68,17 +68,27 @@ object Bench {
       .map(p => jsonMap(names.map(n => n -> p(n)))).mkString("[", ",", "]")
     val passTotals = Seq(p1, p2).map(_.values.sum).mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_totals":$passTotals,"passes":$passes,"sf":"$sfDir"}"""
-    println(json)
-    // the same JSON as a FILE artifact, so consumers can ingest the result
+    // the full JSON as a FILE artifact, so consumers can ingest the result
     // directly instead of scraping it out of sbt's interleaved stdout
     // (override the path with SPARK_GRAFT_BENCH_OUT; never fail the bench
-    // over an unwritable artifact path)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // over an unwritable artifact path). The artifact path rides at the
+    // top of the JSON so any consumer holding a fragment knows where the
+    // complete record lives.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+      .toAbsolutePath.toString
+    val json = s"""{"artifact":"$outPath","metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_totals":$passTotals,"passes":$passes,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: $e") }
+    println(json)
+    // LAST stdout line is a COMPACT parseable summary: stdout consumers
+    // that keep only a bounded tail (the driver holds 2000 chars) can
+    // never fit the ~10k-char full JSON, so the full line above is for
+    // humans/artifacts and this short one — total + artifact pointer —
+    // is what a tail-scraper actually parses.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_in_artifact":${names.length},"artifact":"$outPath"}""")
     spark.stop()
   }
 }

@@ -19,7 +19,12 @@ object GraftSession {
       .master(master)
       .withExtensions(new graft.plans.GraftExtensions()(_))
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      // SPARK_GRAFT_AQE=false runs the whole surface with adaptive
+      // execution off — the audit knob proving no registered plan silently
+      // depends on AQE skew splitting instead of ops/Skew's explicit
+      // salting (BASELINE.md "AQE-off audit"). Default on, as production.
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)

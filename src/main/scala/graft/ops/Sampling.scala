@@ -144,6 +144,13 @@ object Sampling {
     * pays the one materialization a consistent global ordinal costs). */
   def globalOrdinal(df: DataFrame, order: Seq[Column], outCol: String,
                     numParts: Int = 0): DataFrame = {
+    // reserved working columns (same convention as AsOf.requireNoReserved):
+    // an input frame already carrying one of these would be silently
+    // corrupted by the withColumn/drop below — fail loudly instead
+    for (c <- Seq("_op", "_ooff", outCol) if df.columns.contains(c))
+      throw new IllegalArgumentException(
+        s"globalOrdinal: input must not contain column '$c' " +
+          s"(reserved working/output name); rename it first")
     val spark = df.sparkSession
     val parts = if (numParts > 0) numParts
       else math.max(spark.sparkContext.defaultParallelism, 1)

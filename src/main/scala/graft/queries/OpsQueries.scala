@@ -425,6 +425,36 @@ object OpsQueries extends QueryPack {
         .orderBy("id")
     }),
 
+    // HITS hubs/authorities (Graph.hits) on a two-layer link graph
+    // (customer->nation, nation->region, so nations are BOTH hub and
+    // authority): 3 L1-normalized rounds, oracle-unrolled with the
+    // identical IEEE operation order (join+sum, coalesce 0, divide by the
+    // round's scalar total) exactly as d11 proved viable for pagerank.
+    // 4-decimal round absorbs summation-order ulps on both engines.
+    "d14_hits" -> ((s, d) => {
+      val e = Tables.customer(s, d).select(col("c_custkey").as("src"),
+          (col("c_nationkey") + 1000000L).as("dst"))
+        .union(Tables.nation(s, d).select(
+          (col("n_nationkey") + 1000000L).as("src"),
+          (col("n_regionkey") + 2000000L).as("dst")))
+      graft.ops.Graph.hits(e, "src", "dst", iters = 3)
+        .select(col("id"), round(col("hub"), 4).as("hub4"),
+          round(col("auth"), 4).as("auth4"))
+        .orderBy("id")
+    }),
+
+    // Misra–Gries heavy hitters through the sketch aggregate in its
+    // exact regime (capacity 64 ≥ the corpus vocabulary ⇒ no counter
+    // ever decrements, estimates == true counts — the contract
+    // HeavyHittersSpec pins), so a plain GROUP BY oracle hash-matches
+    // the sketch path. The plan is the scale story: each task folds its
+    // tokens into a ≤64-entry sketch before the exchange, so the shuffle
+    // carries tasks × capacity rows, never the token universe.
+    "t29_heavy_hitters" -> ((s, d) =>
+      TextAnalysis.approxTopTerms(Tables.documents(s, d), "text",
+          capacity = 64)
+        .orderBy(desc("est_count"), asc("term"))),
+
     // corpus n-gram document frequency (vocabulary/boilerplate mining):
     // bigrams appearing in >= 25 distinct documents, exact oracle
     "t09_ngram_df" -> ((s, d) =>
@@ -687,15 +717,22 @@ object OpsQueries extends QueryPack {
     // header struct inside spark.sql — one codegen'd expression per
     // row, struct fields projected out; oracle identical to mm02's
     "mm04_sql_media_info" -> ((s, d) => {
-      syntheticMedia(s, d).createOrReplaceTempView("media_v")
-      s.sql("""
+      // per-call unique view name: a fixed session-global name would race
+      // under concurrent construction against different datasets (last
+      // createOrReplaceTempView wins) and leak into the session. spark.sql
+      // analyzes eagerly, so the view can be dropped as soon as the frame
+      // is built — the resolved plan no longer references it.
+      val view = s"media_v_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      syntheticMedia(s, d).createOrReplaceTempView(view)
+      try s.sql(s"""
         SELECT doc_id AS media_id, m.format AS fmt,
                CAST(m.width AS BIGINT) AS width,
                CAST(m.height AS BIGINT) AS height,
                CAST(m.orientation AS BIGINT) AS orientation,
                CAST(m.bit_depth AS BIGINT) AS bit_depth
-        FROM (SELECT doc_id, graft_media_info(payload) AS m FROM media_v)
+        FROM (SELECT doc_id, graft_media_info(payload) AS m FROM $view)
         ORDER BY media_id""")
+      finally s.catalog.dropTempView(view)
     })
   )
 
@@ -1133,6 +1170,71 @@ object OpsQueries extends QueryPack {
          SELECT id, round(rank, 4) AS rank4,
            row_number() OVER (ORDER BY rank DESC, id) AS pos
          FROM pr5 ORDER BY id""",
+
+    // 3 unrolled HITS rounds, identical op order to Graph.hits: per round
+    // auth = L1-normalize(nodes ⟕ Σ_{u→v} hub(u)), then
+    // hub = L1-normalize(nodes ⟕ Σ_{u→v} auth(v)); scalar totals via
+    // subquery exactly where the engine collects one O(1) scalar
+    "d14_hits" ->
+      """WITH e AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT c_custkey AS src, c_nationkey + 1000000 AS dst
+             FROM customer
+             UNION ALL
+             SELECT n_nationkey + 1000000, n_regionkey + 2000000
+             FROM nation)),
+         nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         s0 AS (SELECT id, 1.0 / nn.n AS hub FROM nodes CROSS JOIN nn),
+         a1r AS (SELECT e.dst AS id, sum(s.hub) AS v
+                   FROM e JOIN s0 s ON s.id = e.src GROUP BY e.dst),
+         a1 AS (SELECT n.id, coalesce(a.v, 0.0) AS auth
+                  FROM nodes n LEFT JOIN a1r a ON a.id = n.id),
+         a1n AS (SELECT id, auth / (SELECT sum(auth) FROM a1) AS auth
+                   FROM a1),
+         h1r AS (SELECT e.src AS id, sum(a.auth) AS v
+                   FROM e JOIN a1n a ON a.id = e.dst GROUP BY e.src),
+         h1 AS (SELECT n.id, coalesce(h.v, 0.0) AS hub
+                  FROM nodes n LEFT JOIN h1r h ON h.id = n.id),
+         h1n AS (SELECT id, hub / (SELECT sum(hub) FROM h1) AS hub
+                   FROM h1),
+         a2r AS (SELECT e.dst AS id, sum(s.hub) AS v
+                   FROM e JOIN h1n s ON s.id = e.src GROUP BY e.dst),
+         a2 AS (SELECT n.id, coalesce(a.v, 0.0) AS auth
+                  FROM nodes n LEFT JOIN a2r a ON a.id = n.id),
+         a2n AS (SELECT id, auth / (SELECT sum(auth) FROM a2) AS auth
+                   FROM a2),
+         h2r AS (SELECT e.src AS id, sum(a.auth) AS v
+                   FROM e JOIN a2n a ON a.id = e.dst GROUP BY e.src),
+         h2 AS (SELECT n.id, coalesce(h.v, 0.0) AS hub
+                  FROM nodes n LEFT JOIN h2r h ON h.id = n.id),
+         h2n AS (SELECT id, hub / (SELECT sum(hub) FROM h2) AS hub
+                   FROM h2),
+         a3r AS (SELECT e.dst AS id, sum(s.hub) AS v
+                   FROM e JOIN h2n s ON s.id = e.src GROUP BY e.dst),
+         a3 AS (SELECT n.id, coalesce(a.v, 0.0) AS auth
+                  FROM nodes n LEFT JOIN a3r a ON a.id = n.id),
+         a3n AS (SELECT id, auth / (SELECT sum(auth) FROM a3) AS auth
+                   FROM a3),
+         h3r AS (SELECT e.src AS id, sum(a.auth) AS v
+                   FROM e JOIN a3n a ON a.id = e.dst GROUP BY e.src),
+         h3 AS (SELECT n.id, coalesce(h.v, 0.0) AS hub
+                  FROM nodes n LEFT JOIN h3r h ON h.id = n.id),
+         h3n AS (SELECT id, hub / (SELECT sum(hub) FROM h3) AS hub
+                   FROM h3)
+         SELECT h.id, round(h.hub, 4) AS hub4, round(a.auth, 4) AS auth4
+         FROM h3n h JOIN a3n a ON a.id = h.id
+         ORDER BY h.id""",
+
+    // exact-regime sketch oracle: capacity ≥ vocabulary ⇒ MG estimates
+    // equal true counts, so the plain GROUP BY is the ground truth
+    "t29_heavy_hitters" ->
+      """WITH toks AS (
+           SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+           FROM documents WHERE length(trim(text)) > 0)
+         SELECT term, CAST(count(*) AS BIGINT) AS est_count FROM toks
+         WHERE length(term) > 0
+         GROUP BY term ORDER BY est_count DESC, term""",
 
     "t09_ngram_df" ->
       """WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),

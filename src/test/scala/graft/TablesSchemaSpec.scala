@@ -35,8 +35,17 @@ class TablesSchemaSpec extends SparkSpec {
     assert(lo >= us2020 && hi < us2030,
       s"ts_us range [$lo, $hi] is not epoch-µs — Tables.tsMicros dispatched " +
         s"the wrong unit for physical type $tsType")
+    // calendar-day cross-check against an INDEPENDENT rendering of the
+    // raw column. `to_date(col("ts"))` cannot resolve on the legacy
+    // BIGINT branch (AnalysisException, not this test's diagnostic), so
+    // the rendering branches on the physical type: INT64-nanos is
+    // re-derived here from first principles (ns → µs floor division).
+    val rawAsTs = tsType match {
+      case LongType => timestamp_micros(expr("CAST(floor(ts / 1000) AS BIGINT)"))
+      case _        => col("ts").cast(TimestampType)
+    }
     val bad = ev.filter(
-      to_date(timestamp_micros(col("ts_us"))) =!= to_date(col("ts"))).count()
+      to_date(timestamp_micros(col("ts_us"))) =!= to_date(rawAsTs)).count()
     assert(bad == 0, s"$bad rows where ts_us's calendar day disagrees with " +
       "raw ts — Tables.tsMicros normalization is wrong for this schema")
   }
