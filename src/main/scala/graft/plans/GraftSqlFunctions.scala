@@ -107,6 +107,11 @@ object GraftSqlFunctions {
             Literal(1), Literal(2)), Literal(16), Literal(10)), LongType),
           Literal(128L)) }),
 
+    ("graft_bpe_count",
+      "graft_bpe_count(text) - byte-level BPE token count under the pinned " +
+        "corpus-learned merge table (resources/graft/bpe_merges.txt)",
+      { case Seq(t) => BpeCountExpression(t) }),
+
     ("graft_lang_id",
       "graft_lang_id(text) - n-gram heuristic language id over the bundled marker set",
       { case Seq(t) => LangIdExpression(t, graft.ops.TextAnalysis.LangMarkers) }),

@@ -455,6 +455,18 @@ object OpsQueries extends QueryPack {
           capacity = 64)
         .orderBy(desc("est_count"), asc("term"))),
 
+    // byte-level BPE token counts under the pinned corpus-learned merge
+    // table (token-count realism for the packing/token-budget family:
+    // whitespace counts undercount what a subword tokenizer charges).
+    // Through the SQL surface, so the oracle also grades the
+    // graft_bpe_count registration; the DuckDB side replays the identical
+    // merge table as a chain of replace() sweeps (see Bpe's scaladoc for
+    // why one replace == one greedy merge sweep).
+    "t30_bpe_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .selectExpr("doc_id", "graft_bpe_count(text) AS n_bpe")
+        .orderBy("doc_id")),
+
     // corpus n-gram document frequency (vocabulary/boilerplate mining):
     // bigrams appearing in >= 25 distinct documents, exact oracle
     "t09_ngram_df" -> ((s, d) =>
@@ -779,7 +791,43 @@ object OpsQueries extends QueryPack {
            END) s
          FROM docs)"""
 
+  /** The t30 oracle replays the engine's BPE bit-for-bit in DuckDB SQL,
+    * generated from the SAME pinned merges resource the engine loads:
+    * pre-tokenize with the identical RE2 pattern, byte-remap the
+    * whitespace chars (the corpus is printable ASCII; the engine's full
+    * byte-level remap degenerates to exactly these), seed the
+    * double-separator encoding, then apply each merge as one `replace()`
+    * — leftmost, non-overlapping, scan-after — which is precisely the
+    * tokenizer's greedy sweep (see [[graft.functions.Bpe]]). */
+  private lazy val bpeOracle: String = {
+    def esc(s: String) = s.replace("'", "''")
+    val sep = graft.functions.Bpe.Sep
+    val mergedExpr = graft.functions.Bpe.defaultMerges.foldLeft("s0") {
+      case (acc, (pat, rep)) => s"replace($acc, '${esc(pat)}', '${esc(rep)}')"
+    }
+    // ws byte remaps taken from the engine's ByteToChar so they cannot drift
+    val b2c = graft.functions.Bpe.ByteToChar
+    val wsRemap = Seq(' ', '\t', '\n', '\f', '\r').foldLeft("tk") {
+      case (acc, c) => s"replace($acc, chr(${c.toInt}), chr(${b2c(c.toInt).toInt}))"
+    }
+    s"""WITH toks AS (
+         SELECT doc_id, unnest(regexp_extract_all(text,
+           ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+')) AS tk
+         FROM documents),
+       seeded AS (
+         SELECT doc_id, '$sep' || regexp_replace($wsRemap, '(.)', '$sep\\1$sep', 'g') || '$sep' AS s0
+         FROM toks),
+       cnt AS (
+         SELECT doc_id,
+           SUM((length(s) - length(replace(s, '$sep', ''))) // 2 - 1) AS n
+         FROM (SELECT doc_id, $mergedExpr AS s FROM seeded) GROUP BY doc_id)
+       SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_bpe
+       FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
+       ORDER BY d.doc_id"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "t30_bpe_tokens" -> bpeOracle,
     "d01_exact_dedup" ->
       """SELECT array_to_string(string_split(text, ' ')[1:3], ' ') AS dup_key,
                 min(doc_id) AS survivor_id, count(*) AS group_size
