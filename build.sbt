@@ -38,6 +38,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // late in the run degrade to interpreted speed (x01 19s vs 0.96s
   // isolated, round-8 bench regression). 1g keeps every compiled method
   // resident for the whole run — same remedy long-running codegen-heavy
-  // Spark drivers apply in production.
-  "-XX:ReservedCodeCacheSize=1g",
+  // Spark drivers apply in production. (2g is pure reserved-address
+  // headroom: the sf1 bench peaks ~200m used — BASELINE.md round-9
+  // aged-JVM notes — so the cache is provably not the sf1 limiter.)
+  "-XX:ReservedCodeCacheSize=2g",
 )

@@ -318,11 +318,18 @@ object Dedup {
         .groupBy("id").agg(min(col("component")).as("component"))
         .localCheckpoint(false)
       val nextSum = labelSum(next)
+      // labelSum just materialized `next`, so the previous round's blocks
+      // are dead — free them now rather than leaving one round's worth of
+      // storage per iteration for the async ContextCleaner
+      org.apache.spark.sql.graftbridge.CheckpointBridge.unpersist(labels)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       iter += 1
     }
+    // the returned labels frame was materialized by its own labelSum; the
+    // edge set is no longer reachable from it
+    org.apache.spark.sql.graftbridge.CheckpointBridge.unpersist(edges)
     labels
   }
 

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.CheckpointBridge
 
 /** Graph centrality over edge lists — the link-graph side of corpus
   * curation (PageRank-style quality priors for web-crawl corpora, as in
@@ -48,7 +49,13 @@ object Graph {
       return e.select(col("src").as("id"), lit(0.0).as("rank")).limit(0)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    for (_ <- 1 to iters) {
+    // superseded-round bookkeeping: each round's dangling collect is the
+    // action that materializes the PREVIOUS round's lazy checkpoint, at
+    // which point the round before THAT is provably dead — free its
+    // blocks instead of leaving a pile for the async ContextCleaner
+    // (round-0 ranks is a plain projection, not a checkpoint)
+    var prevCkpt: DataFrame = null
+    for (i <- 1 to iters) {
       // rank mass on dangling nodes (no out-edges): one small scalar
       val dangling = ranks.join(outdeg, ranks("id") === outdeg("src"),
           "left_anti")
@@ -56,18 +63,29 @@ object Graph {
         case r if r.isNullAt(0) => 0.0
         case r => r.getDouble(0)
       }
+      if (prevCkpt ne null) CheckpointBridge.unpersist(prevCkpt)
+      prevCkpt = if (i == 1) null else ranks
       val share = ranks.join(outdeg, ranks("id") === outdeg("src"))
         .select(col("src").as("sid"), (col("rank") / col("deg")).as("share"))
       val contrib = e.join(share, e("src") === col("sid"))
         .select(col("dst").as("id"), col("share").as("c"))
         .groupBy("id").agg(sum("c").as("contrib"))
       val base = (1.0 - damping) / n + damping * dangling / n
+      // final round checkpoints EAGERLY: once its O(nodes) result is
+      // materialized, every loop input (e, nodes, the last round) can be
+      // freed here and now — the operator leaves no storage residue
+      // beyond its own result
       ranks = nodes
         .join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + lit(damping) * coalesce(col("contrib"), lit(0.0)))
             .as("rank"))
-        .localCheckpoint(false)
+        .localCheckpoint(i == iters)
+    }
+    if (iters >= 1) {
+      if (prevCkpt ne null) CheckpointBridge.unpersist(prevCkpt)
+      CheckpointBridge.unpersist(e)
+      CheckpointBridge.unpersist(nodes)
     }
     ranks
   }
@@ -106,7 +124,12 @@ object Graph {
       if (total == 0.0) df
       else df.withColumn(c, col(c) / lit(total))
     }
-    for (_ <- 1 to iters) {
+    // same superseded-round bookkeeping as pageRank: the first normalizer
+    // collect of a round materializes the previous round's checkpoint,
+    // freeing the round before it; the final round checkpoints eagerly so
+    // the loop inputs can be freed before returning
+    var prevCkpt: DataFrame = null
+    for (i <- 1 to iters) {
       val auth2 = e.join(scores.select(col("id"), col("hub")),
           e("src") === col("id"))
         .groupBy(col("dst").as("aid")).agg(sum("hub").as("auth"))
@@ -114,6 +137,8 @@ object Graph {
         nodes.join(auth2, nodes("id") === col("aid"), "left")
           .select(nodes("id"), coalesce(col("auth"), lit(0.0)).as("auth")),
         "auth")
+      if (prevCkpt ne null) CheckpointBridge.unpersist(prevCkpt)
+      prevCkpt = if (i == 1) null else scores
       val hub2 = e.join(withAuth.select(col("id").as("aid"), col("auth")),
           e("dst") === col("aid"))
         .groupBy(col("src").as("hid")).agg(sum("auth").as("hub"))
@@ -124,7 +149,12 @@ object Graph {
         .join(withAuth.withColumnRenamed("id", "_aid2"),
           col("id") === col("_aid2"))
         .select(col("id"), col("hub"), col("auth"))
-        .localCheckpoint(false)
+        .localCheckpoint(i == iters)
+    }
+    if (iters >= 1) {
+      if (prevCkpt ne null) CheckpointBridge.unpersist(prevCkpt)
+      CheckpointBridge.unpersist(e)
+      CheckpointBridge.unpersist(nodes)
     }
     scores
   }

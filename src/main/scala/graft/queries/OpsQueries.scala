@@ -467,6 +467,16 @@ object OpsQueries extends QueryPack {
         .selectExpr("doc_id", "graft_bpe_count(text) AS n_bpe")
         .orderBy("doc_id")),
 
+    // t17's budget selection costed in BPE tokens — the budget a real
+    // subword tokenizer would charge a training run (same
+    // range-partitioned prefix-sum machinery, new cost column)
+    "t31_bpe_budget" -> ((s, d) =>
+      Sampling.takeUntilBudget(
+          Tables.documents(s, d).selectExpr(
+            "doc_id", "n_chars", "graft_bpe_count(text) AS toks"),
+          col("doc_id"), col("n_chars"), col("toks"), budget = 30000L)
+        .orderBy("doc_id")),
+
     // corpus n-gram document frequency (vocabulary/boilerplate mining):
     // bigrams appearing in >= 25 distinct documents, exact oracle
     "t09_ngram_df" -> ((s, d) =>
@@ -791,7 +801,7 @@ object OpsQueries extends QueryPack {
            END) s
          FROM docs)"""
 
-  /** The t30 oracle replays the engine's BPE bit-for-bit in DuckDB SQL,
+  /** Shared CTE body for the BPE oracles (t30/t31): replays the engine's BPE bit-for-bit in DuckDB SQL,
     * generated from the SAME pinned merges resource the engine loads:
     * pre-tokenize with the identical RE2 pattern, byte-remap the
     * whitespace chars (the corpus is printable ASCII; the engine's full
@@ -810,24 +820,39 @@ object OpsQueries extends QueryPack {
     val wsRemap = Seq(' ', '\t', '\n', '\f', '\r').foldLeft("tk") {
       case (acc, c) => s"replace($acc, chr(${c.toInt}), chr(${b2c(c.toInt).toInt}))"
     }
-    s"""WITH toks AS (
+    s"""bpe_tk AS (
          SELECT doc_id, unnest(regexp_extract_all(text,
            ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+')) AS tk
          FROM documents),
-       seeded AS (
+       bpe_seeded AS (
          SELECT doc_id, '$sep' || regexp_replace($wsRemap, '(.)', '$sep\\1$sep', 'g') || '$sep' AS s0
-         FROM toks),
-       cnt AS (
+         FROM bpe_tk),
+       bpe_cnt AS (
          SELECT doc_id,
            SUM((length(s) - length(replace(s, '$sep', ''))) // 2 - 1) AS n
-         FROM (SELECT doc_id, $mergedExpr AS s FROM seeded) GROUP BY doc_id)
-       SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_bpe
-       FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
-       ORDER BY d.doc_id"""
+         FROM (SELECT doc_id, $mergedExpr AS s FROM bpe_seeded) GROUP BY doc_id)"""
   }
 
   def oracleSql: Map[String, String] = Map(
-    "t30_bpe_tokens" -> bpeOracle,
+    "t30_bpe_tokens" ->
+      s"""WITH $bpeOracle
+         SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_bpe
+         FROM documents d LEFT JOIN bpe_cnt c ON c.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+
+    // t17's naive-global-window semantics, costed in BPE tokens instead
+    // of whitespace tokens — the budget a real subword tokenizer charges
+    "t31_bpe_budget" ->
+      s"""WITH $bpeOracle,
+         c AS (
+           SELECT d.doc_id, d.n_chars, CAST(coalesce(b.n, 0) AS BIGINT) AS toks
+           FROM documents d LEFT JOIN bpe_cnt b ON b.doc_id = d.doc_id),
+         r AS (
+           SELECT doc_id, n_chars, toks,
+             sum(toks) OVER (ORDER BY n_chars DESC, doc_id) AS cum
+           FROM c)
+         SELECT doc_id, n_chars, toks FROM r WHERE cum <= 30000
+         ORDER BY doc_id""",
     "d01_exact_dedup" ->
       """SELECT array_to_string(string_split(text, ' ')[1:3], ' ') AS dup_key,
                 min(doc_id) AS survivor_id, count(*) AS group_size

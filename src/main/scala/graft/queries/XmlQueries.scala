@@ -37,12 +37,19 @@ object XmlQueries extends QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // attribute + namespaced-element extraction, escaped-text round trip
     "x01_xpath_extract" -> ((s, d) => {
+      // sort on the SOURCE doc_id, not the parsed @id (they are equal;
+      // the parsed value is still emitted and hash-checked per row):
+      // ordering by a derived column makes the range-partitioner's
+      // sampling pass execute the whole parse pipeline a second time,
+      // while a scan column lets sampling prune to one parquet column —
+      // the XML parse then runs exactly once
       docXml(s, d).select(
           element_at(extractXpath(col("xml"), "/g:rec/@id", Ns), 1)
             .cast("long").as("doc_id"),
           element_at(extractXpath(col("xml"), "/g:rec/g:src", Ns), 1).as("src"),
-          element_at(extractXpath(col("xml"), "//g:body", Ns), 1).as("body"))
-        .orderBy("doc_id")
+          element_at(extractXpath(col("xml"), "//g:body", Ns), 1).as("body"),
+          col("doc_id").as("_oid"))
+        .orderBy("_oid").drop("_oid")
     }),
 
     // non-terminal elements: each match joins its descendant text with

@@ -112,6 +112,35 @@ class GraphSpec extends SparkSpec {
       "src", "dst").count() == 0)
   }
 
+  test("iterative loops leave no checkpoint-block residue beyond the result") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    def settled(): Int = {
+      // let the async unpersist messages and the ContextCleaner's queue
+      // drain before counting — the assertion is about what the operator
+      // freed DETERMINISTICALLY, but removal RPCs are themselves async
+      System.gc()
+      Thread.sleep(200)
+      sc.getPersistentRDDs.size
+    }
+    val before = settled()
+    val edges = (diamond ++ Seq((4L, 5L), (5L, 1L))).toDF("src", "dst")
+    val pr = Graph.pageRank(edges, "src", "dst", iters = 5)
+    assert(pr.count() == 5)
+    val hx = Graph.hits(edges, "src", "dst", iters = 3)
+    assert(hx.count() == 5)
+    val cc = Dedup.connectedComponents(edges, "src", "dst")
+    assert(cc.count() == 5)
+    // each operator may leave exactly its own (eagerly materialized)
+    // result persisted; the per-round intermediates and the loop inputs
+    // (edge set, node set) must have been freed by the operators
+    // themselves, not the garbage collector. 5-iteration pageRank alone
+    // used to leave 7 frames here.
+    val residue = settled() - before
+    assert(residue <= 3,
+      s"iterative ops left $residue persisted RDDs (want <= 1 per operator)")
+  }
+
   test("converges: successive-round L1 delta shrinks") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
