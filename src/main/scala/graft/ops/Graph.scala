@@ -116,43 +116,52 @@ object Graph {
         lit(0.0).as("auth")).limit(0)
     var scores = nodes.withColumn("hub", lit(1.0 / n))
       .withColumn("auth", lit(1.0 / n))
-    def normalized(df: DataFrame, c: String): DataFrame = {
-      val total = df.agg(sum(c)).collect()(0) match {
+    def normalized(df: DataFrame, c: String, total: Double): DataFrame =
+      if (total == 0.0) df else df.withColumn(c, col(c) / lit(total))
+    def scalarSum(df: DataFrame, c: String): Double =
+      df.agg(sum(c)).collect()(0) match {
         case r if r.isNullAt(0) => 0.0
         case r => r.getDouble(0)
       }
-      if (total == 0.0) df
-      else df.withColumn(c, col(c) / lit(total))
-    }
-    // same superseded-round bookkeeping as pageRank: the first normalizer
-    // collect of a round materializes the previous round's checkpoint,
-    // freeing the round before it; the final round checkpoints eagerly so
-    // the loop inputs can be freed before returning
-    var prevCkpt: DataFrame = null
+    // Each half-round's UN-normalized frame is checkpointed and its
+    // normalizer sum is the action that materializes it — the frame then
+    // has 2-3 consumers (the opposite half-round, the round's output)
+    // that re-read BLOCKS instead of re-executing the join+agg chain.
+    // Without the checkpoint those consumers recomputed the auth chain up
+    // to 4× per round (lazy plans fan out, Spark shares nothing across
+    // actions). Superseded frames are freed as soon as their single
+    // downstream materializes, as in pageRank.
+    var prevRound: List[DataFrame] = Nil
     for (i <- 1 to iters) {
       val auth2 = e.join(scores.select(col("id"), col("hub")),
           e("src") === col("id"))
         .groupBy(col("dst").as("aid")).agg(sum("hub").as("auth"))
-      val withAuth = normalized(
-        nodes.join(auth2, nodes("id") === col("aid"), "left")
-          .select(nodes("id"), coalesce(col("auth"), lit(0.0)).as("auth")),
-        "auth")
-      if (prevCkpt ne null) CheckpointBridge.unpersist(prevCkpt)
-      prevCkpt = if (i == 1) null else scores
+      val authRaw = nodes.join(auth2, nodes("id") === col("aid"), "left")
+        .select(nodes("id"), coalesce(col("auth"), lit(0.0)).as("auth"))
+        .localCheckpoint(false)
+      val aTot = scalarSum(authRaw, "auth") // materializes authRaw (and scores_{i-1})
+      // scores_{i-1}'s only consumer was auth2; the previous round's raw
+      // frames fed scores_{i-1}'s now-complete materialization — all dead
+      prevRound.foreach(CheckpointBridge.unpersist)
+      prevRound = (if (i == 1) Nil else List(scores)) :+ authRaw
+      val withAuth = normalized(authRaw, "auth", aTot)
       val hub2 = e.join(withAuth.select(col("id").as("aid"), col("auth")),
           e("dst") === col("aid"))
         .groupBy(col("src").as("hid")).agg(sum("auth").as("hub"))
-      scores = nodes
+      val hubRaw = nodes
         .join(hub2, nodes("id") === col("hid"), "left")
         .select(nodes("id"), coalesce(col("hub"), lit(0.0)).as("hub"))
-      scores = normalized(scores, "hub")
+        .localCheckpoint(false)
+      val hTot = scalarSum(hubRaw, "hub") // materializes hubRaw
+      prevRound = prevRound :+ hubRaw
+      scores = normalized(hubRaw, "hub", hTot)
         .join(withAuth.withColumnRenamed("id", "_aid2"),
           col("id") === col("_aid2"))
         .select(col("id"), col("hub"), col("auth"))
         .localCheckpoint(i == iters)
     }
     if (iters >= 1) {
-      if (prevCkpt ne null) CheckpointBridge.unpersist(prevCkpt)
+      prevRound.foreach(CheckpointBridge.unpersist)
       CheckpointBridge.unpersist(e)
       CheckpointBridge.unpersist(nodes)
     }
