@@ -647,25 +647,49 @@ object Dedup {
     * bound prunes before the quadratic-cost comparison, and Spark's
     * bounded `levenshtein(l, r, k)` early-exits past the threshold.
     *
-    * Scale contract: pairs per block are O(b²) in the block size — pick
-    * blocking keys that keep b bounded (brand, zip, sort-key prefix, a
-    * fingerprint band). The shuffle carries (block, id, string) rows,
-    * each row once. Output: (id_a, id_b, dist), id_a < id_b. */
+    * The quadratic comparison runs over DISTINCT (block, text) values,
+    * not rows — the [[minhashNearDupPairs]] exact-collapse discipline:
+    * corpora repeat strings heavily (planted dups, crawled mirrors), and
+    * d identical copies of a string would otherwise multiply every
+    * comparison involving it by d (d² for a pair of repeated strings).
+    * Verdicts are computed once per distinct name pair, then expanded
+    * back to id pairs by two equi-joins.
+    *
+    * Scale contract: comparisons per block are O(u²) in the DISTINCT
+    * values per block — pick blocking keys that keep u bounded (brand,
+    * zip, sort-key prefix, a fingerprint band). The shuffle carries
+    * (block, id, string) rows, each row once. Output: (id_a, id_b,
+    * dist), id_a < id_b. */
   def fuzzyDupPairs(df: DataFrame, idCol: String, textCol: String,
                     blockCols: Seq[String], maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
     require(blockCols.nonEmpty,
       "fuzzyDupPairs requires blocking columns (an unblocked fuzzy join " +
         "is an all-pairs cross join — at scale, block first)")
-    val a = df.select(blockCols.map(col) :+ col(idCol).as("id_a") :+
-      col(textCol).as("_ta"): _*)
-    val b = df.select(blockCols.map(col) :+ col(idCol).as("id_b") :+
-      col(textCol).as("_tb"): _*)
-    a.join(b, blockCols)
-      .filter(col("id_a") < col("id_b"))
+    val recs = df.select(blockCols.map(col) :+ col(idCol).as("_id") :+
+      col(textCol).as("_t"): _*)
+    val u = recs.select(blockCols.map(col) :+ col("_t"): _*).distinct()
+    // unordered distinct name pairs: strictly-ordered pairs once each,
+    // plus the diagonal (equal names — dist 0 without a comparison)
+    val namePairs = u.select(blockCols.map(col) :+ col("_t").as("_ta"): _*)
+      .join(u.select(blockCols.map(col) :+ col("_t").as("_tb"): _*), blockCols)
+      .filter(col("_ta") <= col("_tb"))
       .filter(abs(length(col("_ta")) - length(col("_tb"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("_ta"), col("_tb"), maxDist))
+      .withColumn("dist", when(col("_ta") === col("_tb"), lit(0))
+        .otherwise(levenshtein(col("_ta"), col("_tb"), maxDist)))
       .filter(col("dist") >= 0) // bounded form returns -1 past the cap
-      .select(col("id_a"), col("id_b"), col("dist"))
+    // expand verdicts to id pairs. A strict (na < nb) verdict yields each
+    // unordered id pair exactly once (normalized via least/greatest — the
+    // a-side id is NOT always the smaller); the diagonal yields each
+    // within-group pair twice plus self-pairs, so it keeps id_a < id_b.
+    namePairs
+      .join(recs.select(blockCols.map(col) :+ col("_id").as("id_a") :+
+        col("_t").as("_ta"): _*), blockCols :+ "_ta")
+      .join(recs.select(blockCols.map(col) :+ col("_id").as("id_b") :+
+        col("_t").as("_tb"): _*), blockCols :+ "_tb")
+      .filter(when(col("_ta") === col("_tb"), col("id_a") < col("id_b"))
+        .otherwise(lit(true)))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
   }
 }
