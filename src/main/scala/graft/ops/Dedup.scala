@@ -692,4 +692,88 @@ object Dedup {
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
   }
+
+  /** Cross-document duplicate-PASSAGE removal (the corpus-level exact
+    * substring dedup of Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", and C4's duplicate-span discard):
+    * every w-token window that occurs more than once ANYWHERE in the
+    * corpus is removed from all but its global first occurrence
+    * (first = min (id, position) — deterministic, partitioning-free).
+    * Tokens covered by any removed window are dropped; the survivors
+    * re-join with single spaces.
+    *
+    * This is the cross-corpus complement of
+    * [[TextAnalysis.dedupSpansInDoc]] (which dedups WITHIN one row):
+    * boilerplate headers, license blocks, and syndicated paragraphs
+    * repeat across millions of pages, and n-gram-level overlap between
+    * train and test is exactly what the memorization literature measures.
+    *
+    * Scale shape: window hashes are built INSIDE the row (one HOF pass,
+    * md5 over the w-token slice — text never explodes); the only wide
+    * exchange carries (hash, id, pos) tuples, one per token, like the
+    * d13 fingerprint discipline. Duplicated-window groups collapse to a
+    * min-struct aggregate (map-side partial); removal starts fold back
+    * to one bounded array per affected document (≤ tokens/1 entries,
+    * bounded by document length — chunk long documents first, see
+    * [[TextAnalysis.chunkTokens]]); the rebuild is one codegen
+    * index-filter pass over the original token array. Document text
+    * crosses an exchange only in the final starts-attach join, and only
+    * when the affected-doc set is too large to broadcast.
+    *
+    * Exactness: candidate generation IS the verdict (equal md5 ⇒ equal
+    * window up to md5 collision, ~2⁻⁶⁴ per pair) — no recall knob, unlike
+    * the minhash/simhash near-dup family.
+    *
+    * Output: (idCol, n_tokens, n_removed, clean_text), one row per input
+    * row, n_removed = 0 and clean_text = original normalized text for
+    * untouched documents. */
+  def removeDuplicatePassages(df: DataFrame, idCol: String, textCol: String,
+                              w: Int): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens: $w (w = 1 removes every " +
+      "repeated token — that is vocabulary truncation, not passage dedup)")
+    for (c <- Seq("_id", "_toks", "_hs", "_pos", "_h", "_keep", "_c", "_starts")
+         if df.columns.contains(c))
+      throw new IllegalArgumentException(
+        s"removeDuplicatePassages: input must not contain column '$c' " +
+          "(reserved working name); rename it first")
+    // whitespace-normalized token array; split keeps trailing empties
+    // (limit -1) so the token grid matches a plain single-space split in
+    // any other engine
+    val base = df.select(col(idCol).as("_id"),
+      split(trim(col(textCol)), " ", -1).as("_toks"))
+    // one md5 per window position, built inside the row (no explode of
+    // text); sequence() is inclusive, so guard size < w — sequence(0, neg)
+    // would count DOWN and fabricate positions
+    val grams = base.select(col("_id"),
+      when(size(col("_toks")) >= w,
+        transform(sequence(lit(0), size(col("_toks")) - w),
+          i => md5(concat_ws(" ", slice(col("_toks"), i + 1, lit(w))))))
+      .otherwise(array().cast("array<string>")).as("_hs"))
+    val occ = grams.select(col("_id"),
+      posexplode(col("_hs")).as(Seq("_pos", "_h")))
+    // global first occurrence per duplicated window: min (id, pos) struct,
+    // a map-side-combining aggregate — never a window sort over the corpus
+    val dups = occ.groupBy("_h")
+      .agg(min(struct(col("_id"), col("_pos"))).as("_keep"),
+        count(lit(1)).as("_c"))
+      .filter(col("_c") > 1)
+      .select(col("_h"), col("_keep"))
+    val removals = occ.join(dups, "_h")
+      .filter(struct(col("_id"), col("_pos")) =!= col("_keep"))
+      .groupBy("_id")
+      .agg(sort_array(collect_set(col("_pos"))).as("_starts"))
+    val starts = coalesce(col("_starts"), array().cast("array<int>"))
+    // a token survives iff no removal window covers its index; one
+    // codegen pass, O(tokens × starts) worst case per row — starts are
+    // merged-interval-equivalent here because `exists` short-circuits and
+    // affected docs carry few starts (boilerplate spans, not confetti)
+    def covered(i: Column): Column =
+      exists(starts, s => i >= s && i < s + w)
+    val kept = filter(col("_toks"), (_, i) => !covered(i))
+    base.join(removals, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        (size(col("_toks")) - size(kept)).cast("long").as("n_removed"),
+        array_join(kept, " ").as("clean_text"))
+  }
 }

@@ -455,6 +455,74 @@ object TextAnalysis {
           .as("score"))
   }
 
+  /** DSIR-style importance weights over hashed unigram buckets (Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every document by how much more likely its
+    * tokens are under a TARGET distribution (the rows matching
+    * `targetFilter` — a trusted high-quality subset) than under the raw
+    * corpus. log w(doc) = Σ_tokens [ln p̂_target(b) − ln p̂_raw(b)] with
+    * b = hashed token bucket, both distributions Laplace-smoothed over
+    * the fixed bucket space. High-scoring documents are the ones
+    * importance resampling keeps when curating toward the target domain.
+    *
+    * Buckets are the first `hexChars` hex digits of md5(token) — 16^h
+    * buckets (default 4096), the hashing-trick feature space of the
+    * paper, engine-portable because the bucket id is a substring of a
+    * standard digest, not a private hash.
+    *
+    * Determinism (the [[lmBitsScore]] discipline): per-bucket weights
+    * are INTEGER micro-nats — floor(10⁶·(ln p̂_t − ln p̂_r)), computed
+    * once on the driver — so the per-doc sum is exact and
+    * order-independent; the mean is one exact IEEE division. floor, not
+    * round: weights here can be negative, and half-even/half-away
+    * conventions disagree across engines at .5 while floor never does.
+    *
+    * Scale: pass 1 shuffles (bucket, count, targetCount) partial
+    * aggregates — at most 16^h groups survive map-side combine per task;
+    * the collected model is ≤ 16^h rows of bounded driver state,
+    * broadcast back. Pass 2 is explode → broadcast join → one (id, long)
+    * groupBy — text never shuffles. Output: (idCol, n_tokens,
+    * logw_micro, avg_logw), null avg on token-less docs. */
+  def dsirScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, targetFilter: Column,
+                hexChars: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8,
+      s"hexChars must be in [1, 8]: $hexChars (16^h buckets must stay " +
+        "bounded driver state; 8 hex digits is already 4.3e9 — far past " +
+        "the hashing-trick regime)")
+    val nBuckets = math.pow(16.0, hexChars)
+    val toks = df.select(col(idCol), targetFilter.as("_tgt"),
+      explode_outer(split(col(textCol), " ")).as("_tok"))
+      .withColumn("_b", substring(md5(col("_tok")), 1, hexChars))
+    val cnts = toks.filter(col("_tok").isNotNull).groupBy("_b")
+      .agg(count(lit(1)).as("_cr"),
+        sum(when(col("_tgt"), lit(1L)).otherwise(lit(0L))).as("_ct"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val nr = cnts.map(_._2).sum
+    val nt = cnts.map(_._3).sum
+    def wt(cr: Long, ct: Long): Long =
+      math.floor(1e6 * (math.log((ct + 1.0) / (nt + nBuckets)) -
+        math.log((cr + 1.0) / (nr + nBuckets)))).toLong
+    val spark = df.sparkSession
+    import spark.implicits._
+    val weights = spark.createDataset(
+      cnts.toSeq.map { case (b, cr, ct) => (b, wt(cr, ct)) }).toDF("_b", "_wt")
+    // every non-null token hashes to a bucket the model saw (trained on
+    // this same frame), so the broadcast join is effectively total; the
+    // left join + coalesce(0) keeps an unseen bucket (scoring a FOREIGN
+    // frame against this model) harmless instead of row-dropping
+    toks.join(broadcast(weights), Seq("_b"), "left")
+      .groupBy(idCol)
+      .agg(sum(when(col("_tok").isNull, lit(0L))
+          .otherwise(coalesce(col("_wt"), lit(0L)))).as("logw_micro"),
+        count(col("_tok")).as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("logw_micro"), lit(0L)).as("logw_micro"),
+        when(col("n_tokens") === 0, lit(null).cast("double"))
+          .otherwise(col("logw_micro") / (lit(1.0e6) * col("n_tokens")))
+          .as("avg_logw"))
+  }
+
   /** Winnowing fingerprint (row-level; Schleimer/Wilkerson/Aiken-style):
     * k-gram rolling hashes, minimum per sliding window, distinct kept
     * set. The kernel form ([[graft.functions.WinnowExpression]]) shares

@@ -561,6 +561,24 @@ object OpsQueries extends QueryPack {
             .cast("int").as("restored"))
         .orderBy("doc_id")),
 
+    // CROSS-document passage dedup (Lee et al. exact-substring): every
+    // 12-token window occurring twice anywhere in the corpus is removed
+    // from all but its global first occurrence; the generator's planted
+    // near-dup documents share long spans, so their later copies lose
+    // them while the first keeps its text intact
+    "t32_passage_dedup" -> ((s, d) =>
+      Dedup.removeDuplicatePassages(Tables.documents(s, d),
+          "doc_id", "text", w = 12)
+        .orderBy("doc_id")),
+
+    // DSIR importance weights toward the English subset: hashed unigram
+    // buckets (3 hex chars of md5 = 4096), integer micro-nat weights —
+    // the importance-resampling score a curation pass would rank by
+    "t33_dsir_weights" -> ((s, d) =>
+      TextAnalysis.dsirScore(Tables.documents(s, d), "doc_id", "text",
+          targetFilter = col("lang") === "en")
+        .orderBy("doc_id")),
+
     // Unicode NFC canonicalization: planted decomposed suffixes (e +
     // combining acute, A + combining ring) must compose to the same
     // bytes DuckDB's nfc_normalize produces — compared via md5 of the
@@ -1405,6 +1423,76 @@ object OpsQueries extends QueryPack {
          SELECT doc_id, md5(dd) AS dedup_md5,
                 CAST(dd = text AS INT) AS restored
          FROM ded ORDER BY doc_id""",
+
+    // same 12-token window grid (Spark sequence(0, n-12) == 1-based
+    // generate_series(1, n-11) shifted), same md5-of-joined-window hash,
+    // same global-first-occurrence keeper (min (doc_id, pos)); coverage
+    // resolved by a per-doc range join, rebuild by ordered string_agg
+    // over uncovered tokens
+    "t32_passage_dedup" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(trim(text), ' ') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, toks,
+             [md5(array_to_string(toks[i : i + 11], ' '))
+              for i in generate_series(1, greatest(len(toks) - 11, 0))] AS hs
+           FROM d),
+         grams AS (
+           SELECT doc_id, u.pos, u.h
+           FROM g, unnest([{'h': hs[i], 'pos': i - 1}
+                           for i in generate_series(1, len(hs))]) AS t(u)),
+         occ AS (
+           SELECT doc_id, pos, h,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY h) AS c
+           FROM grams),
+         removals AS (SELECT doc_id, pos FROM occ WHERE c > 1 AND rn > 1),
+         toks AS (
+           SELECT doc_id, u.tok, u.pos
+           FROM d, unnest([{'tok': toks[i], 'pos': i - 1}
+                           for i in generate_series(1, len(toks))]) AS t(u)),
+         cov AS (
+           SELECT DISTINCT t.doc_id, t.pos
+           FROM toks t JOIN removals s
+             ON t.doc_id = s.doc_id
+            AND t.pos BETWEEN s.pos AND s.pos + 11),
+         agg AS (
+           SELECT t.doc_id, count(*) AS n_tokens, count(c.pos) AS n_removed,
+             coalesce(string_agg(CASE WHEN c.pos IS NULL THEN t.tok END,
+                                 ' ' ORDER BY t.pos), '') AS clean_text
+           FROM toks t LEFT JOIN cov c
+             ON t.doc_id = c.doc_id AND t.pos = c.pos
+           GROUP BY t.doc_id)
+         SELECT doc_id, n_tokens, n_removed, clean_text
+         FROM agg ORDER BY doc_id""",
+
+    // weight tree mirrors the engine's ln((ct+1)/(nt+4096)) −
+    // ln((cr+1)/(nr+4096)) exactly; floor (not round) because weights go
+    // negative and half-rounding conventions disagree across engines
+    "t33_dsir_weights" ->
+      """WITH tk AS (
+           SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         toks AS (SELECT doc_id, substr(md5(tok), 1, 3) AS b FROM tk),
+         cnt AS (
+           SELECT substr(md5(tok), 1, 3) AS b, count(*) AS cr,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+           FROM tk GROUP BY 1),
+         tot AS (SELECT CAST(sum(cr) AS DOUBLE) AS nr,
+                        CAST(sum(ct) AS DOUBLE) AS nt FROM cnt),
+         w AS (
+           SELECT b, CAST(floor(1000000 * (
+               ln((ct + 1.0) / (nt + 4096.0)) -
+               ln((cr + 1.0) / (nr + 4096.0)))) AS BIGINT) AS wt
+           FROM cnt CROSS JOIN tot),
+         s AS (
+           SELECT t.doc_id, CAST(sum(w.wt) AS BIGINT) AS logw_micro,
+                  count(*) AS n_tokens
+           FROM toks t JOIN w USING (b) GROUP BY 1)
+         SELECT doc_id, n_tokens, logw_micro,
+                logw_micro / (1000000.0 * n_tokens) AS avg_logw
+         FROM s ORDER BY doc_id""",
 
     // chr(769) = U+0301 combining acute, chr(778) = U+030A combining ring
     "t19_nfc_normalize" ->

@@ -1339,4 +1339,121 @@ class OpsSpec extends SparkSpec {
       .collect()
     got.foreach(r => assert(r.getString(0) == r.getString(1), s"langId mismatch: $r"))
   }
+  test("removeDuplicatePassages: cross-doc spans removed from all but the global first") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x c d e y"),
+      (3L, "tiny doc")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatePassages(docs, "doc_id", "text", w = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // "c d e" occurs in docs 1 (pos 2) and 2 (pos 1): doc 1 is the global
+    // first occurrence and keeps its text; doc 2 loses tokens 1..3
+    assert(got(0) == ((1L, 6L, 0L, "a b c d e f")))
+    assert(got(1) == ((2L, 5L, 3L, "x y")))
+    // shorter than the window: no grams, untouched
+    assert(got(2) == ((3L, 2L, 0L, "tiny doc")))
+  }
+
+  test("removeDuplicatePassages: within-doc repetition keeps exactly the first period") {
+    import spark.implicits._
+    val docs = Seq((7L, "p q r p q r p q r")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatePassages(docs, "doc_id", "text", w = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    // windows repeat with period 3; removal starts 3..6 cover tokens 3..8,
+    // so exactly the first period survives
+    assert(got(0) == ((9L, 6L, "p q r")))
+  }
+
+  test("removeDuplicatePassages: guards (w >= 2, reserved columns)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.removeDuplicatePassages(docs, "doc_id", "text", w = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.removeDuplicatePassages(
+        docs.withColumn("_starts", lit(1)), "doc_id", "text", w = 3)
+    }
+  }
+
+  test("removeDuplicatePassages: restores planted duplication on the smoke corpus") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val out = Dedup.removeDuplicatePassages(docs, "doc_id", "text", w = 12)
+    val agg = out.agg(count(lit(1)), sum(col("n_removed")),
+      sum(when(col("n_removed") > 0, 1L).otherwise(0L))).collect()(0)
+    assert(agg.getLong(0) == docs.count())
+    // the generator plants near-dup documents sharing long spans: some
+    // (but far from all) docs must lose passages
+    assert(agg.getLong(1) > 0, "no duplicated passages found in smoke data")
+    assert(agg.getLong(2) < agg.getLong(0) / 2,
+      "more than half the corpus flagged - window too small or hash broken")
+    // idempotence: a second pass finds nothing left to remove
+    val again = Dedup.removeDuplicatePassages(
+      out.select(col("doc_id"), col("clean_text").as("text")),
+      "doc_id", "text", w = 12)
+    assert(again.agg(sum("n_removed")).collect()(0).getLong(0) == 0L,
+      "passage dedup is not idempotent")
+  }
+
+  test("dsirScore: integer micro-nat weights match the driver formula; target-like docs score higher") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "good clean prose text", "tgt"),
+      (2L, "good clean text words", "tgt"),
+      (3L, "spam junk noise junk", "raw"),
+      (4L, "good clean prose words", "raw"),
+      (5L, "spam noise spam noise", "raw")).toDF("doc_id", "text", "kind")
+    val got = TextAnalysis.dsirScore(docs, "doc_id", "text",
+      targetFilter = col("kind") === "tgt")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // driver-side replay of the exact formula
+    val toks = Seq(
+      (1L, true, "good clean prose text"), (2L, true, "good clean text words"),
+      (3L, false, "spam junk noise junk"), (4L, false, "good clean prose words"),
+      (5L, false, "spam noise spam noise"))
+      .flatMap { case (id, t, s) => s.split(" ").map(tok => (id, t, tok)) }
+    def bucket(tok: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      d.take(2).map(b => f"$b%02x").mkString.take(3)
+    }
+    val byB = toks.groupBy(t => bucket(t._3))
+    val nr = toks.size.toDouble
+    val nt = toks.count(_._2).toDouble
+    val wt = byB.map { case (b, ts) =>
+      b -> math.floor(1e6 * (
+        math.log((ts.count(_._2) + 1.0) / (nt + 4096.0)) -
+        math.log((ts.size + 1.0) / (nr + 4096.0)))).toLong
+    }
+    val expect = toks.groupBy(_._1).map { case (id, ts) =>
+      id -> ts.map(t => wt(bucket(t._3))).sum
+    }
+    got.foreach { case (id, n, lw, avg) =>
+      assert(n == 4L)
+      assert(lw == expect(id), s"doc $id: engine $lw != driver ${expect(id)}")
+      assert(math.abs(avg - lw / 4e6) < 1e-12)
+    }
+    // ranking sanity: pure-target vocabulary outscores pure-spam
+    val scores = got.map(r => r._1 -> r._4).toMap
+    assert(scores(1L) > scores(5L) && scores(2L) > scores(3L))
+    assert(scores(4L) > scores(5L),
+      "a raw doc made of target-typical tokens must still score high")
+  }
+
+  test("dsirScore: null and token-less totality") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world", "t"), (2L, null.asInstanceOf[String], "r"),
+      (3L, "", "r")).toDF("doc_id", "text", "kind")
+    val got = TextAnalysis.dsirScore(docs, "doc_id", "text",
+      targetFilter = col("kind") === "t")
+      .orderBy("doc_id").collect()
+    assert(got.length == 3)
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    assert(byId(2L).getLong(1) == 0L && byId(2L).isNullAt(3))
+    // empty string splits to one empty token (the engine-portable grid)
+    assert(byId(3L).getLong(1) == 1L && !byId(3L).isNullAt(3))
+  }
 }
