@@ -30,20 +30,40 @@ trait KernelCodegen { self: UnaryExpression =>
     val ref = ctx.addReferenceObj("kernelExpr", this, classOf[KernelCodegen].getName)
     val childGen = child.genCode(ctx)
     val javaType = CodeGenerator.javaType(dataType)
+    // evalChild returns a BOXED value: cast to the boxed java type and
+    // unbox explicitly for primitive results. A direct `(double) Object`
+    // cast is a janino compile error — which WholeStageCodegenExec turns
+    // into a SILENT interpreted fallback for the whole stage, exactly
+    // the failure mode this trait exists to avoid (KernelCodegenSpec
+    // pins compilability for every result-type shape).
+    val boxed = CodeGenerator.boxedType(dataType)
+    val unbox = javaType match {
+      case "boolean" => ".booleanValue()"
+      case "byte"    => ".byteValue()"
+      case "short"   => ".shortValue()"
+      case "int"     => ".intValue()"
+      case "long"    => ".longValue()"
+      case "float"   => ".floatValue()"
+      case "double"  => ".doubleValue()"
+      case _         => ""
+    }
     val call =
-      s"($javaType) $ref.evalChild(${childGen.isNull} ? null : (Object) ${childGen.value})"
+      s"$ref.evalChild(${childGen.isNull} ? null : (Object) ${childGen.value})"
     if (nullable) {
+      val tmp = ctx.freshName("kernelRes")
       ev.copy(code =
         code"""
           ${childGen.code}
-          $javaType ${ev.value} = $call;
-          boolean ${ev.isNull} = ${ev.value} == null;
+          Object $tmp = $call;
+          boolean ${ev.isNull} = $tmp == null;
+          $javaType ${ev.value} = ${ev.isNull}
+            ? ${CodeGenerator.defaultValue(dataType)} : (($boxed) $tmp)$unbox;
         """)
     } else {
       ev.copy(code =
         code"""
           ${childGen.code}
-          $javaType ${ev.value} = $call;
+          $javaType ${ev.value} = (($boxed) $call)$unbox;
         """, isNull = FalseLiteral)
     }
   }
