@@ -411,6 +411,54 @@ object Dedup {
       .agg(countDistinct(col("sh")).as("n_overlap"))
   }
 
+  /** Benchmark-side contamination REPORT — the artifact a model card
+    * publishes: per benchmark group, what fraction of its distinct word
+    * n-grams appears anywhere in the training corpus, and how many of
+    * its documents are touched at all. [[contamination]] answers "which
+    * CORPUS docs swallowed benchmark text"; this answers "how
+    * compromised is each BENCHMARK" — the direction eval-integrity
+    * reviews actually quote (GPT-3 appendix C reports both).
+    *
+    * Scale shape: the corpus side NEVER shuffles — its shingle hashes
+    * stream (with duplicates, no distinct) into a broadcast-hash join
+    * against the benchmark's per-group distinct gram set (benchmarks are
+    * MB-scale against a 100 TB corpus), so only matching grams survive
+    * into the benchmark-bounded distinct. Every aggregate downstream is
+    * over benchmark-sized frames. Output, one row per group:
+    * (groupCol, n_docs, n_docs_hit, n_grams, n_grams_hit,
+    * frac_grams_hit) — the fraction an exact integer quotient. */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String, groupCol: String,
+                          n: Int = 8): DataFrame = {
+    val bh = benchmark.select(col(groupCol).as("_grp"), col(idCol).as("_bid"),
+        explode(shingleCol(col(textCol), n)).as("_s"))
+      .select(col("_grp"), col("_bid"), xxhash64(col("_s")).as("_sh"))
+    val bGrams = bh.select("_grp", "_sh").distinct()
+    // corpus grams with duplicates: the broadcast join filters them to a
+    // benchmark-bounded set before the only distinct they ever meet
+    val hits = corpus
+      .select(explode(shingleCol(col(textCol), n)).as("_s"))
+      .select(xxhash64(col("_s")).as("_sh"))
+      .join(broadcast(bGrams), "_sh")
+      .select("_grp", "_sh").distinct()
+    val gramStats = bGrams.groupBy("_grp").agg(count(lit(1)).as("n_grams"))
+      .join(hits.groupBy("_grp").agg(count(lit(1)).as("n_grams_hit")),
+        Seq("_grp"), "left")
+    val docHit = bh.join(broadcast(hits), Seq("_grp", "_sh"))
+      .select("_grp", "_bid").distinct()
+    val docStats = bh.select("_grp", "_bid").distinct()
+      .groupBy("_grp").agg(count(lit(1)).as("n_docs"))
+      .join(docHit.groupBy("_grp").agg(count(lit(1)).as("n_docs_hit")),
+        Seq("_grp"), "left")
+    docStats.join(gramStats, "_grp")
+      .select(col("_grp").as(groupCol), col("n_docs"),
+        coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"),
+        col("n_grams"),
+        coalesce(col("n_grams_hit"), lit(0L)).as("n_grams_hit"),
+        (coalesce(col("n_grams_hit"), lit(0L)).cast("double") /
+          col("n_grams")).as("frac_grams_hit"))
+  }
+
   /** [[contamination]] behind a Bloom prefilter — the same answer, the
     * 100 TB execution plan: a driver-built Bloom filter over the
     * benchmark's n-gram hashes (benchmarks are MB-scale) rides the scan

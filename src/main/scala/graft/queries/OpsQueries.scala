@@ -335,6 +335,20 @@ object OpsQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // benchmark-side contamination report: per-language benchmark split
+    // (every 20th doc), fraction of its distinct 8-grams present in the
+    // REST of the corpus — the model-card eval-integrity artifact; the
+    // corpus side streams unshuffled through a broadcast join
+    "d15_contamination_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+      Dedup.contaminationReport(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", "lang", n = 8)
+        .orderBy("lang")
+    }),
+
     // decontamination behind a Bloom prefilter: same answer as d07
     // (no false negatives; the exact join removes false positives), but
     // clean docs are dismissed inside the narrow scan — the 100 TB plan
@@ -1101,6 +1115,40 @@ object OpsQueries extends QueryPack {
          SELECT s.doc_id, count(DISTINCT s.sh) AS n_overlap
          FROM sh s JOIN bench b USING (sh)
          GROUP BY 1 ORDER BY doc_id""",
+
+    // exact string shingles where the engine joins on xxhash64 keys —
+    // identical absent a 64-bit collision (the d07 convention)
+    "d15_contamination_report" ->
+      """WITH docs AS (
+           SELECT doc_id, lang, string_split(text, ' ') w FROM documents),
+         sh AS (
+           SELECT doc_id, lang, unnest(list_distinct(
+             CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+                  ELSE [array_to_string(w[i:i+7], ' ')
+                        for i in range(1, len(w) - 6)]
+             END)) AS sh
+           FROM docs),
+         bench AS (SELECT lang AS grp, doc_id, sh FROM sh WHERE doc_id % 20 = 0),
+         corpus AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 <> 0),
+         bgrams AS (SELECT DISTINCT grp, sh FROM bench),
+         hits AS (SELECT DISTINCT b.grp, b.sh
+                  FROM bgrams b JOIN corpus c USING (sh)),
+         gs AS (SELECT grp, count(*) AS n_grams FROM bgrams GROUP BY 1),
+         gh AS (SELECT grp, count(*) AS n_grams_hit FROM hits GROUP BY 1),
+         dochit AS (SELECT DISTINCT b.grp, b.doc_id
+                    FROM bench b JOIN hits h ON b.grp = h.grp AND b.sh = h.sh),
+         ds AS (SELECT grp, count(DISTINCT doc_id) AS n_docs
+                FROM bench GROUP BY 1),
+         dh AS (SELECT grp, count(*) AS n_docs_hit FROM dochit GROUP BY 1)
+         SELECT ds.grp AS lang, ds.n_docs,
+                CAST(coalesce(dh.n_docs_hit, 0) AS BIGINT) AS n_docs_hit,
+                gs.n_grams,
+                CAST(coalesce(gh.n_grams_hit, 0) AS BIGINT) AS n_grams_hit,
+                coalesce(gh.n_grams_hit, 0) / CAST(gs.n_grams AS DOUBLE)
+                  AS frac_grams_hit
+         FROM ds JOIN gs USING (grp)
+           LEFT JOIN gh USING (grp) LEFT JOIN dh USING (grp)
+         ORDER BY lang""",
 
     // ground truth identical to d07's — the Bloom stage must be invisible
     "d10_bloom_decontaminate" ->

@@ -1456,4 +1456,37 @@ class OpsSpec extends SparkSpec {
     // empty string splits to one empty token (the engine-portable grid)
     assert(byId(3L).getLong(1) == 1L && !byId(3L).isNullAt(3))
   }
+  test("contaminationReport: per-group gram and doc fractions, exact") {
+    import spark.implicits._
+    // n = 2 grams; benchmark groups A and B
+    val corpus = Seq(
+      (101L, "w x y z"),            // grams: "w x","x y","y z"
+      (102L, "p q")).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, "A", "w x a"),  // grams "w x","x a": 1 of 2 hit; doc hit
+      (2L, "A", "b c"),    // gram "b c": no hit
+      (3L, "B", "p q"),    // gram "p q": hit
+      (4L, "B", "x y")     // gram "x y": hit
+    ).toDF("doc_id", "grp", "text")
+    val got = Dedup.contaminationReport(corpus, bench,
+        "doc_id", "text", "grp", n = 2)
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // A: 3 distinct grams ("w x","x a","b c"), 1 hit; 1 of 2 docs hit
+    assert(got(0) == (("A", 2L, 1L, 3L, 1L, 1.0 / 3.0)))
+    // B: 2 distinct grams, both hit; both docs hit
+    assert(got(1) == (("B", 2L, 2L, 2L, 2L, 1.0)))
+  }
+
+  test("contaminationReport: clean benchmark reports zero, group survives") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val bench = Seq((2L, "G", "delta epsilon zeta")).toDF("doc_id", "grp", "text")
+    val got = Dedup.contaminationReport(corpus, bench,
+        "doc_id", "text", "grp", n = 2).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(2) == 0L && r.getLong(4) == 0L && r.getDouble(5) == 0.0)
+  }
 }
