@@ -16,11 +16,14 @@ import graft.sinks.CorpusWriter
   *   2. MinHash+LSH near-dup dedup with connected-components survivor
   *      election (text never crosses a shuffle);
   *   3. benchmark decontamination (8-gram overlap, Bloom-prefiltered so
-  *      clean docs never reach the join);
+  *      clean docs never reach the join), with optional cross-document
+  *      passage dedup after it (repeated w-token windows removed from
+  *      all but their global first occurrence);
   *   4. quality gates: heuristic quality score, duplicate-n-gram
   *      repetition cap, most-common-word cap, language allowlist — all
   *      narrow codegen columns;
-  *   5. PII scrub (typed tags, regexp chain);
+  *   5. PII scrub (typed tags, regexp chain), then an optional DSIR
+  *      importance gate (hashed-unigram log target/raw likelihood);
   *   6. optional temperature-weighted language rebalancing and
   *      token-budget selection (quantile-bucketed prefix sums);
   *   7. deterministic md5-keyed train/val/test split;
@@ -42,6 +45,14 @@ object CurationPipeline {
       maxTopTokenFraction: Double = 1.0,   // 1.0 = gate off
       // deflate-ratio band: below = template spam, above = random soup
       compressionBand: Option[(Double, Double)] = None,
+      // cross-document passage dedup: remove every w-token window that
+      // repeats corpus-wide from all but its global first occurrence
+      // (Lee et al. exact-substring); docs scrubbed empty are dropped
+      passageDedupWindow: Option[Int] = None,
+      // DSIR gate: (target subset predicate, min mean micro-nat
+      // log-ratio) — keep docs at least this target-like; calibrate the
+      // threshold on a scored sample before a production run
+      dsirGate: Option[(org.apache.spark.sql.Column, Double)] = None,
       langs: Seq[String] = Seq("en", "es", "de", "fr"),
       // temperature-mix the languages toward sqrt weights, ~N docs out
       mixTarget: Option[Long] = None,
@@ -78,7 +89,20 @@ object CurationPipeline {
     val contaminated = Dedup.bloomContamination(uniq, benchmark, idCol, textCol)
       .filter(col("n_overlap") > cfg.maxBenchmarkOverlap)
       .select(col("doc_id").as(idCol))
-    val clean = uniq.join(contaminated, Seq(idCol), "left_anti")
+    val decon = uniq.join(contaminated, Seq(idCol), "left_anti")
+
+    // 3.5 optional cross-document passage dedup: doc-level dedup above
+    // removed whole near-duplicates; this removes the SPANS that still
+    // repeat across surviving docs (boilerplate, license blocks). The
+    // cleaned text re-attaches by id join (narrow cols ride the join,
+    // the rebuilt text comes from the dedup side); scrubbed-empty docs
+    // drop here so later stages never see token-less rows
+    val clean = cfg.passageDedupWindow.fold(decon) { w =>
+      val scrubbed = Dedup.removeDuplicatePassages(decon, idCol, textCol, w)
+        .filter(col("n_tokens") > col("n_removed"))
+        .select(col(idCol), col("clean_text").as(textCol))
+      decon.drop(textCol).join(scrubbed, Seq(idCol))
+    }
 
     // 4-5. narrow tail: quality gates, PII scrub
     val gated = clean
@@ -90,8 +114,18 @@ object CurationPipeline {
       .filter(col(langCol).isin(cfg.langs: _*))
       .withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
 
+    // 5.5 optional DSIR gate: keep documents whose hashed-unigram
+    // importance score says they look like the target subset; the score
+    // frame carries (id, long) only, survivors re-attach by semi join
+    val selected = cfg.dsirGate.fold(gated) { case (target, minAvg) =>
+      val keep = TextAnalysis.dsirScore(gated, idCol, textCol, target)
+        .filter(col("avg_logw") >= minAvg)
+        .select(col(idCol))
+      gated.join(keep, Seq(idCol), "left_semi")
+    }
+
     // 6. optional corpus shaping: language rebalance, then token budget
-    val mixed = cfg.mixTarget.fold(gated)(t =>
+    val mixed = cfg.mixTarget.fold(selected)(t =>
       Sampling.temperatureMix(gated, col(idCol), col(langCol), t))
     val bounded = cfg.tokenBudget.fold(mixed)(b =>
       Sampling.takeUntilBudget(mixed, col(idCol),

@@ -169,4 +169,43 @@ class CurationPipelineSpec extends SparkSpec {
     val total = docs.join(out.select("doc_id"), Seq("doc_id"), "left_semi").count()
     assert(out.count() == total)
   }
+  test("passage-dedup stage scrubs repeated cross-doc spans, keeps first occurrence") {
+    // doc 201 and 202 share a 12-token boilerplate prefix; 202's copy
+    // must be scrubbed while 201 (smaller id = global first) keeps it
+    val boiler = "this license text repeats across many documents in the corpus okay"
+    val d = Seq(
+      (201L, ("the of and to in a " * 3) + boiler + " unique tail one here now", "en"),
+      (202L, ("the of and to in a " * 3) + boiler + " other ending words go here", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = CurationPipeline.curate(d, benchmark,
+      cfg = CurationPipeline.Config(passageDedupWindow = Some(12)))
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(201L, 202L))
+    assert(out(201L).contains("license text repeats"))
+    assert(!out(202L).contains("license"),
+      s"doc 202 kept the duplicated span: ${out(202L)}")
+    assert(out(202L).contains("other ending words"))
+  }
+
+  test("DSIR gate keeps target-like docs and drops off-distribution ones") {
+    val clean = "the of and to in a " * 3
+    val d = Seq(
+      (301L, clean + "alpha beta gamma delta epsilon words here", "en"),
+      (302L, clean + "one two three four five six seven eight", "en"),
+      // off-distribution vocabulary, otherwise passing every gate
+      (303L, clean + (1 to 8).map(i => s"zzq$i").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val target = col("doc_id") < 303L
+    val scores = TextAnalysis.dsirScore(
+      CurationPipeline.curate(d, benchmark).select("doc_id", "text"),
+      "doc_id", "text", target)
+      .select("doc_id", "avg_logw").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // threshold between the clusters: target docs above, alien below
+    val cut = (scores(302L) + scores(303L)) / 2
+    val out = CurationPipeline.curate(d, benchmark,
+      cfg = CurationPipeline.Config(dsirGate = Some((target, cut))))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(301L, 302L), s"DSIR gate kept $out")
+  }
 }
