@@ -108,9 +108,88 @@ case class ShingleJaccardExpression(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** md5 hex of every w-token window, BY POSITION (index i = window starting
+  * at token i of the single-space token grid) — the per-position twin of
+  * [[ShinglesExpression]] (which dedups), feeding cross-document passage
+  * dedup where positions matter.
+  *
+  * One kernel pass per row: the column formulation
+  * `transform(sequence(0, n-w), i -> md5(concat_ws(" ", slice(toks, i+1,
+  * w))))` runs through INTERPRETED higher-order-function plumbing and
+  * allocates a slice array + joined string per position; here the digest
+  * consumes token bytes + separator directly (md5 over the concatenated
+  * UTF-8 bytes IS md5 of the joined string), one reused MessageDigest per
+  * thread, zero per-window strings besides the hex result. Semantics are
+  * pinned to the column formulation by an OpsSpec property test.
+  *
+  * Fewer than w tokens → empty array (the windowless short-doc case);
+  * null → null. Input is trimmed and split on single spaces keeping
+  * empties, matching `split(trim(text), " ", -1)`. */
+case class WindowHashesExpression(child: Expression, w: Int)
+  extends UnaryExpression with KernelCodegen {
+
+  require(w >= 1, s"window must be >= 1: $w")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "window_hashes"
+
+  @transient private lazy val digest =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  override def evalChild(childValue: AnyRef): AnyRef = {
+    val utf = childValue.asInstanceOf[UTF8String]
+    if (utf == null) return null
+    val words = utf.trim().toString.split(" ", -1)
+    val m = words.length - w + 1
+    if (m <= 0) return new GenericArrayData(new Array[AnyRef](0))
+    val bytes = new Array[Array[Byte]](words.length)
+    var i = 0
+    while (i < words.length) {
+      bytes(i) = words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    val space = Array[Byte](' ')
+    val md = digest.get()
+    val out = new Array[AnyRef](m)
+    i = 0
+    while (i < m) {
+      md.reset()
+      var j = 0
+      while (j < w) {
+        if (j > 0) md.update(space)
+        md.update(bytes(i + j))
+        j += 1
+      }
+      val d = md.digest()
+      val hex = new Array[Char](32)
+      var k = 0
+      while (k < 16) {
+        hex(2 * k) = hexChars((d(k) >> 4) & 0xf)
+        hex(2 * k + 1) = hexChars(d(k) & 0xf)
+        k += 1
+      }
+      out(i) = UTF8String.fromString(new String(hex))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ShingleExpressions {
   def shingles(text: Column, n: Int): Column =
     ColumnBridge.column(ShinglesExpression(ColumnBridge.expression(text), n))
+
+  def windowHashes(text: Column, w: Int): Column =
+    ColumnBridge.column(WindowHashesExpression(ColumnBridge.expression(text), w))
 
   def jaccard(a: Column, b: Column): Column =
     ColumnBridge.column(ShingleJaccardExpression(

@@ -789,25 +789,23 @@ object Dedup {
     // any other engine
     val base = df.select(col(idCol).as("_id"),
       split(trim(col(textCol)), " ", -1).as("_toks"))
-    // one md5 per window position, built inside the row (no explode of
-    // text); sequence() is inclusive, so guard size < w — sequence(0, neg)
-    // would count DOWN and fabricate positions
-    val grams = base.select(col("_id"),
-      when(size(col("_toks")) >= w,
-        transform(sequence(lit(0), size(col("_toks")) - w),
-          i => md5(concat_ws(" ", slice(col("_toks"), i + 1, lit(w))))))
-      .otherwise(array().cast("array<string>")).as("_hs"))
-    val occ = grams.select(col("_id"),
-      posexplode(col("_hs")).as(Seq("_pos", "_h")))
-    // global first occurrence per duplicated window: min (id, pos) struct,
-    // a map-side-combining aggregate — never a window sort over the corpus
-    val dups = occ.groupBy("_h")
-      .agg(min(struct(col("_id"), col("_pos"))).as("_keep"),
-        count(lit(1)).as("_c"))
-      .filter(col("_c") > 1)
-      .select(col("_h"), col("_keep"))
-    val removals = occ.join(dups, "_h")
-      .filter(struct(col("_id"), col("_pos")) =!= col("_keep"))
+    // one md5 per window position via the codegen kernel (the column
+    // formulation — transform + slice + concat_ws + md5 — evaluates
+    // through interpreted HOF plumbing per position; equivalence pinned
+    // by OpsSpec). Text never explodes: only (hash, id, pos) tuples do.
+    val occ = df.select(col(idCol).as("_id"),
+      posexplode(graft.functions.ShingleExpressions
+        .windowHashes(col(textCol), w)).as(Seq("_pos", "_h")))
+    // global first occurrence per duplicated window: both aggregates
+    // share ONE hash-partitioned window over _h (a single exchange, and
+    // occ — which re-parses text upstream — is evaluated exactly once;
+    // the groupBy-then-self-join form pays that parse twice)
+    val wspec = Window.partitionBy("_h")
+    val removals = occ
+      .withColumn("_keep", min(struct(col("_id"), col("_pos"))).over(wspec))
+      .withColumn("_c", count(lit(1)).over(wspec))
+      .filter(col("_c") > 1 &&
+        struct(col("_id"), col("_pos")) =!= col("_keep"))
       .groupBy("_id")
       .agg(sort_array(collect_set(col("_pos"))).as("_starts"))
     val starts = coalesce(col("_starts"), array().cast("array<int>"))

@@ -340,7 +340,7 @@ object OpsQueries extends QueryPack {
     // REST of the corpus — the model-card eval-integrity artifact; the
     // corpus side streams unshuffled through a broadcast join
     "d15_contamination_report" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsBalanced(s, d)
         .select(col("doc_id"), col("lang"), col("text"))
       Dedup.contaminationReport(
           docs.filter(col("doc_id") % 20 =!= 0),
@@ -581,7 +581,7 @@ object OpsQueries extends QueryPack {
     // near-dup documents share long spans, so their later copies lose
     // them while the first keeps its text intact
     "t32_passage_dedup" -> ((s, d) =>
-      Dedup.removeDuplicatePassages(Tables.documents(s, d),
+      Dedup.removeDuplicatePassages(Tables.documentsBalanced(s, d),
           "doc_id", "text", w = 12)
         .orderBy("doc_id")),
 

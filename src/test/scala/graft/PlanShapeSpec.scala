@@ -280,4 +280,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.toString.contains("ReusedExchange"),
       s"tf and df must share one tokenize shuffle:\n$plan")
   }
+  test("NO registered query opens a global (unpartitioned) window at scale") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // single-partition windows move the whole frame to one task - the
+    // canonical 100 TB scale-killer. Audit EVERY registered query's
+    // physical plan; any query that genuinely needs a global window must
+    // justify itself here with a bounded-cardinality argument.
+    // bounded-window allowlist: these queries rank AFTER a limit(k), so
+    // the global window sees <= k rows (the already-single-partition
+    // limit result), never the corpus — documented at the call sites
+    // (Ranking.bm25TopK / rrfFuse)
+    val boundedByLimit = Set("r01_bm25_topk", "r02_hybrid_rrf")
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if !boundedByLimit.contains(name)) {
+      val plan =
+        try prepared(fn(spark, sfSmoke))
+        catch { case e: Throwable =>
+          fail(s"$name failed to plan at sfSmoke: $e") }
+      plan.foreach {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          offenders += s"$name: ${w.windowExpression.mkString(", ")}"
+        case _ => ()
+      }
+    }
+    assert(offenders.isEmpty,
+      s"single-partition WindowExec in registered plans:\n${offenders.mkString("\n")}")
+  }
 }

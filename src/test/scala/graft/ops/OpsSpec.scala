@@ -1489,4 +1489,29 @@ class OpsSpec extends SparkSpec {
     val r = got(0)
     assert(r.getLong(2) == 0L && r.getLong(4) == 0L && r.getDouble(5) == 0.0)
   }
+  test("windowHashes kernel == column formulation (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val vocab = Seq("a", "bb", "ccc", "d", "", "ee")
+    val texts = Seq("", " ", "one", "a b", "  padded  text  here  ") ++
+      Seq.fill(120)(Seq.fill(rnd.nextInt(20))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    for (w <- Seq(2, 3, 5)) {
+      val toks = split(trim(col("t")), " ", -1)
+      val colForm = when(size(toks) >= w,
+          transform(sequence(lit(0), size(toks) - w),
+            i => md5(concat_ws(" ", slice(toks, i + 1, lit(w))))))
+        .otherwise(array().cast("array<string>"))
+      val bad = texts.toDF("t")
+        .select(graft.functions.ShingleExpressions.windowHashes(col("t"), w)
+          .as("k"), colForm.as("c"))
+        .filter(not(col("k") <=> col("c"))).count()
+      assert(bad == 0L, s"kernel diverges from column formulation at w=$w")
+    }
+    // null totality
+    val r = Seq(Option.empty[String]).toDF("t")
+      .select(graft.functions.ShingleExpressions.windowHashes(col("t"), 3))
+      .collect()(0)
+    assert(r.isNullAt(0))
+  }
 }
