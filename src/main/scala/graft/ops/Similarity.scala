@@ -587,4 +587,116 @@ object Similarity {
       .select(col("b.id").as("id")).distinct()
     df.join(drops, df(idCol) === drops("id"), "left_anti")
   }
+
+  /** Maximal-Marginal-Relevance diversified top-k (Carbonell & Goldstein
+    * 1998) over the int8-quantized dot space: greedily pick k of each
+    * query's `shortlist` candidates, each pick maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), ties by candidate id —
+    * the standard redundancy-suppressing rerank for retrieval and for
+    * few-shot example selection.
+    *
+    * Both rel and sim are RAW INT8 DOT PRODUCTS (the SQ8 rerank
+    * arithmetic: relevance and redundancy measured in the same quantized
+    * code space, no normalization), and λ is the rational
+    * lambdaNum/lambdaDen, so every greedy comparison is over exact
+    * integers — the selection is bit-reproducible on any engine,
+    * including the DuckDB recursive-CTE oracle (s10). Floating MMR would
+    * hinge tie-breaks on cross-engine ulp agreement; integer MMR cannot.
+    *
+    * Scale shape: the [[bruteForceTopK]] contract — bounded |Q| broadcast
+    * against a linear corpus sweep, candidates collapse map-side to ≤
+    * shortlist per query (TopKAggregate) before any exchange. The greedy
+    * itself runs per query group over ≤ shortlist rows via
+    * flatMapGroups: inherently SEQUENTIAL (pick t depends on picks
+    * 1..t−1), state bounded by shortlist × dims ints — the documented
+    * last-resort case for typed per-group logic; everything upstream
+    * stays columnar. Output: (query_id, rank, cand_id, rel, score) with
+    * score = lambdaNum·rel − (lambdaDen−lambdaNum)·maxSim (the
+    * λ-scaled margin, ×lambdaDen). */
+  def mmrSelectInt8(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, shortlist: Int,
+                    lambdaNum: Int = 2, lambdaDen: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    require(lambdaNum >= 1 && lambdaDen > lambdaNum,
+      s"lambda must be a rational in (0, 1): $lambdaNum/$lambdaDen")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def codes(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).cast("long").as(as),
+        quantizeInt8(col(vecCol).cast("array<double>"))
+          .getField("q").cast("array<int>").as(s"${as}_q"))
+    val qc = codes(queries, "qid")
+    val cc = codes(corpus, "cid")
+    // integer dots ride exactly in doubles (|dot| <= 127^2 * dims << 2^53)
+    val rels = cc.crossJoin(broadcast(qc))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        dot(col("cid_q").cast("array<double>"),
+          col("qid_q").cast("array<double>")).as("idot"))
+    val short = rels.groupBy("qid")
+      .agg(graft.functions.TopKAggregate.topk(
+        col("idot"), col("cid"), shortlist).as("top"))
+      .select(col("qid"), explode(col("top")).as("c"))
+      .select(col("qid"), col("c.id").as("cid"),
+        col("c.score").cast("long").as("rel"))
+    val withCodes = short.join(cc, "cid")
+      .select(col("qid"), col("cid"), col("rel"), col("cid_q"))
+      .as[(Long, Long, Long, Seq[Int])]
+    val negWeight = lambdaDen - lambdaNum
+    withCodes.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        // deterministic candidate order: (rel desc, cid asc) — the same
+        // total order every tie below breaks to
+        val cands = it.toArray.sortBy(t => (-t._3, t._2))
+        val n = cands.length
+        val codesArr = cands.map(_._4.toArray)
+        val chosen = new Array[Boolean](n)
+        val maxSim = Array.fill(n)(Long.MinValue)
+        def idot(a: Array[Int], b: Array[Int]): Long = {
+          var s = 0L; var i = 0
+          val m = math.min(a.length, b.length)
+          while (i < m) { s += a(i).toLong * b(i); i += 1 }
+          s
+        }
+        val out = Array.newBuilder[(Long, Int, Long, Long, Long)]
+        var picks = 0
+        val kk = math.min(k, n)
+        while (picks < kk) {
+          var best = -1
+          var bestScore = Long.MinValue
+          var bestCid = Long.MaxValue
+          var i = 0
+          while (i < n) {
+            if (!chosen(i)) {
+              // first pick has no redundancy term: score = λ·rel alone
+              // (× lambdaDen scale ⇒ lambdaNum·rel), matching the oracle
+              val score =
+                if (picks == 0) lambdaNum.toLong * cands(i)._3
+                else lambdaNum.toLong * cands(i)._3 - negWeight * maxSim(i)
+              // tie-break on candidate id ALONE (the oracle's
+              // `ORDER BY score DESC, cid`) — never on rel
+              if (score > bestScore ||
+                  (score == bestScore && cands(i)._2 < bestCid)) {
+                best = i; bestScore = score; bestCid = cands(i)._2
+              }
+            }
+            i += 1
+          }
+          chosen(best) = true
+          picks += 1
+          out += ((qid, picks, cands(best)._2, cands(best)._3, bestScore))
+          var j = 0
+          while (j < n) {
+            if (!chosen(j)) {
+              val s = idot(codesArr(j), codesArr(best))
+              if (s > maxSim(j)) maxSim(j) = s
+            }
+            j += 1
+          }
+        }
+        out.result().iterator
+      }
+      .toDF("query_id", "rank", "cand_id", "rel", "score")
+  }
 }

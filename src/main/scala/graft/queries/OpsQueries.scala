@@ -228,6 +228,17 @@ object OpsQueries extends QueryPack {
     // O(|Q|·n) sweep stays linear in the corpus) have identical prefixes
     // (truncated cosine 1.0 = max), so the true top-1 survives both
     // stages with certainty and the exact-equality oracle applies
+    // MMR-diversified top-8 from a 16-candidate shortlist, λ = 2/3, over
+    // the int8-quantized dot space: every greedy comparison is exact
+    // integer arithmetic, so the sequential selection is bit-reproducible
+    // against the DuckDB recursive-CTE replay of the same picks
+    "s10_mmr_diversify" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.mmrSelectInt8(emb, emb.filter(col("vec_id") < 16),
+          "vec_id", "embedding", k = 8, shortlist = 16)
+        .orderBy("query_id", "rank")
+    }),
+
     "s09_truncated_ann" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 64)
@@ -1095,6 +1106,59 @@ object OpsQueries extends QueryPack {
          FROM embeddings q JOIN embeddings c ON q.embedding = c.embedding
          WHERE q.vec_id < 64
          GROUP BY q.vec_id ORDER BY query_id""",
+
+    // replays the engine's greedy EXACTLY: same int8 codes (the s05
+    // construction), same integer dots, same (score desc, id asc)
+    // tie-break, first pick scored 2·rel (λ·rel on the ×3 scale with no
+    // redundancy term), later picks 2·rel − max sim to the chosen set
+    "s10_mmr_diversify" ->
+      """WITH RECURSIVE
+         q8 AS (
+           SELECT vec_id, list_max([abs(x) for x in embedding::DOUBLE[]]) AS m,
+             embedding::DOUBLE[] AS v FROM embeddings),
+         codes AS (
+           SELECT vec_id,
+             [CASE WHEN m = 0 THEN 0
+                   ELSE CAST(round(x * 127.0 / m) AS BIGINT) END
+              for x in v] AS q
+           FROM q8),
+         qs AS (SELECT vec_id AS qid, q FROM codes WHERE vec_id < 16),
+         reld AS (
+           SELECT t.qid, t.cid, t.dot,
+             row_number() OVER (PARTITION BY t.qid
+               ORDER BY t.dot DESC, t.cid) AS rn
+           FROM (SELECT qu.qid, c.vec_id AS cid,
+               CAST(list_sum([qu.q[i] * c.q[i]
+                 for i in generate_series(1, len(c.q))]) AS BIGINT) AS dot
+             FROM qs qu, codes c WHERE c.vec_id <> qu.qid) t),
+         short AS (SELECT qid, cid, dot AS rel FROM reld WHERE rn <= 16),
+         csim AS (
+           SELECT a.qid, a.cid AS ca, b.cid AS cb,
+             CAST(list_sum([x.q[i] * y.q[i]
+               for i in generate_series(1, len(x.q))]) AS BIGINT) AS dot
+           FROM short a JOIN short b ON a.qid = b.qid AND a.cid <> b.cid
+           JOIN codes x ON x.vec_id = a.cid
+           JOIN codes y ON y.vec_id = b.cid),
+         sel AS (
+           SELECT qid, 1 AS rnk, cid, rel, 2 * rel AS score, [cid] AS chosen
+           FROM (SELECT qid, cid, rel,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY rel DESC, cid) AS rn
+                 FROM short) t WHERE rn = 1
+           UNION ALL
+           SELECT s.qid, s.rnk + 1, p.cid, p.rel, p.score,
+                  list_append(s.chosen, p.cid)
+           FROM sel s, LATERAL (
+             SELECT c.cid, c.rel,
+               2 * c.rel - (SELECT max(cs.dot) FROM csim cs
+                            WHERE cs.qid = s.qid AND cs.ca = c.cid
+                              AND list_contains(s.chosen, cs.cb)) AS score
+             FROM short c
+             WHERE c.qid = s.qid AND NOT list_contains(s.chosen, c.cid)
+             ORDER BY score DESC, c.cid LIMIT 1) p
+           WHERE s.rnk < 8)
+         SELECT qid AS query_id, rnk AS rank, cid AS cand_id, rel, score
+         FROM sel ORDER BY query_id, rank""",
 
     "s07_pq_ann" ->
       """SELECT q.vec_id + 1000000 AS query_id, min(c.vec_id) AS neighbor_id,

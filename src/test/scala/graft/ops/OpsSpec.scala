@@ -1514,4 +1514,57 @@ class OpsSpec extends SparkSpec {
       .collect()(0)
     assert(r.isNullAt(0))
   }
+  test("mmrSelectInt8: diversification beats pure relevance; exact driver replay") {
+    import spark.implicits._
+    // 4-dim corpus: two tight clusters near the query's direction plus
+    // orthogonal fillers; pure top-k would take the whole near cluster,
+    // MMR must interleave the orthogonal directions
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),        // query
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),    // near cluster
+      (2L, Array(0.88f, 0.12f, 0f, 0f)),
+      (3L, Array(0.86f, 0.14f, 0f, 0f)),
+      (4L, Array(0.3f, 0.9f, 0f, 0f)),    // different direction
+      (5L, Array(0.3f, 0f, 0.9f, 0f)),    // another
+      (6L, Array(0.1f, 0f, 0f, 0.9f)))    // near-orthogonal
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelectInt8(vecs, vecs.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", k = 4, shortlist = 6,
+        lambdaNum = 1, lambdaDen = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length == 4)
+    assert(got(0)._2 == 1L, s"first pick must be the most relevant: $got")
+    // picks 2-3 must NOT both come from the near cluster {2, 3}
+    val cluster = got.slice(1, 3).map(_._2).count(Set(2L, 3L))
+    assert(cluster <= 1, s"MMR failed to diversify: ${got.mkString(", ")}")
+
+    // exact driver replay of the greedy over the same int8 codes
+    def q8(v: Array[Float]): Array[Long] = {
+      val m = v.map(x => math.abs(x.toDouble)).max
+      v.map(x => if (m == 0) 0L else math.round(x.toDouble * 127.0 / m))
+    }
+    val byId = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(i =>
+      i -> q8(vecs.filter(col("vec_id") === i).collect()(0)
+        .getSeq[Float](1).toArray)).toMap
+    val qv = q8(Array(1f, 0f, 0f, 0f))
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val rel = byId.map { case (i, c) => i -> dot(qv, c) }
+    var chosen = List.empty[Long]
+    val replay = scala.collection.mutable.ListBuffer[(Int, Long, Long, Long)]()
+    for (it <- 1 to 4) {
+      val remaining = byId.keys.filterNot(chosen.contains).toSeq
+      val scored = remaining.map { c =>
+        val s = if (chosen.isEmpty) rel(c)
+          else rel(c) - chosen.map(s0 => dot(byId(c), byId(s0))).max
+        (c, s)
+      }
+      val (pick, sc) = scored.minBy { case (c, s) => (-s, c) }
+      chosen ::= pick
+      replay += ((it, pick, rel(pick), sc))
+    }
+    assert(got.toSeq == replay.toSeq,
+      s"engine ${got.mkString(",")} != replay ${replay.mkString(",")}")
+  }
 }
