@@ -796,16 +796,22 @@ object Dedup {
     val occ = df.select(col(idCol).as("_id"),
       posexplode(graft.functions.ShingleExpressions
         .windowHashes(col(textCol), w)).as(Seq("_pos", "_h")))
-    // global first occurrence per duplicated window: both aggregates
-    // share ONE hash-partitioned window over _h (a single exchange, and
-    // occ — which re-parses text upstream — is evaluated exactly once;
-    // the groupBy-then-self-join form pays that parse twice)
-    val wspec = Window.partitionBy("_h")
-    val removals = occ
-      .withColumn("_keep", min(struct(col("_id"), col("_pos"))).over(wspec))
-      .withColumn("_c", count(lit(1)).over(wspec))
-      .filter(col("_c") > 1 &&
-        struct(col("_id"), col("_pos")) =!= col("_keep"))
+    // global first occurrence per duplicated window: a map-side-combining
+    // min/count aggregate, then a join back to the occurrences. NOT a
+    // window over _h: a boilerplate window repeated across millions of
+    // documents (license lines, nav text) would put every occurrence in
+    // ONE WindowExec sort group — a single-task hot spot no salting can
+    // fix, while hash-aggregate partials absorb the same skew map-side.
+    // The price is that occ's upstream (the window-hash kernel scan) is
+    // evaluated twice — stateless CPU, preferred at 100 TB over
+    // materializing a per-token frame
+    val dups = occ.groupBy("_h")
+      .agg(min(struct(col("_id"), col("_pos"))).as("_keep"),
+        count(lit(1)).as("_c"))
+      .filter(col("_c") > 1)
+      .select(col("_h"), col("_keep"))
+    val removals = occ.join(dups, "_h")
+      .filter(struct(col("_id"), col("_pos")) =!= col("_keep"))
       .groupBy("_id")
       .agg(sort_array(collect_set(col("_pos"))).as("_starts"))
     val starts = coalesce(col("_starts"), array().cast("array<int>"))
