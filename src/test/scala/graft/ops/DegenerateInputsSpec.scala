@@ -165,4 +165,38 @@ class DegenerateInputsSpec extends SparkSpec {
     assert(Sampling.weightedSample(emptyDocs, col("doc_id"),
       col("n_chars"), 5).count() == 0)
   }
+  test("round-9 additions: passage dedup, DSIR, contamination report, MMR totality") {
+    // passage dedup: empty corpus -> empty; single doc -> untouched
+    assert(Dedup.removeDuplicatePassages(emptyDocs, "doc_id", "text", 12).count() == 0)
+    val one = Dedup.removeDuplicatePassages(oneDoc, "doc_id", "text", 12).collect()(0)
+    assert(one.getLong(2) == 0L && one.getString(3) == "just one lonely document here")
+    // null text flows through as a zero-token row, not a crash
+    val withNull = Seq((1L, "a b"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(Dedup.removeDuplicatePassages(withNull, "doc_id", "text", 2).count() == 2)
+
+    // DSIR: empty frame -> empty; no target rows -> still total (nt = 0)
+    assert(TextAnalysis.dsirScore(emptyDocs, "doc_id", "text", lit(true)).count() == 0)
+    val noTarget = TextAnalysis.dsirScore(oneDoc, "doc_id", "text", lit(false))
+      .collect()(0)
+    assert(!noTarget.isNullAt(2))
+
+    // contamination report: empty benchmark -> empty report; empty corpus
+    // -> every group reported clean
+    assert(Dedup.contaminationReport(oneDoc, emptyDocs.withColumn("g", lit("x")),
+      "doc_id", "text", "g").count() == 0)
+    val cleanAll = Dedup.contaminationReport(emptyDocs,
+        oneDoc.withColumn("g", lit("x")), "doc_id", "text", "g").collect()
+    assert(cleanAll.length == 1 && cleanAll(0).getLong(4) == 0L)
+
+    // MMR: empty corpus or empty query panel -> empty selection; corpus
+    // smaller than k -> emits what exists
+    assert(Similarity.mmrSelectInt8(emptyVecs, someVecs, "vec_id", "embedding",
+      k = 2, shortlist = 4).count() == 0)
+    assert(Similarity.mmrSelectInt8(someVecs, emptyVecs, "vec_id", "embedding",
+      k = 2, shortlist = 4).count() == 0)
+    val tiny = Similarity.mmrSelectInt8(someVecs, someVecs.limit(1),
+      "vec_id", "embedding", k = 8, shortlist = 8)
+    assert(tiny.count() == 2) // corpus minus self = 2 candidates
+  }
 }
