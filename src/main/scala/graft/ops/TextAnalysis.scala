@@ -483,18 +483,24 @@ object TextAnalysis {
     * broadcast back. Pass 2 is explode → broadcast join → one (id, long)
     * groupBy — text never shuffles. Output: (idCol, n_tokens,
     * logw_micro, avg_logw), null avg on token-less docs. */
-  def dsirScore(df: org.apache.spark.sql.DataFrame, idCol: String,
-                textCol: String, targetFilter: Column,
-                hexChars: Int = 3): org.apache.spark.sql.DataFrame = {
+  /** The trained model behind [[dsirScore]]: per-bucket integer
+    * micro-nat weights (the [[LmBitsModel]] pattern — train once in
+    * batch, score anywhere, including as a stateless literal-map column
+    * in a stream via [[dsirCol]]). Buckets absent from the training
+    * corpus weigh 0. */
+  final case class DsirModel(weights: Array[(String, Long)], hexChars: Int)
+
+  def dsirModel(df: org.apache.spark.sql.DataFrame, textCol: String,
+                targetFilter: Column, hexChars: Int = 3): DsirModel = {
     require(hexChars >= 1 && hexChars <= 8,
       s"hexChars must be in [1, 8]: $hexChars (16^h buckets must stay " +
         "bounded driver state; 8 hex digits is already 4.3e9 — far past " +
         "the hashing-trick regime)")
     val nBuckets = math.pow(16.0, hexChars)
-    val toks = df.select(col(idCol), targetFilter.as("_tgt"),
-      explode_outer(split(col(textCol), " ")).as("_tok"))
-      .withColumn("_b", substring(md5(col("_tok")), 1, hexChars))
-    val cnts = toks.filter(col("_tok").isNotNull).groupBy("_b")
+    val cnts = df.select(targetFilter.as("_tgt"),
+        explode(split(col(textCol), " ")).as("_tok"))
+      .select(substring(md5(col("_tok")), 1, hexChars).as("_b"), col("_tgt"))
+      .groupBy("_b")
       .agg(count(lit(1)).as("_cr"),
         sum(when(col("_tgt"), lit(1L)).otherwise(lit(0L))).as("_ct"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
@@ -503,10 +509,35 @@ object TextAnalysis {
     def wt(cr: Long, ct: Long): Long =
       math.floor(1e6 * (math.log((ct + 1.0) / (nt + nBuckets)) -
         math.log((cr + 1.0) / (nr + nBuckets)))).toLong
+    DsirModel(cnts.map { case (b, cr, ct) => (b, wt(cr, ct)) }, hexChars)
+  }
+
+  /** Stateless per-row DSIR score from a trained model: mean micro-nats
+    * per token via a LITERAL bucket-weight map — a pure column
+    * expression (≤ 16^hexChars entries in the plan), so it gates a
+    * structured stream inside the ingest stage like [[lmBitsCol]].
+    * Unseen buckets weigh 0; null or token-less text scores null. */
+  def dsirCol(text: Column, model: DsirModel): Column = {
+    val m = map(model.weights.flatMap { case (b, w) =>
+      Seq(lit(b), lit(w)) }.toIndexedSeq: _*)
+    val toks = split(text, " ")
+    val sum = aggregate(toks, lit(0L), (acc, t) =>
+      acc + coalesce(try_element_at(m, substring(md5(t), 1, model.hexChars)),
+        lit(0L)))
+    when(text.isNull || size(toks) === 0, lit(null).cast("double"))
+      .otherwise(sum / (lit(1.0e6) * size(toks)))
+  }
+
+  def dsirScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, targetFilter: Column,
+                hexChars: Int = 3): org.apache.spark.sql.DataFrame = {
+    val model = dsirModel(df, textCol, targetFilter, hexChars)
+    val toks = df.select(col(idCol), targetFilter.as("_tgt"),
+      explode_outer(split(col(textCol), " ")).as("_tok"))
+      .withColumn("_b", substring(md5(col("_tok")), 1, hexChars))
     val spark = df.sparkSession
     import spark.implicits._
-    val weights = spark.createDataset(
-      cnts.toSeq.map { case (b, cr, ct) => (b, wt(cr, ct)) }).toDF("_b", "_wt")
+    val weights = spark.createDataset(model.weights.toSeq).toDF("_b", "_wt")
     // every non-null token hashes to a bucket the model saw (trained on
     // this same frame), so the broadcast join is effectively total; the
     // left join + coalesce(0) keeps an unseen bucket (scoring a FOREIGN

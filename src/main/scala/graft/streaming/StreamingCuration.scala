@@ -59,6 +59,20 @@ object StreamingCuration {
                 else s <= maxBitsPerToken)
   }
 
+  /** Stateless DSIR importance gate (the streaming half of batch t33):
+    * keep documents whose mean hashed-unigram log target/raw likelihood
+    * clears `minAvgLogw`. The model trains batch-side
+    * ([[TextAnalysis.dsirModel]]) and rides the stream plan as a literal
+    * bucket-weight map — no join, no state store; the ingest-time twin
+    * of the offline importance-resampling selection. */
+  def dsirFilter(docs: DataFrame, textCol: String,
+                 model: TextAnalysis.DsirModel, minAvgLogw: Double,
+                 keepUnscored: Boolean = false): DataFrame = {
+    val s = TextAnalysis.dsirCol(col(textCol), model)
+    docs.filter(if (keepUnscored) s.isNull || s >= minAvgLogw
+                else s >= minAvgLogw)
+  }
+
   /** Benchmark-decontamination gate for streams: a Bloom filter built
     * batch-side over the benchmark's n-gram hashes
     * (`Dedup.benchmarkBloom`) rides the stream plan as a literal sketch —

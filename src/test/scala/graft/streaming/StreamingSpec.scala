@@ -573,6 +573,45 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming DSIR gate keeps target-like docs using a batch-trained model") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    // batch-train toward the "good" half; the literal-map column must
+    // equal the batch join formulation on the training corpus itself
+    val corpus = (Seq.tabulate(20)(i =>
+        (i.toLong, "clean fluent prose words here", true)) ++
+      Seq.tabulate(20)(i =>
+        (100L + i, "spam junk noise garbage tokens", false)))
+      .toDF("doc_id", "text", "tgt")
+    val model = TextAnalysis.dsirModel(corpus, "text", col("tgt"))
+    val viaCol = corpus.select(col("doc_id"),
+        TextAnalysis.dsirCol(col("text"), model).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaBatch = TextAnalysis.dsirScore(corpus, "doc_id", "text", col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(viaCol == viaBatch)
+    assert(viaCol(0L) > viaCol(100L))
+
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val cut = (viaCol(0L) + viaCol(100L)) / 2
+    val query = StreamingCuration.dsirFilter(docs, "text", model, cut)
+      .writeStream.format("memory").queryName("dsir_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (1L, "clean fluent prose words here"),   // target-like
+        (2L, "spam junk noise garbage tokens"),  // off-distribution
+        (3L, null.asInstanceOf[String]))         // unscored
+      query.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM dsir_out")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L))
+    } finally query.stop()
+  }
+
   test("trending terms: the MG sketch aggregates per event-time window") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
