@@ -1,0 +1,98 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class WebDatasetWriterSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Minimal independent ustar reader: (name, bytes) in archive order.
+    * Validates magic and recomputes the header checksum — a writer bug
+    * in either would fail here, not just round-trip. */
+  private def readTar(path: java.nio.file.Path): Seq[(String, Array[Byte])] = {
+    val all = Files.readAllBytes(path)
+    val out = Seq.newBuilder[(String, Array[Byte])]
+    var off = 0
+    def str(o: Int, l: Int): String = {
+      val end = (o until o + l).find(all(_) == 0).getOrElse(o + l)
+      new String(all, o, end - o, StandardCharsets.UTF_8)
+    }
+    while (off + 512 <= all.length && all(off) != 0) {
+      val name = str(off, 100)
+      val size = java.lang.Long.parseLong(str(off + 124, 12).trim, 8).toInt
+      assert(str(off + 257, 6) == "ustar", s"bad magic at $off")
+      val stored = java.lang.Long.parseLong(str(off + 148, 8).trim, 8)
+      var sum = 0L
+      for (i <- 0 until 512)
+        sum += (if (i >= 148 && i < 156) ' '.toLong else all(off + i) & 0xff)
+      assert(sum == stored, s"checksum mismatch for $name")
+      out += name -> java.util.Arrays.copyOfRange(all, off + 512, off + 512 + size)
+      off += 512 + ((size + 511) / 512) * 512
+    }
+    out.result()
+  }
+
+  private def samples = (1L to 25L).map { i =>
+    (i, s"""{"id":$i}""", Array.tabulate[Byte]((i % 7 + 1).toInt)(b => (i + b).toByte))
+  }.toDF("doc_id", "meta", "payload")
+
+  test("tar shards round-trip: valid ustar, adjacent per-sample entries, all keys once") {
+    val dir = Files.createTempDirectory("graft-wds").toString
+    WebDatasetWriter.writeShards(samples, dir, "doc_id",
+      Seq("json" -> col("meta"), "bin" -> col("payload")), numShards = 4)
+    val shards = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".tar")).sorted
+    assert(shards.nonEmpty && shards.forall(_.contains("shard-00000")))
+    assert(Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .count(_.contains(".tmp")) == 0, "temp files left behind")
+    val entries = shards.flatMap(s => readTar(Paths.get(s)))
+    // every sample contributes exactly (key.json, key.bin), adjacent
+    assert(entries.length == 50)
+    entries.grouped(2).foreach { case Array((j, _), (b, _)) =>
+      assert(j.endsWith(".json") && b.endsWith(".bin"))
+      assert(j.stripSuffix(".json") == b.stripSuffix(".bin"))
+    }
+    val byName = entries.toMap
+    for ((id, meta, payload) <- samples.collect()
+           .map(r => (r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2)))) {
+      assert(new String(byName(s"$id.json"), StandardCharsets.UTF_8) == meta)
+      assert(java.util.Arrays.equals(byName(s"$id.bin"), payload))
+    }
+  }
+
+  test("shard assignment and bytes are deterministic across runs") {
+    val d1 = Files.createTempDirectory("graft-wds1").toString
+    val d2 = Files.createTempDirectory("graft-wds2").toString
+    for (d <- Seq(d1, d2))
+      WebDatasetWriter.writeShards(samples.repartition(7), d, "doc_id",
+        Seq("json" -> col("meta"), "bin" -> col("payload")), numShards = 3)
+    for (i <- 0 until 3) {
+      val (a, b) = (Paths.get(d1, f"shard-$i%06d.tar"), Paths.get(d2, f"shard-$i%06d.tar"))
+      assert(Files.exists(a) == Files.exists(b))
+      if (Files.exists(a))
+        assert(java.util.Arrays.equals(Files.readAllBytes(a), Files.readAllBytes(b)),
+          s"shard $i bytes differ between identical runs")
+    }
+  }
+
+  test("null entry values are skipped; system tar can list the shard") {
+    val dir = Files.createTempDirectory("graft-wds3").toString
+    val df = Seq((1L, "has meta", "payload"), (2L, null, "only bin"))
+      .toDF("doc_id", "meta", "payload")
+    WebDatasetWriter.writeShards(df, dir, "doc_id",
+      Seq("json" -> col("meta"), "bin" -> col("payload")), numShards = 1)
+    val names = readTar(Paths.get(dir, "shard-000000.tar")).map(_._1)
+    assert(names.toSet == Set("1.json", "1.bin", "2.bin"))
+    // cross-check with the system tar if present (GNU tar reads ustar)
+    if (Files.exists(Paths.get("/bin/tar")) || Files.exists(Paths.get("/usr/bin/tar"))) {
+      import scala.sys.process._
+      val listed = Seq("tar", "-tf", s"$dir/shard-000000.tar").!!.trim
+        .split("\n").toSet
+      assert(listed == Set("1.json", "1.bin", "2.bin"),
+        s"system tar disagrees: $listed")
+    }
+  }
+}
