@@ -1,0 +1,193 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.JavaConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DSv2 reader for WebDataset-style tar shards (the
+  * [[graft.sinks.WebDatasetWriter]] format, and any POSIX-ustar tar
+  * whose samples are runs of adjacent entries sharing a basename):
+  * `spark.read.format("webdataset").option("path", dir).load()` →
+  * one row per sample, `(key string, entries map<ext, binary>)`.
+  *
+  * Scale shape: ONE partition per shard file — tar has no record index,
+  * so a shard is the unit of parallelism by design (the writer's
+  * `numShards` is the knob; training loaders make the same choice).
+  * Column pruning is real IO savings: a `key`-only projection reads the
+  * 512-byte headers and SEEKS past every data block — sample listings
+  * over a 100 TB corpus touch ~0.1% of the bytes. */
+class WebDatasetDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "webdataset"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WebDatasetDataSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new WdsTable(MarcDataSource.resolvePaths(properties.asScala.toMap))
+}
+
+object WebDatasetDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("entries",
+      MapType(StringType, BinaryType, valueContainsNull = false),
+      nullable = false)))
+}
+
+final class WdsTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"webdataset(${paths.mkString(",")})"
+  override def schema(): StructType = WebDatasetDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WdsScanBuilder(paths)
+}
+
+final class WdsScanBuilder(paths: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = WebDatasetDataSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new WdsScan(paths, required)
+}
+
+final case class WdsInputPartition(path: String, length: Long)
+  extends InputPartition
+
+final class WdsScan(paths: Seq[String], required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  /** Pruning mode is visible in `explain()`. */
+  override def description(): String = {
+    val mode = if (required.fieldNames.contains("entries")) "read=full"
+    else "read=headers-only"
+    s"webdataset(${paths.mkString(",")}) $mode"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    paths.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val statuses =
+        if (fs.getFileStatus(path).isDirectory)
+          fs.listStatus(path).toSeq.filter(s =>
+            s.isFile && s.getPath.getName.endsWith(".tar"))
+        else Seq(fs.getFileStatus(path))
+      statuses.map(st => WdsInputPartition(st.getPath.toString, st.getLen))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WdsReaderFactory(required)
+}
+
+final class WdsReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new WdsPartitionReader(partition.asInstanceOf[WdsInputPartition], required)
+}
+
+final class WdsPartitionReader(part: WdsInputPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val needEntries = required.fieldNames.contains("entries")
+  private val conf = new org.apache.hadoop.conf.Configuration()
+  private val in = new Path(part.path).getFileSystem(conf)
+    .open(new Path(part.path))
+  private var pos = 0L
+  private val header = new Array[Byte](512)
+
+  // one-entry lookahead: a sample ends when the basename changes
+  private var pendingName: String = null
+  private var pendingData: Array[Byte] = null
+  private var row: InternalRow = _
+  private var eof = false
+
+  private def headerString(off: Int, len: Int): String = {
+    var end = off
+    while (end < off + len && header(end) != 0) end += 1
+    new String(header, off, end - off, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Reads the next tar entry into (pendingName, pendingData); false at
+    * end of archive. Data is skipped (seek) unless `entries` is needed. */
+  private def readEntry(): Boolean = {
+    if (eof) return false
+    if (pos + 512 > part.length) { eof = true; return false }
+    in.readFully(pos, header, 0, 512)
+    if (header(0) == 0) { eof = true; return false } // zero block = end
+    val magic = headerString(257, 6)
+    require(magic == "ustar" || magic.startsWith("ustar"),
+      s"${part.path}@$pos: not a ustar header (magic '$magic')")
+    val name = headerString(0, 100)
+    val size = java.lang.Long.parseLong(headerString(124, 12).trim, 8)
+    val typeflag = header(156)
+    pos += 512
+    val dataStart = pos
+    pos += ((size + 511) / 512) * 512
+    // only regular files participate in samples (dirs/links skipped)
+    if (typeflag != '0' && typeflag != 0) return readEntry()
+    pendingName = name
+    pendingData =
+      if (!needEntries) Array.emptyByteArray
+      else {
+        val b = new Array[Byte](size.toInt)
+        in.readFully(dataStart, b, 0, size.toInt)
+        b
+      }
+    true
+  }
+
+  private def baseAndExt(name: String): (String, String) = {
+    val i = name.lastIndexOf('.')
+    if (i <= 0) (name, "") else (name.substring(0, i), name.substring(i + 1))
+  }
+
+  override def next(): Boolean = {
+    if (pendingName == null && !readEntry()) return false
+    val (base, _) = baseAndExt(pendingName)
+    val exts = Seq.newBuilder[UTF8String]
+    val datas = Seq.newBuilder[Array[Byte]]
+    var more = true
+    while (more && pendingName != null && baseAndExt(pendingName)._1 == base) {
+      exts += UTF8String.fromString(baseAndExt(pendingName)._2)
+      datas += pendingData
+      pendingName = null
+      pendingData = null
+      more = readEntry()
+    }
+    val values = new Array[Any](required.fields.length)
+    var i = 0
+    for (f <- required.fields) {
+      values(i) = f.name match {
+        case "key" => UTF8String.fromString(base)
+        case "entries" => new ArrayBasedMapData(
+          new GenericArrayData(exts.result().toArray[Any]),
+          new GenericArrayData(datas.result().toArray[Any]))
+      }
+      i += 1
+    }
+    row = new GenericInternalRow(values)
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}

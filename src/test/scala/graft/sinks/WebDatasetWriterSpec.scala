@@ -95,4 +95,29 @@ class WebDatasetWriterSpec extends SparkSpec {
         s"system tar disagrees: $listed")
     }
   }
+  test("webdataset source round-trips the writer's shards through Spark") {
+    val dir = Files.createTempDirectory("graft-wds-rt").toString
+    WebDatasetWriter.writeShards(samples, dir, "doc_id",
+      Seq("json" -> col("meta"), "bin" -> col("payload")), numShards = 3)
+    val back = spark.read.format("webdataset").option("path", dir).load()
+    assert(back.schema.fieldNames.toSeq == Seq("key", "entries"))
+    val rows = back.collect().map { r =>
+      r.getString(0) -> r.getMap[String, Array[Byte]](1)
+    }.toMap
+    assert(rows.size == 25)
+    for ((id, meta, payload) <- samples.collect()
+           .map(r => (r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2)))) {
+      val m = rows(id.toString)
+      assert(new String(m("json"), java.nio.charset.StandardCharsets.UTF_8) == meta)
+      assert(java.util.Arrays.equals(m("bin"), payload))
+    }
+    // parallelism = one task per shard file
+    assert(back.rdd.getNumPartitions == 3)
+    // key-only projection plans the headers-only scan (data bytes seeked
+    // past, the leader-only analog) and still counts every sample
+    val keyOnly = back.select("key")
+    assert(keyOnly.queryExecution.executedPlan.toString.contains("headers-only"),
+      keyOnly.queryExecution.executedPlan.toString)
+    assert(keyOnly.count() == 25)
+  }
 }
