@@ -167,4 +167,71 @@ object Graph {
     }
     scores
   }
+
+  /** Min-hop BFS levels from a seed set — the recursive-CTE reachability
+    * query (org charts, BOM explosion, link neighborhoods) that Spark
+    * SQL cannot express natively. Returns (id, level): level 0 = seed,
+    * k = shortest hop distance ≤ `maxHops`; unreachable nodes are
+    * absent. Distance is exact because frontier k is built from an
+    * anti-join against everything found at < k — a node is claimed by
+    * its FIRST wave, so partition order can never skew levels.
+    *
+    * Scale shape (the [[pageRank]] round discipline): each hop is one
+    * frontier⋈edges equi-join + distinct + anti-join against the
+    * visited set — shuffles keyed on node ids, frontier-sized, never
+    * corpus-sized; flat lineage via per-round localCheckpoint with
+    * superseded rounds freed deterministically; the per-round emptiness
+    * check is the one O(1) driver materialization and stops the loop as
+    * soon as the frontier drains (maxHops is the runaway bound, not the
+    * expected cost). */
+  def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
+                seeds: DataFrame, seedCol: String,
+                maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be non-negative: $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(false)
+    var visited = seeds.select(col(seedCol).as("id"))
+      .filter(col("id").isNotNull).distinct()
+      .withColumn("level", lit(0))
+      .localCheckpoint(false)
+    var frontier = visited
+    // superseded-round frames, freed once the round AFTER them has
+    // materialized (the pageRank discipline); reference-guarded because
+    // round 0 aliases frontier and visited
+    var prevVisited: DataFrame = null
+    var prevFrontier: DataFrame = null
+    var hop = 1
+    var drained = frontier.isEmpty
+    while (hop <= maxHops && !drained) {
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .withColumn("level", lit(hop))
+        .localCheckpoint(false)
+      // materializes `next` (and, through the anti-join, the current
+      // visited checkpoint) — the round before last is provably dead
+      drained = next.isEmpty
+      if (drained) CheckpointBridge.unpersist(next)
+      else {
+        if (prevFrontier ne null) CheckpointBridge.unpersist(prevFrontier)
+        if ((prevVisited ne null) && (prevVisited ne prevFrontier))
+          CheckpointBridge.unpersist(prevVisited)
+        prevFrontier = frontier
+        prevVisited = visited
+        visited = visited.union(next).localCheckpoint(false)
+        frontier = next
+        hop += 1
+      }
+    }
+    val out = visited.localCheckpoint(true) // eager: inputs freeable now
+    val live = Seq(prevFrontier, prevVisited, frontier, visited)
+      .filter(_ ne null)
+    live.zipWithIndex
+      .filter { case (df, i) => live.take(i).forall(_ ne df) } // ref-dedup
+      .foreach { case (df, _) => CheckpointBridge.unpersist(df) }
+    CheckpointBridge.unpersist(e)
+    out
+  }
 }

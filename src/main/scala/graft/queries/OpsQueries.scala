@@ -450,6 +450,27 @@ object OpsQueries extends QueryPack {
         .orderBy("id")
     }),
 
+    // min-hop BFS levels over the region→nation→customer→order DAG —
+    // the recursive-CTE reachability query Spark SQL cannot express
+    // natively, oracled against DuckDB's actual WITH RECURSIVE. Levels:
+    // region 0, nation 1, customer 2, order 3; maxHops 10 exercises the
+    // frontier-drained early stop
+    "d16_bfs_levels" -> ((s, d) => {
+      val e = Tables.nation(s, d).select(
+          (col("n_regionkey") + 2000000L).as("src"),
+          (col("n_nationkey") + 1000000L).as("dst"))
+        .unionByName(Tables.customer(s, d).select(
+          (col("c_nationkey") + 1000000L).as("src"),
+          col("c_custkey").as("dst")))
+        .unionByName(Tables.orders(s, d).select(
+          col("o_custkey").as("src"),
+          (col("o_orderkey") + 3000000L).as("dst")))
+      val seeds = Tables.region(s, d)
+        .select((col("r_regionkey") + 2000000L).as("id"))
+      graft.ops.Graph.bfsLevels(e, "src", "dst", seeds, "id", maxHops = 10)
+        .orderBy("id")
+    }),
+
     // HITS hubs/authorities (Graph.hits) on a two-layer link graph
     // (customer->nation, nation->region, so nations are BOTH hub and
     // authority): 3 L1-normalized rounds, oracle-unrolled with the
@@ -1373,6 +1394,26 @@ object OpsQueries extends QueryPack {
          SELECT id, round(rank, 4) AS rank4,
            row_number() OVER (ORDER BY rank DESC, id) AS pos
          FROM pr5 ORDER BY id""",
+
+    // DuckDB's real recursive CTE against the engine's iterative BFS;
+    // min(level) collapses multi-path revisits identically on both sides
+    "d16_bfs_levels" ->
+      """WITH RECURSIVE
+         edges AS (
+           SELECT n_regionkey + 2000000 AS src, n_nationkey + 1000000 AS dst
+           FROM nation
+           UNION ALL
+           SELECT c_nationkey + 1000000, c_custkey FROM customer
+           UNION ALL
+           SELECT o_custkey, o_orderkey + 3000000 FROM orders),
+         bfs AS (
+           SELECT r_regionkey + 2000000 AS id, 0 AS level FROM region
+           UNION ALL
+           SELECT e.dst, b.level + 1
+           FROM bfs b JOIN edges e ON e.src = b.id
+           WHERE b.level < 10)
+         SELECT id, CAST(min(level) AS INT) AS level
+         FROM bfs GROUP BY id ORDER BY id""",
 
     // 3 unrolled HITS rounds, identical op order to Graph.hits: per round
     // auth = L1-normalize(nodes ⟕ Σ_{u→v} hub(u)), then

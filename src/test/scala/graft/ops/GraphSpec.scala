@@ -131,14 +131,41 @@ class GraphSpec extends SparkSpec {
     assert(hx.count() == 5)
     val cc = Dedup.connectedComponents(edges, "src", "dst")
     assert(cc.count() == 5)
+    val bf = Graph.bfsLevels(edges, "src", "dst",
+      Seq(1L).toDF("id"), "id", maxHops = 10)
+    assert(bf.count() == 5)
     // each operator may leave exactly its own (eagerly materialized)
     // result persisted; the per-round intermediates and the loop inputs
     // (edge set, node set) must have been freed by the operators
     // themselves, not the garbage collector. 5-iteration pageRank alone
     // used to leave 7 frames here.
     val residue = settled() - before
-    assert(residue <= 3,
+    assert(residue <= 4,
       s"iterative ops left $residue persisted RDDs (want <= 1 per operator)")
+  }
+
+  test("bfsLevels: min-hop levels on a diamond with a shortcut; cycles terminate") {
+    import spark.implicits._
+    // 1 -> 2 -> 4, 1 -> 3 -> 4, 1 -> 4 (shortcut), 4 -> 1 (cycle back)
+    val edges = Seq((1L, 2L), (2L, 4L), (1L, 3L), (3L, 4L), (1L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val got = Graph.bfsLevels(edges, "src", "dst", Seq(1L).toDF("id"), "id", 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the shortcut wins: 4 is level 1, not 2; the cycle cannot re-level 1
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 1))
+  }
+
+  test("bfsLevels: maxHops truncates, unreachable nodes are absent, empty seeds are total") {
+    import spark.implicits._
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
+    val hop1 = Graph.bfsLevels(chain, "src", "dst", Seq(1L).toDF("id"), "id", 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(hop1 == Map(1L -> 0, 2L -> 1))
+    val full = Graph.bfsLevels(chain, "src", "dst", Seq(1L).toDF("id"), "id", 99)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(full == Set(1L, 2L, 3L, 4L)) // 10, 11 unreachable
+    assert(Graph.bfsLevels(chain, "src", "dst",
+      Seq.empty[Long].toDF("id"), "id", 5).count() == 0)
   }
 
   test("converges: successive-round L1 delta shrinks") {
