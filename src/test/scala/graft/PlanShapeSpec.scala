@@ -280,31 +280,79 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.toString.contains("ReusedExchange"),
       s"tf and df must share one tokenize shuffle:\n$plan")
   }
-  test("NO registered query opens a global (unpartitioned) window at scale") {
+  test("registry-wide plan audit: no global windows, cartesians, or 1-partition exchanges") {
     import org.apache.spark.sql.execution.window.WindowExec
-    // single-partition windows move the whole frame to one task - the
-    // canonical 100 TB scale-killer. Audit EVERY registered query's
-    // physical plan; any query that genuinely needs a global window must
-    // justify itself here with a bounded-cardinality argument.
-    // bounded-window allowlist: these queries rank AFTER a limit(k), so
-    // the global window sees <= k rows (the already-single-partition
-    // limit result), never the corpus — documented at the call sites
-    // (Ranking.bm25TopK / rrfFuse)
-    val boundedByLimit = Set("r01_bm25_topk", "r02_hybrid_rrf")
-    val offenders = scala.collection.mutable.ListBuffer[String]()
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
-         if !boundedByLimit.contains(name)) {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    // ONE pass over every registered query's physical plan, three
+    // 100 TB scale-killer checks:
+    //  - WindowExec with no partitionSpec: the whole frame sorts on one task
+    //  - cartesian / nested-loop joins: O(n*m) without an equi-key
+    //  - ShuffleExchange to a SINGLE partition: a deliberate bottleneck
+    // Queries that genuinely need one must justify themselves in the
+    // allowlists below with a bounded-cardinality argument.
+
+    // rank AFTER limit(k): the global window sees <= k rows
+    // (Ranking.bm25TopK / rrfFuse call-site docs)
+    val windowBoundedByLimit = Set("r01_bm25_topk", "r02_hybrid_rrf")
+    // the bounded-|Q| sweep contract: a broadcast cross join against a
+    // FIXED query panel (|Q| <= 64) or a one-row stats frame is the
+    // documented linear-scan shape, not an accidental cartesian
+    // (Similarity.scoredPairs / mmrSelectInt8, Ranking corpus stats,
+    // Expectations/CorpusReport one-row summaries)
+    val boundedBroadcastCross = Set(
+      "s01_cosine_top1", "s02_lsh_ann", "s03_ivf_ann", "s04_cosine_neardup",
+      "s06_quantized_ann", "s07_pq_ann", "s08_hard_negatives",
+      "s09_truncated_ann", "s10_mmr_diversify",
+      "r01_bm25_topk", "r02_hybrid_rrf", "r04_tfidf_keywords",
+      "t11_quality_classifier", "t15_lm_bits",
+      "t23_expectations", "t25_k_anonymity", "t26_corpus_report",
+      "q17_above_avg", "c01_kmeans_assign", "d09_semdedup")
+    val windowOff = scala.collection.mutable.ListBuffer[String]()
+    val crossOff = scala.collection.mutable.ListBuffer[String]()
+    val singleOff = scala.collection.mutable.ListBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val plan =
         try prepared(fn(spark, sfSmoke))
         catch { case e: Throwable =>
           fail(s"$name failed to plan at sfSmoke: $e") }
       plan.foreach {
-        case w: WindowExec if w.partitionSpec.isEmpty =>
-          offenders += s"$name: ${w.windowExpression.mkString(", ")}"
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+            !windowBoundedByLimit.contains(name) =>
+          windowOff += s"$name: ${w.windowExpression.mkString(", ")}"
+        case j: BroadcastNestedLoopJoinExec
+            if !boundedBroadcastCross.contains(name) =>
+          crossOff += s"$name: ${j.joinType} nested-loop"
+        case _: CartesianProductExec =>
+          crossOff += s"$name: CartesianProduct"
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
+          // a single-partition exchange fed by a PARTIAL aggregate moves
+          // one map-side-combined row (or bounded sketch) per task — the
+          // canonical global-aggregate merge, fine at any scale. Anything
+          // else funneling to one partition is a deliberate bottleneck.
+          def strip(p: org.apache.spark.sql.execution.SparkPlan)
+              : org.apache.spark.sql.execution.SparkPlan = p match {
+            case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+              strip(w.child)
+            case i: org.apache.spark.sql.execution.InputAdapter => strip(i.child)
+            case other => other
+          }
+          val partialCombined = strip(e.child) match {
+            case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec |
+                 _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec |
+                 _: org.apache.spark.sql.execution.aggregate.SortAggregateExec => true
+            case _ => false
+          }
+          if (!partialCombined) singleOff += name
         case _ => ()
       }
     }
-    assert(offenders.isEmpty,
-      s"single-partition WindowExec in registered plans:\n${offenders.mkString("\n")}")
+    assert(windowOff.isEmpty,
+      s"single-partition WindowExec in registered plans:\n${windowOff.mkString("\n")}")
+    assert(crossOff.isEmpty,
+      s"unjustified cartesian/nested-loop joins:\n${crossOff.mkString("\n")}")
+    assert(singleOff.isEmpty,
+      s"single-partition shuffle exchanges:\n${singleOff.distinct.mkString(", ")}")
   }
 }
