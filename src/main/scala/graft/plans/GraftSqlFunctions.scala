@@ -87,6 +87,12 @@ object GraftSqlFunctions {
       "graft_shingle_jaccard(a, b) - Jaccard similarity of two shingle arrays",
       { case Seq(a, b) => ShingleJaccardExpression(a, b) }),
 
+    ("graft_window_hashes",
+      "graft_window_hashes(text, w) - md5 hex of every w-token window by " +
+        "position (the passage-dedup kernel; [] when fewer than w tokens)",
+      { case Seq(t, w) =>
+        WindowHashesExpression(t, int(w, "graft_window_hashes", "w")) }),
+
     ("graft_minhash_bands",
       "graft_minhash_bands(text, bands, rows, shingle_n, seed) - LSH band hashes of the text's shingle set",
       { case Seq(t, b, r, n, s) => MinhashBandsExpression(t,

@@ -52,6 +52,12 @@ class GraftSqlFunctionsSpec extends SparkSpec {
     assert(j == 0.5)
     val lang = spark.sql("SELECT graft_lang_id('the of and to in a') AS l").as[String].head()
     assert(lang == "en")
+    val wh = spark.sql(
+      "SELECT graft_window_hashes('a b c d', 3) AS h, md5('a b c') AS m1, md5('b c d') AS m2")
+      .collect()(0)
+    assert(wh.getSeq[String](0) == Seq(wh.getString(1), wh.getString(2)))
+    assert(spark.sql("SELECT graft_window_hashes('a b', 3) AS h")
+      .collect()(0).getSeq[String](0).isEmpty)
     val bands = spark.sql("SELECT graft_minhash_bands('x y z w v', 4, 2, 3, 42) AS b")
       .as[Seq[Int]].head()
     assert(bands.length == 4)
