@@ -1567,4 +1567,94 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == replay.toSeq,
       s"engine ${got.mkString(",")} != replay ${replay.mkString(",")}")
   }
+  test("removeDuplicatePassages matches a driver reference on fuzzed corpora") {
+    import spark.implicits._
+    def reference(docs: Seq[(Long, String)], w: Int): Map[Long, (Long, Long, String)] = {
+      val toks = docs.map { case (id, t) => id -> t.trim.split(" ", -1).toSeq }.toMap
+      // (hash key = the window string itself; md5 is injective enough)
+      val occ = docs.sortBy(_._1).flatMap { case (id, _) =>
+        val tk = toks(id)
+        (0 to tk.length - w).map(p => (tk.slice(p, p + w).mkString(" "), id, p))
+      }
+      val byWin = occ.groupBy(_._1)
+      val removals = byWin.values.filter(_.size > 1).flatMap { os =>
+        val keep = os.minBy(o => (o._2, o._3))
+        os.filterNot(_ == keep)
+      }.toSeq
+      val startsByDoc = removals.groupBy(_._2)
+        .map { case (id, rs) => id -> rs.map(_._3).toSet }
+      docs.map { case (id, _) =>
+        val tk = toks(id)
+        val starts = startsByDoc.getOrElse(id, Set.empty)
+        val covered = (0 until tk.length)
+          .filter(i => starts.exists(s => i >= s && i < s + w)).toSet
+        val kept = tk.zipWithIndex.filterNot(t => covered(t._2)).map(_._1)
+        id -> ((tk.length.toLong, covered.size.toLong, kept.mkString(" ")))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(1234)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    for (trial <- 1 to 4) {
+      val w = 2 + rnd.nextInt(3)
+      val shared = Seq.fill(w + rnd.nextInt(4))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      val docs = (1L to 30L).map { id =>
+        val body = Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length)))
+        // a third of the docs embed the shared span at a random position
+        val t = if (id % 3 == 0) {
+          val at = rnd.nextInt(body.length + 1)
+          (body.take(at) ++ shared.split(" ") ++ body.drop(at)).mkString(" ")
+        } else body.mkString(" ")
+        (id, t)
+      }
+      val expect = reference(docs, w)
+      val got = Dedup.removeDuplicatePassages(docs.toDF("doc_id", "text"),
+          "doc_id", "text", w)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(got == expect, s"trial $trial (w=$w) diverged from reference")
+    }
+  }
+
+  test("mmrSelectInt8 matches the driver greedy on fuzzed vector panels") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 3) {
+      val dims = 4 + rnd.nextInt(5)
+      val n = 12 + rnd.nextInt(10)
+      val vecs = (1L to n.toLong).map(i =>
+        (i, Array.fill(dims)(rnd.nextFloat() * 2 - 1)))
+      val k = 2 + rnd.nextInt(4)
+      val shortlist = k + rnd.nextInt(5)
+      val queries = vecs.take(2)
+      val got = Similarity.mmrSelectInt8(vecs.toDF("vec_id", "embedding"),
+          queries.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          k, shortlist, lambdaNum = 1, lambdaDen = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      // driver replay
+      def q8(v: Array[Float]): Array[Long] = {
+        val m = v.map(x => math.abs(x.toDouble)).max
+        v.map(x => if (m == 0) 0L else math.round(x.toDouble * 127.0 / m))
+      }
+      val codes = vecs.map { case (i, v) => i -> q8(v) }.toMap
+      def dot(a: Array[Long], b: Array[Long]): Long =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      val expect = queries.flatMap { case (qid, qv) =>
+        val rels = vecs.collect { case (cid, _) if cid != qid =>
+          cid -> dot(q8(qv), codes(cid)) }
+        val short = rels.sortBy { case (cid, r) => (-r, cid) }.take(shortlist)
+        var chosen = List.empty[Long]
+        (1 to math.min(k, short.size)).map { it =>
+          val scored = short.filterNot(c => chosen.contains(c._1)).map { case (cid, r) =>
+            val s = if (chosen.isEmpty) r
+              else r - chosen.map(sc => dot(codes(cid), codes(sc))).max
+            (cid, s)
+          }
+          val pick = scored.minBy { case (cid, s) => (-s, cid) }._1
+          chosen ::= pick
+          (qid, it, pick)
+        }
+      }.toSet
+      assert(got == expect, s"trial $trial (k=$k, C=$shortlist) diverged")
+    }
+  }
 }
