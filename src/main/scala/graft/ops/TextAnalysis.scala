@@ -554,6 +554,79 @@ object TextAnalysis {
           .as("avg_logw"))
   }
 
+  /** Corpus drift report — snapshot-over-snapshot distribution shift,
+    * the "did this crawl change under me" check a training pipeline runs
+    * before kicking off a multi-week job. Per group (language, source,
+    * split): document/token deltas, the fraction of new-snapshot tokens
+    * falling in hashed-unigram buckets the OLD snapshot never saw
+    * (vocabulary novelty), and the L1 distance between the two
+    * bucket distributions (total-variation ×2 over the hashing-trick
+    * feature space — the [[dsirScore]] buckets).
+    *
+    * Determinism: every per-bucket L1 contribution is
+    * floor(10⁶·|p_new − p_old|) — both p's are quotients of exact
+    * integers, the subtraction/abs are single IEEE ops, and the
+    * cross-bucket SUM is over integers, so no float-accumulation order
+    * can leak in (the t15/t33 discipline). Rates are exact integer
+    * quotients.
+    *
+    * Scale: two bucket-count aggregates (≤ groups × 16^hexChars rows
+    * survive map-side combine), a full-outer bucket join, per-group
+    * totals joined back, one integer aggregate — text never shuffles.
+    * Output, one row per group present in either snapshot:
+    * (groupCol, n_docs_old, n_docs_new, n_tokens_old, n_tokens_new,
+    * new_bucket_tokens, new_bucket_rate, l1_drift_micro). */
+  def driftReport(oldDf: org.apache.spark.sql.DataFrame,
+                  newDf: org.apache.spark.sql.DataFrame,
+                  textCol: String, groupCol: String,
+                  hexChars: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8,
+      s"hexChars must be in [1, 8]: $hexChars")
+    def buckets(df: org.apache.spark.sql.DataFrame, cnt: String) =
+      df.select(col(groupCol).as("_g"),
+          explode(split(col(textCol), " ")).as("_tok"))
+        .select(col("_g"), substring(md5(col("_tok")), 1, hexChars).as("_b"))
+        .groupBy("_g", "_b").agg(count(lit(1)).as(cnt))
+    def totals(df: org.apache.spark.sql.DataFrame, docs: String, toks: String) =
+      df.select(col(groupCol).as("_g"),
+          size(split(col(textCol), " ")).cast("long").as("_n"))
+        .groupBy("_g")
+        .agg(count(lit(1)).as(docs), sum(col("_n")).as(toks))
+    val bo = buckets(oldDf, "_co")
+    val bn = buckets(newDf, "_cn")
+    val to = totals(oldDf, "n_docs_old", "n_tokens_old")
+    val tn = totals(newDf, "n_docs_new", "n_tokens_new")
+    val tot = to.join(tn, Seq("_g"), "full_outer")
+      .select(col("_g"),
+        coalesce(col("n_docs_old"), lit(0L)).as("n_docs_old"),
+        coalesce(col("n_docs_new"), lit(0L)).as("n_docs_new"),
+        coalesce(col("n_tokens_old"), lit(0L)).as("n_tokens_old"),
+        coalesce(col("n_tokens_new"), lit(0L)).as("n_tokens_new"))
+    val perBucket = bo.join(bn, Seq("_g", "_b"), "full_outer")
+      .select(col("_g"),
+        coalesce(col("_co"), lit(0L)).as("_co"),
+        coalesce(col("_cn"), lit(0L)).as("_cn"))
+      .join(tot, "_g")
+      // greatest(total, 1): an absent-side group divides 0/1, never 0/0
+      // (Spark 4 ANSI double division THROWS on /0)
+      .withColumn("_contrib", floor(lit(1e6) * abs(
+        col("_cn") / greatest(col("n_tokens_new"), lit(1L)) -
+        col("_co") / greatest(col("n_tokens_old"), lit(1L)))).cast("long"))
+      .withColumn("_novel", when(col("_co") === 0, col("_cn")).otherwise(lit(0L)))
+    val agg = perBucket.groupBy("_g")
+      .agg(sum(col("_contrib")).as("l1_drift_micro"),
+        sum(col("_novel")).as("new_bucket_tokens"))
+    tot.join(agg, Seq("_g"), "left")
+      .select(col("_g").as(groupCol),
+        col("n_docs_old"), col("n_docs_new"),
+        col("n_tokens_old"), col("n_tokens_new"),
+        coalesce(col("new_bucket_tokens"), lit(0L)).as("new_bucket_tokens"),
+        (coalesce(col("new_bucket_tokens"), lit(0L)) /
+          greatest(col("n_tokens_new"), lit(1L)).cast("double"))
+          .as("new_bucket_rate"),
+        coalesce(col("l1_drift_micro"), lit(0L)).as("l1_drift_micro"))
+  }
+
   /** Winnowing fingerprint (row-level; Schleimer/Wilkerson/Aiken-style):
     * k-gram rolling hashes, minimum per sliding window, distinct kept
     * set. The kernel form ([[graft.functions.WinnowExpression]]) shares

@@ -617,6 +617,18 @@ object OpsQueries extends QueryPack {
           "doc_id", "text", w = 12)
         .orderBy("doc_id")),
 
+    // snapshot drift report: even-id docs are the "old" crawl, odd-id the
+    // "new"; per-language doc/token deltas, novel-bucket token rate, and
+    // integer-quantized L1 bucket-distribution distance
+    "t34_drift_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+      TextAnalysis.driftReport(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "text", "lang")
+        .orderBy("lang")
+    }),
+
     // DSIR importance weights toward the English subset: hashed unigram
     // buckets (3 hex chars of md5 = 4096), integer micro-nat weights —
     // the importance-resampling score a curation pass would rank by
@@ -1619,6 +1631,62 @@ object OpsQueries extends QueryPack {
            GROUP BY t.doc_id)
          SELECT doc_id, n_tokens, n_removed, clean_text
          FROM agg ORDER BY doc_id""",
+
+    // same split, same md5-3hex buckets, same floor(1e6·|Δp|) integer
+    // quantization (each p an exact-integer quotient, the cross-bucket
+    // sum over integers — no float accumulation order anywhere)
+    "t34_drift_report" ->
+      """WITH olds AS (SELECT lang, text FROM documents WHERE doc_id % 2 = 0),
+         news AS (SELECT lang, text FROM documents WHERE doc_id % 2 = 1),
+         bo AS (
+           SELECT lang AS g, substr(md5(tok), 1, 3) AS b, count(*) AS co
+           FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM olds)
+           GROUP BY 1, 2),
+         bn AS (
+           SELECT lang AS g, substr(md5(tok), 1, 3) AS b, count(*) AS cn
+           FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM news)
+           GROUP BY 1, 2),
+         t_o AS (
+           SELECT lang AS g, count(*) AS n_docs_old,
+             CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT)
+               AS n_tokens_old
+           FROM olds GROUP BY 1),
+         t_n AS (
+           SELECT lang AS g, count(*) AS n_docs_new,
+             CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT)
+               AS n_tokens_new
+           FROM news GROUP BY 1),
+         tot AS (
+           SELECT coalesce(t_o.g, t_n.g) AS g,
+             coalesce(n_docs_old, 0) AS n_docs_old,
+             coalesce(n_docs_new, 0) AS n_docs_new,
+             coalesce(n_tokens_old, 0) AS n_tokens_old,
+             coalesce(n_tokens_new, 0) AS n_tokens_new
+           FROM t_o FULL OUTER JOIN t_n ON t_o.g = t_n.g),
+         pb AS (
+           SELECT coalesce(bo.g, bn.g) AS g,
+             coalesce(co, 0) AS co, coalesce(cn, 0) AS cn
+           FROM bo FULL OUTER JOIN bn ON bo.g = bn.g AND bo.b = bn.b),
+         pb2 AS (
+           SELECT pb.g,
+             CAST(floor(1000000 * abs(
+               cn / CAST(greatest(n_tokens_new, 1) AS DOUBLE) -
+               co / CAST(greatest(n_tokens_old, 1) AS DOUBLE))) AS BIGINT)
+               AS contrib,
+             CASE WHEN co = 0 THEN cn ELSE 0 END AS novel
+           FROM pb JOIN tot ON pb.g = tot.g),
+         agg AS (
+           SELECT g, CAST(sum(contrib) AS BIGINT) AS l1_drift_micro,
+             CAST(sum(novel) AS BIGINT) AS new_bucket_tokens
+           FROM pb2 GROUP BY 1)
+         SELECT tot.g AS lang, n_docs_old, n_docs_new,
+           n_tokens_old, n_tokens_new,
+           CAST(coalesce(new_bucket_tokens, 0) AS BIGINT) AS new_bucket_tokens,
+           coalesce(new_bucket_tokens, 0) /
+             CAST(greatest(n_tokens_new, 1) AS DOUBLE) AS new_bucket_rate,
+           CAST(coalesce(l1_drift_micro, 0) AS BIGINT) AS l1_drift_micro
+         FROM tot LEFT JOIN agg ON tot.g = agg.g
+         ORDER BY lang""",
 
     // weight tree mirrors the engine's ln((ct+1)/(nt+4096)) −
     // ln((cr+1)/(nr+4096)) exactly; floor (not round) because weights go

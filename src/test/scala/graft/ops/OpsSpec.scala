@@ -1657,4 +1657,28 @@ class OpsSpec extends SparkSpec {
       assert(got == expect, s"trial $trial (k=$k, C=$shortlist) diverged")
     }
   }
+  test("driftReport: identical snapshots drift 0; disjoint vocab maxes out") {
+    import spark.implicits._
+    val a = Seq((1L, "en", "aa bb cc dd"), (2L, "en", "aa bb ee ff"),
+      (3L, "de", "gg hh")).toDF("doc_id", "lang", "text")
+    val same = TextAnalysis.driftReport(a, a, "text", "lang")
+      .orderBy("lang").collect()
+    same.foreach { r =>
+      assert(r.getLong(5) == 0L && r.getLong(7) == 0L,
+        s"identical snapshots must report zero drift: $r")
+      assert(r.getLong(1) == r.getLong(2) && r.getLong(3) == r.getLong(4))
+    }
+    // completely new vocabulary: every new token is novel, L1 = 2.0
+    val b = Seq((4L, "en", "xx yy zz ww")).toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.driftReport(a.filter(col("lang") === "en"), b,
+      "text", "lang").collect()(0)
+    assert(r.getLong(5) == 4L && r.getDouble(6) == 1.0)
+    assert(r.getLong(7) >= 1990000L && r.getLong(7) <= 2000000L,
+      s"disjoint distributions must be ~2e6 micro L1: ${r.getLong(7)}")
+    // a group absent from one snapshot survives with zero-side totals
+    val g = TextAnalysis.driftReport(a, a.filter(col("lang") === "en"),
+      "text", "lang").orderBy("lang").collect()
+    val de = g.find(_.getString(0) == "de").get
+    assert(de.getLong(2) == 0L && de.getLong(4) == 0L && de.getLong(7) == 1000000L)
+  }
 }
