@@ -127,32 +127,53 @@ final class WdsPartitionReader(part: WdsInputPartition, required: StructType)
   }
 
   /** Reads the next tar entry into (pendingName, pendingData); false at
-    * end of archive. Data is skipped (seek) unless `entries` is needed. */
+    * end of archive. Data is skipped (seek) unless `entries` is needed.
+    * Foreign-archive tolerance: GNU long-name entries ('L') apply to the
+    * following entry; pax extended headers ('x'/'g') and non-file types
+    * (dirs, links) are skipped — so shards produced by external tools
+    * still sample correctly, not just [[graft.sinks.WebDatasetWriter]]'s. */
   private def readEntry(): Boolean = {
-    if (eof) return false
-    if (pos + 512 > part.length) { eof = true; return false }
-    in.readFully(pos, header, 0, 512)
-    if (header(0) == 0) { eof = true; return false } // zero block = end
-    val magic = headerString(257, 6)
-    require(magic == "ustar" || magic.startsWith("ustar"),
-      s"${part.path}@$pos: not a ustar header (magic '$magic')")
-    val name = headerString(0, 100)
-    val size = java.lang.Long.parseLong(headerString(124, 12).trim, 8)
-    val typeflag = header(156)
-    pos += 512
-    val dataStart = pos
-    pos += ((size + 511) / 512) * 512
-    // only regular files participate in samples (dirs/links skipped)
-    if (typeflag != '0' && typeflag != 0) return readEntry()
-    pendingName = name
-    pendingData =
-      if (!needEntries) Array.emptyByteArray
-      else {
-        val b = new Array[Byte](size.toInt)
-        in.readFully(dataStart, b, 0, size.toInt)
-        b
+    var longName: String = null
+    while (true) {
+      if (eof) return false
+      if (pos + 512 > part.length) { eof = true; return false }
+      in.readFully(pos, header, 0, 512)
+      if (header(0) == 0) { eof = true; return false } // zero block = end
+      val magic = headerString(257, 6)
+      require(magic == "ustar" || magic.startsWith("ustar"),
+        s"${part.path}@$pos: not a ustar header (magic '$magic')")
+      val name = headerString(0, 100)
+      val size = java.lang.Long.parseLong(headerString(124, 12).trim, 8)
+      val typeflag = header(156)
+      pos += 512
+      val dataStart = pos
+      pos += ((size + 511) / 512) * 512
+      typeflag match {
+        case 'L' => // GNU long name: the data IS the next entry's name
+          require(size <= 4096, s"${part.path}@$dataStart: longname $size B")
+          val b = new Array[Byte](size.toInt)
+          in.readFully(dataStart, b, 0, size.toInt)
+          var n = b.length
+          while (n > 0 && b(n - 1) == 0) n -= 1
+          longName = new String(b, 0, n, java.nio.charset.StandardCharsets.UTF_8)
+        case '0' | 0 =>
+          pendingName = if (longName != null) longName else name
+          pendingData =
+            if (!needEntries) Array.emptyByteArray
+            else {
+              require(size <= Int.MaxValue,
+                s"${part.path}: entry $name is ${size} B — tar entries " +
+                  "above 2 GiB exceed a JVM array (re-shard the sample)")
+              val b = new Array[Byte](size.toInt)
+              in.readFully(dataStart, b, 0, size.toInt)
+              b
+            }
+          return true
+        case _ => // pax headers, dirs, links: not sample entries
+          longName = null
       }
-    true
+    }
+    false
   }
 
   private def baseAndExt(name: String): (String, String) = {

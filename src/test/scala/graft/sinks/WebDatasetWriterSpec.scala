@@ -120,4 +120,24 @@ class WebDatasetWriterSpec extends SparkSpec {
       keyOnly.queryExecution.executedPlan.toString)
     assert(keyOnly.count() == 25)
   }
+  test("reader tolerates foreign archives: GNU long names, directories") {
+    if (Files.exists(Paths.get("/bin/tar")) || Files.exists(Paths.get("/usr/bin/tar"))) {
+      import scala.sys.process._
+      val work = Files.createTempDirectory("graft-wds-foreign")
+      val sub = Files.createDirectory(work.resolve("d"))
+      val longBase = "x" * 120 // > 100 chars forces a GNU 'L' entry
+      Files.write(sub.resolve(s"$longBase.txt"), "long payload".getBytes)
+      Files.write(sub.resolve("short.txt"), "short payload".getBytes)
+      val shardDir = Files.createTempDirectory("graft-wds-foreign-shard")
+      // archive contains a DIRECTORY entry plus a long-named member
+      assert(Seq("tar", "-cf", s"$shardDir/shard-000000.tar", "-C",
+        work.toString, "d").! == 0)
+      val back = spark.read.format("webdataset")
+        .option("path", shardDir.toString).load()
+        .collect().map(r => r.getString(0) -> r.getMap[String, Array[Byte]](1)).toMap
+      assert(back.keySet == Set(s"d/$longBase", "d/short"))
+      assert(new String(back(s"d/$longBase")("txt")) == "long payload")
+      assert(new String(back("d/short")("txt")) == "short payload")
+    }
+  }
 }
