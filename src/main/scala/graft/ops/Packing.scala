@@ -76,4 +76,53 @@ object Packing {
         expr(s"_start DIV $budget").as("bin"),
         (col("_start") % budget).as("bin_offset"))
   }
+
+  /** First-fit-decreasing bin packing WITHOUT document splitting — the
+    * padding-minimizing packer for training runs that must not cut
+    * documents mid-sequence (contrastive pairs, instruction examples;
+    * [[packSequences]] is the splitting concat-and-chunk alternative).
+    * Documents sort by (tokens desc, id) and greedily fill the first bin
+    * with room; a document over the budget opens its own (oversized)
+    * bin. FFD is the classic 11/9·OPT + 6/9 guarantee.
+    *
+    * FFD is inherently sequential, so it runs per CHUNK: chunk =
+    * id DIV `chunkIdSpan` — a pure narrow function of the id (no global
+    * ordinal, no shuffle for the assignment; ids are unique, so a chunk
+    * holds ≤ chunkIdSpan documents, which bounds the per-group greedy
+    * state). Bins never span chunks — the boundary-fragmentation cost of
+    * parallelizing, bounded by one partially-empty bin set per chunk and
+    * shrinking as chunkIdSpan grows. Only (id, n) pairs shuffle.
+    *
+    * All arithmetic is integer, so the assignment is bit-reproducible on
+    * any engine — the oracle (t35) replays the same greedy as a DuckDB
+    * recursive CTE. Output: (idCol, n_tokens, chunk, bin_ix), bin_ix
+    * 1-based within the chunk, orderable into global bin ids as
+    * (chunk, bin_ix). */
+  def packBinsFFD(df: DataFrame, idCol: String, tokCol: String,
+                  budget: Long, chunkIdSpan: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1: $budget")
+    require(chunkIdSpan >= 1, s"chunkIdSpan must be >= 1: $chunkIdSpan")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("_id"),
+        col(tokCol).cast("long").as("_n"),
+        // integer DIV, not double division: floor-equal for the
+        // non-negative id contract and precision-safe at any id magnitude
+        expr(s"CAST(`$idCol` AS BIGINT) DIV $chunkIdSpan").as("_c"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroups { (chunk, it) =>
+        val items = it.toArray.sortBy(t => (-t._2, t._1))
+        val bins = scala.collection.mutable.ArrayBuffer[Long]()
+        items.iterator.map { case (id, n, _) =>
+          var ix = bins.indexWhere(_ >= n)
+          if (ix < 0) {
+            bins += math.max(budget - n, 0L)
+            ix = bins.length - 1
+          } else bins(ix) -= n
+          (id, n, chunk, ix + 1)
+        }
+      }
+      .toDF(idCol, "n_tokens", "chunk", "bin_ix")
+  }
 }

