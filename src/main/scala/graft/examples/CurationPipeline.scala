@@ -145,6 +145,33 @@ object CurationPipeline {
       partitionCols = Seq("split", "lang"),
       clusterBy = Seq(col("doc_id")))
 
+  /** Curated corpus → training shards: FFD-pack the documents into
+    * token-budget bins without splitting any document
+    * ([[graft.ops.Packing.packBinsFFD]]), then export WebDataset tar
+    * shards ([[graft.sinks.WebDatasetWriter]]) where each sample carries
+    * its text payload plus a JSON sidecar naming its (chunk, bin) — the
+    * loader-side grouping key for assembling packed sequences. The
+    * end-to-end terminal step after [[curate]]: every stage is
+    * deterministic, so a re-run reproduces byte-identical shards. */
+  def exportTrainingShards(docs: DataFrame, path: String,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           tokenBudget: Long = 2048L,
+                           chunkIdSpan: Long = 1 << 20,
+                           numShards: Int = 64): Unit = {
+    val toks = docs.select(col(idCol), col(textCol),
+      TextAnalysis.tokenCountWs(col(textCol)).as("_n_tok"))
+    val packed = graft.ops.Packing.packBinsFFD(
+      toks.select(col(idCol), col("_n_tok")), idCol, "_n_tok",
+      tokenBudget, chunkIdSpan)
+    val samples = toks.join(packed, idCol)
+    graft.sinks.WebDatasetWriter.writeShards(samples, path, idCol,
+      Seq(
+        "json" -> to_json(struct(col("chunk"), col("bin_ix"),
+          col("n_tokens"))),
+        "txt" -> col(textCol)),
+      numShards)
+  }
+
   /** Diversity-balanced corpus mix: cluster the embedding space
     * (spherical k-means, driver-trained centroids + one narrow
     * assignment pass), then cap each cluster's document count — so no

@@ -208,4 +208,32 @@ class CurationPipelineSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(out == Set(301L, 302L), s"DSIR gate kept $out")
   }
+  test("exportTrainingShards: curate -> FFD pack -> webdataset round trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-train-shards").toString
+    val curated = CurationPipeline.curate(docs, benchmark)
+      .select("doc_id", "text")
+    CurationPipeline.exportTrainingShards(curated, dir,
+      tokenBudget = 64L, chunkIdSpan = 32L, numShards = 4)
+    val back = spark.read.format("webdataset").option("path", dir).load()
+    assert(back.count() == curated.count())
+    // every sample carries its packing sidecar and its text
+    val one = back.limit(1).collect()(0)
+    val m = one.getMap[String, Array[Byte]](1)
+    assert(m.contains("json") && m.contains("txt"))
+    val meta = new String(m("json"), "UTF-8")
+    assert(meta.contains("\"chunk\"") && meta.contains("\"bin_ix\"")
+      && meta.contains("\"n_tokens\""), meta)
+    // determinism: a second export writes byte-identical shards
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-train-shards2").toString
+    CurationPipeline.exportTrainingShards(curated, dir2,
+      tokenBudget = 64L, chunkIdSpan = 32L, numShards = 4)
+    for (i <- 0 until 4) {
+      val a = java.nio.file.Paths.get(dir, f"shard-$i%06d.tar")
+      val b = java.nio.file.Paths.get(dir2, f"shard-$i%06d.tar")
+      assert(java.nio.file.Files.exists(a) == java.nio.file.Files.exists(b))
+      if (java.nio.file.Files.exists(a))
+        assert(java.util.Arrays.equals(
+          java.nio.file.Files.readAllBytes(a), java.nio.file.Files.readAllBytes(b)))
+    }
+  }
 }
