@@ -434,6 +434,14 @@ object RelationalQueries extends QueryPack {
     // deduplicated per (user, µs) keeping the MIN event_id — forward
     // semantics pick the smallest (time, tie), so the surviving row is
     // the one both engines agree on.
+    // fixed hourly grid per user with LOCF gap fill: pandas
+    // resample().ffill() as one bounded-window Spark plan; grid bounds
+    // are per-key aggregates, the fill window partitions by user
+    "q37_resample_locf" -> ((s, d) =>
+      graft.ops.Resample.resampleLocf(Tables.events(s, d), "user_id",
+          "ts_us", col("value"), stepUs = 3600000000L)
+        .orderBy("user_id", "bucket_us")),
+
     "q36_asof_forward" -> ((s, d) => {
       val (clicks, views) = clicksAndViews(s, d)
       graft.ops.AsOf.asofForwardChunked(clicks, dedupViewsMin(views),
@@ -797,6 +805,38 @@ object RelationalQueries extends QueryPack {
 
     // forward direction: ASOF with the inequality flipped picks the
     // smallest v.ts_us >= click; ties pre-collapsed to MIN event_id
+    // same integer bucket grid (epoch-us DIV-aligned), same decimal-sum
+    // rounding, same IGNORE NULLS carry within the unbounded-to-current
+    // frame; first bucket per user is occupied so v_filled is total
+    "q37_resample_locf" ->
+      """WITH ev AS (
+           SELECT user_id,
+             epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
+             CAST(value AS DECIMAL(18,2)) AS v
+           FROM events),
+         hourly AS (
+           SELECT user_id, bucket_us, count(*) AS n,
+             CAST(round(sum(v), 2) AS DOUBLE) AS s
+           FROM ev GROUP BY 1, 2),
+         bounds AS (
+           SELECT user_id, min(bucket_us) AS lo, max(bucket_us) AS hi
+           FROM hourly GROUP BY 1),
+         grid AS (
+           SELECT user_id, unnest(generate_series(lo, hi, 3600000000))
+             AS bucket_us
+           FROM bounds),
+         j AS (
+           SELECT g.user_id, g.bucket_us, h.n, h.s
+           FROM grid g LEFT JOIN hourly h
+             ON g.user_id = h.user_id AND g.bucket_us = h.bucket_us)
+         SELECT user_id, bucket_us,
+           CAST(coalesce(n, 0) AS BIGINT) AS n,
+           coalesce(s, last_value(s IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS v_filled,
+           CAST(s IS NULL AS INT) AS filled
+         FROM j ORDER BY user_id, bucket_us""",
+
     "q36_asof_forward" ->
       """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id,
                             event_type, value FROM events),
