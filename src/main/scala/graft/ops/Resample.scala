@@ -42,8 +42,17 @@ object Resample {
       .groupBy(keyCol, "bucket_us")
       .agg(count(lit(1)).as("n"),
         round(sum(col("_v")), 2).cast("double").as("_sum"))
+    val parallelism =
+      math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    // EXPLICIT numbered round-robin before the explode: the grid fan-out
+    // multiplies rows AFTER the bounds exchange, whose byte size (one
+    // tiny row per key) AQE's coalescing reads as "one partition is
+    // plenty" — serializing the whole explode+join+fill chain (measured
+    // 3.4× slower than AQE-off at sf1). A repartition with an explicit
+    // count is never coalesced, so the fan-out stays parallel
     val grid = hourly.groupBy(keyCol)
       .agg(min("bucket_us").as("_lo"), max("bucket_us").as("_hi"))
+      .repartition(parallelism)
       .select(col(keyCol),
         explode(when(
           ((col("_hi") - col("_lo")) / stepUs) < maxGridPerKey,
@@ -55,7 +64,14 @@ object Resample {
           ).as("bucket_us"))
     val w = Window.partitionBy(keyCol).orderBy("bucket_us")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // and an explicit keyed repartition before the fill window, for the
+    // same reason: the post-join frame's bytes per row are small enough
+    // that byte-based coalescing starves the window of tasks. The window
+    // reuses this partitioning (clusterBy key ⊆ hash(key)), so this
+    // REPLACES the exchange EnsureRequirements would insert — no extra
+    // shuffle vs the AQE-off plan
     grid.join(hourly, Seq(keyCol, "bucket_us"), "left")
+      .repartition(parallelism, col(keyCol))
       .select(col(keyCol), col("bucket_us"),
         coalesce(col("n"), lit(0L)).as("n"),
         coalesce(col("_sum"), last(col("_sum"), ignoreNulls = true).over(w))
