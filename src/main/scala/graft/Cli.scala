@@ -68,7 +68,8 @@ object Cli {
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case "process" | "marcout" | "commit" if inputs.isEmpty => command = args(i)
+        case "process" | "marcout" | "commit" | "curate" if inputs.isEmpty =>
+          command = args(i)
         case "-i" => i += 1; inputType = args(i)
         case "-o" => i += 1; outDir = args(i)
         case "-w" => i += 1; writer = args(i)
@@ -91,6 +92,47 @@ object Cli {
       if (resp.status < 200 || resp.status >= 300)
         sys.error(s"Solr commit failed: HTTP ${resp.status}: ${resp.body}")
       System.err.println(s"[graft] commit sent to ${SolrJsonSink.commitUrl(st)}")
+      return
+    }
+
+    if (command == "curate") {
+      // training-corpus curation over parquet document tables
+      // (doc_id, text, lang): the §2.9 pipeline from spark-submit.
+      //   graft.Cli curate -o outdir [-w parquet|jsonl|webdataset]
+      //     [-s curate.benchmark=path] [-s curate.langs=en,de]
+      //     [-s curate.passage_window=12] [-s curate.token_budget=N]
+      //     [-s curate.shards=64] docs.parquet...
+      require(inputs.nonEmpty, "no input document tables given")
+      import spark.implicits._
+      val docs = inputs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+      val benchmark = settings.get("curate.benchmark")
+        .map(p => spark.read.parquet(p).select("text"))
+        .getOrElse(Seq.empty[String].toDF("text"))
+      val cfg = examples.CurationPipeline.Config(
+        nearDupThreshold = settings.get("curate.near_dup_threshold")
+          .map(_.toDouble).getOrElse(0.8),
+        minQuality = settings.get("curate.min_quality")
+          .map(_.toDouble).getOrElse(0.3),
+        langs = settings.get("curate.langs").map(_.split(",").toSeq)
+          .getOrElse(Seq("en", "es", "de", "fr")),
+        passageDedupWindow = settings.get("curate.passage_window").map(_.toInt),
+        tokenBudget = settings.get("curate.token_budget").map(_.toLong))
+      val curated = examples.CurationPipeline.curate(docs, benchmark, cfg = cfg)
+      writer match {
+        case "parquet" | "json" =>
+          sinks.CorpusWriter.writeCurated(curated, outDir,
+            partitionCols = Seq("split", "lang"))
+        case "jsonl" =>
+          sinks.CorpusWriter.writeJsonl(curated, outDir,
+            partitionCols = Seq("split", "lang"))
+        case "webdataset" =>
+          examples.CurationPipeline.exportTrainingShards(
+            curated.select("doc_id", "text"), outDir,
+            numShards = settings.get("curate.shards").map(_.toInt).getOrElse(64))
+        case other => sys.error(s"unknown curate writer $other")
+      }
+      System.err.println(
+        s"[graft] curate: wrote ${curated.count()} documents to $outDir")
       return
     }
 

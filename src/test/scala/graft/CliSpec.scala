@@ -123,4 +123,25 @@ class CliSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("bogus"))
   }
+  test("curate subcommand runs the curation pipeline over parquet documents") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("cli-curate-in").toString
+    spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select("doc_id", "text", "lang").write.mode("overwrite").parquet(inDir)
+    val outDir = java.nio.file.Files.createTempDirectory("cli-curate-out").toString
+    Cli.run(Seq("curate", "-o", outDir,
+      "-s", "curate.langs=en,es,de,fr,ja,zz",
+      "-s", "curate.passage_window=12", inDir), spark, new FakeTransport())
+    val back = spark.read.parquet(outDir)
+    assert(back.count() > 0)
+    assert(back.columns.toSet == Set("doc_id", "text", "lang", "split"))
+
+    // webdataset writer variant produces readable shards
+    val wdsDir = java.nio.file.Files.createTempDirectory("cli-curate-wds").toString
+    Cli.run(Seq("curate", "-o", wdsDir, "-w", "webdataset",
+      "-s", "curate.langs=en,es,de,fr,ja,zz", "-s", "curate.shards=3", inDir),
+      spark, new FakeTransport())
+    val shards = spark.read.format("webdataset").option("path", wdsDir).load()
+    assert(shards.count() == back.count())
+  }
 }
