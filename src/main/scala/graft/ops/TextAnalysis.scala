@@ -532,7 +532,7 @@ object TextAnalysis {
                 textCol: String, targetFilter: Column,
                 hexChars: Int = 3): org.apache.spark.sql.DataFrame = {
     val model = dsirModel(df, textCol, targetFilter, hexChars)
-    val toks = df.select(col(idCol), targetFilter.as("_tgt"),
+    val toks = df.select(col(idCol),
       explode_outer(split(col(textCol), " ")).as("_tok"))
       .withColumn("_b", substring(md5(col("_tok")), 1, hexChars))
     val spark = df.sparkSession
