@@ -87,6 +87,19 @@ object GraftSqlFunctions {
       "graft_shingle_jaccard(a, b) - Jaccard similarity of two shingle arrays",
       { case Seq(a, b) => ShingleJaccardExpression(a, b) }),
 
+    ("graft_quantile_sketch",
+      "graft_quantile_sketch(value, capacity) - aggregate: bounded mergeable " +
+        "quantile summary as array<struct<v,w>>; exact while inputs fit capacity",
+      { case Seq(v, c) =>
+        QuantileSketch(v, int(c, "graft_quantile_sketch", "capacity"))
+          .toAggregateExpression() }),
+
+    ("graft_sketch_quantile",
+      "graft_sketch_quantile(sketch, num, den) - discrete quantile of a " +
+        "graft_quantile_sketch summary at num/den (q24's rank convention)",
+      { case Seq(s, n, d) =>
+        SketchQuantileExpression(s, Cast(n, LongType), Cast(d, LongType)) }),
+
     ("graft_window_hashes",
       "graft_window_hashes(text, w) - md5 hex of every w-token window by " +
         "position (the passage-dedup kernel; [] when fewer than w tokens)",

@@ -617,6 +617,27 @@ object OpsQueries extends QueryPack {
           "doc_id", "text", w = 12)
         .orderBy("doc_id")),
 
+    // mergeable quantile sketch in its exact-when-fits contract (the t29
+    // discipline): capacity 4096 >= any event_type's row count at the
+    // gate sf, so the sketch holds every value and its quantiles are the
+    // exact discrete percentiles DuckDB computes by sorting — through
+    // spark.sql, exercising both registry entries
+    "t36_quantile_sketch" -> ((s, d) => {
+      val v = s"qsk_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      Tables.events(s, d).select(col("event_type"), col("value"))
+        .createOrReplaceTempView(v)
+      val out = s.sql(
+        s"""SELECT event_type,
+              graft_sketch_quantile(sk, 1, 2) AS p50,
+              graft_sketch_quantile(sk, 9, 10) AS p90,
+              graft_sketch_quantile(sk, 99, 100) AS p99
+            FROM (SELECT event_type, graft_quantile_sketch(value, 4096) AS sk
+                  FROM $v GROUP BY event_type)
+            ORDER BY event_type""")
+      s.catalog.dropTempView(v)
+      out
+    }),
+
     // first-fit-decreasing bin packing (no document splitting), 128-token
     // bins, 64-id chunks: the greedy is pure integer arithmetic, replayed
     // bit-for-bit by a DuckDB recursive CTE
@@ -1642,6 +1663,24 @@ object OpsQueries extends QueryPack {
            GROUP BY t.doc_id)
          SELECT doc_id, n_tokens, n_removed, clean_text
          FROM agg ORDER BY doc_id""",
+
+    // exact-mode ground truth by sorting: the k-th smallest value at the
+    // engine's rank convention clamp((num*(n+1)) DIV den, 1, n) — the
+    // selected VALUE is tie-order-independent
+    "t36_quantile_sketch" ->
+      """WITH r AS (
+           SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+         SELECT event_type,
+           max(CASE WHEN rn = greatest(least(1 * (n + 1) // 2, n), 1)
+                    THEN value END) AS p50,
+           max(CASE WHEN rn = greatest(least(9 * (n + 1) // 10, n), 1)
+                    THEN value END) AS p90,
+           max(CASE WHEN rn = greatest(least(99 * (n + 1) // 100, n), 1)
+                    THEN value END) AS p99
+         FROM r GROUP BY event_type ORDER BY event_type""",
 
     // the exact engine greedy unrolled as a recursive CTE: per chunk, one
     // recursion step per document in (n desc, id) order; the capacity

