@@ -647,6 +647,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowed latency quantiles: the quantile sketch aggregates per event-time window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+    val mem = MemoryStream[(Timestamp, Double)]
+    val evs = mem.toDF().toDF("ts", "latency_ms")
+    val out = evs
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "30 minutes"))
+      .agg(graft.functions.QuantileSketchAggregate
+        .quantileSketch(col("latency_ms"), 1024).as("sk"))
+      .select(col("window.start").as("w"),
+        graft.functions.QuantileSketchAggregate
+          .sketchQuantile(col("sk"), 1, 2).as("p50"),
+        graft.functions.QuantileSketchAggregate
+          .sketchQuantile(col("sk"), 9, 10).as("p90"))
+    val query = out.writeStream.format("memory").queryName("lat_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // 20 latencies 1..20 in the first window: exact mode (fits 1024)
+      mem.addData((1 to 20).map(i => (at(i % 25), i.toDouble)): _*)
+      query.processAllAvailable()
+      mem.addData((at(50), 999.0)) // advance watermark, emit window 1
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT w, p50, p90 FROM lat_out").collect()
+      assert(rows.nonEmpty)
+      val first = rows.minBy(_.getTimestamp(0).getTime)
+      // rank convention: k = (num*(n+1)) DIV den over n = 20 values
+      assert(first.getDouble(1) == 10.0, s"p50 ${first.getDouble(1)}")
+      assert(first.getDouble(2) == 18.0, s"p90 ${first.getDouble(2)}")
+    } finally query.stop()
+  }
+
   test("streaming decontamination gate drops benchmark-overlapping docs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
