@@ -618,9 +618,10 @@ object OpsQueries extends QueryPack {
         .orderBy("doc_id")),
 
     // mergeable quantile sketch in its exact-when-fits contract (the t29
-    // discipline): capacity 4096 >= any event_type's row count at the
-    // gate sf, so the sketch holds every value and its quantiles are the
-    // exact discrete percentiles DuckDB computes by sorting — through
+    // discipline): capacity 32768 >= the WHOLE events table at the gate
+    // sf (10k rows), so the exact-mode contract survives any regeneration
+    // that reshuffles event_type frequencies; quantiles are the exact
+    // discrete percentiles DuckDB computes by sorting — through
     // spark.sql, exercising both registry entries
     "t36_quantile_sketch" -> ((s, d) => {
       val v = s"qsk_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -631,7 +632,7 @@ object OpsQueries extends QueryPack {
               graft_sketch_quantile(sk, 1, 2) AS p50,
               graft_sketch_quantile(sk, 9, 10) AS p90,
               graft_sketch_quantile(sk, 99, 100) AS p99
-            FROM (SELECT event_type, graft_quantile_sketch(value, 4096) AS sk
+            FROM (SELECT event_type, graft_quantile_sketch(value, 32768) AS sk
                   FROM $v GROUP BY event_type)
             ORDER BY event_type""")
       s.catalog.dropTempView(v)
