@@ -469,6 +469,29 @@ object RelationalQueries extends QueryPack {
     // against the plain two-window formulation across chunk widths.
     // The streaming analog lives in graft.streaming
     // (mapGroupsWithState sessions).
+    // per-user session features on top of the skew-hardened sessionizer:
+    // all-integer aggregates (counts, epoch-us durations) plus one exact
+    // quotient, so the rollup is engine-portable bit-for-bit
+    "q38_session_stats" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val sess = graft.ops.ChunkedWindows.sessionizeChunked(ev,
+          keyCol = "user_id", tsCol = "ts_us", tieCol = "event_id",
+          gap = 1800000000L, chunkWidth = 3600000000L)
+        .join(ev.select(col("event_id"), col("ts_us")), "event_id")
+      val perSession = sess.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_ev"),
+          (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+      perSession.groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_ev")).as("n_events"),
+          sum(col("dur_us")).as("total_dur_us"),
+          max(col("n_ev")).as("max_session_events"))
+        .withColumn("events_per_session",
+          col("n_events") / col("n_sessions").cast("double"))
+        .orderBy("user_id")
+    }),
+
     "q25_sessionize" -> ((s, d) => {
       graft.ops.ChunkedWindows.sessionizeChunked(
           Tables.events(s, d)
@@ -866,6 +889,34 @@ object RelationalQueries extends QueryPack {
          FROM clicks c JOIN views v ON c.user_id = v.user_id
            AND v.ts_us BETWEEN c.click_ts_us - 3600000000 AND c.click_ts_us
          ORDER BY c.click_id, view_event_id""",
+
+    // identical session assignment (the q25 CTE), then two integer
+    // aggregates; events_per_session is one exact IEEE quotient
+    "q38_session_stats" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+         g AS (
+           SELECT event_id, user_id, ts_us,
+             CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                  WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+                  ELSE 0 END AS new_s
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         se AS (
+           SELECT event_id, user_id, ts_us,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM g),
+         ps AS (
+           SELECT user_id, session_id, count(*) AS n_ev,
+             max(ts_us) - min(ts_us) AS dur_us
+           FROM se GROUP BY 1, 2)
+         SELECT user_id,
+           count(*) AS n_sessions,
+           CAST(sum(n_ev) AS BIGINT) AS n_events,
+           CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
+           CAST(max(n_ev) AS BIGINT) AS max_session_events,
+           sum(n_ev) / CAST(count(*) AS DOUBLE) AS events_per_session
+         FROM ps GROUP BY user_id ORDER BY user_id""",
 
     "q25_sessionize" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
