@@ -76,5 +76,16 @@ class PartitionInvarianceSpec extends SparkSpec {
       Resample.resampleLocf(ev.repartition(p), "k", "ts_us",
         col("value"), stepUs = 50L)))
     assert(rs.distinct.size == 1, "resampleLocf depends on partitioning")
+
+    // exact-mode quantile sketch: while inputs fit capacity the summary
+    // is the full value set, so partitioning cannot matter
+    val qsk = Seq(1, 3, 7).map(p => canon(
+      ev.repartition(p).groupBy("k")
+        .agg(graft.functions.QuantileSketchAggregate
+          .quantileSketch(col("value"), 1024).as("s"))
+        .select(col("k"),
+          graft.functions.QuantileSketchAggregate
+            .sketchQuantile(col("s"), 1, 2).as("p50"))))
+    assert(qsk.distinct.size == 1, "exact-mode sketch depends on partitioning")
   }
 }
