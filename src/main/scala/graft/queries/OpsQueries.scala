@@ -113,6 +113,22 @@ object OpsQueries extends QueryPack {
         .orderBy("id")
     }),
 
+    // component-size distribution over the d06 graph — the dedup-report
+    // artifact ("how big are the duplicate clusters"): one extra
+    // two-level integer aggregate on top of connectedComponents
+    "d17_component_sizes" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      val chain = ids.select(col("doc_id").as("a"), (col("doc_id") + 1000000L).as("b"))
+        .unionByName(ids.select((col("doc_id") + 1000000L).as("a"),
+          (col("doc_id") + 2000000L).as("b")))
+        .unionByName(ids.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("a"), (col("doc_id") + 2000001L).as("b")))
+      Dedup.connectedComponents(chain, "a", "b")
+        .groupBy("component").agg(count(lit(1)).as("size"))
+        .groupBy("size").agg(count(lit(1)).as("n_components"))
+        .orderBy("size")
+    }),
+
     // C4-style boilerplate detection: a banner sentence planted into every
     // 10th document must surface as a cross-document repeated span; the
     // oracle recomputes span document-frequencies exactly in SQL
@@ -1033,6 +1049,27 @@ object OpsQueries extends QueryPack {
            UNION
            SELECT bidir.b, reach.r FROM bidir JOIN reach ON bidir.a = reach.id)
          SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""",
+
+    // the d06 fixpoint rolled up twice: component sizes, then the size
+    // histogram — integers end to end
+    "d17_component_sizes" ->
+      """WITH RECURSIVE
+         edges AS (
+           SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, doc_id + 2000000 FROM documents
+           UNION ALL
+           SELECT doc_id, doc_id + 2000001 FROM documents WHERE doc_id % 50 = 0),
+         bidir AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+         nodes AS (SELECT DISTINCT a AS id FROM bidir),
+         reach(id, r) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT bidir.b, reach.r FROM bidir JOIN reach ON bidir.a = reach.id),
+         comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         sizes AS (SELECT component, count(*) AS size FROM comp GROUP BY 1)
+         SELECT size, count(*) AS n_components FROM sizes
+         GROUP BY size ORDER BY size""",
 
     "d05_boilerplate_spans" ->
       """WITH docs AS (
