@@ -455,6 +455,72 @@ object TextAnalysis {
           .as("score"))
   }
 
+  /** Interpolated hashed-BIGRAM language-model score — the step from
+    * [[lmBitsScore]]'s unigram filter toward the n-gram LMs real
+    * curation stacks use (CCNet's KenLM): each adjacent token pair
+    * scores −log2(λ·p̂₂ + (1−λ)·p̂₁) bits, where p̂₂ is the
+    * Laplace-smoothed probability of the pair's hashed BIGRAM bucket
+    * (16⁴ buckets) and p̂₁ of the second token's unigram bucket (16³) —
+    * the hashing-trick feature space, so the model is bounded driver
+    * state at any corpus size. Fluent common phrases score low;
+    * rare-pair soup scores high even when its unigrams are common (the
+    * signal a unigram filter cannot see). λ = 7/10 fixed.
+    *
+    * Determinism (the t15 discipline, applied per POSITION): each
+    * pair's milli-bits are round(−1000·ln(mix)/ln(2)) of doubles built
+    * from exact integer counts in a fixed operator tree, and the
+    * per-document sum is over INTEGERS. Docs with < 2 tokens score
+    * null. Output: (idCol, n_pairs, bits, score = bits/(1000·n_pairs)).
+    *
+    * Scale: two bounded bucket-count aggregates (≤ 16⁴ groups survive
+    * map-side combine) collected and broadcast; scoring is explode →
+    * two broadcast joins → one (id, long) groupBy — text never
+    * shuffles. */
+  def lmBigramBitsScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = split(col(textCol), " ")
+    // per-row arrays of (unigram bucket of token i+1, bigram bucket of
+    // (i, i+1)) — built inside the row, exploded once as a struct
+    val pairs = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        struct(
+          substring(md5(element_at(toks, i + 1)), 1, 3).as("b1"),
+          substring(md5(concat_ws(" ",
+            element_at(toks, i), element_at(toks, i + 1))), 1, 4).as("b2"))))
+      .otherwise(array().cast("array<struct<b1:string,b2:string>>"))
+    val occ = df.select(col(idCol), explode_outer(pairs).as("_p"))
+      .select(col(idCol), col("_p.b1").as("_b1"), col("_p.b2").as("_b2"))
+    val c1Rows = occ.filter(col("_b1").isNotNull).groupBy("_b1")
+      .agg(count(lit(1)).as("_c1")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val c2Rows = occ.filter(col("_b2").isNotNull).groupBy("_b2")
+      .agg(count(lit(1)).as("_c2")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = c2Rows.map(_._2).sum // total pairs (same for both tables)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w1 = spark.createDataset(c1Rows.toSeq).toDF("_b1", "_c1")
+    val w2 = spark.createDataset(c2Rows.toSeq).toDF("_b2", "_c2")
+    val b1Space = 4096.0
+    val b2Space = 65536.0
+    // exact-integer operands, fixed operator tree — both engines round
+    // the same doubles (mirrored in the t37 oracle)
+    val p1 = (coalesce(col("_c1"), lit(0L)) + lit(1.0)) / lit(n + b1Space)
+    val p2 = (coalesce(col("_c2"), lit(0L)) + lit(1.0)) / lit(n + b2Space)
+    val bitsExpr = round(lit(-1000.0) *
+      (log(lit(0.7) * p2 + lit(0.3) * p1) / log(lit(2.0)))).cast("long")
+    occ.join(broadcast(w1), Seq("_b1"), "left")
+      .join(broadcast(w2), Seq("_b2"), "left")
+      .groupBy(idCol)
+      .agg(sum(when(col("_b1").isNull, lit(0L)).otherwise(bitsExpr)).as("bits"),
+        count(col("_b1")).as("n_pairs"))
+      .select(col(idCol), col("n_pairs"),
+        coalesce(col("bits"), lit(0L)).as("bits"),
+        when(col("n_pairs") === 0, lit(null).cast("double"))
+          .otherwise(col("bits") / (lit(1000.0) * col("n_pairs")))
+          .as("score"))
+  }
+
   /** DSIR-style importance weights over hashed unigram buckets (Xie et
     * al. 2023, "Data Selection for Language Models via Importance
     * Resampling"): score every document by how much more likely its

@@ -570,6 +570,14 @@ object OpsQueries extends QueryPack {
       TextAnalysis.lmBitsScore(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // interpolated hashed-bigram LM bits (the CCNet-direction upgrade of
+    // t15): per adjacent pair, integer milli-bits of the mixed bigram +
+    // unigram bucket probability; rare-PAIR soup scores high even when
+    // its unigrams are common
+    "t37_lm_bigram_bits" -> ((s, d) =>
+      TextAnalysis.lmBigramBitsScore(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // deterministic per-source document cap (C4/RefinedWeb "at most n per
     // domain"): survivors chosen by md5 order of the key — kept set
     // computed over (source, doc_id) pairs via the bounded topk aggregate
@@ -1578,6 +1586,39 @@ object OpsQueries extends QueryPack {
            row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || 'graft'),
                               doc_id) - 1 AS position
          FROM documents ORDER BY doc_id""",
+
+    // the engine's per-position operator tree verbatim: mixed probability
+    // from exact-integer bucket counts, one ln(x)/ln(2), round to integer
+    // milli-bits, INTEGER per-doc sum
+    "t37_lm_bigram_bits" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         pr AS (
+           SELECT doc_id,
+             [{'b1': substr(md5(w[i + 1]), 1, 3),
+               'b2': substr(md5(w[i] || ' ' || w[i + 1]), 1, 4)}
+              for i in generate_series(1, len(w) - 1)] AS ps
+           FROM d),
+         occ AS (SELECT doc_id, u.b1 AS b1, u.b2 AS b2
+                 FROM pr, unnest(ps) AS t(u)),
+         c1 AS (SELECT b1, count(*) AS c1 FROM occ GROUP BY 1),
+         c2 AS (SELECT b2, count(*) AS c2 FROM occ GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM occ),
+         sc AS (
+           SELECT o.doc_id,
+             CAST(round(-1000 * (ln(
+               0.7 * ((coalesce(c2.c2, 0) + 1.0) / (n + 65536.0)) +
+               0.3 * ((coalesce(c1.c1, 0) + 1.0) / (n + 4096.0)))
+               / ln(2.0))) AS BIGINT) AS bits
+           FROM occ o LEFT JOIN c1 USING (b1) LEFT JOIN c2 USING (b2)
+           CROSS JOIN tot),
+         s AS (SELECT doc_id, CAST(sum(bits) AS BIGINT) AS bits,
+                      count(*) AS n_pairs
+               FROM sc GROUP BY 1)
+         SELECT d.doc_id, coalesce(s.n_pairs, 0) AS n_pairs,
+                coalesce(s.bits, 0) AS bits,
+                CASE WHEN s.n_pairs IS NULL THEN NULL
+                     ELSE s.bits / (1000.0 * s.n_pairs) END AS score
+         FROM d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""",
 
     // weight tree mirrors the engine's ln(x)/ln(2) exactly (never log2():
     // a different approximation could round a different milli-bit)

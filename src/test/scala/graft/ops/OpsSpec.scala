@@ -1681,4 +1681,21 @@ class OpsSpec extends SparkSpec {
     val de = g.find(_.getString(0) == "de").get
     assert(de.getLong(2) == 0L && de.getLong(4) == 0L && de.getLong(7) == 1000000L)
   }
+  test("lmBigramBitsScore: rare PAIRS of common tokens score high; totality") {
+    import spark.implicits._
+    // "the cat"/"cat sat" dominate; doc 4 uses the SAME tokens in an
+    // order never seen — unigram filters cannot see this, bigrams must
+    val corpus = Seq.tabulate(30)(i => (i.toLong, "the cat sat on the mat")) ++
+      Seq((100L, "mat the on sat cat the"),  // scrambled: rare pairs
+        (101L, null.asInstanceOf[String]),   // null -> null score
+        (102L, "single"))                    // < 2 tokens -> null score
+    val got = TextAnalysis.lmBigramBitsScore(
+        corpus.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(0L)._2.get < got(100L)._2.get,
+      s"scrambled pairs must score higher: ${got(0L)} vs ${got(100L)}")
+    assert(got(101L) == ((0L, None)) && got(102L) == ((0L, None)))
+    assert(got(0L)._1 == 5L) // 6 tokens -> 5 pairs
+  }
 }
