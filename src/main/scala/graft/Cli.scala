@@ -118,21 +118,29 @@ object Cli {
         passageDedupWindow = settings.get("curate.passage_window").map(_.toInt),
         tokenBudget = settings.get("curate.token_budget").map(_.toLong))
       val curated = examples.CurationPipeline.curate(docs, benchmark, cfg = cfg)
-      writer match {
+      // count from the WRITTEN output, never from `curated` — a count on
+      // the live frame would re-execute the whole curation DAG (dedup,
+      // connected components, decontamination) a second time
+      val written: Long = writer match {
         case "parquet" | "json" =>
           sinks.CorpusWriter.writeCurated(curated, outDir,
             partitionCols = Seq("split", "lang"))
+          spark.read.parquet(outDir).count()
         case "jsonl" =>
           sinks.CorpusWriter.writeJsonl(curated, outDir,
             partitionCols = Seq("split", "lang"))
+          spark.read.textFile(outDir).count()
         case "webdataset" =>
           examples.CurationPipeline.exportTrainingShards(
             curated.select("doc_id", "text"), outDir,
             numShards = settings.get("curate.shards").map(_.toInt).getOrElse(64))
+          // header-only scan; shards hold packed bins, so count samples
+          spark.read.format("webdataset").option("path", outDir).load()
+            .select("key").count()
         case other => sys.error(s"unknown curate writer $other")
       }
       System.err.println(
-        s"[graft] curate: wrote ${curated.count()} documents to $outDir")
+        s"[graft] curate: wrote $written rows to $outDir")
       return
     }
 

@@ -126,7 +126,7 @@ object CurationPipeline {
 
     // 6. optional corpus shaping: language rebalance, then token budget
     val mixed = cfg.mixTarget.fold(selected)(t =>
-      Sampling.temperatureMix(gated, col(idCol), col(langCol), t))
+      Sampling.temperatureMix(selected, col(idCol), col(langCol), t))
     val bounded = cfg.tokenBudget.fold(mixed)(b =>
       Sampling.takeUntilBudget(mixed, col(idCol),
         TextAnalysis.qualityScore(col(textCol)),

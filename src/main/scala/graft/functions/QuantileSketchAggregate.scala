@@ -117,6 +117,8 @@ final class QSketch(val capacity: Int) {
     * [[graft.ops.Percentiles]] rank convention, exact in exact mode. */
   def quantile(num: Long, den: Long): Double = {
     require(size > 0, "quantile of an empty sketch")
+    require(den > 0, s"graft_sketch_quantile: denominator must be > 0: $den")
+    require(num >= 0, s"graft_sketch_quantile: numerator must be >= 0: $num")
     sortByValue()
     val n = processed
     val k = math.min(math.max(num * (n + 1) / den, 1L), n)

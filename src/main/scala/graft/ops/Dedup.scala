@@ -67,8 +67,12 @@ object Dedup {
     else words.sliding(n).map(_.mkString(" ")).toSet
   }
 
+  /** Exact Jaccard. Both-empty → NaN (0/0), matching both the column
+    * kernel [[graft.functions.ShingleJaccardExpression]] and the SQL
+    * formulation `size(array_intersect)/size(array_union)` — one
+    * convention everywhere. ([[shingles]] never returns an empty set,
+    * so the degenerate case is unreachable on the dedup paths.) */
   def jaccard(a: Set[String], b: Set[String]): Double = {
-    if (a.isEmpty && b.isEmpty) return 1.0
     val inter = a.intersect(b).size
     inter.toDouble / (a.size + b.size - inter)
   }

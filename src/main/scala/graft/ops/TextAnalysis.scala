@@ -472,31 +472,35 @@ object TextAnalysis {
     * per-document sum is over INTEGERS. Docs with < 2 tokens score
     * null. Output: (idCol, n_pairs, bits, score = bits/(1000·n_pairs)).
     *
-    * Scale: two bounded bucket-count aggregates (≤ 16⁴ groups survive
-    * map-side combine) collected and broadcast; scoring is explode →
-    * two broadcast joins → one (id, long) groupBy — text never
-    * shuffles. */
+    * Scale: ONE bounded bucket-count aggregate — both marginals come out
+    * of a single grouping-sets pass over the exploded pair keys (≤ 16³ +
+    * 16⁴ groups survive map-side combine), collected and broadcast;
+    * scoring is one explode → two broadcast joins → one (id, long)
+    * groupBy — text never shuffles, and the tokenize+md5 subtree (a
+    * one-pass codegen kernel, [[graft.functions.BigramBucketsExpression]])
+    * executes exactly twice: once for the model, once for scoring. */
   def lmBigramBitsScore(df: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String): org.apache.spark.sql.DataFrame = {
-    val toks = split(col(textCol), " ")
-    // per-row arrays of (unigram bucket of token i+1, bigram bucket of
-    // (i, i+1)) — built inside the row, exploded once as a struct
-    val pairs = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1), i =>
-        struct(
-          substring(md5(element_at(toks, i + 1)), 1, 3).as("b1"),
-          substring(md5(concat_ws(" ",
-            element_at(toks, i), element_at(toks, i + 1))), 1, 4).as("b2"))))
-      .otherwise(array().cast("array<struct<b1:string,b2:string>>"))
-    val occ = df.select(col(idCol), explode_outer(pairs).as("_p"))
-      .select(col(idCol), col("_p.b1").as("_b1"), col("_p.b2").as("_b2"))
-    val c1Rows = occ.filter(col("_b1").isNotNull).groupBy("_b1")
-      .agg(count(lit(1)).as("_c1")).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    val c2Rows = occ.filter(col("_b2").isNotNull).groupBy("_b2")
-      .agg(count(lit(1)).as("_c2")).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    val n = c2Rows.map(_._2).sum // total pairs (same for both tables)
+    // per-row array of 7-hex-char keys (3 unigram-bucket chars of token
+    // i+1 ++ 4 bigram-bucket chars of the pair), built in one kernel pass
+    val occ = df.select(col(idCol), explode_outer(
+      graft.functions.BigramBucketsExpression.bigramBuckets(col(textCol)))
+      .as("_bk"))
+    // single pass, both marginals: grouping sets {(_b1), (_b2)} keep the
+    // aggregate state bounded (16³ + 16⁴ groups) at any corpus size —
+    // never the joint (b1, b2) table, whose 16⁷ key space would outgrow
+    // driver state on a large corpus
+    val marginals = occ.filter(col("_bk").isNotNull)
+      .select(substring(col("_bk"), 1, 3).as("_b1"),
+        substring(col("_bk"), 4, 4).as("_b2"))
+      .groupingSets(Seq(Seq(col("_b1")), Seq(col("_b2"))),
+        col("_b1"), col("_b2"))
+      .agg(count(lit(1)).as("_c")).collect()
+    val c1Rows = marginals.filter(!_.isNullAt(0))
+      .map(r => (r.getString(0), r.getLong(2)))
+    val c2Rows = marginals.filter(!_.isNullAt(1))
+      .map(r => (r.getString(1), r.getLong(2)))
+    val n = c2Rows.map(_._2).sum // total pairs (same for both marginals)
     val spark = df.sparkSession
     import spark.implicits._
     val w1 = spark.createDataset(c1Rows.toSeq).toDF("_b1", "_c1")
@@ -509,7 +513,10 @@ object TextAnalysis {
     val p2 = (coalesce(col("_c2"), lit(0L)) + lit(1.0)) / lit(n + b2Space)
     val bitsExpr = round(lit(-1000.0) *
       (log(lit(0.7) * p2 + lit(0.3) * p1) / log(lit(2.0)))).cast("long")
-    occ.join(broadcast(w1), Seq("_b1"), "left")
+    occ.select(col(idCol),
+        substring(col("_bk"), 1, 3).as("_b1"),
+        substring(col("_bk"), 4, 4).as("_b2"))
+      .join(broadcast(w1), Seq("_b1"), "left")
       .join(broadcast(w2), Seq("_b2"), "left")
       .groupBy(idCol)
       .agg(sum(when(col("_b1").isNull, lit(0L)).otherwise(bitsExpr)).as("bits"),

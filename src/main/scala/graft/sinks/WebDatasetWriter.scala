@@ -53,12 +53,16 @@ object WebDatasetWriter {
       .withColumn("_shard", pmod(xxhash64(col("_key")), lit(numShards.toLong)))
       .repartition(numShards, col("_shard"))
       .sortWithinPartitions(col("_shard"), col("_key"))
+    // session Hadoop conf (spark.hadoop.* — s3a credentials, endpoints)
+    // must travel to the executor-side FileSystem handles
+    val serConf = new graft.sources.SerializableHadoopConf(
+      df.sparkSession.sessionState.newHadoopConf())
     prepped.foreachPartition { (rows: Iterator[Row]) =>
       // executor-side FS handles; hash-partitioning can co-locate several
       // shard ids in one task (and leave some tasks empty) — rows arrive
       // sorted by shard, so shards are contiguous runs and each run
       // streams into its own tar
-      val fsConf = new org.apache.hadoop.conf.Configuration()
+      val fsConf = serConf.value
       val attempt = Option(org.apache.spark.TaskContext.get())
         .map(_.taskAttemptId()).getOrElse(0L)
       var current: Long = -1L

@@ -95,21 +95,23 @@ final class WdsScan(paths: Seq[String], required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WdsReaderFactory(required)
+    new WdsReaderFactory(required, new SerializableHadoopConf(
+      SparkSession.active.sessionState.newHadoopConf()))
 }
 
-final class WdsReaderFactory(required: StructType)
+final class WdsReaderFactory(required: StructType, conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new WdsPartitionReader(partition.asInstanceOf[WdsInputPartition], required)
+    new WdsPartitionReader(partition.asInstanceOf[WdsInputPartition], required,
+      conf)
 }
 
-final class WdsPartitionReader(part: WdsInputPartition, required: StructType)
+final class WdsPartitionReader(part: WdsInputPartition, required: StructType,
+                               serConf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
   private val needEntries = required.fieldNames.contains("entries")
-  private val conf = new org.apache.hadoop.conf.Configuration()
-  private val in = new Path(part.path).getFileSystem(conf)
+  private val in = new Path(part.path).getFileSystem(serConf.value)
     .open(new Path(part.path))
   private var pos = 0L
   private val header = new Array[Byte](512)

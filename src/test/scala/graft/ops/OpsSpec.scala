@@ -1514,6 +1514,34 @@ class OpsSpec extends SparkSpec {
       .collect()(0)
     assert(r.isNullAt(0))
   }
+  test("bigramBuckets kernel == column formulation (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(78)
+    val vocab = Seq("a", "bb", "ccc", "d", "", "ee", "ümlaut", "日本")
+    val texts = Seq("", " ", "one", "a b", "  padded  text  here  ") ++
+      Seq.fill(150)(Seq.fill(rnd.nextInt(20))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    // the t37 grid: split(text, " ") — keep empties, NO trim
+    val toks = split(col("t"), " ")
+    val colForm = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1), i =>
+          concat(
+            substring(md5(element_at(toks, i + 1)), 1, 3),
+            substring(md5(concat_ws(" ",
+              element_at(toks, i), element_at(toks, i + 1))), 1, 4))))
+      .otherwise(array().cast("array<string>"))
+    val bad = texts.toDF("t")
+      .select(graft.functions.BigramBucketsExpression.bigramBuckets(col("t"))
+        .as("k"), colForm.as("c"))
+      .filter(not(col("k") <=> col("c"))).count()
+    assert(bad == 0L, "bigramBuckets kernel diverges from column formulation")
+    // null totality: kernel gives null, the column form gives [] — both
+    // explode_outer to the same single null row downstream
+    val r = Seq(Option.empty[String]).toDF("t")
+      .select(graft.functions.BigramBucketsExpression.bigramBuckets(col("t")))
+      .collect()(0)
+    assert(r.isNullAt(0))
+  }
   test("mmrSelectInt8: diversification beats pure relevance; exact driver replay") {
     import spark.implicits._
     // 4-dim corpus: two tight clusters near the query's direction plus
