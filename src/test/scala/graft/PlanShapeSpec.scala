@@ -280,11 +280,77 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.toString.contains("ReusedExchange"),
       s"tf and df must share one tokenize shuffle:\n$plan")
   }
+  // ---- registry scan/job budgets --------------------------------------
+  // The t37 lesson: a query can pass every shape check while executing its
+  // most expensive subtree three times — recomputation is invisible to
+  // window/cartesian/exchange audits. Two measured budgets close that gap
+  // (graft.tools.PlanAuditDump regenerates the numbers):
+  //  - construction JOBS: Spark jobs triggered while building the frame
+  //    (model-training collects, iterative rounds) — each extra job
+  //    usually re-executes the source scan. Default budget = one
+  //    schema-inference job per distinct file source in the final plan;
+  //    anything beyond that must be declared here with its reason.
+  //  - per-source SCAN LEAVES in the final (non-AQE) plan. Default 1;
+  //    self-joins/unions over one table declare their multiplicity.
+  // Exceeding a budget = you added a recomputation. Remove it, or justify
+  // the new number here.
+  private val jobBudget: Map[String, Int] = Map(
+    "c01_kmeans_assign" -> 2,      // centroid training collect (bounded k)
+    "d06_components" -> 12,        // pointer-jumping rounds, one job each
+    "d09_semdedup" -> 3,           // auto-k probe + centroid training
+    "d10_bloom_decontaminate" -> 3, // bloom filter build over benchmark
+    "d11_pagerank" -> 26,          // 5 join+sum rounds + rank bucketing
+    "d14_hits" -> 18,              // hub/authority rounds
+    "d16_bfs_levels" -> 16,        // frontier rounds
+    "d17_component_sizes" -> 12,   // shares d06's iterative machinery
+    "m12_marc_binary_roundtrip" -> 2, // DSv2 MarcScan planning probe
+    "q24_percentile_disc" -> 6,    // pivot-histogram selection rounds
+    "r01_bm25_topk" -> 2,          // corpus stats (avgdl, N) collect
+    "r02_hybrid_rrf" -> 3,         // bm25 stats + two source reads
+    "r03_pmi_bigrams" -> 2,        // total-pairs scalar
+    "s03_ivf_ann" -> 3,            // IVF centroid training
+    "s07_pq_ann" -> 2,             // PQ codebook training
+    "t10_pack" -> 3,               // O(groups) driver prefix sums
+    "t12_shuffle" -> 2,            // count for the permutation bound
+    "t15_lm_bits" -> 3,            // vocab total + top-vocab collects
+    "t16_temperature_mix" -> 2,    // per-lang rate training count
+    "t17_take_budget" -> 3,        // bucket prefix sums
+    "t26_corpus_report" -> 6,      // one bounded aggregate per section
+    "t31_bpe_budget" -> 3,         // token-count prefix sums
+    "t33_dsir_weights" -> 2,       // bucket-weight model collect
+    "t37_lm_bigram_bits" -> 2)     // ONE grouping-sets marginal collect
+  private val scanBudget: Map[String, Int] = Map(
+    // near-dup pipelines: fingerprint/band/verify stages re-reference the
+    // narrow scan; exchanges are reused at runtime, the leaf count is the
+    // plan's signature, not its IO cost
+    "d02_minhash_neardup" -> 14, "d04_simhash_neardup" -> 4,
+    "d07_decontaminate" -> 2, "d08_fuzzy_pairs" -> 2,
+    "d09_semdedup" -> 6, "d10_bloom_decontaminate" -> 2,
+    "d12_dedup_increment" -> 15, "d13_winnow_pairs" -> 10,
+    "d15_contamination_report" -> 3,
+    // set ops / self-joins / funnels over one table
+    "q08_intersect" -> 2, "q17_above_avg" -> 2, "q18_except_all" -> 2,
+    "q21_asof_join" -> 2, "q22_band_join" -> 2, "q23_lead_lag" -> 2,
+    "q25_sessionize" -> 2, "q31_funnel" -> 4, "q32_cohort_retention" -> 2,
+    "q36_asof_forward" -> 5, "q37_resample_locf" -> 2,
+    "q38_session_stats" -> 3,
+    // retrieval/ANN: query panel + corpus sides of the same table
+    "r02_hybrid_rrf" -> 2, "r03_pmi_bigrams" -> 2, "r04_tfidf_keywords" -> 2,
+    "s01_cosine_top1" -> 2, "s02_lsh_ann" -> 4, "s03_ivf_ann" -> 4,
+    "s04_cosine_neardup" -> 6, "s06_quantized_ann" -> 3, "s07_pq_ann" -> 3,
+    "s08_hard_negatives" -> 2, "s09_truncated_ann" -> 4,
+    "s10_mmr_diversify" -> 3,
+    // kept-keys semi-joins / drift windows over one table
+    "t14_cap_per_source" -> 2, "t28_sql_cap_keys" -> 2,
+    "t32_passage_dedup" -> 2, "t34_drift_report" -> 6)
+
   test("registry-wide plan audit: no global windows, cartesians, or 1-partition exchanges") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     // ONE pass over every registered query's physical plan, three
     // 100 TB scale-killer checks:
     //  - WindowExec with no partitionSpec: the whole frame sorts on one task
@@ -312,11 +378,48 @@ class PlanShapeSpec extends SparkSpec {
     val windowOff = scala.collection.mutable.ListBuffer[String]()
     val crossOff = scala.collection.mutable.ListBuffer[String]()
     val singleOff = scala.collection.mutable.ListBuffer[String]()
+    val budgetOff = scala.collection.mutable.ListBuffer[String]()
+    // job counting scoped by job group: construction collects run on this
+    // thread and inherit the group, so background activity can't pollute
+    val groupJobs = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val g = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+        g.filter(_.startsWith("plan-audit:")).foreach(id =>
+          groupJobs.merge(id, 1, (a, b) => a + b))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      spark.sparkContext.setJobGroup(s"plan-audit:$name", name)
       val plan =
         try prepared(fn(spark, sfSmoke))
         catch { case e: Throwable =>
           fail(s"$name failed to plan at sfSmoke: $e") }
+        finally spark.sparkContext.clearJobGroup()
+      // drain the async listener bus: poll until the count is stable
+      var last = -1; var cur = 0; var spins = 0
+      while ({ cur = Option(groupJobs.get(s"plan-audit:$name"))
+                 .map(_.intValue).getOrElse(0)
+               cur != last && spins < 40 }) {
+        last = cur; spins += 1; Thread.sleep(25)
+      }
+      val srcScans = plan.collect {
+        case s: FileSourceScanExec =>
+          s.relation.location.rootPaths.headOption
+            .map(_.getName).getOrElse("?")
+      }
+      val perSource = srcScans.groupBy(identity).view.mapValues(_.size)
+      val allowedJobs = jobBudget.getOrElse(name, perSource.size)
+      if (cur > allowedJobs)
+        budgetOff += s"$name: $cur construction jobs (budget $allowedJobs) — " +
+          "an added collect/action re-executes the source subtree"
+      val allowedScans = scanBudget.getOrElse(name, 1)
+      perSource.foreach { case (src, cnt) =>
+        if (cnt > allowedScans)
+          budgetOff += s"$name: $cnt scan leaves of $src (budget $allowedScans)"
+      }
       plan.foreach {
         case w: WindowExec if w.partitionSpec.isEmpty &&
             !windowBoundedByLimit.contains(name) =>
@@ -354,5 +457,7 @@ class PlanShapeSpec extends SparkSpec {
       s"unjustified cartesian/nested-loop joins:\n${crossOff.mkString("\n")}")
     assert(singleOff.isEmpty,
       s"single-partition shuffle exchanges:\n${singleOff.distinct.mkString(", ")}")
+    assert(budgetOff.isEmpty,
+      s"scan/job budget exceeded (recomputation shape?):\n${budgetOff.mkString("\n")}")
   }
 }
