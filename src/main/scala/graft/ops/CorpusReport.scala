@@ -22,11 +22,20 @@ object CorpusReport {
             sourceCol: String = "source",
             charsCol: String = "n_chars"): DataFrame = {
     val toks = TextAnalysis.tokenCountWs(col(textCol)).cast("long")
+    // metadata cardinalities ride the distinct-count sketch, not
+    // countDistinct: Spark's exact distinct expands + shuffles every
+    // distinct value, which a high-cardinality metadata column turns
+    // into the report's bottleneck at corpus scale; the sketch carries
+    // <= 2^12 bytes per task and stays EXACT while the true cardinality
+    // fits 4096 (any sane lang/source vocabulary — and the t26 oracle
+    // checks that exactness against COUNT(DISTINCT))
     val wide = docs.agg(
       count(lit(1)).as("n_docs"),
       sum(toks).as("n_tokens"),
-      countDistinct(col(langCol)).as("n_langs"),
-      countDistinct(col(sourceCol)).as("n_sources"))
+      graft.functions.DistinctSketchAggregate.distinctSketch(
+        col(langCol).cast("string"), 12).as("n_langs"),
+      graft.functions.DistinctSketchAggregate.distinctSketch(
+        col(sourceCol).cast("string"), 12).as("n_sources"))
     // empty-corpus totality: null sums coalesce to 0, and the mean's
     // division is guarded (ANSI throws on 0/0 even for doubles)
     val counting = wide.select(explode(map(

@@ -100,6 +100,14 @@ object GraftSqlFunctions {
       { case Seq(s, n, d) =>
         SketchQuantileExpression(s, Cast(n, LongType), Cast(d, LongType)) }),
 
+    ("graft_distinct_sketch",
+      "graft_distinct_sketch(value, p) - aggregate: mergeable distinct count " +
+        "(2^p bytes of state); EXACT while distinct values fit 2^p, " +
+        "HyperLogLog estimate (~1.04/sqrt(2^p) error) beyond",
+      { case Seq(v, p) =>
+        DistinctSketch(v, int(p, "graft_distinct_sketch", "p"))
+          .toAggregateExpression() }),
+
     ("graft_window_hashes",
       "graft_window_hashes(text, w) - md5 hex of every w-token window by " +
         "position (the passage-dedup kernel; [] when fewer than w tokens)",

@@ -663,6 +663,26 @@ object OpsQueries extends QueryPack {
       out
     }),
 
+    // distinct-count sketch in its exact-when-small contract (the
+    // t29/t36 discipline): p=12 -> exact while <= 4096 distinct values,
+    // which covers doc_id at the gate sf (500 docs) and any sane
+    // lang/source vocabulary — so a plain COUNT(DISTINCT) oracle
+    // hash-matches through the real sketch path; beyond 4096 the same
+    // aggregate degrades to a merge-invariant HyperLogLog estimate
+    // carrying 4 KiB per task instead of every distinct value
+    "t38_distinct_count" -> ((s, d) => {
+      val v = s"dcs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      Tables.documents(s, d).select(col("lang"), col("source"), col("doc_id"))
+        .createOrReplaceTempView(v)
+      val out = s.sql(
+        s"""SELECT lang,
+              graft_distinct_sketch(source, 12) AS n_sources,
+              graft_distinct_sketch(CAST(doc_id AS STRING), 12) AS n_docs
+            FROM $v GROUP BY lang ORDER BY lang""")
+      s.catalog.dropTempView(v)
+      out
+    }),
+
     // first-fit-decreasing bin packing (no document splitting), 128-token
     // bins, 64-id chunks: the greedy is pure integer arithmetic, replayed
     // bit-for-bit by a DuckDB recursive CTE
@@ -1760,6 +1780,14 @@ object OpsQueries extends QueryPack {
            max(CASE WHEN rn = greatest(least(99 * (n + 1) // 100, n), 1)
                     THEN value END) AS p99
          FROM r GROUP BY event_type ORDER BY event_type""",
+
+    // exact regime: every per-lang cardinality here fits the sketch's
+    // 2^12 sparse capacity, so the sketch answer IS count(distinct)
+    "t38_distinct_count" ->
+      """SELECT lang,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         FROM documents GROUP BY lang ORDER BY lang""",
 
     // the exact engine greedy unrolled as a recursive CTE: per chunk, one
     // recursion step per document in (n desc, id) order; the capacity
