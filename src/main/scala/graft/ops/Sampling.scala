@@ -132,8 +132,19 @@ object Sampling {
     * a billion-row frame ranks on every core instead of one.
     *
     * CONTRACT: `order` must be a total order (include a unique tie-break
-    * column) — ties can straddle a range boundary, making their relative
-    * ordinals partition-dependent.
+    * column). Spark's range partitioner never splits EQUAL keys across
+    * partitions (getPartition is a pure function of the key), so tied
+    * rows always rank within one task and each RUN's ordinals are
+    * consistent — but their relative order is whatever the task read
+    * first, so a non-total order makes ordinals among ties
+    * input-order-dependent: a retry, a different split plan, or a
+    * repartitioned upstream reorders them. `validateTotalOrder = true`
+    * probes for that exact hazard — any duplicate order-value — with a
+    * limit-1 duplicate probe over (order-key, count) partials and logs a
+    * loud warning naming a tied value. Default OFF as a documented
+    * decision: the probe is one extra job over the checkpointed frame,
+    * and the registry's callers all carry unique tie-break columns
+    * already; turn it on when wiring a new order spec.
     *
     * The range-partitioned frame is localCheckpoint'd (lazily) before the
     * two jobs read it: range bounds come from a SAMPLE whose seed varies
@@ -143,7 +154,8 @@ object Sampling {
     * difference. The checkpoint pins one partitioning for both jobs (and
     * pays the one materialization a consistent global ordinal costs). */
   def globalOrdinal(df: DataFrame, order: Seq[Column], outCol: String,
-                    numParts: Int = 0): DataFrame = {
+                    numParts: Int = 0,
+                    validateTotalOrder: Boolean = false): DataFrame = {
     // reserved working columns (same convention as AsOf.requireNoReserved):
     // an input frame already carrying one of these would be silently
     // corrupted by the withColumn/drop below — fail loudly instead
@@ -164,9 +176,31 @@ object Sampling {
     val offDf = counts.map(_._1).zip(prefix).toSeq.toDF("_op", "_ooff")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_op").orderBy(order: _*)
-    ranged.join(broadcast(offDf), "_op")
+    val ranked = ranged.join(broadcast(offDf), "_op")
       .withColumn(outCol, row_number().over(w).cast("long") + col("_ooff"))
-      .drop("_op", "_ooff")
+    if (validateTotalOrder) {
+      // sort direction is irrelevant to UNIQUENESS — strip SortOrder
+      // wrappers and probe for any duplicated order-value (map-side
+      // combined counts, one surviving row fetched)
+      import org.apache.spark.sql.catalyst.expressions.SortOrder
+      val keys = order.zipWithIndex.map { case (c, i) =>
+        val e = org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
+          match { case so: SortOrder => so.child; case e => e }
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(e).as(s"_k$i")
+      }
+      val dup = ranged.groupBy(keys: _*).agg(count(lit(1)).as("_dn"))
+        .filter(col("_dn") > 1).limit(1).collect()
+      dup.headOption.foreach { r =>
+        val v = (0 until keys.length).map(r.get).mkString("(", ",", ")")
+        System.err.println(
+          s"[graft] WARNING globalOrdinal: order spec is not a total " +
+            s"order — value $v occurs ${r.getLong(keys.length)} times; " +
+            "ordinals among tied rows are input-order-dependent (a retry " +
+            "or different split plan reorders them). Add a unique " +
+            "tie-break column to the order spec.")
+      }
+    }
+    ranked.drop("_op", "_ooff")
   }
 
   /** Deterministic per-group cap (the C4/RefinedWeb "at most n documents

@@ -579,6 +579,33 @@ class OpsSpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("globalOrdinal validateTotalOrder warns on duplicated order values, silent on total orders") {
+    import spark.implicits._
+    def captureErr(body: => Unit): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val old = System.err
+      System.setErr(new java.io.PrintStream(bos, true, "UTF-8"))
+      try body finally System.setErr(old)
+      bos.toString("UTF-8")
+    }
+    // ties everywhere: the order spec (score only, no tie-break) is NOT
+    // total — ordinals among ties are input-order-dependent
+    val tied = (1L to 2000L).map(i => (i, 1.0)).toDF("id", "score")
+    val warn = captureErr {
+      Sampling.globalOrdinal(tied, Seq(col("score")), "pos",
+        numParts = 5, validateTotalOrder = true).count()
+    }
+    assert(warn.contains("WARNING globalOrdinal"),
+      s"straddling tie must warn, got: '$warn'")
+    // with the unique tie-break the same data is silent
+    val quiet = captureErr {
+      Sampling.globalOrdinal(tied, Seq(col("score"), col("id")), "pos",
+        numParts = 5, validateTotalOrder = true).count()
+    }
+    assert(!quiet.contains("WARNING globalOrdinal"),
+      s"total order must not warn, got: '$quiet'")
+  }
+
   test("exactDedupAnti equals the window exactDedup and keeps min ids") {
     import spark.implicits._
     val df = Seq(
