@@ -675,9 +675,18 @@ object Dedup {
     * chunking via bit built-ins, hamming via bit_count(a^b); no UDF in
     * the per-document scan (d04 is a full-corpus pass at any scale). */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          maxDistance: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-      graft.functions.SimhashExpression.simhash64(col(textCol)).as("sig"))
+                          maxDistance: Int = 3): DataFrame =
+    simhashPairsFromSigs(df.select(col(idCol).as("id"),
+      graft.functions.SimhashExpression.simhash64(col(textCol)).as("sig")),
+      maxDistance)
+
+  /** Pigeonhole near-dup pairs from a precomputed (id, sig) frame — the
+    * banding core shared by the text ([[simhashNearDupPairs]]) and
+    * binary-payload ([[Multimodal.binaryNearDupPairs]]) paths. Same
+    * scale shape either way: candidates meet only on equal
+    * (chunk-index, chunk-value) — an equi-join, never a cross join —
+    * and only (id, sig, chunk) triples shuffle. */
+  def simhashPairsFromSigs(sigs: DataFrame, maxDistance: Int): DataFrame = {
     val buckets = sigs.select(col("id"), col("sig"),
       posexplode(array(simhashChunkCols(col("sig"), maxDistance): _*)).as(Seq("ci", "cv")))
 
@@ -690,6 +699,36 @@ object Dedup {
       .withColumn("distance", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("distance") <= maxDistance)
       .select(col("id_a"), col("id_b"), col("distance"))
+  }
+
+  /** Driver reference for [[graft.functions.BinarySimhashExpression]]
+    * (property-pinned): 64-bit SimHash over byte n-gram windows, each
+    * window hashed by packing its bytes into a long and mixing with the
+    * murmur3 fmix64 finalizer. Fewer than n bytes → one window of what
+    * exists; empty → 0 (every counter ties at 0 → all bits clear). */
+  def binarySimhash(bytes: Array[Byte], n: Int): Long = {
+    val counts = new Array[Int](64)
+    val m = math.max(bytes.length - n + 1, if (bytes.length == 0) 0 else 1)
+    var i = 0
+    while (i < m) {
+      var h = 0xcbf29ce484222325L
+      var j = i
+      val end = math.min(i + n, bytes.length)
+      while (j < end) { h = (h ^ (bytes(j) & 0xffL)) * 0x100000001b3L; j += 1 }
+      // murmur3 fmix64 finalizer over the FNV-accumulated window
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+      h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+      h ^= h >>> 33
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    counts.zipWithIndex.foldLeft(0L) { case (acc, (c, b)) =>
+      if (c > 0) acc | (1L << b) else acc
+    }
   }
 
   /** Fuzzy duplicate pairs by edit distance within blocking keys — the

@@ -79,4 +79,21 @@ object Multimodal {
     * extractor would follow; the extractor itself is the stub above. */
   def sampleFrameIndexes(frameCount: Column, stride: Int): Column =
     sequence(lit(0), greatest(frameCount - 1, lit(0)), lit(stride))
+
+  /** Content near-dup over opaque BINARY payloads (re-encoded mirrors,
+    * byte-patched re-uploads — the multimodal twin of d04's text
+    * SimHash): byte n-gram SimHash signature per payload
+    * ([[graft.functions.BinarySimhashExpression]], one codegen kernel
+    * pass), then the shared pigeonhole banding
+    * ([[Dedup.simhashPairsFromSigs]]) — candidates meet on equal
+    * signature chunks (equi-join, never cross), payload bytes never
+    * shuffle (only (id, sig, chunk) triples do). Output (id_a, id_b,
+    * distance), id_a < id_b, hamming ≤ maxDistance. */
+  def binaryNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+                         maxDistance: Int = 7, windowBytes: Int = 4): DataFrame =
+    Dedup.simhashPairsFromSigs(
+      df.select(col(idCol).as("id"),
+        graft.functions.BinarySimhashExpression
+          .binarySimhash64(col(payloadCol), windowBytes).as("sig")),
+      maxDistance)
 }

@@ -868,6 +868,25 @@ object OpsQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // binary-payload near-dup (the multimodal twin of d04, same planted
+    // design): exact byte copies at id+1M MUST pair with their original
+    // at hamming 0 through the real byte-shingle SimHash + pigeonhole
+    // banding path; maxDistance=0 keeps the band a full-signature bucket
+    // (candidates only on identical signatures — scale-exact), and the
+    // nonzero-distance recall behavior is pinned by MultimodalSpec with
+    // controlled byte patches
+    "mm05_binary_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        to_binary(col("text"), lit("utf-8")).as("payload"))
+      val dupped = docs.unionByName(docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"), col("payload")))
+      Multimodal.binaryNearDupPairs(dupped, "doc_id", "payload",
+          maxDistance = 0)
+        .filter(col("id_b") === col("id_a") + 1000000L)
+        .select(col("id_a").as("doc_id"), col("distance"))
+        .orderBy("doc_id")
+    }),
+
     // REAL header decode through the partition-batched pipeline: payloads
     // are genuine PNG (IHDR) and JPEG (EXIF APP1 + SOF0) byte streams
     // synthesized per row with dimensions/orientation derived
@@ -2161,6 +2180,12 @@ object OpsQueries extends QueryPack {
                 hex(encode(substr(text, 1, 8))) AS head_hex,
                 'unknown' AS sniffed
          FROM documents ORDER BY doc_id""",
+
+    // planted truth (the d04 pattern): an exact byte copy pairs with its
+    // original at hamming 0 — the oracle is the plant, the engine earns
+    // it through the byte-shingle SimHash + banding machinery
+    "mm05_binary_neardup" ->
+      "SELECT doc_id, 0 AS distance FROM documents ORDER BY doc_id",
 
     // the planted ground truth: the engine parses synthesized PNG/JPEG
     // bytes, the oracle recomputes the planted fields arithmetically

@@ -342,7 +342,9 @@ class PlanShapeSpec extends SparkSpec {
     "s10_mmr_diversify" -> 3,
     // kept-keys semi-joins / drift windows over one table
     "t14_cap_per_source" -> 2, "t28_sql_cap_keys" -> 2,
-    "t32_passage_dedup" -> 2, "t34_drift_report" -> 6)
+    "t32_passage_dedup" -> 2, "t34_drift_report" -> 6,
+    // planted-copy union (2 scans) × banding self-join (×2)
+    "mm05_binary_neardup" -> 4)
 
   test("registry-wide plan audit: no global windows, cartesians, or 1-partition exchanges") {
     import org.apache.spark.sql.execution.window.WindowExec

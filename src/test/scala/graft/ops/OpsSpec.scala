@@ -414,6 +414,43 @@ class OpsSpec extends SparkSpec {
       (2L, "jpeg", 640, 480, 6, 8), (3L, "unknown", -1, -1, -1, -1)))
   }
 
+  test("binary SimHash: kernel == driver reference; near-dup finds byte-patched payloads") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // kernel vs driver reference on fuzzed payloads (incl. degenerate)
+    val payloads = Seq(Array.empty[Byte], Array[Byte](1), Array[Byte](1, 2, 3)) ++
+      Seq.fill(60)(Array.fill(rnd.nextInt(600))(rnd.nextInt(256).toByte))
+    val kernelSigs = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("id", "p")
+      .select(col("id"),
+        graft.functions.BinarySimhashExpression.binarySimhash64(col("p"), 4))
+      .orderBy("id").collect().map(_.getLong(1))
+    payloads.zip(kernelSigs).foreach { case (p, sig) =>
+      assert(sig == Dedup.binarySimhash(p, 4), "kernel diverges from reference")
+    }
+    // null totality
+    assert(Seq(Option.empty[Array[Byte]]).toDF("p")
+      .select(graft.functions.BinarySimhashExpression.binarySimhash64(col("p")))
+      .head().isNullAt(0))
+    // near-dup: 40 originals (4 KiB random), each with a 1-byte patch at
+    // id+100 — large payload => counters far from zero => tiny hamming;
+    // the banding must recover every planted pair (maxDistance=7: a one-
+    // byte patch perturbs each bit counter by at most ±8, so a handful
+    // of near-zero counters can flip) and distinct random payloads must
+    // NOT pair (independent signatures sit at hamming ~32)
+    val base = (0 until 40).map(i =>
+      (i.toLong, Array.fill(4096)(rnd.nextInt(256).toByte)))
+    val patched = base.map { case (i, p) =>
+      val q = p.clone(); q(2048) = (q(2048) ^ 0x55).toByte; (i + 100L, q)
+    }
+    val all = (base ++ patched).toDF("media_id", "payload")
+    val pairs = Multimodal.binaryNearDupPairs(all, "media_id", "payload",
+        maxDistance = 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == base.map { case (i, _) => (i, i + 100L) }.toSet,
+      s"expected exactly the 40 planted pairs, got ${pairs.size}")
+  }
+
   test("salted join equals plain join on a skewed key distribution") {
     import spark.implicits._
     // 90% of rows share one hot key
