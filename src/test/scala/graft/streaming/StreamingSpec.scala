@@ -682,6 +682,38 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowed distinct cardinality: the distinct sketch aggregates per event-time window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+    val mem = MemoryStream[(Timestamp, String)]
+    val evs = mem.toDF().toDF("ts", "source")
+    // the streaming twin of CorpusReport's cardinalities: mergeable
+    // sketch state in the store, exact while distinct values fit 2^p
+    val out = evs
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "30 minutes"))
+      .agg(graft.functions.DistinctSketchAggregate
+        .distinctSketch(col("source"), 10).as("n_sources"))
+      .select(col("window.start").as("w"), col("n_sources"))
+    val query = out.writeStream.format("memory").queryName("card_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // 40 events over 7 distinct sources in window 1: exact regime
+      mem.addData((1 to 40).map(i => (at(i % 25), s"src${i % 7}")): _*)
+      query.processAllAvailable()
+      mem.addData((at(50), "late")) // advance watermark, emit window 1
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT w, n_sources FROM card_out").collect()
+      assert(rows.nonEmpty)
+      val first = rows.minBy(_.getTimestamp(0).getTime)
+      assert(first.getLong(1) == 7L,
+        s"exact-regime streaming cardinality: ${first.getLong(1)}")
+    } finally query.stop()
+  }
+
   test("streaming decontamination gate drops benchmark-overlapping docs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
