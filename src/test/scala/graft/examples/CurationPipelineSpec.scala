@@ -208,6 +208,35 @@ class CurationPipelineSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(out == Set(301L, 302L), s"DSIR gate kept $out")
   }
+  test("DSIR gate composes with temperature mix (regression: mix must see the gated frame)") {
+    // regression for an advisor-caught bug: with BOTH dsirGate and
+    // mixTarget set, temperatureMix was applied to the pre-gate frame,
+    // silently bypassing the DSIR filter — a gated-out doc must never
+    // reappear via the mix path
+    val clean = "the of and to in a " * 3
+    val d = Seq(
+      (401L, clean + "alpha beta gamma delta epsilon words here", "en"),
+      (402L, clean + "one two three four five six seven eight", "en"),
+      (403L, clean + (1 to 8).map(i => s"zzq$i").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val target = col("doc_id") < 403L
+    val scores = TextAnalysis.dsirScore(
+      CurationPipeline.curate(d, benchmark).select("doc_id", "text"),
+      "doc_id", "text", target)
+      .select("doc_id", "avg_logw").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cut = (scores(402L) + scores(403L)) / 2
+    // a generous mix target keeps every surviving doc — the ONLY reason
+    // 403 could appear is the gate being bypassed
+    val out = CurationPipeline.curate(d, benchmark,
+      cfg = CurationPipeline.Config(dsirGate = Some((target, cut)),
+        mixTarget = Some(1000L)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(!out.contains(403L),
+      s"temperature mix resurrected a DSIR-gated doc: $out")
+    assert(out == Set(401L, 402L), s"gate+mix kept $out")
+  }
+
   test("exportTrainingShards: curate -> FFD pack -> webdataset round trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft-train-shards").toString
     val curated = CurationPipeline.curate(docs, benchmark)
