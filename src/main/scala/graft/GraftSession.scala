@@ -25,6 +25,13 @@ object GraftSession {
       // salting (BASELINE.md "AQE-off audit"). Default on, as production.
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // SPARK_GRAFT_ANSI=false audits the registry under non-ANSI
+      // semantics (clusters routinely disable ANSI): every oracle must
+      // stay hash-green either way — no registered query may depend on
+      // ANSI-only behavior (throw-on-overflow, strict casts). Default
+      // on, as Spark 4 ships.
+      .config("spark.sql.ansi.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ANSI", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
