@@ -100,6 +100,12 @@ object GraftSqlFunctions {
       { case Seq(s, n, d) =>
         SketchQuantileExpression(s, Cast(n, LongType), Cast(d, LongType)) }),
 
+    ("graft_binary_simhash",
+      "graft_binary_simhash(payload, n) - 64-bit SimHash over byte n-gram " +
+        "windows of a binary column (content near-dup for opaque payloads)",
+      { case Seq(p, n) =>
+        BinarySimhashExpression(p, int(n, "graft_binary_simhash", "n")) }),
+
     ("graft_distinct_sketch",
       "graft_distinct_sketch(value, p) - aggregate: mergeable distinct count " +
         "(2^p bytes of state); EXACT while distinct values fit 2^p, " +

@@ -132,6 +132,23 @@ class GraftSqlFunctionsSpec extends SparkSpec {
     assert(nul == 1L)
   }
 
+  test("graft_binary_simhash matches the kernel/driver reference from SQL") {
+    val sig = spark.sql(
+      "SELECT graft_binary_simhash(CAST('hello payload bytes' AS BINARY), 4)")
+      .as[Long].head()
+    assert(sig == graft.ops.Dedup.binarySimhash(
+      "hello payload bytes".getBytes("UTF-8"), 4))
+    // identical payloads agree; null is total
+    val same = spark.sql(
+      """SELECT graft_binary_simhash(CAST('aaa' AS BINARY), 4) =
+                graft_binary_simhash(CAST('aaa' AS BINARY), 4)""")
+      .as[Boolean].head()
+    assert(same)
+    assert(spark.sql(
+      "SELECT graft_binary_simhash(CAST(NULL AS BINARY), 4)")
+      .filter("1=1").head().isNullAt(0))
+  }
+
   test("config arguments must be literals") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_shingles('a b', CAST(rand()*3 AS INT)) AS s").collect()
