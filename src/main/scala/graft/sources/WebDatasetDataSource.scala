@@ -57,18 +57,57 @@ final class WdsTable(paths: Seq[String]) extends Table with SupportsRead {
     new WdsScanBuilder(paths)
 }
 
+/** Conjunction of key predicates the tar reader can evaluate from the
+  * entry HEADER alone (the sample key is the entry basename): a
+  * non-matching sample's data blocks are SEEKED past, never read — at
+  * 100 TB a keyed lookup touches ~0.1% of the bytes, same as the
+  * headers-only projection path. Empty = no filtering. */
+final case class WdsKeyPred(equalTo: Option[Set[String]],
+                            prefixes: Seq[String]) extends Serializable {
+  def matches(key: String): Boolean =
+    equalTo.forall(_.contains(key)) && prefixes.forall(key.startsWith)
+  def isEmpty: Boolean = equalTo.isEmpty && prefixes.isEmpty
+}
+
 final class WdsScanBuilder(paths: Seq[String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, In, StringStartsWith}
   private var required: StructType = WebDatasetDataSource.schema
+  private var accepted: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new WdsScan(paths, required)
+  /** Key filters are used to SKIP IO but returned as residual too —
+    * Spark re-evaluates them post-scan, so pushdown can only skip
+    * bytes, never change results. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.filter {
+      case EqualTo("key", _: String) => true
+      case In("key", vs) => vs.forall(_.isInstanceOf[String])
+      case StringStartsWith("key", _) => true
+      case _ => false
+    }
+    filters // all residual: correctness never rides the skip logic
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+  override def build(): Scan = {
+    val eqs = accepted.collect {
+      case EqualTo("key", v: String) => Set(v)
+      case In("key", vs) => vs.map(_.asInstanceOf[String]).toSet
+    }
+    // several equality sets conjoin by intersection
+    val eq = eqs.reduceOption(_ intersect _)
+    val pred = WdsKeyPred(eq,
+      accepted.collect { case StringStartsWith("key", p) => p }.toSeq)
+    new WdsScan(paths, required, pred)
+  }
 }
 
 final case class WdsInputPartition(path: String, length: Long)
   extends InputPartition
 
-final class WdsScan(paths: Seq[String], required: StructType)
+final class WdsScan(paths: Seq[String], required: StructType,
+                    pred: WdsKeyPred = WdsKeyPred(None, Nil))
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -77,7 +116,8 @@ final class WdsScan(paths: Seq[String], required: StructType)
   override def description(): String = {
     val mode = if (required.fieldNames.contains("entries")) "read=full"
     else "read=headers-only"
-    s"webdataset(${paths.mkString(",")}) $mode"
+    val filt = if (pred.isEmpty) "" else s" keyfilter=$pred"
+    s"webdataset(${paths.mkString(",")}) $mode$filt"
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -96,18 +136,20 @@ final class WdsScan(paths: Seq[String], required: StructType)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WdsReaderFactory(required, new SerializableHadoopConf(
-      SparkSession.active.sessionState.newHadoopConf()))
+      SparkSession.active.sessionState.newHadoopConf()), pred)
 }
 
-final class WdsReaderFactory(required: StructType, conf: SerializableHadoopConf)
+final class WdsReaderFactory(required: StructType, conf: SerializableHadoopConf,
+                             pred: WdsKeyPred)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new WdsPartitionReader(partition.asInstanceOf[WdsInputPartition], required,
-      conf)
+      conf, pred)
 }
 
 final class WdsPartitionReader(part: WdsInputPartition, required: StructType,
-                               serConf: SerializableHadoopConf)
+                               serConf: SerializableHadoopConf,
+                               pred: WdsKeyPred = WdsKeyPred(None, Nil))
     extends PartitionReader[InternalRow] {
 
   private val needEntries = required.fieldNames.contains("entries")
@@ -160,8 +202,12 @@ final class WdsPartitionReader(part: WdsInputPartition, required: StructType,
           longName = new String(b, 0, n, java.nio.charset.StandardCharsets.UTF_8)
         case '0' | 0 =>
           pendingName = if (longName != null) longName else name
+          // pushed key filters: a non-matching sample's data blocks are
+          // seeked past here, never read (the header gave us the key)
+          val keep = pred.isEmpty ||
+            pred.matches(baseAndExt(pendingName)._1)
           pendingData =
-            if (!needEntries) Array.emptyByteArray
+            if (!needEntries || !keep) Array.emptyByteArray
             else {
               require(size <= Int.MaxValue,
                 s"${part.path}: entry $name is ${size} B — tar entries " +
@@ -184,17 +230,27 @@ final class WdsPartitionReader(part: WdsInputPartition, required: StructType,
   }
 
   override def next(): Boolean = {
-    if (pendingName == null && !readEntry()) return false
-    val (base, _) = baseAndExt(pendingName)
-    val exts = Seq.newBuilder[UTF8String]
-    val datas = Seq.newBuilder[Array[Byte]]
-    var more = true
-    while (more && pendingName != null && baseAndExt(pendingName)._1 == base) {
-      exts += UTF8String.fromString(baseAndExt(pendingName)._2)
-      datas += pendingData
-      pendingName = null
-      pendingData = null
-      more = readEntry()
+    var base: String = null
+    var exts = Seq.newBuilder[UTF8String]
+    var datas = Seq.newBuilder[Array[Byte]]
+    // consume samples until one passes the pushed key filter (filtered
+    // samples cost their headers only; Spark re-applies the filter
+    // post-scan, so this is an IO skip, not the correctness gate)
+    var found = false
+    while (!found) {
+      if (pendingName == null && !readEntry()) return false
+      base = baseAndExt(pendingName)._1
+      exts = Seq.newBuilder[UTF8String]
+      datas = Seq.newBuilder[Array[Byte]]
+      var more = true
+      while (more && pendingName != null && baseAndExt(pendingName)._1 == base) {
+        exts += UTF8String.fromString(baseAndExt(pendingName)._2)
+        datas += pendingData
+        pendingName = null
+        pendingData = null
+        more = readEntry()
+      }
+      found = pred.isEmpty || pred.matches(base)
     }
     val values = new Array[Any](required.fields.length)
     var i = 0

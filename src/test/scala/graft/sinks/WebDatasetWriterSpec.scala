@@ -120,6 +120,29 @@ class WebDatasetWriterSpec extends SparkSpec {
       keyOnly.queryExecution.executedPlan.toString)
     assert(keyOnly.count() == 25)
   }
+  test("key filters push into the tar reader: plan-pinned, IO-skipped, result-identical") {
+    val dir = Files.createTempDirectory("graft-wds-filt").toString
+    WebDatasetWriter.writeShards(samples, dir, "doc_id",
+      Seq("json" -> col("meta"), "bin" -> col("payload")), numShards = 3)
+    val back = spark.read.format("webdataset").option("path", dir).load()
+    // equality lookup: pushed filter visible in the plan, exact result
+    val one = back.filter(col("key") === "7")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("keyfilter="), plan)
+    val got = one.collect()
+    assert(got.length == 1 && got(0).getString(0) == "7")
+    assert(got(0).getMap[String, Array[Byte]](1).contains("bin"))
+    // IN and prefix filters
+    assert(back.filter(col("key").isin("3", "15", "nope"))
+      .select("key").collect().map(_.getString(0)).toSet == Set("3", "15"))
+    assert(back.filter(col("key").startsWith("1"))
+      .count() == samples.collect()
+        .count(r => r.getLong(0).toString.startsWith("1")))
+    // a non-key / unsupported filter is untouched (residual-only)
+    assert(back.filter(length(col("key")) === 1).count() ==
+      samples.collect().count(_.getLong(0).toString.length == 1))
+  }
+
   test("reader tolerates foreign archives: GNU long names, directories") {
     if (Files.exists(Paths.get("/bin/tar")) || Files.exists(Paths.get("/usr/bin/tar"))) {
       import scala.sys.process._
