@@ -27,10 +27,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    too — deterministic, just not exact (standard error ≈ 1.04/√m,
   *    ~1.6% at p=12, pinned by DistinctSketchSpec).
   *
-  * Memory: ≤ 8·2^p bytes sparse, exactly 2^p bytes dense — bounded task
-  * state at any corpus size, the 100 TB shape (a COUNT(DISTINCT) over a
-  * high-cardinality column shuffles every distinct value; this shuffles
-  * ≤ one register page per task).
+  * Memory: ≤ 16·2^p bytes sparse at peak (open table, load ≤ 1/2,
+  * grown geometrically from 16 slots so small groups cost bytes),
+  * exactly 2^p bytes dense — bounded task state at any corpus size, the
+  * 100 TB shape (a COUNT(DISTINCT) over a high-cardinality column
+  * shuffles every distinct value; this shuffles ≤ one register page per
+  * task).
   *
   * The hash is the first 8 bytes (big-endian) of md5 of the value's
   * UTF-8 bytes — engine-portable and documented, like the md5-prefix
@@ -38,27 +40,48 @@ import org.apache.spark.unsafe.types.UTF8String
 final class DcSketch(val p: Int) {
   val m: Int = 1 << p
   // sparse: open-addressed hash set of raw hashes (0 slot sentinel via
-  // `hasZero`), capacity 2^p distinct entries
-  var sparse: Array[Long] = new Array[Long](m * 2)
+  // `hasZero`), capacity 2^p distinct entries. Starts at 16 slots and
+  // grows geometrically (load factor <= 1/2, final size 2*2^p) so a
+  // single-element group costs bytes, not 16*2^p — ObjectHashAggregate
+  // holds many group buffers per task
+  var sparse: Array[Long] = new Array[Long](16)
   var sparseN: Int = 0
   var hasZero: Boolean = false
   var regs: Array[Byte] = null // dense registers once densified
 
   def dense: Boolean = regs != null
 
+  private def grow(): Unit = {
+    val old = sparse
+    sparse = new Array[Long](old.length * 2)
+    var i = 0
+    while (i < old.length) {
+      if (old(i) != 0L) slotInsert(old(i))
+      i += 1
+    }
+  }
+
+  private def slotInsert(h: Long): Boolean = {
+    val mask = sparse.length - 1
+    var i = (java.lang.Long.hashCode(h * 0x9e3779b97f4a7c15L)) & mask
+    while (sparse(i) != 0L) {
+      if (sparse(i) == h) return false
+      i = (i + 1) & mask
+    }
+    sparse(i) = h
+    true
+  }
+
   private def sparseAdd(h: Long): Unit = {
     if (h == 0L) {
       if (!hasZero) { hasZero = true; sparseN += 1 }
       return
     }
-    val mask = sparse.length - 1
-    var i = (java.lang.Long.hashCode(h * 0x9e3779b97f4a7c15L)) & mask
-    while (sparse(i) != 0L) {
-      if (sparse(i) == h) return
-      i = (i + 1) & mask
+    if (slotInsert(h)) {
+      sparseN += 1
+      val nonZero = sparseN - (if (hasZero) 1 else 0)
+      if (nonZero * 2 > sparse.length && sparse.length < m * 2) grow()
     }
-    sparse(i) = h
-    sparseN += 1
   }
 
   private def regUpdate(h: Long): Unit = {
@@ -191,16 +214,14 @@ case class DistinctSketch(
       bb.put(1.toByte).putInt(buf.p).put(buf.regs)
       bb.array()
     } else {
+      // canonical bytes: hashes sorted, so equal SETS serialize equal
+      // regardless of insertion/probe history (cheap — <= 2^p longs)
       val bb = ByteBuffer.allocate(1 + 4 + 1 + 4 + 8 * buf.sparseN)
       bb.put(0.toByte).putInt(buf.p)
       bb.put(if (buf.hasZero) 1.toByte else 0.toByte)
-      val nonZero = buf.sparseN - (if (buf.hasZero) 1 else 0)
-      bb.putInt(nonZero)
-      var i = 0
-      while (i < buf.sparse.length) {
-        if (buf.sparse(i) != 0L) bb.putLong(buf.sparse(i))
-        i += 1
-      }
+      val nonZero = buf.sparse.filter(_ != 0L).sorted
+      bb.putInt(nonZero.length)
+      nonZero.foreach(bb.putLong)
       bb.array()
     }
 

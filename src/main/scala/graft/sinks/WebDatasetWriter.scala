@@ -47,6 +47,22 @@ object WebDatasetWriter {
     require(entries.nonEmpty, "entries must be non-empty")
     val exts = entries.map(_._1)
     require(exts.distinct.size == exts.size, s"duplicate extensions: $exts")
+    // OVERWRITE semantics, matching the sibling writers' mode("overwrite"):
+    // stale shards from a previous run with a HIGHER shard count would
+    // otherwise survive (each task renames only its own shard ids) and
+    // pollute any read of the directory
+    locally {
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(conf)
+      if (fs.exists(dir))
+        fs.listStatus(dir).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isFile && (n.matches("shard-\\d{6}\\.tar") ||
+              n.matches("\\.shard-\\d{6}\\.tar\\.\\d+\\.tmp")))
+            fs.delete(st.getPath, false)
+        }
+    }
     val prepped = df.select(
       col(keyCol).cast("string").as("_key") +:
         entries.map { case (ext, c) => c.cast("binary").as(s"_e_$ext") }: _*)

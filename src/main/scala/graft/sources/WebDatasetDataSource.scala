@@ -231,8 +231,8 @@ final class WdsPartitionReader(part: WdsInputPartition, required: StructType,
 
   override def next(): Boolean = {
     var base: String = null
-    var exts = Seq.newBuilder[UTF8String]
-    var datas = Seq.newBuilder[Array[Byte]]
+    var exts: scala.collection.mutable.Builder[UTF8String, Seq[UTF8String]] = null
+    var datas: scala.collection.mutable.Builder[Array[Byte], Seq[Array[Byte]]] = null
     // consume samples until one passes the pushed key filter (filtered
     // samples cost their headers only; Spark re-applies the filter
     // post-scan, so this is an IO skip, not the correctness gate)

@@ -400,13 +400,16 @@ class PlanShapeSpec extends SparkSpec {
         catch { case e: Throwable =>
           fail(s"$name failed to plan at sfSmoke: $e") }
         finally spark.sparkContext.clearJobGroup()
-      // drain the async listener bus: poll until the count is stable
-      var last = -1; var cur = 0; var spins = 0
-      while ({ cur = Option(groupJobs.get(s"plan-audit:$name"))
-                 .map(_.intValue).getOrElse(0)
-               cur != last && spins < 40 }) {
-        last = cur; spins += 1; Thread.sleep(25)
-      }
+      // drain the async listener bus SYNCHRONOUSLY (reflective call —
+      // listenerBus is private[spark], which is bytecode-public): a
+      // poll-until-stable loop can declare victory during a >25 ms
+      // delivery gap on a loaded host and undercount jobs, letting a
+      // new recomputation slip under its budget
+      val bus = spark.sparkContext.getClass
+        .getMethod("listenerBus").invoke(spark.sparkContext)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      val cur = Option(groupJobs.get(s"plan-audit:$name"))
+        .map(_.intValue).getOrElse(0)
       val srcScans = plan.collect {
         case s: FileSourceScanExec =>
           s.relation.location.rootPaths.headOption

@@ -120,6 +120,20 @@ class WebDatasetWriterSpec extends SparkSpec {
       keyOnly.queryExecution.executedPlan.toString)
     assert(keyOnly.count() == 25)
   }
+  test("re-writing with fewer shards removes stale shard files (overwrite semantics)") {
+    val dir = Files.createTempDirectory("graft-wds-ow").toString
+    WebDatasetWriter.writeShards(samples, dir, "doc_id",
+      Seq("json" -> col("meta")), numShards = 8)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".tar")) == 8)
+    WebDatasetWriter.writeShards(samples, dir, "doc_id",
+      Seq("json" -> col("meta")), numShards = 2)
+    // stale shard-000002..07 from the first run must be gone — a reader
+    // over the directory would otherwise double-count samples
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".tar")) == 2)
+    assert(spark.read.format("webdataset").option("path", dir).load()
+      .count() == samples.count())
+  }
+
   test("key filters push into the tar reader: plan-pinned, IO-skipped, result-identical") {
     val dir = Files.createTempDirectory("graft-wds-filt").toString
     WebDatasetWriter.writeShards(samples, dir, "doc_id",

@@ -18,14 +18,20 @@ JAR="target/scala-2.13/trajectspark_2.13-0.1.0.jar"
 [ -f "$JAR" ] || sbt -batch package
 
 echo "[smoke] spark-submit curate -> $OUT"
-"$SPARK_HOME/bin/spark-submit" \
+LOG=$(mktemp /tmp/graft_smoke_log.XXXXXX)
+if ! "$SPARK_HOME/bin/spark-submit" \
   --master "local[8]" \
   --driver-memory 8g \
   --class graft.Cli \
   "$JAR" \
   curate -o "$OUT" -w webdataset \
   -s curate.shards=8 \
-  "$SF_DIR/documents.parquet" 2>&1 | grep -E "\[graft\]|Exception" || true
+  "$SF_DIR/documents.parquet" >"$LOG" 2>&1; then
+  echo "[smoke] FAIL: spark-submit exited nonzero; log tail:"
+  tail -20 "$LOG"
+  exit 1
+fi
+grep -E "\[graft\]" "$LOG" || true
 
 # the curate command logs its written-row count by reading the shards
 # BACK through the engine's webdataset reader; rows therefore exist iff
