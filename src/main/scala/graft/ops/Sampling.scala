@@ -36,6 +36,49 @@ object Sampling {
                           salt: String = "graft"): DataFrame =
     df.filter(hashKey(key, salt) < lit(hexThreshold(fraction)))
 
+  /** Deterministic epoch upsampling — mixture weights as REPEAT counts
+    * (the DoReMi / LLaMA-style "2.3 epochs of wikipedia, 0.8 of
+    * common-crawl" training-mix step, which SELECTION operators like
+    * [[temperatureMix]]/[[stratifiedSample]] cannot express: weights
+    * above 1 must REPEAT documents): each row in group g emits
+    * floor(w_g) copies, plus one more iff its [[hashKey]] falls under
+    * frac(w_g) — so the expected copy count per row is exactly w_g (up
+    * to the 2^32 threshold quantization) and the realized copy count is
+    * a pure function of (key, salt), independent of partitioning,
+    * cluster size, or run. Groups absent from `weights` are dropped
+    * (the [[stratifiedSample]] convention — a mixture spec names its
+    * sources). Output: input columns + `copy` (1..n); loaders that
+    * shuffle globally ([[shuffleIndex]] on (key, copy)) interleave the
+    * repeats.
+    *
+    * Scale shape: one narrow map + an `explode(sequence(...))` per row —
+    * no shuffle, no state; the weight table rides the plan as a literal
+    * CASE chain (mixture specs are small by nature). */
+  def epochUpsample(df: DataFrame, key: Column, group: Column,
+                    weights: Map[String, Double],
+                    salt: String = "graft-epoch"): DataFrame = {
+    require(weights.nonEmpty, "at least one group weight required")
+    weights.foreach { case (g, w) =>
+      require(w >= 0.0 && w <= 1000.0, s"weight out of range for '$g': $w " +
+        "(an epoch multiplier above 1000 is a mixture-spec bug)") }
+    require(!df.columns.contains("copy"),
+      "epochUpsample reserves the output column name 'copy'; rename it first")
+    val h = hashKey(key, salt)
+    val copies = weights.foldRight(lit(0): Column) {
+      case ((g, w), acc) =>
+        val base = math.floor(w).toLong
+        val frac = w - base
+        val n = lit(base) +
+          when(h < lit(hexThreshold(frac)), lit(1L)).otherwise(lit(0L))
+        when(group === g, n).otherwise(acc)
+    }
+    // sequence(1, 0) would DESCEND ([1, 0]) — zero-copy rows need an
+    // explicit empty array so explode drops them
+    df.withColumn("copy", explode(
+      when(copies >= 1L, sequence(lit(1L), copies))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
   /** Stratified deterministic sample: per-stratum keep fractions (strata
     * value → fraction; strata missing from the map are dropped). Same
     * hash-threshold mechanism as [[deterministicSample]], so each

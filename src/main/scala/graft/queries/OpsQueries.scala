@@ -663,6 +663,17 @@ object OpsQueries extends QueryPack {
       out
     }),
 
+    // deterministic epoch upsampling (the DoReMi-style training mix:
+    // weights above 1 REPEAT documents — en 2.3 epochs, es 1.0,
+    // de 0.4, fr dropped): realized copies are a pure function of
+    // (doc_id, salt), replayed exactly by the oracle's md5 arithmetic
+    "t39_epoch_upsample" -> ((s, d) =>
+      Sampling.epochUpsample(Tables.documents(s, d)
+          .select(col("doc_id"), col("lang")),
+        col("doc_id"), col("lang"),
+        Map("en" -> 2.3, "es" -> 1.0, "de" -> 0.4))
+        .orderBy("doc_id", "copy")),
+
     // distinct-count sketch in its exact-when-small contract (the
     // t29/t36 discipline): p=12 -> exact while <= 4096 distinct values,
     // which covers doc_id at the gate sf (500 docs) and any sane
@@ -1799,6 +1810,22 @@ object OpsQueries extends QueryPack {
            max(CASE WHEN rn = greatest(least(99 * (n + 1) // 100, n), 1)
                     THEN value END) AS p99
          FROM r GROUP BY event_type ORDER BY event_type""",
+
+    // exact replay of the engine's copy arithmetic: floor(w) + one more
+    // iff the 8-hex md5 bucket falls under frac(w)·2^32
+    // (0.3 → 4ccccccd, 0.4 → 66666666); fr absent → dropped
+    "t39_epoch_upsample" ->
+      """WITH base AS (
+           SELECT doc_id, lang,
+             CASE lang
+               WHEN 'en' THEN 2 + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'graft-epoch'), 1, 8) < '4ccccccd' THEN 1 ELSE 0 END
+               WHEN 'es' THEN 1
+               WHEN 'de' THEN CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'graft-epoch'), 1, 8) < '66666666' THEN 1 ELSE 0 END
+               ELSE 0 END AS n
+           FROM documents)
+         SELECT doc_id, lang, CAST(unnest(generate_series(1, n)) AS BIGINT) AS copy
+         FROM base WHERE n >= 1
+         ORDER BY doc_id, copy""",
 
     // exact regime: every per-lang cardinality here fits the sketch's
     // 2^12 sparse capacity, so the sketch answer IS count(distinct)

@@ -643,6 +643,34 @@ class OpsSpec extends SparkSpec {
       s"total order must not warn, got: '$quiet'")
   }
 
+  test("epochUpsample: expected copies per group, partition-invariant, exact integers repeat") {
+    import spark.implicits._
+    val docs = (1L to 4000L).map(i =>
+      (i, Seq("en", "es", "de", "fr")((i % 4).toInt))).toDF("doc_id", "lang")
+    val w = Map("en" -> 2.3, "es" -> 1.0, "de" -> 0.4) // fr dropped
+    val up = Sampling.epochUpsample(docs, col("doc_id"), col("lang"), w)
+    val byLang = up.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1000 docs per lang: en ~2300, es = exactly 1000, de ~400, fr absent
+    assert(byLang("es") == 1000L, s"integer weight must be exact: $byLang")
+    assert(!byLang.contains("fr"), "absent group must be dropped")
+    assert(math.abs(byLang("en") - 2300L) < 150, s"en ${byLang("en")}")
+    assert(math.abs(byLang("de") - 400L) < 100, s"de ${byLang("de")}")
+    // every en doc appears at least floor(2.3)=2 times, copies numbered 1..n
+    val enCounts = up.filter(col("lang") === "en").groupBy("doc_id").count()
+      .collect().map(_.getLong(1))
+    assert(enCounts.forall(c => c == 2L || c == 3L))
+    // partition invariance: identical multiset at any layout
+    val a = up.select("doc_id", "copy").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Sampling.epochUpsample(docs.repartition(13), col("doc_id"),
+        col("lang"), w)
+      .select("doc_id", "copy").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    // no shuffle: one narrow map + explode
+    assert(!up.queryExecution.executedPlan.toString.contains("Exchange"),
+      "upsampling must not shuffle")
+  }
+
   test("exactDedupAnti equals the window exactDedup and keeps min ids") {
     import spark.implicits._
     val df = Seq(
