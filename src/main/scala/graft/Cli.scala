@@ -101,7 +101,8 @@ object Cli {
       //   graft.Cli curate -o outdir [-w parquet|jsonl|webdataset]
       //     [-s curate.benchmark=path] [-s curate.langs=en,de]
       //     [-s curate.passage_window=12] [-s curate.token_budget=N]
-      //     [-s curate.shards=64] docs.parquet...
+      //     [-s curate.epochs=en:2.3,es:1.0] [-s curate.shards=64]
+      //     docs.parquet...
       require(inputs.nonEmpty, "no input document tables given")
       import spark.implicits._
       val docs = inputs.map(spark.read.parquet(_)).reduce(_ unionByName _)
@@ -116,7 +117,13 @@ object Cli {
         langs = settings.get("curate.langs").map(_.split(",").toSeq)
           .getOrElse(Seq("en", "es", "de", "fr")),
         passageDedupWindow = settings.get("curate.passage_window").map(_.toInt),
-        tokenBudget = settings.get("curate.token_budget").map(_.toLong))
+        tokenBudget = settings.get("curate.token_budget").map(_.toLong),
+        // -s curate.epochs=en:2.3,es:1.0 — training-mix repeat weights
+        epochWeights = settings.get("curate.epochs").map(_.split(",").toSeq
+          .map { kv =>
+            val Array(l, w) = kv.split(":", 2)
+            l.trim -> w.trim.toDouble
+          }.toMap))
       val curated = examples.CurationPipeline.curate(docs, benchmark, cfg = cfg)
       // count from the WRITTEN output, never from `curated` — a count on
       // the live frame would re-execute the whole curation DAG (dedup,
@@ -131,8 +138,19 @@ object Cli {
             partitionCols = Seq("split", "lang"))
           spark.read.textFile(outDir).count()
         case "webdataset" =>
+          // epoch upsampling yields several copies per doc_id, and both
+          // the FFD packer and WebDataset keys need UNIQUE ids — use the
+          // numeric composite doc_id*1024+copy (copy <= 1001 by the
+          // weight cap; ANSI overflow on an outsized doc_id fails loudly
+          // rather than colliding). Loaders recover (doc_id, copy) by
+          // div/mod 1024.
+          val keyed =
+            if (curated.columns.contains("copy"))
+              curated.select((col("doc_id") * lit(1024L) + col("copy"))
+                .as("doc_id"), col("text"))
+            else curated.select("doc_id", "text")
           examples.CurationPipeline.exportTrainingShards(
-            curated.select("doc_id", "text"), outDir,
+            keyed, outDir,
             numShards = settings.get("curate.shards").map(_.toInt).getOrElse(64))
           // header-only scan; shards hold packed bins, so count samples
           spark.read.format("webdataset").option("path", outDir).load()

@@ -58,6 +58,12 @@ object CurationPipeline {
       mixTarget: Option[Long] = None,
       // then best-quality-first until the whitespace-token budget is spent
       tokenBudget: Option[Long] = None,
+      // deterministic epoch upsampling (training-mix weights as REPEAT
+      // counts — "en 2.3 epochs"): applied after selection, before the
+      // split, so every copy of a document inherits ONE split (the
+      // assignment hashes the id — no train/val leakage across copies).
+      // Output gains a `copy` column when set.
+      epochWeights: Option[Map[String, Double]] = None,
       // last entry is the remainder bucket (splitAssign semantics)
       splits: Seq[(String, Double)] = Seq(
         "train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
@@ -132,8 +138,13 @@ object CurationPipeline {
         TextAnalysis.qualityScore(col(textCol)),
         TextAnalysis.tokenCountWs(col(textCol)), b))
 
-    // 7. split assignment
-    bounded.withColumn("split",
+    // 6.5 optional epoch upsampling: mixture weights as repeat counts
+    val repeated = cfg.epochWeights.fold(bounded)(w =>
+      Sampling.epochUpsample(bounded, col(idCol), col(langCol), w))
+
+    // 7. split assignment (hashes the id: every copy of a doc lands in
+    // the same split — repeats never leak across train/val)
+    repeated.withColumn("split",
       Sampling.splitAssign(col(idCol), cfg.splits, cfg.splitSalt))
   }
 

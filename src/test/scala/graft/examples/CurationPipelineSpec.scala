@@ -237,6 +237,22 @@ class CurationPipelineSpec extends SparkSpec {
     assert(out == Set(401L, 402L), s"gate+mix kept $out")
   }
 
+  test("epochWeights repeat documents; every copy inherits one split") {
+    val out = CurationPipeline.curate(docs, benchmark,
+      cfg = CurationPipeline.Config(
+        epochWeights = Some(Map("en" -> 2.0, "es" -> 1.0, "de" -> 1.0,
+          "fr" -> 1.0))))
+    assert(out.columns.contains("copy"))
+    val en = out.filter(col("lang") === "en")
+      .groupBy("doc_id").count().collect().map(_.getLong(1))
+    assert(en.nonEmpty && en.forall(_ == 2L),
+      "integer weight 2.0 must repeat every en doc exactly twice")
+    // all copies of a doc share one split — no train/val leakage
+    val splitsPerDoc = out.groupBy("doc_id")
+      .agg(countDistinct("split").as("n")).collect().map(_.getLong(1))
+    assert(splitsPerDoc.forall(_ == 1L))
+  }
+
   test("exportTrainingShards: curate -> FFD pack -> webdataset round trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft-train-shards").toString
     val curated = CurationPipeline.curate(docs, benchmark)
