@@ -36,8 +36,12 @@ class WebDatasetDataSource extends TableProvider with DataSourceRegister {
     WebDatasetDataSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new WdsTable(MarcDataSource.resolvePaths(properties.asScala.toMap))
+                        properties: util.Map[String, String]): Table = {
+    val props = properties.asScala.toMap
+    new WdsTable(MarcDataSource.resolvePaths(props),
+      props.exists { case (k, v) =>
+        k.equalsIgnoreCase("hashedShards") && v.equalsIgnoreCase("true") })
+  }
 }
 
 object WebDatasetDataSource {
@@ -48,13 +52,15 @@ object WebDatasetDataSource {
       nullable = false)))
 }
 
-final class WdsTable(paths: Seq[String]) extends Table with SupportsRead {
+final class WdsTable(paths: Seq[String], hashedShards: Boolean = false)
+    extends Table with SupportsRead {
   override def name(): String = s"webdataset(${paths.mkString(",")})"
   override def schema(): StructType = WebDatasetDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WdsScanBuilder(paths)
+    new WdsScanBuilder(paths, hashedShards ||
+      options.getBoolean("hashedShards", false))
 }
 
 /** Conjunction of key predicates the tar reader can evaluate from the
@@ -69,7 +75,7 @@ final case class WdsKeyPred(equalTo: Option[Set[String]],
   def isEmpty: Boolean = equalTo.isEmpty && prefixes.isEmpty
 }
 
-final class WdsScanBuilder(paths: Seq[String])
+final class WdsScanBuilder(paths: Seq[String], hashedShards: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   import org.apache.spark.sql.sources.{EqualTo, Filter, In, StringStartsWith}
@@ -99,7 +105,7 @@ final class WdsScanBuilder(paths: Seq[String])
     val eq = eqs.reduceOption(_ intersect _)
     val pred = WdsKeyPred(eq,
       accepted.collect { case StringStartsWith("key", p) => p }.toSeq)
-    new WdsScan(paths, required, pred)
+    new WdsScan(paths, required, pred, hashedShards)
   }
 }
 
@@ -107,7 +113,8 @@ final case class WdsInputPartition(path: String, length: Long)
   extends InputPartition
 
 final class WdsScan(paths: Seq[String], required: StructType,
-                    pred: WdsKeyPred = WdsKeyPred(None, Nil))
+                    pred: WdsKeyPred = WdsKeyPred(None, Nil),
+                    hashedShards: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -117,12 +124,13 @@ final class WdsScan(paths: Seq[String], required: StructType,
     val mode = if (required.fieldNames.contains("entries")) "read=full"
     else "read=headers-only"
     val filt = if (pred.isEmpty) "" else s" keyfilter=$pred"
-    s"webdataset(${paths.mkString(",")}) $mode$filt"
+    val hs = if (hashedShards) " hashedShards" else ""
+    s"webdataset(${paths.mkString(",")}) $mode$filt$hs"
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    paths.flatMap { p =>
+    val all = paths.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
       val statuses =
@@ -130,13 +138,48 @@ final class WdsScan(paths: Seq[String], required: StructType,
           fs.listStatus(path).toSeq.filter(s =>
             s.isFile && s.getPath.getName.endsWith(".tar"))
         else Seq(fs.getFileStatus(path))
-      statuses.map(st => WdsInputPartition(st.getPath.toString, st.getLen))
+      statuses.map(st => WdsInputPartition(st.getPath.toString, st.getLen)
+        : InputPartition)
     }.toArray
+    // shard PRUNING, opt-in (`option("hashedShards", true)`): the writer
+    // assigns each sample to pmod(xxhash64(key), numShards) and names
+    // shards shard-NNNNNN.tar, so a key-equality lookup needs exactly
+    // one shard per key — 1/N of the file opens at any corpus size. The
+    // option is an assertion that the directory IS a WebDatasetWriter
+    // layout; on a foreign archive it would silently drop samples, hence
+    // never inferred. The layout is still validated (complete contiguous
+    // shard-NNNNNN numbering) and pruning declines when it doesn't hold.
+    pred.equalTo match {
+      case Some(keys) if hashedShards && all.nonEmpty =>
+        val nums = all.map(p =>
+          new Path(p.asInstanceOf[WdsInputPartition].path).getName).map {
+          case WdsScan.ShardName(n) => n.toInt
+          case _ => -1
+        }
+        val n = all.length
+        val isWriterLayout = !nums.contains(-1) && nums.sorted.sameElements(0 until n)
+        if (!isWriterLayout) all
+        else {
+          val byNum = nums.zip(all).toMap
+          val wanted = keys.map { k =>
+            val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+              .hash(org.apache.spark.unsafe.types.UTF8String.fromString(k),
+                org.apache.spark.sql.types.StringType, 42L)
+            (((h % n) + n) % n).toInt
+          }
+          wanted.toArray.sorted.flatMap(byNum.get)
+        }
+      case _ => all
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WdsReaderFactory(required, new SerializableHadoopConf(
       SparkSession.active.sessionState.newHadoopConf()), pred)
+}
+
+object WdsScan {
+  private[sources] val ShardName = "shard-(\\d{6})\\.tar".r
 }
 
 final class WdsReaderFactory(required: StructType, conf: SerializableHadoopConf,

@@ -157,6 +157,34 @@ class WebDatasetWriterSpec extends SparkSpec {
       samples.collect().count(_.getLong(0).toString.length == 1))
   }
 
+  test("hashedShards prunes a key lookup to one shard; declines on foreign layouts") {
+    val dir = Files.createTempDirectory("graft-wds-prune").toString
+    WebDatasetWriter.writeShards(samples, dir, "doc_id",
+      Seq("json" -> col("meta")), numShards = 8)
+    def read(hashed: Boolean) = spark.read.format("webdataset")
+      .option("path", dir).option("hashedShards", hashed.toString).load()
+    // pruned lookup: exactly ONE shard planned, identical result
+    val pruned = read(hashed = true).filter(col("key") === "11")
+    assert(pruned.rdd.getNumPartitions == 1,
+      s"expected 1 planned shard, got ${pruned.rdd.getNumPartitions}")
+    assert(pruned.collect().map(_.getString(0)).toSeq == Seq("11"))
+    // IN over several keys plans <= |keys| shards
+    val in3 = read(hashed = true).filter(col("key").isin("1", "2", "3"))
+    assert(in3.rdd.getNumPartitions <= 3)
+    assert(in3.select("key").collect().map(_.getString(0)).toSet ==
+      Set("1", "2", "3"))
+    // without the opt-in: all shards planned, same answer
+    assert(read(hashed = false).filter(col("key") === "11")
+      .rdd.getNumPartitions == 8)
+    // foreign layout (a renamed shard breaks contiguous numbering):
+    // pruning declines, results stay complete
+    val f = new java.io.File(dir, "shard-000003.tar")
+    assert(f.renameTo(new java.io.File(dir, "part-000003.tar")))
+    val foreign = read(hashed = true)
+    assert(foreign.rdd.getNumPartitions == 8, "pruning must decline")
+    assert(foreign.count() == samples.count())
+  }
+
   test("reader tolerates foreign archives: GNU long names, directories") {
     if (Files.exists(Paths.get("/bin/tar")) || Files.exists(Paths.get("/usr/bin/tar"))) {
       import scala.sys.process._
