@@ -771,4 +771,32 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.nonEmpty && streamed.size < 600)
     } finally query.stop()
   }
+
+  test("epoch upsampling gates a stream with exact batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // stateless narrow transform (literal CASE chain + explode): the
+    // ingest stage repeats mixture-weighted documents identically in
+    // batch and stream — no state store, no watermark needed
+    val rows = Seq.tabulate(300)(i =>
+      (i.toLong, if (i % 3 == 0) "fr" else "en"))
+    val w = Map("en" -> 1.5, "fr" -> 1.0)
+    val batchOut = graft.ops.Sampling.epochUpsample(
+        rows.toDF("doc_id", "lang"), col("doc_id"), col("lang"), w)
+      .select("doc_id", "copy").as[(Long, Long)].collect().toSet
+    val mem = MemoryStream[(Long, String)]
+    val query = graft.ops.Sampling.epochUpsample(
+        mem.toDF().toDF("doc_id", "lang"), col("doc_id"), col("lang"), w)
+      .writeStream.format("memory").queryName("epoch_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(rows)
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, copy FROM epoch_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batchOut)
+      assert(streamed.size > 300, "en docs must repeat")
+    } finally query.stop()
+  }
 }
