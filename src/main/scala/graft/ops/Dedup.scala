@@ -143,11 +143,22 @@ object Dedup {
     * and jaccard >= threshold. bands × rowsPerBand hashes; defaults give
     * P(detect | j=0.8) ≈ 1 - (1-0.8³)^32 ≈ 1 - 2e-5 per pair.
     */
+  /** `materialize = true` persists the scan-derived narrow features
+    * (id, fp, bands, shingles) once (MEMORY_AND_DISK) so the WHOLE
+    * pipeline reads the source table exactly ONCE. The default plan
+    * instead re-scans the (column-pruned) table per consumer — measured
+    * 14 scans per execution — which is the zero-cache, zero-residue
+    * shape; at corpus scale, where 14 object-store reads of the text
+    * column dwarf one disk-cached materialization of the derived
+    * features, turn the knob on (the persisted frame is released by
+    * Spark's LRU / app exit — a one-shot batch-dedup job's lifecycle).
+    * Results are identical either way (spec-pinned). */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           threshold: Double = 0.8,
                           bands: Int = 32, rowsPerBand: Int = 3,
                           shingleN: Int = 3,
-                          maxBucketSize: Int = 10000): DataFrame = {
+                          maxBucketSize: Int = 10000,
+                          materialize: Boolean = false): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
 
     // Shuffle discipline, part 0: document bodies NEVER ride a shuffle.
@@ -159,9 +170,21 @@ object Dedup {
     // shuffle of raw text. The cost is recomputing the signature for
     // exact-duplicate rows instead of once per distinct text; duplicates
     // are a small fraction of a real corpus, raw text is not.
-    val sigs = base.select(col("id"), md5(col("text")).as("fp"),
+    //
+    // All text-derived features come off ONE narrow projection: without
+    // `materialize`, Catalyst prunes the unused kernels per consumer
+    // (the sigs path never computes shingles and vice versa — plan
+    // identical to deriving each separately); with it, the projection
+    // persists and every consumer reads the single cached copy.
+    val narrow0 = base.select(col("id"), md5(col("text")).as("fp"),
       graft.functions.MinhashBandsExpression.minhashBands(
-        col("text"), bands, rowsPerBand, shingleN).as("bands"))
+        col("text"), bands, rowsPerBand, shingleN).as("bands"),
+      shingleCol(col("text"), shingleN).as("sh"))
+    val narrow =
+      if (materialize)
+        narrow0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else narrow0
+    val sigs = narrow.select(col("id"), col("fp"), col("bands"))
 
     // Degenerate-corpus hardening, part 1: collapse exact-identical texts
     // FIRST (fingerprint groupBy — Catalyst prunes `bands` off this
@@ -223,11 +246,11 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    // shingles come from the original narrow frame (identical text ⇒
+    // shingles come from the shared narrow frame (identical text ⇒
     // identical shingles, and candidates only reference rep ids); AQE
     // broadcasts the candidate side when small, leaving this scan
     // shuffle-free
-    val shingled = base.select(col("id"), shingleCol(col("text"), shingleN).as("sh"))
+    val shingled = narrow.select(col("id"), col("sh"))
 
     val repPairs = candidates
       .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")

@@ -643,6 +643,46 @@ class OpsSpec extends SparkSpec {
       s"total order must not warn, got: '$quiet'")
   }
 
+  test("minhash materialize=true: identical pairs, source scanned exactly once") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val dir = java.nio.file.Files.createTempDirectory("mhmat").toString
+    val rnd = new scala.util.Random(5)
+    import spark.implicits._
+    val docs = (1L to 150L).flatMap { i =>
+      val words = Seq.fill(30)(s"w${i}_${rnd.nextInt(50)}").mkString(" ")
+      // every doc has a planted near-copy at id+1000 (one extra token)
+      Seq((i, words), (i + 1000L, words + " tail"))
+    }.toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(dir)
+    val onDisk = spark.read.parquet(dir)
+    def pairs(mat: Boolean) =
+      Dedup.minhashNearDupPairs(onDisk, "doc_id", "text", threshold = 0.5,
+          materialize = mat)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val recs = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          recs.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    val expected = pairs(mat = false)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      recs.set(0)
+      val got = pairs(mat = true)
+      Thread.sleep(300) // drain the async listener bus
+      assert(got == expected, "materialized pipeline must emit identical pairs")
+      assert(expected.nonEmpty)
+      // small over-read tolerated (stages racing the first cache build);
+      // the unmaterialized plan reads 7x
+      assert(recs.get() <= 700,
+        s"one-scan mode read ${recs.get()} records (expected ~300)")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("epochUpsample: expected copies per group, partition-invariant, exact integers repeat") {
     import spark.implicits._
     val docs = (1L to 4000L).map(i =>
