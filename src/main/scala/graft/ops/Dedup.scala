@@ -540,10 +540,19 @@ object Dedup {
   def winnowNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                          threshold: Double = 1.0, k: Int = 5,
                          window: Int = 4,
-                         maxDocsPerFp: Int = 1000): DataFrame = {
-    val fps = df.select(col(idCol).as("id"),
+                         maxDocsPerFp: Int = 1000,
+                         materialize: Boolean = false): DataFrame = {
+    // `materialize` (the minhashNearDupPairs knob): persist the one
+    // kernel pass so the hot-filter, candidate join, and both set
+    // re-attachments read a single cached copy instead of re-scanning
+    // the source per consumer (measured 10 scans default)
+    val fps0 = df.select(col(idCol).as("id"),
       graft.functions.WinnowExpression.winnowCol(col(textCol), k, window)
         .as("fp"))
+    val fps =
+      if (materialize)
+        fps0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else fps0
     val exploded = fps.select(col("id"), explode(col("fp")).as("f"))
     val hot = exploded.groupBy("f").agg(count(lit(1)).as("c"))
       .filter(col("c") > maxDocsPerFp).select(col("f"))
@@ -584,9 +593,18 @@ object Dedup {
   def dedupAgainst(batch: DataFrame, prior: DataFrame,
                    idCol: String, textCol: String,
                    threshold: Double = 0.8, bands: Int = 32,
-                   rowsPerBand: Int = 3, shingleN: Int = 3): DataFrame = {
-    val newDocs = batch.select(col(idCol).as("id"), col(textCol).as("text"))
-    val oldDocs = prior.select(col(idCol).as("id"), col(textCol).as("text"))
+                   rowsPerBand: Int = 3, shingleN: Int = 3,
+                   materialize: Boolean = false): DataFrame = {
+    // `materialize` (the minhashNearDupPairs knob): persist both narrow
+    // projections so stage 2's band/shingle derivations read cached
+    // copies instead of re-scanning batch and prior per consumer
+    // (measured 15 scans default)
+    def mat(d: DataFrame) =
+      if (materialize)
+        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else d
+    val newDocs = mat(batch.select(col(idCol).as("id"), col(textCol).as("text")))
+    val oldDocs = mat(prior.select(col(idCol).as("id"), col(textCol).as("text")))
     // stage 1: exact fingerprints
     val priorFp = oldDocs.select(md5(col("text")).as("fp")).distinct()
     val fresh = newDocs.withColumn("fp", md5(col("text")))

@@ -683,6 +683,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("winnow and incremental dedup materialize knobs preserve results") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val docs = (1L to 80L).flatMap { i =>
+      val words = Seq.fill(25)(s"v${i}_${rnd.nextInt(40)}").mkString(" ")
+      Seq((i, words), (i + 500L, words))
+    }.toDF("doc_id", "text")
+    try {
+      val w0 = Dedup.winnowNearDupPairs(docs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w1 = Dedup.winnowNearDupPairs(docs, "doc_id", "text",
+          materialize = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(w0.nonEmpty && w0 == w1)
+      val prior = docs.filter(col("doc_id") <= 500L)
+      val batch = docs.filter(col("doc_id") > 500L)
+      val i0 = Dedup.dedupAgainst(batch, prior, "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+      val i1 = Dedup.dedupAgainst(batch, prior, "doc_id", "text",
+          materialize = true)
+        .select("doc_id").as[Long].collect().toSet
+      assert(i0 == i1)
+    } finally spark.catalog.clearCache()
+  }
+
   test("epochUpsample: expected copies per group, partition-invariant, exact integers repeat") {
     import spark.implicits._
     val docs = (1L to 4000L).map(i =>
