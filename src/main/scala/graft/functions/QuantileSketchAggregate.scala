@@ -223,6 +223,77 @@ case class QuantileSketch(
     copy(value = newChildren(0))
 }
 
+/** `graft_sketch_merge(sketch, capacity)` — SECOND-ORDER aggregate:
+  * folds pre-built `graft_quantile_sketch` summaries (array<struct<v,w>>
+  * values, e.g. stored per-day partials) into one summary. This is what
+  * makes the sketch's mergeability real at the SQL surface: a 100 TB
+  * pipeline aggregates each day once, stores the ≤capacity-entry
+  * summary, and rolls weeks/months up from the stored partials without
+  * touching raw data again. Exact-when-fits composes: merging
+  * never-collapsed sketches whose TOTAL weight count fits `capacity`
+  * yields the exact summary (t40's oracle contract). Null sketches are
+  * skipped; entry order inside an input sketch is irrelevant. */
+case class QuantileSketchMerge(
+    sketch: Expression,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QSketch] with ExpectsInputTypes {
+
+  require(capacity > 0, s"capacity must be positive: $capacity")
+
+  override def children: Seq[Expression] = Seq(sketch)
+  override def inputTypes: Seq[DataType] = Seq(
+    ArrayType(StructType(Seq(
+      StructField("v", DoubleType, nullable = false),
+      StructField("w", LongType, nullable = false))), containsNull = false))
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_sketch_merge"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("v", DoubleType, nullable = false),
+      StructField("w", LongType, nullable = false))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): QSketch = new QSketch(capacity)
+
+  override def update(buf: QSketch, input: InternalRow): QSketch = {
+    val v = sketch.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val row = arr.getStruct(i, 2)
+        buf.add(row.getDouble(0), row.getLong(1))
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: QSketch, other: QSketch): QSketch = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: QSketch): Any =
+    new GenericArrayData(
+      buf.entries().map { case (v, w) => InternalRow(v, w) })
+
+  // serialization shared with QuantileSketch via a carrier instance
+  private val codec = QuantileSketch(sketch, capacity)
+  override def serialize(buf: QSketch): Array[Byte] = codec.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): QSketch = codec.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketchMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(sketch = newChildren(0))
+}
+
 /** `graft_sketch_quantile(sketch, num, den)` → the sketch's discrete
   * quantile at num/den (the q24/q35 rank convention). Exact whenever the
   * sketch never collapsed. */

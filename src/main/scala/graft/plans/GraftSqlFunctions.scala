@@ -100,6 +100,14 @@ object GraftSqlFunctions {
       { case Seq(s, n, d) =>
         SketchQuantileExpression(s, Cast(n, LongType), Cast(d, LongType)) }),
 
+    ("graft_sketch_merge",
+      "graft_sketch_merge(sketch, capacity) - aggregate: fold stored " +
+        "graft_quantile_sketch summaries into one (rollup from partials); " +
+        "exact while total inputs fit capacity",
+      { case Seq(s, c) =>
+        QuantileSketchMerge(s, int(c, "graft_sketch_merge", "capacity"))
+          .toAggregateExpression() }),
+
     ("graft_binary_simhash",
       "graft_binary_simhash(payload, n) - 64-bit SimHash over byte n-gram " +
         "windows of a binary column (content near-dup for opaque payloads)",

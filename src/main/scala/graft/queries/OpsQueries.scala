@@ -694,6 +694,28 @@ object OpsQueries extends QueryPack {
       out
     }),
 
+    // sketch ROLLUP: per-group quantile sketches (the stored-daily-partial
+    // analog) re-aggregated into one global summary via the second-order
+    // graft_sketch_merge — the production path that rolls months up from
+    // stored partials without re-touching raw data. Exact-when-fits
+    // composes (every per-type sketch exact + total fits the merge
+    // capacity), so the oracle is the plain global exact percentile
+    "t40_sketch_rollup" -> ((s, d) => {
+      val v = s"qsr_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      Tables.events(s, d).select(col("event_type"), col("value"))
+        .createOrReplaceTempView(v)
+      val out = s.sql(
+        s"""SELECT graft_sketch_quantile(m, 1, 2) AS p50,
+              graft_sketch_quantile(m, 9, 10) AS p90,
+              graft_sketch_quantile(m, 99, 100) AS p99
+            FROM (SELECT graft_sketch_merge(sk, 65536) AS m
+                  FROM (SELECT event_type,
+                          graft_quantile_sketch(value, 32768) AS sk
+                        FROM $v GROUP BY event_type))""")
+      s.catalog.dropTempView(v)
+      out
+    }),
+
     // first-fit-decreasing bin packing (no document splitting), 128-token
     // bins, 64-id chunks: the greedy is pure integer arithmetic, replayed
     // bit-for-bit by a DuckDB recursive CTE
@@ -1834,6 +1856,24 @@ object OpsQueries extends QueryPack {
            CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
          FROM documents GROUP BY lang ORDER BY lang""",
+
+    // rollup exactness: merged exact sketches = the full value multiset,
+    // so the global exact discrete percentile (t36's rank convention,
+    // ungrouped) is the ground truth
+    "t40_sketch_rollup" ->
+      """WITH r AS (
+           SELECT value,
+             row_number() OVER (ORDER BY value) AS rn,
+             count(*) OVER () AS n
+           FROM events)
+         SELECT
+           max(CASE WHEN rn = greatest(least(1 * (n + 1) // 2, n), 1)
+                    THEN value END) AS p50,
+           max(CASE WHEN rn = greatest(least(9 * (n + 1) // 10, n), 1)
+                    THEN value END) AS p90,
+           max(CASE WHEN rn = greatest(least(99 * (n + 1) // 100, n), 1)
+                    THEN value END) AS p99
+         FROM r""",
 
     // the exact engine greedy unrolled as a recursive CTE: per chunk, one
     // recursion step per document in (n desc, id) order; the capacity
