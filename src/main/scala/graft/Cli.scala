@@ -125,6 +125,7 @@ object Cli {
             l.trim -> w.trim.toDouble
           }.toMap))
       val curated = examples.CurationPipeline.curate(docs, benchmark, cfg = cfg)
+      val upsampled = cfg.epochWeights.isDefined
       // count from the WRITTEN output, never from `curated` — a count on
       // the live frame would re-execute the whole curation DAG (dedup,
       // connected components, decontamination) a second time
@@ -141,13 +142,22 @@ object Cli {
           // epoch upsampling yields several copies per doc_id, and both
           // the FFD packer and WebDataset keys need UNIQUE ids — use the
           // numeric composite doc_id*1024+copy (copy <= 1001 by the
-          // weight cap; ANSI overflow on an outsized doc_id fails loudly
-          // rather than colliding). Loaders recover (doc_id, copy) by
-          // div/mod 1024.
+          // weight cap). Gated on the CONFIG, not on a column named
+          // "copy" (an input table carrying its own copy column must
+          // not have its ids rewritten). The explicit range guard makes
+          // an outsized doc_id fail loudly under ANSI-on AND ANSI-off
+          // (where Long arithmetic would otherwise wrap silently into
+          // colliding keys). Loaders recover (doc_id, copy) by div/mod.
           val keyed =
-            if (curated.columns.contains("copy"))
-              curated.select((col("doc_id") * lit(1024L) + col("copy"))
-                .as("doc_id"), col("text"))
+            if (upsampled)
+              curated.select(
+                when(col("doc_id").between(0L, (Long.MaxValue - 1024L) / 1024L),
+                  col("doc_id") * lit(1024L) + col("copy"))
+                  .otherwise(raise_error(concat(
+                    lit("curate: doc_id out of composite-key range for " +
+                      "epoch upsampling: "), col("doc_id").cast("string"))))
+                  .as("doc_id"),
+                col("text"))
             else curated.select("doc_id", "text")
           examples.CurationPipeline.exportTrainingShards(
             keyed, outDir,

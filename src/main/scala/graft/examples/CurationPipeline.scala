@@ -62,7 +62,10 @@ object CurationPipeline {
       // counts — "en 2.3 epochs"): applied after selection, before the
       // split, so every copy of a document inherits ONE split (the
       // assignment hashes the id — no train/val leakage across copies).
-      // Output gains a `copy` column when set.
+      // Languages in `langs` but absent from this map default to weight
+      // 1.0 (pass-through) — a partial spec upsamples what it names and
+      // never silently deletes a kept language. Output gains a `copy`
+      // column when set.
       epochWeights: Option[Map[String, Double]] = None,
       // last entry is the remainder bucket (splitAssign semantics)
       splits: Seq[(String, Double)] = Seq(
@@ -138,9 +141,14 @@ object CurationPipeline {
         TextAnalysis.qualityScore(col(textCol)),
         TextAnalysis.tokenCountWs(col(textCol)), b))
 
-    // 6.5 optional epoch upsampling: mixture weights as repeat counts
-    val repeated = cfg.epochWeights.fold(bounded)(w =>
-      Sampling.epochUpsample(bounded, col(idCol), col(langCol), w))
+    // 6.5 optional epoch upsampling: mixture weights as repeat counts;
+    // kept languages missing from the spec default to 1.0 (the raw
+    // operator's absent-means-drop convention is for full mixture specs,
+    // not the capstone's additive override)
+    val repeated = cfg.epochWeights.fold(bounded) { w =>
+      val full = cfg.langs.map(l => l -> w.getOrElse(l, 1.0)).toMap ++ w
+      Sampling.epochUpsample(bounded, col(idCol), col(langCol), full)
+    }
 
     // 7. split assignment (hashes the id: every copy of a doc lands in
     // the same split — repeats never leak across train/val)

@@ -595,20 +595,24 @@ object Dedup {
                    threshold: Double = 0.8, bands: Int = 32,
                    rowsPerBand: Int = 3, shingleN: Int = 3,
                    materialize: Boolean = false): DataFrame = {
-    // `materialize` (the minhashNearDupPairs knob): persist both narrow
-    // projections so stage 2's band/shingle derivations read cached
-    // copies instead of re-scanning batch and prior per consumer
-    // (measured 15 scans default)
-    def mat(d: DataFrame) =
-      if (materialize)
-        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else d
-    val newDocs = mat(batch.select(col(idCol).as("id"), col(textCol).as("text")))
-    val oldDocs = mat(prior.select(col(idCol).as("id"), col(textCol).as("text")))
+    // `materialize` persists the BATCH side only: `fresh` is consumed by
+    // three derivations (bands, shingles, the final keep anti-join) and
+    // is increment-sized, so the cache residue per call is bounded by
+    // one batch (a per-increment caller should still clearCache between
+    // runs). The PRIOR side is deliberately NOT persisted — it is
+    // corpus-sized, and the documented production pattern is to
+    // materialize its signature table once per corpus build externally,
+    // not to cache raw corpus text per increment.
+    val newDocs = batch.select(col(idCol).as("id"), col(textCol).as("text"))
+    val oldDocs = prior.select(col(idCol).as("id"), col(textCol).as("text"))
     // stage 1: exact fingerprints
     val priorFp = oldDocs.select(md5(col("text")).as("fp")).distinct()
-    val fresh = newDocs.withColumn("fp", md5(col("text")))
+    val fresh0 = newDocs.withColumn("fp", md5(col("text")))
       .join(priorFp, Seq("fp"), "left_anti").drop("fp")
+    val fresh =
+      if (materialize)
+        fresh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else fresh0
     // stage 2: bipartite band join on (band, bhash)
     def bandsOf(df: DataFrame, idAs: String) = df.select(
       col("id").as(idAs),

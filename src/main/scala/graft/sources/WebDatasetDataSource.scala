@@ -130,6 +130,12 @@ final class WdsScan(paths: Seq[String], required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
+    // pruning is only sound when the shard set is COMPLETE — i.e. it
+    // came from listing a directory (the writer's whole layout). A
+    // caller passing explicit shard files may hold a contiguous SUBSET
+    // (shard-000000..2 of an 8-shard layout), where the inferred
+    // modulus would be wrong and matching rows silently unreachable.
+    var allFromDirListing = true
     val all = paths.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
@@ -137,7 +143,7 @@ final class WdsScan(paths: Seq[String], required: StructType,
         if (fs.getFileStatus(path).isDirectory)
           fs.listStatus(path).toSeq.filter(s =>
             s.isFile && s.getPath.getName.endsWith(".tar"))
-        else Seq(fs.getFileStatus(path))
+        else { allFromDirListing = false; Seq(fs.getFileStatus(path)) }
       statuses.map(st => WdsInputPartition(st.getPath.toString, st.getLen)
         : InputPartition)
     }.toArray
@@ -150,7 +156,7 @@ final class WdsScan(paths: Seq[String], required: StructType,
     // never inferred. The layout is still validated (complete contiguous
     // shard-NNNNNN numbering) and pruning declines when it doesn't hold.
     pred.equalTo match {
-      case Some(keys) if hashedShards && all.nonEmpty =>
+      case Some(keys) if hashedShards && allFromDirListing && all.nonEmpty =>
         val nums = all.map(p =>
           new Path(p.asInstanceOf[WdsInputPartition].path).getName).map {
           case WdsScan.ShardName(n) => n.toInt

@@ -253,6 +253,32 @@ class CurationPipelineSpec extends SparkSpec {
     assert(splitsPerDoc.forall(_ == 1L))
   }
 
+  test("partial epochWeights keep unlisted kept languages at 1.0 (never dropped)") {
+    // the README example (-s curate.epochs=en:2.3,es:1.0) must upsample
+    // what it names without deleting de/fr — the raw operator's
+    // absent-means-drop convention is overridden at the capstone layer
+    val multi = (1L to 40L).map { i =>
+      val r = new scala.util.Random(i + 7000)
+      val words = (0 until 30).map(_ => s"m${i}_${r.nextInt(500)}")
+      (i, ("the of and to in a " * 3) + words.mkString(" "),
+        Seq("en", "es", "de", "fr")((i % 4).toInt))
+    }.toDF("doc_id", "text", "lang")
+    val base = CurationPipeline.curate(multi, benchmark)
+    val langsKept = base.select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(langsKept == Set("en", "es", "de", "fr"), langsKept.toString)
+    val out = CurationPipeline.curate(multi, benchmark,
+      cfg = CurationPipeline.Config(epochWeights = Some(Map("en" -> 2.0))))
+    val outLangs = out.select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(outLangs == langsKept,
+      s"unlisted languages must survive at weight 1.0: $outLangs vs $langsKept")
+    // and non-en docs appear exactly once
+    val others = out.filter(col("lang") =!= "en")
+      .groupBy("doc_id").count().collect().map(_.getLong(1))
+    assert(others.forall(_ == 1L))
+  }
+
   test("exportTrainingShards: curate -> FFD pack -> webdataset round trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft-train-shards").toString
     val curated = CurationPipeline.curate(docs, benchmark)

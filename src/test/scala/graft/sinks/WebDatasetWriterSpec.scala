@@ -176,6 +176,16 @@ class WebDatasetWriterSpec extends SparkSpec {
     // without the opt-in: all shards planned, same answer
     assert(read(hashed = false).filter(col("key") === "11")
       .rdd.getNumPartitions == 8)
+    // explicit-file SUBSET of the layout: contiguous shard-000000..2
+    // would infer the WRONG modulus — pruning must decline (results are
+    // whatever those files hold, but never hash-pruned away)
+    val subset = spark.read.format("webdataset")
+      .option("hashedShards", "true")
+      .load((0 to 2).map(i => f"$dir/shard-$i%06d.tar"): _*)
+    val subsetKeys = subset.select("key").collect().map(_.getString(0)).toSet
+    for (k <- subsetKeys)
+      assert(subset.filter(col("key") === k).count() == 1,
+        s"subset read must not prune away key $k")
     // foreign layout (a renamed shard breaks contiguous numbering):
     // pruning declines, results stay complete
     val f = new java.io.File(dir, "shard-000003.tar")
