@@ -75,6 +75,19 @@ class DistinctSketchSpec extends SparkSpec {
     assert(z.estimate() == 2L)
   }
 
+  test("precision bounds fail loudly from SQL; weight/empty edges are total") {
+    import spark.implicits._
+    Seq("a").toDF("v").createOrReplaceTempView("dcs_edge")
+    for (p <- Seq(3, 19)) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT graft_distinct_sketch(v, $p) FROM dcs_edge").collect()
+      }
+      assert(e.getMessage.contains("precision must be in [4, 18]"),
+        s"p=$p: ${e.getMessage.take(120)}")
+    }
+    spark.catalog.dropTempView("dcs_edge")
+  }
+
   test("serialization roundtrip preserves both modes") {
     val agg = DistinctSketch(
       org.apache.spark.sql.catalyst.expressions.Literal("x"), 8)

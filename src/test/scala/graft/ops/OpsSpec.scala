@@ -683,6 +683,27 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("epochUpsample edges: explicit zero weight drops; pure-fraction weight subsamples") {
+    import spark.implicits._
+    val docs = (1L to 2000L).map(i =>
+      (i, if (i % 2 == 0) "keep" else "drop")).toDF("doc_id", "lang")
+    val out = Sampling.epochUpsample(docs, col("doc_id"), col("lang"),
+      Map("keep" -> 0.4, "drop" -> 0.0))
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.contains("drop"), "weight 0.0 must drop the group")
+    // 1000 keep docs at 0.4 -> ~400 single copies, never more than 1
+    assert(math.abs(byLang("keep") - 400L) < 80, byLang.toString)
+    assert(out.groupBy("doc_id").count().collect().forall(_.getLong(1) == 1L))
+    // 'copy' reserved-name guard fires loudly
+    val clash = docs.withColumn("copy", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.epochUpsample(clash, col("doc_id"), col("lang"),
+        Map("keep" -> 1.0))
+    }
+    assert(e.getMessage.contains("copy"))
+  }
+
   test("winnow and incremental dedup materialize knobs preserve results") {
     import spark.implicits._
     val rnd = new scala.util.Random(9)
