@@ -121,8 +121,20 @@ object Cli {
         // -s curate.epochs=en:2.3,es:1.0 — training-mix repeat weights
         epochWeights = settings.get("curate.epochs").map(_.split(",").toSeq
           .map { kv =>
-            val Array(l, w) = kv.split(":", 2)
-            l.trim -> w.trim.toDouble
+            kv.split(":", 2) match {
+              case Array(l, w) =>
+                val weight =
+                  try w.trim.toDouble
+                  catch {
+                    case _: NumberFormatException => sys.error(
+                      s"curate.epochs: non-numeric weight in '$kv' " +
+                        "(expected lang:weight, e.g. en:2.3)")
+                  }
+                l.trim -> weight
+              case _ => sys.error(
+                s"curate.epochs: malformed entry '$kv' " +
+                  "(expected lang:weight, e.g. en:2.3)")
+            }
           }.toMap))
       val curated = examples.CurationPipeline.curate(docs, benchmark, cfg = cfg)
       val upsampled = cfg.epochWeights.isDefined

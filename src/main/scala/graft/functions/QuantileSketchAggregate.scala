@@ -264,8 +264,13 @@ case class QuantileSketchMerge(
       var i = 0
       val n = arr.numElements()
       while (i < n) {
-        val row = arr.getStruct(i, 2)
-        buf.add(row.getDouble(0), row.getLong(1))
+        // ExpectsInputTypes does not enforce containsNull=false, so a
+        // user-built array can still carry null entries — skip them
+        // instead of NPE-ing in the executor
+        if (!arr.isNullAt(i)) {
+          val row = arr.getStruct(i, 2)
+          buf.add(row.getDouble(0), row.getLong(1))
+        }
         i += 1
       }
     }

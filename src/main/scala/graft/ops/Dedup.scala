@@ -71,8 +71,12 @@ object Dedup {
     * kernel [[graft.functions.ShingleJaccardExpression]] and the SQL
     * formulation `size(array_intersect)/size(array_union)` — one
     * convention everywhere. ([[shingles]] never returns an empty set,
-    * so the degenerate case is unreachable on the dedup paths.) */
+    * so the degenerate case is unreachable on the dedup paths; an
+    * external caller passing two empty sets fails loudly here rather
+    * than receiving a NaN that silently fails every `>= threshold`.) */
   def jaccard(a: Set[String], b: Set[String]): Double = {
+    require(a.nonEmpty || b.nonEmpty,
+      "jaccard of two empty sets is undefined (0/0)")
     val inter = a.intersect(b).size
     inter.toDouble / (a.size + b.size - inter)
   }

@@ -115,6 +115,29 @@ object WebDatasetWriter {
       }
       close()
     }
+    // Backfill EMPTY shards: tasks only write shards they receive rows
+    // for, so a shard id with no samples would leave no file. The
+    // hashedShards reader infers the hash modulus from the tar file
+    // count — with k < numShards files whose numbers happen to be
+    // contiguous 0..k-1 (likely on small corpora), keyed lookups would
+    // compute pmod against the wrong modulus and silently miss rows.
+    // An empty tar (two zero blocks) per missing id keeps the layout
+    // self-describing: file count == true modulus, always.
+    locally {
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(conf)
+      val present = fs.listStatus(dir).iterator.map(_.getPath.getName).collect {
+        case n if n.matches("shard-\\d{6}\\.tar") =>
+          n.stripPrefix("shard-").stripSuffix(".tar").toInt
+      }.toSet
+      (0 until numShards).filterNot(present).foreach { s =>
+        val fin = new org.apache.hadoop.fs.Path(path, f"shard-$s%06d.tar")
+        val out = fs.create(fin, true)
+        out.write(new Array[Byte](1024))
+        out.close()
+      }
+    }
   }
 
   /** One POSIX ustar entry: 512-byte header, data, zero-pad to 512. */

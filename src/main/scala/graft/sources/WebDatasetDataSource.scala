@@ -40,7 +40,9 @@ class WebDatasetDataSource extends TableProvider with DataSourceRegister {
     val props = properties.asScala.toMap
     new WdsTable(MarcDataSource.resolvePaths(props),
       props.exists { case (k, v) =>
-        k.equalsIgnoreCase("hashedShards") && v.equalsIgnoreCase("true") })
+        k.equalsIgnoreCase("hashedShards") && v.equalsIgnoreCase("true") },
+      props.collectFirst { case (k, v) if k.equalsIgnoreCase("numShards") =>
+        v.toInt })
   }
 }
 
@@ -52,7 +54,8 @@ object WebDatasetDataSource {
       nullable = false)))
 }
 
-final class WdsTable(paths: Seq[String], hashedShards: Boolean = false)
+final class WdsTable(paths: Seq[String], hashedShards: Boolean = false,
+                     numShards: Option[Int] = None)
     extends Table with SupportsRead {
   override def name(): String = s"webdataset(${paths.mkString(",")})"
   override def schema(): StructType = WebDatasetDataSource.schema
@@ -60,7 +63,9 @@ final class WdsTable(paths: Seq[String], hashedShards: Boolean = false)
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WdsScanBuilder(paths, hashedShards ||
-      options.getBoolean("hashedShards", false))
+      options.getBoolean("hashedShards", false),
+      numShards.orElse(
+        Option(options.get("numShards")).map(_.toInt)))
 }
 
 /** Conjunction of key predicates the tar reader can evaluate from the
@@ -75,7 +80,8 @@ final case class WdsKeyPred(equalTo: Option[Set[String]],
   def isEmpty: Boolean = equalTo.isEmpty && prefixes.isEmpty
 }
 
-final class WdsScanBuilder(paths: Seq[String], hashedShards: Boolean = false)
+final class WdsScanBuilder(paths: Seq[String], hashedShards: Boolean = false,
+                           numShards: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   import org.apache.spark.sql.sources.{EqualTo, Filter, In, StringStartsWith}
@@ -105,7 +111,7 @@ final class WdsScanBuilder(paths: Seq[String], hashedShards: Boolean = false)
     val eq = eqs.reduceOption(_ intersect _)
     val pred = WdsKeyPred(eq,
       accepted.collect { case StringStartsWith("key", p) => p }.toSeq)
-    new WdsScan(paths, required, pred, hashedShards)
+    new WdsScan(paths, required, pred, hashedShards, numShards)
   }
 }
 
@@ -114,7 +120,8 @@ final case class WdsInputPartition(path: String, length: Long)
 
 final class WdsScan(paths: Seq[String], required: StructType,
                     pred: WdsKeyPred = WdsKeyPred(None, Nil),
-                    hashedShards: Boolean = false)
+                    hashedShards: Boolean = false,
+                    numShards: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -164,7 +171,12 @@ final class WdsScan(paths: Seq[String], required: StructType,
         }
         val n = all.length
         val isWriterLayout = !nums.contains(-1) && nums.sorted.sameElements(0 until n)
-        if (!isWriterLayout) all
+        // an explicit numShards option is the caller's claim about the
+        // true hash modulus; if the file count disagrees (e.g. an older
+        // layout whose empty shards left no file), the inferred modulus
+        // would be wrong — decline pruning rather than silently miss rows
+        val modulusAgrees = numShards.forall(_ == n)
+        if (!isWriterLayout || !modulusAgrees) all
         else {
           val byNum = nums.zip(all).toMap
           val wanted = keys.map { k =>

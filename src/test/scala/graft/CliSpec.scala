@@ -144,4 +144,25 @@ class CliSpec extends SparkSpec {
     val shards = spark.read.format("webdataset").option("path", wdsDir).load()
     assert(shards.count() == back.count())
   }
+
+  test("curate rejects malformed curate.epochs entries with usable messages") {
+    val inDir = java.nio.file.Files.createTempDirectory("cli-epochs-in").toString
+    spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select("doc_id", "text", "lang").write.mode("overwrite").parquet(inDir)
+    val outDir = java.nio.file.Files.createTempDirectory("cli-epochs-out").toString
+    // missing colon: names the offending entry and the expected format
+    val e1 = intercept[RuntimeException] {
+      Cli.run(Seq("curate", "-o", outDir, "-s", "curate.epochs=en=2.3", inDir),
+        spark, new FakeTransport())
+    }
+    assert(e1.getMessage.contains("en=2.3") &&
+      e1.getMessage.contains("lang:weight"), e1.getMessage)
+    // non-numeric weight
+    val e2 = intercept[RuntimeException] {
+      Cli.run(Seq("curate", "-o", outDir,
+        "-s", "curate.epochs=en:lots", inDir), spark, new FakeTransport())
+    }
+    assert(e2.getMessage.contains("en:lots") &&
+      e2.getMessage.contains("lang:weight"), e2.getMessage)
+  }
 }

@@ -119,4 +119,16 @@ class QuantileSketchSpec extends SparkSpec {
          FROM qsm_v""").head().getDouble(0)
     assert(direct == merged.getDouble(0))
   }
+
+  test("graft_sketch_merge skips null array entries instead of NPE-ing") {
+    // ExpectsInputTypes does not enforce containsNull=false, so a
+    // user-built array can carry nulls — they must be ignored
+    val p50 = spark.sql(
+      """SELECT graft_sketch_quantile(
+           graft_sketch_merge(a, 64), 1, 2) AS p50
+         FROM (SELECT array(named_struct('v', 1.0d, 'w', 1L), NULL,
+                           named_struct('v', 3.0d, 'w', 1L)) AS a)""")
+      .head().getDouble(0)
+    assert(p50 == 1.0 || p50 == 3.0)
+  }
 }

@@ -17,6 +17,10 @@ class OpsSpec extends SparkSpec {
       .head().getDouble(0)
     assert(math.abs(rowJ - colJ) < 1e-12)
     assert(rowJ == 7.0 / 8.0) // 7 shared of 8 union (9-word doc: 7 vs 8 shingles)
+    // both-empty is undefined (0/0): fails loudly rather than yielding a
+    // NaN that silently fails every >= threshold comparison
+    intercept[IllegalArgumentException](Dedup.jaccard(Set.empty, Set.empty))
+    assert(Dedup.jaccard(Set("a"), Set.empty) == 0.0)
   }
 
   test("shingle/jaccard kernels match their column formulations on fuzzed texts") {

@@ -195,6 +195,64 @@ class WebDatasetWriterSpec extends SparkSpec {
     assert(foreign.count() == samples.count())
   }
 
+  test("empty shards are backfilled: file count == modulus, keyed lookups stay correct") {
+    // 25 samples over 64 shards leave many shard ids with no rows; the
+    // writer must still emit a (valid, empty) tar per id so the
+    // hashedShards reader's inferred modulus equals the true one —
+    // without backfill, nonempty shards numbered 0..k-1 would pass the
+    // contiguity check with k != 64 and keyed lookups would hash into
+    // the wrong shard, silently returning no rows
+    val dir = Files.createTempDirectory("graft-wds-empty").toString
+    WebDatasetWriter.writeShards(samples, dir, "doc_id",
+      Seq("json" -> col("meta")), numShards = 64)
+    val tars = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".tar")).sorted
+    assert(tars.length == 64, s"expected 64 shard files, got ${tars.length}")
+    // backfilled empties are valid end-of-archive-only tars
+    assert(tars.exists(t => Files.size(Paths.get(t)) == 1024))
+    tars.filter(t => Files.size(Paths.get(t)) == 1024)
+      .foreach(t => assert(readTar(Paths.get(t)).isEmpty))
+    val read = spark.read.format("webdataset")
+      .option("path", dir).option("hashedShards", "true").load()
+    for (k <- samples.collect().map(_.getLong(0).toString)) {
+      val got = read.filter(col("key") === k)
+      assert(got.rdd.getNumPartitions == 1, s"lookup of $k not pruned")
+      assert(got.count() == 1, s"pruned lookup lost key $k")
+    }
+  }
+
+  test("explicit numShards option declines pruning when the file count disagrees") {
+    val dir = Files.createTempDirectory("graft-wds-modulus").toString
+    WebDatasetWriter.writeShards(samples, dir, "doc_id",
+      Seq("json" -> col("meta")), numShards = 64)
+    def read(opts: (String, String)*) = {
+      val base = spark.read.format("webdataset")
+        .option("path", dir).option("hashedShards", "true")
+      opts.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+    }
+    // option agrees with the layout: pruning stays on
+    assert(read("numShards" -> "64").filter(col("key") === "7")
+      .rdd.getNumPartitions == 1)
+    // simulate a pre-backfill layout: strip trailing empty shards so the
+    // remaining files are contiguous 0..k-1 with k < 64 — the dangerous
+    // shape the advisory describes
+    val names = (0 until 64).map(i => Paths.get(dir, f"shard-$i%06d.tar"))
+    var last = 63
+    while (last >= 0 && Files.size(names(last)) == 1024) {
+      Files.delete(names(last)); last -= 1
+    }
+    assert(last < 63, "test setup: expected at least one trailing empty shard")
+    val k = last + 1
+    // the explicit option disagrees with the k-file count: pruning must
+    // decline and every key must still be found
+    val guarded = read("numShards" -> "64")
+    assert(guarded.filter(col("key") === "7").rdd.getNumPartitions == k,
+      "pruning must decline on modulus disagreement")
+    for (key <- samples.collect().map(_.getLong(0).toString))
+      assert(guarded.filter(col("key") === key).count() == 1,
+        s"guarded read lost key $key")
+  }
+
   test("reader tolerates foreign archives: GNU long names, directories") {
     if (Files.exists(Paths.get("/bin/tar")) || Files.exists(Paths.get("/usr/bin/tar"))) {
       import scala.sys.process._
