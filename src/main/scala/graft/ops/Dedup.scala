@@ -151,8 +151,8 @@ object Dedup {
     * (id, fp, bands, shingles) once (MEMORY_AND_DISK) so the WHOLE
     * pipeline reads the source table exactly ONCE. The default plan
     * instead re-scans the (column-pruned) table per consumer — measured
-    * 14 scans per execution — which is the zero-cache, zero-residue
-    * shape; at corpus scale, where 14 object-store reads of the text
+    * 6 scans per execution — which is the zero-cache, zero-residue
+    * shape; at corpus scale, where 6 object-store reads of the text
     * column dwarf one disk-cached materialization of the derived
     * features, turn the knob on (the persisted frame is released by
     * Spark's LRU / app exit — a one-shot batch-dedup job's lifecycle).
@@ -240,8 +240,15 @@ object Dedup {
       .agg(count(lit(1)).as("bsize"))
       .filter(col("bsize") > maxBucketSize)
       .select(col("band"), col("bhash"))
+    // the explicit (band, bhash) repartition puts a canonically-identical
+    // exchange under BOTH sides of the self-join, so ReusedExchange
+    // executes `buckets` — and its band-kernel source scan — exactly
+    // once at any scale (without it, AQE's small-scale broadcast choice
+    // leaves one side exchange-free and the scan runs twice; at corpus
+    // scale the join shuffles anyway, so this forces that shape)
     val buckets = bucketsRaw
       .join(broadcast(oversized), Seq("band", "bhash"), "left_anti")
+      .repartition(col("band"), col("bhash"))
 
     val candidates = buckets.alias("a").join(buckets.alias("b"),
         col("a.band") === col("b.band") &&
@@ -251,14 +258,28 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
 
     // shingles come from the shared narrow frame (identical text ⇒
-    // identical shingles, and candidates only reference rep ids); AQE
-    // broadcasts the candidate side when small, leaving this scan
-    // shuffle-free
+    // identical shingles, and candidates only reference rep ids).
+    // ONE scan leaf for both sides of the pair: each candidate pair
+    // explodes to its two member ids, joins the shingle frame once
+    // (the candidate side broadcasts; shingles stream, no corpus-wide
+    // shingle shuffle), and regroups per pair — only the CANDIDATES'
+    // shingle sets ride the final groupBy exchange. The r10 two-join
+    // shape streamed the shingle scan twice, because broadcast-side
+    // joins leave no exchange for runtime reuse to collapse.
+    // `first(when(...), ignoreNulls)` is deterministic: exactly one row
+    // per (pair, role) matches.
     val shingled = narrow.select(col("id"), col("sh"))
 
     val repPairs = candidates
-      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        explode(array(col("id_a"), col("id_b"))).as("id"))
+      .join(shingled, "id")
+      .groupBy("id_a", "id_b")
+      .agg(
+        first(when(col("id") === col("id_a"), col("sh")), ignoreNulls = true)
+          .as("sh_a"),
+        first(when(col("id") === col("id_b"), col("sh")), ignoreNulls = true)
+          .as("sh_b"))
       .withColumn("jaccard", jaccardCol(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -547,9 +568,8 @@ object Dedup {
                          maxDocsPerFp: Int = 1000,
                          materialize: Boolean = false): DataFrame = {
     // `materialize` (the minhashNearDupPairs knob): persist the one
-    // kernel pass so the hot-filter, candidate join, and both set
-    // re-attachments read a single cached copy instead of re-scanning
-    // the source per consumer (measured 10 scans default)
+    // kernel pass so every consumer reads a single cached copy — the
+    // source is then scanned exactly once
     val fps0 = df.select(col(idCol).as("id"),
       graft.functions.WinnowExpression.winnowCol(col(textCol), k, window)
         .as("fp"))
@@ -560,14 +580,38 @@ object Dedup {
     val exploded = fps.select(col("id"), explode(col("fp")).as("f"))
     val hot = exploded.groupBy("f").agg(count(lit(1)).as("c"))
       .filter(col("c") > maxDocsPerFp).select(col("f"))
+    // the explicit f repartition puts a canonically-identical exchange
+    // under BOTH sides of the self-join, so ReusedExchange executes
+    // `cool` — and its winnow-kernel source scan — exactly once at any
+    // scale (without it, AQE's small-scale broadcast choice leaves one
+    // side exchange-free and the scan runs twice; at corpus scale the
+    // join shuffles anyway, so this forces the large-scale shape)
     val cool = exploded.join(broadcast(hot), Seq("f"), "left_anti")
+      .repartition(col("f"))
     val cand = cool.alias("a").join(cool.alias("b"),
         col("a.f") === col("b.f") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // Fingerprint-set re-attachment through ONE scan leaf: the r10
+    // two-join shape (`fps as id_a/fa` ⋈ cand ⋈ `fps as id_b/fb`)
+    // streamed the kernel scan TWICE, because the broadcast-side (cand)
+    // joins leave no exchange on the fps side for runtime reuse to
+    // collapse. Instead each candidate pair explodes to its two member
+    // ids, joins the fps frame once (cand broadcasts; fps streams, no
+    // corpus-wide fingerprint shuffle), and regroups per pair — only the
+    // CANDIDATES' fingerprint sets ride the final groupBy exchange.
+    // `first(when(...), ignoreNulls)` is deterministic here: exactly one
+    // row per (pair, role) matches.
     cand
-      .join(fps.select(col("id").as("id_a"), col("fp").as("fa")), "id_a")
-      .join(fps.select(col("id").as("id_b"), col("fp").as("fb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        explode(array(col("id_a"), col("id_b"))).as("id"))
+      .join(fps, "id")
+      .groupBy("id_a", "id_b")
+      .agg(
+        first(when(col("id") === col("id_a"), col("fp")), ignoreNulls = true)
+          .as("fa"),
+        first(when(col("id") === col("id_b"), col("fp")), ignoreNulls = true)
+          .as("fb"))
       .withColumn("common", size(array_intersect(col("fa"), col("fb"))))
       .withColumn("overlap", col("common").cast("double") /
         (size(col("fa")) + size(col("fb")) - col("common")))
@@ -599,40 +643,63 @@ object Dedup {
                    threshold: Double = 0.8, bands: Int = 32,
                    rowsPerBand: Int = 3, shingleN: Int = 3,
                    materialize: Boolean = false): DataFrame = {
-    // `materialize` persists the BATCH side only: `fresh` is consumed by
-    // three derivations (bands, shingles, the final keep anti-join) and
-    // is increment-sized, so the cache residue per call is bounded by
-    // one batch (a per-increment caller should still clearCache between
-    // runs). The PRIOR side is deliberately NOT persisted — it is
-    // corpus-sized, and the documented production pattern is to
-    // materialize its signature table once per corpus build externally,
-    // not to cache raw corpus text per increment.
-    val newDocs = batch.select(col(idCol).as("id"), col(textCol).as("text"))
-    val oldDocs = prior.select(col(idCol).as("id"), col(textCol).as("text"))
-    // stage 1: exact fingerprints
-    val priorFp = oldDocs.select(md5(col("text")).as("fp")).distinct()
-    val fresh0 = newDocs.withColumn("fp", md5(col("text")))
-      .join(priorFp, Seq("fp"), "left_anti").drop("fp")
-    val fresh =
+    // All BATCH-side scan features (exact fingerprint, band signature,
+    // shingle set) come off ONE shared narrow projection, the d02
+    // discipline: Catalyst prunes the unused kernels per consumer, so
+    // the default plan equals deriving each feature separately, while
+    // identical subtrees collapse at runtime via exchange reuse. The r10
+    // shape instead re-derived features from `fresh` (the post-anti-join
+    // frame), so every consumer re-executed BOTH the batch scan and the
+    // prior fingerprint scan — 11 measured source reads; this shape
+    // reads the batch 4x and the prior 3x (d02 parity).
+    //
+    // `materialize` persists the BATCH side's narrow features only:
+    // they are increment-sized, so the cache residue per call is
+    // bounded by one batch (a per-increment caller should still
+    // clearCache between runs). The PRIOR side is deliberately NOT
+    // persisted — it is corpus-sized, and the documented production
+    // pattern is to materialize its signature table once per corpus
+    // build externally, not to cache raw corpus text per increment.
+    def narrowOf(df: DataFrame): DataFrame = df.select(
+      col(idCol).as("id"),
+      md5(col(textCol)).as("fp"),
+      graft.functions.MinhashBandsExpression.minhashBands(
+        col(textCol), bands, rowsPerBand, shingleN).as("bands"),
+      shingleCol(col(textCol), shingleN).as("sh"))
+    val newNarrow0 = narrowOf(batch)
+    val newNarrow =
       if (materialize)
-        fresh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else fresh0
-    // stage 2: bipartite band join on (band, bhash)
-    def bandsOf(df: DataFrame, idAs: String) = df.select(
-      col("id").as(idAs),
-      posexplode(graft.functions.MinhashBandsExpression.minhashBands(
-        col("text"), bands, rowsPerBand, shingleN)).as(Seq("band", "bhash")))
-    val cand = bandsOf(fresh, "id").join(bandsOf(oldDocs, "pid"),
-        Seq("band", "bhash"))
+        newNarrow0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else newNarrow0
+    val oldNarrow = narrowOf(prior)
+    // stage 1: exact fingerprints — (fp, id) pairs only cross the wire
+    val priorFp = oldNarrow.select(col("fp")).distinct()
+    val freshIds = newNarrow.select(col("id"), col("fp"))
+      .join(priorFp, Seq("fp"), "left_anti")
+      .select(col("id"))
+    // stage 2: bipartite band join on (band, bhash) — the join moves
+    // (id, band, bhash) triples, never text or shingles. Deliberately
+    // NO freshIds semi-join here: banding ALL batch rows keeps every
+    // frame single-consumer (each source scan executes exactly once,
+    // no reliance on runtime exchange reuse), and is semantically
+    // identical — an exact-duplicate row's candidates only feed `drops`,
+    // and its id is excluded by the final freshIds semi-join regardless.
+    // The cost is verify work proportional to the exact-dup fraction,
+    // the same recompute-for-duplicates tradeoff d02 documents.
+    val newBands = newNarrow.select(col("id"),
+      posexplode(col("bands")).as(Seq("band", "bhash")))
+    val oldBands = oldNarrow.select(col("id").as("pid"),
+        posexplode(col("bands")).as(Seq("band", "bhash")))
+    val cand = newBands.join(oldBands, Seq("band", "bhash"))
       .select(col("id"), col("pid")).distinct()
-    val newSh = fresh.select(col("id"),
-      shingleCol(col("text"), shingleN).as("sha"))
-    val oldSh = oldDocs.select(col("id").as("pid"),
-      shingleCol(col("text"), shingleN).as("shb"))
+    // verify: shingle sets attach to the (small) candidate set only —
+    // the candidate side broadcasts, both shingle scans stream once
+    val newSh = newNarrow.select(col("id"), col("sh").as("sha"))
+    val oldSh = oldNarrow.select(col("id").as("pid"), col("sh").as("shb"))
     val drops = cand.join(newSh, "id").join(oldSh, "pid")
       .filter(jaccardCol(col("sha"), col("shb")) >= threshold)
       .select(col("id")).distinct()
-    val keepIds = fresh.select(col("id")).join(drops, Seq("id"), "left_anti")
+    val keepIds = freshIds.join(drops, Seq("id"), "left_anti")
     batch.join(keepIds.select(col("id").as(idCol)), Seq(idCol), "left_semi")
   }
 

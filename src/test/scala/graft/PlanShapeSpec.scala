@@ -323,10 +323,13 @@ class PlanShapeSpec extends SparkSpec {
     // near-dup pipelines: fingerprint/band/verify stages re-reference the
     // narrow scan; exchanges are reused at runtime, the leaf count is the
     // plan's signature, not its IO cost
-    "d02_minhash_neardup" -> 14, "d04_simhash_neardup" -> 4,
+    "d02_minhash_neardup" -> 12, "d04_simhash_neardup" -> 4,
     "d07_decontaminate" -> 2, "d08_fuzzy_pairs" -> 2,
     "d09_semdedup" -> 6, "d10_bloom_decontaminate" -> 2,
-    "d12_dedup_increment" -> 15, "d13_winnow_pairs" -> 10,
+    // d12's registered query constructs its batch side from a 3-scan
+    // union of the same table, and the operator reads the batch 4x and
+    // the prior 3x (listener-pinned in OpsSpec): 3*4 + 3 = 15 leaves
+    "d12_dedup_increment" -> 15, "d13_winnow_pairs" -> 8,
     "d15_contamination_report" -> 3,
     // set ops / self-joins / funnels over one table
     "q08_intersect" -> 2, "q17_above_avg" -> 2, "q18_except_all" -> 2,

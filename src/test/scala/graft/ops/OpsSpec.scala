@@ -678,13 +678,78 @@ class OpsSpec extends SparkSpec {
       assert(got == expected, "materialized pipeline must emit identical pairs")
       assert(expected.nonEmpty)
       // small over-read tolerated (stages racing the first cache build);
-      // the unmaterialized plan reads 7x
+      // the unmaterialized plan reads 6x
       assert(recs.get() <= 700,
         s"one-scan mode read ${recs.get()} records (expected ~300)")
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       spark.catalog.clearCache()
     }
+  }
+
+  test("dedup family DEFAULT plans: listener-measured source-read multipliers pinned") {
+    // The r10 lesson: plan-leaf counts overstate IO (ReusedExchange) and
+    // shape audits can't see recomputation — ground truth is task-metric
+    // records read divided by table rows. r10 measured d02=7, d12=11,
+    // d13=8; the shared-narrow-projection + one-leaf-attach restructure
+    // pins them at 6 / 7 / 3. A regression above these budgets means a
+    // consumer stopped sharing its subtree — fix the plan, don't bump
+    // the number.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("scanpin").toString
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 200L).flatMap { i =>
+      val words = Seq.fill(30)(s"w${i}_${rnd.nextInt(50)}").mkString(" ")
+      Seq((i, words), (i + 5000L, words + " tail bit"))
+    }.toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(dir)
+    val onDisk = spark.read.parquet(dir)
+    val nRows = onDisk.count()
+    val recs = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          recs.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def measured(f: => org.apache.spark.sql.DataFrame): (Long, Long) = {
+      recs.set(0)
+      val n = f.count()
+      val bus = spark.sparkContext.getClass
+        .getMethod("listenerBus").invoke(spark.sparkContext)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      (recs.get(), n)
+    }
+    try {
+      val (d02Reads, d02n) =
+        measured(Dedup.minhashNearDupPairs(onDisk, "doc_id", "text", 0.5))
+      assert(d02n > 0, "pin data must produce near-dup pairs")
+      assert(d02Reads <= 6 * nRows,
+        s"d02 default read ${d02Reads} records for $nRows rows (budget 6x)")
+      val (d13Reads, d13n) =
+        measured(Dedup.winnowNearDupPairs(onDisk, "doc_id", "text", 0.6))
+      assert(d13n > 0)
+      assert(d13Reads <= 3 * nRows,
+        s"d13 default read ${d13Reads} records for $nRows rows (budget 3x)")
+      // d12 reads its two sides from separate stores (the production
+      // shape); budget = 4x the batch + 3x the prior
+      val priorDir = java.nio.file.Files.createTempDirectory("scanpin-p").toString
+      val batchDir = java.nio.file.Files.createTempDirectory("scanpin-b").toString
+      onDisk.filter(col("doc_id") <= 5000L)
+        .write.mode("overwrite").parquet(priorDir)
+      onDisk.filter(col("doc_id") > 5000L)
+        .write.mode("overwrite").parquet(batchDir)
+      val prior = spark.read.parquet(priorDir)
+      val batch = spark.read.parquet(batchDir)
+      val half = nRows / 2
+      val (d12Reads, d12n) =
+        measured(Dedup.dedupAgainst(batch, prior, "doc_id", "text", 0.95))
+      assert(d12n > 0, "pin data must keep some batch rows")
+      assert(d12Reads <= (4 + 3) * half,
+        s"d12 default read ${d12Reads} records for $half-row sides " +
+          "(budget 4x batch + 3x prior)")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("epochUpsample edges: explicit zero weight drops; pure-fraction weight subsamples") {
