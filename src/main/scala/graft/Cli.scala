@@ -102,7 +102,13 @@ object Cli {
       //     [-s curate.benchmark=path] [-s curate.langs=en,de]
       //     [-s curate.passage_window=12] [-s curate.token_budget=N]
       //     [-s curate.epochs=en:2.3,es:1.0] [-s curate.shards=64]
+      //     [-s curate.against=standing-corpus-dir]
       //     docs.parquet...
+      // curate.against = INCREMENTAL mode (today's crawl vs the standing
+      // corpus): the batch runs the full gate chain, then d12's bipartite
+      // dedup against the standing rows; outdir receives ONLY the
+      // surviving new rows, which are then appended into the standing
+      // corpus — so re-running the same input yields zero new rows.
       require(inputs.nonEmpty, "no input document tables given")
       import spark.implicits._
       val docs = inputs.map(spark.read.parquet(_)).reduce(_ unionByName _)
@@ -136,6 +142,57 @@ object Cli {
                   "(expected lang:weight, e.g. en:2.3)")
             }
           }.toMap))
+      settings.get("curate.against").foreach { standingDir =>
+        require(writer == "parquet" || writer == "json",
+          s"curate.against requires the parquet writer (standing corpora " +
+            s"are parquet), got -w $writer")
+        val standing = spark.read.parquet(standingDir)
+        require(standing.columns.contains("doc_id") &&
+          standing.columns.contains("text"),
+          s"curate.against: $standingDir is not a curated corpus " +
+            "(missing doc_id/text)")
+        val delta = examples.CurationPipeline.curateIncrement(
+          docs, benchmark, standing, cfg = cfg)
+        sinks.CorpusWriter.writeCurated(delta, outDir,
+          partitionCols = Seq("split", "lang"))
+        // all further steps read the WRITTEN delta — never the live frame
+        // (a second action would re-execute the curation + dedup DAG) —
+        // and an empty delta leaves no parquet to infer, hence the guard
+        val anyFiles = {
+          val conf = spark.sessionState.newHadoopConf()
+          val p = new org.apache.hadoop.fs.Path(outDir)
+          val fs = p.getFileSystem(conf)
+          var found = false
+          if (fs.exists(p)) {
+            val it = fs.listFiles(p, true)
+            while (!found && it.hasNext)
+              found = it.next().getPath.getName.endsWith(".parquet")
+          }
+          found
+        }
+        val written: Long =
+          if (!anyFiles) 0L
+          else {
+            val materialized = spark.read.parquet(outDir)
+            // an id collision (same doc_id, different content — so it
+            // survived the dedup) would corrupt the standing corpus:
+            // fail before appending
+            val collisions = materialized.select("doc_id")
+              .join(standing.select("doc_id"), Seq("doc_id"), "left_semi")
+              .count()
+            require(collisions == 0L,
+              s"curate.against: $collisions surviving doc_ids already " +
+                s"exist in $standingDir with different content — " +
+                "resolve ids before appending")
+            sinks.CorpusWriter.appendCurated(materialized, standingDir,
+              partitionCols = Seq("split", "lang"))
+            materialized.count()
+          }
+        System.err.println(
+          s"[graft] curate: appended $written new rows to $standingDir " +
+            s"(delta written to $outDir)")
+        return
+      }
       val curated = examples.CurationPipeline.curate(docs, benchmark, cfg = cfg)
       val upsampled = cfg.epochWeights.isDefined
       // count from the WRITTEN output, never from `curated` — a count on

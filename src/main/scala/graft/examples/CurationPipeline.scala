@@ -156,6 +156,34 @@ object CurationPipeline {
       Sampling.splitAssign(col(idCol), cfg.splits, cfg.splitSalt))
   }
 
+  /** Incremental curation — "today's crawl against the standing corpus",
+    * the shape production corpus refreshes actually run. The new batch
+    * goes through the full [[curate]] gate chain (so its text is
+    * canonicalized/scrubbed exactly like the standing rows were), then
+    * [[Dedup.dedupAgainst]] drops every row that is an exact or near
+    * duplicate of ANY standing row (bipartite band join — the standing
+    * corpus never self-joins). Returns ONLY the surviving new rows; the
+    * caller appends them to the standing corpus (see the `curate`
+    * CLI's `curate.against` mode), after which re-running the same
+    * input yields zero rows.
+    *
+    * Epoch upsampling is rejected here: a standing corpus must hold one
+    * row per document (repeat copies would pair with each other on the
+    * next increment); apply training-mix repeats when EXPORTING the
+    * corpus, not when maintaining it. */
+  def curateIncrement(newDocs: DataFrame, benchmark: DataFrame,
+                      standing: DataFrame,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      langCol: String = "lang",
+                      cfg: Config = Config()): DataFrame = {
+    require(cfg.epochWeights.isEmpty,
+      "curateIncrement: epoch upsampling does not compose with a standing " +
+        "corpus (one row per document); apply repeats at export time")
+    val curated = curate(newDocs, benchmark, idCol, textCol, langCol, cfg)
+    Dedup.dedupAgainst(curated, standing.select(col(idCol), col(textCol)),
+      idCol, textCol, cfg.nearDupThreshold)
+  }
+
   /** Curate and write, partitioned by (split, lang) with bounded writer
     * tasks — the complete ingest-to-corpus call. */
   def curateAndWrite(docs: DataFrame, benchmark: DataFrame, path: String,

@@ -59,6 +59,30 @@ object CorpusWriter {
       .parquet(path)
   }
 
+  /** Append `df` into an existing [[writeCurated]] layout — the standing-
+    * corpus update step of incremental curation. Same shuffle/layout
+    * discipline (bounded writer tasks per partition value,
+    * maxRecordsPerFile rolling); mode("append") adds files without
+    * touching existing ones, so the standing corpus grows by exactly the
+    * increment. Callers should pass an already-materialized frame (e.g.
+    * re-read the increment just written) so the append never re-executes
+    * a curation DAG. */
+  def appendCurated(df: DataFrame, path: String,
+                    partitionCols: Seq[String],
+                    maxRecordsPerFile: Long = 1000000L,
+                    tasksPerPartitionValue: Int = 4): Unit = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    val salt = pmod(xxhash64(df.columns.map(col).toSeq: _*),
+      lit(tasksPerPartitionValue.toLong)).as("_salt")
+    df.withColumn("_salt", salt)
+      .repartition((partitionCols.map(col) :+ col("_salt")): _*)
+      .drop("_salt")
+      .write.mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
   /** Compact an unpartitioned frame to ~`targetFileCount` parquet files of
     * balanced size — the "finalize a shard" step after a filter has left
     * ragged partitions. Round-robin repartition balances rows exactly;

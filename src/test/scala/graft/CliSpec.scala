@@ -145,6 +145,83 @@ class CliSpec extends SparkSpec {
     assert(shards.count() == back.count())
   }
 
+  test("curate.against incremental mode: only novel rows append; re-run yields zero") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("cli-inc-in").toString
+    spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select("doc_id", "text", "lang").write.mode("overwrite").parquet(inDir)
+    // build the standing corpus with a normal run
+    val standing = java.nio.file.Files.createTempDirectory("cli-inc-std").toString
+    Cli.run(Seq("curate", "-o", standing,
+      "-s", "curate.langs=en,es,de,fr,ja,zz", inDir), spark, new FakeTransport())
+    val standingN = spark.read.parquet(standing).count()
+    assert(standingN > 0)
+
+    // increment 1: the SAME input — everything is a duplicate, delta = 0,
+    // standing unchanged
+    val delta0 = java.nio.file.Files.createTempDirectory("cli-inc-d0").toString
+    Cli.run(Seq("curate", "-o", delta0, "-s", s"curate.against=$standing",
+      "-s", "curate.langs=en,es,de,fr,ja,zz", inDir), spark, new FakeTransport())
+    val d0Files = java.nio.file.Files.walk(java.nio.file.Paths.get(delta0))
+      .toArray.map(_.toString).filter(_.endsWith(".parquet"))
+    assert(d0Files.isEmpty, s"same-input increment must write no rows: ${d0Files.toSeq}")
+    assert(spark.read.parquet(standing).count() == standingN,
+      "standing corpus must be unchanged by a duplicate increment")
+
+    // increment 2: same input plus genuinely novel docs — only those
+    // survive and append
+    val novel = (1L to 5L).map(i => (9000000L + i,
+      s"genuinely new document number $i with plenty of fresh unseen " +
+        s"words like xylo$i quartz$i marble$i granite$i basalt$i " +
+        "written to pass the default quality gates easily today",
+      "en")).toDF("doc_id", "text", "lang")
+    val inDir2 = java.nio.file.Files.createTempDirectory("cli-inc-in2").toString
+    spark.read.parquet(inDir).unionByName(novel)
+      .write.mode("overwrite").parquet(inDir2)
+    val delta1 = java.nio.file.Files.createTempDirectory("cli-inc-d1").toString
+    Cli.run(Seq("curate", "-o", delta1, "-s", s"curate.against=$standing",
+      "-s", "curate.langs=en,es,de,fr,ja,zz", inDir2), spark, new FakeTransport())
+    val deltaRows = spark.read.parquet(delta1)
+    val deltaIds = deltaRows.select("doc_id").as[Long].collect().toSet
+    assert(deltaIds.nonEmpty && deltaIds.forall(_ > 9000000L),
+      s"delta must hold only the novel docs: $deltaIds")
+    assert(spark.read.parquet(standing).count() == standingN + deltaIds.size,
+      "standing corpus must grow by exactly the delta")
+
+    // increment 3: re-run increment 2's input — now zero again
+    val delta2 = java.nio.file.Files.createTempDirectory("cli-inc-d2").toString
+    Cli.run(Seq("curate", "-o", delta2, "-s", s"curate.against=$standing",
+      "-s", "curate.langs=en,es,de,fr,ja,zz", inDir2), spark, new FakeTransport())
+    assert(java.nio.file.Files.walk(java.nio.file.Paths.get(delta2))
+      .toArray.map(_.toString).count(_.endsWith(".parquet")) == 0,
+      "absorbed increment must yield zero new rows")
+    assert(spark.read.parquet(standing).count() == standingN + deltaIds.size)
+
+    // byte determinism: repeating increment 2 against an identical
+    // standing copy produces byte-identical delta files
+    val standing2 = java.nio.file.Files.createTempDirectory("cli-inc-std2").toString
+    Cli.run(Seq("curate", "-o", standing2,
+      "-s", "curate.langs=en,es,de,fr,ja,zz", inDir), spark, new FakeTransport())
+    val delta1b = java.nio.file.Files.createTempDirectory("cli-inc-d1b").toString
+    Cli.run(Seq("curate", "-o", delta1b, "-s", s"curate.against=$standing2",
+      "-s", "curate.langs=en,es,de,fr,ja,zz", inDir2), spark, new FakeTransport())
+    def digestByName(dir: String): Map[String, String] =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".parquet"))
+        .map { p =>
+          // job-UUID in the filename differs per run; partition dir +
+          // part ordinal + bytes is the determinism contract
+          val rel = java.nio.file.Paths.get(dir).relativize(p).toString
+            .replaceAll("part-(\\d+)-[0-9a-f-]+", "part-$1")
+          val md = java.security.MessageDigest.getInstance("MD5")
+          rel -> md.digest(java.nio.file.Files.readAllBytes(p))
+            .map("%02x".format(_)).mkString
+        }.toMap
+    assert(digestByName(delta1) == digestByName(delta1b),
+      "increment output must be byte-deterministic")
+  }
+
   test("curate rejects malformed curate.epochs entries with usable messages") {
     val inDir = java.nio.file.Files.createTempDirectory("cli-epochs-in").toString
     spark.read.parquet(s"$sfSmoke/documents.parquet")
