@@ -920,6 +920,46 @@ object OpsQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // NONZERO-distance banding recall (the judge-requested hardening of
+    // mm05): eight planted payload pairs whose byte strings were chosen
+    // offline (tools/PlantSearch, reference kernel) so class k = doc
+    // doc_id/11 has signature distance exactly k. They ride alongside
+    // the real corpus payloads through the full SimHash + pigeonhole
+    // banding path at maxDistance=7; classes 1..7 MUST surface (a
+    // chunk-mask/banding bug at distance >= 1 loses them), class 8 MUST
+    // NOT (the threshold filter is graded too). Cross-pair noise is
+    // excluded by the same-doc (id_a + 1M = id_b) plant convention
+    "mm06_binary_neardup_nonzero" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        to_binary(col("text"), lit("utf-8")).as("payload"))
+      val plants = Seq(
+        (1, "graft plant payload 1", "graft plant payload 167"),
+        (2, "graft plant payload 1", "graft plant payload 130"),
+        (3, "graft plant payload 0", "graft plant payload 6"),
+        (4, "graft plant payload 0", "graft plant payload 166"),
+        (5, "graft plant payload 0", "graft plant payload 7"),
+        (6, "graft plant payload 0", "graft plant payload 1"),
+        (7, "graft plant payload 0", "graft plant payload 8"),
+        (8, "graft plant payload 0", "graft plant payload 2"))
+        .toDF("cls", "pa", "pb")
+      val family = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 11 === 0 && col("doc_id").between(11, 88))
+        .join(broadcast(plants), col("doc_id") === col("cls") * 11)
+      val planted = family
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          to_binary(col("pa"), lit("utf-8")).as("payload"))
+        .unionByName(family.select((col("doc_id") + 5000000L).as("doc_id"),
+          to_binary(col("pb"), lit("utf-8")).as("payload")))
+      Multimodal.binaryNearDupPairs(docs.unionByName(planted),
+          "doc_id", "payload", maxDistance = 7)
+        .filter(col("id_a") >= 4000000L &&
+          col("id_b") === col("id_a") + 1000000L)
+        .select((col("id_a") - 4000000L).as("doc_id"),
+          col("distance").cast("long").as("distance"))
+        .orderBy("doc_id")
+    }),
+
     // REAL header decode through the partition-batched pipeline: payloads
     // are genuine PNG (IHDR) and JPEG (EXIF APP1 + SOF0) byte streams
     // synthesized per row with dimensions/orientation derived
@@ -2253,6 +2293,19 @@ object OpsQueries extends QueryPack {
     // it through the byte-shingle SimHash + banding machinery
     "mm05_binary_neardup" ->
       "SELECT doc_id, 0 AS distance FROM documents ORDER BY doc_id",
+
+    // NONZERO-distance planted truth: eight payload-string pairs chosen
+    // offline (tools/PlantSearch against the reference kernel) so pair
+    // class k has SimHash distance exactly k; classes 1..7 must be
+    // recalled through pigeonhole banding at maxDistance=7, class 8
+    // (distance 8) must be filtered out. A banding bug that under-recalls
+    // at distance >= 1 (the round-6 chunk-mask collapse class) loses rows
+    // here and fails the hash
+    "mm06_binary_neardup_nonzero" ->
+      """SELECT doc_id, CAST(doc_id // 11 AS BIGINT) AS distance
+         FROM documents
+         WHERE doc_id % 11 = 0 AND doc_id BETWEEN 11 AND 77
+         ORDER BY doc_id""",
 
     // the planted ground truth: the engine parses synthesized PNG/JPEG
     // bytes, the oracle recomputes the planted fields arithmetically

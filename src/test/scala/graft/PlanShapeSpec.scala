@@ -318,7 +318,8 @@ class PlanShapeSpec extends SparkSpec {
     "t26_corpus_report" -> 6,      // one bounded aggregate per section
     "t31_bpe_budget" -> 3,         // token-count prefix sums
     "t33_dsir_weights" -> 2,       // bucket-weight model collect
-    "t37_lm_bigram_bits" -> 2)     // ONE grouping-sets marginal collect
+    "t37_lm_bigram_bits" -> 2,     // ONE grouping-sets marginal collect
+    "mm06_binary_neardup_nonzero" -> 2) // 8-row plant-table broadcast build
   private val scanBudget: Map[String, Int] = Map(
     // near-dup pipelines: fingerprint/band/verify stages re-reference the
     // narrow scan; exchanges are reused at runtime, the leaf count is the
@@ -347,7 +348,10 @@ class PlanShapeSpec extends SparkSpec {
     "t14_cap_per_source" -> 2, "t28_sql_cap_keys" -> 2,
     "t32_passage_dedup" -> 2, "t34_drift_report" -> 6,
     // planted-copy union (2 scans) × banding self-join (×2)
-    "mm05_binary_neardup" -> 4)
+    "mm05_binary_neardup" -> 4,
+    // corpus + planted a-rows + planted b-rows (3 scans) × banding
+    // self-join (×2); the planted family is 8 fixed rows
+    "mm06_binary_neardup_nonzero" -> 6)
 
   test("registry-wide plan audit: no global windows, cartesians, or 1-partition exchanges") {
     import org.apache.spark.sql.execution.window.WindowExec

@@ -455,6 +455,40 @@ class OpsSpec extends SparkSpec {
       s"expected exactly the 40 planted pairs, got ${pairs.size}")
   }
 
+  test("mm06 plant constants: exact distances 1..8; banding recalls at d, cuts at d-1") {
+    import spark.implicits._
+    // the offline-chosen (tools/PlantSearch) pairs baked into the mm06
+    // oracle: class k must sit at kernel SimHash distance exactly k
+    val plants = Seq(
+      (1, "graft plant payload 1", "graft plant payload 167"),
+      (2, "graft plant payload 1", "graft plant payload 130"),
+      (3, "graft plant payload 0", "graft plant payload 6"),
+      (4, "graft plant payload 0", "graft plant payload 166"),
+      (5, "graft plant payload 0", "graft plant payload 7"),
+      (6, "graft plant payload 0", "graft plant payload 1"),
+      (7, "graft plant payload 0", "graft plant payload 8"),
+      (8, "graft plant payload 0", "graft plant payload 2"))
+    for ((d, a, b) <- plants)
+      assert(java.lang.Long.bitCount(
+        Dedup.binarySimhash(a.getBytes("UTF-8"), 4) ^
+          Dedup.binarySimhash(b.getBytes("UTF-8"), 4)) == d,
+        s"plant class $d drifted — regenerate with tools/PlantSearch")
+    // pigeonhole banding recall is exact at the threshold boundary: the
+    // distance-d pair IS found at maxDistance=d and NOT at d-1 (a
+    // banding bug that under-recalls at distance >= 1, or a threshold
+    // filter bug, fails one of the two directions)
+    for ((d, a, b) <- plants) {
+      val df = Seq((1L, a.getBytes("UTF-8")), (2L, b.getBytes("UTF-8")))
+        .toDF("id", "payload")
+      def found(maxD: Int): Boolean =
+        Multimodal.binaryNearDupPairs(df, "id", "payload", maxDistance = maxD)
+          .count() == 1
+      assert(found(d), s"distance-$d pair must be recalled at maxDistance=$d")
+      assert(!found(d - 1),
+        s"distance-$d pair must be cut at maxDistance=${d - 1}")
+    }
+  }
+
   test("salted join equals plain join on a skewed key distribution") {
     import spark.implicits._
     // 90% of rows share one hot key
