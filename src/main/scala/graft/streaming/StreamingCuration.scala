@@ -25,12 +25,14 @@ object StreamingCuration {
     * distinct-docs-per-window, not corpus size. Requires `tsCol` event
     * time. */
   def dedupExact(docs: DataFrame, textCol: String, tsCol: String,
-                 watermark: String = "1 hour"): DataFrame =
-    docs
-      .withColumn("_fp", md5(col(textCol)))
-      .withWatermark(tsCol, watermark)
+                 watermark: String = "1 hour",
+                 assumeWatermarked: Boolean = false): DataFrame = {
+    val wm = if (assumeWatermarked) docs
+             else docs.withWatermark(tsCol, watermark)
+    wm.withColumn("_fp", md5(col(textCol)))
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
+  }
 
   /** Stateless quality gate: keep documents whose composite quality score
     * clears `minScore` — runs narrow inside the ingest stage, no state, no
@@ -114,14 +116,16 @@ object StreamingCuration {
   def nearDupSuppress(docs: DataFrame, textCol: String,
                       tsCol: String, watermark: String = "1 hour",
                       rowsPerBand: Int = 2,
-                      shingleN: Int = 3): DataFrame =
-    docs
-      .withColumn("_bkey",
-        graft.functions.MinhashBandsExpression.minhashBands(
-          col(textCol), 1, rowsPerBand, shingleN).getItem(0))
-      .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("_bkey")
+                      shingleN: Int = 3,
+                      assumeWatermarked: Boolean = false): DataFrame = {
+    val keyed = docs.withColumn("_bkey",
+      graft.functions.MinhashBandsExpression.minhashBands(
+        col(textCol), 1, rowsPerBand, shingleN).getItem(0))
+    val wm = if (assumeWatermarked) keyed
+             else keyed.withWatermark(tsCol, watermark)
+    wm.dropDuplicatesWithinWatermark("_bkey")
       .drop("_bkey")
+  }
 
   /** Multi-band streaming near-dup suppression: a document is dropped
     * when ANY of its `bands` MinHash band keys collides within the
@@ -141,12 +145,17 @@ object StreamingCuration {
   def nearDupSuppressMultiBand(docs: DataFrame, textCol: String,
                                tsCol: String, watermark: String = "1 hour",
                                bands: Int = 4, rowsPerBand: Int = 2,
-                               shingleN: Int = 3): DataFrame = {
+                               shingleN: Int = 3,
+                               assumeWatermarked: Boolean = false): DataFrame = {
     require(bands >= 1, s"bands must be >= 1: $bands")
-    val banded = docs
+    // `assumeWatermarked` composes gates on ONE stream: Spark disallows
+    // redefining an event-time watermark, so a chain (exact dedup →
+    // near-dup gate) sets it once upstream and passes true here
+    val banded0 = docs
       .withColumn("_bands", graft.functions.MinhashBandsExpression.minhashBands(
         col(textCol), bands, rowsPerBand, shingleN))
-      .withWatermark(tsCol, watermark)
+    val banded = if (assumeWatermarked) banded0
+                 else banded0.withWatermark(tsCol, watermark)
     (0 until bands).foldLeft(banded) { (df, b) =>
       // band index rides in the key so a band-b hash can never collide
       // with a band-c state row even though each stage has its own store

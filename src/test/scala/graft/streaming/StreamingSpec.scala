@@ -413,6 +413,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("composed gates on one stream: exact dedup chains into multi-band near-dup") {
+    // Spark disallows redefining the event-time watermark, so a chain
+    // sets it once (the upstream gate) and passes assumeWatermarked
+    // downstream — the StreamBench production shape
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val chained = StreamingCuration.nearDupSuppressMultiBand(
+      StreamingCuration.dedupExact(docs, "text", "ts", watermark = "1 hour"),
+      "text", "ts", assumeWatermarked = true)
+    val query = chained.writeStream.format("memory").queryName("chain_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:01"), 1L, base),
+        (Timestamp.valueOf("2024-01-01 00:00:02"), 2L, base), // exact dup
+        (Timestamp.valueOf("2024-01-01 00:00:03"), 3L, base + " extra"), // near dup
+        (Timestamp.valueOf("2024-01-01 00:00:04"), 4L,
+          "completely unrelated content about database systems and query planners"))
+      query.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM chain_out").collect()
+        .map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 4L),
+        s"chain must drop the exact dup (2) and the near dup (3): $ids")
+    } finally query.stop()
+  }
+
   test("streaming near-dup suppression drops band-colliding docs, keeps distinct ones") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
