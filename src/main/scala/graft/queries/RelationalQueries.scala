@@ -492,6 +492,29 @@ object RelationalQueries extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // warehouse MERGE upsert: apply a change batch (value updates on
+    // %7 keys, NO-OP copies on %11 keys, inserts at +1M on %13 keys) to
+    // the customer dimension. One full-outer equi-join on the key — the
+    // base scans once; change detection (null-safe column compare) rides
+    // the join projection, so no-op updates grade as 'keep' (the CDC
+    // audit convention), never as fake rewrites. All values pass through
+    // untouched or get one exact double addition — engine-portable
+    "q39_merge_upsert" -> ((s, d) => {
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val updates = base.filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"), col("c_name"),
+            (col("c_acctbal") + lit(10.0)).as("c_acctbal"))
+        .unionByName(base.filter(col("c_custkey") % 11 === 0 &&
+          col("c_custkey") % 7 =!= 0))
+        .unionByName(base.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            concat(col("c_name"), lit(" new")).as("c_name"),
+            lit(1.23).as("c_acctbal")))
+      graft.ops.Upsert.merge(base, updates, Seq("c_custkey"))
+        .orderBy("c_custkey")
+    }),
+
     "q25_sessionize" -> ((s, d) => {
       graft.ops.ChunkedWindows.sessionizeChunked(
           Tables.events(s, d)
@@ -917,6 +940,32 @@ object RelationalQueries extends QueryPack {
            CAST(max(n_ev) AS BIGINT) AS max_session_events,
            sum(n_ev) / CAST(count(*) AS DOUBLE) AS events_per_session
          FROM ps GROUP BY user_id ORDER BY user_id""",
+
+    // the same MERGE as one full outer join; matched-and-equal rows are
+    // 'keep' (no-op detection), update rows win wholly when changed
+    "q39_merge_upsert" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+         upd AS (
+           SELECT c_custkey, c_name, c_acctbal + 10.0 AS c_acctbal
+           FROM base WHERE c_custkey % 7 = 0
+           UNION ALL
+           SELECT c_custkey, c_name, c_acctbal
+           FROM base WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0
+           UNION ALL
+           SELECT c_custkey + 1000000, c_name || ' new', 1.23
+           FROM base WHERE c_custkey % 13 = 0)
+         SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+                CASE WHEN u.c_custkey IS NULL THEN b.c_name
+                     ELSE u.c_name END AS c_name,
+                CASE WHEN u.c_custkey IS NULL THEN b.c_acctbal
+                     ELSE u.c_acctbal END AS c_acctbal,
+                CASE WHEN b.c_custkey IS NULL THEN 'insert'
+                     WHEN u.c_custkey IS NULL THEN 'keep'
+                     WHEN u.c_name = b.c_name
+                       AND u.c_acctbal = b.c_acctbal THEN 'keep'
+                     ELSE 'update' END AS action
+         FROM base b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
+         ORDER BY c_custkey""",
 
     "q25_sessionize" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),

@@ -65,7 +65,8 @@ final class WdsTable(paths: Seq[String], hashedShards: Boolean = false,
     new WdsScanBuilder(paths, hashedShards ||
       options.getBoolean("hashedShards", false),
       numShards.orElse(
-        Option(options.get("numShards")).map(_.toInt)))
+        Option(options.get("numShards")).map(_.toInt)),
+      Option(options.get("targetPartitionBytes")).map(_.toLong))
 }
 
 /** Conjunction of key predicates the tar reader can evaluate from the
@@ -81,7 +82,8 @@ final case class WdsKeyPred(equalTo: Option[Set[String]],
 }
 
 final class WdsScanBuilder(paths: Seq[String], hashedShards: Boolean = false,
-                           numShards: Option[Int] = None)
+                           numShards: Option[Int] = None,
+                           targetPartitionBytes: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   import org.apache.spark.sql.sources.{EqualTo, Filter, In, StringStartsWith}
@@ -111,17 +113,28 @@ final class WdsScanBuilder(paths: Seq[String], hashedShards: Boolean = false,
     val eq = eqs.reduceOption(_ intersect _)
     val pred = WdsKeyPred(eq,
       accepted.collect { case StringStartsWith("key", p) => p }.toSeq)
-    new WdsScan(paths, required, pred, hashedShards, numShards)
+    new WdsScan(paths, required, pred, hashedShards, numShards,
+      targetPartitionBytes)
   }
 }
 
 final case class WdsInputPartition(path: String, length: Long)
   extends InputPartition
 
+/** Several shard files read sequentially by ONE task — the opt-in
+  * (`targetPartitionBytes`) answer to ragged tiny-shard layouts, where
+  * one-task-per-shard degenerates into thousands of sub-MB tasks whose
+  * scheduling overhead dwarfs the IO. Shards are packed greedily in
+  * name order up to the byte target; key-filter pushdown and column
+  * pruning apply per file exactly as in the single-shard path. */
+final case class WdsPackedPartition(files: Seq[WdsInputPartition])
+  extends InputPartition
+
 final class WdsScan(paths: Seq[String], required: StructType,
                     pred: WdsKeyPred = WdsKeyPred(None, Nil),
                     hashedShards: Boolean = false,
-                    numShards: Option[Int] = None)
+                    numShards: Option[Int] = None,
+                    targetPartitionBytes: Option[Long] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -132,7 +145,8 @@ final class WdsScan(paths: Seq[String], required: StructType,
     else "read=headers-only"
     val filt = if (pred.isEmpty) "" else s" keyfilter=$pred"
     val hs = if (hashedShards) " hashedShards" else ""
-    s"webdataset(${paths.mkString(",")}) $mode$filt$hs"
+    val pack = targetPartitionBytes.fold("")(t => s" packBytes=$t")
+    s"webdataset(${paths.mkString(",")}) $mode$filt$hs$pack"
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -162,7 +176,7 @@ final class WdsScan(paths: Seq[String], required: StructType,
     // layout; on a foreign archive it would silently drop samples, hence
     // never inferred. The layout is still validated (complete contiguous
     // shard-NNNNNN numbering) and pruning declines when it doesn't hold.
-    pred.equalTo match {
+    val pruned = pred.equalTo match {
       case Some(keys) if hashedShards && allFromDirListing && all.nonEmpty =>
         val nums = all.map(p =>
           new Path(p.asInstanceOf[WdsInputPartition].path).getName).map {
@@ -189,6 +203,30 @@ final class WdsScan(paths: Seq[String], required: StructType,
         }
       case _ => all
     }
+    // tiny-shard COALESCING, opt-in (`option("targetPartitionBytes", n)`):
+    // one task per shard is right for training-sized shards but
+    // degenerates on ragged small shards (thousands of sub-MB tasks);
+    // greedy name-order packing up to the byte target keeps task count ≈
+    // totalBytes/target. Applied AFTER pruning, so a keyed lookup still
+    // opens 1/N files; each packed file is read with the same per-file
+    // pushdown (key skip + header-only projection)
+    targetPartitionBytes match {
+      case Some(target) if target > 0 && pruned.length > 1 =>
+        val sorted = pruned.map(_.asInstanceOf[WdsInputPartition])
+          .sortBy(_.path)
+        val groups = Seq.newBuilder[InputPartition]
+        var cur = Vector.empty[WdsInputPartition]
+        var bytes = 0L
+        for (f <- sorted) {
+          if (cur.nonEmpty && bytes + f.length > target) {
+            groups += WdsPackedPartition(cur); cur = Vector.empty; bytes = 0L
+          }
+          cur :+= f; bytes += f.length
+        }
+        if (cur.nonEmpty) groups += WdsPackedPartition(cur)
+        groups.result().toArray
+      case _ => pruned
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -204,8 +242,39 @@ final class WdsReaderFactory(required: StructType, conf: SerializableHadoopConf,
                              pred: WdsKeyPred)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new WdsPartitionReader(partition.asInstanceOf[WdsInputPartition], required,
-      conf, pred)
+    partition match {
+      case p: WdsInputPartition =>
+        new WdsPartitionReader(p, required, conf, pred)
+      case p: WdsPackedPartition =>
+        new WdsChainedReader(p.files, required, conf, pred)
+    }
+}
+
+/** Reads a packed partition's shard files sequentially — one underlying
+  * [[WdsPartitionReader]] at a time, so per-task memory stays bounded by
+  * one sample regardless of how many tiny shards are packed together. */
+final class WdsChainedReader(files: Seq[WdsInputPartition],
+                             required: StructType,
+                             conf: SerializableHadoopConf,
+                             pred: WdsKeyPred)
+    extends PartitionReader[InternalRow] {
+  private val it = files.iterator
+  private var cur: WdsPartitionReader = _
+
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (!it.hasNext) return false
+        cur = new WdsPartitionReader(it.next(), required, conf, pred)
+      }
+      if (cur.next()) return true
+      cur.close(); cur = null
+    }
+    false
+  }
+
+  override def get(): InternalRow = cur.get()
+  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
 }
 
 final class WdsPartitionReader(part: WdsInputPartition, required: StructType,

@@ -338,6 +338,9 @@ class PlanShapeSpec extends SparkSpec {
     "q25_sessionize" -> 2, "q31_funnel" -> 4, "q32_cohort_retention" -> 2,
     "q36_asof_forward" -> 5, "q37_resample_locf" -> 2,
     "q38_session_stats" -> 3,
+    // base + the change batch synthesized from 3 filtered base scans;
+    // the merge itself joins ONCE (UpsertSpec pins the single full-outer)
+    "q39_merge_upsert" -> 4,
     // retrieval/ANN: query panel + corpus sides of the same table
     "r02_hybrid_rrf" -> 2, "r03_pmi_bigrams" -> 2, "r04_tfidf_keywords" -> 2,
     "s01_cosine_top1" -> 2, "s02_lsh_ann" -> 4, "s03_ivf_ann" -> 4,

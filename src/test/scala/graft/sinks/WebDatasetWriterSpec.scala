@@ -253,6 +253,52 @@ class WebDatasetWriterSpec extends SparkSpec {
         s"guarded read lost key $key")
   }
 
+  test("targetPartitionBytes packs tiny shards into few tasks; pushdown and pruning survive") {
+    val dir = Files.createTempDirectory("graft-wds-pack").toString
+    // 16 tiny shards (25 samples spread thin) — the ragged-layout shape
+    WebDatasetWriter.writeShards(samples, dir, "doc_id",
+      Seq("json" -> col("meta"), "bin" -> col("payload")), numShards = 16)
+    def read(opts: (String, String)*) = {
+      val base = spark.read.format("webdataset").option("path", dir)
+      opts.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+    }
+    val plain = read()
+    assert(plain.rdd.getNumPartitions == 16)
+    // packing: large target => few partitions, identical rows
+    val packed = read("targetPartitionBytes" -> (1L << 20).toString)
+    assert(packed.rdd.getNumPartitions < 4,
+      s"sub-MB shards must pack, got ${packed.rdd.getNumPartitions} partitions")
+    val want = plain.select("key").collect().map(_.getString(0)).sorted.toSeq
+    assert(packed.select("key").collect().map(_.getString(0)).sorted.toSeq
+      == want)
+    // full-entry reads round-trip identically through the chained reader
+    val fullPlain = plain.collect().map(r => r.getString(0) ->
+      r.getMap[String, Array[Byte]](1).view.mapValues(_.toSeq).toMap).toMap
+    val fullPacked = packed.collect().map(r => r.getString(0) ->
+      r.getMap[String, Array[Byte]](1).view.mapValues(_.toSeq).toMap).toMap
+    assert(fullPacked == fullPlain)
+    // key-filter pushdown still applies per packed file (plan pin) and
+    // returns the exact row
+    val one = packed.filter(col("key") === "7")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("keyfilter=") && plan.contains("packBytes="), plan)
+    assert(one.collect().map(_.getString(0)).toSeq == Seq("7"))
+    // hashedShards pruning composes: prune to one shard FIRST, then pack
+    val prunedPacked = read("hashedShards" -> "true",
+      "targetPartitionBytes" -> (1L << 20).toString)
+      .filter(col("key") === "11")
+    assert(prunedPacked.rdd.getNumPartitions == 1)
+    assert(prunedPacked.collect().map(_.getString(0)).toSeq == Seq("11"))
+    // a mid-target (two shards' worth) splits into several packed tasks
+    val shardBytes = Files.list(Paths.get(dir)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.toString.endsWith(".tar")).map(Files.size).sum
+    val mid = read("targetPartitionBytes" -> (shardBytes / 4).toString)
+    assert(mid.rdd.getNumPartitions >= 4 && mid.rdd.getNumPartitions < 16,
+      s"got ${mid.rdd.getNumPartitions}")
+    assert(mid.select("key").collect().map(_.getString(0)).sorted.toSeq == want)
+  }
+
   test("reader tolerates foreign archives: GNU long names, directories") {
     if (Files.exists(Paths.get("/bin/tar")) || Files.exists(Paths.get("/usr/bin/tar"))) {
       import scala.sys.process._
