@@ -151,8 +151,26 @@ object Cli {
           standing.columns.contains("text"),
           s"curate.against: $standingDir is not a curated corpus " +
             "(missing doc_id/text)")
+        // the standing SIGNATURE table (underscore dir: invisible to the
+        // corpus read above): fingerprints + band signatures maintained
+        // alongside the corpus so each increment reads the standing TEXT
+        // once (candidate verify) instead of three times. Built lazily on
+        // the first increment against a plain corpus; appended with every
+        // delta below.
+        val sigDir = s"$standingDir/_graft_signatures"
+        val hasSigs = {
+          val p = new org.apache.hadoop.fs.Path(sigDir)
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          fs.exists(p) && fs.listStatus(p).exists(
+            _.getPath.getName.endsWith(".parquet"))
+        }
+        if (!hasSigs)
+          ops.Dedup.signatures(standing, "doc_id", "text")
+            .write.mode("overwrite").parquet(sigDir)
+        val priorSigs = spark.read.parquet(sigDir)
         val delta = examples.CurationPipeline.curateIncrement(
-          docs, benchmark, standing, cfg = cfg)
+          docs, benchmark, standing, cfg = cfg,
+          standingSigs = Some(priorSigs))
         sinks.CorpusWriter.writeCurated(delta, outDir,
           partitionCols = Seq("split", "lang"))
         // all further steps read the WRITTEN delta — never the live frame
@@ -186,6 +204,11 @@ object Cli {
                 "resolve ids before appending")
             sinks.CorpusWriter.appendCurated(materialized, standingDir,
               partitionCols = Seq("split", "lang"))
+            // keep the signature table in lockstep with the corpus: the
+            // next increment's exact/band stages never re-read this
+            // delta's text either
+            ops.Dedup.signatures(materialized, "doc_id", "text")
+              .write.mode("append").parquet(sigDir)
             materialized.count()
           }
         System.err.println(

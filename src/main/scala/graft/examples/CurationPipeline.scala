@@ -175,13 +175,23 @@ object CurationPipeline {
                       standing: DataFrame,
                       idCol: String = "doc_id", textCol: String = "text",
                       langCol: String = "lang",
-                      cfg: Config = Config()): DataFrame = {
+                      cfg: Config = Config(),
+                      standingSigs: Option[DataFrame] = None): DataFrame = {
     require(cfg.epochWeights.isEmpty,
       "curateIncrement: epoch upsampling does not compose with a standing " +
         "corpus (one row per document); apply repeats at export time")
     val curated = curate(newDocs, benchmark, idCol, textCol, langCol, cfg)
-    Dedup.dedupAgainst(curated, standing.select(col(idCol), col(textCol)),
-      idCol, textCol, cfg.nearDupThreshold)
+    standingSigs match {
+      // production shape: fingerprints/bands from the maintained
+      // signature table (~1-2% of the corpus bytes); standing TEXT is
+      // scanned once, for candidate verification only
+      case Some(sigs) => Dedup.dedupAgainstSignatures(curated, sigs,
+        standing.select(col(idCol), col(textCol)), idCol, textCol,
+        cfg.nearDupThreshold)
+      case None => Dedup.dedupAgainst(curated,
+        standing.select(col(idCol), col(textCol)),
+        idCol, textCol, cfg.nearDupThreshold)
+    }
   }
 
   /** Curate and write, partitioned by (split, lang) with bounded writer

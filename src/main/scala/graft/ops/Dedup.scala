@@ -703,6 +703,76 @@ object Dedup {
     batch.join(keepIds.select(col("id").as(idCol)), Seq(idCol), "left_semi")
   }
 
+  /** The (id, fp, bands) signature table of a corpus — built ONCE per
+    * corpus build and reused by every [[dedupAgainstSignatures]]
+    * increment, the production pattern [[dedupAgainst]]'s docs describe.
+    * ~1-2% the bytes of the text it summarizes (16-byte fingerprint +
+    * `bands` ints per row); pass identical `bands`/`rowsPerBand`/
+    * `shingleN` when consuming it or candidates will silently miss. */
+  def signatures(df: DataFrame, idCol: String, textCol: String,
+                 bands: Int = 32, rowsPerBand: Int = 3,
+                 shingleN: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+      md5(col(textCol)).as("fp"),
+      graft.functions.MinhashBandsExpression.minhashBands(
+        col(textCol), bands, rowsPerBand, shingleN).as("bands"))
+
+  /** [[dedupAgainst]] with the prior's PRE-BUILT signature table: the
+    * standing corpus's text is scanned exactly ONCE (shingle
+    * verification, and only candidate docs pay the kernel), while exact
+    * fingerprints and band candidates come from `priorSigs` — at 100 TB
+    * that replaces two full corpus text reads per increment with two
+    * reads of a table ~1-2% the size. Same results as [[dedupAgainst]]
+    * given `priorSigs == signatures(prior, ...)` with matching
+    * parameters (spec-pinned). */
+  def dedupAgainstSignatures(batch: DataFrame, priorSigs: DataFrame,
+                             priorText: DataFrame,
+                             idCol: String, textCol: String,
+                             threshold: Double = 0.8, bands: Int = 32,
+                             rowsPerBand: Int = 3, shingleN: Int = 3,
+                             materialize: Boolean = false): DataFrame = {
+    require(priorSigs.columns.toSet == Set("id", "fp", "bands"),
+      s"priorSigs must be a signatures() table (id, fp, bands), " +
+        s"got ${priorSigs.columns.toSeq}")
+    def narrowOf(df: DataFrame): DataFrame = df.select(
+      col(idCol).as("id"),
+      md5(col(textCol)).as("fp"),
+      graft.functions.MinhashBandsExpression.minhashBands(
+        col(textCol), bands, rowsPerBand, shingleN).as("bands"),
+      shingleCol(col(textCol), shingleN).as("sh"))
+    val newNarrow0 = narrowOf(batch)
+    val newNarrow =
+      if (materialize)
+        newNarrow0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else newNarrow0
+    val priorFp = priorSigs.select(col("fp")).distinct()
+    val freshIds = newNarrow.select(col("id"), col("fp"))
+      .join(priorFp, Seq("fp"), "left_anti")
+      .select(col("id"))
+    val newBands = newNarrow.select(col("id"),
+      posexplode(col("bands")).as(Seq("band", "bhash")))
+    val oldBands = priorSigs.select(col("id").as("pid"),
+      posexplode(col("bands")).as(Seq("band", "bhash")))
+    // lazily checkpointed: the candidate set feeds BOTH the standing-text
+    // semi-join and the verify join — without materialization the band
+    // join (and its two scans) would execute twice. Candidates are
+    // bounded (band-collision pairs of an increment); blocks free on GC
+    val cand = newBands.join(oldBands, Seq("band", "bhash"))
+      .select(col("id"), col("pid")).distinct()
+      .localCheckpoint(false)
+    val newSh = newNarrow.select(col("id"), col("sh").as("sha"))
+    // the ONE standing-text scan: candidates broadcast into a semi join
+    // BEFORE the shingle kernel runs, so only candidate docs pay it
+    val oldSh = priorText.select(col(idCol).as("pid"), col(textCol))
+      .join(cand.select(col("pid")).distinct(), Seq("pid"), "left_semi")
+      .select(col("pid"), shingleCol(col(textCol), shingleN).as("shb"))
+    val drops = cand.join(newSh, "id").join(oldSh, "pid")
+      .filter(jaccardCol(col("sha"), col("shb")) >= threshold)
+      .select(col("id")).distinct()
+    val keepIds = freshIds.join(drops, Seq("id"), "left_anti")
+    batch.join(keepIds.select(col("id").as(idCol)), Seq(idCol), "left_semi")
+  }
+
   /** Serialized Bloom filter over `benchmark`'s distinct n-gram hashes —
     * the batch-side trainer for [[graft.streaming.StreamingCuration
     * .decontaminationGate]]. Empty benchmark → empty array (gate keeps

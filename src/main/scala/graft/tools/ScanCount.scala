@@ -52,6 +52,12 @@ object ScanCount {
     val batch = onDisk.filter(col("doc_id") > 5000L)
     measure("d12 default")(Dedup.dedupAgainst(batch, prior, "doc_id", "text", 0.5))
     measure("d12 materialized")(Dedup.dedupAgainst(batch, prior, "doc_id", "text", 0.5, materialize = true))
+    // production signature-table path: prior text scanned once (verify)
+    val sigDir = java.nio.file.Files.createTempDirectory("scansig").toString
+    Dedup.signatures(prior, "doc_id", "text").write.mode("overwrite").parquet(sigDir)
+    val sigs = spark.read.parquet(sigDir)
+    measure("d12 via signatures")(
+      Dedup.dedupAgainstSignatures(batch, sigs, prior, "doc_id", "text", 0.5))
     spark.stop()
   }
 }

@@ -187,6 +187,13 @@ class CliSpec extends SparkSpec {
       s"delta must hold only the novel docs: $deltaIds")
     assert(spark.read.parquet(standing).count() == standingN + deltaIds.size,
       "standing corpus must grow by exactly the delta")
+    // the signature table tracks the corpus in lockstep (underscore dir:
+    // invisible to the standing corpus read) and holds one row per doc
+    val sigs = spark.read.parquet(s"$standing/_graft_signatures")
+    assert(sigs.columns.toSet == Set("id", "fp", "bands"))
+    assert(sigs.count() == standingN + deltaIds.size,
+      "signature table must grow with the corpus")
+    assert(sigs.select("id").distinct().count() == standingN + deltaIds.size)
 
     // increment 3: re-run increment 2's input — now zero again
     val delta2 = java.nio.file.Files.createTempDirectory("cli-inc-d2").toString

@@ -783,6 +783,21 @@ class OpsSpec extends SparkSpec {
       assert(d12Reads <= (4 + 3) * half,
         s"d12 default read ${d12Reads} records for $half-row sides " +
           "(budget 4x batch + 3x prior)")
+      // signature-table path: prior TEXT read once (verify only); the
+      // other prior-side reads hit the ~1-2%-sized signature table
+      val sigDir = java.nio.file.Files.createTempDirectory("scanpin-s").toString
+      Dedup.signatures(prior, "doc_id", "text")
+        .write.mode("overwrite").parquet(sigDir)
+      val sigs = spark.read.parquet(sigDir)
+      val (sigReads, _) = measured(
+        Dedup.dedupAgainstSignatures(batch, sigs, prior, "doc_id", "text", 0.95))
+      // + half: the checkpointed candidate set's CACHE-block read also
+      // counts toward recordsRead (candidates ≈ one per batch row here);
+      // source scans are 4x batch text + 1x prior text + 2x sig table
+      assert(sigReads <= (4 + 1 + 2) * half + half,
+        s"d12-signatures read ${sigReads} records for $half-row sides " +
+          "(budget 4x batch text + 1x prior text + 2x signature table " +
+          "+ candidate cache reads)")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
@@ -829,6 +844,29 @@ class OpsSpec extends SparkSpec {
           materialize = true)
         .select("doc_id").as[Long].collect().toSet
       assert(i0 == i1)
+      // the production signature-table path returns the identical keep
+      // set: exact/band stages read signatures(prior), text only verifies.
+      // Mixed-outcome batch: exact copies (drop), near copies (drop via
+      // band+verify), genuinely novel reversed docs (keep)
+      val mixed = batch.withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          array_join(reverse(split(col("text"), " ")), " "))
+          .when(col("doc_id") % 3 === 1, concat(col("text"), lit(" zz")))
+          .otherwise(col("text")))
+      val sigs = Dedup.signatures(prior, "doc_id", "text")
+      val t0 = Dedup.dedupAgainst(mixed, prior, "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+      val t1 = Dedup.dedupAgainstSignatures(mixed, sigs, prior,
+          "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+      assert(t1 == t0, "signature path must match the text path")
+      assert(t0.nonEmpty && t0.size < 80,
+        s"mixed batch must both keep and drop rows: kept ${t0.size}")
+      // parameter mismatch surfaces as a schema guard, not silence
+      intercept[IllegalArgumentException] {
+        Dedup.dedupAgainstSignatures(batch, sigs.drop("fp"), prior,
+          "doc_id", "text")
+      }
     } finally spark.catalog.clearCache()
   }
 
