@@ -873,8 +873,15 @@ object Dedup {
     * (chunk-index, chunk-value) — an equi-join, never a cross join —
     * and only (id, sig, chunk) triples shuffle. */
   def simhashPairsFromSigs(sigs: DataFrame, maxDistance: Int): DataFrame = {
+    // the explicit (ci, cv) repartition puts a canonically-identical
+    // exchange under BOTH sides of the chunk self-join, so ReusedExchange
+    // executes the signature subtree — and its kernel source scan —
+    // exactly once at any scale (the d02/d13 discipline; without it
+    // AQE's small-scale broadcast choice leaves one side exchange-free
+    // and the scan runs twice)
     val buckets = sigs.select(col("id"), col("sig"),
       posexplode(array(simhashChunkCols(col("sig"), maxDistance): _*)).as(Seq("ci", "cv")))
+      .repartition(col("ci"), col("cv"))
 
     buckets.alias("a").join(buckets.alias("b"),
         col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&

@@ -46,6 +46,8 @@ object ScanCount {
     import graft.ops.Dedup
     measure("d02 default")(Dedup.minhashNearDupPairs(onDisk, "doc_id", "text", 0.5))
     measure("d02 materialized")(Dedup.minhashNearDupPairs(onDisk, "doc_id", "text", 0.5, materialize = true))
+    measure("d04 simhash default")(
+      Dedup.simhashNearDupPairs(onDisk, "doc_id", "text", maxDistance = 7))
     measure("d13 default")(Dedup.winnowNearDupPairs(onDisk, "doc_id", "text", 0.6))
     measure("d13 materialized")(Dedup.winnowNearDupPairs(onDisk, "doc_id", "text", 0.6, materialize = true))
     val prior = onDisk.filter(col("doc_id") <= 5000L)

@@ -761,6 +761,12 @@ class OpsSpec extends SparkSpec {
       assert(d02n > 0, "pin data must produce near-dup pairs")
       assert(d02Reads <= 6 * nRows,
         s"d02 default read ${d02Reads} records for $nRows rows (budget 6x)")
+      val (d04Reads, d04n) =
+        measured(Dedup.simhashNearDupPairs(onDisk, "doc_id", "text", 7))
+      assert(d04n > 0)
+      assert(d04Reads <= nRows,
+        s"d04 default read ${d04Reads} records for $nRows rows (budget 1x: " +
+          "the chunk self-join reuses one signature-scan exchange)")
       val (d13Reads, d13n) =
         measured(Dedup.winnowNearDupPairs(onDisk, "doc_id", "text", 0.6))
       assert(d13n > 0)
