@@ -164,9 +164,21 @@ object Cli {
           fs.exists(p) && fs.listStatus(p).exists(
             _.getPath.getName.endsWith(".parquet"))
         }
-        if (!hasSigs)
+        // self-heal: the corpus append and the signature append below are
+        // two writes — a crash between them leaves the table SHORT (rows
+        // in the corpus with no signature), which would let their
+        // duplicates back in and then wedge every later run on the
+        // collision guard. A row-count disagreement (parquet footer
+        // counts, cheap) triggers a full rebuild from the corpus.
+        val standingN = standing.count()
+        if (!hasSigs ||
+            spark.read.parquet(sigDir).count() != standingN) {
+          if (hasSigs) System.err.println(
+            s"[graft] curate: signature table out of sync with " +
+              s"$standingDir (interrupted append?) — rebuilding")
           ops.Dedup.signatures(standing, "doc_id", "text")
             .write.mode("overwrite").parquet(sigDir)
+        }
         val priorSigs = spark.read.parquet(sigDir)
         val delta = examples.CurationPipeline.curateIncrement(
           docs, benchmark, standing, cfg = cfg,

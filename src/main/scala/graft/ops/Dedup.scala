@@ -711,11 +711,21 @@ object Dedup {
     * `shingleN` when consuming it or candidates will silently miss. */
   def signatures(df: DataFrame, idCol: String, textCol: String,
                  bands: Int = 32, rowsPerBand: Int = 3,
-                 shingleN: Int = 3): DataFrame =
+                 shingleN: Int = 3): DataFrame = {
+    // the build parameters ride the `bands` column's METADATA (schema
+    // metadata survives a parquet round-trip), so a consumer with
+    // mismatched parameters fails loudly instead of silently generating
+    // zero candidates
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("bands", bands.toLong)
+      .putLong("rowsPerBand", rowsPerBand.toLong)
+      .putLong("shingleN", shingleN.toLong)
+      .build()
     df.select(col(idCol).as("id"),
       md5(col(textCol)).as("fp"),
       graft.functions.MinhashBandsExpression.minhashBands(
-        col(textCol), bands, rowsPerBand, shingleN).as("bands"))
+        col(textCol), bands, rowsPerBand, shingleN).as("bands", meta))
+  }
 
   /** [[dedupAgainst]] with the prior's PRE-BUILT signature table: the
     * standing corpus's text is scanned exactly ONCE (shingle
@@ -734,6 +744,21 @@ object Dedup {
     require(priorSigs.columns.toSet == Set("id", "fp", "bands"),
       s"priorSigs must be a signatures() table (id, fp, bands), " +
         s"got ${priorSigs.columns.toSeq}")
+    // parameter-mismatch guard: a table built with different
+    // bands/rowsPerBand/shingleN never matches a band hash — silently
+    // zero candidates. signatures() stamps its parameters into the
+    // bands column's metadata (parquet-persistent); when present they
+    // MUST agree with this call's parameters.
+    locally {
+      val m = priorSigs.schema("bands").metadata
+      for ((name, expected) <- Seq("bands" -> bands,
+          "rowsPerBand" -> rowsPerBand, "shingleN" -> shingleN))
+        if (m.contains(name))
+          require(m.getLong(name) == expected.toLong,
+            s"priorSigs was built with $name=${m.getLong(name)} but this " +
+              s"increment passes $name=$expected — band hashes would " +
+              "never match and near-duplicates would be silently missed")
+    }
     def narrowOf(df: DataFrame): DataFrame = df.select(
       col(idCol).as("id"),
       md5(col(textCol)).as("fp"),

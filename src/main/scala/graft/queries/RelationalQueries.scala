@@ -507,8 +507,12 @@ object RelationalQueries extends QueryPack {
             (col("c_acctbal") + lit(10.0)).as("c_acctbal"))
         .unionByName(base.filter(col("c_custkey") % 11 === 0 &&
           col("c_custkey") % 7 =!= 0))
+        // inserts ride a 1e12 offset: customer keys are 150k*sf, so a
+        // 1M offset would collide with REAL keys at sf >= ~7 and break
+        // merge's unique-key contract the moment the registry benches
+        // above the pinned scales
         .unionByName(base.filter(col("c_custkey") % 13 === 0)
-          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          .select((col("c_custkey") + 1000000000000L).as("c_custkey"),
             concat(col("c_name"), lit(" new")).as("c_name"),
             lit(1.23).as("c_acctbal")))
       graft.ops.Upsert.merge(base, updates, Seq("c_custkey"))
@@ -952,7 +956,7 @@ object RelationalQueries extends QueryPack {
            SELECT c_custkey, c_name, c_acctbal
            FROM base WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0
            UNION ALL
-           SELECT c_custkey + 1000000, c_name || ' new', 1.23
+           SELECT c_custkey + 1000000000000, c_name || ' new', 1.23
            FROM base WHERE c_custkey % 13 = 0)
          SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
                 CASE WHEN u.c_custkey IS NULL THEN b.c_name

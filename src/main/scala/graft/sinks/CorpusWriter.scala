@@ -37,7 +37,18 @@ object CorpusWriter {
                    partitionCols: Seq[String],
                    maxRecordsPerFile: Long = 1000000L,
                    tasksPerPartitionValue: Int = 4,
-                   clusterBy: Seq[Column] = Nil): Unit = {
+                   clusterBy: Seq[Column] = Nil): Unit =
+    writeLayout(df, path, partitionCols, maxRecordsPerFile,
+      tasksPerPartitionValue, clusterBy, mode = "overwrite")
+
+  /** The one copy of the layout discipline, shared by overwrite and
+    * append so a fix to either (salting, sort contract) applies to both. */
+  private def writeLayout(df: DataFrame, path: String,
+                          partitionCols: Seq[String],
+                          maxRecordsPerFile: Long,
+                          tasksPerPartitionValue: Int,
+                          clusterBy: Seq[Column],
+                          mode: String): Unit = {
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
     // pmod, not abs%: xxhash64 can yield Long.MinValue, whose abs is
     // itself negative
@@ -53,7 +64,7 @@ object CorpusWriter {
       if (clusterBy.isEmpty) salted
       else salted.sortWithinPartitions(partitionCols.map(col) ++ clusterBy: _*)
     clustered.drop("_salt")
-      .write.mode("overwrite")
+      .write.mode(mode)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)
       .parquet(path)
@@ -70,18 +81,10 @@ object CorpusWriter {
   def appendCurated(df: DataFrame, path: String,
                     partitionCols: Seq[String],
                     maxRecordsPerFile: Long = 1000000L,
-                    tasksPerPartitionValue: Int = 4): Unit = {
-    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
-    val salt = pmod(xxhash64(df.columns.map(col).toSeq: _*),
-      lit(tasksPerPartitionValue.toLong)).as("_salt")
-    df.withColumn("_salt", salt)
-      .repartition((partitionCols.map(col) :+ col("_salt")): _*)
-      .drop("_salt")
-      .write.mode("append")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy(partitionCols: _*)
-      .parquet(path)
-  }
+                    tasksPerPartitionValue: Int = 4,
+                    clusterBy: Seq[Column] = Nil): Unit =
+    writeLayout(df, path, partitionCols, maxRecordsPerFile,
+      tasksPerPartitionValue, clusterBy, mode = "append")
 
   /** Compact an unpartitioned frame to ~`targetFileCount` parquet files of
     * balanced size — the "finalize a shard" step after a filter has left

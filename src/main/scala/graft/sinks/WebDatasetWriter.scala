@@ -59,7 +59,7 @@ object WebDatasetWriter {
         fs.listStatus(dir).foreach { st =>
           val n = st.getPath.getName
           if (st.isFile && (n.matches("shard-\\d{6}\\.tar") ||
-              n.matches("\\.shard-\\d{6}\\.tar\\.\\d+\\.tmp")))
+              n.matches("\\.shard-\\d{6}\\.tar\\.(\\d+|backfill)\\.tmp")))
             fs.delete(st.getPath, false)
         }
     }
@@ -127,15 +127,26 @@ object WebDatasetWriter {
       val conf = df.sparkSession.sessionState.newHadoopConf()
       val dir = new org.apache.hadoop.fs.Path(path)
       val fs = dir.getFileSystem(conf)
+      // an all-rows-filtered frame writes no shard at all — the dir may
+      // not even exist yet; the contract is still numShards valid tars
+      if (!fs.exists(dir)) fs.mkdirs(dir)
       val present = fs.listStatus(dir).iterator.map(_.getPath.getName).collect {
         case n if n.matches("shard-\\d{6}\\.tar") =>
           n.stripPrefix("shard-").stripSuffix(".tar").toInt
       }.toSet
       (0 until numShards).filterNot(present).foreach { s =>
+        // same tmp-then-rename discipline as the row-writing tasks: an
+        // interrupted backfill must never leave a truncated file under
+        // the FINAL name (it would pass the contiguous-layout check and
+        // then fail every tar reader)
         val fin = new org.apache.hadoop.fs.Path(path, f"shard-$s%06d.tar")
-        val out = fs.create(fin, true)
+        val tmp = new org.apache.hadoop.fs.Path(path,
+          f".shard-$s%06d.tar.backfill.tmp")
+        val out = fs.create(tmp, true)
         out.write(new Array[Byte](1024))
         out.close()
+        if (fs.exists(fin)) fs.delete(fin, false)
+        require(fs.rename(tmp, fin), s"rename $tmp -> $fin failed")
       }
     }
   }

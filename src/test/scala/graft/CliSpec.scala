@@ -195,6 +195,30 @@ class CliSpec extends SparkSpec {
       "signature table must grow with the corpus")
     assert(sigs.select("id").distinct().count() == standingN + deltaIds.size)
 
+    // interrupted-append recovery: truncate the signature table (the
+    // state a crash between corpus append and signature append leaves),
+    // then re-run increment 2's input — the CLI must detect the count
+    // disagreement, rebuild the table from the corpus, and still treat
+    // the absorbed increment as a no-op instead of re-admitting dups or
+    // wedging on the collision guard
+    locally {
+      val sigDir = s"$standing/_graft_signatures"
+      val truncated = spark.read.parquet(sigDir).limit(3).collect()
+      import org.apache.spark.sql.Row
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(truncated.toSeq),
+        spark.read.parquet(sigDir).schema)
+        .write.mode("overwrite").parquet(sigDir)
+    }
+    val deltaHeal = java.nio.file.Files.createTempDirectory("cli-inc-heal").toString
+    Cli.run(Seq("curate", "-o", deltaHeal, "-s", s"curate.against=$standing",
+      "-s", "curate.langs=en,es,de,fr,ja,zz", inDir2), spark, new FakeTransport())
+    assert(java.nio.file.Files.walk(java.nio.file.Paths.get(deltaHeal))
+      .toArray.map(_.toString).count(_.endsWith(".parquet")) == 0,
+      "post-heal re-run must stay a no-op")
+    assert(spark.read.parquet(s"$standing/_graft_signatures").count() ==
+      standingN + deltaIds.size, "signature table must be rebuilt in full")
+
     // increment 3: re-run increment 2's input — now zero again
     val delta2 = java.nio.file.Files.createTempDirectory("cli-inc-d2").toString
     Cli.run(Seq("curate", "-o", delta2, "-s", s"curate.against=$standing",

@@ -868,11 +868,27 @@ class OpsSpec extends SparkSpec {
       assert(t1 == t0, "signature path must match the text path")
       assert(t0.nonEmpty && t0.size < 80,
         s"mixed batch must both keep and drop rows: kept ${t0.size}")
-      // parameter mismatch surfaces as a schema guard, not silence
+      // schema mismatch surfaces as a guard, not silence
       intercept[IllegalArgumentException] {
         Dedup.dedupAgainstSignatures(batch, sigs.drop("fp"), prior,
           "doc_id", "text")
       }
+      // parameter mismatch too: the table stamps its build parameters
+      // into the bands column metadata (parquet-persistent), and a
+      // consumer with different bands/rows/shingleN fails loudly instead
+      // of silently generating zero candidates
+      val sigDir = java.nio.file.Files
+        .createTempDirectory("sigmeta").toString
+      Dedup.signatures(prior, "doc_id", "text", bands = 16, rowsPerBand = 4)
+        .write.mode("overwrite").parquet(sigDir)
+      val reread = spark.read.parquet(sigDir)
+      val e = intercept[IllegalArgumentException] {
+        Dedup.dedupAgainstSignatures(batch, reread, prior, "doc_id", "text")
+      }
+      assert(e.getMessage.contains("bands=16"), e.getMessage)
+      // matching parameters pass through the metadata check
+      assert(Dedup.dedupAgainstSignatures(batch, reread, prior,
+        "doc_id", "text", bands = 16, rowsPerBand = 4).count() >= 0)
     } finally spark.catalog.clearCache()
   }
 

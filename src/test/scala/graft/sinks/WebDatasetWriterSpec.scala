@@ -221,6 +221,23 @@ class WebDatasetWriterSpec extends SparkSpec {
     }
   }
 
+  test("writeShards on an all-filtered (empty) frame still writes numShards valid empty tars") {
+    val dir = Files.createTempDirectory("graft-wds-allempty").toString + "/out"
+    WebDatasetWriter.writeShards(samples.filter(col("doc_id") < 0L), dir,
+      "doc_id", Seq("json" -> col("meta")), numShards = 5)
+    val tars = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".tar")).sorted
+    assert(tars.length == 5, s"expected 5 empty shards, got ${tars.length}")
+    tars.foreach { t =>
+      assert(Files.size(Paths.get(t)) == 1024)
+      assert(readTar(Paths.get(t)).isEmpty)
+    }
+    assert(Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .count(_.contains(".tmp")) == 0, "backfill tmp files left behind")
+    val back = spark.read.format("webdataset").option("path", dir).load()
+    assert(back.count() == 0)
+  }
+
   test("explicit numShards option declines pruning when the file count disagrees") {
     val dir = Files.createTempDirectory("graft-wds-modulus").toString
     WebDatasetWriter.writeShards(samples, dir, "doc_id",
