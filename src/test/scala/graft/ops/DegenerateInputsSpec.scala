@@ -199,4 +199,34 @@ class DegenerateInputsSpec extends SparkSpec {
       "vec_id", "embedding", k = 8, shortlist = 8)
     assert(tiny.count() == 2) // corpus minus self = 2 candidates
   }
+
+  test("round-11 additions: upsert, incremental dedup, signature path totality") {
+    // merge: empty updates = all-keep identity; empty base = all-insert;
+    // both empty = empty
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val none = Seq.empty[(Long, String)].toDF("k", "v")
+    val keepAll = Upsert.merge(base, none, Seq("k"))
+    assert(keepAll.count() == 2 &&
+      keepAll.filter(col("action") =!= "keep").count() == 0)
+    val insertAll = Upsert.merge(none, base, Seq("k"))
+    assert(insertAll.count() == 2 &&
+      insertAll.filter(col("action") =!= "insert").count() == 0)
+    assert(Upsert.merge(none, none, Seq("k")).count() == 0)
+
+    // incremental dedup: empty batch -> empty; empty prior -> batch
+    // passes through (nothing to collide with); both orders of emptiness
+    assert(Dedup.dedupAgainst(emptyDocs, oneDoc, "doc_id", "text").count() == 0)
+    assert(Dedup.dedupAgainst(oneDoc, emptyDocs, "doc_id", "text").count() == 1)
+    // signature path: empty signature table behaves like an empty prior
+    val emptySigs = Dedup.signatures(emptyDocs, "doc_id", "text")
+    assert(Dedup.dedupAgainstSignatures(oneDoc, emptySigs, emptyDocs,
+      "doc_id", "text").count() == 1)
+    assert(Dedup.dedupAgainstSignatures(emptyDocs,
+      Dedup.signatures(oneDoc, "doc_id", "text"), oneDoc,
+      "doc_id", "text").count() == 0)
+
+    // winnow pairs: empty and single-row corpora yield no pairs
+    assert(Dedup.winnowNearDupPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.winnowNearDupPairs(oneDoc, "doc_id", "text").count() == 0)
+  }
 }
