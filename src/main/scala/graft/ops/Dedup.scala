@@ -397,6 +397,33 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[nearDupDedup]] with SURVIVOR ELECTION: per near-dup cluster keep
+    * the member maximizing `score` (ties → min id) instead of the min
+    * id — the production convention ("keep the longest / highest-quality
+    * copy, drop the rest"). Null scores rank lowest; a cluster whose
+    * scores are ALL null degrades to the min-id election (null-safe
+    * tie), never to keeping the whole cluster.
+    *
+    * Scale shape: the election is two bounded aggregates over
+    * (component, id, score) triples — max score per component, then min
+    * id among the maximizers — no window, no per-cluster sort; document
+    * text never joins the election. */
+  def nearDupDedupBy(df: DataFrame, idCol: String, textCol: String,
+                     score: Column, threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashNearDupPairs(df, idCol, textCol, threshold)
+    val comps = connectedComponents(pairs, "id_a", "id_b")
+    val scored = df.select(col(idCol).as("id"), score.as("_score"))
+      .join(comps, "id")
+    val best = scored.groupBy("component").agg(max(col("_score")).as("_ms"))
+    val winners = scored.join(best, "component")
+      .filter(col("_score") <=> col("_ms"))
+      .groupBy("component").agg(min(col("id")).as("_winner"))
+    val losers = comps.join(winners, "component")
+      .filter(col("id") =!= col("_winner"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---- cross-document boilerplate (C4-style repeated spans) ----------------
 
   /** Spans (sentence-ish fragments split on `sepPattern`) occurring in at

@@ -428,6 +428,22 @@ object OpsQueries extends QueryPack {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // near-dup dedup with SURVIVOR ELECTION (the production convention:
+    // keep the highest-quality copy, not the min id): the d02 planted
+    // universe (originals + ' zzz'-tailed copies at +1M), score = token
+    // count, so every planted cluster keeps its LONGER copy and drops
+    // the original — the exact inverse of the min-id election, which the
+    // oracle's recursive-component + argmax recompute grades
+    "d18_neardup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val dupped = docs.unionByName(docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zzz")).as("text")))
+      Dedup.nearDupDedupBy(dupped, "doc_id", "text",
+          size(split(col("text"), " ")), threshold = 0.8)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // SemDedup at the PRODUCTION k: auto k = √n seed-Voronoi buckets
     // (clamped ≥ 16 — the semDedupAuto scale rule, so the within-cluster
     // pair count stays ~n^1.5 as the corpus grows instead of n²/k for a
@@ -1114,6 +1130,48 @@ object OpsQueries extends QueryPack {
          WHERE len(list_intersect(a.s, b.s)) * 1.0 /
                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
          ORDER BY id_a, id_b"""),
+
+    // full recompute of the survivor election: exact-jaccard pairs (the
+    // d02 CTE), reachability components, argmax-by-token-count with
+    // min-id ties
+    "d18_neardup_keep_best" ->
+      ("""WITH RECURSIVE docs AS (
+         SELECT doc_id, string_split(text, ' ') w FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000, string_split(text || ' zzz', ' ') FROM documents),
+       sh AS (
+         SELECT doc_id,
+           list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]
+           END) s
+         FROM docs)""" +
+      """, pairs AS (
+           SELECT a.doc_id AS a, b.doc_id AS b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+         bidir AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+         nodes AS (SELECT DISTINCT a AS id FROM bidir),
+         reach(id, r) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT bidir.b, reach.r FROM bidir JOIN reach ON bidir.a = reach.id),
+         comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         members AS (
+           SELECT c.id, c.component, len(d.w) AS score
+           FROM comp c JOIN docs d ON d.doc_id = c.id),
+         best AS (SELECT component, max(score) AS ms FROM members GROUP BY 1),
+         winners AS (
+           SELECT m.component, min(m.id) AS winner
+           FROM members m JOIN best b
+             ON m.component = b.component AND m.score = b.ms
+           GROUP BY 1),
+         losers AS (
+           SELECT m.id FROM members m
+           JOIN winners w ON m.component = w.component AND m.id <> w.winner)
+         SELECT doc_id FROM docs
+         WHERE doc_id NOT IN (SELECT id FROM losers)
+         ORDER BY doc_id"""),
 
     "d03_ngram_jaccard" ->
       """WITH sh AS (

@@ -455,6 +455,31 @@ class OpsSpec extends SparkSpec {
       s"expected exactly the 40 planted pairs, got ${pairs.size}")
   }
 
+  test("nearDupDedupBy: best score survives, ties break to min id, null ranks lowest") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma"
+    val docs = Seq(
+      (1L, base),                 // cluster A: shortest
+      (2L, base + " tail"),       // cluster A: longest -> survives
+      (3L, base + " tail"),       // cluster A: tie with 2 -> 2 wins (min id)
+      (10L, "completely different content about rivers and mountains and weather patterns today")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.nearDupDedupBy(docs, "doc_id", "text",
+        size(split(col("text"), " ")), threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 10L), s"got $kept")
+    // min-id election for comparison keeps 1
+    val minId = Dedup.nearDupDedup(docs, "doc_id", "text", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(minId == Set(1L, 10L))
+    // all-null scores degrade to the min-id election, never keep-all
+    val keptNull = Dedup.nearDupDedupBy(docs, "doc_id", "text",
+        lit(null).cast("int"), threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptNull == Set(1L, 10L), s"got $keptNull")
+  }
+
   test("mm06 plant constants: exact distances 1..8; banding recalls at d, cuts at d-1") {
     import spark.implicits._
     // the offline-chosen (tools/PlantSearch) pairs baked into the mm06
