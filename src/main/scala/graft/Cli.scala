@@ -103,6 +103,7 @@ object Cli {
       //     [-s curate.passage_window=12] [-s curate.token_budget=N]
       //     [-s curate.epochs=en:2.3,es:1.0] [-s curate.shards=64]
       //     [-s curate.against=standing-corpus-dir]
+      //     [-s curate.elect=tokens|quality]
       //     docs.parquet...
       // curate.against = INCREMENTAL mode (today's crawl vs the standing
       // corpus): the batch runs the full gate chain, then d12's bipartite
@@ -122,6 +123,14 @@ object Cli {
           .map(_.toDouble).getOrElse(0.3),
         langs = settings.get("curate.langs").map(_.split(",").toSeq)
           .getOrElse(Seq("en", "es", "de", "fr")),
+        // -s curate.elect=tokens|quality — near-dup survivor election by
+        // token count or quality score instead of the min-id default
+        electSurvivorBy = settings.get("curate.elect").map {
+          case "tokens" => ops.TextAnalysis.tokenCountWs(col("text"))
+          case "quality" => ops.TextAnalysis.qualityScore(col("text"))
+          case other => sys.error(
+            s"curate.elect: unknown election '$other' (tokens|quality)")
+        },
         passageDedupWindow = settings.get("curate.passage_window").map(_.toInt),
         tokenBudget = settings.get("curate.token_budget").map(_.toLong),
         // -s curate.epochs=en:2.3,es:1.0 — training-mix repeat weights

@@ -39,6 +39,11 @@ object CurationPipeline {
   /** Gate thresholds; defaults match the t01/t04 oracle semantics. */
   final case class Config(
       nearDupThreshold: Double = 0.8,
+      // near-dup survivor election: None = min-id (deterministic,
+      // cheapest); Some(score) = keep the best-scoring member per
+      // cluster (Dedup.nearDupDedupBy — "keep the longest copy"), score
+      // evaluated over the document's columns
+      electSurvivorBy: Option[org.apache.spark.sql.Column] = None,
       maxBenchmarkOverlap: Long = 0,       // drop any doc sharing >N 8-grams
       minQuality: Double = 0.3,
       maxDup3Ratio: Double = 0.5,
@@ -90,8 +95,15 @@ object CurationPipeline {
     val exact = Dedup.exactDedupAnti(
       canon, TextAnalysis.fingerprintMd5(col(textCol)), idCol)
 
-    // 2. near-dup dedup (LSH pairs -> components -> min-id survivor)
-    val uniq = Dedup.nearDupDedup(exact, idCol, textCol, cfg.nearDupThreshold)
+    // 2. near-dup dedup (LSH pairs -> components -> survivor election:
+    // min-id by default, best-score with cfg.electSurvivorBy)
+    val uniq = cfg.electSurvivorBy match {
+      case Some(score) =>
+        Dedup.nearDupDedupBy(exact, idCol, textCol, score,
+          cfg.nearDupThreshold)
+      case None =>
+        Dedup.nearDupDedup(exact, idCol, textCol, cfg.nearDupThreshold)
+    }
 
     // 3. decontamination: drop docs overlapping the held-out benchmark.
     // Bloom-prefiltered: the clean majority never reaches the join

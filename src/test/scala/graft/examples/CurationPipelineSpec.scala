@@ -65,6 +65,27 @@ class CurationPipelineSpec extends SparkSpec {
     assert(again == out.select("doc_id", "split").as[(Long, String)].collect().toSet)
   }
 
+  test("electSurvivorBy keeps the best-scoring near-dup copy instead of the min id") {
+    // doc 201 = doc 1's text plus a tail: same near-dup cluster, more
+    // tokens. Default election keeps 1; token-count election keeps 201.
+    val longer = docs.filter(col("doc_id") === 1L)
+      .select((col("doc_id") + 200L).as("doc_id"),
+        concat(col("text"), lit(" extra tail words here")).as("text"),
+        col("lang"))
+    val all = docs.unionByName(longer)
+    val defaultKept = CurationPipeline.curate(all, benchmark)
+      .select("doc_id").as[Long].collect().toSet
+    assert(defaultKept.contains(1L) && !defaultKept.contains(201L))
+    val electKept = CurationPipeline.curate(all, benchmark,
+        cfg = CurationPipeline.Config(electSurvivorBy =
+          Some(graft.ops.TextAnalysis.tokenCountWs(col("text")))))
+      .select("doc_id").as[Long].collect().toSet
+    assert(electKept.contains(201L) && !electKept.contains(1L),
+      s"token-count election must keep the longer copy: $electKept")
+    // the rest of the corpus is unaffected by the election choice
+    assert(defaultKept - 1L == electKept - 201L)
+  }
+
   test("curateAndWrite produces a (split, lang)-partitioned parquet corpus") {
     val dir = java.nio.file.Files.createTempDirectory("graft-curated").toString
     CurationPipeline.curateAndWrite(docs, benchmark, dir)
