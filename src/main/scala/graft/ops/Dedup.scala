@@ -412,8 +412,14 @@ object Dedup {
                      score: Column, threshold: Double = 0.8): DataFrame = {
     val pairs = minhashNearDupPairs(df, idCol, textCol, threshold)
     val comps = connectedComponents(pairs, "id_a", "id_b")
+    // the explicit component repartition puts ONE canonically-identical
+    // exchange under BOTH election consumers (the max aggregate and the
+    // winners join), so the score projection — which may read document
+    // text — executes once; only (id, score, component) triples ride
+    // the exchange (the d13/d04 reuse discipline)
     val scored = df.select(col(idCol).as("id"), score.as("_score"))
       .join(comps, "id")
+      .repartition(col("component"))
     val best = scored.groupBy("component").agg(max(col("_score")).as("_ms"))
     val winners = scored.join(best, "component")
       .filter(col("_score") <=> col("_ms"))

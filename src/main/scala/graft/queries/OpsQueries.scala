@@ -435,11 +435,7 @@ object OpsQueries extends QueryPack {
     // the original — the exact inverse of the min-id election, which the
     // oracle's recursive-component + argmax recompute grades
     "d18_neardup_keep_best" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val dupped = docs.unionByName(docs.select(
-        (col("doc_id") + 1000000L).as("doc_id"),
-        concat(col("text"), lit(" zzz")).as("text")))
-      Dedup.nearDupDedupBy(dupped, "doc_id", "text",
+      Dedup.nearDupDedupBy(withPlantedDups(s, d), "doc_id", "text",
           size(split(col("text"), " ")), threshold = 0.8)
         .select(col("doc_id")).orderBy("doc_id")
     }),

@@ -41,8 +41,22 @@ object CorpusWriter {
     writeLayout(df, path, partitionCols, maxRecordsPerFile,
       tasksPerPartitionValue, clusterBy, mode = "overwrite")
 
-  /** The one copy of the layout discipline, shared by overwrite and
-    * append so a fix to either (salting, sort contract) applies to both. */
+  /** The one copy of the salt/repartition step (pmod, not abs%:
+    * xxhash64 can yield Long.MinValue, whose abs is itself negative) —
+    * shared by every writer here so a salting fix applies everywhere.
+    * The `_salt` column is still attached; callers drop it after any
+    * within-partition sort they need. */
+  private def saltedByPartitions(df: DataFrame, partitionCols: Seq[String],
+                                 tasksPerPartitionValue: Int): DataFrame = {
+    val salt = pmod(xxhash64(df.columns.map(col).toSeq: _*),
+      lit(tasksPerPartitionValue.toLong)).as("_salt")
+    df.withColumn("_salt", salt)
+      .repartition((partitionCols.map(col) :+ col("_salt")): _*)
+  }
+
+  /** The one copy of the parquet layout discipline, shared by overwrite
+    * and append so a fix to either (salting, sort contract) applies to
+    * both. */
   private def writeLayout(df: DataFrame, path: String,
                           partitionCols: Seq[String],
                           maxRecordsPerFile: Long,
@@ -50,12 +64,7 @@ object CorpusWriter {
                           clusterBy: Seq[Column],
                           mode: String): Unit = {
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
-    // pmod, not abs%: xxhash64 can yield Long.MinValue, whose abs is
-    // itself negative
-    val salt = pmod(xxhash64(df.columns.map(col).toSeq: _*),
-      lit(tasksPerPartitionValue.toLong)).as("_salt")
-    val salted = df.withColumn("_salt", salt)
-      .repartition((partitionCols.map(col) :+ col("_salt")): _*)
+    val salted = saltedByPartitions(df, partitionCols, tasksPerPartitionValue)
     // partition cols lead the sort: the file writer requires rows ordered
     // by partition columns within each task and would otherwise insert its
     // own (clusterBy-destroying) sort; a sort it finds already satisfied
@@ -112,14 +121,10 @@ object CorpusWriter {
     val writer =
       if (partitionCols.isEmpty)
         df.write
-      else {
-        val salt = pmod(xxhash64(df.columns.map(col).toSeq: _*),
-          lit(tasksPerPartitionValue.toLong)).as("_salt")
-        df.withColumn("_salt", salt)
-          .repartition((partitionCols.map(col) :+ col("_salt")): _*)
+      else
+        saltedByPartitions(df, partitionCols, tasksPerPartitionValue)
           .drop("_salt")
           .write.partitionBy(partitionCols: _*)
-      }
     writer.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .option("compression", compression)

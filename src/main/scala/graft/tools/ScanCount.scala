@@ -46,6 +46,12 @@ object ScanCount {
     import graft.ops.Dedup
     measure("d02 default")(Dedup.minhashNearDupPairs(onDisk, "doc_id", "text", 0.5))
     measure("d02 materialized")(Dedup.minhashNearDupPairs(onDisk, "doc_id", "text", 0.5, materialize = true))
+    measure("nearDupDedup minid")(
+      Dedup.nearDupDedup(onDisk, "doc_id", "text", 0.5))
+    measure("d18 elect default")(
+      Dedup.nearDupDedupBy(onDisk, "doc_id", "text",
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("text"), " ")), 0.5))
     measure("d04 simhash default")(
       Dedup.simhashNearDupPairs(onDisk, "doc_id", "text", maxDistance = 7))
     measure("d13 default")(Dedup.winnowNearDupPairs(onDisk, "doc_id", "text", 0.6))

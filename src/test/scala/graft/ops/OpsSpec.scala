@@ -814,6 +814,20 @@ class OpsSpec extends SparkSpec {
       assert(d12Reads <= (4 + 3) * half,
         s"d12 default read ${d12Reads} records for $half-row sides " +
           "(budget 4x batch + 3x prior)")
+      // survivor election: its overhead over the min-id election must be
+      // ONE extra source scan (the score projection — the component
+      // repartition collapses both election consumers onto one exchange)
+      // plus bounded cache-block reads; the absolute numbers are
+      // dominated by the components fixpoint's cache traffic on both
+      // paths, so the DELTA is the meaningful pin
+      val (minIdReads, _) =
+        measured(Dedup.nearDupDedup(onDisk, "doc_id", "text", 0.5))
+      val (electReads, electN) = measured(Dedup.nearDupDedupBy(
+        onDisk, "doc_id", "text", size(split(col("text"), " ")), 0.5))
+      assert(electN > 0)
+      assert(electReads <= minIdReads + 4 * nRows,
+        s"election read ${electReads} vs min-id ${minIdReads} " +
+          "(budget: +1 score scan + cache reads)")
       // signature-table path: prior TEXT read once (verify only); the
       // other prior-side reads hit the ~1-2%-sized signature table
       val sigDir = java.nio.file.Files.createTempDirectory("scanpin-s").toString
