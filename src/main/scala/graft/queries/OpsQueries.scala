@@ -428,6 +428,27 @@ object OpsQueries extends QueryPack {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // the PRODUCTION incremental path through the same ground truth:
+    // exact/band stages run off a pre-built (id, fp, bands) signature
+    // table (Dedup.signatures — what curate.against maintains) while the
+    // standing text is read only for candidate verification. Same oracle
+    // as d12: the keep set must be identical whichever path computes it
+    "d19_dedup_increment_sigs" -> ((s, d) => {
+      val prior = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val batch = prior.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(prior.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" zzz")).as("text")))
+        .unionByName(prior.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            array_join(reverse(split(col("text"), " ", 0)), " ").as("text")))
+      Dedup.dedupAgainstSignatures(batch,
+          Dedup.signatures(prior, "doc_id", "text"), prior,
+          "doc_id", "text", threshold = 0.8)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // near-dup dedup with SURVIVOR ELECTION (the production convention:
     // keep the highest-quality copy, not the min id): the d02 planted
     // universe (originals + ' zzz'-tailed copies at +1M), score = token
@@ -1564,6 +1585,42 @@ object OpsQueries extends QueryPack {
     // full bipartite max-Jaccard for stage 2 (the engine's LSH+verify
     // must reproduce it — banding recall at j >= 8/9 is ~1-(1-j^3)^32)
     "d12_dedup_increment" ->
+      """WITH prior AS (SELECT doc_id, text FROM documents),
+         batch AS (
+           SELECT doc_id + 1000000 AS id, text FROM documents
+           WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, text || ' zzz' FROM documents
+           WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT doc_id + 3000000,
+             array_to_string(list_reverse(string_split(text, ' ')), ' ')
+           FROM documents WHERE doc_id % 3 = 0),
+         fresh AS (
+           SELECT * FROM batch WHERE text NOT IN (SELECT text FROM prior)),
+         bsh AS (
+           SELECT id, list_distinct(
+             CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE [array_to_string(w[i:i+2], ' ')
+                        for i in range(1, len(w) - 1)] END) AS s
+           FROM (SELECT id, string_split(text, ' ') AS w FROM fresh)),
+         psh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE [array_to_string(w[i:i+2], ' ')
+                        for i in range(1, len(w) - 1)] END) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM prior)),
+         drops AS (
+           SELECT DISTINCT b.id FROM bsh b JOIN psh p
+           ON len(list_intersect(b.s, p.s)) * 1.0 /
+              (len(b.s) + len(p.s) - len(list_intersect(b.s, p.s))) >= 0.8)
+         SELECT id AS doc_id FROM fresh
+         WHERE id NOT IN (SELECT id FROM drops)
+         ORDER BY doc_id""",
+
+    // identical ground truth to d12: the signature-table path must keep
+    // exactly the rows the text path keeps
+    "d19_dedup_increment_sigs" ->
       """WITH prior AS (SELECT doc_id, text FROM documents),
          batch AS (
            SELECT doc_id + 1000000 AS id, text FROM documents

@@ -304,6 +304,7 @@ class PlanShapeSpec extends SparkSpec {
     "d16_bfs_levels" -> 16,        // frontier rounds
     "d17_component_sizes" -> 12,   // shares d06's iterative machinery
     "d18_neardup_keep_best" -> 12, // d06's pointer-jumping rounds inside
+    "d19_dedup_increment_sigs" -> 2, // candidate-set lazy localCheckpoint
     "m12_marc_binary_roundtrip" -> 2, // DSv2 MarcScan planning probe
     "q24_percentile_disc" -> 6,    // pivot-histogram selection rounds
     "r01_bm25_topk" -> 2,          // corpus stats (avgdl, N) collect
@@ -332,6 +333,10 @@ class PlanShapeSpec extends SparkSpec {
     // union of the same table, and the operator reads the batch 4x and
     // the prior 3x (listener-pinned in OpsSpec): 3*4 + 3 = 15 leaves
     "d12_dedup_increment" -> 15, "d13_winnow_pairs" -> 8,
+    // signature path over the d12 universe: 3-scan batch union x
+    // consumers + the inline signatures(prior) build + the one prior
+    // text verify scan (production holds sigs as a separate table)
+    "d19_dedup_increment_sigs" -> 11,
     // d02 banding over the 2-scan planted union, election joins reuse
     "d18_neardup_keep_best" -> 4,
     "d15_contamination_report" -> 3,
