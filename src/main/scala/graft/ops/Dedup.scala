@@ -147,22 +147,42 @@ object Dedup {
     * and jaccard >= threshold. bands × rowsPerBand hashes; defaults give
     * P(detect | j=0.8) ≈ 1 - (1-0.8³)^32 ≈ 1 - 2e-5 per pair.
     */
-  /** `materialize = true` persists the scan-derived narrow features
-    * (id, fp, bands, shingles) once (MEMORY_AND_DISK) so the WHOLE
-    * pipeline reads the source table exactly ONCE. The default plan
-    * instead re-scans the (column-pruned) table per consumer — measured
-    * 6 scans per execution — which is the zero-cache, zero-residue
-    * shape; at corpus scale, where 6 object-store reads of the text
-    * column dwarf one disk-cached materialization of the derived
-    * features, turn the knob on (the persisted frame is released by
-    * Spark's LRU / app exit — a one-shot batch-dedup job's lifecycle).
-    * Results are identical either way (spec-pinned). */
+  /** The DEFAULT (`materialize = true`) is the shape the 100 TB plan
+    * wants: the fixed-width (id, fp, bands) signature projection —
+    * ~1-2% of the text bytes, the same frame [[signatures]] persists to
+    * parquet — is auto-persisted (MEMORY_AND_DISK: the storage pool's
+    * LRU plus disk spill make a size estimate unnecessary, and blocks
+    * release on unpersist / LRU / app exit), so the corpus TEXT is read
+    * exactly TWICE: once to build signatures, once to shingle-verify
+    * the bounded, lazily-checkpointed candidate set — and only
+    * candidate documents pay the shingle kernel on that second scan.
+    * Shingle sets are never persisted and never computed corpus-wide:
+    * at scale they are ~3× the text bytes, so the r11 knob's
+    * persist-everything shape would park a corpus-sized frame in the
+    * cache. `materialize = false` is the zero-cache-residue variant:
+    * identical results (spec-pinned), but each consumer re-scans the
+    * column-pruned source and the candidate set recomputes per
+    * consumer. [[nearDupDedup]]/[[nearDupDedupBy]] release the cached
+    * frames deterministically once the component fixpoint has
+    * materialized. */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           threshold: Double = 0.8,
                           bands: Int = 32, rowsPerBand: Int = 3,
                           shingleN: Int = 3,
                           maxBucketSize: Int = 10000,
-                          materialize: Boolean = false): DataFrame = {
+                          materialize: Boolean = true): DataFrame =
+    minhashNearDupPairsImpl(df, idCol, textCol, threshold, bands,
+      rowsPerBand, shingleN, maxBucketSize, materialize)._1
+
+  /** [[minhashNearDupPairs]] plus a `release` thunk that frees the
+    * cached signature frame and the candidate checkpoint — callable
+    * only after every consumer of the returned pairs has EAGERLY
+    * materialized (the candidate checkpoint's lineage is truncated). */
+  private[graft] def minhashNearDupPairsImpl(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, bands: Int, rowsPerBand: Int,
+      shingleN: Int, maxBucketSize: Int,
+      materialize: Boolean): (DataFrame, () => Unit) = {
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
 
     // Shuffle discipline, part 0: document bodies NEVER ride a shuffle.
@@ -174,21 +194,13 @@ object Dedup {
     // shuffle of raw text. The cost is recomputing the signature for
     // exact-duplicate rows instead of once per distinct text; duplicates
     // are a small fraction of a real corpus, raw text is not.
-    //
-    // All text-derived features come off ONE narrow projection: without
-    // `materialize`, Catalyst prunes the unused kernels per consumer
-    // (the sigs path never computes shingles and vice versa — plan
-    // identical to deriving each separately); with it, the projection
-    // persists and every consumer reads the single cached copy.
-    val narrow0 = base.select(col("id"), md5(col("text")).as("fp"),
+    val sigs0 = base.select(col("id"), md5(col("text")).as("fp"),
       graft.functions.MinhashBandsExpression.minhashBands(
-        col("text"), bands, rowsPerBand, shingleN).as("bands"),
-      shingleCol(col("text"), shingleN).as("sh"))
-    val narrow =
+        col("text"), bands, rowsPerBand, shingleN).as("bands"))
+    val sigs =
       if (materialize)
-        narrow0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else narrow0
-    val sigs = narrow.select(col("id"), col("fp"), col("bands"))
+        sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sigs0
 
     // Degenerate-corpus hardening, part 1: collapse exact-identical texts
     // FIRST (fingerprint groupBy — Catalyst prunes `bands` off this
@@ -250,15 +262,27 @@ object Dedup {
       .join(broadcast(oversized), Seq("band", "bhash"), "left_anti")
       .repartition(col("band"), col("bhash"))
 
-    val candidates = buckets.alias("a").join(buckets.alias("b"),
+    val candidates0 = buckets.alias("a").join(buckets.alias("b"),
         col("a.band") === col("b.band") &&
         col("a.bhash") === col("b.bhash") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // Lazily checkpointed (the dedupAgainstSignatures shape): the
+    // candidate set feeds BOTH the verify scan's semi-filter and the
+    // pair probe — without materialization the band self-join would
+    // execute per consumer. Candidates are bounded (band-collision rep
+    // pairs after the oversized-bucket cap); released by the Impl
+    // caller's thunk, or on GC.
+    val candidates =
+      if (materialize) candidates0.localCheckpoint(false) else candidates0
 
-    // shingles come from the shared narrow frame (identical text ⇒
-    // identical shingles, and candidates only reference rep ids).
+    // The SECOND (and last) text scan: shingle sets exist only for
+    // candidate documents — the candidate-id set semi-filters the scan
+    // (AQE broadcasts it; candidate ids are a sliver of the corpus), so
+    // non-candidate rows never pay the shingle kernel and shingles
+    // never persist. Identical text ⇒ identical shingles, and
+    // candidates only reference rep ids, so rep shingles suffice.
     // ONE scan leaf for both sides of the pair: each candidate pair
     // explodes to its two member ids, joins the shingle frame once
     // (the candidate side broadcasts; shingles stream, no corpus-wide
@@ -268,7 +292,14 @@ object Dedup {
     // joins leave no exchange for runtime reuse to collapse.
     // `first(when(...), ignoreNulls)` is deterministic: exactly one row
     // per (pair, role) matches.
-    val shingled = narrow.select(col("id"), col("sh"))
+    // explicit broadcast: the semi-filter must reach the text scan as a
+    // broadcast join — a shuffled semi would put the text column on an
+    // exchange. Candidate ids are 8-byte keys, a sliver of the corpus.
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val shingled = base.join(broadcast(candIds), Seq("id"), "left_semi")
+      .select(col("id"), shingleCol(col("text"), shingleN).as("sh"))
 
     val repPairs = candidates
       .select(col("id_a"), col("id_b"),
@@ -294,8 +325,14 @@ object Dedup {
       .select(least(col("ea"), col("eb")).as("id_a"),
         greatest(col("ea"), col("eb")).as("id_b"), col("jaccard"))
 
-    expanded.unionByName(intra)
+    val pairs = expanded.unionByName(intra)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    val release: () => Unit =
+      if (materialize) { () =>
+        sigs.unpersist(blocking = false)
+        org.apache.spark.sql.graftbridge.CheckpointBridge.unpersist(candidates)
+      } else () => ()
+    (pairs, release)
   }
 
   // ---- connected components over near-dup pairs ----------------------------
@@ -390,8 +427,15 @@ object Dedup {
     * every row in no cluster). The complete "dedup my corpus" call. */
   def nearDupDedup(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8): DataFrame = {
-    val pairs = minhashNearDupPairs(df, idCol, textCol, threshold)
+    val (pairs, release) = minhashNearDupPairsImpl(df, idCol, textCol,
+      threshold, 32, 3, 3, 10000, materialize = true)
+    // connectedComponents EAGERLY materializes the pairs (its edge
+    // checkpoint) and returns a checkpoint-backed label frame, so the
+    // pair pipeline's cached signature frame and candidate checkpoint
+    // are dead the moment it returns — free them deterministically
+    // (zero cache residue for the end-to-end call)
     val comps = connectedComponents(pairs, "id_a", "id_b")
+    release()
     val losers = comps.filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
@@ -410,8 +454,12 @@ object Dedup {
     * text never joins the election. */
   def nearDupDedupBy(df: DataFrame, idCol: String, textCol: String,
                      score: Column, threshold: Double = 0.8): DataFrame = {
-    val pairs = minhashNearDupPairs(df, idCol, textCol, threshold)
+    val (pairs, release) = minhashNearDupPairsImpl(df, idCol, textCol,
+      threshold, 32, 3, 3, 10000, materialize = true)
+    // see nearDupDedup: the fixpoint materializes the pairs; free the
+    // pair pipeline's cache blocks before the election runs
     val comps = connectedComponents(pairs, "id_a", "id_b")
+    release()
     // the explicit component repartition puts ONE canonically-identical
     // exchange under BOTH election consumers (the max aggregate and the
     // winners join), so the score projection — which may read document
@@ -599,10 +647,14 @@ object Dedup {
                          threshold: Double = 1.0, k: Int = 5,
                          window: Int = 4,
                          maxDocsPerFp: Int = 1000,
-                         materialize: Boolean = false): DataFrame = {
-    // `materialize` (the minhashNearDupPairs knob): persist the one
-    // kernel pass so every consumer reads a single cached copy — the
-    // source is then scanned exactly once
+                         materialize: Boolean = true): DataFrame = {
+    // `materialize` (the minhashNearDupPairs knob, DEFAULT on): persist
+    // the one kernel pass so every consumer reads a single cached
+    // copy — the source is then scanned exactly once. The persisted
+    // frame is fingerprint-sized (~|text|/window longs per doc, a few
+    // percent of the text bytes — never the text itself); blocks
+    // release via LRU / app exit. `materialize = false` is the
+    // zero-residue variant (identical results, ~3 source scans).
     val fps0 = df.select(col(idCol).as("id"),
       graft.functions.WinnowExpression.winnowCol(col(textCol), k, window)
         .as("fp"))
@@ -675,7 +727,7 @@ object Dedup {
                    idCol: String, textCol: String,
                    threshold: Double = 0.8, bands: Int = 32,
                    rowsPerBand: Int = 3, shingleN: Int = 3,
-                   materialize: Boolean = false): DataFrame = {
+                   materialize: Boolean = true): DataFrame = {
     // All BATCH-side scan features (exact fingerprint, band signature,
     // shingle set) come off ONE shared narrow projection, the d02
     // discipline: Catalyst prunes the unused kernels per consumer, so
@@ -686,13 +738,15 @@ object Dedup {
     // prior fingerprint scan — 11 measured source reads; this shape
     // reads the batch 4x and the prior 3x (d02 parity).
     //
-    // `materialize` persists the BATCH side's narrow features only:
-    // they are increment-sized, so the cache residue per call is
-    // bounded by one batch (a per-increment caller should still
-    // clearCache between runs). The PRIOR side is deliberately NOT
-    // persisted — it is corpus-sized, and the documented production
-    // pattern is to materialize its signature table once per corpus
-    // build externally, not to cache raw corpus text per increment.
+    // `materialize` (DEFAULT on) persists the BATCH side's narrow
+    // features only: they are increment-sized, so the cache residue
+    // per call is bounded by one batch (a per-increment caller should
+    // still clearCache between runs; `materialize = false` is the
+    // zero-residue variant, identical results). The PRIOR side is
+    // deliberately NOT persisted — it is corpus-sized, and the
+    // documented production pattern is to materialize its signature
+    // table once per corpus build externally, not to cache raw corpus
+    // text per increment.
     def narrowOf(df: DataFrame): DataFrame = df.select(
       col(idCol).as("id"),
       md5(col(textCol)).as("fp"),
@@ -773,7 +827,7 @@ object Dedup {
                              idCol: String, textCol: String,
                              threshold: Double = 0.8, bands: Int = 32,
                              rowsPerBand: Int = 3, shingleN: Int = 3,
-                             materialize: Boolean = false): DataFrame = {
+                             materialize: Boolean = true): DataFrame = {
     require(priorSigs.columns.toSet == Set("id", "fp", "bands"),
       s"priorSigs must be a signatures() table (id, fp, bands), " +
         s"got ${priorSigs.columns.toSeq}")

@@ -51,6 +51,16 @@ object TextAnalysis {
   def normalizeNfc(text: Column, stripControls: Boolean = false): Column =
     graft.functions.NormalizeTextExpression.nfcNormalize(text, stripControls)
 
+  /** HTML → plain text ([[graft.functions.HtmlTextExpression]], pinned
+    * semantics there) — the web-corpus ingest step that precedes every
+    * other gate: strips script/style/comments, drops tags (block tags
+    * become single newlines), decodes character references, collapses
+    * whitespace. Single-pass codegen kernel, total on tag soup;
+    * null-total. Wire as the [[graft.examples.CurationPipeline]]
+    * `htmlInput` pre-gate. */
+  def htmlToText(html: Column): Column =
+    graft.functions.HtmlTextExpression.htmlToText(html)
+
   /** Fraction of tokens equal to the single most frequent token (the
     * Gopher "most common word" repetition gate, arXiv:2112.11446 A1.1) —
     * high values flag keyword-stuffed spam. 0.0 for empty text; the raw

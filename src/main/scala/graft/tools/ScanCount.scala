@@ -45,6 +45,7 @@ object ScanCount {
 
     import graft.ops.Dedup
     measure("d02 default")(Dedup.minhashNearDupPairs(onDisk, "doc_id", "text", 0.5))
+    measure("d02 zero-residue")(Dedup.minhashNearDupPairs(onDisk, "doc_id", "text", 0.5, materialize = false))
     measure("d02 materialized")(Dedup.minhashNearDupPairs(onDisk, "doc_id", "text", 0.5, materialize = true))
     measure("nearDupDedup minid")(
       Dedup.nearDupDedup(onDisk, "doc_id", "text", 0.5))

@@ -296,14 +296,22 @@ class PlanShapeSpec extends SparkSpec {
   // the new number here.
   private val jobBudget: Map[String, Int] = Map(
     "c01_kmeans_assign" -> 2,      // centroid training collect (bounded k)
+    // r12 default: the candidate set lazily localCheckpoints, and
+    // building its RDD materializes the upstream band-join stages
+    "d02_minhash_neardup" -> 4,
     "d06_components" -> 12,        // pointer-jumping rounds, one job each
     "d09_semdedup" -> 3,           // auto-k probe + centroid training
     "d10_bloom_decontaminate" -> 3, // bloom filter build over benchmark
     "d11_pagerank" -> 26,          // 5 join+sum rounds + rank bucketing
     "d14_hits" -> 18,              // hub/authority rounds
     "d16_bfs_levels" -> 16,        // frontier rounds
+    // r12: the persisted kernel pass hides d13's file scan behind an
+    // InMemoryRelation (0 visible leaves), so the default budget is 0 —
+    // the one job is the source's file-listing/planning job
+    "d13_winnow_pairs" -> 1,
     "d17_component_sizes" -> 12,   // shares d06's iterative machinery
-    "d18_neardup_keep_best" -> 12, // d06's pointer-jumping rounds inside
+    // d06's pointer-jumping rounds + the r12 candidate checkpoint
+    "d18_neardup_keep_best" -> 13,
     "d19_dedup_increment_sigs" -> 2, // candidate-set lazy localCheckpoint
     "m12_marc_binary_roundtrip" -> 2, // DSv2 MarcScan planning probe
     "q24_percentile_disc" -> 6,    // pivot-histogram selection rounds
@@ -326,17 +334,20 @@ class PlanShapeSpec extends SparkSpec {
     // near-dup pipelines: fingerprint/band/verify stages re-reference the
     // narrow scan; exchanges are reused at runtime, the leaf count is the
     // plan's signature, not its IO cost
-    "d02_minhash_neardup" -> 12, "d04_simhash_neardup" -> 4,
+    // r12: the persisted signature frame hides most leaves behind an
+    // InMemoryRelation — d02's two visible leaves are the cache-build
+    // scan + the candidate-only shingle-verify scan
+    "d02_minhash_neardup" -> 2, "d04_simhash_neardup" -> 4,
     "d07_decontaminate" -> 2, "d08_fuzzy_pairs" -> 2,
     "d09_semdedup" -> 6, "d10_bloom_decontaminate" -> 2,
     // d12's registered query constructs its batch side from a 3-scan
-    // union of the same table, and the operator reads the batch 4x and
-    // the prior 3x (listener-pinned in OpsSpec): 3*4 + 3 = 15 leaves
-    "d12_dedup_increment" -> 15, "d13_winnow_pairs" -> 8,
-    // signature path over the d12 universe: 3-scan batch union x
-    // consumers + the inline signatures(prior) build + the one prior
-    // text verify scan (production holds sigs as a separate table)
-    "d19_dedup_increment_sigs" -> 11,
+    // union of the same table; the r12 persisted batch narrow leaves
+    // the 3-scan union (cache build) + 3 prior-side consumers
+    "d12_dedup_increment" -> 6,
+    // signature path over the d12 universe: the cache-build union (3)
+    // + the inline signatures(prior) build + the one prior text verify
+    // scan (production holds sigs as a separate table)
+    "d19_dedup_increment_sigs" -> 5,
     // d02 banding over the 2-scan planted union, election joins reuse
     "d18_neardup_keep_best" -> 4,
     "d15_contamination_report" -> 3,

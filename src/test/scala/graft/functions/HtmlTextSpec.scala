@@ -1,0 +1,82 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatestplus.scalacheck.ScalaCheckPropertyChecks
+
+class HtmlTextSpec extends SparkSpec with ScalaCheckPropertyChecks {
+
+  private def x(s: String): String = HtmlTextExpression.extract(s)
+
+  test("tags strip; block tags break lines; inline tags never split words") {
+    assert(x("<html><body><h1>Title</h1><p>a b</p></body></html>") ==
+      "Title\na b")
+    assert(x("super<b>cali</b>fragi") == "supercalifragi")
+    assert(x("a<br>b<br/>c") == "a\nb\nc")
+    assert(x("<ul><li>one</li><li>two</li></ul>") == "one\ntwo")
+    // consecutive block boundaries collapse to ONE newline
+    assert(x("<div><p></p><p>x</p></div><div>y</div>") == "x\ny")
+    // inline close/open around spaces keep a single space
+    assert(x("a <span>b</span> c") == "a b c")
+  }
+
+  test("script, style, and comments drop whole, content included") {
+    assert(x("<script>var x = '<p>not text</p>';</script>after") == "after")
+    assert(x("<style type='text/css'>p { color: red }</style>t") == "t")
+    assert(x("a<!-- <p>hidden</p> -->b") == "ab")
+    // unterminated raw-text/comment drops to end (never throws)
+    assert(x("keep<script>var x=1;") == "keep")
+    assert(x("keep<!-- unclosed") == "keep")
+    // case-insensitive
+    assert(x("<SCRIPT>x</SCRIPT>y<STYLE>z</STYLE>") == "y")
+    // <scripty> is an ordinary (non-raw-text) tag
+    assert(x("<scripty>text</scripty>") == "text")
+  }
+
+  test("character references decode; unknown stay literal") {
+    assert(x("fish &amp; chips &lt;b&gt;") == "fish & chips <b>")
+    assert(x("&quot;q&quot; &apos;a&apos;") == "\"q\" 'a'")
+    assert(x("a&nbsp;b") == "a b")
+    assert(x("ex&#33; hex&#x21;") == "ex! hex!")
+    assert(x("&#x1F600;") == new String(Character.toChars(0x1F600)))
+    // unknown, unterminated, overflow, surrogate → literal
+    assert(x("&unknown; &amp tail") == "&unknown; &amp tail")
+    assert(x("&#99999999999; &#xD800; &#;") == "&#99999999999; &#xD800; &#;")
+  }
+
+  test("whitespace: collapse runs, trim lines and edges; entities count as text whitespace") {
+    assert(x("  a   b\t\nc  ") == "a b c")
+    assert(x("<p>  lead  </p><p>  trail  </p>") == "lead\ntrail")
+    assert(x("a&#10;b") == "a b") // decoded newline is text whitespace
+    assert(x("") == "")
+    assert(x("<p></p><div></div>") == "")
+  }
+
+  test("malformed markup is total: stray <, quoted >, unterminated tags") {
+    assert(x("3 < 4 and 5 > 2") == "3 < 4 and 5 > 2")
+    assert(x("""a<img alt="x > y">b""") == "ab") // quoted > doesn't close
+    assert(x("a<p unterminated") == "a")
+    assert(x("<") == "<")
+    assert(x("a<2") == "a<2") // '<' before a digit is literal
+  }
+
+  test("kernel is total on arbitrary strings and equals the column path") {
+    import spark.implicits._
+    forAll { (s: String) =>
+      val r = x(s) // never throws
+      assert(r != null)
+    }
+    val rows = Seq(
+      "<html><body><h1>T</h1><p>fish &amp; chips</p></body></html>",
+      "plain text", "", "<script>x", "3 < 4 &#33;")
+    val got = rows.toDF("html")
+      .select(graft.ops.TextAnalysis.htmlToText(col("html")).as("t"))
+      .as[String].collect().toSeq
+    assert(got == rows.map(x))
+    // null-total through the column path
+    val n = Seq[Option[String]](None).toDF("html")
+      .select(graft.ops.TextAnalysis.htmlToText(col("html")))
+      .collect()
+    assert(n.head.isNullAt(0))
+  }
+}
