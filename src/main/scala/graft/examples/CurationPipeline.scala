@@ -38,6 +38,12 @@ object CurationPipeline {
 
   /** Gate thresholds; defaults match the t01/t04 oracle semantics. */
   final case class Config(
+      // raw-HTML ingest: when true, textCol holds crawl HTML and stage
+      // -1 rewrites it to extracted plain text (TextAnalysis.htmlToText
+      // — script/style/comment strip, block-tag line breaks, entity
+      // decode, whitespace collapse) before any gate runs; docs whose
+      // markup extracts to empty are dropped here, not downstream
+      htmlInput: Boolean = false,
       nearDupThreshold: Double = 0.8,
       // near-dup survivor election: None = min-id (deterministic,
       // cheapest); Some(score) = keep the best-scoring member per
@@ -85,8 +91,16 @@ object CurationPipeline {
              idCol: String = "doc_id", textCol: String = "text",
              langCol: String = "lang",
              cfg: Config = Config()): DataFrame = {
+    // -1. raw-HTML ingest: extract plain text in the scan stage (narrow
+    // kernel) so every downstream gate sees clean text; empty
+    // extractions (pure-markup pages) drop here
+    val textual =
+      if (!cfg.htmlInput) docs
+      else docs.withColumn(textCol, TextAnalysis.htmlToText(col(textCol)))
+        .filter(length(col(textCol)) > 0)
+
     // 0. canonicalize bytes before anything hashes them (narrow kernel)
-    val canon = docs.withColumn(textCol,
+    val canon = textual.withColumn(textCol,
       TextAnalysis.normalizeNfc(col(textCol), stripControls = true))
 
     // 1. exact dedup: min-id survivor per normalized-content fingerprint.

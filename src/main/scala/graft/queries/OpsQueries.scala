@@ -793,6 +793,28 @@ object OpsQueries extends QueryPack {
             .cast("int").as("changed"))
         .orderBy("doc_id")),
 
+    // HTML → text: wrap each document's text in planted tag soup
+    // (head with style+script, comment, heading, entity-bearing
+    // paragraph, inline spans, nbsp) and extract; the oracle assembles
+    // the expected text directly from the plant — scripts/styles/
+    // comments gone, block tags as single newlines, entities decoded,
+    // whitespace collapsed. The corpus text is verified clean of
+    // &/</>/doubled-space (plant-safe) at all SFs.
+    "t41_html_to_text" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>p{color:red}</style>"),
+        lit("<script>var x='<p>not text</p>';</script></head><body>"),
+        lit("<!-- "), col("source"), lit(" --><h1>"), upper(col("lang")),
+        lit("  heading</h1><p>fish &amp; chips &#33;</p><p>  "),
+        col("text"),
+        lit("  </p><div><span>tail</span>&nbsp;end</div></body></html>"))
+      Tables.documentsBalanced(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.htmlToText(html).as("extracted"))
+        .orderBy("doc_id")
+    }),
+
     // video frame-sampling plan: every 24th frame index for a synthetic
     // per-doc frame count — the deterministic sampling arithmetic a
     // frame extractor follows (the extractor itself is the documented
@@ -2160,6 +2182,19 @@ object OpsQueries extends QueryPack {
          SELECT doc_id, md5(nfc_normalize(raw)) AS norm_md5,
                 CAST(nfc_normalize(raw) <> raw AS INT) AS changed
          FROM raw ORDER BY doc_id""",
+
+    // the expected extraction assembled from the plant: title line,
+    // heading line (upper(lang) + collapsed doubled space), decoded
+    // entity paragraph, the raw text (plant-safe: no &/</>, single-
+    // spaced, trimmed — asserted clean at all SFs), then "tail end"
+    "t41_html_to_text" ->
+      """SELECT doc_id,
+           'Doc ' || doc_id || chr(10) ||
+           upper(lang) || ' heading' || chr(10) ||
+           'fish & chips !' || chr(10) ||
+           text || chr(10) ||
+           'tail end' AS extracted
+         FROM documents ORDER BY doc_id""",
 
     // generate_series(0, frames-1, 24) == sequence(0, frames-1, 24)
     "mm03_frame_sampling" ->

@@ -65,6 +65,28 @@ class CurationPipelineSpec extends SparkSpec {
     assert(again == out.select("doc_id", "split").as[(Long, String)].collect().toSet)
   }
 
+  test("htmlInput pre-gate: markup extracts to clean text; pure-markup pages drop") {
+    // wrap every doc's text in tag soup; curation over the HTML frame
+    // with htmlInput=true must keep the same docs as curation over the
+    // plain frame (extraction feeds the same gates), and the kept text
+    // must be the extracted body, not markup
+    val html = docs.withColumn("text", concat(
+      lit("<html><head><script>var x=1;</script></head><body><p>"),
+      col("text"), lit("</p><!-- c --></body></html>")))
+      .unionByName(Seq(
+        (900L, "<html><head><style>p{}</style></head><body></body></html>",
+          "en")).toDF("doc_id", "text", "lang"))
+    val out = CurationPipeline.curate(html, benchmark,
+      cfg = CurationPipeline.Config(htmlInput = true))
+    val plain = CurationPipeline.curate(docs, benchmark)
+    val keptH = out.select("doc_id").as[Long].collect().toSet
+    val keptP = plain.select("doc_id").as[Long].collect().toSet
+    assert(keptH == keptP, s"html vs plain kept sets differ: ${keptH -- keptP} / ${keptP -- keptH}")
+    assert(!keptH.contains(900L), "pure-markup page must drop at ingest")
+    val t = out.filter(col("doc_id") === 1L).select("text").as[String].head()
+    assert(!t.contains("<") && !t.contains("script"), s"markup leaked: $t")
+  }
+
   test("electSurvivorBy keeps the best-scoring near-dup copy instead of the min id") {
     // doc 201 = doc 1's text plus a tail: same near-dup cluster, more
     // tokens. Default election keeps 1; token-count election keeps 201.

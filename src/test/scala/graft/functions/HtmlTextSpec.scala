@@ -2,9 +2,10 @@ package graft.functions
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
-import org.scalatestplus.scalacheck.ScalaCheckPropertyChecks
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 
-class HtmlTextSpec extends SparkSpec with ScalaCheckPropertyChecks {
+class HtmlTextSpec extends SparkSpec {
 
   private def x(s: String): String = HtmlTextExpression.extract(s)
 
@@ -62,9 +63,18 @@ class HtmlTextSpec extends SparkSpec with ScalaCheckPropertyChecks {
 
   test("kernel is total on arbitrary strings and equals the column path") {
     import spark.implicits._
-    forAll { (s: String) =>
-      val r = x(s) // never throws
-      assert(r != null)
+    // fuzz with markup-heavy alphabets: totality (never throws, never
+    // null) on arbitrary tag soup
+    val soup = Gen.listOfN(40, Gen.oneOf(
+      Gen.oneOf("<", ">", "&", "#", ";", "/", "!", "-", "\"", "'", " ",
+        "\n", "\t", "=", "x", "p", "scr", "<p>", "</p>", "<script>",
+        "</script>", "<!--", "-->", "&amp;", "&#", "q"),
+      Gen.alphaNumStr.map(_.take(6)))).map(_.mkString)
+    var seed = Seed(42L)
+    (1 to 400).foreach { _ =>
+      val s = soup.apply(Gen.Parameters.default, seed).getOrElse("")
+      seed = seed.next
+      assert(x(s) != null) // total
     }
     val rows = Seq(
       "<html><body><h1>T</h1><p>fish &amp; chips</p></body></html>",
