@@ -242,7 +242,13 @@ object CurationPipeline {
                            chunkIdSpan: Long = 1 << 20,
                            numShards: Int = 64): Unit = {
     val toks = docs.select(col(idCol), col(textCol),
-      TextAnalysis.tokenCountWs(col(textCol)).as("_n_tok"))
+      TextAnalysis.tokenCountWs(col(textCol)).as("_n_tok"),
+      // loader-ready BPE ids (pinned merge table + GPT-2 id
+      // construction) in the sidecar: shards never need a loader-side
+      // re-tokenization pass over the text — at 100 TB that pass is a
+      // second full-corpus read
+      graft.functions.BpeEncodeExpression.bpeEncode(col(textCol))
+        .as("_token_ids"))
     val packed = graft.ops.Packing.packBinsFFD(
       toks.select(col(idCol), col("_n_tok")), idCol, "_n_tok",
       tokenBudget, chunkIdSpan)
@@ -250,7 +256,7 @@ object CurationPipeline {
     graft.sinks.WebDatasetWriter.writeShards(samples, path, idCol,
       Seq(
         "json" -> to_json(struct(col("chunk"), col("bin_ix"),
-          col("n_tokens"))),
+          col("n_tokens"), col("_token_ids").as("token_ids"))),
         "txt" -> col(textCol)),
       numShards)
   }

@@ -163,6 +163,82 @@ object Bpe {
     seps / 2 - 1
   }
 
+  /** Token-string → id vocabulary, the GPT-2 construction: the 256
+    * byte-alphabet chars take their BYTE value as id (invertible through
+    * [[ByteToChar]]), then merge k's output token (its two constituents
+    * concatenated) takes id 256+k — first rank wins if two merges
+    * produce the same string. Every token the sweep can emit is covered:
+    * a token is either a single alphabet char or the output of exactly
+    * the replace() that created it. */
+  def vocabOf(merges: Array[(String, String)]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](512)
+    var b = 0
+    while (b < 256) { m.put(ByteToChar(b).toString, Integer.valueOf(b)); b += 1 }
+    var k = 0
+    while (k < merges.length) {
+      // rep = Sep + l + r + Sep; the token string is l+r
+      val rep = merges(k)._2
+      val tok = rep.substring(1, rep.length - 1)
+      if (!m.containsKey(tok)) m.put(tok, Integer.valueOf(256 + k))
+      k += 1
+    }
+    m
+  }
+  lazy val defaultVocab: java.util.HashMap[String, Integer] = vocabOf(defaultMerges)
+
+  /** BPE a mapped word to ids under the vocabulary. */
+  def encodeWordIds(word: String, merges: Array[(String, String)],
+                    vocab: java.util.HashMap[String, Integer]): Array[Int] = {
+    val toks = encodeWord(word, merges)
+    val out = new Array[Int](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val id = vocab.get(toks(i))
+      // structurally impossible for a table built by vocabOf over the
+      // SAME merges (see vocabOf); a miss means mismatched resources
+      require(id != null,
+        s"BPE token '${toks(i)}' missing from vocabulary — merges/vocab resources disagree")
+      out(i) = id.intValue()
+      i += 1
+    }
+    out
+  }
+
+  /** Per-task word→ids memo (the [[Counter]] shape, array-valued). */
+  final class Encoder(merges: Array[(String, String)],
+                      vocab: java.util.HashMap[String, Integer],
+                      cacheCap: Int = 1 << 16) {
+    private val cache = new java.util.HashMap[String, Array[Int]](1024)
+    def encodeText(text: String): Array[Int] = {
+      val toks = preTokenize(text)
+      val parts = new java.util.ArrayList[Array[Int]](toks.size())
+      var total = 0
+      var i = 0
+      while (i < toks.size()) {
+        val raw = toks.get(i)
+        var ids = cache.get(raw)
+        if (ids == null) {
+          ids = encodeWordIds(mapWord(raw), merges, vocab)
+          if (cache.size() >= cacheCap) cache.clear()
+          cache.put(raw, ids)
+        }
+        parts.add(ids)
+        total += ids.length
+        i += 1
+      }
+      val out = new Array[Int](total)
+      var off = 0
+      i = 0
+      while (i < parts.size()) {
+        val p = parts.get(i)
+        System.arraycopy(p, 0, out, off, p.length)
+        off += p.length
+        i += 1
+      }
+      out
+    }
+  }
+
   /** Per-task word→count memo: crawled text repeats words heavily, so the
     * steady state is one hash probe per word. Cleared when full — a cap,
     * not an LRU, because clearing is O(1) amortized and the refill cost is
@@ -220,4 +296,45 @@ case class BpeCountExpression(child: Expression)
 object BpeCountExpression {
   def bpeCount(text: Column): Column =
     ColumnBridge.column(BpeCountExpression(ColumnBridge.expression(text)))
+}
+
+/** `graft_bpe_encode(text)`: the text's BPE token-id sequence
+  * (`array<int>`, loader-ready) under the pinned merge table and the
+  * GPT-2 id construction ([[Bpe.vocabOf]]: byte value for alphabet
+  * chars, 256+rank for merge outputs). Empty string → empty array; null
+  * → null. Same replayable-sweep construction as [[BpeCountExpression]],
+  * so a SQL oracle can replay the identical id sequence; shipped in
+  * [[graft.examples.CurationPipeline.exportTrainingShards]]'s sidecar so
+  * shards need no loader-side re-tokenization. */
+case class BpeEncodeExpression(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_bpe_encode"
+
+  @transient private lazy val encoder =
+    new Bpe.Encoder(Bpe.defaultMerges, Bpe.defaultVocab)
+
+  def compute(text: AnyRef): org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(
+        encoder.encodeText(text.asInstanceOf[UTF8String].toString))
+
+  override def nullSafeEval(t: Any): Any = compute(t.asInstanceOf[AnyRef])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncExpr", this, classOf[BpeEncodeExpression].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $ref.compute($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeEncodeExpression {
+  def bpeEncode(text: Column): Column =
+    ColumnBridge.column(BpeEncodeExpression(ColumnBridge.expression(text)))
 }

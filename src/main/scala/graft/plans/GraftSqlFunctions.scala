@@ -153,6 +153,11 @@ object GraftSqlFunctions {
         "corpus-learned merge table (resources/graft/bpe_merges.txt)",
       { case Seq(t) => BpeCountExpression(t) }),
 
+    ("graft_bpe_encode",
+      "graft_bpe_encode(text) - BPE token-id sequence (array<int>) under the " +
+        "pinned merge table; byte-value ids for alphabet chars, 256+rank for merges",
+      { case Seq(t) => BpeEncodeExpression(t) }),
+
     ("graft_lang_id",
       "graft_lang_id(text) - n-gram heuristic language id over the bundled marker set",
       { case Seq(t) => LangIdExpression(t, graft.ops.TextAnalysis.LangMarkers) }),

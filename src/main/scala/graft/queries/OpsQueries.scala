@@ -562,6 +562,18 @@ object OpsQueries extends QueryPack {
         .selectExpr("doc_id", "graft_bpe_count(text) AS n_bpe")
         .orderBy("doc_id")),
 
+    // BPE encode-to-ids under the same pinned merge table and the GPT-2
+    // id construction (byte value for alphabet chars, 256+rank for
+    // merge outputs) — the loader-ready token sequence shipped in
+    // exportTrainingShards' sidecar. The oracle replays the identical
+    // sweep per pre-token, splits the result on the double separator,
+    // and joins a generated (token, id) vocabulary, reassembling in
+    // (pre-token, token) order.
+    "t42_bpe_encode" -> ((s, d) =>
+      Tables.documentsBalanced(s, d)
+        .selectExpr("doc_id", "graft_bpe_encode(text) AS ids")
+        .orderBy("doc_id")),
+
     // t17's budget selection costed in BPE tokens — the budget a real
     // subword tokenizer would charge a training run (same
     // range-partitioned prefix-sum machinery, new cost column)
@@ -1133,7 +1145,62 @@ object OpsQueries extends QueryPack {
          FROM (SELECT doc_id, $mergedExpr AS s FROM bpe_seeded) GROUP BY doc_id)"""
   }
 
+  /** t42's oracle: the t30 sweep replay, position-tracked, plus a
+    * generated (token, id) vocabulary — emitted from the SAME merges
+    * resource via [[graft.functions.Bpe.vocabOf]], each token literal
+    * built from chr() calls so non-ASCII remap chars survive SQL
+    * transport. Zipped unnests (DuckDB same-cardinality semantics) keep
+    * (pre-token, token) order through the reassembling list(). */
+  private lazy val bpeIdsOracle: String = {
+    def esc(s: String) = s.replace("'", "''")
+    val sep = graft.functions.Bpe.Sep
+    val mergedExpr = graft.functions.Bpe.defaultMerges.foldLeft("s0") {
+      case (acc, (pat, rep)) => s"replace($acc, '${esc(pat)}', '${esc(rep)}')"
+    }
+    val b2c = graft.functions.Bpe.ByteToChar
+    val wsRemap = Seq(' ', '\t', '\n', '\f', '\r').foldLeft("tk") {
+      case (acc, c) => s"replace($acc, chr(${c.toInt}), chr(${b2c(c.toInt).toInt}))"
+    }
+    val vocab = {
+      import scala.jdk.CollectionConverters._
+      graft.functions.Bpe.defaultVocab.asScala.toSeq
+        .sortBy(_._2.intValue)
+        .map { case (tok, id) =>
+          val lit = tok.map(c => s"chr(${c.toInt})").mkString(" || ")
+          s"($lit, $id)"
+        }.mkString(",\n           ")
+    }
+    s"""bpe_w AS (
+         SELECT doc_id,
+           unnest(generate_series(1, len(l))) AS wpos, unnest(l) AS tk
+         FROM (SELECT doc_id, regexp_extract_all(text,
+           ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+') AS l
+           FROM documents)),
+       bpe_s AS (
+         SELECT doc_id, wpos,
+           '$sep' || regexp_replace($wsRemap, '(.)', '$sep\\1$sep', 'g') || '$sep' AS s0
+         FROM bpe_w),
+       bpe_t AS (
+         SELECT doc_id, wpos,
+           unnest(generate_series(1, len(tl))) AS tpos, unnest(tl) AS tok
+         FROM (SELECT doc_id, wpos,
+           list_filter(string_split($mergedExpr, '$sep$sep'), x -> x <> '') AS tl
+           FROM bpe_s)),
+       bpe_vocab(tok, id) AS (VALUES
+           $vocab),
+       bpe_ids AS (
+         SELECT t.doc_id, list(v.id ORDER BY t.wpos, t.tpos) AS ids
+         FROM bpe_t t JOIN bpe_vocab v ON v.tok = t.tok
+         GROUP BY t.doc_id)"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "t42_bpe_encode" ->
+      s"""WITH $bpeIdsOracle
+         SELECT d.doc_id, coalesce(i.ids, CAST([] AS INTEGER[])) AS ids
+         FROM documents d LEFT JOIN bpe_ids i ON i.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+
     "t30_bpe_tokens" ->
       s"""WITH $bpeOracle
          SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_bpe

@@ -337,6 +337,9 @@ class CurationPipelineSpec extends SparkSpec {
     val meta = new String(m("json"), "UTF-8")
     assert(meta.contains("\"chunk\"") && meta.contains("\"bin_ix\"")
       && meta.contains("\"n_tokens\""), meta)
+    // loader-ready ids: the sidecar's token_ids decode back to the text
+    // via the pinned vocab (no loader-side re-tokenization)
+    assert(meta.contains("\"token_ids\":["), meta)
     // determinism: a second export writes byte-identical shards
     val dir2 = java.nio.file.Files.createTempDirectory("graft-train-shards2").toString
     CurationPipeline.exportTrainingShards(curated, dir2,

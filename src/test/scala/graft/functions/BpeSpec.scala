@@ -157,6 +157,38 @@ class BpeUnitSpec extends AnyFunSuite {
 }
 
 class BpeSparkSpec extends SparkSpec {
+  test("graft_bpe_encode: ids invert to the text; count parity; vocab covers the sweep") {
+    import spark.implicits._
+    // invert the vocab (id -> token string) and the alphabet (char ->
+    // byte): decoding the id sequence must reproduce the exact text
+    import scala.jdk.CollectionConverters._
+    val idToTok = Bpe.defaultVocab.asScala.map { case (t, i) => i.intValue -> t }.toMap
+    val charToByte = Bpe.ByteToChar.zipWithIndex.map { case (c, b) => c -> b.toByte }.toMap
+    def decode(ids: Seq[Int]): String = {
+      val chars = ids.map(idToTok).mkString
+      new String(chars.map(charToByte).toArray, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    val counter = new Bpe.Counter(Bpe.defaultMerges)
+    val texts = Seq("the cat sat on the mat", "", "aaa  bbb\tccc",
+      "one 22 three!!", "unseen zqxjk vvvv", "café ☃")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val got = df.selectExpr("id", "graft_bpe_encode(t) AS ids").orderBy("id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(decode(got(i.toLong)) == t, s"ids must invert to the text: $t")
+      assert(got(i.toLong).length == counter.countText(t),
+        s"id count must equal bpe_count: $t")
+    }
+    assert(got(1L).isEmpty, "empty string encodes to empty array")
+    // merge outputs take 256+rank ids; some id beyond the alphabet must
+    // appear for stopword-y english text
+    assert(got(0L).exists(_ >= 256), "merged tokens must surface")
+    val n = df.selectExpr("graft_bpe_encode(CAST(NULL AS STRING)) AS ids")
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("graft_bpe_count: SQL registration == kernel, null-safe, merges bite") {
     import spark.implicits._
     val counter = new Bpe.Counter(Bpe.defaultMerges)
