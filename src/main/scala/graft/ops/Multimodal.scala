@@ -96,4 +96,23 @@ object Multimodal {
         graft.functions.BinarySimhashExpression
           .binarySimhash64(col(payloadCol), windowBytes).as("sig")),
       maxDistance)
+
+  /** PIXEL-level image near-dup — what [[binaryNearDupPairs]] provably
+    * cannot see: a re-encode (same pixels, different compression level
+    * or format) shares almost no byte n-grams with its original, but
+    * its decoded luma gradients — and therefore its dHash
+    * ([[graft.functions.ImageDHashExpression]]) — survive. One codegen
+    * decode+hash pass in the scan stage (payload bytes never shuffle;
+    * only (id, sig, chunk) triples do), then the shared pigeonhole
+    * banding. Undecodable payloads hash to null and are excluded — they
+    * cannot near-dup. Output (id_a, id_b, distance), hamming ≤
+    * maxDistance. */
+  def pixelNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+                        maxDistance: Int = 7): DataFrame =
+    Dedup.simhashPairsFromSigs(
+      df.select(col(idCol).as("id"),
+        graft.functions.ImageDHashExpression.imageDHash(col(payloadCol))
+          .as("sig"))
+        .filter(col("sig").isNotNull),
+      maxDistance)
 }

@@ -1027,6 +1027,40 @@ object OpsQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // PIXEL-level image near-dup (the re-encode blindness mm05 cannot
+    // close): ten planted image pairs built analytically at
+    // fixture-build time (PixelPlants — dHash distance is constructed,
+    // not searched). Classes 0..8: PNG base vs BMP variant-k — BYTE
+    // streams disjoint (byte SimHash sees nothing, spec-pinned) but
+    // pixel dHash distance exactly k; classes 0..7 must surface at
+    // maxDistance=7, class 8 must not. Class 9 (doc 99): PNG vs lossy
+    // JPEG of a 175-margin checkerboard — re-encode hashes identically,
+    // distance 0. Corpus text payloads ride along as undecodable noise
+    // (null sig, filtered — totality under garbage is graded too).
+    "mm07_pixel_neardup" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        to_binary(col("text"), lit("utf-8")).as("payload"))
+      val plants = (0 to 9).map { k =>
+        val (a, b) = PixelPlants.pair(k)
+        (k, a, b)
+      }.toDF("cls", "pa", "pb")
+      val family = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 11 === 0 && col("doc_id").between(0, 99))
+        .join(broadcast(plants), col("doc_id") === col("cls") * 11)
+      val planted = family
+        .select((col("doc_id") + 4000000L).as("doc_id"), col("pa").as("payload"))
+        .unionByName(family.select((col("doc_id") + 5000000L).as("doc_id"),
+          col("pb").as("payload")))
+      Multimodal.pixelNearDupPairs(docs.unionByName(planted),
+          "doc_id", "payload", maxDistance = 7)
+        .filter(col("id_a") >= 4000000L &&
+          col("id_b") === col("id_a") + 1000000L)
+        .select((col("id_a") - 4000000L).as("doc_id"),
+          col("distance").cast("long").as("distance"))
+        .orderBy("doc_id")
+    }),
+
     // REAL header decode through the partition-batched pipeline: payloads
     // are genuine PNG (IHDR) and JPEG (EXIF APP1 + SOF0) byte streams
     // synthesized per row with dimensions/orientation derived
@@ -2518,6 +2552,20 @@ object OpsQueries extends QueryPack {
       """SELECT doc_id, CAST(doc_id // 11 AS BIGINT) AS distance
          FROM documents
          WHERE doc_id % 11 = 0 AND doc_id BETWEEN 11 AND 77
+         ORDER BY doc_id""",
+
+    // analytic planted truth: class k = doc_id/11 has constructed dHash
+    // distance exactly k (PixelPlants); class 8 exceeds maxDistance=7
+    // and must be absent, class 9 (doc 99) is the lossy JPEG re-encode
+    // at distance 0. Byte-disjoint encodes mean a byte-level path
+    // cannot earn these rows — only genuine pixel decode + banding does
+    "mm07_pixel_neardup" ->
+      """SELECT doc_id,
+           CAST(CASE WHEN doc_id = 99 THEN 0 ELSE doc_id // 11 END
+             AS BIGINT) AS distance
+         FROM documents
+         WHERE doc_id % 11 = 0 AND doc_id BETWEEN 0 AND 99
+           AND doc_id <> 88
          ORDER BY doc_id""",
 
     // the planted ground truth: the engine parses synthesized PNG/JPEG

@@ -329,7 +329,8 @@ class PlanShapeSpec extends SparkSpec {
     "t31_bpe_budget" -> 3,         // token-count prefix sums
     "t33_dsir_weights" -> 2,       // bucket-weight model collect
     "t37_lm_bigram_bits" -> 2,     // ONE grouping-sets marginal collect
-    "mm06_binary_neardup_nonzero" -> 2) // 8-row plant-table broadcast build
+    "mm06_binary_neardup_nonzero" -> 2, // 8-row plant-table broadcast build
+    "mm07_pixel_neardup" -> 2)     // 10-row pixel-plant broadcast build
   private val scanBudget: Map[String, Int] = Map(
     // near-dup pipelines: fingerprint/band/verify stages re-reference the
     // narrow scan; exchanges are reused at runtime, the leaf count is the
@@ -373,7 +374,9 @@ class PlanShapeSpec extends SparkSpec {
     "mm05_binary_neardup" -> 4,
     // corpus + planted a-rows + planted b-rows (3 scans) × banding
     // self-join (×2); the planted family is 8 fixed rows
-    "mm06_binary_neardup_nonzero" -> 6)
+    "mm06_binary_neardup_nonzero" -> 6,
+    // mm06's shape with the 10-row pixel-plant family
+    "mm07_pixel_neardup" -> 6)
 
   test("registry-wide plan audit: no global windows, cartesians, or 1-partition exchanges") {
     import org.apache.spark.sql.execution.window.WindowExec

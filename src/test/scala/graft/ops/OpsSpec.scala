@@ -514,6 +514,48 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("mm07 pixel plants: constructed dHash distances; byte path provably blind; jpeg re-encode hashes equal") {
+    import spark.implicits._
+    import graft.functions.ImageDHashExpression
+    import graft.queries.PixelPlants
+    // constructed distances: the dHash of variant k differs from base
+    // in exactly k bits, across byte-DISJOINT encodes (PNG vs BMP)
+    for (k <- 0 to 8) {
+      val (a, b) = PixelPlants.pair(k)
+      val (sa, sb) = (ImageDHashExpression.dhash(a), ImageDHashExpression.dhash(b))
+      assert(sa.isDefined && sb.isDefined)
+      assert(java.lang.Long.bitCount(sa.get ^ sb.get) == k,
+        s"pixel plant class $k drifted")
+      // the byte-level signature CANNOT see this pair: the two encodes
+      // share almost no byte n-grams even at k=0 (identical pixels)
+      val byteD = java.lang.Long.bitCount(
+        Dedup.binarySimhash(a, 4) ^ Dedup.binarySimhash(b, 4))
+      assert(byteD > 7, s"class $k: byte distance $byteD should exceed 7")
+    }
+    // the lossy JPEG re-encode of the 175-margin checkerboard hashes
+    // IDENTICALLY (codec noise cannot flip a 175-luma comparison)
+    val (ja, jb) = PixelPlants.pair(9)
+    assert(ImageDHashExpression.dhash(ja) == ImageDHashExpression.dhash(jb))
+    // banding recall at the threshold boundary, through the operator
+    for (k <- Seq(1, 7, 8)) {
+      val (a, b) = PixelPlants.pair(k)
+      val df = Seq((1L, a), (2L, b)).toDF("id", "payload")
+      def found(maxD: Int): Boolean =
+        Multimodal.pixelNearDupPairs(df, "id", "payload", maxDistance = maxD)
+          .count() == 1
+      assert(found(k), s"distance-$k pair must be recalled at maxDistance=$k")
+      assert(!found(k - 1), s"distance-$k pair must be cut at maxDistance=${k - 1}")
+    }
+    // totality: garbage and truncated payloads hash to null and never pair
+    val junk = Seq((1L, "not an image".getBytes("UTF-8")),
+      (2L, PixelPlants.png(PixelPlants.baseGrid).take(10)),
+      (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    assert(Multimodal.pixelNearDupPairs(junk, "id", "payload").count() == 0)
+    val sigs = junk.select(ImageDHashExpression.imageDHash(col("payload"))).collect()
+    assert(sigs.forall(_.isNullAt(0)))
+  }
+
   test("salted join equals plain join on a skewed key distribution") {
     import spark.implicits._
     // 90% of rows share one hot key
