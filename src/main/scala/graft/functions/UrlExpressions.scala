@@ -1,0 +1,223 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** URL canonicalization + public-suffix registered-domain extraction —
+  * the producers of the `domain` column that [[graft.ops.Sampling
+  * .capPerGroup]]-style per-domain policies assume. Real crawls carry
+  * raw URLs: mixed case, default ports, fragments, tracking params, and
+  * hosts where the REGISTERED domain sits two or three labels deep
+  * (`news.bbc.co.uk` → `bbc.co.uk`, not `co.uk`). Both kernels are
+  * hand-rolled single-pass parsers (java.net.URI throws on crawl
+  * garbage; these are total — unparseable input passes through /
+  * nulls out).
+  *
+  * PINNED canonicalization (applied in order):
+  *  1. scheme and authority lowercase (paths/queries untouched — they
+  *     are case-sensitive);
+  *  2. default ports drop (`:80` for http, `:443` for https);
+  *  3. the fragment drops;
+  *  4. tracking params drop: any name starting `utm_`, plus
+  *     {gclid, dclid, fbclid, msclkid, yclid, igshid, mc_cid, mc_eid,
+  *     _ga}; remaining params keep their original order; a query left
+  *     empty drops its `?`;
+  *  5. an empty path becomes `/`.
+  *  No percent-decoding, no param sorting, no www-stripping — those
+  *  conflate distinct resources. Input without `://` is returned
+  *  unchanged (not a URL); null → null.
+  *
+  * Registered domain ([[RegisteredDomainExpression]]): host extracted
+  * (or the bare input when no `://`), lowercased, trailing dot
+  * stripped; the public-suffix algorithm (publicsuffix.org rules:
+  * exception beats wildcard beats exact, longest match, default rule
+  * `*`) runs against the bundled suffix snapshot
+  * (`/graft/public_suffix.dat`, the PSL format: `//` comments, `*.`
+  * wildcards, `!` exceptions — swap in the full public list for
+  * production). Output = public suffix + one label; null when the host
+  * IS a public suffix, is an IPv4/IPv6 literal, or is empty.
+  */
+object UrlKernel {
+
+  private val trackingExact: Set[String] = Set(
+    "gclid", "dclid", "fbclid", "msclkid", "yclid", "igshid",
+    "mc_cid", "mc_eid", "_ga")
+
+  @inline private def isTracking(name: String): Boolean = {
+    val n = name.toLowerCase(java.util.Locale.ROOT)
+    n.startsWith("utm_") || trackingExact.contains(n)
+  }
+
+  def canonicalize(url: String): String = {
+    val schemeEnd = url.indexOf("://")
+    if (schemeEnd <= 0) return url // not a URL; pass through untouched
+    val scheme = url.substring(0, schemeEnd).toLowerCase(java.util.Locale.ROOT)
+    val rest = url.substring(schemeEnd + 3)
+    // authority ends at the first '/', '?' or '#'
+    var aEnd = 0
+    while (aEnd < rest.length && { val c = rest.charAt(aEnd)
+      c != '/' && c != '?' && c != '#' }) aEnd += 1
+    var authority = rest.substring(0, aEnd).toLowerCase(java.util.Locale.ROOT)
+    // default-port strip (after the LAST ':' so IPv6 [..]:443 works too)
+    val portIx = authority.lastIndexOf(':')
+    if (portIx > 0 && portIx > authority.lastIndexOf(']')) {
+      val port = authority.substring(portIx + 1)
+      if ((scheme == "http" && port == "80") ||
+          (scheme == "https" && port == "443"))
+        authority = authority.substring(0, portIx)
+    }
+    // split path / query / fragment
+    val afterAuth = rest.substring(aEnd)
+    val hashIx = afterAuth.indexOf('#')
+    val noFrag = if (hashIx >= 0) afterAuth.substring(0, hashIx) else afterAuth
+    val qIx = noFrag.indexOf('?')
+    val path0 = if (qIx >= 0) noFrag.substring(0, qIx) else noFrag
+    val path = if (path0.isEmpty) "/" else path0
+    val query = if (qIx >= 0) noFrag.substring(qIx + 1) else null
+    val keptQuery =
+      if (query == null) null
+      else {
+        val kept = query.split("&", -1).filter { p =>
+          val eq = p.indexOf('=')
+          val name = if (eq >= 0) p.substring(0, eq) else p
+          !isTracking(name)
+        }
+        if (kept.isEmpty) null else kept.mkString("&")
+      }
+    val sb = new java.lang.StringBuilder(url.length)
+    sb.append(scheme).append("://").append(authority).append(path)
+    if (keptQuery != null) sb.append('?').append(keptQuery)
+    sb.toString
+  }
+
+  // ---- public-suffix rules -------------------------------------------------
+
+  /** (labels reversed, isException, isWildcard); loaded once per JVM. */
+  private lazy val rules: Array[(Array[String], Boolean, Boolean)] =
+    loadRules("/graft/public_suffix.dat")
+
+  private[graft] def loadRules(resource: String): Array[(Array[String], Boolean, Boolean)] = {
+    val in = getClass.getResourceAsStream(resource)
+    require(in != null, s"public-suffix resource not found: $resource")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines()
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("//"))
+      .map { l =>
+        val exception = l.startsWith("!")
+        val body = if (exception) l.substring(1) else l
+        val wildcard = body.startsWith("*.")
+        val labels = (if (wildcard) body.substring(2) else body)
+          .toLowerCase(java.util.Locale.ROOT).split('.').reverse
+        (labels, exception, wildcard)
+      }.toArray
+    finally src.close()
+  }
+
+  /** Host of a URL (or the input itself when it has no `://`), without
+    * port/userinfo/brackets, lowercased, trailing dot stripped. */
+  def hostOf(url: String): String = {
+    val schemeEnd = url.indexOf("://")
+    val rest = if (schemeEnd > 0) url.substring(schemeEnd + 3) else url
+    var aEnd = 0
+    while (aEnd < rest.length && { val c = rest.charAt(aEnd)
+      c != '/' && c != '?' && c != '#' }) aEnd += 1
+    var auth = rest.substring(0, aEnd)
+    val at = auth.lastIndexOf('@')
+    if (at >= 0) auth = auth.substring(at + 1)
+    if (auth.startsWith("[")) { // IPv6 literal — no registered domain
+      return auth.toLowerCase(java.util.Locale.ROOT)
+    }
+    val portIx = auth.lastIndexOf(':')
+    if (portIx >= 0) auth = auth.substring(0, portIx)
+    if (auth.endsWith(".")) auth = auth.substring(0, auth.length - 1)
+    auth.toLowerCase(java.util.Locale.ROOT)
+  }
+
+  private def isIpv4(host: String): Boolean = {
+    val parts = host.split('.')
+    parts.length == 4 && parts.forall(p =>
+      p.nonEmpty && p.length <= 3 && p.forall(c => c >= '0' && c <= '9') &&
+        p.toInt <= 255)
+  }
+
+  /** publicsuffix.org match: suffix label count for `labels`
+    * (host labels reversed), or -1 when no rule constrains it. */
+  private def suffixLen(labels: Array[String]): Int = {
+    var bestException = -1
+    var best = -1
+    var i = 0
+    while (i < rules.length) {
+      val (rl, exc, wild) = rules(i)
+      val need = rl.length + (if (wild) 1 else 0)
+      if (labels.length >= need) {
+        var ok = true
+        var j = 0
+        while (ok && j < rl.length) { ok = labels(j) == rl(j); j += 1 }
+        if (ok) {
+          if (exc) {
+            // exception: the public suffix is the rule MINUS its first
+            // (leftmost) label — i.e. rl.length - 1 labels
+            if (rl.length - 1 > bestException) bestException = rl.length - 1
+          } else if (need > best) best = need
+        }
+      }
+      i += 1
+    }
+    if (bestException >= 0) bestException else best
+  }
+
+  /** Registered domain or null (see object scaladoc). */
+  def registeredDomain(urlOrHost: String): String = {
+    val host = hostOf(urlOrHost)
+    if (host.isEmpty || host.startsWith("[") || isIpv4(host)) return null
+    val labels = host.split('.')
+    if (labels.exists(_.isEmpty)) return null // "a..b" etc.
+    val rev = labels.reverse
+    val sufLen = suffixLen(rev) match {
+      case -1 => 1 // the default rule "*": the TLD itself
+      case n => n
+    }
+    if (rev.length <= sufLen) null // the host IS a public suffix
+    else labels.takeRight(sufLen + 1).mkString(".")
+  }
+}
+
+case class UrlCanonicalExpression(child: Expression)
+  extends UnaryExpression with KernelCodegen {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "canonical_url"
+  override def evalChild(childValue: AnyRef): AnyRef = {
+    val utf = childValue.asInstanceOf[UTF8String]
+    if (utf == null) null
+    else UTF8String.fromString(UrlKernel.canonicalize(utf.toString))
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class RegisteredDomainExpression(child: Expression)
+  extends UnaryExpression with KernelCodegen {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "registered_domain"
+  override def evalChild(childValue: AnyRef): AnyRef = {
+    val utf = childValue.asInstanceOf[UTF8String]
+    if (utf == null) return null
+    val d = UrlKernel.registeredDomain(utf.toString)
+    if (d == null) null else UTF8String.fromString(d)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object UrlExpressions {
+  def canonicalUrl(url: Column): Column =
+    ColumnBridge.column(UrlCanonicalExpression(ColumnBridge.expression(url)))
+  def registeredDomain(urlOrHost: Column): Column =
+    ColumnBridge.column(RegisteredDomainExpression(ColumnBridge.expression(urlOrHost)))
+}

@@ -61,6 +61,21 @@ object TextAnalysis {
   def htmlToText(html: Column): Column =
     graft.functions.HtmlTextExpression.htmlToText(html)
 
+  /** Canonical URL ([[graft.functions.UrlExpressions]], pinned rules
+    * there): lowercase scheme/authority, default-port + fragment +
+    * tracking-param strip, empty path → `/`. Run before URL-keyed exact
+    * dedup so trivially-equivalent crawl URLs collapse. */
+  def canonicalUrl(url: Column): Column =
+    graft.functions.UrlExpressions.canonicalUrl(url)
+
+  /** Public-suffix registered domain (`news.bbc.co.uk` → `bbc.co.uk`)
+    * from a URL or bare host; null for IPs / bare public suffixes. THE
+    * producer of the `domain` column for per-domain caps
+    * ([[Sampling.capPerGroup]]) and per-domain stats — a raw-host
+    * groupBy would treat every subdomain as its own publisher. */
+  def registeredDomain(urlOrHost: Column): Column =
+    graft.functions.UrlExpressions.registeredDomain(urlOrHost)
+
   /** Fraction of tokens equal to the single most frequent token (the
     * Gopher "most common word" repetition gate, arXiv:2112.11446 A1.1) —
     * high values flag keyword-stuffed spam. 0.0 for empty text; the raw

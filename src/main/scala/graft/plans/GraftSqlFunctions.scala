@@ -158,6 +158,16 @@ object GraftSqlFunctions {
         "pinned merge table; byte-value ids for alphabet chars, 256+rank for merges",
       { case Seq(t) => BpeEncodeExpression(t) }),
 
+    ("graft_canonical_url",
+      "graft_canonical_url(url) - lowercase scheme/authority, strip default " +
+        "ports, fragments, and tracking params (utm_*, gclid, ...)",
+      { case Seq(t) => UrlCanonicalExpression(t) }),
+
+    ("graft_registered_domain",
+      "graft_registered_domain(url_or_host) - public-suffix registered domain " +
+        "(news.bbc.co.uk -> bbc.co.uk); null for IPs and bare suffixes",
+      { case Seq(t) => RegisteredDomainExpression(t) }),
+
     ("graft_lang_id",
       "graft_lang_id(text) - n-gram heuristic language id over the bundled marker set",
       { case Seq(t) => LangIdExpression(t, graft.ops.TextAnalysis.LangMarkers) }),

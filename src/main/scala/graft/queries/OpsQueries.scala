@@ -562,6 +562,33 @@ object OpsQueries extends QueryPack {
         .selectExpr("doc_id", "graft_bpe_count(text) AS n_bpe")
         .orderBy("doc_id")),
 
+    // URL canonicalization + registered-domain extraction over planted
+    // crawl-URL variants (five shapes: tracking params + default port +
+    // fragment + mixed case on a multi-label ccTLD; https default port
+    // with empty path; non-default port with mixed tracking; bare IPv4
+    // (no registered domain); non-http scheme with fragment). The
+    // oracle assembles the expected canonical form and domain directly
+    // from the plant arithmetic.
+    "t43_url_canonical" -> ((s, d) => {
+      val k = col("doc_id") % 5
+      val raw =
+        when(k === 0, concat(lit("HTTP://WWW.News"),
+          (col("doc_id") % 7).cast("string"),
+          lit(".Example.CO.UK:80/Articles/"), col("doc_id").cast("string"),
+          lit("?utm_source=tw&id="), col("doc_id").cast("string"),
+          lit("&utm_medium=s#top")))
+        .when(k === 1, concat(lit("https://CDN.Site"),
+          col("doc_id").cast("string"), lit(".COM:443")))
+        .when(k === 2, lit("http://blog.foo.GOV.UK:8080/a/b?x=1&gclid=abc&y=2"))
+        .when(k === 3, concat(lit("http://192.168.0."),
+          (col("doc_id") % 250).cast("string"), lit("/path")))
+        .otherwise(lit("FTP://Files.Example.Org/data#sec"))
+      Tables.documents(s, d).select(col("doc_id"), raw.as("raw"))
+        .selectExpr("doc_id", "graft_canonical_url(raw) AS canon",
+          "graft_registered_domain(raw) AS domain")
+        .orderBy("doc_id")
+    }),
+
     // BPE encode-to-ids under the same pinned merge table and the GPT-2
     // id construction (byte value for alphabet chars, 256+rank for
     // merge outputs) — the loader-ready token sequence shipped in
@@ -1229,6 +1256,29 @@ object OpsQueries extends QueryPack {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // expected canonical form / registered domain assembled from the
+    // plant: lowercase scheme+authority, :80/:443 stripped, fragment
+    // and utm_*/gclid params gone, empty path -> '/', param order kept;
+    // registered domain = public suffix + 1 label, NULL for the IPv4
+    "t43_url_canonical" ->
+      """SELECT doc_id,
+           CASE CAST(doc_id % 5 AS INT)
+             WHEN 0 THEN 'http://www.news' || (doc_id % 7) ||
+               '.example.co.uk/Articles/' || doc_id || '?id=' || doc_id
+             WHEN 1 THEN 'https://cdn.site' || doc_id || '.com/'
+             WHEN 2 THEN 'http://blog.foo.gov.uk:8080/a/b?x=1&y=2'
+             WHEN 3 THEN 'http://192.168.0.' || (doc_id % 250) || '/path'
+             ELSE 'ftp://files.example.org/data'
+           END AS canon,
+           CASE CAST(doc_id % 5 AS INT)
+             WHEN 0 THEN 'example.co.uk'
+             WHEN 1 THEN 'site' || doc_id || '.com'
+             WHEN 2 THEN 'foo.gov.uk'
+             WHEN 3 THEN NULL
+             ELSE 'example.org'
+           END AS domain
+         FROM documents ORDER BY doc_id""",
+
     "t42_bpe_encode" ->
       s"""WITH $bpeIdsOracle
          SELECT d.doc_id, coalesce(i.ids, CAST([] AS INTEGER[])) AS ids

@@ -1,0 +1,71 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UrlSpec extends SparkSpec {
+
+  private def canon(s: String) = UrlKernel.canonicalize(s)
+  private def dom(s: String) = UrlKernel.registeredDomain(s)
+
+  test("canonicalize: case, default ports, fragments, tracking params, empty path") {
+    assert(canon("HTTP://WWW.Example.COM:80/Path/X?utm_source=a&id=7&utm_medium=b#frag") ==
+      "http://www.example.com/Path/X?id=7")
+    assert(canon("https://Site.ORG:443") == "https://site.org/")
+    assert(canon("https://site.org:8443/a") == "https://site.org:8443/a")
+    // tracking-only query drops its '?'; param order otherwise kept
+    assert(canon("http://a.com/p?utm_campaign=x&gclid=1") == "http://a.com/p")
+    assert(canon("http://a.com/p?b=2&a=1&fbclid=zz") == "http://a.com/p?b=2&a=1")
+    // path/query case preserved (case-sensitive server-side)
+    assert(canon("http://A.com/CaseD?Q=Vv") == "http://a.com/CaseD?Q=Vv")
+    // ftp: no default-port rule, fragment still drops
+    assert(canon("FTP://Files.X.org/d#s") == "ftp://files.x.org/d")
+    // non-URL input passes through untouched
+    assert(canon("not a url") == "not a url")
+    assert(canon("") == "")
+  }
+
+  test("registered domain: PSL depth, wildcard, exception, default rule, IPs") {
+    assert(dom("http://news.bbc.co.uk/page") == "bbc.co.uk")
+    assert(dom("WWW.Example.COM") == "example.com")
+    assert(dom("a.b.c.example.com.au") == "example.com.au")
+    assert(dom("example.org") == "example.org")
+    // wildcard *.ck: any single label under ck is a public suffix
+    assert(dom("www.city.ck") == "www.city.ck")
+    assert(dom("city.ck") == null) // city.ck IS a public suffix
+    // exception !www.ck beats the wildcard
+    assert(dom("www.ck") == "www.ck")
+    assert(dom("sub.www.ck") == "www.ck")
+    // default rule: unknown TLD -> last two labels
+    assert(dom("host.unknowntld") == "host.unknowntld")
+    assert(dom("a.b.host.unknowntld") == "host.unknowntld")
+    assert(dom("unknowntld") == null)
+    // bare suffix, IPs, garbage
+    assert(dom("co.uk") == null)
+    assert(dom("http://192.168.0.1/x") == null)
+    assert(dom("http://[2001:db8::1]:8080/x") == null)
+    assert(dom("http://user:pw@Sub.Example.COM:99/x") == "example.com")
+    assert(dom("example.com.") == "example.com") // trailing dot
+    assert(dom("a..b") == null)
+    assert(dom("") == null)
+  }
+
+  test("SQL registrations are null-safe and match the kernel") {
+    import spark.implicits._
+    val urls = Seq(
+      "HTTP://WWW.Example.CO.UK:80/a?utm_source=x&id=1#f",
+      "https://cdn.site9.COM:443/", "not a url")
+    val df = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "u")
+    val got = df.selectExpr("id", "graft_canonical_url(u) AS c",
+        "graft_registered_domain(u) AS d")
+      .orderBy("id").collect()
+    urls.zipWithIndex.foreach { case (u, i) =>
+      assert(got(i).getString(1) == canon(u))
+      assert(got(i).getString(2) == dom(u) ||
+        (got(i).isNullAt(2) && dom(u) == null))
+    }
+    val n = df.selectExpr("graft_canonical_url(CAST(NULL AS STRING))",
+      "graft_registered_domain(CAST(NULL AS STRING))").collect()(0)
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+}
