@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.examples.CurationPipeline
+import graft.ops.Dedup
+import graft.sinks.CorpusWriter
+
+/** Streaming INCREMENTAL curation — the restartable production ingest
+  * that the batch `curate.against` CLI approximates daily: each
+  * micro-batch runs the full gate chain ([[CurationPipeline.curate]])
+  * and then [[Dedup.dedupAgainstSignatures]] against the STANDING
+  * corpus, appending only the surviving delta plus its signature rows —
+  * so the standing text is read once per batch (candidate verify) and
+  * the exact/band stages touch only the ~1-2%-sized signature table.
+  *
+  * Exactly-once appends under micro-batch REPLAY come from the dedup
+  * itself, not from a commit ledger: every row a crashed-but-appended
+  * batch already wrote now exact-matches a standing fingerprint, so the
+  * redelivered batch's delta is EMPTY (the restart spec pins this).
+  * The corpus append and the signature append are two writes; a crash
+  * between them leaves the signature table short, which the next batch
+  * detects by row count and self-heals by rebuilding from the corpus
+  * (the `curate.against` discipline, `Cli.scala`).
+  *
+  * State discipline: this pipeline keeps NO Spark streaming state — the
+  * standing corpus + signature table on storage ARE the state, shared
+  * with the batch path; the checkpoint only tracks source offsets. At
+  * 100 TB that is the only state that can hold a corpus-lifetime dedup
+  * scope (a watermarked in-memory store is window-bounded by design —
+  * [[StreamingCuration.dedupExact]] — and cannot see last month's
+  * rows). */
+object IncrementalCuration {
+
+  /** One micro-batch: curate, dedup against the standing corpus at
+    * `standingDir`, append delta + signatures. Bootstraps a missing/
+    * empty standing corpus from the first batch. Returns rows appended.
+    * Idempotent on replay (see object doc). Exposed separately from
+    * [[start]] so tests and custom `foreachBatch` wirings drive the
+    * identical code path. */
+  def processBatch(spark: SparkSession, batch: DataFrame,
+                   standingDir: String, benchmark: DataFrame,
+                   cfg: CurationPipeline.Config = CurationPipeline.Config())
+      : Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(standingDir)
+    val fs = root.getFileSystem(conf)
+    def hasParquet(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(p) && {
+        val it = fs.listFiles(p, true)
+        var found = false
+        while (!found && it.hasNext) {
+          val f = it.next().getPath
+          found = f.getName.endsWith(".parquet") &&
+            !f.toString.contains("/_graft_")
+        }
+        found
+      }
+    val sigDir = s"$standingDir/_graft_signatures"
+    val deltaTmp = s"$standingDir/_graft_increment_tmp"
+
+    if (!hasParquet(root)) {
+      // bootstrap: the first batch IS the corpus
+      val curated = CurationPipeline.curate(batch, benchmark, cfg = cfg)
+      CorpusWriter.writeCurated(curated, standingDir,
+        partitionCols = Seq("split", "lang"))
+      val written = spark.read.parquet(standingDir)
+      Dedup.signatures(written, "doc_id", "text")
+        .write.mode("overwrite").parquet(sigDir)
+      return written.count()
+    }
+
+    val standing = spark.read.parquet(standingDir)
+    // self-heal a short signature table (crash between the two appends)
+    val standingN = standing.count()
+    val sigPath = new org.apache.hadoop.fs.Path(sigDir)
+    val sigsOk = hasParquet(sigPath) &&
+      spark.read.parquet(sigDir).count() == standingN
+    if (!sigsOk) {
+      Dedup.signatures(standing, "doc_id", "text")
+        .write.mode("overwrite").parquet(sigDir)
+    }
+    val priorSigs = spark.read.parquet(sigDir)
+
+    val delta = CurationPipeline.curateIncrement(
+      batch, benchmark, standing, cfg = cfg,
+      standingSigs = Some(priorSigs))
+    // materialize the delta ONCE (the curation + dedup DAG must not
+    // re-execute per consumer), then read the written copy back
+    delta.write.mode("overwrite").parquet(deltaTmp)
+    val materialized = spark.read.parquet(deltaTmp)
+    val n = materialized.count()
+    if (n > 0L) {
+      // same-id-different-content collisions would corrupt the corpus
+      val collisions = materialized.select("doc_id")
+        .join(standing.select("doc_id"), Seq("doc_id"), "left_semi")
+        .count()
+      require(collisions == 0L,
+        s"IncrementalCuration: $collisions surviving doc_ids already " +
+          s"exist in $standingDir with different content")
+      CorpusWriter.appendCurated(materialized, standingDir,
+        partitionCols = Seq("split", "lang"))
+      Dedup.signatures(materialized, "doc_id", "text")
+        .write.mode("append").parquet(sigDir)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(deltaTmp), true)
+    n
+  }
+
+  /** Wire [[processBatch]] into a streaming source. The checkpoint
+    * tracks source offsets only; restarts resume from the last
+    * committed offset and any replayed batch appends nothing. */
+  def start(stream: DataFrame, standingDir: String, benchmark: DataFrame,
+            checkpointDir: String,
+            cfg: CurationPipeline.Config = CurationPipeline.Config(),
+            trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        processBatch(b.sparkSession, b, standingDir, benchmark, cfg)
+        ()
+      }
+      .start()
+}
