@@ -822,12 +822,22 @@ object Dedup {
     * reads of a table ~1-2% the size. Same results as [[dedupAgainst]]
     * given `priorSigs == signatures(prior, ...)` with matching
     * parameters (spec-pinned). */
+  /** `bloomPrefilter` (DEFAULT on): two driver-built Blooms over the
+    * BATCH side's fingerprints and band hashes (increment-sized — the
+    * d10 trick pointed at the prior) dismiss prior signature rows that
+    * cannot match ANY batch row before they reach the distinct/join
+    * exchanges. With a 10x-100x prior:batch ratio that removes most of
+    * the bipartite join's input volume (shuffle-records spec-pinned);
+    * Bloom false positives only add candidates, which exact
+    * verification then rejects — results identical (spec-pinned). */
   def dedupAgainstSignatures(batch: DataFrame, priorSigs: DataFrame,
                              priorText: DataFrame,
                              idCol: String, textCol: String,
                              threshold: Double = 0.8, bands: Int = 32,
                              rowsPerBand: Int = 3, shingleN: Int = 3,
-                             materialize: Boolean = true): DataFrame = {
+                             materialize: Boolean = true,
+                             bloomPrefilter: Boolean = true,
+                             bloomFpp: Double = 0.01): DataFrame = {
     require(priorSigs.columns.toSet == Set("id", "fp", "bands"),
       s"priorSigs must be a signatures() table (id, fp, bands), " +
         s"got ${priorSigs.columns.toSeq}")
@@ -857,14 +867,40 @@ object Dedup {
       if (materialize)
         newNarrow0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else newNarrow0
-    val priorFp = priorSigs.select(col("fp")).distinct()
+    val newBands = newNarrow.select(col("id"),
+      posexplode(col("bands")).as(Seq("band", "bhash")))
+    // (band, bhash) packed into one long key for the Bloom
+    def bandKey(band: Column, bhash: Column): Column =
+      shiftleft(band.cast("long"), 32)
+        .bitwiseOR(bhash.cast("long").bitwiseAND(lit(0xffffffffL)))
+    val (priorFpAll, oldBandsAll) = (
+      priorSigs.select(col("fp")),
+      priorSigs.select(col("id").as("pid"),
+        posexplode(col("bands")).as(Seq("band", "bhash"))))
+    val (priorFpSrc, oldBands) =
+      if (!bloomPrefilter) (priorFpAll, oldBandsAll)
+      else {
+        // batch-side Blooms (increment-sized, built once on the driver;
+        // the narrow frame is already cached under the default
+        // materialize, so these actions read the cache, not the source)
+        val nBatch = math.max(newNarrow.count(), 1L)
+        val fpBloom = graft.functions.BloomMightContainExpression.serialize(
+          newNarrow.select(xxhash64(col("fp")).as("h"))
+            .stat.bloomFilter("h", nBatch, bloomFpp))
+        val bandBloom = graft.functions.BloomMightContainExpression.serialize(
+          newBands.select(bandKey(col("band"), col("bhash")).as("k"))
+            .stat.bloomFilter("k", nBatch * bands, bloomFpp))
+        (priorFpAll.filter(
+          graft.functions.BloomMightContainExpression.mightContain(
+            xxhash64(col("fp")), fpBloom)),
+          oldBandsAll.filter(
+            graft.functions.BloomMightContainExpression.mightContain(
+              bandKey(col("band"), col("bhash")), bandBloom)))
+      }
+    val priorFp = priorFpSrc.distinct()
     val freshIds = newNarrow.select(col("id"), col("fp"))
       .join(priorFp, Seq("fp"), "left_anti")
       .select(col("id"))
-    val newBands = newNarrow.select(col("id"),
-      posexplode(col("bands")).as(Seq("band", "bhash")))
-    val oldBands = priorSigs.select(col("id").as("pid"),
-      posexplode(col("bands")).as(Seq("band", "bhash")))
     // lazily checkpointed: the candidate set feeds BOTH the standing-text
     // semi-join and the verify join — without materialization the band
     // join (and its two scans) would execute twice. Candidates are

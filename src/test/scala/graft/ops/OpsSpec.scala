@@ -906,6 +906,55 @@ class OpsSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("d19 bloom prefilter: identical keep set; prior-side shuffle volume collapses") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import spark.implicits._
+    // 10x prior:batch ratio — the d19 sf1 class the prefilter targets
+    val rnd = new scala.util.Random(23)
+    def words(i: Long) = Seq.fill(25)(s"p${i}_${rnd.nextInt(60)}").mkString(" ")
+    val prior = (1L to 2000L).map(i => (i, words(i))).toDF("doc_id", "text")
+    val batchRows = (1L to 100L).map(i => (i + 8000L, words(i + 4000L))) ++
+      (1L to 100L).map(i => (i + 9000L, words(i))) // 100 novel + 100 dup-ish
+    val batch = batchRows.toDF("doc_id", "text")
+    // NOTE: words() draws fresh randoms per call, so "dup-ish" rows are
+    // novel text too — plant REAL dups by reusing prior rows directly
+    val dups = prior.filter(col("doc_id") <= 100L)
+      .select((col("doc_id") + 9000L).as("doc_id"), col("text"))
+    val fullBatch = batch.filter(col("doc_id") <= 8100L).unionByName(dups)
+    val sigs = Dedup.signatures(prior, "doc_id", "text")
+
+    val shuffleRecs = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          shuffleRecs.addAndGet(te.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def measured(f: => org.apache.spark.sql.DataFrame): (Set[Long], Long) = {
+      shuffleRecs.set(0)
+      val keep = f.select("doc_id").as[Long].collect().toSet
+      val bus = spark.sparkContext.getClass
+        .getMethod("listenerBus").invoke(spark.sparkContext)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      (keep, shuffleRecs.get())
+    }
+    try {
+      val (keepOff, recsOff) = measured(Dedup.dedupAgainstSignatures(
+        fullBatch, sigs, prior, "doc_id", "text", 0.9,
+        bloomPrefilter = false))
+      val (keepOn, recsOn) = measured(Dedup.dedupAgainstSignatures(
+        fullBatch, sigs, prior, "doc_id", "text", 0.9))
+      assert(keepOn == keepOff, "bloom prefilter must not change the keep set")
+      assert(keepOn.nonEmpty && !keepOn.exists(_ > 9000L),
+        s"planted exact dups must drop, novel rows survive: $keepOn")
+      // the prior's (fp / band) rows are dismissed INSIDE the scan, so
+      // the exchanges see a batch-sized stream instead of a prior-sized
+      // one — at 10x ratio the shuffle volume must at least halve
+      assert(recsOn * 2 <= recsOff,
+        s"bloom prefilter shuffle records $recsOn vs $recsOff without")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("epochUpsample edges: explicit zero weight drops; pure-fraction weight subsamples") {
     import spark.implicits._
     val docs = (1L to 2000L).map(i =>
