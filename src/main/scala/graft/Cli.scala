@@ -104,6 +104,8 @@ object Cli {
       //     [-s curate.epochs=en:2.3,es:1.0] [-s curate.shards=64]
       //     [-s curate.against=standing-corpus-dir]
       //     [-s curate.elect=tokens|quality]
+      //     [-s curate.html=text|main]  (raw-crawl HTML inputs)
+      //     [-s curate.stream.checkpoint=dir]  (streaming incremental)
       //     docs.parquet...
       // curate.against = INCREMENTAL mode (today's crawl vs the standing
       // corpus): the batch runs the full gate chain, then d12's bipartite
@@ -117,6 +119,16 @@ object Cli {
         .map(p => spark.read.parquet(p).select("text"))
         .getOrElse(Seq.empty[String].toDF("text"))
       val cfg = examples.CurationPipeline.Config(
+        // -s curate.html=text|main — raw-crawl ingest: inputs hold HTML,
+        // stage -1 extracts plain text ("text") or main content only
+        // ("main": boilerplate containers + link-dense blocks drop)
+        htmlInput = settings.get("curate.html").isDefined,
+        htmlMainContent = settings.get("curate.html") match {
+          case Some("main") => true
+          case Some("text") | None => false
+          case Some(other) => sys.error(
+            s"curate.html: unknown mode '$other' (text|main)")
+        },
         nearDupThreshold = settings.get("curate.near_dup_threshold")
           .map(_.toDouble).getOrElse(0.8),
         minQuality = settings.get("curate.min_quality")
@@ -151,6 +163,46 @@ object Cli {
                   "(expected lang:weight, e.g. en:2.3)")
             }
           }.toMap))
+      // -s curate.stream.checkpoint=DIR (+ curate.against=standingDir):
+      // STREAMING incremental curation — IncrementalCuration.start over a
+      // watched parquet directory. Offsets live in the checkpoint, each
+      // micro-batch appends its surviving delta + signatures to the
+      // standing corpus, and a restart resumes exactly where it left off
+      // (replayed batches append nothing — the dedup is the idempotence
+      // mechanism). Default trigger processes everything available then
+      // exits (cron-able); -s curate.stream.follow=true keeps running.
+      //   graft.Cli curate -s curate.against=std -s curate.stream.checkpoint=ck
+      //     [-s curate.stream.max_files_per_trigger=N]
+      //     [-s curate.stream.follow=true] watched-dir
+      settings.get("curate.stream.checkpoint").foreach { ckpt =>
+        val standingDir = settings.getOrElse("curate.against", sys.error(
+          "curate.stream.checkpoint requires -s curate.against=standingDir"))
+        require(inputs.size == 1,
+          s"curate.stream watches exactly ONE directory (got $inputs)")
+        // streaming sources need an explicit schema: take it from the
+        // files already present (the watched dir must be non-empty on
+        // first start; later files may only add nullable columns)
+        val schema = spark.read.parquet(inputs.head).schema
+        val reader = spark.readStream.schema(schema)
+        settings.get("curate.stream.max_files_per_trigger")
+          .foreach(n => reader.option("maxFilesPerTrigger", n))
+        val stream = reader.parquet(inputs.head)
+        val follow = settings.get("curate.stream.follow").contains("true")
+        val q = streaming.IncrementalCuration.start(
+          stream, standingDir, benchmark, ckpt, cfg,
+          trigger =
+            if (follow)
+              org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+                settings.get("curate.stream.interval_ms")
+                  .map(_.toLong).getOrElse(0L))
+            else org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination()
+        val total = spark.read.parquet(standingDir).count()
+        System.err.println(
+          s"[graft] curate.stream: standing corpus $standingDir now " +
+            s"holds $total rows (checkpoint $ckpt)")
+        return
+      }
       settings.get("curate.against").foreach { standingDir =>
         require(writer == "parquet" || writer == "json",
           s"curate.against requires the parquet writer (standing corpora " +

@@ -44,6 +44,11 @@ object CurationPipeline {
       // decode, whitespace collapse) before any gate runs; docs whose
       // markup extracts to empty are dropped here, not downstream
       htmlInput: Boolean = false,
+      // with htmlInput: extract MAIN CONTENT only (TextAnalysis
+      // .htmlMainText — boilerplate containers and link-dense/short
+      // blocks drop) instead of full tag-stripped text; page chrome
+      // (menus, footers, link boxes) never enters the corpus
+      htmlMainContent: Boolean = false,
       nearDupThreshold: Double = 0.8,
       // near-dup survivor election: None = min-id (deterministic,
       // cheapest); Some(score) = keep the best-scoring member per
@@ -96,7 +101,9 @@ object CurationPipeline {
     // extractions (pure-markup pages) drop here
     val textual =
       if (!cfg.htmlInput) docs
-      else docs.withColumn(textCol, TextAnalysis.htmlToText(col(textCol)))
+      else docs.withColumn(textCol,
+          if (cfg.htmlMainContent) TextAnalysis.htmlMainText(col(textCol))
+          else TextAnalysis.htmlToText(col(textCol)))
         .filter(length(col(textCol)) > 0)
 
     // 0. canonicalize bytes before anything hashes them (narrow kernel)

@@ -61,11 +61,67 @@ case class HtmlTextExpression(child: Expression)
     copy(child = newChild)
 }
 
+/** HTML → MAIN-CONTENT text — the boilerplate-removal step above
+  * [[HtmlTextExpression]]: tag stripping keeps navigation menus, link
+  * farms, and footers verbatim; a web corpus wants the body copy only
+  * (the readability/boilerpipe step, here as pinned deterministic
+  * rules rather than a trained classifier).
+  *
+  * PINNED semantics, layered on the t41 rules (script/style/comment
+  * drop, quoted-attr tag scan, entity/NCR decode, whitespace collapse):
+  *  1. The document is segmented into BLOCKS at the same block-tag
+  *     boundaries t41 turns into line breaks; each block's text follows
+  *     the t41 text rules.
+  *  2. CONTAINER drop: text inside `<nav> <header> <footer> <aside>
+  *     <form>` elements (open/close tracked per tag name with a
+  *     floor-zero depth counter; a tag whose `>` is immediately
+  *     preceded by `/` is self-closing and changes no depth) is
+  *     boilerplate regardless of content.
+  *  3. DENSITY drop: a surviving block is kept iff it has at least
+  *     `minWords` whitespace-separated words AND its link density —
+  *     non-space chars emitted inside `<a>` elements (same depth
+  *     tracking) over all non-space chars — is at most
+  *     `maxLinkDensity`. Short fragments (headings, buttons, "read
+  *     more") and link lists (menus, tag clouds, related-article
+  *     boxes) fail these gates; body paragraphs pass.
+  *  4. Kept blocks join with a single `\n`, in document order.
+  *  Null in → null out; any byte garbage in → total (never throws).
+  *
+  * Same execution shape as t41: a single-pass char scan inside
+  * whole-stage codegen, CPU-bound in the scan stage, shuffles nothing.
+  */
+case class HtmlMainTextExpression(child: Expression,
+                                  minWords: Int = 5,
+                                  maxLinkDensity: Double = 0.33)
+  extends UnaryExpression with KernelCodegen {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "html_main_text"
+
+  override def evalChild(childValue: AnyRef): AnyRef = {
+    val utf = childValue.asInstanceOf[UTF8String]
+    if (utf == null) return null
+    UTF8String.fromString(
+      HtmlTextExpression.extractMain(utf.toString, minWords, maxLinkDensity))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HtmlTextExpression {
 
   /** html_to_text(html): plain text per the pinned semantics above. */
   def htmlToText(html: Column): Column =
     ColumnBridge.column(HtmlTextExpression(ColumnBridge.expression(html)))
+
+  /** html_main_text(html): main-content text per the pinned
+    * boilerplate-removal semantics on [[HtmlMainTextExpression]]. */
+  def htmlMainText(html: Column, minWords: Int = 5,
+                   maxLinkDensity: Double = 0.33): Column =
+    ColumnBridge.column(HtmlMainTextExpression(
+      ColumnBridge.expression(html), minWords, maxLinkDensity))
 
   private val blockTags: Set[String] = Set(
     "p", "div", "br", "hr", "li", "ul", "ol", "dl", "dt", "dd",
@@ -218,5 +274,115 @@ object HtmlTextExpression {
       }
     }
     out.toString
+  }
+
+  private val containerTags: Array[String] =
+    Array("nav", "header", "footer", "aside", "form")
+
+  /** The main-content kernel (driver-callable for tests) — see
+    * [[HtmlMainTextExpression]] for the pinned semantics. */
+  def extractMain(s: String, minWords: Int, maxLinkDensity: Double): String = {
+    val kept = new java.lang.StringBuilder(s.length min 1 << 16)
+    // current-block accumulators
+    val out = new java.lang.StringBuilder(256)
+    var pendingSpace = false
+    var visChars = 0   // non-space chars in the block
+    var linkChars = 0  // non-space chars emitted inside <a>
+    var words = 0
+    val containerDepth = new Array[Int](containerTags.length)
+    var anchorDepth = 0
+    @inline def inContainer: Boolean = {
+      var k = 0
+      while (k < containerDepth.length) {
+        if (containerDepth(k) > 0) return true
+        k += 1
+      }
+      false
+    }
+    def finalizeBlock(): Unit = {
+      if (out.length > 0) {
+        val keep = !inContainer && words >= minWords &&
+          linkChars.toDouble <= maxLinkDensity * visChars
+        if (keep) {
+          if (kept.length > 0) kept.append('\n')
+          kept.append(out)
+        }
+      }
+      out.setLength(0)
+      pendingSpace = false; visChars = 0; linkChars = 0; words = 0
+    }
+    @inline def emitChar(c: Char): Unit =
+      if (c <= ' ') pendingSpace = true
+      else {
+        if (out.length == 0) words = 1
+        else if (pendingSpace) { out.append(' '); words += 1 }
+        pendingSpace = false
+        out.append(c)
+        visChars += 1
+        if (anchorDepth > 0) linkChars += 1
+      }
+    @inline def emit(str: String): Unit = {
+      var k = 0
+      while (k < str.length) { emitChar(str.charAt(k)); k += 1 }
+    }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        @inline def rawTextOpen(what: String): Boolean =
+          startsWithIgnoreCase(s, i, what) && {
+            val after = i + what.length
+            after >= s.length || s.charAt(after) <= ' ' ||
+              s.charAt(after) == '>' || s.charAt(after) == '/'
+          }
+        if (startsWithIgnoreCase(s, i, "<!--"))
+          i = skipPast(s, i + 4, "-->")
+        else if (rawTextOpen("<script") || rawTextOpen("<style")) {
+          val close = if (lower(s.charAt(i + 2)) == 'c') "</script" else "</style"
+          val afterOpen = tagEnd(s, i)
+          val afterClose = skipPast(s, afterOpen, close)
+          i = if (afterClose >= s.length) s.length else tagEnd(s, afterClose - close.length)
+        } else if (i + 1 < s.length && {
+          val n = s.charAt(i + 1)
+          isAsciiLetter(n) || n == '/' || n == '!' || n == '?'
+        }) {
+          var p = i + 1
+          val closing = s.charAt(p) == '/'
+          if (closing) p += 1
+          val name0 = p
+          while (p < s.length && (isAsciiLetter(s.charAt(p)) ||
+            (s.charAt(p) >= '0' && s.charAt(p) <= '9'))) p += 1
+          val name = s.substring(name0, p).toLowerCase(java.util.Locale.ROOT)
+          val end = tagEnd(s, i)
+          // `<x/>`: self-closing — opens and closes nothing
+          val selfClosing = !closing && end - 2 >= 0 &&
+            end - 2 > i && s.charAt(end - 2) == '/'
+          if (blockTags.contains(name)) finalizeBlock()
+          if (!selfClosing) {
+            val ci = containerTags.indexOf(name)
+            if (ci >= 0) {
+              if (closing) {
+                if (containerDepth(ci) > 0) containerDepth(ci) -= 1
+              } else containerDepth(ci) += 1
+            } else if (name == "a") {
+              if (closing) { if (anchorDepth > 0) anchorDepth -= 1 }
+              else anchorDepth += 1
+            }
+          }
+          i = end
+        } else {
+          emitChar('<'); i += 1
+        }
+      } else if (c == '&') {
+        val (decoded, next) = decodeEntity(s, i)
+        if (decoded == null) emitChar('&') else emit(decoded)
+        i = next
+      } else {
+        emitChar(c)
+        i += 1
+      }
+    }
+    finalizeBlock()
+    kept.toString
   }
 }

@@ -60,7 +60,17 @@ object UrlKernel {
     var aEnd = 0
     while (aEnd < rest.length && { val c = rest.charAt(aEnd)
       c != '/' && c != '?' && c != '#' }) aEnd += 1
-    var authority = rest.substring(0, aEnd).toLowerCase(java.util.Locale.ROOT)
+    // lowercase only the host[:port] portion: userinfo (before the
+    // last '@') is case-sensitive per RFC 3986 — folding it would
+    // conflate distinct resources, the same principle that keeps
+    // paths/queries untouched
+    var authority = {
+      val raw = rest.substring(0, aEnd)
+      val atIx = raw.lastIndexOf('@')
+      if (atIx < 0) raw.toLowerCase(java.util.Locale.ROOT)
+      else raw.substring(0, atIx + 1) +
+        raw.substring(atIx + 1).toLowerCase(java.util.Locale.ROOT)
+    }
     // default-port strip (after the LAST ':' so IPv6 [..]:443 works too)
     val portIx = authority.lastIndexOf(':')
     if (portIx > 0 && portIx > authority.lastIndexOf(']')) {

@@ -20,6 +20,24 @@ import scala.util.hashing.MurmurHash3
   */
 object Dedup {
 
+  /** Candidate-pair count above which the verify-stage semi-join drops
+    * its broadcast hint and lets the id set shuffle instead: a
+    * dup-heavy corpus can produce a candidate-id set too large for the
+    * driver/broadcast path (ids are 8-byte keys — 16M pairs is a
+    * few-hundred-MB hashed relation upper bound, safely inside default
+    * executor memory; far above it, a shuffled left_semi on 8-byte
+    * keys is cheap relative to the shingle verify it gates). `var`
+    * only so specs can pin the fallback plan shape. */
+  private[graft] var MaxBroadcastCandidatePairs: Long = 16L * 1000 * 1000
+
+  /** Broadcast-hint `ids` when the measured candidate count is within
+    * [[MaxBroadcastCandidatePairs]]; a negative count means "unknown"
+    * (zero-cache variants have no cheap count) and keeps the hint —
+    * the documented materialize=false tradeoff. */
+  private def maybeBroadcast(ids: DataFrame, nPairs: Long): DataFrame =
+    if (nPairs < 0 || nPairs <= MaxBroadcastCandidatePairs) broadcast(ids)
+    else ids
+
   // ---- exact --------------------------------------------------------------
 
   /** Exact-duplicate groups by a key column: survivor = min(idCol). */
@@ -174,6 +192,24 @@ object Dedup {
     minhashNearDupPairsImpl(df, idCol, textCol, threshold, bands,
       rowsPerBand, shingleN, maxBucketSize, materialize)._1
 
+  /** [[minhashNearDupPairs]] plus the `release` thunk that frees the
+    * cached signature frame and the candidate checkpoint — the PUBLIC
+    * cache-hygiene hook for long-lived sessions calling the default
+    * (materialize=true) shape repeatedly: without it the persisted
+    * frames stay parked until LRU eviction or app exit. Call `release`
+    * only after every consumer of the returned pairs has EAGERLY
+    * materialized (collected, written, or checkpointed) — the
+    * candidate checkpoint's lineage is truncated, so a released frame
+    * cannot be recomputed. Under materialize=false the thunk is a
+    * no-op. */
+  def minhashNearDupPairsReleasable(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, bands: Int = 32, rowsPerBand: Int = 3,
+      shingleN: Int = 3, maxBucketSize: Int = 10000,
+      materialize: Boolean = true): (DataFrame, () => Unit) =
+    minhashNearDupPairsImpl(df, idCol, textCol, threshold, bands,
+      rowsPerBand, shingleN, maxBucketSize, materialize)
+
   /** [[minhashNearDupPairs]] plus a `release` thunk that frees the
     * cached signature frame and the candidate checkpoint — callable
     * only after every consumer of the returned pairs has EAGERLY
@@ -277,6 +313,19 @@ object Dedup {
     val candidates =
       if (materialize) candidates0.localCheckpoint(false) else candidates0
 
+    // Eagerly materialize the lazy checkpoint via count(): the
+    // materialization job was already part of this operator's job
+    // budget (the first consumer used to trigger it), and the exact
+    // candidate-pair count it returns decides whether the verify
+    // semi-join below may safely broadcast — the ADVICE-flagged hazard:
+    // an unconditional broadcast(candIds) on a dup-heavy corpus can
+    // exceed driver/broadcast limits. Above the threshold the semi-join
+    // falls back to a shuffled semi (ids are 8-byte keys, the shuffle
+    // is cheap relative to the verify itself). Without `materialize`
+    // there is no cheap count — the zero-cache variant keeps the hint
+    // unconditionally (documented caller tradeoff).
+    val nCandPairs = if (materialize) candidates.count() else -1L
+
     // The SECOND (and last) text scan: shingle sets exist only for
     // candidate documents — the candidate-id set semi-filters the scan
     // (AQE broadcasts it; candidate ids are a sliver of the corpus), so
@@ -298,7 +347,8 @@ object Dedup {
     val candIds = candidates
       .select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct()
-    val shingled = base.join(broadcast(candIds), Seq("id"), "left_semi")
+    val shingled = base
+      .join(maybeBroadcast(candIds, nCandPairs), Seq("id"), "left_semi")
       .select(col("id"), shingleCol(col("text"), shingleN).as("sh"))
 
     val repPairs = candidates
@@ -822,14 +872,28 @@ object Dedup {
     * reads of a table ~1-2% the size. Same results as [[dedupAgainst]]
     * given `priorSigs == signatures(prior, ...)` with matching
     * parameters (spec-pinned). */
-  /** `bloomPrefilter` (DEFAULT on): two driver-built Blooms over the
-    * BATCH side's fingerprints and band hashes (increment-sized — the
-    * d10 trick pointed at the prior) dismiss prior signature rows that
-    * cannot match ANY batch row before they reach the distinct/join
-    * exchanges. With a 10x-100x prior:batch ratio that removes most of
-    * the bipartite join's input volume (shuffle-records spec-pinned);
-    * Bloom false positives only add candidates, which exact
-    * verification then rejects — results identical (spec-pinned). */
+  /** `bloomPrefilter` (DEFAULT on): two Blooms over the BATCH side's
+    * fingerprints and band hashes (increment-sized — the d10 trick
+    * pointed at the prior) dismiss prior signature rows that cannot
+    * match ANY batch row before they reach the distinct/join exchanges.
+    * With a 10x-100x prior:batch ratio that removes most of the
+    * bipartite join's input volume (shuffle-records spec-pinned); Bloom
+    * false positives only add candidates, which exact verification then
+    * rejects — results identical (spec-pinned).
+    *
+    * Both Blooms plus the batch row count are built in ONE eager Spark
+    * job (a `treeAggregate` over the persisted narrow frame, which also
+    * populates its cache — so the prefilter costs one job, not three,
+    * and an empty batch yields empty Blooms instead of crashing).
+    * Blooms are pre-sized from Catalyst's row-count estimate; sizing
+    * only tunes the false-positive rate (undersizing degrades fpp
+    * gracefully, and false positives merely add candidates), so a wrong
+    * estimate can never change results.
+    *
+    * NOTE this makes the call EAGER when the default prefilter is on:
+    * one Spark job runs at call time rather than at the first action on
+    * the returned frame. Callers that build plans speculatively (never
+    * executing them) should pass `bloomPrefilter = false`. */
   def dedupAgainstSignatures(batch: DataFrame, priorSigs: DataFrame,
                              priorText: DataFrame,
                              idCol: String, textCol: String,
@@ -880,16 +944,48 @@ object Dedup {
     val (priorFpSrc, oldBands) =
       if (!bloomPrefilter) (priorFpAll, oldBandsAll)
       else {
-        // batch-side Blooms (increment-sized, built once on the driver;
-        // the narrow frame is already cached under the default
-        // materialize, so these actions read the cache, not the source)
-        val nBatch = math.max(newNarrow.count(), 1L)
-        val fpBloom = graft.functions.BloomMightContainExpression.serialize(
-          newNarrow.select(xxhash64(col("fp")).as("h"))
-            .stat.bloomFilter("h", nBatch, bloomFpp))
-        val bandBloom = graft.functions.BloomMightContainExpression.serialize(
-          newBands.select(bandKey(col("band"), col("bhash")).as("k"))
-            .stat.bloomFilter("k", nBatch * bands, bloomFpp))
+        // TWO cache-resident jobs build the prefilter (down from r12's
+        // three source-subtree re-executions): `count()` is the job that
+        // materializes the persisted narrow frame's cache AND yields the
+        // exact Bloom sizing (a Catalyst row-count estimate is off by
+        // orders of magnitude for narrow rows — LocalRelation strings
+        // are costed at a flat 20 bytes — and an undersized Bloom
+        // silently degrades to a pass-everything filter); then ONE fused
+        // treeAggregate over the cache fills BOTH Blooms in a single
+        // pass. An empty batch short-circuits before any Bloom exists.
+        val nBatch = newNarrow.count()
+        if (nBatch == 0L) {
+          newNarrow.unpersist()
+          return batch.limit(0)
+        }
+        val fpExpected = nBatch
+        val bandExpected = nBatch * bands
+        // null-text rows hash to a sentinel key (one extra Bloom entry,
+        // harmless) rather than NPE-ing the aggregate
+        val keyed = newNarrow.select(
+          coalesce(xxhash64(col("fp")), lit(0L)).as("fph"),
+          coalesce(transform(col("bands"),
+            (b: Column, i: Column) => bandKey(i, b)),
+            typedLit(Seq.empty[Long])).as("bkeys"))
+        import org.apache.spark.util.sketch.BloomFilter
+        val zero = (BloomFilter.create(fpExpected, bloomFpp),
+          BloomFilter.create(bandExpected, bloomFpp))
+        val (fpBloomF, bandBloomF) = keyed.rdd.treeAggregate(zero)(
+          seqOp = { (acc, row) =>
+            acc._1.putLong(row.getLong(0))
+            val ks = row.getSeq[Long](1)
+            var i = 0
+            while (i < ks.length) { acc._2.putLong(ks(i)); i += 1 }
+            acc
+          },
+          combOp = { (a, b) =>
+            (a._1.mergeInPlace(b._1).asInstanceOf[BloomFilter],
+              a._2.mergeInPlace(b._2).asInstanceOf[BloomFilter])
+          })
+        val fpBloom =
+          graft.functions.BloomMightContainExpression.serialize(fpBloomF)
+        val bandBloom =
+          graft.functions.BloomMightContainExpression.serialize(bandBloomF)
         (priorFpAll.filter(
           graft.functions.BloomMightContainExpression.mightContain(
             xxhash64(col("fp")), fpBloom)),
@@ -908,11 +1004,19 @@ object Dedup {
     val cand = newBands.join(oldBands, Seq("band", "bhash"))
       .select(col("id"), col("pid")).distinct()
       .localCheckpoint(false)
+    // materialize the checkpoint NOW via count() (the job the first
+    // consumer would have run anyway) — the exact pair count gates the
+    // broadcast hint below, the d02 conditional-broadcast discipline
+    val nCandPairs = cand.count()
     val newSh = newNarrow.select(col("id"), col("sh").as("sha"))
-    // the ONE standing-text scan: candidates broadcast into a semi join
-    // BEFORE the shingle kernel runs, so only candidate docs pay it
+    // the ONE standing-text scan: candidate pids semi-filter the scan
+    // BEFORE the shingle kernel runs, so only candidate docs pay it —
+    // broadcast-hinted while the measured candidate count stays within
+    // MaxBroadcastCandidatePairs (an unhinted semi would shuffle the
+    // full standing-corpus text projection)
     val oldSh = priorText.select(col(idCol).as("pid"), col(textCol))
-      .join(cand.select(col("pid")).distinct(), Seq("pid"), "left_semi")
+      .join(maybeBroadcast(cand.select(col("pid")).distinct(), nCandPairs),
+        Seq("pid"), "left_semi")
       .select(col("pid"), shingleCol(col(textCol), shingleN).as("shb"))
     val drops = cand.join(newSh, "id").join(oldSh, "pid")
       .filter(jaccardCol(col("sha"), col("shb")) >= threshold)

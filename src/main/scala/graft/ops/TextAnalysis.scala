@@ -61,6 +61,17 @@ object TextAnalysis {
   def htmlToText(html: Column): Column =
     graft.functions.HtmlTextExpression.htmlToText(html)
 
+  /** HTML → MAIN-CONTENT text ([[graft.functions.HtmlMainTextExpression]],
+    * pinned rules there) — [[htmlToText]] plus boilerplate removal:
+    * nav/header/footer/aside/form containers drop, and surviving blocks
+    * must clear a word-count floor and a link-density ceiling (the
+    * readability/boilerpipe step as deterministic rules). Use instead
+    * of [[htmlToText]] when the crawl page's chrome (menus, link boxes,
+    * footers) must not enter the corpus. */
+  def htmlMainText(html: Column, minWords: Int = 5,
+                   maxLinkDensity: Double = 0.33): Column =
+    graft.functions.HtmlTextExpression.htmlMainText(html, minWords, maxLinkDensity)
+
   /** Canonical URL ([[graft.functions.UrlExpressions]], pinned rules
     * there): lowercase scheme/authority, default-port + fragment +
     * tracking-param strip, empty path → `/`. Run before URL-keyed exact

@@ -158,6 +158,17 @@ object GraftSqlFunctions {
         "pinned merge table; byte-value ids for alphabet chars, 256+rank for merges",
       { case Seq(t) => BpeEncodeExpression(t) }),
 
+    ("graft_html_to_text",
+      "graft_html_to_text(html) - plain text from tag-soup HTML: script/style/" +
+        "comment drop, block tags to line breaks, entities decoded",
+      { case Seq(t) => HtmlTextExpression(t) }),
+
+    ("graft_html_main_text",
+      "graft_html_main_text(html) - MAIN-CONTENT text: graft_html_to_text plus " +
+        "boilerplate removal (nav/header/footer/aside/form containers drop; " +
+        "blocks need >=5 words and <=0.33 link density)",
+      { case Seq(t) => HtmlMainTextExpression(t) }),
+
     ("graft_canonical_url",
       "graft_canonical_url(url) - lowercase scheme/authority, strip default " +
         "ports, fragments, and tracking params (utm_*, gclid, ...)",

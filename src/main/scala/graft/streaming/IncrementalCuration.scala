@@ -37,9 +37,12 @@ object IncrementalCuration {
   /** One micro-batch: curate, dedup against the standing corpus at
     * `standingDir`, append delta + signatures. Bootstraps a missing/
     * empty standing corpus from the first batch. Returns rows appended.
-    * Idempotent on replay (see object doc). Exposed separately from
-    * [[start]] so tests and custom `foreachBatch` wirings drive the
-    * identical code path. */
+    * Idempotent on replay (see object doc). Rows whose doc_id already
+    * exists in the standing corpus with DIFFERENT content (a recrawl)
+    * are quarantined to `<standingDir>_rejected` rather than failing
+    * the batch — a thrown batch would replay from the checkpoint
+    * forever. Exposed separately from [[start]] so tests and custom
+    * `foreachBatch` wirings drive the identical code path. */
   def processBatch(spark: SparkSession, batch: DataFrame,
                    standingDir: String, benchmark: DataFrame,
                    cfg: CurationPipeline.Config = CurationPipeline.Config())
@@ -92,21 +95,41 @@ object IncrementalCuration {
     delta.write.mode("overwrite").parquet(deltaTmp)
     val materialized = spark.read.parquet(deltaTmp)
     val n = materialized.count()
+    var appended = 0L
     if (n > 0L) {
-      // same-id-different-content collisions would corrupt the corpus
-      val collisions = materialized.select("doc_id")
-        .join(standing.select("doc_id"), Seq("doc_id"), "left_semi")
-        .count()
-      require(collisions == 0L,
-        s"IncrementalCuration: $collisions surviving doc_ids already " +
-          s"exist in $standingDir with different content")
-      CorpusWriter.appendCurated(materialized, standingDir,
-        partitionCols = Seq("split", "lang"))
-      Dedup.signatures(materialized, "doc_id", "text")
-        .write.mode("append").parquet(sigDir)
+      // Same-id-different-content collisions (a recrawled doc_id whose
+      // text changed enough to survive dedup) would corrupt the
+      // append-only corpus. They are QUARANTINED, not thrown: a
+      // require() here would fail the micro-batch, and since the
+      // offending batch replays from the checkpoint on every restart,
+      // one legitimate recrawl would poison the stream permanently.
+      // Colliding rows go to `<standingDir>_rejected` (audit +
+      // reprocess path); clean rows append normally.
+      val standingIds = standing.select("doc_id")
+      val colliding = materialized
+        .join(standingIds, Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
+      val collisions = colliding.count()
+      if (collisions > 0L) {
+        colliding.write.mode("append").parquet(standingDir + "_rejected")
+        System.err.println(
+          s"IncrementalCuration: quarantined $collisions doc_id " +
+            s"collisions to ${standingDir}_rejected")
+      }
+      val fresh =
+        if (collisions == 0L) materialized
+        else materialized.join(standingIds, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+      appended = n - collisions
+      if (appended > 0L) {
+        CorpusWriter.appendCurated(fresh, standingDir,
+          partitionCols = Seq("split", "lang"))
+        Dedup.signatures(fresh, "doc_id", "text")
+          .write.mode("append").parquet(sigDir)
+      }
     }
     fs.delete(new org.apache.hadoop.fs.Path(deltaTmp), true)
-    n
+    appended
   }
 
   /** Wire [[processBatch]] into a streaming source. The checkpoint

@@ -253,6 +253,56 @@ class CliSpec extends SparkSpec {
       "increment output must be byte-deterministic")
   }
 
+  test("curate.stream: streaming incremental mode appends once, restart resumes from checkpoint") {
+    import spark.implicits._
+    def mkDocs(ids: Seq[Long]) = ids.map { i =>
+      val r = new scala.util.Random(i)
+      val words = (0 until 30).map(_ => s"w${r.nextInt(500)}")
+      (i, ("the of and to in a " * 3) + words.mkString(" "), "en")
+    }.toDF("doc_id", "text", "lang")
+    val standing = java.nio.file.Files.createTempDirectory("cli-st-std").toString
+    val watched = java.nio.file.Files.createTempDirectory("cli-st-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cli-st-ck").toString
+    // seed the standing corpus via the batch path
+    val seedDir = java.nio.file.Files.createTempDirectory("cli-st-seed").toString
+    mkDocs(1L to 15L).write.mode("overwrite").parquet(seedDir)
+    Cli.run(Seq("curate", "-o", standing, seedDir), spark, new FakeTransport())
+    val seededN = spark.read.parquet(standing).count()
+    assert(seededN > 0)
+    // watched dir: novel docs + copies of standing docs (must not append)
+    mkDocs(101L to 108L).unionByName(
+        mkDocs(Seq(1L, 2L)).select((col("doc_id") + 9000L).as("doc_id"),
+          col("text"), col("lang")))
+      .coalesce(1).write.parquet(s"$watched/batch1")
+    Cli.run(Seq("curate", "-s", s"curate.against=$standing",
+      "-s", s"curate.stream.checkpoint=$ckpt", s"$watched/*"),
+      spark, new FakeTransport())
+    val after1 = spark.read.parquet(standing)
+    val ids1 = after1.select("doc_id").as[Long].collect().toSet
+    assert((101L to 108L).toSet.subsetOf(ids1))
+    assert(!ids1.exists(_ >= 9000L), "duplicate rows must not append")
+    // restart with a new file: only the new file processes (offsets
+    // committed), novel rows land exactly once
+    mkDocs(201L to 204L).coalesce(1).write.parquet(s"$watched/batch2")
+    Cli.run(Seq("curate", "-s", s"curate.against=$standing",
+      "-s", s"curate.stream.checkpoint=$ckpt", s"$watched/*"),
+      spark, new FakeTransport())
+    val after2 = spark.read.parquet(standing)
+    assert((201L to 204L).toSet.subsetOf(
+      after2.select("doc_id").as[Long].collect().toSet))
+    assert(after2.groupBy("doc_id").count()
+      .filter(col("count") > 1).count() == 0, "no doc ever appends twice")
+    // signature table in lockstep
+    assert(spark.read.parquet(s"$standing/_graft_signatures").count() ==
+      after2.count())
+    // guard: streaming without a standing corpus dir fails loudly
+    val e = intercept[RuntimeException] {
+      Cli.run(Seq("curate", "-s", s"curate.stream.checkpoint=$ckpt",
+        s"$watched/*"), spark, new FakeTransport())
+    }
+    assert(e.getMessage.contains("curate.against"))
+  }
+
   test("curate rejects malformed curate.epochs entries with usable messages") {
     val inDir = java.nio.file.Files.createTempDirectory("cli-epochs-in").toString
     spark.read.parquet(s"$sfSmoke/documents.parquet")

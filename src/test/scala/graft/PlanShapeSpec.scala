@@ -297,8 +297,11 @@ class PlanShapeSpec extends SparkSpec {
   private val jobBudget: Map[String, Int] = Map(
     "c01_kmeans_assign" -> 2,      // centroid training collect (bounded k)
     // r12 default: the candidate set lazily localCheckpoints, and
-    // building its RDD materializes the upstream band-join stages
-    "d02_minhash_neardup" -> 4,
+    // building its RDD materializes the upstream band-join stages;
+    // r13: +1 for the eager candidates.count() that both materializes
+    // the checkpoint and gates the verify semi-join's broadcast hint
+    // (the ADVICE dup-heavy-corpus driver-OOM hazard)
+    "d02_minhash_neardup" -> 5,
     "d06_components" -> 12,        // pointer-jumping rounds, one job each
     "d09_semdedup" -> 3,           // auto-k probe + centroid training
     "d10_bloom_decontaminate" -> 3, // bloom filter build over benchmark
@@ -311,8 +314,22 @@ class PlanShapeSpec extends SparkSpec {
     "d13_winnow_pairs" -> 1,
     "d17_component_sizes" -> 12,   // shares d06's iterative machinery
     // d06's pointer-jumping rounds + the r12 candidate checkpoint
-    "d18_neardup_keep_best" -> 13,
-    "d19_dedup_increment_sigs" -> 2, // candidate-set lazy localCheckpoint
+    // + the r13 broadcast-gating candidates.count()
+    "d18_neardup_keep_best" -> 14,
+    // r13 eager prefilter shape, three actions: (1) newNarrow.count()
+    // — the job that builds the persisted narrow cache AND yields the
+    // exact Bloom sizing (estimate-based sizing measured ~0.8 fpp =
+    // pass-everything); (2) ONE fused treeAggregate filling BOTH
+    // Blooms from the cache (was two stat.bloomFilter source
+    // re-executions); (3) cand.count() — materializes the candidate
+    // checkpoint and gates the verify semi-join's broadcast hint.
+    // (3) is AQE-multi-job (join stages), hence 5 not 3.
+    "d19_dedup_increment_sigs" -> 5,
+    // the e2e curation capstone runs the full chain at construction:
+    // near-dup candidate checkpoint + broadcast-gating count (d02's
+    // budget), the empty-benchmark bloomContamination count, and the
+    // component-fixpoint rounds over the planted clone pairs
+    "t45_curate_html" -> 19,
     "m12_marc_binary_roundtrip" -> 2, // DSv2 MarcScan planning probe
     "q24_percentile_disc" -> 6,    // pivot-histogram selection rounds
     "r01_bm25_topk" -> 2,          // corpus stats (avgdl, N) collect
@@ -352,6 +369,10 @@ class PlanShapeSpec extends SparkSpec {
     // d02 banding over the 2-scan planted union, election joins reuse
     "d18_neardup_keep_best" -> 4,
     "d15_contamination_report" -> 3,
+    // t45's crawl is a 4-scan union family (base + 3 planted variants)
+    // of the one documents table, flowing through curate()'s dedup
+    // internals (which re-reference the narrow scan, the d02 shape)
+    "t45_curate_html" -> 9,
     // set ops / self-joins / funnels over one table
     "q08_intersect" -> 2, "q17_above_avg" -> 2, "q18_except_all" -> 2,
     "q21_asof_join" -> 2, "q22_band_join" -> 2, "q23_lead_lag" -> 2,

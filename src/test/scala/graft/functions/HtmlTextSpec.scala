@@ -89,4 +89,82 @@ class HtmlTextSpec extends SparkSpec {
       .collect()
     assert(n.head.isNullAt(0))
   }
+
+  private def m(s: String) = HtmlTextExpression.extractMain(s, 5, 0.33)
+
+  test("main content: containers drop, link-dense and short blocks drop") {
+    val page =
+      "<html><head><title>Site</title></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
+        "<header><h1>The Daily Page</h1></header>" +
+        "<p>This body paragraph carries the actual article content here.</p>" +
+        "<aside><ul><li><a>rel one</a></li><li><a>rel two</a></li></ul></aside>" +
+        "<div><a>alpha beta gamma delta epsilon zeta</a></div>" +
+        "<footer>Copyright 2026 Example Site All Rights Reserved</footer>" +
+        "</body></html>"
+    // tag stripping alone KEEPS all the chrome...
+    val full = x(page)
+    assert(full.contains("Home") && full.contains("Copyright") &&
+      full.contains("alpha beta"))
+    // ...main-content extraction keeps exactly the body paragraph
+    assert(m(page) ==
+      "This body paragraph carries the actual article content here.")
+    // header container drops even though the h1 has words; the footer
+    // drops despite 7 words (container rule, not the word floor)
+    assert(!m(page).contains("Daily") && !m(page).contains("Copyright"))
+  }
+
+  test("main content: word floor, link density boundary, multi-block join") {
+    // word floor: 4-word block drops, 5-word block survives
+    assert(m("<p>one two three four</p>") == "")
+    assert(m("<p>one two three four five</p>") == "one two three four five")
+    // link density: just under the ceiling survives, above drops.
+    // "linkage" inside <a> = 7 link chars; 7/20 = 0.35 > 0.33 drops,
+    // 7/22 = 0.318 <= 0.33 keeps
+    val dense = "<p><a>linkage</a> one two three fr</p>"   // 7 link / 20 vis
+    val ok = "<p><a>linkage</a> one two three four</p>"    // 7 link / 22 vis
+    assert(m(dense) == "")
+    assert(m(ok) == "linkage one two three four")
+    // two qualifying paragraphs join with one \n, order kept
+    assert(m("<p>alpha one two three four</p><p>beta five six seven eight</p>") ==
+      "alpha one two three four\nbeta five six seven eight")
+    // <br/> splits blocks (each half must qualify separately)
+    assert(m("<p>left side words here now<br/>tail bit</p>") ==
+      "left side words here now")
+  }
+
+  test("main content: tag-soup depth tracking is total and floors at zero") {
+    // unbalanced closes never go negative; self-closing changes no depth
+    assert(m("</nav></footer><p>real body paragraph with five words</p>") ==
+      "real body paragraph with five words")
+    assert(m("<nav/><p>self closing nav keeps this body text</p>") ==
+      "self closing nav keeps this body text")
+    // unterminated container swallows the rest
+    assert(m("<nav><p>menu menu menu menu menu</p>") == "")
+    // anchors: unbalanced </a> floors; entity chars count as link text
+    assert(m("</a><p>plain body words one two three</p>") ==
+      "plain body words one two three")
+    // totality on soup
+    assert(m("<<<>>&&#;<nav foo='>'><a") != null)
+    assert(m("") == "")
+  }
+
+  test("main content column path and SQL registration match the kernel") {
+    import spark.implicits._
+    val rows = Seq(
+      "<nav><a>x</a></nav><p>body copy with plenty of words</p>",
+      "plain text that is long enough to keep", "", "<footer>f</footer>")
+    val got = rows.toDF("html")
+      .select(graft.ops.TextAnalysis.htmlMainText(col("html")).as("t"))
+      .as[String].collect().toSeq
+    assert(got == rows.map(m))
+    val sqlGot = rows.toDF("html")
+      .selectExpr("graft_html_main_text(html) AS t")
+      .as[String].collect().toSeq
+    assert(sqlGot == rows.map(m))
+    val n = Seq[Option[String]](None).toDF("html")
+      .select(graft.ops.TextAnalysis.htmlMainText(col("html")))
+      .collect()
+    assert(n.head.isNullAt(0))
+  }
 }

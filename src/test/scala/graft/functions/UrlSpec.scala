@@ -23,6 +23,9 @@ class UrlSpec extends SparkSpec {
     // non-URL input passes through untouched
     assert(canon("not a url") == "not a url")
     assert(canon("") == "")
+    // userinfo is case-sensitive (RFC 3986): only the host folds
+    assert(canon("http://User:PW@Host.COM/x") == "http://User:PW@host.com/x")
+    assert(canon("http://User@h.com/") != canon("http://user@h.com/"))
   }
 
   test("registered domain: PSL depth, wildcard, exception, default rule, IPs") {
@@ -48,6 +51,36 @@ class UrlSpec extends SparkSpec {
     assert(dom("example.com.") == "example.com") // trailing dot
     assert(dom("a..b") == null)
     assert(dom("") == null)
+  }
+
+  test("expanded PSL: deep wildcard/exception families, private registries, drift pins") {
+    // drift pin: the bundled snapshot must keep at least this coverage
+    // (someone shrinking the resource fails loudly here, not in t43)
+    assert(UrlKernel.loadRules("/graft/public_suffix.dat").length >= 300)
+    // multi-label ccTLD families
+    assert(dom("www.firm.example.com.tr") == "example.com.tr")
+    assert(dom("shop.example.co.il") == "example.co.il")
+    assert(dom("a.b.example.com.sg") == "example.com.sg")
+    assert(dom("www.example.nhs.uk") == "example.nhs.uk")
+    // wildcard ccTLD: any label under bd is a registry
+    assert(dom("example.com.bd") == "example.com.bd")
+    assert(dom("com.bd") == null)
+    // Japanese city families: *.kawasaki.jp wildcard with the
+    // !city.kawasaki.jp exception — three-label suffix matching
+    assert(dom("a.b.kawasaki.jp") == "a.b.kawasaki.jp")
+    assert(dom("b.kawasaki.jp") == null) // b.kawasaki.jp IS a suffix
+    assert(dom("foo.city.kawasaki.jp") == "city.kawasaki.jp")
+    assert(dom("city.kawasaki.jp") == "city.kawasaki.jp")
+    // private-section registries: each subdomain is its own publisher
+    assert(dom("alice.github.io") == "alice.github.io")
+    assert(dom("a.b.alice.github.io") == "alice.github.io")
+    assert(dom("github.io") == null)
+    assert(dom("myapp.herokuapp.com") == "myapp.herokuapp.com")
+    // the r12 pins must survive the expansion (t43 unchanged)
+    assert(dom("http://news.bbc.co.uk/page") == "bbc.co.uk")
+    assert(dom("www.city.ck") == "www.city.ck")
+    assert(dom("www.ck") == "www.ck")
+    assert(dom("host.unknowntld") == "host.unknowntld")
   }
 
   test("SQL registrations are null-safe and match the kernel") {

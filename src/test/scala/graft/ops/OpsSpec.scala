@@ -898,8 +898,10 @@ class OpsSpec extends SparkSpec {
       // + half: the checkpointed candidate set's CACHE-block read also
       // counts toward recordsRead (candidates ≈ one per batch row here);
       // source scans are 2x batch text (persisted narrow build + final
-      // full-row fetch, r12 default) + 1x prior text + 2x sig table
-      assert(sigReads <= (2 + 1 + 2) * half + half,
+      // full-row fetch, r12 default) + 1x prior text + 2x sig table;
+      // r13: + half/4 slack for the broadcast-gating cand.count()'s
+      // re-read of the candidate checkpoint blocks
+      assert(sigReads <= (2 + 1 + 2) * half + half + half / 4,
         s"d12-signatures read ${sigReads} records for $half-row sides " +
           "(budget 2x batch text + 1x prior text + 2x signature table " +
           "+ candidate cache reads)")
@@ -1018,6 +1020,24 @@ class OpsSpec extends SparkSpec {
       assert(t1 == t0, "signature path must match the text path")
       assert(t0.nonEmpty && t0.size < 80,
         s"mixed batch must both keep and drop rows: kept ${t0.size}")
+      // broadcast-fallback pin: above MaxBroadcastCandidatePairs the
+      // verify semi-joins drop their broadcast hint (the dup-heavy
+      // driver-OOM hazard) — keep sets and pair sets must not change
+      val savedLimit = Dedup.MaxBroadcastCandidatePairs
+      try {
+        Dedup.MaxBroadcastCandidatePairs = 0L
+        val t2 = Dedup.dedupAgainstSignatures(mixed, sigs, prior,
+            "doc_id", "text")
+          .select("doc_id").as[Long].collect().toSet
+        assert(t2 == t0, "shuffled-semi fallback must match broadcast path")
+        val p2 = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.5)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        Dedup.MaxBroadcastCandidatePairs = savedLimit
+        val p1 = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.5)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        assert(p2.nonEmpty && p2 == p1,
+          "minhash pair set must be hint-invariant")
+      } finally Dedup.MaxBroadcastCandidatePairs = savedLimit
       // schema mismatch surfaces as a guard, not silence
       intercept[IllegalArgumentException] {
         Dedup.dedupAgainstSignatures(batch, sigs.drop("fp"), prior,

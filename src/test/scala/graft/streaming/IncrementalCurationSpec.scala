@@ -97,6 +97,29 @@ class IncrementalCurationSpec extends SparkSpec {
     assert(sigN == finalStream.count(), s"sigs $sigN vs corpus ${finalStream.count()}")
   }
 
+  test("doc_id collision with changed content: quarantined, batch survives") {
+    val standingDir = java.nio.file.Files.createTempDirectory("inc-coll").toString
+    IncrementalCuration.processBatch(spark, mkDocs(1L to 12L), standingDir, benchmark)
+    // a recrawl: doc_id 3 returns with COMPLETELY different (novel)
+    // content — it survives dedup but may not overwrite the standing
+    // row; a throw here would poison the checkpoint-replayed stream
+    val recrawl = mkDocs(Seq(777L)).select(
+      lit(3L).as("doc_id"), col("text"), col("lang"))
+    val appended = IncrementalCuration.processBatch(
+      spark, recrawl.unionByName(mkDocs(Seq(601L))), standingDir, benchmark)
+    assert(appended == 1L, "only the novel doc appends; collision is quarantined")
+    val corpus = spark.read.parquet(standingDir)
+    assert(corpus.filter(col("doc_id") === 3L).count() == 1L,
+      "standing row must remain exactly once (not overwritten/duplicated)")
+    assert(corpus.filter(col("doc_id") === 601L).count() == 1L)
+    val rejected = spark.read.parquet(standingDir + "_rejected")
+    assert(rejected.select("doc_id").as[Long].collect().toSeq == Seq(3L),
+      "colliding row must land in the quarantine sink")
+    // signature table stays in lockstep with the corpus
+    assert(spark.read.parquet(s"$standingDir/_graft_signatures").count() ==
+      corpus.count())
+  }
+
   test("self-heal: a short signature table is rebuilt before the increment") {
     val standingDir = java.nio.file.Files.createTempDirectory("inc-heal").toString
     IncrementalCuration.processBatch(spark, mkDocs(1L to 12L), standingDir, benchmark)
