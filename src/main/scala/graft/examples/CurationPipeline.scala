@@ -49,6 +49,16 @@ object CurationPipeline {
       // blocks drop) instead of full tag-stripped text; page chrome
       // (menus, footers, link boxes) never enters the corpus
       htmlMainContent: Boolean = false,
+      // persist the canonicalized working set (post-extract, post-NFC
+      // text) so the dedup/gate stages read it from cache instead of
+      // re-running the union + extraction kernels per consumer (~4
+      // re-executions in the default lazy shape). For INCREMENT-scale
+      // inputs that fit executor storage — a corpus-scale batch should
+      // stay lazy (text is the big column; at 100 TB you materialize
+      // between stages with a write, not a cache). The cached frame
+      // stays resident until session cleanup (clearCache) — the
+      // documented cost of the knob.
+      cacheWorkingSet: Boolean = false,
       nearDupThreshold: Double = 0.8,
       // near-dup survivor election: None = min-id (deterministic,
       // cheapest); Some(score) = keep the best-scoring member per
@@ -107,8 +117,12 @@ object CurationPipeline {
         .filter(length(col(textCol)) > 0)
 
     // 0. canonicalize bytes before anything hashes them (narrow kernel)
-    val canon = textual.withColumn(textCol,
+    val canon0 = textual.withColumn(textCol,
       TextAnalysis.normalizeNfc(col(textCol), stripControls = true))
+    val canon =
+      if (cfg.cacheWorkingSet)
+        canon0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else canon0
 
     // 1. exact dedup: min-id survivor per normalized-content fingerprint.
     // The anti-join form shuffles only (fingerprint, id) pairs — the

@@ -1195,16 +1195,32 @@ object Dedup {
     * values per block — pick blocking keys that keep u bounded (brand,
     * zip, sort-key prefix, a fingerprint band). The shuffle carries
     * (block, id, string) rows, each row once. Output: (id_a, id_b,
-    * dist), id_a < id_b. */
+    * dist), id_a < id_b.
+    *
+    * Degenerate-block hardening (the d02 oversized-bucket discipline,
+    * r13): a block whose DISTINCT-value count exceeds `maxBlockSize`
+    * is excluded from pairing entirely — such a key (a null brand, an
+    * "UNKNOWN" sentinel) is not discriminating, and its u² cell would
+    * be the one quadratic job that never finishes at corpus scale.
+    * Unlike d02 there is no second band to catch the pair, so the drop
+    * IS a recall cut: audit candidates for exclusion up front with
+    * [[fuzzyOversizedBlocks]] and re-block them with a finer key. */
   def fuzzyDupPairs(df: DataFrame, idCol: String, textCol: String,
-                    blockCols: Seq[String], maxDist: Int): DataFrame = {
+                    blockCols: Seq[String], maxDist: Int,
+                    maxBlockSize: Int = 100000): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
     require(blockCols.nonEmpty,
       "fuzzyDupPairs requires blocking columns (an unblocked fuzzy join " +
         "is an all-pairs cross join — at scale, block first)")
     val recs = df.select(blockCols.map(col) :+ col(idCol).as("_id") :+
       col(textCol).as("_t"): _*)
-    val u = recs.select(blockCols.map(col) :+ col("_t"): _*).distinct()
+    val uAll = recs.select(blockCols.map(col) :+ col("_t"): _*).distinct()
+    // normally-empty, pathologically tiny: broadcasts into an anti-join
+    val oversized = uAll.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("_bsize"))
+      .filter(col("_bsize") > maxBlockSize)
+      .select(blockCols.map(col): _*)
+    val u = uAll.join(broadcast(oversized), blockCols, "left_anti")
     // unordered distinct name pairs: strictly-ordered pairs once each,
     // plus the diagonal (equal names — dist 0 without a comparison)
     val namePairs = u.select(blockCols.map(col) :+ col("_t").as("_ta"): _*)
@@ -1228,6 +1244,18 @@ object Dedup {
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
   }
+
+  /** The blocks [[fuzzyDupPairs]] would exclude at `maxBlockSize` —
+    * (blockCols..., n_distinct) — the pre-run audit for re-blocking
+    * degenerate keys (the drop there is a recall cut, not a pruning). */
+  def fuzzyOversizedBlocks(df: DataFrame, textCol: String,
+                           blockCols: Seq[String],
+                           maxBlockSize: Int = 100000): DataFrame =
+    df.select(blockCols.map(col) :+ col(textCol).as("_t"): _*)
+      .distinct()
+      .groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("n_distinct"))
+      .filter(col("n_distinct") > maxBlockSize)
 
   /** Cross-document duplicate-PASSAGE removal (the corpus-level exact
     * substring dedup of Lee et al. 2022, "Deduplicating Training Data

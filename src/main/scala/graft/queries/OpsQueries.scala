@@ -923,8 +923,12 @@ object OpsQueries extends QueryPack {
         .unionByName(nearClones).unionByName(markupOnly)
       val emptyBenchmark = s.range(0)
         .selectExpr("CAST(null AS STRING) AS text")
+      // cacheWorkingSet: the crawl is increment-sized, so the
+      // canonicalized text persists once instead of re-running the
+      // 4-way union + extraction kernel per downstream consumer
       graft.examples.CurationPipeline.curate(crawl, emptyBenchmark,
-          cfg = graft.examples.CurationPipeline.Config(htmlInput = true))
+          cfg = graft.examples.CurationPipeline.Config(
+            htmlInput = true, cacheWorkingSet = true))
         .select("doc_id").orderBy("doc_id")
     }),
 

@@ -85,6 +85,13 @@ class CurationPipelineSpec extends SparkSpec {
     assert(!keptH.contains(900L), "pure-markup page must drop at ingest")
     val t = out.filter(col("doc_id") === 1L).select("text").as[String].head()
     assert(!t.contains("<") && !t.contains("script"), s"markup leaked: $t")
+    // cacheWorkingSet is a pure perf knob: identical rows either way
+    val cached = CurationPipeline.curate(html, benchmark,
+      cfg = CurationPipeline.Config(htmlInput = true, cacheWorkingSet = true))
+    val rows = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("doc_id", "text", "split").as[(Long, String, String)]
+        .collect().toSet
+    assert(rows(cached) == rows(out), "cacheWorkingSet must not change results")
   }
 
   test("electSurvivorBy keeps the best-scoring near-dup copy instead of the min id") {

@@ -1235,6 +1235,24 @@ class OpsSpec extends SparkSpec {
     val plan = Dedup.fuzzyDupPairs(rows, "id", "name", Seq("blk"), 2)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"), plan)
+
+    // degenerate-block cap: a block whose distinct count exceeds
+    // maxBlockSize is excluded wholesale (its u-squared cell is the one
+    // quadratic job that never finishes at scale); other blocks keep
+    // their pairs, and the audit names the dropped key up front
+    val degen = (100L to 140L).map(i => (i, "Z", s"name variant $i"))
+      .toDF("id", "blk", "name")
+    val mixed = rows.unionByName(degen)
+    val capped = Dedup.fuzzyDupPairs(mixed, "id", "name", Seq("blk"),
+        maxDist = 2, maxBlockSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(capped == want, "Z-block pairs must drop; A-block pairs intact")
+    val audit = Dedup.fuzzyOversizedBlocks(mixed, "name", Seq("blk"),
+        maxBlockSize = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(audit.toSeq == Seq(("Z", 41L)))
+    // default cap leaves the small corpus untouched
+    assert(Dedup.fuzzyOversizedBlocks(mixed, "name", Seq("blk")).count() == 0)
   }
 
   test("truncated-prefix ANN recalls noisy planted near-duplicates") {
