@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** HTML → plain text extraction — the FIRST step of every web-scale
@@ -110,11 +110,64 @@ case class HtmlMainTextExpression(child: Expression,
     copy(child = newChild)
 }
 
+/** HTML → outlink list — the web-GRAPH construction step: every crawl
+  * quality pipeline wants the (page, href, anchor-text) edges that feed
+  * link-graph signals (PageRank/HITS over registered domains, anchor
+  * text as retrieval/labeling signal, frontier discovery). Output:
+  * `array<struct<url:string, anchor:string>>` in document order.
+  *
+  * PINNED semantics (same scan machinery as the t41/t44 kernels):
+  *  1. A link is an `<a ...>` open tag carrying an `href` attribute
+  *     (attr name case-insensitive; value quoted `'…'`/`"…"` or
+  *     unquoted to the next whitespace; character references in the
+  *     value decode — `&amp;` is routine in real hrefs). `<a>` without
+  *     href starts no link; a self-closing `<a/>` yields an
+  *     empty-anchor link.
+  *  2. Anchor text = text between the open tag and the matching
+  *     `</a>`, t41 text rules (entities decode, whitespace collapses,
+  *     block boundaries inside the anchor contribute one space);
+  *     nested `<a>` (invalid HTML) closes the pending link first; an
+  *     unterminated link closes at end of input.
+  *  3. Links inside script/style/comments do not exist.
+  *  Null in → null out; any byte garbage in → total. Raw hrefs are
+  *  returned VERBATIM (no base resolution / canonicalization — chain
+  *  [[UrlExpressions.resolveUrl]] and canonical_url explicitly). */
+case class HtmlLinksExpression(child: Expression)
+  extends UnaryExpression with KernelCodegen {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("url", StringType, nullable = false),
+      StructField("anchor", StringType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "html_links"
+
+  override def evalChild(childValue: AnyRef): AnyRef = {
+    val utf = childValue.asInstanceOf[UTF8String]
+    if (utf == null) return null
+    val links = HtmlTextExpression.links(utf.toString)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      links.map { case (u, a) =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(u), UTF8String.fromString(a))
+      }.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HtmlTextExpression {
 
   /** html_to_text(html): plain text per the pinned semantics above. */
   def htmlToText(html: Column): Column =
     ColumnBridge.column(HtmlTextExpression(ColumnBridge.expression(html)))
+
+  /** html_links(html): (url, anchor) outlinks per
+    * [[HtmlLinksExpression]]'s pinned semantics. */
+  def htmlLinks(html: Column): Column =
+    ColumnBridge.column(HtmlLinksExpression(ColumnBridge.expression(html)))
 
   /** html_main_text(html): main-content text per the pinned
     * boilerplate-removal semantics on [[HtmlMainTextExpression]]. */
@@ -278,6 +331,138 @@ object HtmlTextExpression {
 
   private val containerTags: Array[String] =
     Array("nav", "header", "footer", "aside", "form")
+
+  /** First `href` attribute value in the tag-content region [from, to)
+    * (between the tag name and the closing `>`), entity-decoded; null
+    * when absent. Quoted or unquoted values per the pinned rules. */
+  private def hrefOf(s: String, from: Int, to: Int): String = {
+    var i = from
+    while (i < to) {
+      while (i < to && (s.charAt(i) <= ' ' || s.charAt(i) == '/')) i += 1
+      if (i >= to) return null
+      val n0 = i
+      while (i < to && {
+        val c = s.charAt(i); c > ' ' && c != '=' && c != '/'
+      }) i += 1
+      val name = s.substring(n0, i).toLowerCase(java.util.Locale.ROOT)
+      while (i < to && s.charAt(i) <= ' ') i += 1
+      var value: String = null
+      if (i < to && s.charAt(i) == '=') {
+        i += 1
+        while (i < to && s.charAt(i) <= ' ') i += 1
+        if (i < to && (s.charAt(i) == '"' || s.charAt(i) == '\'')) {
+          val q = s.charAt(i); i += 1
+          val v0 = i
+          while (i < to && s.charAt(i) != q) i += 1
+          value = s.substring(v0, i)
+          if (i < to) i += 1
+        } else {
+          val v0 = i
+          while (i < to && s.charAt(i) > ' ') i += 1
+          value = s.substring(v0, i)
+        }
+      }
+      if (name == "href" && value != null) return decodeEntities(value)
+      if (name.isEmpty) i += 1 // never stall on pathological input
+    }
+    null
+  }
+
+  private def decodeEntities(v: String): String = {
+    if (v.indexOf('&') < 0) return v
+    val sb = new java.lang.StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      if (v.charAt(i) == '&') {
+        val (d, n) = decodeEntity(v, i)
+        sb.append(if (d == null) "&" else d)
+        i = n
+      } else { sb.append(v.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** The outlink kernel (driver-callable for tests) — see
+    * [[HtmlLinksExpression]] for the pinned semantics. */
+  def links(s: String): Seq[(String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var pendingUrl: String = null
+    val anchor = new java.lang.StringBuilder(64)
+    var pendingSpace = false
+    def finishLink(): Unit = if (pendingUrl != null) {
+      out += ((pendingUrl, anchor.toString))
+      pendingUrl = null; anchor.setLength(0); pendingSpace = false
+    }
+    @inline def emitChar(c: Char): Unit = if (pendingUrl != null) {
+      if (c <= ' ') pendingSpace = true
+      else {
+        if (anchor.length > 0 && pendingSpace) anchor.append(' ')
+        pendingSpace = false
+        anchor.append(c)
+      }
+    }
+    @inline def emit(str: String): Unit = {
+      var k = 0
+      while (k < str.length) { emitChar(str.charAt(k)); k += 1 }
+    }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        @inline def rawTextOpen(what: String): Boolean =
+          startsWithIgnoreCase(s, i, what) && {
+            val after = i + what.length
+            after >= s.length || s.charAt(after) <= ' ' ||
+              s.charAt(after) == '>' || s.charAt(after) == '/'
+          }
+        if (startsWithIgnoreCase(s, i, "<!--"))
+          i = skipPast(s, i + 4, "-->")
+        else if (rawTextOpen("<script") || rawTextOpen("<style")) {
+          val close = if (lower(s.charAt(i + 2)) == 'c') "</script" else "</style"
+          val afterOpen = tagEnd(s, i)
+          val afterClose = skipPast(s, afterOpen, close)
+          i = if (afterClose >= s.length) s.length
+          else tagEnd(s, afterClose - close.length)
+        } else if (i + 1 < s.length && {
+          val n = s.charAt(i + 1)
+          isAsciiLetter(n) || n == '/' || n == '!' || n == '?'
+        }) {
+          var p = i + 1
+          val closing = s.charAt(p) == '/'
+          if (closing) p += 1
+          val name0 = p
+          while (p < s.length && (isAsciiLetter(s.charAt(p)) ||
+            (s.charAt(p) >= '0' && s.charAt(p) <= '9'))) p += 1
+          val name = s.substring(name0, p).toLowerCase(java.util.Locale.ROOT)
+          val end = tagEnd(s, i)
+          val selfClosing = !closing && end - 2 > i && s.charAt(end - 2) == '/'
+          if (name == "a") {
+            finishLink() // </a> ends it; a nested <a> ends it first too
+            if (!closing) {
+              val href = hrefOf(s, p, math.max(p, end - 1))
+              if (href != null) {
+                if (selfClosing) out += ((href, ""))
+                else pendingUrl = href
+              }
+            }
+          } else if (blockTags.contains(name) && anchor.length > 0)
+            pendingSpace = true // block boundary inside an anchor = one space
+          i = end
+        } else {
+          emitChar('<'); i += 1
+        }
+      } else if (c == '&') {
+        val (decoded, next) = decodeEntity(s, i)
+        if (decoded == null) emitChar('&') else emit(decoded)
+        i = next
+      } else {
+        emitChar(c)
+        i += 1
+      }
+    }
+    finishLink()
+    out.toSeq
+  }
 
   /** The main-content kernel (driver-callable for tests) — see
     * [[HtmlMainTextExpression]] for the pinned semantics. */

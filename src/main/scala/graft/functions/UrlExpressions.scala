@@ -194,6 +194,92 @@ object UrlKernel {
     if (rev.length <= sufLen) null // the host IS a public suffix
     else labels.takeRight(sufLen + 1).mkString(".")
   }
+
+  /** RFC 3986 §5 reference resolution (the crawl-frontier step between
+    * [[graft.functions.HtmlLinksExpression]]'s raw hrefs and
+    * [[canonicalize]]), TOTAL on garbage. PINNED subset:
+    *  - `rel` with a scheme (`letter (letter|digit|+|-|.)* :`) → as-is;
+    *  - `//authority/...` → base's scheme attached;
+    *  - `/path` → base's scheme+authority + path (dot-segments removed);
+    *  - `?query` / `#frag` → replace base's query / fragment;
+    *  - empty → base without its fragment;
+    *  - anything else → merged with the base path's directory,
+    *    dot-segments (`.` / `..`) removed per the RFC algorithm.
+    *  - a base without `://` cannot anchor a relative ref → `rel`
+    *    returned verbatim (total, never throws). */
+  def resolve(base: String, rel: String): String = {
+    def stripFragment(u: String): String = {
+      val h = u.indexOf('#'); if (h >= 0) u.substring(0, h) else u
+    }
+    if (rel.isEmpty) return stripFragment(base)
+    // scheme detection on rel
+    var i = 0
+    var hasScheme = false
+    if (rel.nonEmpty && isAsciiLetterCh(rel.charAt(0))) {
+      i = 1
+      while (i < rel.length && {
+        val c = rel.charAt(i)
+        isAsciiLetterCh(c) || (c >= '0' && c <= '9') ||
+          c == '+' || c == '-' || c == '.'
+      }) i += 1
+      hasScheme = i < rel.length && rel.charAt(i) == ':'
+    }
+    if (hasScheme) return rel
+    val schemeEnd = base.indexOf("://")
+    if (schemeEnd <= 0) return rel // unanchorable base: stay total
+    val scheme = base.substring(0, schemeEnd)
+    if (rel.startsWith("//")) return scheme + ":" + rel
+    val afterScheme = base.substring(schemeEnd + 3)
+    var aEnd = 0
+    while (aEnd < afterScheme.length && {
+      val c = afterScheme.charAt(aEnd)
+      c != '/' && c != '?' && c != '#'
+    }) aEnd += 1
+    val root = base.substring(0, schemeEnd + 3) + afterScheme.substring(0, aEnd)
+    val pathQF = afterScheme.substring(aEnd)
+    val basePath = {
+      val noF = stripFragment(pathQF)
+      val q = noF.indexOf('?')
+      if (q >= 0) noF.substring(0, q) else noF
+    }
+    if (rel.startsWith("#")) return root + {
+      val noF = stripFragment(pathQF); noF
+    } + rel
+    if (rel.startsWith("?")) return root + basePath + rel
+    // split rel into path / query+fragment tail
+    var rEnd = 0
+    while (rEnd < rel.length && rel.charAt(rEnd) != '?' &&
+      rel.charAt(rEnd) != '#') rEnd += 1
+    val relPath = rel.substring(0, rEnd)
+    val relTail = rel.substring(rEnd)
+    val merged =
+      if (relPath.startsWith("/")) relPath
+      else {
+        val dir = basePath.lastIndexOf('/') match {
+          case -1 => "/"
+          case ix => basePath.substring(0, ix + 1)
+        }
+        (if (dir.isEmpty) "/" else dir) + relPath
+      }
+    root + removeDotSegments(merged) + relTail
+  }
+
+  @inline private def isAsciiLetterCh(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  /** RFC 3986 §5.2.4 remove_dot_segments over an absolute path. */
+  private[graft] def removeDotSegments(path: String): String = {
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    val endsWithSlash = path.endsWith("/") || path.endsWith("/.") ||
+      path.endsWith("/..")
+    for (seg <- path.split("/")) seg match {
+      case "" | "." => ()
+      case ".." => if (out.nonEmpty) out.remove(out.length - 1)
+      case s => out += s
+    }
+    val joined = "/" + out.mkString("/")
+    if (endsWithSlash && joined != "/") joined + "/" else joined
+  }
 }
 
 case class UrlCanonicalExpression(child: Expression)
@@ -225,9 +311,34 @@ case class RegisteredDomainExpression(child: Expression)
     copy(child = newChild)
 }
 
+/** RFC 3986 reference resolution as a codegen binary expression —
+  * `resolve_url(base, rel)`; see [[UrlKernel.resolve]] for the pinned
+  * rules. Null if either side is null; total otherwise. */
+case class ResolveUrlExpression(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "resolve_url"
+  override protected def nullSafeEval(base: Any, rel: Any): Any =
+    UTF8String.fromString(UrlKernel.resolve(base.toString, rel.toString))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, r) =>
+      s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.UrlKernel.resolve($b.toString(), $r.toString()));")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object UrlExpressions {
   def canonicalUrl(url: Column): Column =
     ColumnBridge.column(UrlCanonicalExpression(ColumnBridge.expression(url)))
   def registeredDomain(urlOrHost: Column): Column =
     ColumnBridge.column(RegisteredDomainExpression(ColumnBridge.expression(urlOrHost)))
+  def resolveUrl(base: Column, rel: Column): Column =
+    ColumnBridge.column(ResolveUrlExpression(
+      ColumnBridge.expression(base), ColumnBridge.expression(rel)))
 }

@@ -72,6 +72,22 @@ object TextAnalysis {
                    maxLinkDensity: Double = 0.33): Column =
     graft.functions.HtmlTextExpression.htmlMainText(html, minWords, maxLinkDensity)
 
+  /** HTML → (url, anchor) outlinks ([[graft.functions.HtmlLinksExpression]],
+    * pinned rules there) — the web-graph construction step: raw hrefs +
+    * anchor text in document order, `array<struct<url,anchor>>`. Chain
+    * [[resolveUrl]] + [[canonicalUrl]] + [[registeredDomain]] for the
+    * domain-graph edge list PageRank/HITS consume. */
+  def htmlLinks(html: Column): Column =
+    graft.functions.HtmlTextExpression.htmlLinks(html)
+
+  /** RFC 3986 reference resolution ([[graft.functions.UrlKernel.resolve]],
+    * pinned subset there): absolute refs pass through, `//`, `/`, `?`,
+    * `#`, and relative paths resolve against the base with dot-segment
+    * removal; total on garbage. The step between [[htmlLinks]]' raw
+    * hrefs and [[canonicalUrl]]. */
+  def resolveUrl(base: Column, rel: Column): Column =
+    graft.functions.UrlExpressions.resolveUrl(base, rel)
+
   /** Canonical URL ([[graft.functions.UrlExpressions]], pinned rules
     * there): lowercase scheme/authority, default-port + fragment +
     * tracking-param strip, empty path → `/`. Run before URL-keyed exact

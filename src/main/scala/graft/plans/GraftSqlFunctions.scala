@@ -169,6 +169,16 @@ object GraftSqlFunctions {
         "blocks need >=5 words and <=0.33 link density)",
       { case Seq(t) => HtmlMainTextExpression(t) }),
 
+    ("graft_html_links",
+      "graft_html_links(html) - array<struct<url,anchor>> outlinks: href-bearing " +
+        "<a> tags with entity-decoded hrefs and collapsed anchor text",
+      { case Seq(t) => HtmlLinksExpression(t) }),
+
+    ("graft_resolve_url",
+      "graft_resolve_url(base, rel) - RFC 3986 reference resolution " +
+        "(dot-segment removal; total on garbage)",
+      { case Seq(b, r) => ResolveUrlExpression(b, r) }),
+
     ("graft_canonical_url",
       "graft_canonical_url(url) - lowercase scheme/authority, strip default " +
         "ports, fragments, and tracking params (utm_*, gclid, ...)",

@@ -888,6 +888,45 @@ object OpsQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Outlink harvesting + the full URL chain — the web-graph
+    // construction step: html_links pulls (href, anchor) pairs from a
+    // planted crawl page (absolute link with &amp; entity, root-relative,
+    // dot-segment relative, protocol-relative, fragment-only; plus a
+    // script-embedded and a commented link that must NOT appear and an
+    // href-less <a>), each resolved against the page's base URL
+    // (RFC 3986), canonicalized, and domain-extracted. The oracle
+    // assembles all five expected edges analytically from doc_id.
+    "t46_html_links" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = (col("doc_id") % 5).cast("string")
+      val k = (col("doc_id") % 7).cast("string")
+      val base = concat(lit("http://www.site"), k,
+        lit(".example.co.uk/sec/page.html"))
+      val html = concat(
+        lit("<html><head><script>var a='<a href=\"/no\">x</a>';</script>" +
+          "</head><body><!-- <a href=\"/commented\">no</a> -->" +
+          "<nav><a href=\"/articles/"), id,
+        lit("\">Read &amp; more</a><a>no href here</a></nav>" +
+          "<p>See <a href='https://ext.example.com/p?a=1&amp;b="), m,
+        lit("'>the <b>external</b>  source</a> now.</p>" +
+          "<p><a href=\"../img/"), id,
+        lit(".png\">image link</a>" +
+          "<a href=\"//cdn.other.org/lib.js\">cdn</a>" +
+          "<a href=\"#top\"></a></p></body></html>"))
+      def resolved(link: org.apache.spark.sql.Column) =
+        TextAnalysis.canonicalUrl(
+          TextAnalysis.resolveUrl(col("base"), link))
+      Tables.documentsBalanced(s, d)
+        .select(col("doc_id"), base.as("base"),
+          posexplode(TextAnalysis.htmlLinks(html)).as(Seq("pos", "link")))
+        .select(col("doc_id"), col("pos"),
+          resolved(col("link.url")).as("url"),
+          col("link.anchor").as("anchor"),
+          TextAnalysis.registeredDomain(resolved(col("link.url")))
+            .as("domain"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // END-TO-END htmlInput curation: the full curate() chain over a
     // planted CRAWL — every doc wrapped in chrome that extracts away
     // cleanly (so downstream gates see exactly the original text, which
@@ -2426,6 +2465,34 @@ object OpsQueries extends QueryPack {
            text || chr(10) ||
            'tail end' AS extracted
          FROM documents ORDER BY doc_id""",
+
+    // all five expected edges per doc, assembled analytically: the
+    // entity decodes, the relative refs resolve (dot segments removed),
+    // the fragment link collapses to the canonical base page, and the
+    // script/comment/href-less links never appear
+    "t46_html_links" ->
+      """WITH l AS (
+           SELECT doc_id, 0 AS pos,
+             'http://www.site' || (doc_id % 7) || '.example.co.uk/articles/'
+               || doc_id AS url,
+             'Read & more' AS anchor, 'example.co.uk' AS domain
+           FROM documents
+           UNION ALL SELECT doc_id, 1,
+             'https://ext.example.com/p?a=1&b=' || (doc_id % 5),
+             'the external source', 'example.com' FROM documents
+           UNION ALL SELECT doc_id, 2,
+             'http://www.site' || (doc_id % 7) || '.example.co.uk/img/'
+               || doc_id || '.png',
+             'image link', 'example.co.uk' FROM documents
+           UNION ALL SELECT doc_id, 3,
+             'http://cdn.other.org/lib.js', 'cdn', 'other.org'
+           FROM documents
+           UNION ALL SELECT doc_id, 4,
+             'http://www.site' || (doc_id % 7)
+               || '.example.co.uk/sec/page.html',
+             '', 'example.co.uk' FROM documents)
+         SELECT doc_id, CAST(pos AS INT) AS pos, url, anchor, domain
+         FROM l ORDER BY doc_id, pos""",
 
     // the independent replay of the whole htmlInput curation chain:
     // chrome extracts away (so gate inputs == original text), exact

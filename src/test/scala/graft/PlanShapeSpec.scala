@@ -356,7 +356,10 @@ class PlanShapeSpec extends SparkSpec {
     // InMemoryRelation — d02's two visible leaves are the cache-build
     // scan + the candidate-only shingle-verify scan
     "d02_minhash_neardup" -> 2, "d04_simhash_neardup" -> 4,
-    "d07_decontaminate" -> 2, "d08_fuzzy_pairs" -> 2,
+    "d07_decontaminate" -> 2,
+    // d08: distinct-name self-join (2) + the r13 oversized-block
+    // distinct-count audit (1) — the degenerate-block cap's price
+    "d08_fuzzy_pairs" -> 3,
     "d09_semdedup" -> 6, "d10_bloom_decontaminate" -> 2,
     // d12's registered query constructs its batch side from a 3-scan
     // union of the same table; the r12 persisted batch narrow leaves

@@ -149,6 +149,48 @@ class HtmlTextSpec extends SparkSpec {
     assert(m("") == "")
   }
 
+  private def lk(s: String) = HtmlTextExpression.links(s)
+
+  test("links: href forms, entity decode, anchor assembly, exclusion zones") {
+    // quoted (both), unquoted, attr order, case-insensitive name
+    assert(lk("""<a href="/a">x</a><a href='/b'>y</a><a href=/c>z</a>""") ==
+      Seq(("/a", "x"), ("/b", "y"), ("/c", "z")))
+    assert(lk("""<a class="big" HREF="/up">t</a>""") == Seq(("/up", "t")))
+    // entity in href decodes; anchor entities + inline tags + collapse
+    assert(lk("""<a href="/p?a=1&amp;b=2">fish &amp; <b>chips</b>  !</a>""") ==
+      Seq(("/p?a=1&b=2", "fish & chips !")))
+    // block boundary inside an anchor contributes one space
+    assert(lk("""<a href="/x">line<br>two</a>""") == Seq(("/x", "line two")))
+    // no-href <a>, script/comment links, self-closing, unterminated
+    assert(lk("""<a>plain</a>""") == Seq.empty)
+    assert(lk("""<script>var x='<a href="/s">n</a>';</script>""") == Seq.empty)
+    assert(lk("""<!-- <a href="/c">n</a> -->""") == Seq.empty)
+    assert(lk("""<a href="/sc"/>after""") == Seq(("/sc", "")))
+    assert(lk("""<a href="/open">dangling""") == Seq(("/open", "dangling")))
+    // nested <a> (invalid HTML) closes the pending link first
+    assert(lk("""<a href="/1">one<a href="/2">two</a>""") ==
+      Seq(("/1", "one"), ("/2", "two")))
+    // totality on soup
+    assert(lk("""<a href=<a href href= ><a""") != null)
+    assert(lk("") == Seq.empty)
+  }
+
+  test("links column path and SQL registration match the kernel") {
+    import spark.implicits._
+    val rows = Seq("""<a href="/a">x</a> mid <a href='/b?q=1&amp;r=2'>y z</a>""")
+    val got = rows.toDF("html")
+      .select(explode(graft.ops.TextAnalysis.htmlLinks(col("html"))).as("l"))
+      .select("l.url", "l.anchor").as[(String, String)].collect().toSeq
+    assert(got == Seq(("/a", "x"), ("/b?q=1&r=2", "y z")))
+    val sqlGot = rows.toDF("html")
+      .selectExpr("inline(graft_html_links(html))")
+      .as[(String, String)].collect().toSeq
+    assert(sqlGot == got)
+    val n = Seq[Option[String]](None).toDF("html")
+      .select(graft.ops.TextAnalysis.htmlLinks(col("html"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("main content column path and SQL registration match the kernel") {
     import spark.implicits._
     val rows = Seq(

@@ -53,6 +53,36 @@ class UrlSpec extends SparkSpec {
     assert(dom("") == null)
   }
 
+  test("resolve: RFC 3986 reference resolution, pinned subset, total") {
+    val b = "http://h.com/a/b/c.html?q=1#f"
+    def r(rel: String) = UrlKernel.resolve(b, rel)
+    // absolute / protocol-relative pass through with scheme handling
+    assert(r("https://x.org/p") == "https://x.org/p")
+    assert(r("mailto:a@b.c") == "mailto:a@b.c")
+    assert(r("//cdn.x.org/l.js") == "http://cdn.x.org/l.js")
+    // root-relative, query, fragment, empty
+    assert(r("/z/w") == "http://h.com/z/w")
+    assert(r("?k=2") == "http://h.com/a/b/c.html?k=2")
+    assert(r("#top") == "http://h.com/a/b/c.html?q=1#top")
+    assert(r("") == "http://h.com/a/b/c.html?q=1")
+    // relative merge + dot segments (RFC 5.4 examples)
+    assert(r("g") == "http://h.com/a/b/g")
+    assert(r("./g") == "http://h.com/a/b/g")
+    assert(r("../g") == "http://h.com/a/g")
+    assert(r("../../g") == "http://h.com/g")
+    assert(r("../../../g") == "http://h.com/g") // over-popped floors at root
+    assert(r("g/") == "http://h.com/a/b/g/")
+    assert(r("g?y#s") == "http://h.com/a/b/g?y#s")
+    // unanchorable base stays total
+    assert(UrlKernel.resolve("not a url", "/x") == "/x")
+    assert(UrlKernel.resolve("", "rel/p") == "rel/p")
+    // column + SQL paths
+    import spark.implicits._
+    val got = Seq((b, "../g")).toDF("b", "r")
+      .selectExpr("graft_resolve_url(b, r) AS u").as[String].head()
+    assert(got == "http://h.com/a/g")
+  }
+
   test("expanded PSL: deep wildcard/exception families, private registries, drift pins") {
     // drift pin: the bundled snapshot must keep at least this coverage
     // (someone shrinking the resource fails loudly here, not in t43)
