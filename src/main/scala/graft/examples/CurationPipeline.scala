@@ -59,6 +59,11 @@ object CurationPipeline {
       // stays resident until session cleanup (clearCache) — the
       // documented cost of the knob.
       cacheWorkingSet: Boolean = false,
+      // repair cp1252/Latin-1 mojibake before canonicalization (the
+      // conservative round-trip rule — clean accented text never
+      // rewrites); mojibake docs otherwise miss their clean twins in
+      // every byte-keyed dedup stage
+      fixEncoding: Boolean = false,
       nearDupThreshold: Double = 0.8,
       // near-dup survivor election: None = min-id (deterministic,
       // cheapest); Some(score) = keep the best-scoring member per
@@ -116,8 +121,12 @@ object CurationPipeline {
           else TextAnalysis.htmlToText(col(textCol)))
         .filter(length(col(textCol)) > 0)
 
-    // 0. canonicalize bytes before anything hashes them (narrow kernel)
-    val canon0 = textual.withColumn(textCol,
+    // 0. canonicalize bytes before anything hashes them (narrow
+    // kernels; optional mojibake repair first — same scan stage)
+    val repaired =
+      if (!cfg.fixEncoding) textual
+      else textual.withColumn(textCol, TextAnalysis.fixMojibake(col(textCol)))
+    val canon0 = repaired.withColumn(textCol,
       TextAnalysis.normalizeNfc(col(textCol), stripControls = true))
     val canon =
       if (cfg.cacheWorkingSet)

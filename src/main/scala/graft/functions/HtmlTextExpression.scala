@@ -74,16 +74,19 @@ case class HtmlTextExpression(child: Expression)
   *     the t41 text rules.
   *  2. CONTAINER drop: text inside `<nav> <header> <footer> <aside>
   *     <form>` elements (open/close tracked per tag name with a
-  *     floor-zero depth counter; a tag whose `>` is immediately
-  *     preceded by `/` is self-closing and changes no depth) is
+  *     floor-zero depth counter; a tag with a TOP-LEVEL trailing `/`
+  *     is self-closing and changes no depth — a solidus inside an
+  *     unquoted attribute value is value text, the HTML5 rule) is
   *     boilerplate regardless of content.
   *  3. DENSITY drop: a surviving block is kept iff it has at least
   *     `minWords` whitespace-separated words AND its link density —
   *     non-space chars emitted inside `<a>` elements (same depth
-  *     tracking) over all non-space chars — is at most
-  *     `maxLinkDensity`. Short fragments (headings, buttons, "read
-  *     more") and link lists (menus, tag clouds, related-article
-  *     boxes) fail these gates; body paragraphs pass.
+  *     tracking; anchors are BLOCK-LOCAL — a block boundary closes any
+  *     open anchor, so an unclosed `<a>` poisons at most one block) —
+  *     over all non-space chars is at most `maxLinkDensity`. Short
+  *     fragments (headings, buttons, "read more") and link lists
+  *     (menus, tag clouds, related-article boxes) fail these gates;
+  *     body paragraphs pass.
   *  4. Kept blocks join with a single `\n`, in document order.
   *  Null in → null out; any byte garbage in → total (never throws).
   *
@@ -119,10 +122,12 @@ case class HtmlMainTextExpression(child: Expression,
   * PINNED semantics (same scan machinery as the t41/t44 kernels):
   *  1. A link is an `<a ...>` open tag carrying an `href` attribute
   *     (attr name case-insensitive; value quoted `'…'`/`"…"` or
-  *     unquoted to the next whitespace; character references in the
-  *     value decode — `&amp;` is routine in real hrefs). `<a>` without
-  *     href starts no link; a self-closing `<a/>` yields an
-  *     empty-anchor link.
+  *     unquoted to the next whitespace or `>`; character references in
+  *     the value decode — `&amp;` is routine in real hrefs). `<a>`
+  *     without href starts no link; a self-closing `<a href=x />`
+  *     (top-level trailing solidus — a `/` inside an unquoted value,
+  *     as in `href=http://x.com/`, is value text per the HTML5 rule)
+  *     yields an empty-anchor link.
   *  2. Anchor text = text between the open tag and the matching
   *     `</a>`, t41 text rules (entities decode, whitespace collapses,
   *     block boundaries inside the anchor contribute one space);
@@ -332,14 +337,26 @@ object HtmlTextExpression {
   private val containerTags: Array[String] =
     Array("nav", "header", "footer", "aside", "form")
 
-  /** First `href` attribute value in the tag-content region [from, to)
-    * (between the tag name and the closing `>`), entity-decoded; null
-    * when absent. Quoted or unquoted values per the pinned rules. */
-  private def hrefOf(s: String, from: Int, to: Int): String = {
+  /** Parse the tag-content region [from, to) (between the tag name and
+    * the closing `>`): (first entity-decoded `href` value or null,
+    * selfClosing). `selfClosing` is true only for a TOP-LEVEL trailing
+    * `/` — a solidus consumed as part of an unquoted attribute value
+    * (`href=http://x.com/`) is value text, NOT a tag closer, matching
+    * the HTML5 tokenizer's attribute-value states. The shared attribute
+    * walk for the links/main-content kernels (one drift-prone copy,
+    * not three). */
+  private[graft] def parseTag(s: String, from: Int, to: Int): (String, Boolean) = {
     var i = from
+    var href: String = null
+    var selfClosing = false
     while (i < to) {
-      while (i < to && (s.charAt(i) <= ' ' || s.charAt(i) == '/')) i += 1
-      if (i >= to) return null
+      selfClosing = false
+      while (i < to && (s.charAt(i) <= ' ' || s.charAt(i) == '/')) {
+        if (s.charAt(i) == '/') selfClosing = true
+        i += 1
+      }
+      if (i >= to) return (href, selfClosing)
+      selfClosing = false
       val n0 = i
       while (i < to && {
         val c = s.charAt(i); c > ' ' && c != '=' && c != '/'
@@ -357,15 +374,17 @@ object HtmlTextExpression {
           value = s.substring(v0, i)
           if (i < to) i += 1
         } else {
+          // unquoted: runs to whitespace or '>' — '/' is value text
           val v0 = i
           while (i < to && s.charAt(i) > ' ') i += 1
           value = s.substring(v0, i)
         }
       }
-      if (name == "href" && value != null) return decodeEntities(value)
+      if (name == "href" && value != null && href == null)
+        href = decodeEntities(value)
       if (name.isEmpty) i += 1 // never stall on pathological input
     }
-    null
+    (href, selfClosing)
   }
 
   private def decodeEntities(v: String): String = {
@@ -435,11 +454,10 @@ object HtmlTextExpression {
             (s.charAt(p) >= '0' && s.charAt(p) <= '9'))) p += 1
           val name = s.substring(name0, p).toLowerCase(java.util.Locale.ROOT)
           val end = tagEnd(s, i)
-          val selfClosing = !closing && end - 2 > i && s.charAt(end - 2) == '/'
           if (name == "a") {
             finishLink() // </a> ends it; a nested <a> ends it first too
             if (!closing) {
-              val href = hrefOf(s, p, math.max(p, end - 1))
+              val (href, selfClosing) = parseTag(s, p, math.max(p, end - 1))
               if (href != null) {
                 if (selfClosing) out += ((href, ""))
                 else pendingUrl = href
@@ -539,19 +557,30 @@ object HtmlTextExpression {
             (s.charAt(p) >= '0' && s.charAt(p) <= '9'))) p += 1
           val name = s.substring(name0, p).toLowerCase(java.util.Locale.ROOT)
           val end = tagEnd(s, i)
-          // `<x/>`: self-closing — opens and closes nothing
-          val selfClosing = !closing && end - 2 >= 0 &&
-            end - 2 > i && s.charAt(end - 2) == '/'
-          if (blockTags.contains(name)) finalizeBlock()
-          if (!selfClosing) {
-            val ci = containerTags.indexOf(name)
-            if (ci >= 0) {
-              if (closing) {
-                if (containerDepth(ci) > 0) containerDepth(ci) -= 1
-              } else containerDepth(ci) += 1
-            } else if (name == "a") {
-              if (closing) { if (anchorDepth > 0) anchorDepth -= 1 }
-              else anchorDepth += 1
+          if (blockTags.contains(name)) {
+            finalizeBlock()
+            // anchors are inline and block-LOCAL: a block boundary ends
+            // any open anchor, so one unclosed <a> (routine tag soup —
+            // this kernel does not auto-close like a browser) poisons
+            // at most its own block's link density, never the document
+            anchorDepth = 0
+          }
+          val ci = containerTags.indexOf(name)
+          if (ci >= 0 || name == "a") {
+            // `<x/>`: top-level trailing solidus only — a '/' inside an
+            // unquoted attribute value (href=http://x.com/) is value
+            // text, not a tag closer (shared parseTag walk)
+            val selfClosing = !closing &&
+              parseTag(s, p, math.max(p, end - 1))._2
+            if (!selfClosing) {
+              if (ci >= 0) {
+                if (closing) {
+                  if (containerDepth(ci) > 0) containerDepth(ci) -= 1
+                } else containerDepth(ci) += 1
+              } else {
+                if (closing) { if (anchorDepth > 0) anchorDepth -= 1 }
+                else anchorDepth += 1
+              }
             }
           }
           i = end

@@ -267,18 +267,35 @@ object UrlKernel {
   @inline private def isAsciiLetterCh(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
 
-  /** RFC 3986 §5.2.4 remove_dot_segments over an absolute path. */
+  /** RFC 3986 §5.2.4 remove_dot_segments over an absolute path —
+    * the literal input/output-buffer algorithm, so EMPTY segments
+    * survive (`/a/b//c` stays `/a/b//c`: double slashes are distinct
+    * resources on many servers; only `.` and `..` segments rewrite). */
   private[graft] def removeDotSegments(path: String): String = {
-    val out = new scala.collection.mutable.ArrayBuffer[String]()
-    val endsWithSlash = path.endsWith("/") || path.endsWith("/.") ||
-      path.endsWith("/..")
-    for (seg <- path.split("/")) seg match {
-      case "" | "." => ()
-      case ".." => if (out.nonEmpty) out.remove(out.length - 1)
-      case s => out += s
+    var in = path
+    val out = new java.lang.StringBuilder(path.length)
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../") || in == "/..") {
+        in = if (in == "/..") "/" else "/" + in.substring(4)
+        // pop the last complete segment (including its leading '/')
+        val cut = out.lastIndexOf("/")
+        out.setLength(if (cut < 0) 0 else cut)
+      }
+      else if (in == "." || in == "..") in = ""
+      else {
+        // move the first segment (a leading '/' plus up to the next '/')
+        val from = if (in.charAt(0) == '/') 1 else 0
+        val next = in.indexOf('/', from)
+        val segEnd = if (next < 0) in.length else next
+        out.append(in, 0, segEnd)
+        in = in.substring(segEnd)
+      }
     }
-    val joined = "/" + out.mkString("/")
-    if (endsWithSlash && joined != "/") joined + "/" else joined
+    out.toString
   }
 }
 

@@ -23,12 +23,17 @@ object Dedup {
   /** Candidate-pair count above which the verify-stage semi-join drops
     * its broadcast hint and lets the id set shuffle instead: a
     * dup-heavy corpus can produce a candidate-id set too large for the
-    * driver/broadcast path (ids are 8-byte keys — 16M pairs is a
-    * few-hundred-MB hashed relation upper bound, safely inside default
-    * executor memory; far above it, a shuffled left_semi on 8-byte
-    * keys is cheap relative to the shingle verify it gates). `var`
-    * only so specs can pin the fallback plan shape. */
-  private[graft] var MaxBroadcastCandidatePairs: Long = 16L * 1000 * 1000
+    * driver/broadcast path. Sizing honestly: 4M pairs bound ≤8M
+    * distinct 8-byte ids, and a LongHashedRelation costs ~40-100
+    * bytes/entry — a ~0.3-0.8 GB worst-case relation on the driver and
+    * each executor, inside default memory with headroom (NOT "a few
+    * hundred MB for 16M pairs", the r13 review's corrected math).
+    * Above the cap, the fallback is a shuffled left_semi on 8-byte
+    * keys — cheap relative to the shingle verify it gates, though the
+    * text projection then rides that one exchange (the documented
+    * dup-heavy tradeoff). `var` only so specs can pin the fallback
+    * plan shape. */
+  private[graft] var MaxBroadcastCandidatePairs: Long = 4L * 1000 * 1000
 
   /** Broadcast-hint `ids` when the measured candidate count is within
     * [[MaxBroadcastCandidatePairs]]; a negative count means "unknown"
@@ -341,9 +346,14 @@ object Dedup {
     // joins leave no exchange for runtime reuse to collapse.
     // `first(when(...), ignoreNulls)` is deterministic: exactly one row
     // per (pair, role) matches.
-    // explicit broadcast: the semi-filter must reach the text scan as a
-    // broadcast join — a shuffled semi would put the text column on an
-    // exchange. Candidate ids are 8-byte keys, a sliver of the corpus.
+    // conditional broadcast (r13): the semi-filter reaches the text
+    // scan as a broadcast join while the measured candidate count stays
+    // within MaxBroadcastCandidatePairs — the normal case, where ids
+    // are a sliver of the corpus and text never rides an exchange.
+    // Above the cap (dup-heavy corpora) the hint drops and the text
+    // projection DOES shuffle through the semi — the deliberate
+    // exception to the "document bodies never ride a shuffle" rule,
+    // because the alternative is an unbounded driver-side relation.
     val candIds = candidates
       .select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct()
@@ -890,10 +900,13 @@ object Dedup {
     * gracefully, and false positives merely add candidates), so a wrong
     * estimate can never change results.
     *
-    * NOTE this makes the call EAGER when the default prefilter is on:
-    * one Spark job runs at call time rather than at the first action on
-    * the returned frame. Callers that build plans speculatively (never
-    * executing them) should pass `bloomPrefilter = false`. */
+    * NOTE this makes the call EAGER under the defaults: Spark jobs run
+    * at call time (bloom sizing/build + the broadcast-gating candidate
+    * count) rather than at the first action on the returned frame.
+    * Callers that build plans speculatively (never executing them)
+    * should pass `bloomPrefilter = false, materialize = false` — that
+    * shape runs zero jobs at construction and keeps the unconditional
+    * broadcast hint. */
   def dedupAgainstSignatures(batch: DataFrame, priorSigs: DataFrame,
                              priorText: DataFrame,
                              idCol: String, textCol: String,
@@ -1001,13 +1014,24 @@ object Dedup {
     // semi-join and the verify join — without materialization the band
     // join (and its two scans) would execute twice. Candidates are
     // bounded (band-collision pairs of an increment); blocks free on GC
-    val cand = newBands.join(oldBands, Seq("band", "bhash"))
+    // checkpointed only under materialize (the d02 contract): even a
+    // LAZY localCheckpoint's RDD construction executes the upstream
+    // stages under AQE, which would break the zero-jobs-at-construction
+    // promise of the fully-lazy shape. Without it, cand recomputes per
+    // consumer — the documented zero-residue tradeoff.
+    val cand0 = newBands.join(oldBands, Seq("band", "bhash"))
       .select(col("id"), col("pid")).distinct()
-      .localCheckpoint(false)
+    val cand = if (materialize) cand0.localCheckpoint(false) else cand0
     // materialize the checkpoint NOW via count() (the job the first
     // consumer would have run anyway) — the exact pair count gates the
-    // broadcast hint below, the d02 conditional-broadcast discipline
-    val nCandPairs = cand.count()
+    // broadcast hint below, the d02 conditional-broadcast discipline.
+    // Skipped on the fully-lazy shape (bloomPrefilter=false AND
+    // materialize=false): that variant exists for callers that build
+    // plans speculatively, and a count here would execute the whole
+    // upstream DAG at construction time — they keep the unconditional
+    // hint instead (the documented zero-cache tradeoff).
+    val nCandPairs =
+      if (bloomPrefilter || materialize) cand.count() else -1L
     val newSh = newNarrow.select(col("id"), col("sh").as("sha"))
     // the ONE standing-text scan: candidate pids semi-filter the scan
     // BEFORE the shingle kernel runs, so only candidate docs pay it —

@@ -72,6 +72,15 @@ object TextAnalysis {
                    maxLinkDensity: Double = 0.33): Column =
     graft.functions.HtmlTextExpression.htmlMainText(html, minWords, maxLinkDensity)
 
+  /** Mojibake repair ([[graft.functions.MojibakeExpression]], pinned
+    * conservative rule there): UTF-8 text that was misdecoded as
+    * Windows-1252/Latin-1 upstream re-decodes; correctly-decoded
+    * accented text NEVER rewrites. Run before any byte-level hashing
+    * or tokenization — mojibake docs otherwise duplicate their clean
+    * twins without matching them. */
+  def fixMojibake(text: Column): Column =
+    graft.functions.MojibakeExpression.fixMojibake(text)
+
   /** HTML → (url, anchor) outlinks ([[graft.functions.HtmlLinksExpression]],
     * pinned rules there) — the web-graph construction step: raw hrefs +
     * anchor text in document order, `array<struct<url,anchor>>`. Chain

@@ -169,6 +169,11 @@ object GraftSqlFunctions {
         "blocks need >=5 words and <=0.33 link density)",
       { case Seq(t) => HtmlMainTextExpression(t) }),
 
+    ("graft_fix_mojibake",
+      "graft_fix_mojibake(text) - repair UTF-8 misdecoded as cp1252/Latin-1 " +
+        "(conservative: only round-trips that form valid multi-byte UTF-8 rewrite)",
+      { case Seq(t) => MojibakeExpression(t) }),
+
     ("graft_html_links",
       "graft_html_links(html) - array<struct<url,anchor>> outlinks: href-bearing " +
         "<a> tags with entity-decoded hrefs and collapsed anchor text",

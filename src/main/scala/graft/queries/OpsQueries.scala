@@ -888,6 +888,32 @@ object OpsQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Mojibake repair over planted misdecodes: cp1252 double-encoding
+    // (cafA~A(c)-style) and Latin-1/cp1252 punctuation mojibake must
+    // re-decode; a correctly-accented suffix (whose cp1252 round-trip
+    // is NOT valid UTF-8) and plain ASCII must pass through unchanged.
+    // The oracle assembles the expected repaired strings from chr()
+    // code points — fully independent of the kernel.
+    "t47_fix_mojibake" -> ((s, d) => {
+      val m4 = col("doc_id") % 4
+      // escapes, not literal chars, so the source file's own encoding
+      // can never corrupt the plant: variant 0 = "cafA~(c)"-style UTF-8
+      // read as cp1252, 1 = correctly-accented (must NOT rewrite),
+      // 2 = trademark sign misread via the cp1252 0x84 display char
+      val suffix = when(m4 === 0,
+          lit(" caf\u00C3\u00A9 \u00E2\u20AC\u2122 na\u00C3\u00AFve"))
+        .when(m4 === 1, lit(" caf\u00E9"))
+        .when(m4 === 2, lit(" \u00E2\u201E\u00A2 mark"))
+        .otherwise(lit(""))
+      val planted = concat(col("text"), suffix)
+      Tables.documentsBalanced(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.fixMojibake(planted).as("fixed"),
+          (TextAnalysis.fixMojibake(planted) =!= planted)
+            .cast("int").as("changed"))
+        .orderBy("doc_id")
+    }),
+
     // Outlink harvesting + the full URL chain — the web-graph
     // construction step: html_links pulls (href, anchor) pairs from a
     // planted crawl page (absolute link with &amp; entity, root-relative,
@@ -2464,6 +2490,21 @@ object OpsQueries extends QueryPack {
            'fish & chips !' || chr(10) ||
            text || chr(10) ||
            'tail end' AS extracted
+         FROM documents ORDER BY doc_id""",
+
+    // expected repairs from raw code points: 233=e-acute, 8217=right
+    // single quote, 239=i-diaeresis, 8482=trademark — the decoded
+    // forms of the planted cp1252 misreads; variants 1/3 unchanged
+    "t47_fix_mojibake" ->
+      """SELECT doc_id,
+           text || CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN ' caf' || chr(233) || ' ' || chr(8217) ||
+               ' na' || chr(239) || 've'
+             WHEN 1 THEN ' caf' || chr(233)
+             WHEN 2 THEN ' ' || chr(8482) || ' mark'
+             ELSE '' END AS fixed,
+           CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN 1 WHEN 2 THEN 1 ELSE 0 END AS changed
          FROM documents ORDER BY doc_id""",
 
     // all five expected edges per doc, assembled analytically: the

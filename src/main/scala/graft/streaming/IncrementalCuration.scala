@@ -111,10 +111,26 @@ object IncrementalCuration {
         .localCheckpoint(true)
       val collisions = colliding.count()
       if (collisions > 0L) {
-        colliding.write.mode("append").parquet(standingDir + "_rejected")
+        // replay-idempotent append: a crash after this write but before
+        // the checkpoint commit replays the batch, and the colliding
+        // row would land in quarantine AGAIN (unlike the corpus append,
+        // dedup can't absorb it — the collision is the reason it's
+        // here). Anti-join on (doc_id, content fingerprint) against the
+        // already-quarantined rows first.
+        val rejDir = standingDir + "_rejected"
+        val rejPath = new org.apache.hadoop.fs.Path(rejDir)
+        val toWrite =
+          if (!hasParquet(rejPath)) colliding
+          else colliding.withColumn("_fp", md5(col("text")))
+            .join(spark.read.parquet(rejDir)
+              .select(col("doc_id"), md5(col("text")).as("_fp")),
+              Seq("doc_id", "_fp"), "left_anti")
+            .drop("_fp")
+        val nNew = toWrite.count()
+        if (nNew > 0L) toWrite.write.mode("append").parquet(rejDir)
         System.err.println(
-          s"IncrementalCuration: quarantined $collisions doc_id " +
-            s"collisions to ${standingDir}_rejected")
+          s"IncrementalCuration: quarantined $nNew doc_id collisions " +
+            s"to $rejDir ($collisions colliding in batch)")
       }
       val fresh =
         if (collisions == 0L) materialized

@@ -147,6 +147,14 @@ class HtmlTextSpec extends SparkSpec {
     // totality on soup
     assert(m("<<<>>&&#;<nav foo='>'><a") != null)
     assert(m("") == "")
+    // an unclosed <a> (no </a> anywhere — routine tag soup) poisons at
+    // most its OWN block's link density: anchors are block-local
+    assert(m("<p><a href=/x>logo<p>This body paragraph has plenty of words</p>") ==
+      "This body paragraph has plenty of words")
+    // unquoted attr value ending in '/' does not self-close a container
+    assert(m("<nav data=x/><p>menu menu menu menu menu</p></nav>" +
+      "<p>real body paragraph with five words</p>") ==
+      "real body paragraph with five words")
   }
 
   private def lk(s: String) = HtmlTextExpression.links(s)
@@ -173,6 +181,12 @@ class HtmlTextSpec extends SparkSpec {
     // totality on soup
     assert(lk("""<a href=<a href href= ><a""") != null)
     assert(lk("") == Seq.empty)
+    // unquoted href ending in '/' is VALUE text, not a self-closer
+    // (the HTML5 attribute-value rule) — anchor text must survive
+    assert(lk("""<a href=http://example.com/>Example</a>""") ==
+      Seq(("http://example.com/", "Example")))
+    // spaced trailing solidus IS a top-level self-closer
+    assert(lk("""<a href=/x />after""") == Seq(("/x", "")))
   }
 
   test("links column path and SQL registration match the kernel") {

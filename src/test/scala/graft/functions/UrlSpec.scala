@@ -73,6 +73,10 @@ class UrlSpec extends SparkSpec {
     assert(r("../../../g") == "http://h.com/g") // over-popped floors at root
     assert(r("g/") == "http://h.com/a/b/g/")
     assert(r("g?y#s") == "http://h.com/a/b/g?y#s")
+    // empty segments survive (RFC 5.2.4 moves them verbatim): double
+    // slashes are distinct resources on many servers
+    assert(UrlKernel.resolve("http://h.com/a/", "b//c") == "http://h.com/a/b//c")
+    assert(r("..//g") == "http://h.com/a//g")
     // unanchorable base stays total
     assert(UrlKernel.resolve("not a url", "/x") == "/x")
     assert(UrlKernel.resolve("", "rel/p") == "rel/p")

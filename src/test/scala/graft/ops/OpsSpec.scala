@@ -1020,6 +1020,28 @@ class OpsSpec extends SparkSpec {
       assert(t1 == t0, "signature path must match the text path")
       assert(t0.nonEmpty && t0.size < 80,
         s"mixed batch must both keep and drop rows: kept ${t0.size}")
+      // fully-lazy escape hatch: bloomPrefilter=false + materialize=
+      // false must run ZERO Spark jobs at construction (the documented
+      // speculative-plan shape) — and still produce the same keep set
+      val jobs = new java.util.concurrent.atomic.AtomicLong(0)
+      val jl = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(jl)
+      val lazyFrame =
+        try {
+          val f = Dedup.dedupAgainstSignatures(mixed, sigs, prior,
+            "doc_id", "text", bloomPrefilter = false, materialize = false)
+          val bus = spark.sparkContext.getClass
+            .getMethod("listenerBus").invoke(spark.sparkContext)
+          bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+          f
+        } finally spark.sparkContext.removeSparkListener(jl)
+      assert(jobs.get() == 0L,
+        s"lazy shape ran ${jobs.get()} construction jobs (must be 0)")
+      assert(lazyFrame.select("doc_id").as[Long].collect().toSet == t0)
       // broadcast-fallback pin: above MaxBroadcastCandidatePairs the
       // verify semi-joins drop their broadcast hint (the dup-heavy
       // driver-OOM hazard) — keep sets and pair sets must not change

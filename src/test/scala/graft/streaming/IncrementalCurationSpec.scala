@@ -118,6 +118,15 @@ class IncrementalCurationSpec extends SparkSpec {
     // signature table stays in lockstep with the corpus
     assert(spark.read.parquet(s"$standingDir/_graft_signatures").count() ==
       corpus.count())
+    // REPLAY idempotence: a crash after the quarantine write but before
+    // the offset commit redelivers the batch — the collision recurs
+    // (its content still differs from standing) but must not quarantine
+    // a second copy, and the novel doc still appends nothing
+    val replayAppended = IncrementalCuration.processBatch(
+      spark, recrawl.unionByName(mkDocs(Seq(601L))), standingDir, benchmark)
+    assert(replayAppended == 0L)
+    assert(spark.read.parquet(standingDir + "_rejected").count() == 1L,
+      "replayed collision must not duplicate in quarantine")
   }
 
   test("self-heal: a short signature table is rebuilt before the increment") {
