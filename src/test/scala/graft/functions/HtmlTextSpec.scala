@@ -205,6 +205,28 @@ class HtmlTextSpec extends SparkSpec {
     assert(n.head.isNullAt(0))
   }
 
+  test("property: every main-content line is verbatim a line of the full extraction") {
+    // extractMain may only DROP blocks, never synthesize or edit text:
+    // both kernels share the block boundaries and text-assembly rules,
+    // so each kept main line must appear among the full extract's lines
+    val soup = Gen.listOfN(30, Gen.oneOf(
+      Gen.oneOf("<p>", "</p>", "<nav>", "</nav>", "<footer>", "</footer>",
+        "<a href=/x>", "</a>", "<br/>", "<div>", "</div>", "<b>", "</b>",
+        "&amp;", " ", "<script>j</script>", "<!-- c -->"),
+      Gen.alphaNumStr.map(w => " " + w.take(8) + " "))).map(_.mkString)
+    var seed = Seed(99L)
+    (1 to 300).foreach { _ =>
+      val s = soup.apply(Gen.Parameters.default, seed).getOrElse("")
+      seed = seed.next
+      val fullLines = x(s).split("\n").toSet
+      val mainLines = HtmlTextExpression.extractMain(s, 1, 1.0).split("\n")
+      mainLines.filter(_.nonEmpty).foreach { line =>
+        assert(fullLines.contains(line),
+          s"main line not in full extract: '$line'\nsoup: $s")
+      }
+    }
+  }
+
   test("main content column path and SQL registration match the kernel") {
     import spark.implicits._
     val rows = Seq(
