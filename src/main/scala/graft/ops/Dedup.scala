@@ -1354,11 +1354,18 @@ object Dedup {
       .filter(struct(col("_id"), col("_pos")) =!= col("_keep"))
       .groupBy("_id")
       .agg(sort_array(collect_set(col("_pos"))).as("_starts"))
+    applyWindowRemovals(base, removals, idCol, w)
+  }
+
+  /** Shared removal tail for the window-scrubbing family: drop every
+    * token covered by a removal window start, re-join survivors.
+    * `base` = (_id, _toks); `removals` = (_id, _starts sorted). A token
+    * survives iff no removal window covers its index; one codegen
+    * pass, O(tokens × starts) worst case per row — `exists`
+    * short-circuits and affected docs carry few starts. */
+  private def applyWindowRemovals(base: DataFrame, removals: DataFrame,
+                                  idCol: String, w: Int): DataFrame = {
     val starts = coalesce(col("_starts"), array().cast("array<int>"))
-    // a token survives iff no removal window covers its index; one
-    // codegen pass, O(tokens × starts) worst case per row — starts are
-    // merged-interval-equivalent here because `exists` short-circuits and
-    // affected docs carry few starts (boilerplate spans, not confetti)
     def covered(i: Column): Column =
       exists(starts, s => i >= s && i < s + w)
     val kept = filter(col("_toks"), (_, i) => !covered(i))
@@ -1367,5 +1374,47 @@ object Dedup {
         size(col("_toks")).cast("long").as("n_tokens"),
         (size(col("_toks")) - size(kept)).cast("long").as("n_removed"),
         array_join(kept, " ").as("clean_text"))
+  }
+
+  /** SURGICAL decontamination — remove every n-token window that occurs
+    * anywhere in `benchmark` from the corpus TEXT (ALL occurrences;
+    * unlike [[removeDuplicatePassages]] there is no first-occurrence
+    * keeper — an eval span may keep no copy), leaving the rest of the
+    * document intact. The lab-standard alternative to
+    * [[contamination]]/[[bloomContamination]]'s whole-document verdict
+    * for corpora that are mostly clean but QUOTE eval items: dropping a
+    * 5,000-token document over one leaked question wastes the other
+    * 4,992 tokens; scrubbing removes exactly the leak.
+    *
+    * Scale shape is [[removeDuplicatePassages]]'s: document text never
+    * explodes — only (id, pos, hash) tuples do — and the per-document
+    * removal tail is one codegen pass. The benchmark's DISTINCT window
+    * hashes are eval-suite-sized and broadcast into a semi-join, so
+    * corpus occurrences never shuffle on the hash at any corpus size.
+    * Windows use the same md5 window-hash kernel on both sides
+    * (documents or benchmark rows shorter than `n` tokens contribute no
+    * windows). Output: (idCol, n_tokens, n_removed, clean_text), one
+    * row per input row. */
+  def scrubContamination(df: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 8): DataFrame = {
+    require(n >= 2, s"window must be >= 2 tokens: $n")
+    for (c <- Seq("_id", "_toks", "_pos", "_h", "_starts")
+         if df.columns.contains(c))
+      throw new IllegalArgumentException(
+        s"scrubContamination: input must not contain column '$c' " +
+          "(reserved working name); rename it first")
+    val base = df.select(col(idCol).as("_id"),
+      split(trim(col(textCol)), " ", -1).as("_toks"))
+    val occ = df.select(col(idCol).as("_id"),
+      posexplode(graft.functions.ShingleExpressions
+        .windowHashes(col(textCol), n)).as(Seq("_pos", "_h")))
+    val benchH = benchmark.select(
+      explode(graft.functions.ShingleExpressions
+        .windowHashes(col(textCol), n)).as("_h")).distinct()
+    val removals = occ.join(broadcast(benchH), Seq("_h"), "left_semi")
+      .groupBy("_id")
+      .agg(sort_array(collect_set(col("_pos"))).as("_starts"))
+    applyWindowRemovals(base, removals, idCol, n)
   }
 }

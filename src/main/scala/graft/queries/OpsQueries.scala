@@ -376,6 +376,23 @@ object OpsQueries extends QueryPack {
         .orderBy("lang")
     }),
 
+    // SURGICAL decontamination: remove every benchmark 8-gram window
+    // from the corpus text (all occurrences — an eval span keeps no
+    // copy), leaving the rest of the document — the alternative to
+    // d07's whole-doc drop for mostly-clean docs that quote eval items.
+    // Same benchmark split as d07 (every 20th doc); oracle replays the
+    // token-window machinery in DuckDB (the t32 pattern) against the
+    // benchmark's distinct window hashes
+    "d20_scrub_contamination" -> ((s, d) => {
+      val docs = Tables.documentsBalanced(s, d)
+        .select(col("doc_id"), col("text"))
+      Dedup.scrubContamination(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
     // decontamination behind a Bloom prefilter: same answer as d07
     // (no false negatives; the exact join removes false positives), but
     // clean docs are dismissed inside the narrow scan — the 100 TB plan
@@ -1795,6 +1812,54 @@ object OpsQueries extends QueryPack {
          SELECT s.doc_id, count(DISTINCT s.sh) AS n_overlap
          FROM sh s JOIN bench b USING (sh)
          GROUP BY 1 ORDER BY doc_id""",
+
+    // the t32 token-window replay pointed at the benchmark: corpus
+    // windows whose md5 matches ANY benchmark window hash mark their
+    // covered token positions for removal; survivors re-join in order
+    "d20_scrub_contamination" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+         d AS (
+           SELECT doc_id, string_split(trim(text), ' ') AS toks
+           FROM corpus),
+         g AS (
+           SELECT doc_id, toks,
+             [md5(array_to_string(toks[i : i + 7], ' '))
+              for i in generate_series(1, greatest(len(toks) - 7, 0))] AS hs
+           FROM d),
+         grams AS (
+           SELECT doc_id, u.pos, u.h
+           FROM g, unnest([{'h': hs[i], 'pos': i - 1}
+                           for i in generate_series(1, len(hs))]) AS t(u)),
+         bt AS (
+           SELECT string_split(trim(text), ' ') AS toks
+           FROM documents WHERE doc_id % 20 = 0),
+         bh AS (
+           SELECT DISTINCT unnest(
+             [md5(array_to_string(toks[i : i + 7], ' '))
+              for i in generate_series(1, greatest(len(toks) - 7, 0))]) AS h
+           FROM bt),
+         removals AS (
+           SELECT DISTINCT g.doc_id, g.pos FROM grams g JOIN bh USING (h)),
+         toks AS (
+           SELECT doc_id, u.tok, u.pos
+           FROM d, unnest([{'tok': toks[i], 'pos': i - 1}
+                           for i in generate_series(1, len(toks))]) AS t(u)),
+         cov AS (
+           SELECT DISTINCT t.doc_id, t.pos
+           FROM toks t JOIN removals s
+             ON t.doc_id = s.doc_id
+            AND t.pos BETWEEN s.pos AND s.pos + 7),
+         agg AS (
+           SELECT t.doc_id, count(*) AS n_tokens, count(c.pos) AS n_removed,
+             coalesce(string_agg(CASE WHEN c.pos IS NULL THEN t.tok END,
+                                 ' ' ORDER BY t.pos), '') AS clean_text
+           FROM toks t LEFT JOIN cov c
+             ON c.doc_id = t.doc_id AND c.pos = t.pos
+           GROUP BY t.doc_id)
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_removed AS BIGINT) AS n_removed, clean_text
+         FROM agg ORDER BY doc_id""",
 
     // exact string shingles where the engine joins on xxhash64 keys —
     // identical absent a 64-bit collision (the d07 convention)

@@ -372,6 +372,9 @@ class PlanShapeSpec extends SparkSpec {
     // d02 banding over the 2-scan planted union, election joins reuse
     "d18_neardup_keep_best" -> 4,
     "d15_contamination_report" -> 3,
+    // corpus base tokens + corpus window-hash occurrences (the t32
+    // two-consumer shape); the benchmark side broadcasts hash-only
+    "d20_scrub_contamination" -> 2,
     // t45's crawl is a 4-scan union family (base + 3 planted variants)
     // of the one documents table, flowing through curate()'s dedup
     // internals (which re-reference the narrow scan, the d02 shape)

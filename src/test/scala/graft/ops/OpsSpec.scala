@@ -1917,6 +1917,40 @@ class OpsSpec extends SparkSpec {
     assert(got(0) == ((9L, 6L, "p q r")))
   }
 
+  test("scrubContamination: benchmark spans removed from ALL occurrences, rest intact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "intro words then the secret eval answer here plus tail text"),
+      (2L, "clean document with no leaked content at all okay"),
+      (3L, "the secret eval answer here plus more padding words"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val bench = Seq("prefix the secret eval answer here plus suffix")
+      .toDF("text")
+    val got = Dedup.scrubContamination(docs, bench, "doc_id", "text", n = 6)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // every doc-window matching a benchmark 6-gram is scrubbed — BOTH
+    // leaked docs lose the span (no first-occurrence keeper), clean and
+    // short docs pass through verbatim
+    assert(got(0)._4.contains("intro words then") &&
+      !got(0)._4.contains("secret"), got(0).toString)
+    assert(got(0)._3 > 0)
+    assert(got(1) == ((2L, 9L, 0L, "clean document with no leaked content at all okay")))
+    assert(got(2)._4 == "" || !got(2)._4.contains("secret"), got(2).toString)
+    assert(got(2)._3 > 0, "second occurrence must ALSO scrub")
+    assert(got(3) == ((4L, 1L, 0L, "tiny")))
+    // empty benchmark: pure no-op, every doc intact
+    val noop = Dedup.scrubContamination(docs,
+        Seq.empty[String].toDF("text"), "doc_id", "text", n = 6)
+      .filter(col("n_removed") > 0).count()
+    assert(noop == 0L)
+    // guard parity with the passage scrubber
+    intercept[IllegalArgumentException] {
+      Dedup.scrubContamination(docs.withColumn("_h", lit(1)), bench,
+        "doc_id", "text")
+    }
+  }
+
   test("removeDuplicatePassages: guards (w >= 2, reserved columns)") {
     import spark.implicits._
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
