@@ -1,0 +1,659 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.JavaConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DSv2 reader for WARC web-archive files (ISO 28500 — the container
+  * format web crawls ship in; Common Crawl's WARC/WET layout):
+  * `spark.read.format("warc").option("path", dir).load()` → one row per
+  * WARC record with the headers lifted to columns, the HTTP envelope of
+  * `application/http` blocks parsed off, and the payload as binary.
+  *
+  * Scale shape, the part that matters at 100 TB of crawl:
+  *  - plain `.warc` files are SPLITTABLE: files are planned in
+  *    `maxPartitionBytes` chunks and each task aligns to the first
+  *    record boundary inside its split by sync-scanning for a
+  *    `WARC/...` version line that (a) parses as a full header block
+  *    and (b) CHAINS — the record it describes ends at EOF or at
+  *    another parseable record. A payload that merely CONTAINS WARC
+  *    bytes (a crawl of a page about WARC) cannot satisfy the chain
+  *    test without being a well-formed record stream, so false syncs
+  *    don't survive (spec-pinned with a planted trap payload);
+  *  - `.warc.gz` files are one partition each — gzip members are not
+  *    seekable without an external index, so the FILE is the unit of
+  *    parallelism, exactly the layout crawls publish (tens of
+  *    thousands of ~1 GiB files). Multi-member streams (the
+  *    record-per-member convention that makes `.warc.gz` appendable)
+  *    decode transparently;
+  *  - column pruning is real IO: a projection without `payload` /
+  *    `http_*` SEEKS past every content block and reads header bytes
+  *    only (`explain` shows `read=headers-only`) — a URL/type listing
+  *    over a 100 TB crawl touches well under 1% of the bytes;
+  *  - `warc_type` equality and `target_uri` prefix filters push down
+  *    as IO skips (non-matching records never read their block; the
+  *    filters stay residual so correctness never rides the skip).
+  *
+  * Truncated tails (a crawler died mid-record) drop the partial record
+  * and end the scan instead of failing the job — the archive-reader
+  * convention (warcio does the same); malformed bytes at a position the
+  * reader ALIGNED to (not a tail) fail loudly with file@offset. */
+class WarcDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "warc"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WarcDataSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new WarcTable(MarcDataSource.resolvePaths(properties.asScala.toMap))
+}
+
+object WarcDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("record_id", StringType, nullable = true),
+    StructField("warc_type", StringType, nullable = false),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("warc_date", StringType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("content_length", LongType, nullable = false),
+    StructField("http_status", IntegerType, nullable = true),
+    StructField("http_content_type", StringType, nullable = true),
+    StructField("payload", BinaryType, nullable = true)))
+
+  /** Header-block byte caps: a WARC named-field block beyond 64 KiB or
+    * an HTTP header block beyond 64 KiB is corruption, not data (the
+    * spec puts no limit, but crawlers cap around 8-16 KiB). */
+  val MaxWarcHeaderBytes: Int = 64 * 1024
+  val MaxHttpHeaderBytes: Int = 64 * 1024
+  /** Window capacity for the splittable plain reader: header cap plus
+    * slack; blocks are SEEKED past, never windowed, so this bounds task
+    * memory regardless of payload size. */
+  private[sources] val WindowBytes: Int = 2 * (MaxWarcHeaderBytes + 4096)
+}
+
+final class WarcTable(paths: Seq[String])
+    extends Table with SupportsRead with SupportsMetadataColumns {
+  override def name(): String = s"warc(${paths.mkString(",")})"
+  override def schema(): StructType = WarcDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  /** Same provenance contract as the MARC source: (file, byte offset)
+    * — for `.warc.gz` the offset is in the UNCOMPRESSED stream (gzip
+    * offsets would need the member index the format doesn't carry). */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = "_input_file"
+      override def dataType(): DataType = StringType
+      override def comment(): String = "input file path"
+    },
+    new MetadataColumn {
+      override def name(): String = "_record_offset"
+      override def dataType(): DataType = LongType
+      override def comment(): String =
+        "record byte offset (uncompressed stream offset for .warc.gz)"
+    })
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WarcScanBuilder(paths)
+}
+
+/** Header-only record predicate: evaluable before any block byte is
+  * read, so a miss seeks straight to the next record. */
+final case class WarcPred(types: Option[Set[String]],
+                          uriPrefixes: Seq[String]) extends Serializable {
+  def matches(warcType: String, uri: String): Boolean =
+    types.forall(_.contains(warcType)) &&
+      (uriPrefixes.isEmpty || (uri != null && uriPrefixes.forall(uri.startsWith)))
+  def isEmpty: Boolean = types.isEmpty && uriPrefixes.isEmpty
+}
+
+final class WarcScanBuilder(paths: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, In, StringStartsWith}
+  private var required: StructType = WarcDataSource.schema
+  private var accepted: Array[Filter] = Array.empty
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  /** Accepted filters skip block IO but are returned residual — Spark
+    * re-evaluates them post-scan, so pushdown can only skip bytes. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.filter {
+      case EqualTo("warc_type", _: String) => true
+      case In("warc_type", vs) => vs.forall(_.isInstanceOf[String])
+      case StringStartsWith("target_uri", _) => true
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+  override def build(): Scan = {
+    val eqs = accepted.collect {
+      case EqualTo("warc_type", v: String) => Set(v)
+      case In("warc_type", vs) => vs.map(_.asInstanceOf[String]).toSet
+    }
+    val pred = WarcPred(eqs.reduceOption(_ intersect _),
+      accepted.collect { case StringStartsWith("target_uri", p) => p }.toSeq)
+    new WarcScan(paths, required, pred)
+  }
+}
+
+final case class WarcInputPartition(path: String, start: Long, length: Long,
+                                    gzipped: Boolean) extends InputPartition
+
+final class WarcScan(paths: Seq[String], required: StructType,
+                     pred: WarcPred = WarcPred(None, Nil))
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String = {
+    val needBlock = required.fieldNames.exists(n =>
+      n == "payload" || n == "http_status" || n == "http_content_type")
+    val mode = if (needBlock) "read=full" else "read=headers-only"
+    val filt = if (pred.isEmpty) "" else s" recfilter=$pred"
+    s"warc(${paths.mkString(",")}) $mode$filt"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val conf = spark.sessionState.newHadoopConf()
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    paths.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val statuses =
+        if (fs.getFileStatus(path).isDirectory)
+          fs.listStatus(path).toSeq.filter(s => s.isFile &&
+            !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+        else Seq(fs.getFileStatus(path))
+      statuses.flatMap { st =>
+        val name = st.getPath.getName
+        val len = st.getLen
+        if (name.endsWith(".gz"))
+          // gzip members aren't seekable: the file is the parallelism
+          // unit, as in every published crawl layout
+          Seq(WarcInputPartition(st.getPath.toString, 0L, len, gzipped = true))
+        else
+          (0L until math.max(len, 1L) by maxSplit).map { off =>
+            WarcInputPartition(st.getPath.toString, off,
+              math.min(maxSplit, len - off), gzipped = false)
+          }
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(required, pred)
+}
+
+final class WarcReaderFactory(required: StructType, pred: WarcPred)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[WarcInputPartition]
+    if (p.gzipped) new WarcGzPartitionReader(p, required, pred)
+    else new WarcSplitPartitionReader(p, required, pred)
+  }
+}
+
+/** Parsed WARC named-field block. Field names are lowercased (the spec
+  * says names are case-insensitive). `headerLen` spans the version line
+  * through the blank line, so `recordStart + headerLen` is byte 0 of
+  * the content block. */
+private[sources] final case class WarcHeader(fields: Map[String, String],
+                                             headerLen: Int) {
+  def apply(name: String): String = fields.getOrElse(name, null)
+  def contentLength: Long = {
+    val v = fields.getOrElse("content-length", null)
+    if (v == null) -1L else try v.toLong catch { case _: NumberFormatException => -1L }
+  }
+}
+
+private[sources] object Warc {
+  /** Parses one WARC header block at `off`. Returns null when the bytes
+    * there are not a well-formed header (no `WARC/` magic, no blank-line
+    * terminator within the cap, or a malformed field line) — the sync
+    * scan uses null as "not a record here". Tolerates bare-LF line
+    * endings (the spec mandates CRLF; lenient readers accept LF) and
+    * folded continuation lines. */
+  def parseHeader(buf: Array[Byte], off: Int, end0: Int): WarcHeader = {
+    val end = math.min(end0, off + WarcDataSource.MaxWarcHeaderBytes)
+    if (off + 8 >= end) return null
+    if (buf(off) != 'W' || buf(off + 1) != 'A' || buf(off + 2) != 'R' ||
+        buf(off + 3) != 'C' || buf(off + 4) != '/') return null
+    var p = off + 5
+    // version chars up to EOL: digits and dots only (WARC/1.0, /1.1, /0.18)
+    while (p < end && buf(p) != '\r' && buf(p) != '\n') {
+      val c = buf(p)
+      if (!((c >= '0' && c <= '9') || c == '.')) return null
+      p += 1
+    }
+    if (p == off + 5) return null
+    val fields = Map.newBuilder[String, String]
+    var lastName: String = null
+    var lastValue: String = null
+    var done = false
+    while (!done) {
+      // consume the EOL of the previous line
+      if (p < end && buf(p) == '\r') p += 1
+      if (p >= end || buf(p) != '\n') return null
+      p += 1
+      if (p >= end) return null
+      if (buf(p) == '\r' || buf(p) == '\n') {
+        // blank line: end of header block
+        if (buf(p) == '\r') p += 1
+        if (p >= end || buf(p) != '\n') return null
+        p += 1
+        done = true
+      } else if (buf(p) == ' ' || buf(p) == '\t') {
+        // folded continuation of the previous field value
+        if (lastName == null) return null
+        val vs = p
+        while (p < end && buf(p) != '\r' && buf(p) != '\n') p += 1
+        if (p >= end) return null
+        lastValue = lastValue + " " +
+          new String(buf, vs, p - vs, java.nio.charset.StandardCharsets.UTF_8).trim
+      } else {
+        if (lastName != null) fields += lastName -> lastValue
+        val ns = p
+        while (p < end && buf(p) != ':' && buf(p) != '\r' && buf(p) != '\n') p += 1
+        if (p >= end || buf(p) != ':') return null
+        val name = new String(buf, ns, p - ns,
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLowerCase(java.util.Locale.ROOT)
+        if (name.isEmpty) return null
+        p += 1
+        val vs = p
+        while (p < end && buf(p) != '\r' && buf(p) != '\n') p += 1
+        if (p >= end) return null
+        lastName = name
+        lastValue = new String(buf, vs, p - vs,
+          java.nio.charset.StandardCharsets.UTF_8).trim
+      }
+    }
+    if (lastName != null) fields += lastName -> lastValue
+    val h = WarcHeader(fields.result(), p - off)
+    if (h.contentLength < 0 || h("warc-type") == null) null else h
+  }
+
+  /** Parses the HTTP response/request envelope at the head of a block:
+    * (status, content-type, body offset). A block that doesn't start
+    * with `HTTP/` yields (-1, null, 0) — the whole block is payload. */
+  def parseHttp(buf: Array[Byte], off: Int, end0: Int): (Int, String, Int) = {
+    val end = math.min(end0, off + WarcDataSource.MaxHttpHeaderBytes)
+    if (off + 5 > end || buf(off) != 'H' || buf(off + 1) != 'T' ||
+        buf(off + 2) != 'T' || buf(off + 3) != 'P' || buf(off + 4) != '/')
+      return (-1, null, 0)
+    var p = off
+    // status line: HTTP/x.y SP status ...
+    while (p < end && buf(p) != ' ' && buf(p) != '\r' && buf(p) != '\n') p += 1
+    var status = -1
+    if (p < end && buf(p) == ' ') {
+      p += 1
+      var s = 0
+      var digits = 0
+      while (p < end && buf(p) >= '0' && buf(p) <= '9') {
+        s = s * 10 + (buf(p) - '0'); digits += 1; p += 1
+      }
+      if (digits == 3) status = s
+    }
+    while (p < end && buf(p) != '\n') p += 1
+    if (p >= end) return (-1, null, 0) // status line never ended: not HTTP
+    p += 1
+    var contentType: String = null
+    var bodyOff = -1
+    while (bodyOff < 0 && p < end) {
+      if (buf(p) == '\r' || buf(p) == '\n') {
+        if (buf(p) == '\r') p += 1
+        if (p < end && buf(p) == '\n') bodyOff = p + 1 - off
+        else return (-1, null, 0)
+      } else {
+        val ns = p
+        while (p < end && buf(p) != ':' && buf(p) != '\n') p += 1
+        if (p >= end || buf(p) != ':') { // malformed header line: bail
+          while (p < end && buf(p) != '\n') p += 1
+          if (p >= end) return (-1, null, 0)
+          p += 1
+        } else {
+          val name = new String(buf, ns, p - ns,
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          p += 1
+          val vs = p
+          while (p < end && buf(p) != '\r' && buf(p) != '\n') p += 1
+          if (name.equalsIgnoreCase("content-type") && contentType == null)
+            contentType = new String(buf, vs, p - vs,
+              java.nio.charset.StandardCharsets.UTF_8).trim
+          if (p < end && buf(p) == '\r') p += 1
+          if (p >= end || buf(p) != '\n') return (-1, null, 0)
+          p += 1
+        }
+      }
+    }
+    // headers ran past the cap without a blank line: treat as opaque
+    if (bodyOff < 0) (-1, null, 0) else (status, contentType, bodyOff)
+  }
+}
+
+/** Shared row assembly for both readers. */
+private[sources] abstract class WarcReaderBase(part: WarcInputPartition,
+                                               required: StructType)
+    extends PartitionReader[InternalRow] {
+  protected val needPayload: Boolean = required.fieldNames.contains("payload")
+  protected val needHttp: Boolean = required.fieldNames.exists(n =>
+    n == "http_status" || n == "http_content_type") || needPayload
+  protected val needBlock: Boolean = needPayload || needHttp
+  private val pathUtf8 = UTF8String.fromString(part.path)
+
+  protected var current: InternalRow = _
+
+  /** (status, contentType, payload) from a block prefix + optional body;
+    * `httpEnvelope` = record Content-Type says application/http. */
+  protected def assemble(h: WarcHeader, offset: Long, status: Int,
+                         httpContentType: String, payload: Array[Byte]): Unit = {
+    val values = new Array[Any](required.fields.length)
+    var i = 0
+    for (f <- required.fields) {
+      values(i) = f.name match {
+        case "record_id" =>
+          val v = h("warc-record-id"); if (v == null) null else UTF8String.fromString(v)
+        case "warc_type" => UTF8String.fromString(h("warc-type"))
+        case "target_uri" =>
+          val v = h("warc-target-uri"); if (v == null) null else UTF8String.fromString(v)
+        case "warc_date" =>
+          val v = h("warc-date"); if (v == null) null else UTF8String.fromString(v)
+        case "content_type" =>
+          val v = h("content-type"); if (v == null) null else UTF8String.fromString(v)
+        case "content_length" => h.contentLength
+        case "http_status" => if (status < 0) null else status
+        case "http_content_type" =>
+          if (httpContentType == null) null else UTF8String.fromString(httpContentType)
+        case "payload" => payload
+        case "_input_file" => pathUtf8
+        case "_record_offset" => offset
+      }
+      i += 1
+    }
+    current = new GenericInternalRow(values)
+  }
+
+  override def get(): InternalRow = current
+}
+
+/** Splittable reader for plain `.warc`: bounded sliding window, block
+  * bytes seeked past unless required, sync-scan alignment with chain
+  * validation. Ownership protocol is the MARC reader's: a record
+  * starting at absolute f belongs to the split with
+  * `start < f <= start + length`, and the offset-0 reader owns from
+  * byte 0 — the intervals partition the file. */
+final class WarcSplitPartitionReader(part: WarcInputPartition,
+                                     required: StructType, pred: WarcPred)
+    extends WarcReaderBase(part, required) {
+
+  private val conf = SparkSession.getActiveSession
+    .map(_.sessionState.newHadoopConf())
+    .getOrElse(new org.apache.hadoop.conf.Configuration())
+  private val fsPath = new Path(part.path)
+  private val fs = fsPath.getFileSystem(conf)
+  private val fileLen = fs.getFileStatus(fsPath).getLen
+  private val in = fs.open(fsPath)
+  private val w = new MarcFileWindow(in, fileLen, part.start,
+    WarcDataSource.WindowBytes)
+  private val limitAbs = part.start + part.length
+
+  /** Positioned read of up to `len0` bytes at `abs` (clipped at EOF) —
+    * alignment uses these instead of the record loop's forward-only
+    * window, because chain validation hops PAST candidate positions
+    * and the scan then resumes just after them (a window rewind). */
+  private def readAt(abs: Long, len0: Int): Array[Byte] = {
+    val len = math.max(math.min(len0.toLong, fileLen - abs), 0L).toInt
+    val b = new Array[Byte](len)
+    if (len > 0) in.readFully(abs, b, 0, len)
+    b
+  }
+
+  private def headerAt(p: Long): WarcHeader = {
+    val b = readAt(p, WarcDataSource.MaxWarcHeaderBytes)
+    Warc.parseHeader(b, 0, b.length)
+  }
+
+  /** Is there a chain-valid record at `p`? (header parses AND the block
+    * it describes ends at EOF or at another parseable header). */
+  private def chainValidAt(p: Long): Boolean = {
+    val h = headerAt(p)
+    if (h == null) return false
+    var q = p + h.headerLen + h.contentLength
+    if (q >= fileLen) return true
+    // tolerate the two record-separator CRLFs (or bare LFs)
+    val sep = readAt(q, 4)
+    var i = 0
+    while (i < sep.length && (sep(i) == '\r' || sep(i) == '\n')) i += 1
+    q += i
+    q >= fileLen || headerAt(q) != null
+  }
+
+  // alignment: first chain-valid record start strictly inside the split
+  // (ownership is start < f <= start+length, so scan begins at start+1
+  // and a candidate past limitAbs means this split owns nothing)
+  private var cur: Long = {
+    if (part.start == 0) 0L
+    else {
+      val scanEnd = math.min(limitAbs + 1, fileLen)
+      var p = part.start + 1
+      var found = -1L
+      while (found < 0 && p < scanEnd) {
+        val chunk = readAt(p, 1 << 20)
+        if (chunk.isEmpty) p = scanEnd
+        else {
+          val n = chunk.length
+          var i = 0
+          while (found < 0 && i < n && p + i < scanEnd) {
+            // cheap in-buffer "WARC/" precheck before paying a
+            // positioned-read header parse (chunk-straddling candidates
+            // fall through to the full check)
+            val maybe = chunk(i) == 'W' &&
+              (i + 5 > n || (chunk(i + 1) == 'A' && chunk(i + 2) == 'R' &&
+                chunk(i + 3) == 'C' && chunk(i + 4) == '/'))
+            if (maybe && chainValidAt(p + i)) found = p + i
+            i += 1
+          }
+          if (found < 0) p += n
+        }
+      }
+      if (found < 0) fileLen else found
+    }
+  }
+  private var done = false
+
+  override def next(): Boolean = {
+    while (!done) {
+      // skip inter-record CRLFs
+      while (cur < fileLen && { val b = w.byteAt(cur); b == '\r' || b == '\n' })
+        cur += 1
+      if (cur >= fileLen || cur > limitAbs) { done = true; w.close(); return false }
+      val recordStart = cur
+      val rel = w.ensure(cur, WarcDataSource.MaxWarcHeaderBytes)
+      val h = Warc.parseHeader(w.exposed, rel, w.exposed.length)
+      if (h == null)
+        throw new java.io.IOException(
+          s"${part.path}@$recordStart: malformed WARC header")
+      val blockStart = recordStart + h.headerLen
+      cur = blockStart + h.contentLength
+      if (cur > fileLen) {
+        // truncated tail: drop the partial record, end of scan
+        done = true; w.close(); return false
+      }
+      val keep = pred.isEmpty || pred.matches(h("warc-type"), h("warc-target-uri"))
+      if (keep) {
+        var status = -1
+        var httpCt: String = null
+        var payload: Array[Byte] = if (needPayload) Array.emptyByteArray else null
+        if (needBlock && h.contentLength > 0) {
+          val ct = h("content-type")
+          val isHttp = ct != null &&
+            ct.toLowerCase(java.util.Locale.ROOT).startsWith("application/http")
+          var bodyOff = 0
+          if (isHttp) {
+            val want = math.min(h.contentLength,
+              WarcDataSource.MaxHttpHeaderBytes.toLong).toInt
+            val brel = w.ensure(blockStart, want)
+            val (st, hct, bo) = Warc.parseHttp(w.exposed, brel,
+              math.min(brel + want, w.exposed.length))
+            status = st; httpCt = hct; bodyOff = bo
+          }
+          if (needPayload) {
+            val bodyLen = h.contentLength - bodyOff
+            require(bodyLen <= Int.MaxValue,
+              s"${part.path}@$recordStart: ${bodyLen} B payload exceeds a JVM array")
+            val b = new Array[Byte](bodyLen.toInt)
+            in.readFully(blockStart + bodyOff, b, 0, bodyLen.toInt)
+            payload = b
+          }
+        }
+        assemble(h, recordStart, status, httpCt, payload)
+        return true
+      }
+      // filtered out: the block was never read — pure seek
+    }
+    false
+  }
+
+  override def close(): Unit = w.close()
+}
+
+/** Sequential reader for `.warc.gz` (multi-member streams decode
+  * transparently; offsets are uncompressed-stream positions). Blocks
+  * are decompress-skipped when not required — cheaper than
+  * materializing, though unlike the plain reader the bytes still move
+  * through the codec (inherent to gzip, not a reader choice). */
+final class WarcGzPartitionReader(part: WarcInputPartition,
+                                  required: StructType, pred: WarcPred)
+    extends WarcReaderBase(part, required) {
+
+  private val conf = SparkSession.getActiveSession
+    .map(_.sessionState.newHadoopConf())
+    .getOrElse(new org.apache.hadoop.conf.Configuration())
+  private val fsPath = new Path(part.path)
+  private val raw = fsPath.getFileSystem(conf).open(fsPath)
+  private val in = new java.io.BufferedInputStream(
+    new java.util.zip.GZIPInputStream(
+      new java.io.BufferedInputStream(raw, 1 << 16), 1 << 16), 1 << 16)
+  private var pos = 0L
+  private var done = false
+
+  private def readByte(): Int = {
+    val b = in.read()
+    if (b >= 0) pos += 1
+    b
+  }
+
+  private def skipFully(n: Long): Boolean = {
+    var left = n
+    while (left > 0) {
+      val s = in.skip(left)
+      if (s > 0) { left -= s; pos += s }
+      else if (readByte() < 0) return false
+      else left -= 1
+    }
+    true
+  }
+
+  private def readFully(b: Array[Byte], off0: Int, len: Int): Boolean = {
+    var off = off0
+    var left = len
+    while (left > 0) {
+      val n = in.read(b, off, left)
+      if (n < 0) return false
+      off += n; left -= n; pos += n
+    }
+    true
+  }
+
+  /** Reads bytes through the blank line that ends a WARC header block
+    * (cap-enforced); null at clean EOF, IOException on garbage. */
+  private def readHeaderBlock(): (WarcHeader, Long) = {
+    // skip inter-record CRLFs to the first header byte
+    var b = readByte()
+    while (b == '\r' || b == '\n') b = readByte()
+    if (b < 0) return null
+    val start = pos - 1
+    val buf = new java.io.ByteArrayOutputStream(1024)
+    buf.write(b)
+    // read until \n\r\n or \n\n (blank line), capped
+    var prev2 = 0; var prev1 = b
+    var ended = false
+    while (!ended) {
+      val c = readByte()
+      if (c < 0)
+        throw new java.io.IOException(s"${part.path}@$start: EOF inside WARC header")
+      buf.write(c)
+      if (buf.size > WarcDataSource.MaxWarcHeaderBytes)
+        throw new java.io.IOException(s"${part.path}@$start: unterminated WARC header")
+      if (c == '\n' && (prev1 == '\n' || (prev1 == '\r' && prev2 == '\n'))) ended = true
+      prev2 = prev1; prev1 = c
+    }
+    val arr = buf.toByteArray
+    val h = Warc.parseHeader(arr, 0, arr.length)
+    if (h == null)
+      throw new java.io.IOException(s"${part.path}@$start: malformed WARC header")
+    (h, start)
+  }
+
+  override def next(): Boolean = {
+    while (!done) {
+      val hs = try readHeaderBlock() catch {
+        case _: java.io.EOFException => null
+      }
+      if (hs == null) { done = true; return false }
+      val (h, recordStart) = hs
+      val keep = pred.isEmpty || pred.matches(h("warc-type"), h("warc-target-uri"))
+      if (!keep || !needBlock || h.contentLength == 0) {
+        if (!skipFully(h.contentLength)) { done = true; return false }
+        if (keep) { assemble(h, recordStart, -1, null,
+          if (needPayload) Array.emptyByteArray else null); return true }
+      } else {
+        val ct = h("content-type")
+        val isHttp = ct != null &&
+          ct.toLowerCase(java.util.Locale.ROOT).startsWith("application/http")
+        var status = -1
+        var httpCt: String = null
+        var payload: Array[Byte] = null
+        require(h.contentLength <= Int.MaxValue,
+          s"${part.path}@$recordStart: ${h.contentLength} B block exceeds a JVM array")
+        if (needPayload || isHttp) {
+          // sequential stream: read the whole block (no seek exists);
+          // the envelope parse then slices the body view
+          val block = new Array[Byte](h.contentLength.toInt)
+          if (!readFully(block, 0, block.length)) { done = true; return false }
+          var bodyOff = 0
+          if (isHttp) {
+            val (st, hct, bo) = Warc.parseHttp(block, 0, block.length)
+            status = st; httpCt = hct; bodyOff = bo
+          }
+          if (needPayload)
+            payload =
+              if (bodyOff == 0) block
+              else java.util.Arrays.copyOfRange(block, bodyOff, block.length)
+        } else if (!skipFully(h.contentLength)) { done = true; return false }
+        assemble(h, recordStart, status, httpCt, payload)
+        return true
+      }
+    }
+    false
+  }
+
+  override def close(): Unit = in.close()
+}
