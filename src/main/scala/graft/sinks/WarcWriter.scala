@@ -1,0 +1,108 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** WARC writer (ISO 28500): one record per input row, with the same
+  * rename-on-commit part-file semantics as the MARC/WebDataset sinks
+  * (task-attempt-unique temp, first rename wins — speculative retries
+  * never interleave).
+  *
+  * Expected columns (missing/null optional headers are simply omitted):
+  * `warc_type` (required), `payload` (binary, required — pass the FULL
+  * content block: for `application/http` records that means the HTTP
+  * envelope + body), optional `record_id`, `target_uri`, `warc_date`,
+  * `content_type`.
+  *
+  * `gzip = true` writes ONE GZIP MEMBER PER RECORD — the appendable
+  * convention crawls publish (`warc.paths`-style layouts), and the
+  * framing [[graft.sources.GzipMembersInputStream]] decodes member-by-
+  * member on the way back in. Member-per-record implies each record is
+  * buffered once while its member is deflated; WARC records are
+  * crawler-response-sized, so this is bounded task memory, not a
+  * corpus-sized buffer.
+  *
+  * Scale shape: pure per-partition streaming writes — no shuffle, no
+  * driver data path; parallelism is the input's partitioning (callers
+  * repartition to choose shard count, exactly like the MARC sink). */
+object WarcWriter {
+
+  private val CRLF = "\r\n".getBytes(StandardCharsets.UTF_8)
+
+  /** Serialized header block + payload + record separator. */
+  private[graft] def encodeRecord(
+      warcType: String, recordId: String, targetUri: String,
+      warcDate: String, contentType: String,
+      payload: Array[Byte]): Array[Byte] = {
+    require(warcType != null && warcType.nonEmpty, "warc_type is required")
+    val body = if (payload == null) Array.emptyByteArray else payload
+    val sb = new java.lang.StringBuilder(256)
+    sb.append("WARC/1.0\r\n")
+    sb.append("WARC-Type: ").append(warcType).append("\r\n")
+    if (recordId != null) sb.append("WARC-Record-ID: ").append(recordId).append("\r\n")
+    if (warcDate != null) sb.append("WARC-Date: ").append(warcDate).append("\r\n")
+    if (targetUri != null) sb.append("WARC-Target-URI: ").append(targetUri).append("\r\n")
+    if (contentType != null) sb.append("Content-Type: ").append(contentType).append("\r\n")
+    sb.append("Content-Length: ").append(body.length).append("\r\n\r\n")
+    val head = sb.toString.getBytes(StandardCharsets.UTF_8)
+    val out = new Array[Byte](head.length + body.length + 4)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(body, 0, out, head.length, body.length)
+    System.arraycopy(CRLF, 0, out, head.length + body.length, 2)
+    System.arraycopy(CRLF, 0, out, head.length + body.length + 2, 2)
+    out
+  }
+
+  private def gzipMember(record: Array[Byte]): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream(record.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(buf)
+    gz.write(record)
+    gz.close()
+    buf.toByteArray
+  }
+
+  /** Writes `df` as `part-NNNNN.warc[.gz]` files under `outDir`
+    * (cleared first — overwrite semantics). */
+  def write(df: DataFrame, outDir: String, gzip: Boolean = false): Unit = {
+    val schema = df.schema
+    def ord(name: String): Int = schema.fieldNames.indexOf(name)
+    val typeOrd = ord("warc_type")
+    val payloadOrd = ord("payload")
+    require(typeOrd >= 0 && payloadOrd >= 0,
+      s"WarcWriter needs warc_type and payload columns; got ${schema.fieldNames.mkString(", ")}")
+    val idOrd = ord("record_id"); val uriOrd = ord("target_uri")
+    val dateOrd = ord("warc_date"); val ctOrd = ord("content_type")
+    def str(r: Row, i: Int): String =
+      if (i < 0 || r.isNullAt(i)) null else r.getString(i)
+
+    val ext = if (gzip) "warc.gz" else "warc"
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val dirPath = new Path(outDir)
+    val dfs = dirPath.getFileSystem(hconf.value)
+    if (dfs.exists(dirPath)) dfs.delete(dirPath, true): Unit
+    dfs.mkdirs(dirPath): Unit
+    df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
+      val fin = new Path(f"$outDir/part-$idx%05d.$ext")
+      val tmp = new Path(f"$outDir/.part-$idx%05d-attempt-$attempt.$ext.tmp")
+      val fs = tmp.getFileSystem(hconf.value)
+      val out = fs.create(tmp, true)
+      try {
+        rows.foreach { r =>
+          val rec = encodeRecord(str(r, typeOrd), str(r, idOrd),
+            str(r, uriOrd), str(r, dateOrd), str(r, ctOrd),
+            if (r.isNullAt(payloadOrd)) null
+            else r.getAs[Array[Byte]](payloadOrd))
+          out.write(if (gzip) gzipMember(rec) else rec)
+        }
+        out.close()
+      } catch { case e: Throwable => out.close(); fs.delete(tmp, false); throw e }
+      if (!fs.rename(tmp, fin)) fs.delete(tmp, false): Unit
+      Iterator.empty[Unit]
+    }.count(): Unit
+  }
+}

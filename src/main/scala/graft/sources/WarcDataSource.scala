@@ -82,6 +82,9 @@ object WarcDataSource {
     * slack; blocks are SEEKED past, never windowed, so this bounds task
     * memory regardless of payload size. */
   private[sources] val WindowBytes: Int = 2 * (MaxWarcHeaderBytes + 4096)
+  /** Records a sync-scan candidate must chain through before the
+    * position is trusted as a record boundary (see `chainValidAt`). */
+  private[sources] val ChainHops: Int = 3
 }
 
 final class WarcTable(paths: Seq[String])
@@ -430,19 +433,35 @@ final class WarcSplitPartitionReader(part: WarcInputPartition,
     Warc.parseHeader(b, 0, b.length)
   }
 
-  /** Is there a chain-valid record at `p`? (header parses AND the block
-    * it describes ends at EOF or at another parseable header). */
-  private def chainValidAt(p: Long): Boolean = {
-    val h = headerAt(p)
-    if (h == null) return false
-    var q = p + h.headerLen + h.contentLength
-    if (q >= fileLen) return true
-    // tolerate the two record-separator CRLFs (or bare LFs)
-    val sep = readAt(q, 4)
-    var i = 0
-    while (i < sep.length && (sep(i) == '\r' || sep(i) == '\n')) i += 1
-    q += i
-    q >= fileLen || headerAt(q) != null
+  /** Is there a chain-valid record at `p`? The header must parse AND
+    * the records it starts must CHAIN: each block ends at EOF or at
+    * another parseable header, followed for up to [[WarcDataSource.ChainHops]]
+    * hops. Single-hop validation is spoofable by a payload that embeds
+    * one well-formed record (a crawl of a .warc file); a multi-hop
+    * chain additionally requires the embedded stream to line up with
+    * the real record grid for N records in a row — each extra hop
+    * multiplies the coincidence a false sync needs. (No finite
+    * validation is airtight against a payload that embeds a well-formed
+    * archive whose end aligns exactly with its carrier's block end;
+    * warcio's seek-based readers share the limitation.) */
+  private def chainValidAt(p0: Long): Boolean = {
+    var p = p0
+    var hops = 0
+    while (hops < WarcDataSource.ChainHops) {
+      val h = headerAt(p)
+      if (h == null) return false // parse failure breaks the chain
+      var q = p + h.headerLen + h.contentLength
+      if (q >= fileLen) return true
+      // tolerate the two record-separator CRLFs (or bare LFs)
+      val sep = readAt(q, 4)
+      var i = 0
+      while (i < sep.length && (sep(i) == '\r' || sep(i) == '\n')) i += 1
+      q += i
+      if (q >= fileLen) return true
+      p = q
+      hops += 1
+    }
+    headerAt(p) != null
   }
 
   // alignment: first chain-valid record start strictly inside the split
@@ -487,9 +506,18 @@ final class WarcSplitPartitionReader(part: WarcInputPartition,
       val recordStart = cur
       val rel = w.ensure(cur, WarcDataSource.MaxWarcHeaderBytes)
       val h = Warc.parseHeader(w.exposed, rel, w.exposed.length)
-      if (h == null)
+      if (h == null) {
+        // Distinguish a truncated TAIL from aligned corruption: when EOF
+        // clipped the header window, the bytes are a record a crawler
+        // died writing — drop the partial and end the scan (warcio's
+        // convention). With the full header cap available, unparseable
+        // bytes at an aligned position are corruption — fail loudly.
+        if (fileLen - recordStart < WarcDataSource.MaxWarcHeaderBytes) {
+          done = true; w.close(); return false
+        }
         throw new java.io.IOException(
           s"${part.path}@$recordStart: malformed WARC header")
+      }
       val blockStart = recordStart + h.headerLen
       cur = blockStart + h.contentLength
       if (cur > fileLen) {
@@ -534,11 +562,18 @@ final class WarcSplitPartitionReader(part: WarcInputPartition,
   override def close(): Unit = w.close()
 }
 
-/** Sequential reader for `.warc.gz` (multi-member streams decode
-  * transparently; offsets are uncompressed-stream positions). Blocks
-  * are decompress-skipped when not required — cheaper than
+/** Sequential reader for `.warc.gz` (record-per-member and monolithic
+  * streams both decode — member framing is owned by
+  * [[GzipMembersInputStream]], not `GZIPInputStream`'s broken
+  * concatenation probe; offsets are uncompressed-stream positions).
+  * Blocks are decompress-skipped when not required — cheaper than
   * materializing, though unlike the plain reader the bytes still move
-  * through the codec (inherent to gzip, not a reader choice). */
+  * through the codec (inherent to gzip, not a reader choice).
+  *
+  * Truncated tails — EOF mid-header, mid-block, or inside a cut-short
+  * gzip member — drop the partial record and end the scan; gzip CRC /
+  * ISIZE mismatches and unparseable header bytes at an aligned
+  * position stay loud (IOException with file@offset). */
 final class WarcGzPartitionReader(part: WarcInputPartition,
                                   required: StructType, pred: WarcPred)
     extends WarcReaderBase(part, required) {
@@ -549,7 +584,7 @@ final class WarcGzPartitionReader(part: WarcInputPartition,
   private val fsPath = new Path(part.path)
   private val raw = fsPath.getFileSystem(conf).open(fsPath)
   private val in = new java.io.BufferedInputStream(
-    new java.util.zip.GZIPInputStream(
+    new GzipMembersInputStream(
       new java.io.BufferedInputStream(raw, 1 << 16), 1 << 16), 1 << 16)
   private var pos = 0L
   private var done = false
@@ -583,7 +618,10 @@ final class WarcGzPartitionReader(part: WarcInputPartition,
   }
 
   /** Reads bytes through the blank line that ends a WARC header block
-    * (cap-enforced); null at clean EOF, IOException on garbage. */
+    * (cap-enforced); null at clean EOF before any header byte,
+    * EOFException when the stream ends INSIDE the header (a truncated
+    * tail — `next()` turns it into end-of-scan), IOException on
+    * garbage at an aligned position. */
   private def readHeaderBlock(): (WarcHeader, Long) = {
     // skip inter-record CRLFs to the first header byte
     var b = readByte()
@@ -598,7 +636,8 @@ final class WarcGzPartitionReader(part: WarcInputPartition,
     while (!ended) {
       val c = readByte()
       if (c < 0)
-        throw new java.io.IOException(s"${part.path}@$start: EOF inside WARC header")
+        throw new java.io.EOFException(
+          s"${part.path}@$start: EOF inside WARC header")
       buf.write(c)
       if (buf.size > WarcDataSource.MaxWarcHeaderBytes)
         throw new java.io.IOException(s"${part.path}@$start: unterminated WARC header")
@@ -613,10 +652,19 @@ final class WarcGzPartitionReader(part: WarcInputPartition,
   }
 
   override def next(): Boolean = {
+    try nextImpl()
+    catch {
+      // EOF anywhere inside a record — mid-header, mid-block, or a
+      // cut-short gzip member underneath — is a tail the writer died
+      // on: drop the partial record, end the scan. (IOException —
+      // malformed headers, CRC mismatches — still propagates.)
+      case _: java.io.EOFException => done = true; false
+    }
+  }
+
+  private def nextImpl(): Boolean = {
     while (!done) {
-      val hs = try readHeaderBlock() catch {
-        case _: java.io.EOFException => null
-      }
+      val hs = readHeaderBlock()
       if (hs == null) { done = true; return false }
       val (h, recordStart) = hs
       val keep = pred.isEmpty || pred.matches(h("warc-type"), h("warc-target-uri"))
@@ -631,11 +679,12 @@ final class WarcGzPartitionReader(part: WarcInputPartition,
         var status = -1
         var httpCt: String = null
         var payload: Array[Byte] = null
-        require(h.contentLength <= Int.MaxValue,
-          s"${part.path}@$recordStart: ${h.contentLength} B block exceeds a JVM array")
-        if (needPayload || isHttp) {
-          // sequential stream: read the whole block (no seek exists);
-          // the envelope parse then slices the body view
+        if (needPayload) {
+          // the >2 GiB guard applies ONLY when the block must
+          // materialize — envelope-only and skip paths stream past
+          // oversized records instead of failing the job
+          require(h.contentLength <= Int.MaxValue,
+            s"${part.path}@$recordStart: ${h.contentLength} B block exceeds a JVM array")
           val block = new Array[Byte](h.contentLength.toInt)
           if (!readFully(block, 0, block.length)) { done = true; return false }
           var bodyOff = 0
@@ -643,10 +692,19 @@ final class WarcGzPartitionReader(part: WarcInputPartition,
             val (st, hct, bo) = Warc.parseHttp(block, 0, block.length)
             status = st; httpCt = hct; bodyOff = bo
           }
-          if (needPayload)
-            payload =
-              if (bodyOff == 0) block
-              else java.util.Arrays.copyOfRange(block, bodyOff, block.length)
+          payload =
+            if (bodyOff == 0) block
+            else java.util.Arrays.copyOfRange(block, bodyOff, block.length)
+        } else if (isHttp) {
+          // envelope-only projection: decode just the HTTP-header cap,
+          // decompress-skip the remainder of the block
+          val want = math.min(h.contentLength,
+            WarcDataSource.MaxHttpHeaderBytes.toLong).toInt
+          val head = new Array[Byte](want)
+          if (!readFully(head, 0, want)) { done = true; return false }
+          val (st, hct, _) = Warc.parseHttp(head, 0, want)
+          status = st; httpCt = hct
+          if (!skipFully(h.contentLength - want)) { done = true; return false }
         } else if (!skipFully(h.contentLength)) { done = true; return false }
         assemble(h, recordStart, status, httpCt, payload)
         return true
