@@ -16,7 +16,8 @@ object SparkEntry {
     MarcQueries,
     OpsQueries,
     XmlQueries,
-    RankingQueries
+    RankingQueries,
+    WarcQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -72,6 +72,17 @@ object TextAnalysis {
                    maxLinkDensity: Double = 0.33): Column =
     graft.functions.HtmlTextExpression.htmlMainText(html, minWords, maxLinkDensity)
 
+  /** HTTP payload bytes → text with browser-order charset sniffing
+    * ([[graft.functions.HttpDecodeExpression]], pinned rules there):
+    * BOM, then the Content-Type `charset=` parameter, then an HTML
+    * `<meta charset>` prescan of the first 1024 bytes, then UTF-8;
+    * Latin-1 labels decode as windows-1252 (the WHATWG superset rule),
+    * malformed bytes become U+FFFD, never an exception. This is the
+    * step between a WARC `response` payload and every text operator —
+    * chain `format("warc")` → this → [[htmlToText]]/curation. */
+  def decodeHttpText(payload: Column, contentType: Column): Column =
+    graft.functions.HttpDecodeExpression.decodeHttpText(payload, contentType)
+
   /** Mojibake repair ([[graft.functions.MojibakeExpression]], pinned
     * conservative rule there): UTF-8 text that was misdecoded as
     * Windows-1252/Latin-1 upstream re-decodes; correctly-decoded

@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.TextAnalysis
+import graft.sinks.WarcWriter
+
+/** WARC entry-path queries: the 100 TB design point's input format,
+  * graded end-to-end. The fixture is generated DETERMINISTICALLY from
+  * the documents table (one `response` + one `request` record per doc,
+  * split across plain `.warc` shards and a record-per-member
+  * `.warc.gz`), so the DuckDB oracle can assemble the expected output
+  * analytically from the same parquet — the reader, HTTP envelope
+  * parse, charset decode, and curation chain are all on the hook.
+  *
+  * w02's three charset families make decode correctness OBSERVABLE:
+  * cp1252 bytes declared in the HTTP Content-Type header, cp1252 bytes
+  * declared only by an HTML `<meta charset>` (the prescan path), and
+  * bare UTF-8 (the default path). Each family's text carries a
+  * non-ASCII marker (`café` / `señor`) whose bytes are NOT valid UTF-8
+  * — a decoder that ignores the declared charset produces U+FFFD and
+  * the oracle's tail probe catches it. */
+object WarcQueries extends QueryPack {
+
+  private def fixtureDir(d: String, tag: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_warc_${tag}_${d.replaceAll("[^A-Za-z0-9]", "_")}").getAbsolutePath
+
+  private val WarcCols =
+    Seq("record_id", "warc_type", "target_uri", "warc_date", "content_type", "payload")
+
+  /** One response (status 200, or 404 when doc_id%11==0) + one request
+    * record per document; doc_id%5==4 goes to the gz shard. */
+  private def buildW01(s: SparkSession, d: String): String = {
+    val dir = fixtureDir(d, "w01")
+    val docs = Tables.documents(s, d)
+    val uri = concat(lit("http://www.site"), col("doc_id") % 7,
+      lit(".example.co.uk/articles/"), col("doc_id"))
+    val status = when(col("doc_id") % 11 === 0, 404).otherwise(200).cast("string")
+    val html = concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>"))
+    val responses = docs.select(
+      concat(lit("<urn:uuid:doc-"), col("doc_id"), lit(">")).as("record_id"),
+      lit("response").as("warc_type"),
+      uri.as("target_uri"),
+      lit("2026-01-01T00:00:00Z").as("warc_date"),
+      lit("application/http; msgtype=response").as("content_type"),
+      encode(concat(lit("HTTP/1.1 "), status,
+        lit(" OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"), html),
+        "UTF-8").as("payload"),
+      col("doc_id"))
+    val requests = docs.select(
+      concat(lit("<urn:uuid:req-"), col("doc_id"), lit(">")).as("record_id"),
+      lit("request").as("warc_type"),
+      uri.as("target_uri"),
+      lit("2026-01-01T00:00:00Z").as("warc_date"),
+      lit("application/http; msgtype=request").as("content_type"),
+      encode(concat(lit("GET /articles/"), col("doc_id"),
+        lit(" HTTP/1.1\r\nHost: h\r\n\r\n")), "UTF-8").as("payload"),
+      col("doc_id"))
+    val all = responses.unionByName(requests)
+    WarcWriter.write(
+      all.filter(col("doc_id") % 5 =!= 4).select(WarcCols.map(col): _*)
+        .repartition(3), s"$dir/plain")
+    WarcWriter.write(
+      all.filter(col("doc_id") % 5 === 4).select(WarcCols.map(col): _*)
+        .coalesce(1), s"$dir/gz", gzip = true)
+    dir
+  }
+
+  /** Three charset families (see class doc); every payload is a full
+    * HTTP response whose html wraps the family-marked text. */
+  private def buildW02(s: SparkSession, d: String): String = {
+    val dir = fixtureDir(d, "w02")
+    val docs = Tables.documents(s, d)
+    val fam = col("doc_id") % 3
+    val text2 = when(fam === 0, concat(col("text"), lit(" café")))
+      .when(fam === 1, concat(col("text"), lit(" señor")))
+      .otherwise(col("text"))
+    val meta = when(fam === 1, lit("<meta charset=\"windows-1252\">"))
+      .otherwise(lit(""))
+    val html = concat(lit("<html><head>"), meta,
+      lit("</head><body><p>"), text2, lit("</p></body></html>"))
+    val headerCt = when(fam === 0, lit("text/html; charset=windows-1252"))
+      .otherwise(lit("text/html"))
+    // cp1252 families carry Latin-1 bytes (é=0xE9, ñ=0xF1 — identical in
+    // ISO-8859-1 and windows-1252 for these points); fam 2 is UTF-8
+    val body = when(fam === 2, encode(html, "UTF-8"))
+      .otherwise(encode(html, "ISO-8859-1"))
+    val envelope = concat(
+      encode(concat(lit("HTTP/1.1 200 OK\r\nContent-Type: "), headerCt,
+        lit("\r\n\r\n")), "UTF-8"),
+      body)
+    val rows = docs.select(
+      concat(lit("<urn:uuid:doc-"), col("doc_id"), lit(">")).as("record_id"),
+      lit("response").as("warc_type"),
+      concat(lit("http://crawl.example.org/articles/"), col("doc_id")).as("target_uri"),
+      lit("2026-01-01T00:00:00Z").as("warc_date"),
+      lit("application/http; msgtype=response").as("content_type"),
+      envelope.as("payload"))
+    WarcWriter.write(rows.select(WarcCols.map(col): _*).repartition(3),
+      s"$dir/warc")
+    dir
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // WARC read-back: mixed plain (splittable) + record-per-member gz
+    // shards; warc_type equality pushes down (requests are IO-skipped),
+    // the HTTP envelope parses off, and the payload body round-trips
+    // byte-for-byte — the oracle assembles every column analytically
+    "w01_warc_roundtrip" -> ((s, d) => {
+      val dir = buildW01(s, d)
+      s.read.format("warc").load(s"$dir/plain", s"$dir/gz")
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "articles/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri"),
+          col("http_status"),
+          col("http_content_type"),
+          col("content_length"),
+          col("payload").cast("string").as("body"))
+        .orderBy("doc_id")
+    }),
+
+    // the 100 TB entry path END-TO-END: WARC bytes → charset-sniffed
+    // decode (header param / meta prescan / UTF-8 default) → htmlInput
+    // curation (extract → exact dedup → LSH near-dup → components →
+    // gates). The tail6 probe pins the decode: a wrong charset turns
+    // the families' non-ASCII markers into U+FFFD and the hash breaks
+    "w02_warc_curate" -> ((s, d) => {
+      val dir = buildW02(s, d)
+      val decoded = s.read.format("warc").load(s"$dir/warc")
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "articles/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          TextAnalysis.decodeHttpText(col("payload"), col("http_content_type"))
+            .as("text"))
+      // lang rides in the corpus table; production would carry it as a
+      // WARC header or classify post-extract (t02) — id join here keeps
+      // the oracle exact
+      val withLang = decoded
+        .join(Tables.documents(s, d).select("doc_id", "lang"), Seq("doc_id"))
+      val emptyBenchmark = s.range(0).selectExpr("CAST(null AS STRING) AS text")
+      graft.examples.CurationPipeline.curate(withLang, emptyBenchmark,
+          cfg = graft.examples.CurationPipeline.Config(
+            htmlInput = true, cacheWorkingSet = true))
+        .select(col("doc_id"), expr("right(text, 6)").as("tail6"))
+        .orderBy("doc_id")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+
+    // envelope arithmetic: status line 17 B + Content-Type line 40 B +
+    // blank line 2 B = 59; html wrapper 33 B; text is ASCII so chars==bytes
+    "w01_warc_roundtrip" ->
+      """SELECT doc_id,
+           'http://www.site' || (doc_id % 7) || '.example.co.uk/articles/'
+             || doc_id AS target_uri,
+           CAST(CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END AS INT)
+             AS http_status,
+           'text/html; charset=utf-8' AS http_content_type,
+           CAST(59 + 33 + length(text) AS BIGINT) AS content_length,
+           '<html><body><p>' || text || '</p></body></html>' AS body
+         FROM documents ORDER BY doc_id""",
+
+    // independent replay of decode + curation: family texts assembled
+    // analytically (the decode is correct IFF the curated text equals
+    // them), then the t45 chain — exact dedup, brute-force jaccard
+    // pairs, recursive components with min-id survivors, quality/dup3/
+    // language gates — and the tail probe
+    "w02_warc_curate" ->
+      """WITH RECURSIVE docs0 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || ' café'
+                  WHEN doc_id % 3 = 1 THEN text || ' señor'
+                  ELSE text END AS text,
+             lang
+           FROM documents),
+         ex AS (
+           SELECT doc_id, text, lang FROM (
+             SELECT doc_id, text, lang,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+             FROM docs0) t WHERE rn = 1),
+         shq AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(w) < 3
+               THEN [array_to_string(w, ' ')]
+               ELSE [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]
+             END) s
+           FROM (SELECT doc_id, string_split(text, ' ') w FROM ex) g),
+         pairs AS (
+           SELECT a.doc_id AS a, b.doc_id AS b
+           FROM shq a JOIN shq b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+         bidir AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+         nodes AS (SELECT DISTINCT a AS id FROM bidir),
+         reach(id, r) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT bidir.b, reach.r FROM bidir JOIN reach ON bidir.a = reach.id),
+         comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         undup AS (
+           SELECT e.doc_id, e.text, e.lang FROM ex e
+           WHERE e.doc_id NOT IN
+             (SELECT id FROM comp WHERE id <> component))
+         SELECT doc_id, right(text, 6) AS tail6 FROM undup
+         WHERE round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text), 4) * 0.4
+             + least(round(length(replace(text, ' ', '')) * 1.0 / len(string_split(trim(text), ' ')), 4) / 8.0, 1.0) * 0.3
+             + least(round(len(list_filter(string_split(trim(text), ' '),
+                 x -> list_contains(['the','a','an','and','or','of','to','in','is','was','it','for','on','with','as','by','at','this','that','be'], x))) * 1.0
+                 / len(string_split(trim(text), ' ')), 4) * 4.0, 1.0) * 0.3 >= 0.3
+           AND (CASE WHEN len(string_split(text, ' ')) < 3 THEN 0.0
+                ELSE round(1.0 - len(list_distinct(
+                       [array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                        for i in range(1, len(string_split(text, ' ')) - 1)]
+                     )) * 1.0 / (len(string_split(text, ' ')) - 2), 4) END) <= 0.5
+           AND lang IN ('en', 'es', 'de', 'fr')
+         ORDER BY doc_id"""
+  )
+}
