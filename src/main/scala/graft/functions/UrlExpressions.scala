@@ -34,11 +34,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * (or the bare input when no `://`), lowercased, trailing dot
   * stripped; the public-suffix algorithm (publicsuffix.org rules:
   * exception beats wildcard beats exact, longest match, default rule
-  * `*`) runs against the bundled suffix snapshot
-  * (`/graft/public_suffix.dat`, the PSL format: `//` comments, `*.`
-  * wildcards, `!` exceptions — swap in the full public list for
-  * production). Output = public suffix + one label; null when the host
-  * IS a public suffix, is an IPv4/IPv6 literal, or is empty.
+  * `*`) runs against the bundled FULL public list
+  * (`/graft/public_suffix.dat`, ~9.5k rules in the PSL format: `//`
+  * comments, `*.` wildcards, `!` exceptions; Unicode IDN rules indexed
+  * under both Unicode and punycode forms; provenance note at the top of
+  * the resource). Output = public suffix + one label; null when the
+  * host IS a public suffix, is an IPv4/IPv6 literal, or is empty.
   */
 object UrlKernel {
 
@@ -105,10 +106,43 @@ object UrlKernel {
 
   // ---- public-suffix rules -------------------------------------------------
 
-  /** (labels reversed, isException, isWildcard); loaded once per JVM. */
-  private lazy val rules: Array[(Array[String], Boolean, Boolean)] =
-    loadRules("/graft/public_suffix.dat")
+  /** Hash-indexed rule sets: O(#host-labels) lookups per call instead of
+    * a linear scan over all ~9.5k rules — the full bundled list is large
+    * enough that the scan would dominate per-URL cost at crawl scale.
+    * Unicode (IDN) rules are indexed under BOTH their Unicode form and
+    * their punycode (`xn--`) form, so hosts arrive matchable either way.
+    */
+  private final class PslIndex(
+      val exact: java.util.HashSet[String],
+      val wildcardParents: java.util.HashSet[String],
+      val exceptions: java.util.HashSet[String])
 
+  private lazy val index: PslIndex = {
+    val exact = new java.util.HashSet[String](16384)
+    val wild = new java.util.HashSet[String](64)
+    val exc = new java.util.HashSet[String](16)
+    def add(set: java.util.HashSet[String], labels: Array[String]): Unit = {
+      set.add(labels.mkString("."))
+      if (labels.exists(_.exists(_ > 127))) {
+        val ascii = labels.map { l =>
+          try java.net.IDN.toASCII(l) catch { case _: Exception => l }
+        }
+        set.add(ascii.mkString(".").toLowerCase(java.util.Locale.ROOT))
+      }
+    }
+    loadRules("/graft/public_suffix.dat").foreach { case (rev, isExc, isWild) =>
+      val labels = rev.reverse
+      if (isExc) add(exc, labels)
+      else if (isWild) add(wild, labels)
+      else add(exact, labels)
+    }
+    new PslIndex(exact, wild, exc)
+  }
+
+  /** (labels reversed, isException, isWildcard); parse of the PSL format
+    * (`//` comments, `*.` wildcards, `!` exceptions). Kept as the parse
+    * layer under [[index]]; tests also run it over the subset fixture to
+    * pin the format handling independent of list size. */
   private[graft] def loadRules(resource: String): Array[(Array[String], Boolean, Boolean)] = {
     val in = getClass.getResourceAsStream(resource)
     require(in != null, s"public-suffix resource not found: $resource")
@@ -154,28 +188,28 @@ object UrlKernel {
         p.toInt <= 255)
   }
 
-  /** publicsuffix.org match: suffix label count for `labels`
-    * (host labels reversed), or -1 when no rule constrains it. */
+  /** publicsuffix.org match: suffix label count for `labels` (host
+    * labels in NORMAL order), or -1 when no rule constrains it. Walks
+    * the host's suffixes right-to-left — one hash probe per rule set per
+    * suffix. Exception rules win (public suffix = rule minus its
+    * leftmost label); otherwise longest of exact / wildcard matches. */
   private def suffixLen(labels: Array[String]): Int = {
+    val idx = index
+    val n = labels.length
     var bestException = -1
     var best = -1
-    var i = 0
-    while (i < rules.length) {
-      val (rl, exc, wild) = rules(i)
-      val need = rl.length + (if (wild) 1 else 0)
-      if (labels.length >= need) {
-        var ok = true
-        var j = 0
-        while (ok && j < rl.length) { ok = labels(j) == rl(j); j += 1 }
-        if (ok) {
-          if (exc) {
-            // exception: the public suffix is the rule MINUS its first
-            // (leftmost) label — i.e. rl.length - 1 labels
-            if (rl.length - 1 > bestException) bestException = rl.length - 1
-          } else if (need > best) best = need
-        }
-      }
-      i += 1
+    var suffix: String = null
+    var i = n - 1
+    while (i >= 0) {
+      suffix = if (suffix == null) labels(i) else labels(i) + "." + suffix
+      val len = n - i
+      if (idx.exceptions.contains(suffix) && len - 1 > bestException)
+        bestException = len - 1
+      if (idx.exact.contains(suffix) && len > best) best = len
+      // `*.X`: the suffix X plus ONE more host label is a public suffix
+      if (i >= 1 && idx.wildcardParents.contains(suffix) && len + 1 > best)
+        best = len + 1
+      i -= 1
     }
     if (bestException >= 0) bestException else best
   }
@@ -186,12 +220,11 @@ object UrlKernel {
     if (host.isEmpty || host.startsWith("[") || isIpv4(host)) return null
     val labels = host.split('.')
     if (labels.exists(_.isEmpty)) return null // "a..b" etc.
-    val rev = labels.reverse
-    val sufLen = suffixLen(rev) match {
+    val sufLen = suffixLen(labels) match {
       case -1 => 1 // the default rule "*": the TLD itself
       case n => n
     }
-    if (rev.length <= sufLen) null // the host IS a public suffix
+    if (labels.length <= sufLen) null // the host IS a public suffix
     else labels.takeRight(sufLen + 1).mkString(".")
   }
 

@@ -970,6 +970,56 @@ object OpsQueries extends QueryPack {
         .orderBy("doc_id", "pos")
     }),
 
+    // WEB-GRAPH COMPOSITION: the t46 link chain consumed end-to-end —
+    // HTML anchors → RFC 3986 resolve → canonicalize → registered
+    // domain → domain-level edges (self-loops dropped, the standard
+    // webgraph hygiene step) → d11's pageRank. The planted crawl has
+    // three structural families: 20 organic domains d0..d19.com (each
+    // links to the hub, its ring neighbor, and itself — the self link
+    // exercises relative resolution then drops), a hub (hub.org,
+    // indegree 20), and a 6-domain LINK FARM f0..f5.net whose pages
+    // link ONLY to boost.net — farm pages donate their FULL share
+    // (outdeg 1) so boost.net outranks every organic domain on 6
+    // in-links (the inflation a farm buys; asserted in WebGraphSpec).
+    // FP-safety is by construction, same as d11: every per-node
+    // contribution sum is over EQUAL values (all d-ranks equal by ring
+    // symmetry, all f-ranks equal) or a single value, and the dangling
+    // mass is a 2-element sum — partition order cannot change a bit.
+    // The oracle replays the identical 5 power iterations over the
+    // analytically-assembled edge set.
+    "t48_web_graph" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val k = expr("(doc_id DIV 2) % 20").cast("string")
+      val k1 = expr("((doc_id DIV 2) % 20 + 1) % 20").cast("string")
+      val j = expr("(doc_id DIV 2) % 6").cast("string")
+      val organic = col("doc_id") % 2 === 0
+      val base = when(organic,
+          concat(lit("http://www.d"), k, lit(".com/a/page.html")))
+        .otherwise(concat(lit("http://f"), j, lit(".net/x/y.html")))
+      val html = when(organic, concat(
+          lit("<html><body><p><a href=\"https://www.hub.org/dir?id="), id,
+          lit("\">Hub</a> <a href=\"//www.d"), k1,
+          lit(".com/next/page.html\">Next</a> <a href=\"../self/p"), id,
+          lit(".html\">Self</a></p></body></html>")))
+        .otherwise(concat(
+          lit("<html><body><a href=\"http://boost.net/win?ref="), j,
+          lit("\">WIN</a></body></html>")))
+      val edges = Tables.documentsBalanced(s, d)
+        .select(base.as("base"), html.as("html"))
+        .select(col("base"),
+          explode(TextAnalysis.htmlLinks(col("html"))).as("link"))
+        .select(TextAnalysis.registeredDomain(col("base")).as("src"),
+          TextAnalysis.registeredDomain(TextAnalysis.canonicalUrl(
+            TextAnalysis.resolveUrl(col("base"), col("link.url"))))
+            .as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val pr = graft.ops.Graph.pageRank(edges, "src", "dst", iters = 5)
+      graft.ops.Sampling.globalOrdinal(pr,
+          Seq(col("rank").desc, col("id")), "pos")
+        .select(col("id"), round(col("rank"), 4).as("rank4"), col("pos"))
+        .orderBy("id")
+    }),
+
     // END-TO-END htmlInput curation: the full curate() chain over a
     // planted CRAWL — every doc wrapped in chrome that extracts away
     // cleanly (so downstream gates see exactly the original text, which
@@ -1415,7 +1465,49 @@ object OpsQueries extends QueryPack {
          GROUP BY t.doc_id)"""
   }
 
+  /** t48's DuckDB twin: the analytic edge set (the same three families
+    * the HTML plants, post self-loop drop), then d11's unrolled
+    * power-iteration pattern extended with the outdegree division that
+    * d11's all-outdeg-1 graph let its oracle elide. Identical op order
+    * to Graph.pageRank: share = rank / deg, dangling = mass on nodes
+    * absent from src, base = (1-0.85)/n + 0.85*dm/n. */
+  private lazy val webGraphOracle: String = {
+    val iters = (0 until 5).map { i =>
+      s"""d$i AS (SELECT sum(rank) AS dm FROM pr$i
+            WHERE id NOT IN (SELECT src FROM e)),
+          c$i AS (SELECT e.dst AS id, sum(p.rank / dg.deg) AS contrib
+            FROM e JOIN pr$i p ON p.id = e.src
+            JOIN deg dg ON dg.src = e.src GROUP BY e.dst),
+          pr${i + 1} AS (
+            SELECT n.id,
+              ((1.0 - 0.85) / nn.n) + 0.85 * (SELECT dm FROM d$i) / nn.n
+                + 0.85 * coalesce(c.contrib, 0.0) AS rank
+            FROM nodes n CROSS JOIN nn LEFT JOIN c$i c ON c.id = n.id)"""
+    }.mkString(",\n          ")
+    s"""WITH e AS (
+          SELECT DISTINCT 'd' || ((doc_id // 2) % 20) || '.com' AS src,
+            'hub.org' AS dst
+          FROM documents WHERE doc_id % 2 = 0
+          UNION
+          SELECT DISTINCT 'd' || ((doc_id // 2) % 20) || '.com',
+            'd' || (((doc_id // 2) % 20 + 1) % 20) || '.com'
+          FROM documents WHERE doc_id % 2 = 0
+          UNION
+          SELECT DISTINCT 'f' || ((doc_id // 2) % 6) || '.net', 'boost.net'
+          FROM documents WHERE doc_id % 2 = 1),
+        deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+                FROM e GROUP BY src),
+        nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        pr0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+        $iters
+        SELECT id, round(rank, 4) AS rank4,
+          row_number() OVER (ORDER BY rank DESC, id) AS pos
+        FROM pr5 ORDER BY id"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "t48_web_graph" -> webGraphOracle,
     // expected canonical form / registered domain assembled from the
     // plant: lowercase scheme+authority, :80/:443 stripped, fragment
     // and utm_*/gclid params gone, empty path -> '/', param order kept;

@@ -28,6 +28,48 @@ object WarcQueries extends QueryPack {
     new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_warc_${tag}_${d.replaceAll("[^A-Za-z0-9]", "_")}").getAbsolutePath
 
+  /** The fixture is a pure function of the documents table, so a
+    * completed build (marker present AND the source parquet unchanged —
+    * the marker records the source files' name/length/mtime, checked
+    * driver-side with zero Spark jobs) is reused: repeated query
+    * construction pays the generation jobs once, not per call, and a
+    * regenerated testdata dir invalidates the cache. */
+  private def sourceToken(d: String): String = {
+    val files = Option(new java.io.File(d, "documents.parquet").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .sortBy(_.getName)
+    files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("\n")
+  }
+
+  private def built(dir: String, d: String): Boolean = {
+    val f = new java.io.File(dir, "_GRAFT_FIXTURE_COMPLETE")
+    f.exists() && {
+      val recorded = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      recorded == sourceToken(d)
+    }
+  }
+
+  private def markBuilt(dir: String, d: String): Unit = {
+    val f = new java.io.File(dir, "_GRAFT_FIXTURE_COMPLETE")
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.write(f.toPath, sourceToken(d).getBytes("UTF-8"))
+  }
+
+  /** Clear any stale/partial previous build before regenerating. */
+  private def resetDir(dir: String): Unit = {
+    val root = new java.io.File(dir)
+    if (root.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(root)
+    }
+  }
+
   private val WarcCols =
     Seq("record_id", "warc_type", "target_uri", "warc_date", "content_type", "payload")
 
@@ -35,6 +77,8 @@ object WarcQueries extends QueryPack {
     * record per document; doc_id%5==4 goes to the gz shard. */
   private def buildW01(s: SparkSession, d: String): String = {
     val dir = fixtureDir(d, "w01")
+    if (built(dir, d)) return dir
+    resetDir(dir)
     val docs = Tables.documents(s, d)
     val uri = concat(lit("http://www.site"), col("doc_id") % 7,
       lit(".example.co.uk/articles/"), col("doc_id"))
@@ -66,6 +110,7 @@ object WarcQueries extends QueryPack {
     WarcWriter.write(
       all.filter(col("doc_id") % 5 === 4).select(WarcCols.map(col): _*)
         .coalesce(1), s"$dir/gz", gzip = true)
+    markBuilt(dir, d)
     dir
   }
 
@@ -73,6 +118,8 @@ object WarcQueries extends QueryPack {
     * HTTP response whose html wraps the family-marked text. */
   private def buildW02(s: SparkSession, d: String): String = {
     val dir = fixtureDir(d, "w02")
+    if (built(dir, d)) return dir
+    resetDir(dir)
     val docs = Tables.documents(s, d)
     val fam = col("doc_id") % 3
     val text2 = when(fam === 0, concat(col("text"), lit(" café")))
@@ -101,6 +148,7 @@ object WarcQueries extends QueryPack {
       envelope.as("payload"))
     WarcWriter.write(rows.select(WarcCols.map(col): _*).repartition(3),
       s"$dir/warc")
+    markBuilt(dir, d)
     dir
   }
 

@@ -303,6 +303,66 @@ class CliSpec extends SparkSpec {
     assert(e.getMessage.contains("curate.against"))
   }
 
+  test("curate.stream follow=true: long-running mode absorbs a mid-stream file drop") {
+    import spark.implicits._
+    def mkDocs(ids: Seq[Long]) = ids.map { i =>
+      val r = new scala.util.Random(i)
+      val words = (0 until 30).map(_ => s"w${r.nextInt(500)}")
+      (i, ("the of and to in a " * 3) + words.mkString(" "), "en")
+    }.toDF("doc_id", "text", "lang")
+    val standing = java.nio.file.Files.createTempDirectory("cli-fw-std").toString
+    val watched = java.nio.file.Files.createTempDirectory("cli-fw-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cli-fw-ck").toString
+    val seedDir = java.nio.file.Files.createTempDirectory("cli-fw-seed").toString
+    mkDocs(1L to 15L).write.mode("overwrite").parquet(seedDir)
+    Cli.run(Seq("curate", "-o", standing, seedDir), spark, new FakeTransport())
+    mkDocs(301L to 306L).coalesce(1).write.parquet(s"$watched/batch1")
+    // ids the standing corpus must NOT hold before the follow run
+    def standingIds(): Set[Long] =
+      try spark.read.parquet(standing).select("doc_id").as[Long]
+        .collect().toSet
+      catch { case _: Exception => Set.empty } // listing race mid-append
+    val before = spark.streams.active.map(_.id).toSet
+    val cli = new Thread(() =>
+      Cli.run(Seq("curate", "-s", s"curate.against=$standing",
+        "-s", s"curate.stream.checkpoint=$ckpt",
+        "-s", "curate.stream.follow=true",
+        "-s", "curate.stream.interval_ms=100", s"$watched/*"),
+        spark, new FakeTransport()))
+    cli.setDaemon(true)
+    cli.start()
+    def awaitIds(want: Set[Long], what: String): Unit = {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (!want.subsetOf(standingIds())) {
+        assert(System.nanoTime() < deadline,
+          s"$what not absorbed within 120s; have ${standingIds().size} ids")
+        Thread.sleep(200)
+      }
+    }
+    try {
+      awaitIds((301L to 306L).toSet, "batch1")
+      // MID-STREAM drop, while the query keeps ticking: novel rows plus
+      // a copy of a standing doc (must dedup away, same as batch mode)
+      mkDocs(401L to 404L).unionByName(
+          mkDocs(Seq(301L)).select((col("doc_id") + 9000L).as("doc_id"),
+            col("text"), col("lang")))
+        .coalesce(1).write.parquet(s"$watched/batch2")
+      awaitIds((401L to 404L).toSet, "batch2")
+    } finally {
+      spark.streams.active.filterNot(q => before.contains(q.id))
+        .foreach(_.stop())
+      cli.join(30000)
+    }
+    assert(!cli.isAlive, "CLI thread must exit after the query stops")
+    val ids = standingIds()
+    assert(!ids.exists(_ >= 9000L), "duplicate rows must not append")
+    assert(spark.read.parquet(standing).groupBy("doc_id").count()
+      .filter(col("count") > 1).count() == 0, "no doc ever appends twice")
+    // signature table stays in lockstep under the follow trigger too
+    assert(spark.read.parquet(s"$standing/_graft_signatures").count() ==
+      spark.read.parquet(standing).count())
+  }
+
   test("curate rejects malformed curate.epochs entries with usable messages") {
     val inDir = java.nio.file.Files.createTempDirectory("cli-epochs-in").toString
     spark.read.parquet(s"$sfSmoke/documents.parquet")

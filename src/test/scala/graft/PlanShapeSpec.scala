@@ -330,6 +330,17 @@ class PlanShapeSpec extends SparkSpec {
     // budget), the empty-benchmark bloomContamination count, and the
     // component-fixpoint rounds over the planted clone pairs
     "t45_curate_html" -> 19,
+    // w01/w02 SYNTHESIZE their WARC input at first construction (the
+    // writer actions; at 100 TB the crawl files already exist — this is
+    // input generation, not query shape). The build is marker-cached
+    // against the source parquet's metadata, so only the FIRST
+    // construction in a tmp lifetime pays; w02 additionally runs the
+    // t45-documented curation-capstone construction jobs
+    "w01_warc_roundtrip" -> 3,
+    "w02_warc_curate" -> 19,
+    // t48 composes d11's pageRank (5 join+sum rounds + rank bucketing,
+    // d11's documented 26) over edges harvested from generated HTML
+    "t48_web_graph" -> 26,
     "m12_marc_binary_roundtrip" -> 2, // DSv2 MarcScan planning probe
     "q24_percentile_disc" -> 6,    // pivot-histogram selection rounds
     "r01_bm25_topk" -> 2,          // corpus stats (avgdl, N) collect

@@ -88,9 +88,13 @@ class UrlSpec extends SparkSpec {
   }
 
   test("expanded PSL: deep wildcard/exception families, private registries, drift pins") {
-    // drift pin: the bundled snapshot must keep at least this coverage
-    // (someone shrinking the resource fails loudly here, not in t43)
-    assert(UrlKernel.loadRules("/graft/public_suffix.dat").length >= 300)
+    // drift pin: the bundled resource is the FULL public list (~9.5k
+    // rules) — someone swapping a subset back in fails loudly here, not
+    // as silent mis-grouping in t43/t46/per-domain caps
+    assert(UrlKernel.loadRules("/graft/public_suffix.dat").length >= 9000)
+    // the PSL-format parse layer stays pinned on the small fixture
+    // (wildcards, exceptions, comments) independent of list size
+    assert(UrlKernel.loadRules("/graft/public_suffix_subset.dat").length >= 300)
     // multi-label ccTLD families
     assert(dom("www.firm.example.com.tr") == "example.com.tr")
     assert(dom("shop.example.co.il") == "example.co.il")
@@ -115,6 +119,28 @@ class UrlSpec extends SparkSpec {
     assert(dom("www.city.ck") == "www.city.ck")
     assert(dom("www.ck") == "www.ck")
     assert(dom("host.unknowntld") == "host.unknowntld")
+  }
+
+  test("full PSL: suffixes absent from the old subset now resolve correctly") {
+    // 4-label US school-district registry (nowhere near the subset)
+    assert(dom("www.example.pvt.k12.ma.us") == "example.pvt.k12.ma.us")
+    assert(dom("pvt.k12.ma.us") == null)
+    // private-section hosting registries
+    assert(dom("myblog.blogspot.com") == "myblog.blogspot.com")
+    assert(dom("a.b.myblog.blogspot.com") == "myblog.blogspot.com")
+    // wildcard Japanese city family beyond the subset's kawasaki pins
+    assert(dom("shop.foo.nagoya.jp") == "shop.foo.nagoya.jp")
+    assert(dom("foo.nagoya.jp") == null)
+    // gov.uk family
+    assert(dom("www.example.gov.uk") == "example.gov.uk")
+  }
+
+  test("IDN rules match both Unicode and punycode hosts") {
+    // рф is a Unicode rule in the list; xn--p1ai is its punycode form
+    assert(dom("пример.рф") == "пример.рф")
+    assert(dom("www.example.xn--p1ai") == "example.xn--p1ai")
+    assert(dom("xn--p1ai") == null)
+    assert(dom("рф") == null)
   }
 
   test("SQL registrations are null-safe and match the kernel") {
