@@ -1,0 +1,301 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** robots.txt evaluation (RFC 9309, the Robots Exclusion Protocol) —
+  * the crawl-pipeline gate between a harvested frontier (t46/t48's
+  * chain) and the fetcher: given a host's robots.txt body, may `agent`
+  * fetch `path`, and at what politeness delay? At corpus scale this is
+  * a per-row kernel over (robots_body, url_path) pairs — robots bodies
+  * join to URLs on registered domain (bounded: one small text per
+  * host), text never shuffles, and the whole evaluation stays inside
+  * whole-stage codegen.
+  *
+  * PINNED semantics:
+  *  - Line model: `#` comments strip to end-of-line; CR/CRLF/LF all
+  *    accepted; directives are case-insensitive (`User-agent`, `Allow`,
+  *    `Disallow`, `Crawl-delay`; anything else — `Sitemap`, unknown —
+  *    is ignored for matching). A UTF-8 BOM on the first line strips.
+  *  - Grouping (RFC 9309 §2.1): consecutive `User-agent` lines open ONE
+  *    group serving all named agents; rules attach to the open group; a
+  *    `User-agent` line AFTER rules starts a new group; rules before
+  *    any `User-agent` line are ignored.
+  *  - Group selection (§2.2.1, the googlebot behavior): a group value
+  *    matches when it is a case-insensitive PREFIX of the crawler's
+  *    product token (`graft` matches agent `graftbot`); the groups with
+  *    the LONGEST matching value are selected and their rules MERGE;
+  *    `*` groups apply only when no named group matches. No group →
+  *    everything is allowed.
+  *  - Rule matching (§2.2.2): patterns match from the path START; `*`
+  *    matches any run of characters; a trailing `$` anchors at
+  *    path end ("$" elsewhere is literal). The longest PATTERN that
+  *    matches decides; equal lengths → Allow wins. Empty-pattern rules
+  *    drop (an empty `Disallow:` means unrestricted). No matching rule
+  *    → allowed.
+  *  - NULL/empty robots body → allowed (no robots.txt = crawl default);
+  *    null path → null. `Crawl-delay` (ubiquitous extension): first
+  *    parseable value among the selected groups' rules, else null.
+  */
+object RobotsKernel {
+
+  /** (isAllow, pattern) rules + crawl delay for the selected group(s). */
+  final class Policy(val rules: Array[(Boolean, String)],
+                     val crawlDelay: java.lang.Double)
+
+  val AllowAll = new Policy(Array.empty, null)
+
+  def policyFor(robotsTxt: String, agent: String): Policy = {
+    if (robotsTxt == null || robotsTxt.isEmpty) return AllowAll
+    val want = agent.trim.toLowerCase(java.util.Locale.ROOT)
+    // one parse pass: collect (groupUaValues, rules, delay) per group
+    final case class Group(uas: java.util.ArrayList[String],
+                           rules: java.util.ArrayList[(Boolean, String)],
+                           var delay: java.lang.Double)
+    val groups = new java.util.ArrayList[Group]()
+    var open: Group = null // group still accepting user-agent lines
+    var inUaRun = false
+    val lines = robotsTxt.split("\r\n|\r|\n", -1)
+    var li = 0
+    while (li < lines.length) {
+      var line = lines(li)
+      if (li == 0 && line.nonEmpty && line.charAt(0) == '\uFEFF')
+        line = line.substring(1)
+      val hash = line.indexOf('#')
+      if (hash >= 0) line = line.substring(0, hash)
+      line = line.trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val key = line.substring(0, colon).trim
+          .toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(colon + 1).trim
+        key match {
+          case "user-agent" =>
+            if (!inUaRun) {
+              open = Group(new java.util.ArrayList[String](),
+                new java.util.ArrayList[(Boolean, String)](), null)
+              groups.add(open)
+              inUaRun = true
+            }
+            if (value.nonEmpty)
+              open.uas.add(value.toLowerCase(java.util.Locale.ROOT))
+          case "allow" | "disallow" =>
+            inUaRun = false
+            if (open != null && value.nonEmpty)
+              open.rules.add((key == "allow", value))
+          case "crawl-delay" =>
+            inUaRun = false
+            if (open != null && open.delay == null)
+              try open.delay = java.lang.Double.valueOf(value.toDouble)
+              catch { case _: NumberFormatException => () }
+          case _ => inUaRun = false // sitemap / unknown: group continues
+        }
+      }
+      li += 1
+    }
+    // selection: longest UA value that is a prefix of the agent token;
+    // '*' groups only as fallback
+    var bestLen = -1
+    var i = 0
+    while (i < groups.size) {
+      val g = groups.get(i)
+      var j = 0
+      while (j < g.uas.size) {
+        val ua = g.uas.get(j)
+        if (ua != "*" && want.startsWith(ua) && ua.length > bestLen)
+          bestLen = ua.length
+        j += 1
+      }
+      i += 1
+    }
+    val rules = new java.util.ArrayList[(Boolean, String)]()
+    var delay: java.lang.Double = null
+    i = 0
+    while (i < groups.size) {
+      val g = groups.get(i)
+      var selected = false
+      var j = 0
+      while (!selected && j < g.uas.size) {
+        val ua = g.uas.get(j)
+        selected =
+          if (bestLen >= 0) ua != "*" && ua.length == bestLen && want.startsWith(ua)
+          else ua == "*"
+        j += 1
+      }
+      if (selected) {
+        rules.addAll(g.rules)
+        if (delay == null) delay = g.delay
+      }
+      i += 1
+    }
+    if (rules.isEmpty && delay == null) AllowAll
+    else new Policy(rules.toArray(Array.empty[(Boolean, String)]), delay)
+  }
+
+  /** Does `pattern` (robots syntax) match `path`? Non-anchored patterns
+    * match a path PREFIX — equivalent to a full wildcard match of
+    * `pattern + "*"`; a trailing `$` anchors the full path. Classic
+    * greedy single-backtrack `*` matcher, O(|pat|·|path|) worst case. */
+  def pathMatches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val pat =
+      if (anchored) pattern.substring(0, pattern.length - 1)
+      else pattern + "*"
+    var p = 0; var i = 0
+    var star = -1; var mark = 0
+    while (i < path.length) {
+      if (p < pat.length && pat.charAt(p) == '*') { star = p; mark = i; p += 1 }
+      else if (p < pat.length && pat.charAt(p) == path.charAt(i)) { p += 1; i += 1 }
+      else if (star >= 0) { p = star + 1; mark += 1; i = mark }
+      else return false
+    }
+    while (p < pat.length && pat.charAt(p) == '*') p += 1
+    p == pat.length
+  }
+
+  /** Longest matching pattern decides; ties → allow; no match → allow. */
+  def allowed(policy: Policy, path: String): Boolean = {
+    var bestLen = -1
+    var bestAllow = true
+    var i = 0
+    while (i < policy.rules.length) {
+      val (isAllow, pat) = policy.rules(i)
+      if (pathMatches(pat, path)) {
+        if (pat.length > bestLen ||
+          (pat.length == bestLen && isAllow && !bestAllow)) {
+          bestLen = pat.length
+          bestAllow = isAllow
+        }
+      }
+      i += 1
+    }
+    bestAllow
+  }
+
+  def allowed(robotsTxt: String, agent: String, path: String): Boolean =
+    allowed(policyFor(robotsTxt, agent), path)
+
+  def crawlDelay(robotsTxt: String, agent: String): java.lang.Double =
+    policyFor(robotsTxt, agent).crawlDelay
+}
+
+/** graft_robots_allowed(robots_txt, path, agent) → boolean. */
+case class RobotsAllowedExpression(first: Expression, second: Expression,
+                                   third: Expression)
+  extends TernaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "robots_allowed"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == StringType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"robots_allowed expects (string, string, string), got " +
+        children.map(_.dataType.simpleString).mkString("(", ", ", ")"))
+
+  def compute(robots: AnyRef, path: AnyRef, agent: AnyRef): AnyRef = {
+    if (path == null || agent == null) return null
+    val txt = if (robots == null) null else robots.toString
+    java.lang.Boolean.valueOf(
+      RobotsKernel.allowed(txt, agent.toString, path.toString))
+  }
+
+  override def eval(input: InternalRow): Any =
+    compute(first.eval(input).asInstanceOf[AnyRef],
+      second.eval(input).asInstanceOf[AnyRef],
+      third.eval(input).asInstanceOf[AnyRef])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("robotsExpr", this,
+      classOf[RobotsAllowedExpression].getName)
+    val r = first.genCode(ctx); val p = second.genCode(ctx)
+    val a = third.genCode(ctx)
+    val tmp = ctx.freshName("robotsRes")
+    ev.copy(code =
+      code"""
+        ${r.code}
+        ${p.code}
+        ${a.code}
+        Object $tmp = $ref.compute(
+          ${r.isNull} ? null : (Object) ${r.value},
+          ${p.isNull} ? null : (Object) ${p.value},
+          ${a.isNull} ? null : (Object) ${a.value});
+        boolean ${ev.isNull} = $tmp == null;
+        boolean ${ev.value} = ${ev.isNull}
+          ? false : ((java.lang.Boolean) $tmp).booleanValue();
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** graft_robots_crawl_delay(robots_txt, agent) → double (null = unset). */
+case class RobotsCrawlDelayExpression(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "robots_crawl_delay"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"robots_crawl_delay expects (string, string), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  def compute(robots: AnyRef, agent: AnyRef): AnyRef = {
+    if (agent == null) return null
+    val txt = if (robots == null) null else robots.toString
+    RobotsKernel.crawlDelay(txt, agent.toString)
+  }
+
+  override def eval(input: InternalRow): Any =
+    compute(left.eval(input).asInstanceOf[AnyRef],
+      right.eval(input).asInstanceOf[AnyRef])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("robotsDelayExpr", this,
+      classOf[RobotsCrawlDelayExpression].getName)
+    val l = left.genCode(ctx); val r = right.genCode(ctx)
+    val tmp = ctx.freshName("delayRes")
+    ev.copy(code =
+      code"""
+        ${l.code}
+        ${r.code}
+        Object $tmp = $ref.compute(
+          ${l.isNull} ? null : (Object) ${l.value},
+          ${r.isNull} ? null : (Object) ${r.value});
+        boolean ${ev.isNull} = $tmp == null;
+        double ${ev.value} = ${ev.isNull}
+          ? 0.0 : ((java.lang.Double) $tmp).doubleValue();
+      """)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object RobotsExpressions {
+
+  def robotsAllowed(robotsTxt: Column, path: Column, agent: Column): Column =
+    ColumnBridge.column(RobotsAllowedExpression(
+      ColumnBridge.expression(robotsTxt), ColumnBridge.expression(path),
+      ColumnBridge.expression(agent)))
+
+  def robotsCrawlDelay(robotsTxt: Column, agent: Column): Column =
+    ColumnBridge.column(RobotsCrawlDelayExpression(
+      ColumnBridge.expression(robotsTxt), ColumnBridge.expression(agent)))
+}

@@ -83,6 +83,18 @@ object TextAnalysis {
   def decodeHttpText(payload: Column, contentType: Column): Column =
     graft.functions.HttpDecodeExpression.decodeHttpText(payload, contentType)
 
+  /** RFC 9309 robots.txt evaluation ([[graft.functions.RobotsKernel]],
+    * pinned semantics there): may `agent` fetch `path` under this
+    * robots.txt body? The politeness gate between a harvested frontier
+    * (t46/t48) and the fetcher; null robots body = allowed. */
+  def robotsAllowed(robotsTxt: Column, path: Column, agent: Column): Column =
+    graft.functions.RobotsExpressions.robotsAllowed(robotsTxt, path, agent)
+
+  /** Crawl-delay seconds for `agent`'s selected robots.txt group, or
+    * null when unset (the ubiquitous non-RFC politeness extension). */
+  def robotsCrawlDelay(robotsTxt: Column, agent: Column): Column =
+    graft.functions.RobotsExpressions.robotsCrawlDelay(robotsTxt, agent)
+
   /** Mojibake repair ([[graft.functions.MojibakeExpression]], pinned
     * conservative rule there): UTF-8 text that was misdecoded as
     * Windows-1252/Latin-1 upstream re-decodes; correctly-decoded

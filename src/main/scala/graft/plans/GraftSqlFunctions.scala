@@ -194,6 +194,17 @@ object GraftSqlFunctions {
         "(news.bbc.co.uk -> bbc.co.uk); null for IPs and bare suffixes",
       { case Seq(t) => RegisteredDomainExpression(t) }),
 
+    ("graft_robots_allowed",
+      "graft_robots_allowed(robots_txt, path, agent) - RFC 9309 evaluation: " +
+        "may agent fetch path under this robots.txt? (longest-match, allow " +
+        "wins ties, '*'/'$' patterns, prefix agent groups; null robots = true)",
+      { case Seq(r, p, a) => RobotsAllowedExpression(r, p, a) }),
+
+    ("graft_robots_crawl_delay",
+      "graft_robots_crawl_delay(robots_txt, agent) - Crawl-delay seconds from " +
+        "the agent's selected group, or null when unset",
+      { case Seq(r, a) => RobotsCrawlDelayExpression(r, a) }),
+
     ("graft_lang_id",
       "graft_lang_id(text) - n-gram heuristic language id over the bundled marker set",
       { case Seq(t) => LangIdExpression(t, graft.ops.TextAnalysis.LangMarkers) }),

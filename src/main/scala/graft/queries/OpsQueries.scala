@@ -1020,6 +1020,71 @@ object OpsQueries extends QueryPack {
         .orderBy("id")
     }),
 
+    // robots.txt evaluation (RFC 9309) — the politeness gate between a
+    // harvested frontier and the fetcher. Four planted robots families
+    // × five path families cover the semantics that matter: named-group
+    // selection overriding '*' (family 0: the graftbot group does NOT
+    // inherit the * group's /private/ block), wildcard + '$' anchor
+    // (family 1), disallow-all with a longest-match allow carve-out
+    // (family 2), and the no-robots default-allow (family 3). The
+    // oracle states the 4×5 decision grid analytically. Per-row codegen
+    // kernel: nothing shuffles.
+    "t49_robots" -> ((s, d) => {
+      val r = col("doc_id") % 4
+      val robots = when(r === 0, lit(
+          "User-agent: *\nDisallow: /private/\nAllow: /private/public/\n\n" +
+          "User-agent: graftbot\nDisallow: /secret/\nCrawl-delay: 2.5\n"))
+        .when(r === 1, lit(
+          "User-agent: *\nDisallow: /*.pdf$\nAllow: /docs/\n"))
+        .when(r === 2, lit(
+          "User-agent: *\nDisallow: /\nAllow: /articles/\n"))
+        .otherwise(lit(null).cast("string"))
+      val p = col("doc_id") % 5
+      val path = when(p === 0, concat(lit("/articles/"), col("doc_id")))
+        .when(p === 1, concat(lit("/private/x/"), col("doc_id")))
+        .when(p === 2, concat(lit("/private/public/"), col("doc_id")))
+        .when(p === 3, concat(lit("/files/"), col("doc_id"), lit(".pdf")))
+        .otherwise(concat(lit("/secret/"), col("doc_id")))
+      Tables.documentsBalanced(s, d).select(col("doc_id"),
+          TextAnalysis.robotsAllowed(robots, path, lit("graftbot"))
+            .as("allowed"),
+          TextAnalysis.robotsCrawlDelay(robots, lit("graftbot"))
+            .as("crawl_delay"))
+        .orderBy("doc_id")
+    }),
+
+    // anchor-text aggregation: the per-target-URL anchor corpus (the
+    // training-data enrichment search engines build from the web graph
+    // — what OTHER pages call this page). Harvest → resolve →
+    // canonicalize as in t46, then ONE groupBy(url): link count,
+    // distinct citing pages, and the deduped sorted anchor vocabulary.
+    // Anchors ride the single url-keyed shuffle as short strings; at
+    // corpus scale this is the classic map-side-combinable aggregation.
+    "t50_anchor_text" -> ((s, d) => {
+      val base = concat(lit("http://www.d"), (col("doc_id") % 7).cast("string"),
+        lit(".org/p.html"))
+      val html = concat(
+        lit("<html><body><a href=\"https://target.example.com/page/"),
+        (col("doc_id") % 20).cast("string"),
+        lit("\">ref-"), (col("doc_id") % 3).cast("string"),
+        lit("</a> <a href=\"/local/"), (col("doc_id") % 4).cast("string"),
+        lit(".html\">local "), (col("doc_id") % 2).cast("string"),
+        lit("</a></body></html>"))
+      Tables.documentsBalanced(s, d)
+        .select(col("doc_id"), base.as("base"),
+          explode(TextAnalysis.htmlLinks(html)).as("link"))
+        .select(col("doc_id"),
+          TextAnalysis.canonicalUrl(
+            TextAnalysis.resolveUrl(col("base"), col("link.url"))).as("url"),
+          col("link.anchor").as("anchor"))
+        .groupBy("url")
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("doc_id")).as("n_pages"),
+          array_join(sort_array(collect_set(col("anchor"))), "|")
+            .as("anchors"))
+        .orderBy("url")
+    }),
+
     // END-TO-END htmlInput curation: the full curate() chain over a
     // planted CRAWL — every doc wrapped in chrome that extracts away
     // cleanly (so downstream gates see exactly the original text, which
@@ -1508,6 +1573,42 @@ object OpsQueries extends QueryPack {
 
   def oracleSql: Map[String, String] = Map(
     "t48_web_graph" -> webGraphOracle,
+
+    // the 4x5 decision grid stated analytically: family 0's graftbot
+    // group only blocks /secret/ (named group overrides *), family 1
+    // blocks only the $-anchored *.pdf path, family 2 allows only the
+    // /articles/ carve-out, family 3 has no robots.txt at all
+    "t49_robots" ->
+      """SELECT doc_id,
+           CASE
+             WHEN doc_id % 4 = 3 THEN TRUE
+             WHEN doc_id % 4 = 0 THEN doc_id % 5 <> 4
+             WHEN doc_id % 4 = 1 THEN doc_id % 5 <> 3
+             ELSE doc_id % 5 = 0
+           END AS allowed,
+           CASE WHEN doc_id % 4 = 0 THEN CAST(2.5 AS DOUBLE)
+                ELSE NULL END AS crawl_delay
+         FROM documents ORDER BY doc_id""",
+
+    // the two planted links per page assembled analytically, then the
+    // same url-keyed aggregation
+    "t50_anchor_text" ->
+      """WITH l AS (
+           SELECT doc_id,
+             'https://target.example.com/page/' || (doc_id % 20) AS url,
+             'ref-' || (doc_id % 3) AS anchor
+           FROM documents
+           UNION ALL
+           SELECT doc_id,
+             'http://www.d' || (doc_id % 7) || '.org/local/'
+               || (doc_id % 4) || '.html',
+             'local ' || (doc_id % 2)
+           FROM documents)
+         SELECT url, count(*) AS n_links,
+           count(DISTINCT doc_id) AS n_pages,
+           array_to_string(list_sort(list_distinct(list(anchor))), '|')
+             AS anchors
+         FROM l GROUP BY url ORDER BY url""",
     // expected canonical form / registered domain assembled from the
     // plant: lowercase scheme+authority, :80/:443 stripped, fragment
     // and utm_*/gclid params gone, empty path -> '/', param order kept;
