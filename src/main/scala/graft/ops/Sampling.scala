@@ -246,6 +246,28 @@ object Sampling {
     ranked.drop("_op", "_ooff")
   }
 
+  /** Domain-fair interleave (crawl-frontier politeness ordering): a
+    * global fetch order where every group's k-th row comes after EVERY
+    * group's (k-1)-th — the round-robin-by-domain schedule that stops a
+    * heavy host from monopolizing the queue head while still serving
+    * high-priority URLs first within each host. Position = global rank
+    * of (within-group sequence, then `order`), 1-based in `outCol`.
+    *
+    * Scale shape: ONE shuffle on the group key (the within-group
+    * row_number window, properly partitioned — never a global window) +
+    * [[globalOrdinal]]'s range exchange. `order` must totally order rows
+    * that share a sequence number across groups (include a unique key);
+    * [[globalOrdinal]]'s validateTotalOrder pins that in tests. */
+  def fairInterleave(df: DataFrame, group: Column, order: Seq[Column],
+                     outCol: String): DataFrame = {
+    require(!df.columns.contains("_fseq"),
+      "fairInterleave: input must not contain reserved column '_fseq'")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(order: _*)
+    val seq = df.withColumn("_fseq", row_number().over(w))
+    globalOrdinal(seq, col("_fseq") +: order, outCol).drop("_fseq")
+  }
+
   /** Deterministic per-group cap (the C4/RefinedWeb "at most n documents
     * per domain" curation step): keep at most `n` rows per `groupCol`,
     * chosen by md5-hash order of `keyCol` — a reproducible pseudo-random

@@ -1085,6 +1085,26 @@ object OpsQueries extends QueryPack {
         .orderBy("url")
     }),
 
+    // domain-fair frontier ordering (crawl politeness): a 60%-skewed
+    // domain mix (big.com gets 6 of every 10 URLs) must NOT monopolize
+    // the queue head — every domain's k-th fetch lands after every
+    // domain's (k-1)-th, priority-ordered within a domain. The oracle
+    // replays the same two-rank construction with window functions.
+    "t51_frontier" -> ((s, d) => {
+      val m = col("doc_id") % 10
+      val domain = when(m < 6, lit("big.com"))
+        .when(m < 8, lit("mid.org"))
+        .when(m === 8, lit("a.net"))
+        .otherwise(lit("b.net"))
+      val frontier = Tables.documentsBalanced(s, d).select(
+        concat(lit("http://"), domain, lit("/p/"), col("doc_id")).as("url"),
+        domain.as("domain"),
+        ((col("doc_id") * 37) % 100).as("score"))
+      graft.ops.Sampling.fairInterleave(frontier, col("domain"),
+          Seq(col("score").desc, col("url")), "pos")
+        .orderBy("pos")
+    }),
+
     // END-TO-END htmlInput curation: the full curate() chain over a
     // planted CRAWL — every doc wrapped in chrome that extracts away
     // cleanly (so downstream gates see exactly the original text, which
@@ -1609,6 +1629,31 @@ object OpsQueries extends QueryPack {
            array_to_string(list_sort(list_distinct(list(anchor))), '|')
              AS anchors
          FROM l GROUP BY url ORDER BY url""",
+
+    // the same two ranks: within-domain sequence by (score desc, url),
+    // then the global interleave order (seq first). score stays BIGINT
+    // on both sides; pos/seq are 1-based row_numbers
+    "t51_frontier" ->
+      """WITH f AS (
+           SELECT 'http://' ||
+               CASE WHEN doc_id % 10 < 6 THEN 'big.com'
+                    WHEN doc_id % 10 < 8 THEN 'mid.org'
+                    WHEN doc_id % 10 = 8 THEN 'a.net'
+                    ELSE 'b.net' END || '/p/' || doc_id AS url,
+             CASE WHEN doc_id % 10 < 6 THEN 'big.com'
+                  WHEN doc_id % 10 < 8 THEN 'mid.org'
+                  WHEN doc_id % 10 = 8 THEN 'a.net'
+                  ELSE 'b.net' END AS domain,
+             CAST((doc_id * 37) % 100 AS BIGINT) AS score
+           FROM documents),
+         s AS (
+           SELECT url, domain, score,
+             row_number() OVER (PARTITION BY domain
+               ORDER BY score DESC, url) AS seq
+           FROM f)
+         SELECT url, domain, score,
+           row_number() OVER (ORDER BY seq, score DESC, url) AS pos
+         FROM s ORDER BY pos""",
     // expected canonical form / registered domain assembled from the
     // plant: lowercase scheme+authority, :80/:443 stripped, fragment
     // and utm_*/gclid params gone, empty path -> '/', param order kept;
