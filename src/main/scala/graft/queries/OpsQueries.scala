@@ -1105,6 +1105,80 @@ object OpsQueries extends QueryPack {
         .orderBy("pos")
     }),
 
+    // crawl-delta detection (recrawl scheduling): diff two crawl
+    // snapshots by URL on content fingerprint — new / changed /
+    // unchanged / gone. ONE full-outer join on url moving (url, md5)
+    // pairs only; document text never shuffles. The plant: every 10th
+    // page vanished, every 7th changed content, every 13th spawned a
+    // new URL; the oracle states the grid analytically.
+    "t53_crawl_diff" -> ((s, d) => {
+      val docs = Tables.documentsBalanced(s, d).select(col("doc_id"), col("text"))
+      val url = concat(lit("http://site.example.com/p/"), col("doc_id"))
+      val prev = docs.select(url.as("url"), md5(col("text")).as("ph"))
+      val curBase = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(url.as("url"),
+          md5(when(col("doc_id") % 7 === 0,
+              concat(col("text"), lit(" updated")))
+            .otherwise(col("text"))).as("ch"))
+      val curNew = docs.filter(col("doc_id") % 13 === 0)
+        .select(concat(lit("http://site.example.com/new/"), col("doc_id"))
+          .as("url"), md5(col("text")).as("ch"))
+      prev.join(curBase.unionByName(curNew), Seq("url"), "full_outer")
+        .select(col("url"),
+          when(col("ph").isNull, lit("new"))
+          .when(col("ch").isNull, lit("gone"))
+          .when(col("ph") === col("ch"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+        .orderBy("url")
+    }),
+
+    // the FETCHABLE frontier, end-to-end: harvest outlinks from HTML →
+    // resolve + canonicalize + registered domain → dedup the URL set →
+    // join each host's robots.txt → drop disallowed paths (RFC 9309
+    // gate) → domain-fair politeness order. Three domain families:
+    // k%3==0 hosts disallow /local/ (their harvested deep links die at
+    // the gate), k%3==1 hosts allow with a crawl-delay, k%3==2 have no
+    // robots.txt (default allow) — and the cross-domain target links
+    // hit a host with no robots row at all (null-join → allowed). The
+    // robots table is per-HOST (bounded: one small text per domain),
+    // the URL set is what shuffles.
+    "t52_fetch_frontier" -> ((s, d) => {
+      val k = (col("doc_id") % 7).cast("string")
+      val base = concat(lit("http://www.d"), k, lit(".org/p.html"))
+      val html = concat(
+        lit("<html><body><a href=\"https://target.example.com/page/"),
+        (col("doc_id") % 20).cast("string"),
+        lit("\">t</a> <a href=\"/local/"), (col("doc_id") % 4).cast("string"),
+        lit(".html\">l</a></body></html>"))
+      val docs = Tables.documentsBalanced(s, d)
+      val urls = docs
+        .select(base.as("base"), html.as("html"))
+        .select(col("base"), explode(TextAnalysis.htmlLinks(col("html")))
+          .as("link"))
+        .select(TextAnalysis.canonicalUrl(
+          TextAnalysis.resolveUrl(col("base"), col("link.url"))).as("url"))
+        .select(col("url"),
+          TextAnalysis.registeredDomain(col("url")).as("domain"),
+          regexp_extract(col("url"), "^[a-z]+://[^/]+(/.*)$", 1).as("path"))
+        .distinct()
+      val robots = docs.select((col("doc_id") % 7).as("k")).distinct()
+        .select(concat(lit("d"), col("k").cast("string"), lit(".org"))
+            .as("domain"),
+          when(col("k") % 3 === 0,
+            lit("User-agent: *\nDisallow: /local/\n"))
+          .when(col("k") % 3 === 1,
+            lit("User-agent: *\nCrawl-delay: 4\n"))
+          .otherwise(lit(null).cast("string")).as("robots"))
+      val fetchable = urls.join(robots, Seq("domain"), "left")
+        .filter(TextAnalysis.robotsAllowed(col("robots"), col("path"),
+          lit("graftbot")))
+        .select(col("url"), col("domain"),
+          (length(col("url")) % 17).cast("long").as("score"))
+      graft.ops.Sampling.fairInterleave(fetchable, col("domain"),
+          Seq(col("score").desc, col("url")), "pos")
+        .orderBy("pos")
+    }),
+
     // END-TO-END htmlInput curation: the full curate() chain over a
     // planted CRAWL — every doc wrapped in chrome that extracts away
     // cleanly (so downstream gates see exactly the original text, which
@@ -1648,6 +1722,46 @@ object OpsQueries extends QueryPack {
            FROM documents),
          s AS (
            SELECT url, domain, score,
+             row_number() OVER (PARTITION BY domain
+               ORDER BY score DESC, url) AS seq
+           FROM f)
+         SELECT url, domain, score,
+           row_number() OVER (ORDER BY seq, score DESC, url) AS pos
+         FROM s ORDER BY pos""",
+
+    // the planted delta grid, stated directly (gone wins over changed
+    // when both residues hit: the page is absent from the new crawl)
+    "t53_crawl_diff" ->
+      """SELECT url, status FROM (
+           SELECT 'http://site.example.com/p/' || doc_id AS url,
+             CASE WHEN doc_id % 10 = 0 THEN 'gone'
+                  WHEN doc_id % 7 = 0 THEN 'changed'
+                  ELSE 'unchanged' END AS status
+           FROM documents
+           UNION ALL
+           SELECT 'http://site.example.com/new/' || doc_id, 'new'
+           FROM documents WHERE doc_id % 13 = 0)
+         ORDER BY url""",
+
+    // the analytic fetchable set: target links always survive (their
+    // host has no robots row -> default allow); deep links survive only
+    // on hosts whose family does not disallow /local/; then t51's
+    // two-rank interleave replay
+    "t52_fetch_frontier" ->
+      """WITH u AS (
+           SELECT DISTINCT
+             'https://target.example.com/page/' || (doc_id % 20) AS url,
+             'example.com' AS domain
+           FROM documents
+           UNION
+           SELECT DISTINCT
+             'http://www.d' || (doc_id % 7) || '.org/local/'
+               || (doc_id % 4) || '.html',
+             'd' || (doc_id % 7) || '.org'
+           FROM documents WHERE (doc_id % 7) % 3 <> 0),
+         f AS (SELECT url, domain,
+                 CAST(length(url) % 17 AS BIGINT) AS score FROM u),
+         s AS (SELECT url, domain, score,
              row_number() OVER (PARTITION BY domain
                ORDER BY score DESC, url) AS seq
            FROM f)

@@ -61,6 +61,39 @@ object XmlQueries extends QueryPack {
           array_join(extractXpath(col("xml"), "/g:rec/name", Ns), "|").as("names"),
           size(extractXpath(col("xml"), "//name/first", Ns)).as("n_first"))
         .orderBy("doc_id")
+    }),
+
+    // sitemap.xml parsing (crawl discovery — the companion to the t49
+    // robots gate; robots' `Sitemap:` directive points here): each
+    // synthesized sitemap carries three <url> entries in the sitemaps.org
+    // namespace, the middle one WITHOUT <lastmod> (the alignment trap:
+    // parallel //loc and //lastmod extractions would mis-pair — the
+    // per-entry positional XPath keeps loc/lastmod paired; `get()` turns
+    // the missing match into NULL, ANSI-safe)
+    "x03_sitemap" -> ((s, d) => {
+      val Sm = Map("sm" -> "http://www.sitemaps.org/schemas/sitemap/0.9")
+      val k = (col("doc_id") % 7).cast("string")
+      val id = col("doc_id").cast("string")
+      val m = ((col("doc_id") % 9) + 1).cast("string")
+      val xml = concat(
+        lit("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+          "<url><loc>http://s"), k, lit(".com/a/"), id,
+        lit("</loc><lastmod>2026-0"), m, lit("-01</lastmod></url>" +
+          "<url><loc>http://s"), k, lit(".com/b/"), id,
+        lit("</loc></url><url><loc>http://s"), k, lit(".com/c/"), id,
+        lit("</loc><lastmod>2026-01-15</lastmod></url></urlset>"))
+      def entry(i: Int) = struct(
+        get(extractXpath(col("xml"),
+          s"/sm:urlset/sm:url[$i]/sm:loc", Sm), lit(0)).as("loc"),
+        get(extractXpath(col("xml"),
+          s"/sm:urlset/sm:url[$i]/sm:lastmod", Sm), lit(0)).as("lastmod"))
+      Tables.documentsBalanced(s, d)
+        .select(col("doc_id"), xml.as("xml"))
+        .select(col("doc_id"),
+          posexplode(array(entry(1), entry(2), entry(3))).as(Seq("pos", "e")))
+        .select(col("doc_id"), col("pos"),
+          col("e.loc").as("loc"), col("e.lastmod").as("lastmod"))
+        .orderBy("doc_id", "pos")
     })
   )
 
@@ -72,6 +105,24 @@ object XmlQueries extends QueryPack {
       """SELECT doc_id,
               lang || ' ' || source || '|' || source || ' ' || lang AS names,
               2 AS n_first
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    // the three planted entries per sitemap, positionally: entry 1
+    // carries the doc-derived month, entry 2 has no lastmod (NULL),
+    // entry 3 a fixed date
+    "x03_sitemap" ->
+      """SELECT doc_id, CAST(pos AS INT) AS pos,
+           CASE pos
+             WHEN 0 THEN 'http://s' || (doc_id % 7) || '.com/a/' || doc_id
+             WHEN 1 THEN 'http://s' || (doc_id % 7) || '.com/b/' || doc_id
+             ELSE 'http://s' || (doc_id % 7) || '.com/c/' || doc_id
+           END AS loc,
+           CASE pos
+             WHEN 0 THEN '2026-0' || ((doc_id % 9) + 1) || '-01'
+             WHEN 1 THEN NULL
+             ELSE '2026-01-15'
+           END AS lastmod
+         FROM documents CROSS JOIN (VALUES (0), (1), (2)) AS p(pos)
+         ORDER BY doc_id, pos"""
   )
 }

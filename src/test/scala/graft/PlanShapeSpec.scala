@@ -341,6 +341,11 @@ class PlanShapeSpec extends SparkSpec {
     // t48 composes d11's pageRank (5 join+sum rounds + rank bucketing,
     // d11's documented 26) over edges harvested from generated HTML
     "t48_web_graph" -> 26,
+    // globalOrdinal's construction shape (the d11 bucketing tail): the
+    // lazy range-checkpoint materialization + the per-partition counts
+    // collect — bounded scalar work, documented in Sampling.globalOrdinal
+    "t51_frontier" -> 4,
+    "t52_fetch_frontier" -> 4,
     "m12_marc_binary_roundtrip" -> 2, // DSv2 MarcScan planning probe
     "q24_percentile_disc" -> 6,    // pivot-histogram selection rounds
     "r01_bm25_topk" -> 2,          // corpus stats (avgdl, N) collect
@@ -372,6 +377,11 @@ class PlanShapeSpec extends SparkSpec {
     // distinct-count audit (1) — the degenerate-block cap's price
     "d08_fuzzy_pairs" -> 3,
     "d09_semdedup" -> 6, "d10_bloom_decontaminate" -> 2,
+    // t53 diffs two crawl SNAPSHOTS that the plant synthesizes from the
+    // one fixture table (prev + current + new-URL branch); production
+    // inputs are two distinct sources, so the triple leaf is the
+    // fixture's artifact, not the operator's shape
+    "t53_crawl_diff" -> 3,
     // d12's registered query constructs its batch side from a 3-scan
     // union of the same table; the r12 persisted batch narrow leaves
     // the 3-scan union (cache build) + 3 prior-side consumers
