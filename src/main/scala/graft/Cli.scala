@@ -114,7 +114,9 @@ object Cli {
       // corpus — so re-running the same input yields zero new rows.
       require(inputs.nonEmpty, "no input document tables given")
       import spark.implicits._
-      val docs = inputs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+      // lazy: the streaming modes below return before any batch read,
+      // and a WARC watched dir is not parquet-readable at all
+      lazy val docs = inputs.map(spark.read.parquet(_)).reduce(_ unionByName _)
       val benchmark = settings.get("curate.benchmark")
         .map(p => spark.read.parquet(p).select("text"))
         .getOrElse(Seq.empty[String].toDF("text"))
@@ -173,20 +175,50 @@ object Cli {
       // exits (cron-able); -s curate.stream.follow=true keeps running.
       //   graft.Cli curate -s curate.against=std -s curate.stream.checkpoint=ck
       //     [-s curate.stream.max_files_per_trigger=N]
-      //     [-s curate.stream.follow=true] watched-dir
+      //     [-s curate.stream.follow=true]
+      //     [-s curate.stream.format=warc -s curate.html=text|main]
+      //     watched-dir
       settings.get("curate.stream.checkpoint").foreach { ckpt =>
         val standingDir = settings.getOrElse("curate.against", sys.error(
           "curate.stream.checkpoint requires -s curate.against=standingDir"))
         require(inputs.size == 1,
           s"curate.stream watches exactly ONE directory (got $inputs)")
-        // streaming sources need an explicit schema: take it from the
-        // files already present (the watched dir must be non-empty on
-        // first start; later files may only add nullable columns)
-        val schema = spark.read.parquet(inputs.head).schema
-        val reader = spark.readStream.schema(schema)
-        settings.get("curate.stream.max_files_per_trigger")
-          .foreach(n => reader.option("maxFilesPerTrigger", n))
-        val stream = reader.parquet(inputs.head)
+        // -s curate.stream.format=warc — the 100 TB crawl entry path in
+        // FOLLOW mode: watch a directory of .warc[.gz] drops, admit each
+        // file exactly once (the source's checkpoint metadata log), and
+        // run response records through charset-sniffed decode →
+        // (doc_id, text, lang) → the same curation chain. doc_id is the
+        // 64-bit hash of the target URI (collisions quarantine via the
+        // standing corpus's doc_id mechanism); lang classifies on a
+        // one-off extraction of the decoded HTML (cfg.htmlInput
+        // re-extracts inside curate — increment-sized double work).
+        val stream = settings.getOrElse("curate.stream.format", "parquet") match {
+          case "parquet" =>
+            // streaming sources need an explicit schema: take it from the
+            // files already present (the watched dir must be non-empty on
+            // first start; later files may only add nullable columns)
+            val schema = spark.read.parquet(inputs.head).schema
+            val reader = spark.readStream.schema(schema)
+            settings.get("curate.stream.max_files_per_trigger")
+              .foreach(n => reader.option("maxFilesPerTrigger", n))
+            reader.parquet(inputs.head)
+          case "warc" =>
+            require(settings.get("curate.html").isDefined,
+              "curate.stream.format=warc carries raw crawl HTML: pass " +
+                "-s curate.html=text|main so the pipeline extracts it")
+            val reader = spark.readStream.format("warc")
+            settings.get("curate.stream.max_files_per_trigger")
+              .foreach(n => reader.option("maxFilesPerTrigger", n))
+            reader.load(inputs.head)
+              .filter(col("warc_type") === "response")
+              .select(xxhash64(col("target_uri")).as("doc_id"),
+                ops.TextAnalysis.decodeHttpText(col("payload"),
+                  col("http_content_type")).as("text"))
+              .withColumn("lang", ops.TextAnalysis.langId(
+                ops.TextAnalysis.htmlToText(col("text"))))
+          case other => sys.error(
+            s"curate.stream.format: unknown format '$other' (parquet|warc)")
+        }
         val follow = settings.get("curate.stream.follow").contains("true")
         val q = streaming.IncrementalCuration.start(
           stream, standingDir, benchmark, ckpt, cfg,

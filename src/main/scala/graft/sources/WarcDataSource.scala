@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -92,7 +93,8 @@ final class WarcTable(paths: Seq[String])
   override def name(): String = s"warc(${paths.mkString(",")})"
   override def schema(): StructType = WarcDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   /** Same provenance contract as the MARC source: (file, byte offset)
     * — for `.warc.gz` the offset is in the UNCOMPRESSED stream (gzip
@@ -111,7 +113,8 @@ final class WarcTable(paths: Seq[String])
     })
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(paths)
+    new WarcScanBuilder(paths,
+      Option(options.get("maxfilespertrigger")).map(_.toInt))
 }
 
 /** Header-only record predicate: evaluable before any block byte is
@@ -124,7 +127,8 @@ final case class WarcPred(types: Option[Set[String]],
   def isEmpty: Boolean = types.isEmpty && uriPrefixes.isEmpty
 }
 
-final class WarcScanBuilder(paths: Seq[String])
+final class WarcScanBuilder(paths: Seq[String],
+                            maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   import org.apache.spark.sql.sources.{EqualTo, Filter, In, StringStartsWith}
@@ -151,7 +155,7 @@ final class WarcScanBuilder(paths: Seq[String])
     }
     val pred = WarcPred(eqs.reduceOption(_ intersect _),
       accepted.collect { case StringStartsWith("target_uri", p) => p }.toSeq)
-    new WarcScan(paths, required, pred)
+    new WarcScan(paths, required, pred, maxFilesPerTrigger)
   }
 }
 
@@ -159,7 +163,8 @@ final case class WarcInputPartition(path: String, start: Long, length: Long,
                                     gzipped: Boolean) extends InputPartition
 
 final class WarcScan(paths: Seq[String], required: StructType,
-                     pred: WarcPred = WarcPred(None, Nil))
+                     pred: WarcPred = WarcPred(None, Nil),
+                     maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -172,10 +177,23 @@ final class WarcScan(paths: Seq[String], required: StructType,
     s"warc(${paths.mkString(",")}) $mode$filt"
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val spark = SparkSession.active
-    val conf = spark.sessionState.newHadoopConf()
-    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+  override def planInputPartitions(): Array[InputPartition] =
+    WarcScan.partitionsFor(WarcScan.listFiles(paths))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(required, pred)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new WarcMicroBatchStream(paths, required, pred, checkpointLocation,
+      maxFilesPerTrigger)
+}
+
+object WarcScan {
+
+  /** (path, length) of every data file under `paths` (dirs expand one
+    * level; Spark-metadata `_`/`.` names skip), deterministic order. */
+  def listFiles(paths: Seq[String]): Seq[(String, Long)] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
     paths.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
@@ -185,24 +203,155 @@ final class WarcScan(paths: Seq[String], required: StructType,
             !s.getPath.getName.startsWith("_") &&
             !s.getPath.getName.startsWith("."))
         else Seq(fs.getFileStatus(path))
-      statuses.flatMap { st =>
-        val name = st.getPath.getName
-        val len = st.getLen
-        if (name.endsWith(".gz"))
-          // gzip members aren't seekable: the file is the parallelism
-          // unit, as in every published crawl layout
-          Seq(WarcInputPartition(st.getPath.toString, 0L, len, gzipped = true))
-        else
-          (0L until math.max(len, 1L) by maxSplit).map { off =>
-            WarcInputPartition(st.getPath.toString, off,
-              math.min(maxSplit, len - off), gzipped = false)
-          }
-      }
+      statuses.map(st => (st.getPath.toString, st.getLen))
+    }.sortBy(_._1)
+  }
+
+  /** The one partition-planning rule, shared by the batch scan and the
+    * streaming per-batch plan: plain `.warc` splits in
+    * `maxPartitionBytes` chunks, `.warc.gz` is one partition per file
+    * (gzip members aren't seekable — the file is the parallelism unit,
+    * as in every published crawl layout). */
+  def partitionsFor(files: Seq[(String, Long)]): Array[InputPartition] = {
+    val maxSplit = SparkSession.active.sessionState.conf.filesMaxPartitionBytes
+    files.flatMap { case (p, len) =>
+      if (p.endsWith(".gz"))
+        Seq(WarcInputPartition(p, 0L, len, gzipped = true))
+      else
+        (0L until math.max(len, 1L) by maxSplit).map { off =>
+          WarcInputPartition(p, off, math.min(maxSplit, len - off),
+            gzipped = false)
+        }
     }.toArray
   }
+}
+
+/** Streaming offset = number of admitted file BATCHES. The batch→files
+  * mapping lives in a metadata log under the checkpoint (one atomic
+  * file per batch index recording `length\tpath` lines), so a replayed
+  * batch after restart reads the IDENTICAL file set — the same
+  * mechanism Spark's built-in FileStreamSource uses. */
+final case class WarcFilesOffset(batch: Long) extends Offset {
+  override def json(): String = batch.toString
+}
+
+/** Watch WARC directories as a micro-batch stream: each trigger admits
+  * the data files not seen before (path-diff, not mtime watermark — a
+  * late file with an old timestamp still admits), caps admission at
+  * `maxFilesPerTrigger`, and logs the batch's file list atomically
+  * under the checkpoint. Restart: the logs rebuild the seen-set and the
+  * latest batch index, and a planned-but-uncommitted batch replays
+  * byte-identically from its log. `Trigger.AvailableNow` snapshots the
+  * pending file set at prepare time and drains it in capped batches —
+  * the cron-less "process today's crawl drop then exit" mode. */
+final class WarcMicroBatchStream(paths: Seq[String], required: StructType,
+                                 pred: WarcPred, checkpointLocation: String,
+                                 maxFilesPerTrigger: Option[Int])
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  private val hconf = SparkSession.active.sessionState.newHadoopConf()
+  private val logDir = new Path(checkpointLocation, "graft-warc-files")
+  private val fs = logDir.getFileSystem(hconf)
+
+  private val seen = scala.collection.mutable.Set.empty[String]
+  private var latestBatch: Long = 0L
+  // AvailableNow: the pending snapshot taken at prepare time
+  private var availableNowPending: Option[List[(String, Long)]] = None
+
+  // rebuild state from the metadata log (restart path)
+  if (fs.exists(logDir)) {
+    fs.listStatus(logDir).foreach { st =>
+      val name = st.getPath.getName
+      if (!name.startsWith(".")) {
+        val idx = name.toLong
+        if (idx > latestBatch) latestBatch = idx
+        readLog(idx).foreach { case (p, _) => seen += p }
+      }
+    }
+  }
+
+  private def readLog(idx: Long): Seq[(String, Long)] = {
+    val in = fs.open(new Path(logDir, idx.toString))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.map {
+      line =>
+        val tab = line.indexOf('\t')
+        (line.substring(tab + 1), line.substring(0, tab).toLong)
+    } finally in.close()
+  }
+
+  private def writeLog(idx: Long, files: Seq[(String, Long)]): Unit = {
+    fs.mkdirs(logDir)
+    val tmp = new Path(logDir, s".tmp-$idx")
+    val out = fs.create(tmp, true)
+    try out.write(files.map { case (p, len) => s"$len\t$p\n" }
+      .mkString.getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(logDir, idx.toString)))
+      throw new java.io.IOException(
+        s"warc stream: cannot commit metadata log $logDir/$idx")
+  }
+
+  private def cap: Int = maxFilesPerTrigger.getOrElse(Int.MaxValue)
+
+  private def discoverNew(): List[(String, Long)] =
+    WarcScan.listFiles(paths).filterNot(f => seen.contains(f._1)).toList
+
+  private def admit(candidates: List[(String, Long)]): Offset = {
+    val batchFiles = candidates.take(cap)
+    if (batchFiles.isEmpty) return WarcFilesOffset(latestBatch)
+    latestBatch += 1
+    writeLog(latestBatch, batchFiles)
+    batchFiles.foreach { case (p, _) => seen += p }
+    WarcFilesOffset(latestBatch)
+  }
+
+  override def initialOffset(): Offset = WarcFilesOffset(0L)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxRows(n.toLong))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def prepareForTriggerAvailableNow(): Unit = synchronized {
+    availableNowPending = Some(discoverNew())
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    synchronized {
+      availableNowPending match {
+        case Some(pending) =>
+          val off = admit(pending)
+          availableNowPending = Some(pending.drop(cap))
+          off
+        case None => admit(discoverNew())
+      }
+    }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def reportLatestOffset(): Offset = synchronized {
+    WarcFilesOffset(latestBatch)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    synchronized {
+      val s = start.asInstanceOf[WarcFilesOffset].batch
+      val e = end.asInstanceOf[WarcFilesOffset].batch
+      val files = ((s + 1) to e).flatMap(readLog)
+      WarcScan.partitionsFor(files)
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(required, pred)
+
+  override def deserializeOffset(json: String): Offset =
+    WarcFilesOffset(json.toLong)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
 }
 
 final class WarcReaderFactory(required: StructType, pred: WarcPred)

@@ -363,6 +363,78 @@ class CliSpec extends SparkSpec {
       spark.read.parquet(standing).count())
   }
 
+  test("curate.stream format=warc: crawl drops curate end-to-end, exactly once") {
+    import spark.implicits._
+    def mkText(i: Long): String = {
+      val r = new scala.util.Random(i)
+      ("the of and to in a " * 3) +
+        (0 until 30).map(_ => s"w${r.nextInt(500)}").mkString(" ")
+    }
+    def warcRows(ids: Seq[Long], uriPrefix: String) = ids.map { i =>
+      val html = s"<html><body><p>${mkText(i)}</p></body></html>"
+      (s"<urn:uuid:$i>", "response", s"$uriPrefix/$i",
+        "2026-01-01T00:00:00Z", "application/http; msgtype=response",
+        (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+          + html).getBytes("UTF-8"))
+    }.toDF("record_id", "warc_type", "target_uri", "warc_date",
+      "content_type", "payload")
+    def dropWarc(df: org.apache.spark.sql.DataFrame, watched: String,
+                 name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("cli-warc-drop").toString
+      graft.sinks.WarcWriter.write(df.coalesce(1), tmp, gzip = true)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(watched, name))
+    }
+    val standing = java.nio.file.Files.createTempDirectory("cli-wc-std").toString
+    val watched = java.nio.file.Files.createTempDirectory("cli-wc-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cli-wc-ck").toString
+    // seed the standing corpus (plain batch curate over parquet docs)
+    val seedDir = java.nio.file.Files.createTempDirectory("cli-wc-seed").toString
+    (1L to 12L).map(i => (i, mkText(i), "en")).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(seedDir)
+    Cli.run(Seq("curate", "-o", standing, seedDir), spark, new FakeTransport())
+    // drop 1: novel docs + a content COPY of a standing doc under a new
+    // URI (must die at the content dedup, not the source)
+    dropWarc(warcRows(101L to 106L, "http://crawl.example/p")
+        .unionByName(warcRows(Seq(3L), "http://mirror.example/m")),
+      watched, "crawl-0001.warc.gz")
+    def runStream(): Unit = Cli.run(Seq("curate",
+      "-s", s"curate.against=$standing",
+      "-s", s"curate.stream.checkpoint=$ckpt",
+      "-s", "curate.stream.format=warc", "-s", "curate.html=text",
+      s"$watched"), spark, new FakeTransport())
+    runStream()
+    val after1 = spark.read.parquet(standing)
+    val texts1 = after1.select("text").as[String].collect().toSet
+    (101L to 106L).foreach(i => assert(texts1.contains(mkText(i)),
+      s"decoded+extracted text of crawl doc $i must land"))
+    assert(after1.filter(col("text") === mkText(3L)).count() == 1,
+      "the mirrored copy of a standing doc must dedup away")
+    // drop 2 + re-run: only the new file admits; replaying the same
+    // watched dir appends nothing for drop 1
+    dropWarc(warcRows(201L to 203L, "http://crawl.example/p"),
+      watched, "crawl-0002.warc.gz")
+    runStream()
+    val after2 = spark.read.parquet(standing)
+    (201L to 203L).foreach(i =>
+      assert(after2.filter(col("text") === mkText(i)).count() == 1))
+    assert(after2.groupBy("doc_id").count()
+      .filter(col("count") > 1).count() == 0, "no doc ever appends twice")
+    // the signature table tracked both streamed appends
+    assert(spark.read.parquet(s"$standing/_graft_signatures").count() ==
+      after2.count())
+    // guard: warc mode without the html knob fails with a usable message
+    val e = intercept[Exception] {
+      Cli.run(Seq("curate", "-s", s"curate.against=$standing",
+        "-s", s"curate.stream.checkpoint=$ckpt",
+        "-s", "curate.stream.format=warc", s"$watched"),
+        spark, new FakeTransport())
+    }
+    assert(e.getMessage.contains("curate.html"))
+  }
+
   test("curate rejects malformed curate.epochs entries with usable messages") {
     val inDir = java.nio.file.Files.createTempDirectory("cli-epochs-in").toString
     spark.read.parquet(s"$sfSmoke/documents.parquet")
