@@ -83,6 +83,14 @@ object TextAnalysis {
   def decodeHttpText(payload: Column, contentType: Column): Column =
     graft.functions.HttpDecodeExpression.decodeHttpText(payload, contentType)
 
+  /** Compression-ratio quality signal ([[graft.functions
+    * .DeflateRatioExpression]], pinned there): deflate(text)/bytes —
+    * repeated-span spam compresses below ~0.15, natural prose sits
+    * ~0.3-0.8. The approximate/long-range redundancy detector that
+    * complements [[repetitionRatio]]'s exact window repeats. */
+  def deflateRatio(text: Column): Column =
+    graft.functions.DeflateRatioExpression.deflateRatio(text)
+
   /** RFC 9309 robots.txt evaluation ([[graft.functions.RobotsKernel]],
     * pinned semantics there): may `agent` fetch `path` under this
     * robots.txt body? The politeness gate between a harvested frontier

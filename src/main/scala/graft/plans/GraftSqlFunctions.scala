@@ -200,6 +200,11 @@ object GraftSqlFunctions {
         "wins ties, '*'/'$' patterns, prefix agent groups; null robots = true)",
       { case Seq(r, p, a) => RobotsAllowedExpression(r, p, a) }),
 
+    ("graft_deflate_ratio",
+      "graft_deflate_ratio(text) - deflate(text)/utf8_bytes: repeated-span " +
+        "spam < ~0.15, natural prose ~0.3-0.8; empty -> 1.0",
+      { case Seq(t) => DeflateRatioExpression(t) }),
+
     ("graft_robots_crawl_delay",
       "graft_robots_crawl_delay(robots_txt, agent) - Crawl-delay seconds from " +
         "the agent's selected group, or null when unset",

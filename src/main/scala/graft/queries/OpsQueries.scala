@@ -1105,6 +1105,26 @@ object OpsQueries extends QueryPack {
         .orderBy("pos")
     }),
 
+    // compression-ratio quality gate (the Gopher/RedPajama-class
+    // compressibility filter): template spam built by repeating a
+    // 20-char slice 50× deflates below 0.15 with a wide margin, while
+    // the natural document text sits ~0.3-0.8 — the classifier output
+    // (not the raw ratio, which no SQL engine can replay) is what the
+    // oracle grades, with the planted family as ground truth. Per-row
+    // codegen kernel; nothing shuffles.
+    "t54_compress_filter" -> ((s, d) => {
+      val spam = concat(lit("x"),
+        // repeat a short doc-derived slice: approximate long-range
+        // redundancy that t04's exact window repeats also flag, but
+        // deflate catches at ANY period length
+        expr("repeat(substring(text, 1, 20), 50)"))
+      val t = when(col("doc_id") % 2 === 1, spam).otherwise(col("text"))
+      Tables.documentsBalanced(s, d)
+        .select(col("doc_id"),
+          (TextAnalysis.deflateRatio(t) < 0.15).as("is_repetitive"))
+        .orderBy("doc_id")
+    }),
+
     // crawl-delta detection (recrawl scheduling): diff two crawl
     // snapshots by URL on content fingerprint — new / changed /
     // unchanged / gone. ONE full-outer join on url moving (url, md5)
@@ -1728,6 +1748,12 @@ object OpsQueries extends QueryPack {
          SELECT url, domain, score,
            row_number() OVER (ORDER BY seq, score DESC, url) AS pos
          FROM s ORDER BY pos""",
+
+    // the planted ground truth: odd docs carry the repeated-slice spam
+    // (deflate << 0.15), even docs the natural text (>> 0.15)
+    "t54_compress_filter" ->
+      """SELECT doc_id, doc_id % 2 = 1 AS is_repetitive
+         FROM documents ORDER BY doc_id""",
 
     // the planted delta grid, stated directly (gone wins over changed
     // when both residues hit: the page is absent from the new crawl)
