@@ -211,6 +211,9 @@ object Cli {
               .foreach(n => reader.option("maxFilesPerTrigger", n))
             reader.load(inputs.head)
               .filter(col("warc_type") === "response")
+              // crawls carry 404/5xx error pages and redirect stubs as
+              // response records; only 2xx content is corpus material
+              .filter(col("http_status").between(200, 299))
               .select(xxhash64(col("target_uri")).as("doc_id"),
                 ops.TextAnalysis.decodeHttpText(col("payload"),
                   col("http_content_type")).as("text"))

@@ -33,6 +33,12 @@ case class DeflateRatioExpression(child: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "deflate_ratio"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"deflate_ratio expects string, got ${child.dataType.simpleString}")
+
   override def evalChild(childValue: AnyRef): AnyRef = {
     val utf = childValue.asInstanceOf[UTF8String]
     if (utf == null) return null

@@ -3,10 +3,7 @@ package graft.functions
 import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -40,7 +37,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Single-pass kernel inside whole-stage codegen (strict-codegen
   * clean); the scan never allocates beyond the decoder itself. */
 case class HttpDecodeExpression(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression with BinaryKernelCodegen {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
@@ -53,34 +50,11 @@ case class HttpDecodeExpression(left: Expression, right: Expression)
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
-  def compute(payload: AnyRef, contentType: AnyRef): AnyRef = {
+  override def evalChildren(payload: AnyRef, contentType: AnyRef): AnyRef = {
     if (payload == null) return null
     val bytes = payload.asInstanceOf[Array[Byte]]
     val ct = if (contentType == null) null else contentType.toString
     UTF8String.fromString(HttpDecodeExpression.decode(bytes, ct))
-  }
-
-  override def eval(input: InternalRow): Any =
-    compute(left.eval(input).asInstanceOf[AnyRef],
-      right.eval(input).asInstanceOf[AnyRef])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("httpDecodeExpr", this,
-      classOf[HttpDecodeExpression].getName)
-    val l = left.genCode(ctx)
-    val r = right.genCode(ctx)
-    val tmp = ctx.freshName("decoded")
-    ev.copy(code =
-      code"""
-        ${l.code}
-        ${r.code}
-        Object $tmp = $ref.compute(
-          ${l.isNull} ? null : (Object) ${l.value},
-          ${r.isNull} ? null : (Object) ${r.value});
-        boolean ${ev.isNull} = $tmp == null;
-        UTF8String ${ev.value} = ${ev.isNull}
-          ? null : (UTF8String) $tmp;
-      """)
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
@@ -115,16 +89,20 @@ object HttpDecodeExpression {
     decodeWith(bytes, 0, resolve(cs))
   }
 
-  /** `charset=` parameter value from a MIME type string, or null. */
+  /** `charset=` parameter value from a MIME type string, or null. All
+    * scanning AND slicing happen on the case-folded copy: charset
+    * labels are case-insensitive anyway, and indexing the ORIGINAL with
+    * lower-derived offsets would shift on length-changing case folds
+    * (e.g. U+0130 lowercases to two chars) — crawl headers are hostile. */
   private[graft] def charsetParam(ct: String): String = {
     val lower = ct.toLowerCase(java.util.Locale.ROOT)
     val ix = lower.indexOf("charset=")
     if (ix < 0) return null
-    var s = ix + "charset=".length
+    val s = ix + "charset=".length
     var e = s
-    while (e < ct.length && ct.charAt(e) != ';' && ct.charAt(e) != ' ' &&
-      ct.charAt(e) != '\t') e += 1
-    var v = ct.substring(s, e).trim
+    while (e < lower.length && lower.charAt(e) != ';' &&
+      lower.charAt(e) != ' ' && lower.charAt(e) != '\t') e += 1
+    var v = lower.substring(s, e).trim
     if (v.length >= 2 && (v.charAt(0) == '"' || v.charAt(0) == '\'') &&
         v.charAt(v.length - 1) == v.charAt(0))
       v = v.substring(1, v.length - 1)
@@ -133,32 +111,52 @@ object HttpDecodeExpression {
 
   /** Scan the first 1024 bytes for `<meta ... charset=X>` (either the
     * HTML5 attribute or the http-equiv content parameter — both reduce
-    * to a `charset=` byte pattern inside a `<meta` tag). ASCII-case-
+    * to a `charset=` byte pattern INSIDE a `<meta` tag; a bare
+    * `charset=` in page text, a URL, or a script must NOT trigger —
+    * the scan is scoped to the tag's `<meta`..`>` extent). ASCII-case-
     * insensitive, byte-wise: multi-byte encodings the prescan cannot
     * read declare themselves via BOM instead (step 1). */
   private[graft] def metaCharset(bytes: Array[Byte]): String = {
     val end = math.min(bytes.length, MetaPrescanBytes)
-    val pat = "charset="
+    val tag = "<meta"
     var i = 0
-    while (i < end - pat.length) {
+    while (i < end - tag.length) {
       var j = 0
-      while (j < pat.length &&
-        lowerAscii(bytes(i + j)) == pat.charAt(j)) j += 1
+      while (j < tag.length && lowerAscii(bytes(i + j)) == tag.charAt(j)) j += 1
+      if (j == tag.length) {
+        var tagEnd = i + tag.length
+        while (tagEnd < end && bytes(tagEnd) != '>') tagEnd += 1
+        val cs = charsetIn(bytes, i + tag.length, tagEnd)
+        if (cs != null) return cs
+        i = tagEnd
+      }
+      i += 1
+    }
+    null
+  }
+
+  /** `charset=VALUE` within `[from, until)`, or null. */
+  private def charsetIn(bytes: Array[Byte], from: Int, until: Int): String = {
+    val pat = "charset="
+    var i = from
+    while (i <= until - pat.length) {
+      var j = 0
+      while (j < pat.length && lowerAscii(bytes(i + j)) == pat.charAt(j)) j += 1
       if (j == pat.length) {
         var s = i + pat.length
         // optional quote
         var quote = 0
-        if (s < end && (bytes(s) == '"' || bytes(s) == '\'')) {
+        if (s < until && (bytes(s) == '"' || bytes(s) == '\'')) {
           quote = bytes(s); s += 1
         }
         var e = s
-        while (e < end && {
+        while (e < until && {
           val b = bytes(e)
           if (quote != 0) b != quote
           else b != '"' && b != '\'' && b != '>' && b != ' ' &&
             b != ';' && b != '/' && b != '\t' && b != '\r' && b != '\n'
         }) e += 1
-        if (e > s && e < end)
+        if (e > s)
           return new String(bytes, s, e - s, StandardCharsets.US_ASCII).trim
         return null
       }

@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.DataType
 
 /** Codegen bridge for hand-written eval kernels.
   *
@@ -66,5 +67,82 @@ trait KernelCodegen { self: UnaryExpression =>
           $javaType ${ev.value} = (($boxed) $call)$unbox;
         """, isNull = FalseLiteral)
     }
+  }
+}
+
+private[functions] object KernelCodegen {
+
+  /** The one boxed-call emission shared by the binary/ternary traits:
+    * children computed by whole-stage codegen, nulls passed THROUGH to
+    * the kernel (the kernel owns null semantics), result unboxed with
+    * the explicit cast janino requires (see the unary trait's note —
+    * a bad cast there is a SILENT interpreted fallback). */
+  def emitKernelCall(ctx: CodegenContext, ev: ExprCode, dataType: DataType,
+                     ref: String, method: String,
+                     children: Seq[ExprCode]): ExprCode = {
+    val javaType = CodeGenerator.javaType(dataType)
+    val boxed = CodeGenerator.boxedType(dataType)
+    val unbox = javaType match {
+      case "boolean" => ".booleanValue()"
+      case "byte"    => ".byteValue()"
+      case "short"   => ".shortValue()"
+      case "int"     => ".intValue()"
+      case "long"    => ".longValue()"
+      case "float"   => ".floatValue()"
+      case "double"  => ".doubleValue()"
+      case _         => ""
+    }
+    val args = children
+      .map(c => s"${c.isNull} ? null : (Object) ${c.value}")
+      .mkString(", ")
+    val childCode = children.map(_.code.toString).mkString("\n")
+    val tmp = ctx.freshName("kernelRes")
+    ev.copy(code =
+      code"""
+        $childCode
+        Object $tmp = $ref.$method($args);
+        boolean ${ev.isNull} = $tmp == null;
+        $javaType ${ev.value} = ${ev.isNull}
+          ? ${CodeGenerator.defaultValue(dataType)} : (($boxed) $tmp)$unbox;
+      """)
+  }
+}
+
+/** [[KernelCodegen]] for two-child kernels: implement
+  * `evalChildren(left, right)`; nulls pass through (the kernel owns
+  * null semantics). */
+trait BinaryKernelCodegen { self: BinaryExpression =>
+
+  def evalChildren(leftValue: AnyRef, rightValue: AnyRef): AnyRef
+
+  override def eval(input: InternalRow): Any =
+    evalChildren(left.eval(input).asInstanceOf[AnyRef],
+      right.eval(input).asInstanceOf[AnyRef])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kernelExpr", this,
+      classOf[BinaryKernelCodegen].getName)
+    KernelCodegen.emitKernelCall(ctx, ev, dataType, ref, "evalChildren",
+      Seq(left.genCode(ctx), right.genCode(ctx)))
+  }
+}
+
+/** [[KernelCodegen]] for three-child kernels. */
+trait TernaryKernelCodegen { self: TernaryExpression =>
+
+  def evalChildren(a: AnyRef, b: AnyRef, c: AnyRef): AnyRef
+
+  override def eval(input: InternalRow): Any = {
+    val cs = children
+    evalChildren(cs(0).eval(input).asInstanceOf[AnyRef],
+      cs(1).eval(input).asInstanceOf[AnyRef],
+      cs(2).eval(input).asInstanceOf[AnyRef])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kernelExpr", this,
+      classOf[TernaryKernelCodegen].getName)
+    KernelCodegen.emitKernelCall(ctx, ev, dataType, ref, "evalChildren",
+      children.map(_.genCode(ctx)))
   }
 }

@@ -1,14 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, StringType}
-import org.apache.spark.unsafe.types.UTF8String
 
 /** robots.txt evaluation (RFC 9309, the Robots Exclusion Protocol) —
   * the crawl-pipeline gate between a harvested frontier (t46/t48's
@@ -51,6 +47,25 @@ object RobotsKernel {
                      val crawlDelay: java.lang.Double)
 
   val AllowAll = new Policy(Array.empty, null)
+
+  /** Single-entry per-thread memo: frontier rows arrive clustered by
+    * host (the domain join), so consecutive rows carry the SAME robots
+    * body — re-parsing it per row (and twice when both allowed and
+    * crawl_delay are selected) is pure waste. The equality check is a
+    * byte compare, far cheaper than the line-split/group parse.
+    * ThreadLocal because one expression instance can be shared across
+    * concurrently-executing tasks. */
+  private val memo =
+    new ThreadLocal[(String, String, Policy)]
+
+  def policyForCached(robotsTxt: String, agent: String): Policy = {
+    if (robotsTxt == null || robotsTxt.isEmpty) return AllowAll
+    val m = memo.get()
+    if (m != null && m._1 == robotsTxt && m._2 == agent) return m._3
+    val p = policyFor(robotsTxt, agent)
+    memo.set((robotsTxt, agent, p))
+    p
+  }
 
   def policyFor(robotsTxt: String, agent: String): Policy = {
     if (robotsTxt == null || robotsTxt.isEmpty) return AllowAll
@@ -180,16 +195,16 @@ object RobotsKernel {
   }
 
   def allowed(robotsTxt: String, agent: String, path: String): Boolean =
-    allowed(policyFor(robotsTxt, agent), path)
+    allowed(policyForCached(robotsTxt, agent), path)
 
   def crawlDelay(robotsTxt: String, agent: String): java.lang.Double =
-    policyFor(robotsTxt, agent).crawlDelay
+    policyForCached(robotsTxt, agent).crawlDelay
 }
 
 /** graft_robots_allowed(robots_txt, path, agent) → boolean. */
 case class RobotsAllowedExpression(first: Expression, second: Expression,
                                    third: Expression)
-  extends TernaryExpression {
+  extends TernaryExpression with TernaryKernelCodegen {
 
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = true
@@ -201,37 +216,12 @@ case class RobotsAllowedExpression(first: Expression, second: Expression,
       s"robots_allowed expects (string, string, string), got " +
         children.map(_.dataType.simpleString).mkString("(", ", ", ")"))
 
-  def compute(robots: AnyRef, path: AnyRef, agent: AnyRef): AnyRef = {
+  override def evalChildren(robots: AnyRef, path: AnyRef,
+                            agent: AnyRef): AnyRef = {
     if (path == null || agent == null) return null
     val txt = if (robots == null) null else robots.toString
     java.lang.Boolean.valueOf(
       RobotsKernel.allowed(txt, agent.toString, path.toString))
-  }
-
-  override def eval(input: InternalRow): Any =
-    compute(first.eval(input).asInstanceOf[AnyRef],
-      second.eval(input).asInstanceOf[AnyRef],
-      third.eval(input).asInstanceOf[AnyRef])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("robotsExpr", this,
-      classOf[RobotsAllowedExpression].getName)
-    val r = first.genCode(ctx); val p = second.genCode(ctx)
-    val a = third.genCode(ctx)
-    val tmp = ctx.freshName("robotsRes")
-    ev.copy(code =
-      code"""
-        ${r.code}
-        ${p.code}
-        ${a.code}
-        Object $tmp = $ref.compute(
-          ${r.isNull} ? null : (Object) ${r.value},
-          ${p.isNull} ? null : (Object) ${p.value},
-          ${a.isNull} ? null : (Object) ${a.value});
-        boolean ${ev.isNull} = $tmp == null;
-        boolean ${ev.value} = ${ev.isNull}
-          ? false : ((java.lang.Boolean) $tmp).booleanValue();
-      """)
   }
 
   override protected def withNewChildrenInternal(
@@ -242,7 +232,7 @@ case class RobotsAllowedExpression(first: Expression, second: Expression,
 
 /** graft_robots_crawl_delay(robots_txt, agent) → double (null = unset). */
 case class RobotsCrawlDelayExpression(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression with BinaryKernelCodegen {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -255,32 +245,10 @@ case class RobotsCrawlDelayExpression(left: Expression, right: Expression)
       s"robots_crawl_delay expects (string, string), got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
 
-  def compute(robots: AnyRef, agent: AnyRef): AnyRef = {
+  override def evalChildren(robots: AnyRef, agent: AnyRef): AnyRef = {
     if (agent == null) return null
     val txt = if (robots == null) null else robots.toString
     RobotsKernel.crawlDelay(txt, agent.toString)
-  }
-
-  override def eval(input: InternalRow): Any =
-    compute(left.eval(input).asInstanceOf[AnyRef],
-      right.eval(input).asInstanceOf[AnyRef])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("robotsDelayExpr", this,
-      classOf[RobotsCrawlDelayExpression].getName)
-    val l = left.genCode(ctx); val r = right.genCode(ctx)
-    val tmp = ctx.freshName("delayRes")
-    ev.copy(code =
-      code"""
-        ${l.code}
-        ${r.code}
-        Object $tmp = $ref.compute(
-          ${l.isNull} ? null : (Object) ${l.value},
-          ${r.isNull} ? null : (Object) ${r.value});
-        boolean ${ev.isNull} = $tmp == null;
-        double ${ev.value} = ${ev.isNull}
-          ? 0.0 : ((java.lang.Double) $tmp).doubleValue();
-      """)
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression,

@@ -309,7 +309,7 @@ final class WarcMicroBatchStream(paths: Seq[String], required: StructType,
   override def initialOffset(): Offset = WarcFilesOffset(0L)
 
   override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(n => ReadLimit.maxRows(n.toLong))
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
       .getOrElse(ReadLimit.allAvailable())
 
   override def prepareForTriggerAvailableNow(): Unit = synchronized {
@@ -613,34 +613,40 @@ final class WarcSplitPartitionReader(part: WarcInputPartition,
     headerAt(p) != null
   }
 
+  /** First chain-valid record start in [from, scanEnd), or -1. */
+  private def firstChainValidFrom(from: Long, scanEnd: Long): Long = {
+    var p = from
+    var found = -1L
+    while (found < 0 && p < scanEnd) {
+      val chunk = readAt(p, 1 << 20)
+      if (chunk.isEmpty) p = scanEnd
+      else {
+        val n = chunk.length
+        var i = 0
+        while (found < 0 && i < n && p + i < scanEnd) {
+          // cheap in-buffer "WARC/" precheck before paying a
+          // positioned-read header parse (chunk-straddling candidates
+          // fall through to the full check)
+          val maybe = chunk(i) == 'W' &&
+            (i + 5 > n || (chunk(i + 1) == 'A' && chunk(i + 2) == 'R' &&
+              chunk(i + 3) == 'C' && chunk(i + 4) == '/'))
+          if (maybe && chainValidAt(p + i)) found = p + i
+          i += 1
+        }
+        if (found < 0) p += n
+      }
+    }
+    found
+  }
+
   // alignment: first chain-valid record start strictly inside the split
   // (ownership is start < f <= start+length, so scan begins at start+1
   // and a candidate past limitAbs means this split owns nothing)
   private var cur: Long = {
     if (part.start == 0) 0L
     else {
-      val scanEnd = math.min(limitAbs + 1, fileLen)
-      var p = part.start + 1
-      var found = -1L
-      while (found < 0 && p < scanEnd) {
-        val chunk = readAt(p, 1 << 20)
-        if (chunk.isEmpty) p = scanEnd
-        else {
-          val n = chunk.length
-          var i = 0
-          while (found < 0 && i < n && p + i < scanEnd) {
-            // cheap in-buffer "WARC/" precheck before paying a
-            // positioned-read header parse (chunk-straddling candidates
-            // fall through to the full check)
-            val maybe = chunk(i) == 'W' &&
-              (i + 5 > n || (chunk(i + 1) == 'A' && chunk(i + 2) == 'R' &&
-                chunk(i + 3) == 'C' && chunk(i + 4) == '/'))
-            if (maybe && chainValidAt(p + i)) found = p + i
-            i += 1
-          }
-          if (found < 0) p += n
-        }
-      }
+      val found = firstChainValidFrom(part.start + 1,
+        math.min(limitAbs + 1, fileLen))
       if (found < 0) fileLen else found
     }
   }
@@ -656,16 +662,28 @@ final class WarcSplitPartitionReader(part: WarcInputPartition,
       val rel = w.ensure(cur, WarcDataSource.MaxWarcHeaderBytes)
       val h = Warc.parseHeader(w.exposed, rel, w.exposed.length)
       if (h == null) {
-        // Distinguish a truncated TAIL from aligned corruption: when EOF
-        // clipped the header window, the bytes are a record a crawler
-        // died writing — drop the partial and end the scan (warcio's
-        // convention). With the full header cap available, unparseable
-        // bytes at an aligned position are corruption — fail loudly.
-        if (fileLen - recordStart < WarcDataSource.MaxWarcHeaderBytes) {
-          done = true; w.close(); return false
-        }
-        throw new java.io.IOException(
-          s"${part.path}@$recordStart: malformed WARC header")
+        // Distinguish a truncated TAIL from aligned corruption. With
+        // the full header cap available, unparseable bytes at an
+        // aligned position are corruption — fail loudly.
+        if (fileLen - recordStart >= WarcDataSource.MaxWarcHeaderBytes)
+          throw new java.io.IOException(
+            s"${part.path}@$recordStart: malformed WARC header")
+        // EOF clipped the header window: usually a record a crawler
+        // died writing (drop the partial, end the scan — warcio's
+        // convention). But corruption that merely SITS near EOF is
+        // distinguishable and must stay loud: a chain-valid record
+        // begins later in the remaining bytes, or the file never
+        // parsed as WARC at all — neither is a truncated tail.
+        val resync = firstChainValidFrom(recordStart + 1, fileLen)
+        if (resync >= 0)
+          throw new java.io.IOException(
+            s"${part.path}@$recordStart: malformed WARC header with " +
+              s"valid records after it (next at $resync) — corruption, " +
+              "not a truncated tail")
+        if (recordStart == 0L && part.start == 0L)
+          throw new java.io.IOException(
+            s"${part.path}: not a WARC file (no record parses at offset 0)")
+        done = true; w.close(); return false
       }
       val blockStart = recordStart + h.headerLen
       cur = blockStart + h.contentLength

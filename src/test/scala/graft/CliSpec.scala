@@ -370,14 +370,15 @@ class CliSpec extends SparkSpec {
       ("the of and to in a " * 3) +
         (0 until 30).map(_ => s"w${r.nextInt(500)}").mkString(" ")
     }
-    def warcRows(ids: Seq[Long], uriPrefix: String) = ids.map { i =>
-      val html = s"<html><body><p>${mkText(i)}</p></body></html>"
-      (s"<urn:uuid:$i>", "response", s"$uriPrefix/$i",
-        "2026-01-01T00:00:00Z", "application/http; msgtype=response",
-        (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
-          + html).getBytes("UTF-8"))
-    }.toDF("record_id", "warc_type", "target_uri", "warc_date",
-      "content_type", "payload")
+    def warcRows(ids: Seq[Long], uriPrefix: String, status: Int = 200) =
+      ids.map { i =>
+        val html = s"<html><body><p>${mkText(i)}</p></body></html>"
+        (s"<urn:uuid:$i>", "response", s"$uriPrefix/$i",
+          "2026-01-01T00:00:00Z", "application/http; msgtype=response",
+          (s"HTTP/1.1 $status X\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+            + html).getBytes("UTF-8"))
+      }.toDF("record_id", "warc_type", "target_uri", "warc_date",
+        "content_type", "payload")
     def dropWarc(df: org.apache.spark.sql.DataFrame, watched: String,
                  name: String): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory("cli-warc-drop").toString
@@ -396,9 +397,12 @@ class CliSpec extends SparkSpec {
       .write.mode("overwrite").parquet(seedDir)
     Cli.run(Seq("curate", "-o", standing, seedDir), spark, new FakeTransport())
     // drop 1: novel docs + a content COPY of a standing doc under a new
-    // URI (must die at the content dedup, not the source)
+    // URI (must die at the content dedup, not the source) + a 404
+    // error page (must die at the HTTP-status gate, never curated)
     dropWarc(warcRows(101L to 106L, "http://crawl.example/p")
-        .unionByName(warcRows(Seq(3L), "http://mirror.example/m")),
+        .unionByName(warcRows(Seq(3L), "http://mirror.example/m"))
+        .unionByName(warcRows(Seq(404404L), "http://crawl.example/gone",
+          status = 404)),
       watched, "crawl-0001.warc.gz")
     def runStream(): Unit = Cli.run(Seq("curate",
       "-s", s"curate.against=$standing",
@@ -412,6 +416,8 @@ class CliSpec extends SparkSpec {
       s"decoded+extracted text of crawl doc $i must land"))
     assert(after1.filter(col("text") === mkText(3L)).count() == 1,
       "the mirrored copy of a standing doc must dedup away")
+    assert(after1.filter(col("text") === mkText(404404L)).count() == 0,
+      "error-page responses (404) must not enter the corpus")
     // drop 2 + re-run: only the new file admits; replaying the same
     // watched dir appends nothing for drop 1
     dropWarc(warcRows(201L to 203L, "http://crawl.example/p"),

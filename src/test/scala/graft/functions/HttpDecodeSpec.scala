@@ -48,6 +48,25 @@ class HttpDecodeSpec extends SparkSpec {
     val far = ("<html><body>" + ("x" * 1100) +
       "<meta charset=\"windows-1252\">café</body></html>")
     assert(decode(far.getBytes("windows-1252"), null) contains "caf�")
+    // a bare charset= OUTSIDE a <meta> tag must NOT trigger the
+    // prescan: link URLs, scripts, and page text mention charsets
+    val trap = ("<html><head><script>var u='/conv?charset=big5';</script>" +
+      "</head><body>see charset=koi8-r docs … café</body></html>")
+      .getBytes(StandardCharsets.UTF_8)
+    assert(new String(decode(trap, "text/html")) contains "café",
+      "bare charset= in content must not select an encoding")
+    // ...but inside a meta tag it still does, even with other attrs first
+    val metaLate = ("<html><head><meta name=\"x\" charset=\"windows-1252\">" +
+      "</head><body>café</body></html>").getBytes("windows-1252")
+    assert(decode(metaLate, null) contains "café")
+  }
+
+  test("hostile Content-Type with length-changing case folds stays correct") {
+    val cp1252 = "café".getBytes("windows-1252")
+    // U+0130 (İ) lowercases to TWO chars under ROOT: index arithmetic
+    // computed on the folded copy must not slice the original
+    assert(decode(cp1252, "text/html; İİcharset=windows-1252")
+      == "café")
   }
 
   test("BOM outranks every declaration and is consumed") {

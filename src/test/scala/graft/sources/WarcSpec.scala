@@ -274,6 +274,37 @@ class WarcSpec extends SparkSpec {
     assert(ids.sorted.toSeq == (0 until 3).map(i => s"<urn:uuid:rec-$i>").sorted)
   }
 
+  test("corruption NEAR EOF with valid records after it fails loudly") {
+    val dir = Files.createTempDirectory("warc_corrupt_eof").toString
+    val good = record(0, "ok")
+    // a short garbage run (well under the 64 KiB header cap from EOF)
+    // followed by MORE VALID RECORDS: the tail heuristic must not
+    // swallow them — a chain-valid record after the bad bytes proves
+    // corruption, not a crawler dying mid-write
+    val garbage = "XX-corrupted-record-bytes-XX".getBytes(StandardCharsets.UTF_8)
+    val after = (1 until 4).map(i => record(i, s"doc $i")).reduce(_ ++ _)
+    val path = writeFile(dir, "midbad.warc", good, garbage, after)
+    val ex = intercept[Exception] { readWarc(path).count() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.isInstanceOf[IOException] &&
+      c.getMessage != null && c.getMessage.contains("corruption")),
+      s"wanted loud corruption failure, got $ex")
+  }
+
+  test("a small non-WARC file fails loudly instead of yielding 0 rows") {
+    val dir = Files.createTempDirectory("warc_notwarc").toString
+    val junk = "this is a 200-byte text file, not a web archive at all "
+      .getBytes(StandardCharsets.UTF_8)
+    val path = writeFile(dir, "notwarc.warc", junk)
+    val ex = intercept[Exception] { readWarc(path).count() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.isInstanceOf[IOException] &&
+      c.getMessage != null && c.getMessage.contains("not a WARC file")),
+      s"wanted loud not-a-WARC failure, got $ex")
+  }
+
   test("aligned corruption (not a tail) fails loudly with file@offset") {
     val dir = Files.createTempDirectory("warc_corrupt").toString
     val good = record(0, "ok")
