@@ -83,6 +83,13 @@ object TextAnalysis {
   def decodeHttpText(payload: Column, contentType: Column): Column =
     graft.functions.HttpDecodeExpression.decodeHttpText(payload, contentType)
 
+  /** Writing-system profile ([[graft.functions.ScriptProfileExpression]],
+    * pinned there): struct(script, mix) — dominant Unicode script of the
+    * letters and the mixed-script fraction (spoofing/extraction-garbage
+    * signal; the cheap language-routing prior before [[langId]]). */
+  def scriptProfile(text: Column): Column =
+    graft.functions.ScriptProfileExpression.scriptProfile(text)
+
   /** Compression-ratio quality signal ([[graft.functions
     * .DeflateRatioExpression]], pinned there): deflate(text)/bytes —
     * repeated-span spam compresses below ~0.15, natural prose sits

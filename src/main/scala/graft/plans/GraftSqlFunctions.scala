@@ -200,6 +200,12 @@ object GraftSqlFunctions {
         "wins ties, '*'/'$' patterns, prefix agent groups; null robots = true)",
       { case Seq(r, p, a) => RobotsAllowedExpression(r, p, a) }),
 
+    ("graft_script_profile",
+      "graft_script_profile(text) - struct<script,mix>: dominant Unicode " +
+        "script of the LETTERS and the non-dominant letter fraction " +
+        "(mixed-script spam/spoofing signal); script null when letterless",
+      { case Seq(t) => ScriptProfileExpression(t) }),
+
     ("graft_deflate_ratio",
       "graft_deflate_ratio(text) - deflate(text)/utf8_bytes: repeated-span " +
         "spam < ~0.15, natural prose ~0.3-0.8; empty -> 1.0",

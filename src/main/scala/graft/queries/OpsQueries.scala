@@ -1125,6 +1125,30 @@ object OpsQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // writing-system consistency gate: four planted families — pure
+    // Latin (the document text), a Cyrillic body carrying a Latin
+    // minority (mixed-script spam/spoofing shape: 60 Cyrillic letters
+    // dominate the ≤40-char Latin slice with wide margins), pure
+    // Cyrillic, pure Han — graded on the CLASS (dominant script +
+    // mixed flag at the 0.05 threshold), which the construction makes
+    // analytic; the raw ratio depends on per-doc letter counts no SQL
+    // replay can see. Per-row codegen kernel; nothing shuffles.
+    "t55_script_mix" -> ((s, d) => {
+      val cyr = "привет мир это тест совершенно обычного текста на русском"
+      val han = "这是一个中文测试文本用于写作系统分析"
+      val fam = col("doc_id") % 4
+      val t = when(fam === 0, col("text"))
+        .when(fam === 1, concat(lit(cyr + " "), substring(col("text"), 1, 40)))
+        .when(fam === 2, lit(cyr))
+        .otherwise(lit(han))
+      val prof = TextAnalysis.scriptProfile(t)
+      Tables.documentsBalanced(s, d)
+        .select(col("doc_id"), prof.as("p"))
+        .select(col("doc_id"), col("p.script").as("script"),
+          (col("p.mix") > 0.05).as("mixed"))
+        .orderBy("doc_id")
+    }),
+
     // crawl-delta detection (recrawl scheduling): diff two crawl
     // snapshots by URL on content fingerprint — new / changed /
     // unchanged / gone. ONE full-outer join on url moving (url, md5)
@@ -1748,6 +1772,20 @@ object OpsQueries extends QueryPack {
          SELECT url, domain, score,
            row_number() OVER (ORDER BY seq, score DESC, url) AS pos
          FROM s ORDER BY pos""",
+
+    // the planted script grid: family 1's 60 Cyrillic letters dominate
+    // its <=40-char Latin slice, so dominant=CYRILLIC and the Latin
+    // minority (>=25% of letters) trips the 0.05 mixed threshold
+    "t55_script_mix" ->
+      """SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN 'LATIN'
+             WHEN 1 THEN 'CYRILLIC'
+             WHEN 2 THEN 'CYRILLIC'
+             ELSE 'HAN'
+           END AS script,
+           doc_id % 4 = 1 AS mixed
+         FROM documents ORDER BY doc_id""",
 
     // the planted ground truth: odd docs carry the repeated-slice spam
     // (deflate << 0.15), even docs the natural text (>> 0.15)
