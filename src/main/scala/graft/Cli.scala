@@ -211,9 +211,10 @@ object Cli {
               .foreach(n => reader.option("maxFilesPerTrigger", n))
             reader.load(inputs.head)
               .filter(col("warc_type") === "response")
-              // crawls carry 404/5xx error pages and redirect stubs as
-              // response records; only 2xx content is corpus material
-              .filter(col("http_status").between(200, 299))
+              // crawls carry 404/5xx error pages, redirect stubs, 204
+              // empties, and 206 byte-range fragments as response
+              // records; only COMPLETE 200 content is corpus material
+              .filter(col("http_status") === 200)
               .select(xxhash64(col("target_uri")).as("doc_id"),
                 ops.TextAnalysis.decodeHttpText(col("payload"),
                   col("http_content_type")).as("text"))

@@ -123,12 +123,23 @@ object HttpDecodeExpression {
     while (i < end - tag.length) {
       var j = 0
       while (j < tag.length && lowerAscii(bytes(i + j)) == tag.charAt(j)) j += 1
-      if (j == tag.length) {
+      // a name BOUNDARY must follow: '<metadata>' (inline SVG) is not
+      // a meta tag and must not be scanned for charset=
+      val boundary = j == tag.length && i + tag.length < end && {
+        val b = bytes(i + tag.length)
+        b == ' ' || b == '\t' || b == '\r' || b == '\n' || b == '/' || b == '>'
+      }
+      if (boundary) {
         var tagEnd = i + tag.length
         while (tagEnd < end && bytes(tagEnd) != '>') tagEnd += 1
-        val cs = charsetIn(bytes, i + tag.length, tagEnd)
-        if (cs != null) return cs
-        i = tagEnd
+        // a tag that never closes inside the prescan window is CLIPPED:
+        // any charset value in it could be truncated mid-label (e.g.
+        // iso-8859-15 reading as iso-8859-1) — ignore it, UTF-8 default
+        if (tagEnd < end) {
+          val cs = charsetIn(bytes, i + tag.length, tagEnd)
+          if (cs != null) return cs
+          i = tagEnd
+        } else return null
       }
       i += 1
     }
@@ -156,6 +167,8 @@ object HttpDecodeExpression {
           else b != '"' && b != '\'' && b != '>' && b != ' ' &&
             b != ';' && b != '/' && b != '\t' && b != '\r' && b != '\n'
         }) e += 1
+        // a quote that never closes before the tag ends is malformed
+        if (quote != 0 && e == until) return null
         if (e > s)
           return new String(bytes, s, e - s, StandardCharsets.US_ASCII).trim
         return null

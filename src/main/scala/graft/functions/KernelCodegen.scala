@@ -48,19 +48,14 @@ trait KernelCodegen { self: UnaryExpression =>
       case "double"  => ".doubleValue()"
       case _         => ""
     }
-    val call =
-      s"$ref.evalChild(${childGen.isNull} ? null : (Object) ${childGen.value})"
     if (nullable) {
-      val tmp = ctx.freshName("kernelRes")
-      ev.copy(code =
-        code"""
-          ${childGen.code}
-          Object $tmp = $call;
-          boolean ${ev.isNull} = $tmp == null;
-          $javaType ${ev.value} = ${ev.isNull}
-            ? ${CodeGenerator.defaultValue(dataType)} : (($boxed) $tmp)$unbox;
-        """)
+      // the common path delegates to the shared emitter (one unbox
+      // table for all arities — see KernelCodegen.emitKernelCall)
+      KernelCodegen.emitKernelCall(ctx, ev, dataType, ref, "evalChild",
+        Seq(childGen))
     } else {
+      val call =
+        s"$ref.evalChild(${childGen.isNull} ? null : (Object) ${childGen.value})"
       ev.copy(code =
         code"""
           ${childGen.code}
@@ -132,12 +127,10 @@ trait TernaryKernelCodegen { self: TernaryExpression =>
 
   def evalChildren(a: AnyRef, b: AnyRef, c: AnyRef): AnyRef
 
-  override def eval(input: InternalRow): Any = {
-    val cs = children
-    evalChildren(cs(0).eval(input).asInstanceOf[AnyRef],
-      cs(1).eval(input).asInstanceOf[AnyRef],
-      cs(2).eval(input).asInstanceOf[AnyRef])
-  }
+  override def eval(input: InternalRow): Any =
+    evalChildren(first.eval(input).asInstanceOf[AnyRef],
+      second.eval(input).asInstanceOf[AnyRef],
+      third.eval(input).asInstanceOf[AnyRef])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("kernelExpr", this,

@@ -54,7 +54,9 @@ object RobotsKernel {
     * crawl_delay are selected) is pure waste. The equality check is a
     * byte compare, far cheaper than the line-split/group parse.
     * ThreadLocal because one expression instance can be shared across
-    * concurrently-executing tasks. */
+    * concurrently-executing tasks; the entry is REMOVED when the
+    * owning Spark task completes (executor threads are pooled — the
+    * last host's robots body must not live on an idle thread forever). */
   private val memo =
     new ThreadLocal[(String, String, Policy)]
 
@@ -63,6 +65,12 @@ object RobotsKernel {
     val m = memo.get()
     if (m != null && m._1 == robotsTxt && m._2 == agent) return m._3
     val p = policyFor(robotsTxt, agent)
+    if (m == null) {
+      // first set in this task: clear on task end so pooled executor
+      // threads don't retain the final body/policy indefinitely
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => memo.remove())
+    }
     memo.set((robotsTxt, agent, p))
     p
   }

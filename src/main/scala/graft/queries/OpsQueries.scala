@@ -1127,7 +1127,7 @@ object OpsQueries extends QueryPack {
 
     // writing-system consistency gate: four planted families — pure
     // Latin (the document text), a Cyrillic body carrying a Latin
-    // minority (mixed-script spam/spoofing shape: 60 Cyrillic letters
+    // minority (mixed-script spam/spoofing shape: 49 Cyrillic letters
     // dominate the ≤40-char Latin slice with wide margins), pure
     // Cyrillic, pure Han — graded on the CLASS (dominant script +
     // mixed flag at the 0.05 threshold), which the construction makes
@@ -1773,8 +1773,8 @@ object OpsQueries extends QueryPack {
            row_number() OVER (ORDER BY seq, score DESC, url) AS pos
          FROM s ORDER BY pos""",
 
-    // the planted script grid: family 1's 60 Cyrillic letters dominate
-    // its <=40-char Latin slice, so dominant=CYRILLIC and the Latin
+    // the planted script grid: family 1's 49 Cyrillic letters dominate
+    // its <=40-char Latin slice (30-35 letters measured at every SF), so dominant=CYRILLIC and the Latin
     // minority (>=25% of letters) trips the 0.05 mixed threshold
     "t55_script_mix" ->
       """SELECT doc_id,

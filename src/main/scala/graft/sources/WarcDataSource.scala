@@ -680,9 +680,18 @@ final class WarcSplitPartitionReader(part: WarcInputPartition,
             s"${part.path}@$recordStart: malformed WARC header with " +
               s"valid records after it (next at $resync) — corruption, " +
               "not a truncated tail")
-        if (recordStart == 0L && part.start == 0L)
-          throw new java.io.IOException(
-            s"${part.path}: not a WARC file (no record parses at offset 0)")
+        if (recordStart == 0L && part.start == 0L) {
+          // a file whose very first record is the clipped one is still
+          // a WARC a crawler died writing IF it opens with a version
+          // line ("WARC/"); anything else is simply not a WARC file
+          val head = readAt(0L, 5)
+          val startsWarc = head.length == 5 && head(0) == 'W' &&
+            head(1) == 'A' && head(2) == 'R' && head(3) == 'C' &&
+            head(4) == '/'
+          if (!startsWarc)
+            throw new java.io.IOException(
+              s"${part.path}: not a WARC file (no record parses at offset 0)")
+        }
         done = true; w.close(); return false
       }
       val blockStart = recordStart + h.headerLen

@@ -402,7 +402,9 @@ class CliSpec extends SparkSpec {
     dropWarc(warcRows(101L to 106L, "http://crawl.example/p")
         .unionByName(warcRows(Seq(3L), "http://mirror.example/m"))
         .unionByName(warcRows(Seq(404404L), "http://crawl.example/gone",
-          status = 404)),
+          status = 404))
+        .unionByName(warcRows(Seq(206206L), "http://crawl.example/part",
+          status = 206)),
       watched, "crawl-0001.warc.gz")
     def runStream(): Unit = Cli.run(Seq("curate",
       "-s", s"curate.against=$standing",
@@ -418,6 +420,8 @@ class CliSpec extends SparkSpec {
       "the mirrored copy of a standing doc must dedup away")
     assert(after1.filter(col("text") === mkText(404404L)).count() == 0,
       "error-page responses (404) must not enter the corpus")
+    assert(after1.filter(col("text") === mkText(206206L)).count() == 0,
+      "byte-range fragments (206) must not enter the corpus")
     // drop 2 + re-run: only the new file admits; replaying the same
     // watched dir appends nothing for drop 1
     dropWarc(warcRows(201L to 203L, "http://crawl.example/p"),

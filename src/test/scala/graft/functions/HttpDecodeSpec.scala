@@ -59,6 +59,20 @@ class HttpDecodeSpec extends SparkSpec {
     val metaLate = ("<html><head><meta name=\"x\" charset=\"windows-1252\">" +
       "</head><body>café</body></html>").getBytes("windows-1252")
     assert(decode(metaLate, null) contains "café")
+    // '<metadata>' (inline SVG) is NOT a meta tag: no name boundary
+    val svg = ("<html><body><svg><metadata>author charset=big5 n</metadata>" +
+      "</svg>café</body></html>").getBytes(StandardCharsets.UTF_8)
+    assert(decode(svg, "text/html") contains "café")
+    // a meta tag CLIPPED by the 1024-byte prescan window (no '>' inside)
+    // must not yield a truncated charset label — UTF-8 fallback
+    val clipped = ("<html><head>" + ("x" * 1000) +
+      "<meta charset=iso-8859-15 more-attrs-that-never-close café")
+      .getBytes(StandardCharsets.UTF_8)
+    assert(decode(clipped, null) contains "café")
+    // an unterminated quoted value inside a closed tag is malformed
+    val badQuote = ("<html><meta charset=\"windows-1252></html>" +
+      "café").getBytes(StandardCharsets.UTF_8)
+    assert(decode(badQuote, null) contains "café")
   }
 
   test("hostile Content-Type with length-changing case folds stays correct") {

@@ -292,6 +292,15 @@ class WarcSpec extends SparkSpec {
       s"wanted loud corruption failure, got $ex")
   }
 
+  test("a file whose ONLY record was clipped mid-header drops as a tail") {
+    val dir = Files.createTempDirectory("warc_firstclip").toString
+    // the crawler died 30 bytes into the very first header: the file
+    // opens with "WARC/", so it IS a WARC — a truncated one, not junk
+    val cut = record(0, "never finished").take(30)
+    val path = writeFile(dir, "firstclip.warc", cut)
+    assert(readWarc(path).count() == 0)
+  }
+
   test("a small non-WARC file fails loudly instead of yielding 0 rows") {
     val dir = Files.createTempDirectory("warc_notwarc").toString
     val junk = "this is a 200-byte text file, not a web archive at all "
