@@ -10,11 +10,12 @@ import org.apache.spark.sql.{DataFrame, Row}
   * (task-attempt-unique temp, first rename wins — speculative retries
   * never interleave).
   *
-  * Expected columns (missing/null optional headers are simply omitted):
-  * `warc_type` (required), `payload` (binary, required — pass the FULL
-  * content block: for `application/http` records that means the HTTP
-  * envelope + body), optional `record_id`, `target_uri`, `warc_date`,
-  * `content_type`.
+  * Expected columns: `warc_type` (required), `payload` (binary,
+  * required — pass the FULL content block: for `application/http`
+  * records that means the HTTP envelope + body), optional `record_id`,
+  * `target_uri`, `warc_date`, `content_type`. Null/missing `target_uri`
+  * and `content_type` are omitted; null `record_id` / `warc_date` are
+  * SYNTHESIZED (mandatory per ISO 28500 — see [[encodeRecord]]).
   *
   * `gzip = true` writes ONE GZIP MEMBER PER RECORD — the appendable
   * convention crawls publish (`warc.paths`-style layouts), and the
@@ -31,18 +32,43 @@ object WarcWriter {
 
   private val CRLF = "\r\n".getBytes(StandardCharsets.UTF_8)
 
-  /** Serialized header block + payload + record separator. */
+  /** Serialized header block + payload + record separator.
+    *
+    * WARC-Record-ID and WARC-Date are MANDATORY for every record per
+    * ISO 28500 — an archive omitting them may be rejected by conformant
+    * external readers (warcio validation), not just re-read by our own
+    * lenient one. A null `recordId` therefore synthesizes a
+    * `<urn:uuid:...>` derived DETERMINISTICALLY (UUIDv3 name-based) from
+    * the record's own bytes, so re-running a job writes byte-identical
+    * archives; byte-identical records share an id, which is harmless
+    * (they ARE the same record). A null `warcDate` takes `fallbackDate`
+    * (the job-level timestamp `write` stamps once per job) or, for
+    * direct callers, the current instant. */
   private[graft] def encodeRecord(
       warcType: String, recordId: String, targetUri: String,
       warcDate: String, contentType: String,
-      payload: Array[Byte]): Array[Byte] = {
+      payload: Array[Byte], fallbackDate: String = null): Array[Byte] = {
     require(warcType != null && warcType.nonEmpty, "warc_type is required")
     val body = if (payload == null) Array.emptyByteArray else payload
+    val date =
+      if (warcDate != null) warcDate
+      else if (fallbackDate != null) fallbackDate
+      else nowIso()
+    val id =
+      if (recordId != null) recordId
+      else {
+        val seed = new java.io.ByteArrayOutputStream(body.length + 128)
+        seed.write(warcType.getBytes(StandardCharsets.UTF_8))
+        if (targetUri != null) seed.write(targetUri.getBytes(StandardCharsets.UTF_8))
+        seed.write(date.getBytes(StandardCharsets.UTF_8))
+        seed.write(body)
+        s"<urn:uuid:${java.util.UUID.nameUUIDFromBytes(seed.toByteArray)}>"
+      }
     val sb = new java.lang.StringBuilder(256)
     sb.append("WARC/1.0\r\n")
     sb.append("WARC-Type: ").append(warcType).append("\r\n")
-    if (recordId != null) sb.append("WARC-Record-ID: ").append(recordId).append("\r\n")
-    if (warcDate != null) sb.append("WARC-Date: ").append(warcDate).append("\r\n")
+    sb.append("WARC-Record-ID: ").append(id).append("\r\n")
+    sb.append("WARC-Date: ").append(date).append("\r\n")
     if (targetUri != null) sb.append("WARC-Target-URI: ").append(targetUri).append("\r\n")
     if (contentType != null) sb.append("Content-Type: ").append(contentType).append("\r\n")
     sb.append("Content-Length: ").append(body.length).append("\r\n\r\n")
@@ -54,6 +80,11 @@ object WarcWriter {
     System.arraycopy(CRLF, 0, out, head.length + body.length + 2, 2)
     out
   }
+
+  /** `YYYY-MM-DDThh:mm:ssZ` — the WARC-Date grammar (ISO 28500 §5.4). */
+  private def nowIso(): String =
+    java.time.format.DateTimeFormatter.ISO_INSTANT.format(
+      java.time.Instant.now().truncatedTo(java.time.temporal.ChronoUnit.SECONDS))
 
   private def gzipMember(record: Array[Byte]): Array[Byte] = {
     val buf = new java.io.ByteArrayOutputStream(record.length / 2 + 64)
@@ -78,6 +109,9 @@ object WarcWriter {
       if (i < 0 || r.isNullAt(i)) null else r.getString(i)
 
     val ext = if (gzip) "warc.gz" else "warc"
+    // one job-level stamp so a job's synthesized WARC-Dates agree across
+    // tasks/retries (per-row now() would make speculative retries diverge)
+    val jobDate = nowIso()
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
     val dirPath = new Path(outDir)
@@ -96,7 +130,7 @@ object WarcWriter {
           val rec = encodeRecord(str(r, typeOrd), str(r, idOrd),
             str(r, uriOrd), str(r, dateOrd), str(r, ctOrd),
             if (r.isNullAt(payloadOrd)) null
-            else r.getAs[Array[Byte]](payloadOrd))
+            else r.getAs[Array[Byte]](payloadOrd), fallbackDate = jobDate)
           out.write(if (gzip) gzipMember(rec) else rec)
         }
         out.close()

@@ -181,7 +181,12 @@ final class WarcScan(paths: Seq[String], required: StructType,
     WarcScan.partitionsFor(WarcScan.listFiles(paths))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required, pred)
+    // session conf captured DRIVER-side: executors have no active session
+    // on a real cluster, and spark.hadoop.* (object-store credentials,
+    // custom fs impls) must reach the readers (same shape as the
+    // WebDataset source)
+    new WarcReaderFactory(required, pred, new SerializableHadoopConf(
+      SparkSession.active.sessionState.newHadoopConf()))
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new WarcMicroBatchStream(paths, required, pred, checkpointLocation,
@@ -294,10 +299,26 @@ final class WarcMicroBatchStream(paths: Seq[String], required: StructType,
 
   private def cap: Int = maxFilesPerTrigger.getOrElse(Int.MaxValue)
 
+  /** Per-trigger admission cap from the ReadLimit Spark actually passed
+    * (AvailableNow wrapping, admission-control overrides) — NOT the
+    * captured constructor option; they coincide today only because
+    * `getDefaultReadLimit` derives from the same option. Limit kinds a
+    * file source can't honor (row-based) fall back to the option cap. */
+  private def capFor(limit: ReadLimit): Int = limit match {
+    case m: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+      m.maxFiles()
+    case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable =>
+      Int.MaxValue
+    case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+      val caps = c.getReadLimits.map(capFor)
+      if (caps.isEmpty) cap else caps.min
+    case _ => cap
+  }
+
   private def discoverNew(): List[(String, Long)] =
     WarcScan.listFiles(paths).filterNot(f => seen.contains(f._1)).toList
 
-  private def admit(candidates: List[(String, Long)]): Offset = {
+  private def admit(candidates: List[(String, Long)], cap: Int): Offset = {
     val batchFiles = candidates.take(cap)
     if (batchFiles.isEmpty) return WarcFilesOffset(latestBatch)
     latestBatch += 1
@@ -318,12 +339,13 @@ final class WarcMicroBatchStream(paths: Seq[String], required: StructType,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
     synchronized {
+      val c = capFor(limit)
       availableNowPending match {
         case Some(pending) =>
-          val off = admit(pending)
-          availableNowPending = Some(pending.drop(cap))
+          val off = admit(pending, c)
+          availableNowPending = Some(pending.drop(c))
           off
-        case None => admit(discoverNew())
+        case None => admit(discoverNew(), c)
       }
     }
 
@@ -344,7 +366,7 @@ final class WarcMicroBatchStream(paths: Seq[String], required: StructType,
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required, pred)
+    new WarcReaderFactory(required, pred, new SerializableHadoopConf(hconf))
 
   override def deserializeOffset(json: String): Offset =
     WarcFilesOffset(json.toLong)
@@ -354,12 +376,13 @@ final class WarcMicroBatchStream(paths: Seq[String], required: StructType,
   override def stop(): Unit = ()
 }
 
-final class WarcReaderFactory(required: StructType, pred: WarcPred)
+final class WarcReaderFactory(required: StructType, pred: WarcPred,
+                              conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[WarcInputPartition]
-    if (p.gzipped) new WarcGzPartitionReader(p, required, pred)
-    else new WarcSplitPartitionReader(p, required, pred)
+    if (p.gzipped) new WarcGzPartitionReader(p, required, pred, conf)
+    else new WarcSplitPartitionReader(p, required, pred, conf)
   }
 }
 
@@ -440,6 +463,64 @@ private[sources] object Warc {
     if (lastName != null) fields += lastName -> lastValue
     val h = WarcHeader(fields.result(), p - off)
     if (h.contentLength < 0 || h("warc-type") == null) null else h
+  }
+
+  /** Is `[off, end)` a valid PREFIX of a WARC header block — bytes that
+    * would have parsed had EOF not clipped them? Used to distinguish a
+    * crawler dying mid-header (valid prefix → truncated tail) from
+    * arbitrary bytes that merely sit near EOF (junk → not a tail). A
+    * complete, blank-line-terminated block is NOT a prefix — if the full
+    * block was available and `parseHeader` still failed, the failure was
+    * real (missing mandatory fields, malformed lines), not truncation. */
+  def headerPrefixValid(buf: Array[Byte], off: Int, end0: Int): Boolean = {
+    val end = math.min(end0, off + WarcDataSource.MaxWarcHeaderBytes)
+    if (end0 > off + WarcDataSource.MaxWarcHeaderBytes) return false // over cap: unterminated
+    var p = off
+    // magic "WARC/" for as many bytes as exist
+    val magic = Array[Byte]('W', 'A', 'R', 'C', '/')
+    var m = 0
+    while (m < 5) {
+      if (p >= end) return true
+      if (buf(p) != magic(m)) return false
+      p += 1; m += 1
+    }
+    // version: digits/dots, non-empty once an EOL is reached
+    val vs = p
+    while (p < end && buf(p) != '\r' && buf(p) != '\n') {
+      val c = buf(p)
+      if (!((c >= '0' && c <= '9') || c == '.')) return false
+      p += 1
+    }
+    if (p < end && p == vs) return false // EOL right after "WARC/": no version
+    var sawField = false
+    while (true) {
+      // EOL of the previous line (tolerate bare LF like parseHeader)
+      if (p < end && buf(p) == '\r') p += 1
+      if (p >= end) return true
+      if (buf(p) != '\n') return false
+      p += 1
+      if (p >= end) return true
+      if (buf(p) == '\r' || buf(p) == '\n') {
+        // blank line: the full block WAS available — not a prefix,
+        // unless EOF clipped the blank line's own terminator
+        if (buf(p) == '\r') p += 1
+        if (p >= end) return true
+        return false
+      } else if (buf(p) == ' ' || buf(p) == '\t') {
+        if (!sawField) return false // folded line with nothing to fold into
+        while (p < end && buf(p) != '\r' && buf(p) != '\n') p += 1
+      } else {
+        val ns = p
+        while (p < end && buf(p) != ':' && buf(p) != '\r' && buf(p) != '\n') p += 1
+        if (p >= end) return true // EOF mid-name
+        if (buf(p) != ':') return false
+        if (p == ns) return false // empty name
+        p += 1
+        sawField = true
+        while (p < end && buf(p) != '\r' && buf(p) != '\n') p += 1
+      }
+    }
+    false // unreachable
   }
 
   /** Parses the HTTP response/request envelope at the head of a block:
@@ -552,12 +633,13 @@ private[sources] abstract class WarcReaderBase(part: WarcInputPartition,
   * `start < f <= start + length`, and the offset-0 reader owns from
   * byte 0 — the intervals partition the file. */
 final class WarcSplitPartitionReader(part: WarcInputPartition,
-                                     required: StructType, pred: WarcPred)
+                                     required: StructType, pred: WarcPred,
+                                     serConf: SerializableHadoopConf =
+                                       new SerializableHadoopConf(
+                                         SparkSession.active.sessionState.newHadoopConf()))
     extends WarcReaderBase(part, required) {
 
-  private val conf = SparkSession.getActiveSession
-    .map(_.sessionState.newHadoopConf())
-    .getOrElse(new org.apache.hadoop.conf.Configuration())
+  private val conf = serConf.value
   private val fsPath = new Path(part.path)
   private val fs = fsPath.getFileSystem(conf)
   private val fileLen = fs.getFileStatus(fsPath).getLen
@@ -598,7 +680,19 @@ final class WarcSplitPartitionReader(part: WarcInputPartition,
     var hops = 0
     while (hops < WarcDataSource.ChainHops) {
       val h = headerAt(p)
-      if (h == null) return false // parse failure breaks the chain
+      if (h == null) {
+        // A hop whose header fails to parse solely because EOF clipped
+        // it is the file's truncated TAIL (a crawler died mid-header) —
+        // it ENDS the chain rather than breaking it: the complete
+        // records already hopped through are real, and dropping them
+        // would exceed the documented "drop only the partial record"
+        // convention. "Solely because clipped" is checked precisely:
+        // the remaining bytes must be a valid header PREFIX — junk that
+        // merely sits near EOF (a trap payload's run-off) is not. At
+        // hops == 0 the candidate ITSELF is the clipped partial — not a
+        // sync point.
+        return hops > 0 && clippedTailAt(p)
+      }
       var q = p + h.headerLen + h.contentLength
       if (q >= fileLen) return true
       // tolerate the two record-separator CRLFs (or bare LFs)
@@ -610,7 +704,16 @@ final class WarcSplitPartitionReader(part: WarcInputPartition,
       p = q
       hops += 1
     }
-    headerAt(p) != null
+    headerAt(p) != null || clippedTailAt(p)
+  }
+
+  /** Is `p` the start of an EOF-clipped partial header (a truncated
+    * tail)? Requires the clip to be real (less than a full header window
+    * remains) AND the remaining bytes to be a valid header prefix. */
+  private def clippedTailAt(p: Long): Boolean = {
+    if (fileLen - p >= WarcDataSource.MaxWarcHeaderBytes) return false
+    val rest = readAt(p, WarcDataSource.MaxWarcHeaderBytes)
+    Warc.headerPrefixValid(rest, 0, rest.length)
   }
 
   /** First chain-valid record start in [from, scanEnd), or -1. */
@@ -751,12 +854,13 @@ final class WarcSplitPartitionReader(part: WarcInputPartition,
   * ISIZE mismatches and unparseable header bytes at an aligned
   * position stay loud (IOException with file@offset). */
 final class WarcGzPartitionReader(part: WarcInputPartition,
-                                  required: StructType, pred: WarcPred)
+                                  required: StructType, pred: WarcPred,
+                                  serConf: SerializableHadoopConf =
+                                    new SerializableHadoopConf(
+                                      SparkSession.active.sessionState.newHadoopConf()))
     extends WarcReaderBase(part, required) {
 
-  private val conf = SparkSession.getActiveSession
-    .map(_.sessionState.newHadoopConf())
-    .getOrElse(new org.apache.hadoop.conf.Configuration())
+  private val conf = serConf.value
   private val fsPath = new Path(part.path)
   private val raw = fsPath.getFileSystem(conf).open(fsPath)
   private val in = new java.io.BufferedInputStream(

@@ -236,6 +236,59 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("split region holding only the last complete records before a clipped tail still yields them") {
+    // r8's header is clipped by EOF. A split boundary landing in the last
+    // few records used to yield ZERO rows from that split: every chain
+    // from r5..r7 hops into the clipped header, and a chain break there
+    // rejected the (real) sync candidates — dropping complete records,
+    // beyond the documented "drop only the partial record" convention.
+    val dir = Files.createTempDirectory("warc_cliptail").toString
+    val recs = (0 until 8).map(i => record(i, s"tail doc $i " * 20))
+    val clipped = record(8, "never finished").take(40) // dies mid-HEADER
+    val path = writeFile(dir, "cliptail.warc", recs.reduce(_ ++ _), clipped)
+    val fileLen = Files.size(Paths.get(path))
+    val want = (0 until 8).map(i => s"<urn:uuid:rec-$i>").sorted.toVector
+
+    val schema = StructType(WarcDataSource.schema.filter(_.name == "record_id"))
+    for (cut <- 997L until fileLen by 997L) {
+      val parts = Seq(
+        WarcInputPartition(path, 0L, cut, gzipped = false),
+        WarcInputPartition(path, cut, fileLen - cut, gzipped = false))
+      val got = parts.flatMap { p =>
+        val r = new WarcSplitPartitionReader(p, schema, WarcPred(None, Nil))
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        try { while (r.next()) out += r.get().getUTF8String(0).toString }
+        finally r.close()
+        out
+      }.sorted.toVector
+      assert(got == want, s"boundary at $cut: ${got.length} of 8 rows")
+    }
+  }
+
+  test("headerPrefixValid: clipped prefixes accepted, junk and complete blocks rejected") {
+    def pv(s: String): Boolean = {
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      Warc.headerPrefixValid(b, 0, b.length)
+    }
+    // valid prefixes: EOF could have clipped a real header here
+    assert(pv("WAR"))
+    assert(pv("WARC/1."))
+    assert(pv("WARC/1.0"))
+    assert(pv("WARC/1.0\r\nWARC-Type: resp"))
+    assert(pv("WARC/1.0\r\nWARC-Type: response\r\nContent-Le"))
+    assert(pv("WARC/1.0\r\nWARC-Type: response\r\n")) // EOF before next line
+    // junk: no amount of further bytes would make these parse
+    assert(!pv("</pre><p>filler run-off from a trap payload"))
+    assert(!pv("WARCX"))
+    assert(!pv("WARC/zz"))
+    assert(!pv("WARC/\r\n")) // empty version
+    assert(!pv("WARC/1.0\r\n  folded-with-no-field"))
+    assert(!pv("WARC/1.0\r\n: empty-name\r\n"))
+    // a COMPLETE block (blank line present) that parseHeader rejects
+    // failed for real reasons, not truncation
+    assert(!pv("WARC/1.0\r\nFoo: bar\r\n\r\nrest-of-file"))
+  }
+
   // ------------------------------------------------------- truncated tails
 
   test("plain .warc truncated mid-block: partial record dropped, scan ends clean") {
@@ -390,6 +443,40 @@ class WarcSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(got.size == 6)
     for (i <- 0 until 6) assert(got(s"<urn:uuid:rec-$i>") == (if (i % 2 == 0) 200 else 404))
+  }
+
+  // ------------------------------------------------- mandatory WARC fields
+
+  test("writer synthesizes mandatory WARC-Record-ID and WARC-Date when null (ISO 28500)") {
+    val dir = Files.createTempDirectory("warc_mand").toString
+    import spark.implicits._
+    val rows = (0 until 4).map { i =>
+      (Option.empty[String], "response", s"http://h.example/$i",
+        Option.empty[String], "application/http; msgtype=response", http(s"b $i"))
+    }.toDF("record_id", "warc_type", "target_uri", "warc_date",
+      "content_type", "payload")
+    WarcWriter.write(rows.coalesce(1), s"$dir/out")
+    val back = readWarc(s"$dir/out").select("record_id", "warc_date").collect()
+    assert(back.length == 4)
+    val uuidRe = "<urn:uuid:[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}>".r
+    back.foreach { r =>
+      assert(uuidRe.matches(r.getString(0)), s"bad synthesized id: ${r.getString(0)}")
+      // WARC-Date grammar; must also parse as a real instant
+      java.time.Instant.parse(r.getString(1)): Unit
+    }
+    assert(back.map(_.getString(0)).distinct.length == 4,
+      "distinct records must get distinct synthesized ids")
+  }
+
+  test("synthesized record ids are deterministic given explicit dates") {
+    val a = WarcWriter.encodeRecord("response", null, "http://u.example/",
+      "2026-01-01T00:00:00Z", null, "payload-bytes".getBytes(StandardCharsets.UTF_8))
+    val b = WarcWriter.encodeRecord("response", null, "http://u.example/",
+      "2026-01-01T00:00:00Z", null, "payload-bytes".getBytes(StandardCharsets.UTF_8))
+    assert(a.sameElements(b), "re-encoding the same record must be byte-identical")
+    val text = new String(a, StandardCharsets.UTF_8)
+    assert(text.contains("WARC-Record-ID: <urn:uuid:"))
+    assert(text.contains("WARC-Date: 2026-01-01T00:00:00Z"))
   }
 
   // --------------------------------------------------------------- pushdown

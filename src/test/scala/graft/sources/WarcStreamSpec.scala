@@ -107,6 +107,34 @@ class WarcStreamSpec extends SparkSpec {
     assert(sizes.length == 3)
   }
 
+  test("latestOffset honors the ReadLimit Spark passes, not the constructor option") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val watched = Files.createTempDirectory("warc-watch4").toString
+    val ckpt = Files.createTempDirectory("warc-ck4").toString
+    drop(Seq(1L), watched, "a.warc")
+    drop(Seq(2L), watched, "b.warc")
+    drop(Seq(3L), watched, "c.warc")
+    // option says 2 per trigger, but Spark passes maxFiles(1) — the
+    // passed limit must win (AvailableNow wrapping, admission control)
+    val s = new WarcMicroBatchStream(Seq(watched), WarcDataSource.schema,
+      WarcPred(None, Nil), ckpt, Some(2))
+    def filesIn(off1: Long, off2: Long): Int =
+      s.planInputPartitions(WarcFilesOffset(off1), WarcFilesOffset(off2))
+        .map(_.asInstanceOf[WarcInputPartition].path).distinct.length
+    val o1 = s.latestOffset(s.initialOffset(), ReadLimit.maxFiles(1))
+    assert(o1.asInstanceOf[WarcFilesOffset].batch == 1L)
+    assert(filesIn(0, 1) == 1, "maxFiles(1) must admit exactly one file")
+    // a composite limit takes the tightest file cap it contains
+    val o2 = s.latestOffset(o1, ReadLimit.compositeLimit(
+      Array(ReadLimit.allAvailable(), ReadLimit.maxFiles(1))))
+    assert(o2.asInstanceOf[WarcFilesOffset].batch == 2L)
+    assert(filesIn(1, 2) == 1, "composite(maxFiles(1)) must admit one file")
+    // allAvailable drains the rest regardless of the option cap
+    val o3 = s.latestOffset(o2, ReadLimit.allAvailable())
+    assert(o3.asInstanceOf[WarcFilesOffset].batch == 3L)
+    assert(filesIn(2, 3) == 1, "one file was left")
+  }
+
   test("streaming replays a planned batch byte-identically from the log") {
     // simulate the crash window: offset log written, batch not committed
     // — a fresh stream instance must rebuild seen-set + latest batch
