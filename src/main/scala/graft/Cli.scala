@@ -12,7 +12,7 @@ import graft.sources.MarcIo
 /** spark-submit main mirroring the reference's `traject` CLI
   * (/root/reference/lib/traject/command_line.rb:14-278):
   *
-  *   graft.Cli [process|marcout|commit] [-c config.Class]
+  *   graft.Cli [process|marcout|commit|curate|fetch] [-c config.Class]
   *             -i marc|json|xml|genericxml
   *             [-o outDir] [-w json|csv|debug|null|solr] [-u solrUrl]
   *             [-s key=value ...] input files...
@@ -68,7 +68,7 @@ object Cli {
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case "process" | "marcout" | "commit" | "curate" if inputs.isEmpty =>
+        case "process" | "marcout" | "commit" | "curate" | "fetch" if inputs.isEmpty =>
           command = args(i)
         case "-i" => i += 1; inputType = args(i)
         case "-o" => i += 1; outDir = args(i)
@@ -92,6 +92,39 @@ object Cli {
       if (resp.status < 200 || resp.status >= 300)
         sys.error(s"Solr commit failed: HTTP ${resp.status}: ${resp.body}")
       System.err.println(s"[graft] commit sent to ${SolrJsonSink.commitUrl(st)}")
+      return
+    }
+
+    if (command == "fetch") {
+      // crawl fetch executor: frontier parquet in (url [+ domain,
+      // crawl_delay_ms, pos — t51/t52's politeness output]), WARC
+      // archive out, batch commit-log exactly-once (re-running a
+      // completed fetch is a no-op; a crashed run resumes).
+      //   graft.Cli fetch -o warc-out -s fetch.transport=className
+      //     [-s fetch.batch_size=N] [-s fetch.max_attempts=N]
+      //     [-s fetch.backoff_ms=N] [-s fetch.delay_ms=N]
+      //     [-s fetch.user_agent=ua] [-s fetch.gzip=true]
+      //     [-s fetch.checkpoint=dir] frontier.parquet...
+      // The archive then re-enters the pipeline via
+      //   graft.Cli curate -s curate.stream.format=warc ... warc-out
+      require(inputs.nonEmpty, "no frontier tables given")
+      val transportClass = settings.getOrElse("fetch.transport", sys.error(
+        "-s fetch.transport=className required (a graft.crawl.FetchTransport)"))
+      val frontier = inputs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+      val stats = crawl.Fetch.run(frontier, outDir,
+        checkpointDir = settings.get("fetch.checkpoint").orNull,
+        cfg = crawl.Fetch.Config(
+          transportClass = transportClass,
+          userAgent = settings.getOrElse("fetch.user_agent", "graftbot"),
+          maxAttempts = settings.getOrElse("fetch.max_attempts", "3").toInt,
+          backoffMs = settings.getOrElse("fetch.backoff_ms", "1000").toLong,
+          defaultDelayMs = settings.getOrElse("fetch.delay_ms", "0").toLong,
+          batchSize = settings.getOrElse("fetch.batch_size", "100000").toLong,
+          gzip = settings.get("fetch.gzip").contains("true")))
+      System.err.println(
+        s"[graft] fetch: attempted=${stats.attempted} responded=${stats.ok} " +
+          s"failed=${stats.failed} retried=${stats.retried} " +
+          s"bytes=${stats.bytes} → $outDir")
       return
     }
 

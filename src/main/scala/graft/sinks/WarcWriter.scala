@@ -94,9 +94,13 @@ object WarcWriter {
     buf.toByteArray
   }
 
-  /** Writes `df` as `part-NNNNN.warc[.gz]` files under `outDir`
-    * (cleared first — overwrite semantics). */
-  def write(df: DataFrame, outDir: String, gzip: Boolean = false): Unit = {
+  /** Writes `df` as `<prefix>part-NNNNN.warc[.gz]` files under `outDir`.
+    * Default is overwrite semantics (`clear = true` empties the dir
+    * first); `clear = false` appends alongside existing files — the
+    * fetch executor's batch mode, where each batch owns a distinct
+    * `prefix` and clears only its own files before a rewrite. */
+  def write(df: DataFrame, outDir: String, gzip: Boolean = false,
+            prefix: String = "", clear: Boolean = true): Unit = {
     val schema = df.schema
     def ord(name: String): Int = schema.fieldNames.indexOf(name)
     val typeOrd = ord("warc_type")
@@ -116,13 +120,13 @@ object WarcWriter {
       df.sparkSession.sparkContext.hadoopConfiguration)
     val dirPath = new Path(outDir)
     val dfs = dirPath.getFileSystem(hconf.value)
-    if (dfs.exists(dirPath)) dfs.delete(dirPath, true): Unit
+    if (clear && dfs.exists(dirPath)) dfs.delete(dirPath, true): Unit
     dfs.mkdirs(dirPath): Unit
     df.rdd.mapPartitionsWithIndex { (idx, rows) =>
       val attempt = Option(org.apache.spark.TaskContext.get())
         .map(_.taskAttemptId()).getOrElse(0L)
-      val fin = new Path(f"$outDir/part-$idx%05d.$ext")
-      val tmp = new Path(f"$outDir/.part-$idx%05d-attempt-$attempt.$ext.tmp")
+      val fin = new Path(f"$outDir/${prefix}part-$idx%05d.$ext")
+      val tmp = new Path(f"$outDir/.${prefix}part-$idx%05d-attempt-$attempt.$ext.tmp")
       val fs = tmp.getFileSystem(hconf.value)
       val out = fs.create(tmp, true)
       try {

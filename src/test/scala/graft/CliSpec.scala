@@ -465,4 +465,63 @@ class CliSpec extends SparkSpec {
     assert(e2.getMessage.contains("en:lots") &&
       e2.getMessage.contains("lang:weight"), e2.getMessage)
   }
+
+  test("fetch: frontier → WARC archive → curate.stream re-entry closes the crawl loop") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cli-fetch").toString
+    val frontier = (1L to 12L).map(i => s"http://www.h${i % 3}.example/p/$i")
+      .toDF("url")
+    frontier.coalesce(1).write.parquet(s"$dir/frontier")
+
+    def runFetch(): Unit = Cli.run(Seq("fetch", "-o", s"$dir/warc",
+      "-s", "fetch.transport=graft.CliCorpusTransport",
+      "-s", "fetch.batch_size=5", s"$dir/frontier"),
+      spark, new graft.sinks.FakeTransport())
+    runFetch()
+    val archived = spark.read.format("warc").load(s"$dir/warc")
+    assert(archived.count() == 12)
+    assert(archived.select("target_uri").as[String].collect().toSet ==
+      (1L to 12L).map(i => s"http://www.h${i % 3}.example/p/$i").toSet)
+    // a re-run is a no-op: the commit log keeps the archive exactly-once
+    runFetch()
+    assert(spark.read.format("warc").load(s"$dir/warc").count() == 12)
+
+    // re-entry: the archive feeds the w02 curation path unchanged
+    val standing = Files.createTempDirectory("cli-fetch-std").toString
+    val seedDir = Files.createTempDirectory("cli-fetch-seed").toString
+    (900L to 902L).map { i =>
+      val r = new scala.util.Random(i)
+      (i, ("the of and to in a " * 3) +
+        (0 until 30).map(_ => s"w${r.nextInt(500)}").mkString(" "), "en")
+    }.toDF("doc_id", "text", "lang").write.mode("overwrite").parquet(seedDir)
+    Cli.run(Seq("curate", "-o", standing, seedDir),
+      spark, new graft.sinks.FakeTransport())
+    val ckpt = Files.createTempDirectory("cli-fetch-ck").toString
+    Cli.run(Seq("curate", "-s", s"curate.against=$standing",
+      "-s", s"curate.stream.checkpoint=$ckpt",
+      "-s", "curate.stream.format=warc", "-s", "curate.html=text",
+      s"$dir/warc"), spark, new graft.sinks.FakeTransport())
+    val ids = spark.read.parquet(standing).select("doc_id").as[Long]
+      .collect().toSet
+    val fetchedIds = frontier.select(xxhash64(col("url"))).as[Long]
+      .collect().toSet
+    assert(fetchedIds.subsetOf(ids),
+      s"curated corpus must absorb all fetched pages; missing ${fetchedIds -- ids}")
+    assert(spark.read.parquet(standing).groupBy("doc_id").count()
+      .filter(col("count") > 1).count() == 0, "no doc ever appends twice")
+  }
+}
+
+/** Deterministic fetch transport for the CLI crawl-loop golden: each url
+  * serves curate-worthy English text keyed by its trailing id. Top-level
+  * so Class.forName can see it. */
+final class CliCorpusTransport extends graft.crawl.FetchTransport {
+  override def fetch(url: String, userAgent: String): graft.crawl.FetchResponse = {
+    val id = url.substring(url.lastIndexOf('/') + 1).toLong
+    val r = new scala.util.Random(id)
+    val text = ("the of and to in a " * 3) +
+      (0 until 30).map(_ => s"w${r.nextInt(500)}").mkString(" ")
+    graft.crawl.FetchResponse(200, "text/html; charset=utf-8",
+      s"<html><body><p>$text</p></body></html>".getBytes("UTF-8"))
+  }
 }

@@ -338,6 +338,12 @@ class PlanShapeSpec extends SparkSpec {
     // t45-documented curation-capstone construction jobs
     "w01_warc_roundtrip" -> 3,
     "w02_warc_curate" -> 19,
+    // w03's fixture EXECUTES the fetch run at first construction: the
+    // frontier count that sizes the commit batches + one WarcWriter
+    // action per batch (batchSize pinned small so several batches — and
+    // the exactly-once machinery — sit on the graded path) + the
+    // read-back planning probe. Marker-cached like w01/w02.
+    "w03_crawl_fetch" -> 5,
     // t48 composes d11's pageRank (5 join+sum rounds + rank bucketing,
     // d11's documented 26) over edges harvested from generated HTML
     "t48_web_graph" -> 26,
