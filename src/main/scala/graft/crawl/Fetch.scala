@@ -242,7 +242,9 @@ object Fetch {
         // committing — clear exactly its own files before re-fetching
         if (outFs.exists(outPath))
           outFs.listStatus(outPath).foreach { st =>
-            if (st.isFile && st.getPath.getName.startsWith(prefix))
+            // "." + prefix covers the gz member-index sidecars
+            val n = st.getPath.getName
+            if (st.isFile && (n.startsWith(prefix) || n.startsWith(s".$prefix")))
               outFs.delete(st.getPath, false): Unit
           }
         val fetched = fetchInternal(

@@ -128,6 +128,15 @@ object WarcWriter {
       val fin = new Path(f"$outDir/${prefix}part-$idx%05d.$ext")
       val tmp = new Path(f"$outDir/.${prefix}part-$idx%05d-attempt-$attempt.$ext.tmp")
       val fs = tmp.getFileSystem(hconf.value)
+      // gz mode also writes the member-offset sidecar (one line per
+      // member: compressedStart \t uncompressedStart) so readers can
+      // SPLIT the file — member-granular parallelism instead of
+      // file-granular (graft.sources.WarcGzIndex)
+      val idxFin = graft.sources.WarcGzIndex.sidecarPath(fin)
+      val idxTmp = new Path(f"$outDir/..${prefix}part-$idx%05d-attempt-$attempt.$ext.idx.tmp")
+      val idxLines = if (gzip) new java.lang.StringBuilder(4096) else null
+      var cpos = 0L
+      var upos = 0L
       val out = fs.create(tmp, true)
       try {
         rows.foreach { r =>
@@ -135,11 +144,35 @@ object WarcWriter {
             str(r, uriOrd), str(r, dateOrd), str(r, ctOrd),
             if (r.isNullAt(payloadOrd)) null
             else r.getAs[Array[Byte]](payloadOrd), fallbackDate = jobDate)
-          out.write(if (gzip) gzipMember(rec) else rec)
+          if (gzip) {
+            val member = gzipMember(rec)
+            idxLines.append(cpos).append('\t').append(upos).append('\n'): Unit
+            out.write(member)
+            cpos += member.length
+            upos += rec.length
+          } else out.write(rec)
         }
         out.close()
-      } catch { case e: Throwable => out.close(); fs.delete(tmp, false); throw e }
-      if (!fs.rename(tmp, fin)) fs.delete(tmp, false): Unit
+        if (gzip) {
+          val io = fs.create(idxTmp, true)
+          try io.write(idxLines.toString.getBytes(StandardCharsets.UTF_8))
+          finally io.close()
+        }
+      } catch {
+        case e: Throwable =>
+          out.close(); fs.delete(tmp, false)
+          if (gzip) fs.delete(idxTmp, false)
+          throw e
+      }
+      // data first, sidecar second: a crash between the two degrades to
+      // the sidecar-less (file-granular) read, never to a stale index.
+      // First rename wins; the loser (speculative retry) discards both.
+      if (fs.rename(tmp, fin)) {
+        if (gzip && !fs.rename(idxTmp, idxFin)) fs.delete(idxTmp, false): Unit
+      } else {
+        fs.delete(tmp, false): Unit
+        if (gzip) fs.delete(idxTmp, false): Unit
+      }
       Iterator.empty[Unit]
     }.count(): Unit
   }

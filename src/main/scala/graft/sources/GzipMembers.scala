@@ -146,3 +146,67 @@ final class GzipMembersInputStream(raw: InputStream, bufSize: Int = 1 << 16)
     raw.close()
   }
 }
+
+/** Hard byte cap over a stream: reads report EOF once `remaining` is
+  * consumed. Used to bound an indexed `.warc.gz` split to its owned
+  * member range — the cap lands exactly on a member boundary, so the
+  * framing above sees a clean end-of-stream. */
+private[sources] final class LimitedInputStream(in: InputStream,
+                                                private var remaining: Long)
+    extends InputStream {
+  override def read(): Int = {
+    if (remaining <= 0) return -1
+    val b = in.read()
+    if (b >= 0) remaining -= 1
+    b
+  }
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    if (remaining <= 0) return -1
+    val n = in.read(b, off, math.min(len.toLong, remaining).toInt)
+    if (n > 0) remaining -= n
+    n
+  }
+  override def close(): Unit = in.close()
+}
+
+/** Member-offset sidecar for `.warc.gz`: gzip members are not seekable
+  * without an external index, so the writer records each member's
+  * (compressed start, uncompressed start) as one tab-separated line in a
+  * hidden sibling `.<name>.idx`. Readers that find the sidecar split a
+  * gz file like a plain one (member-granular ownership); without it the
+  * file stays one partition — pure, honest fallback for third-party
+  * archives. The uncompressed column keeps `_record_offset` provenance
+  * IDENTICAL between indexed and sequential reads. */
+private[graft] object WarcGzIndex {
+  def sidecarPath(data: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(data.getParent, s".${data.getName}.idx")
+
+  /** (compressedStarts, uncompressedStarts), validated: non-empty,
+    * first compressed offset 0, strictly increasing. */
+  def read(fs: org.apache.hadoop.fs.FileSystem,
+           data: org.apache.hadoop.fs.Path): (Array[Long], Array[Long]) = {
+    val p = sidecarPath(data)
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toArray
+      finally in.close()
+    if (lines.isEmpty)
+      throw new IOException(s"$p: empty gz member index")
+    val c = new Array[Long](lines.length)
+    val u = new Array[Long](lines.length)
+    var i = 0
+    while (i < lines.length) {
+      val tab = lines(i).indexOf('\t')
+      if (tab < 0) throw new IOException(s"$p:${i + 1}: malformed index line")
+      c(i) = lines(i).substring(0, tab).toLong
+      u(i) = lines(i).substring(tab + 1).toLong
+      if (i == 0 && c(0) != 0L)
+        throw new IOException(s"$p: first member offset ${c(0)} != 0")
+      if (i > 0 && (c(i) <= c(i - 1) || u(i) <= u(i - 1)))
+        throw new IOException(s"$p:${i + 1}: offsets not increasing")
+      i += 1
+    }
+    (c, u)
+  }
+}

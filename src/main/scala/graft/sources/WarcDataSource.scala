@@ -33,12 +33,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    bytes (a crawl of a page about WARC) cannot satisfy the chain
   *    test without being a well-formed record stream, so false syncs
   *    don't survive (spec-pinned with a planted trap payload);
-  *  - `.warc.gz` files are one partition each — gzip members are not
-  *    seekable without an external index, so the FILE is the unit of
-  *    parallelism, exactly the layout crawls publish (tens of
-  *    thousands of ~1 GiB files). Multi-member streams (the
-  *    record-per-member convention that makes `.warc.gz` appendable)
-  *    decode transparently;
+  *  - `.warc.gz` files SPLIT TOO when the writer's member-offset
+  *    sidecar (`.name.idx`, see [[WarcGzIndex]]) sits beside them:
+  *    splits own contiguous member ranges (the plain reader's ownership
+  *    protocol at member granularity) and seek straight to their first
+  *    member. Without a sidecar (third-party archives) gzip members are
+  *    not seekable, so the FILE is the unit of parallelism — exactly
+  *    the layout crawls publish (tens of thousands of ~1 GiB files).
+  *    Multi-member streams (the record-per-member convention that makes
+  *    `.warc.gz` appendable) decode transparently either way;
   *  - column pruning is real IO: a projection without `payload` /
   *    `http_*` SEEKS past every content block and reads header bytes
   *    only (`explain` shows `read=headers-only`) — a URL/type listing
@@ -159,8 +162,11 @@ final class WarcScanBuilder(paths: Seq[String],
   }
 }
 
+/** For `indexed` gz partitions, `start`/`length` are COMPRESSED byte
+  * ranges; ownership is member-granular (see WarcGzPartitionReader). */
 final case class WarcInputPartition(path: String, start: Long, length: Long,
-                                    gzipped: Boolean) extends InputPartition
+                                    gzipped: Boolean,
+                                    indexed: Boolean = false) extends InputPartition
 
 final class WarcScan(paths: Seq[String], required: StructType,
                      pred: WarcPred = WarcPred(None, Nil),
@@ -214,19 +220,30 @@ object WarcScan {
 
   /** The one partition-planning rule, shared by the batch scan and the
     * streaming per-batch plan: plain `.warc` splits in
-    * `maxPartitionBytes` chunks, `.warc.gz` is one partition per file
-    * (gzip members aren't seekable — the file is the parallelism unit,
-    * as in every published crawl layout). */
+    * `maxPartitionBytes` chunks; `.warc.gz` splits the same way WHEN its
+    * member-offset sidecar exists (our writer always emits one —
+    * [[WarcGzIndex]]; ownership is member-granular, resolved reader-side
+    * from the tiny sidecar, so planning reads NO index bytes), else one
+    * partition per file (gzip members aren't seekable without an index —
+    * the file is the parallelism unit, as in every published crawl
+    * layout). */
   def partitionsFor(files: Seq[(String, Long)]): Array[InputPartition] = {
     val maxSplit = SparkSession.active.sessionState.conf.filesMaxPartitionBytes
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    def ranges(p: String, len: Long, gz: Boolean, idx: Boolean) =
+      (0L until math.max(len, 1L) by maxSplit).map { off =>
+        WarcInputPartition(p, off, math.min(maxSplit, len - off),
+          gzipped = gz, indexed = idx)
+      }
     files.flatMap { case (p, len) =>
-      if (p.endsWith(".gz"))
-        Seq(WarcInputPartition(p, 0L, len, gzipped = true))
-      else
-        (0L until math.max(len, 1L) by maxSplit).map { off =>
-          WarcInputPartition(p, off, math.min(maxSplit, len - off),
-            gzipped = false)
-        }
+      if (p.endsWith(".gz")) {
+        val path = new Path(p)
+        // one existence probe per gz file, driver-side (same class of
+        // metadata RPC as the listing itself)
+        if (path.getFileSystem(conf).exists(WarcGzIndex.sidecarPath(path)))
+          ranges(p, len, gz = true, idx = true)
+        else Seq(WarcInputPartition(p, 0L, len, gzipped = true))
+      } else ranges(p, len, gz = false, idx = false)
     }.toArray
   }
 }
@@ -862,12 +879,54 @@ final class WarcGzPartitionReader(part: WarcInputPartition,
 
   private val conf = serConf.value
   private val fsPath = new Path(part.path)
-  private val raw = fsPath.getFileSystem(conf).open(fsPath)
-  private val in = new java.io.BufferedInputStream(
-    new GzipMembersInputStream(
-      new java.io.BufferedInputStream(raw, 1 << 16), 1 << 16), 1 << 16)
+  private val fs = fsPath.getFileSystem(conf)
+  private val raw = fs.open(fsPath)
   private var pos = 0L
   private var done = false
+
+  /** Indexed mode: resolve this split's owned MEMBER range from the
+    * sidecar and bound the raw stream to exactly those members'
+    * compressed bytes. Ownership mirrors the plain reader's protocol at
+    * member granularity — a member starting at compressed offset o
+    * belongs to the split with start < o <= start + length, and the
+    * offset-0 split owns from byte 0 — so the splits partition the
+    * member set. Owned members are contiguous, hence ONE seek + one
+    * bounded sequential read; `pos` starts at the first owned member's
+    * uncompressed offset, keeping `_record_offset` provenance identical
+    * to a sequential (unindexed) read. */
+  private val rawBounded: java.io.InputStream =
+    if (!part.indexed) raw
+    else {
+      val (c, u) = WarcGzIndex.read(fs, fsPath)
+      val fileLen = fs.getFileStatus(fsPath).getLen
+      var lo = 0
+      if (part.start > 0) {
+        // first member with c(lo) > part.start
+        lo = java.util.Arrays.binarySearch(c, part.start + 1) match {
+          case found if found >= 0 => found
+          case ins => -ins - 1
+        }
+      }
+      // last member with c(hi) <= part.start + part.length
+      val hi = (java.util.Arrays.binarySearch(c, part.start + part.length) match {
+        case found if found >= 0 => found
+        case ins => -ins - 2
+      }).min(c.length - 1)
+      // c(lo) >= fileLen: the file was truncated BEFORE this split's
+      // first owned member — nothing of it exists to read (a tail)
+      if (lo > hi || c(lo) >= fileLen) { done = true; raw }
+      else {
+        val rangeStart = c(lo)
+        val rangeEnd = if (hi + 1 < c.length) c(hi + 1) else fileLen
+        raw.seek(rangeStart)
+        pos = u(lo)
+        new LimitedInputStream(raw, rangeEnd - rangeStart)
+      }
+    }
+
+  private val in = new java.io.BufferedInputStream(
+    new GzipMembersInputStream(
+      new java.io.BufferedInputStream(rawBounded, 1 << 16), 1 << 16), 1 << 16)
 
   private def readByte(): Int = {
     val b = in.read()

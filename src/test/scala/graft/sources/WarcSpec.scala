@@ -445,6 +445,119 @@ class WarcSpec extends SparkSpec {
     for (i <- 0 until 6) assert(got(s"<urn:uuid:rec-$i>") == (if (i % 2 == 0) 200 else 404))
   }
 
+  // ------------------------------------------------- gz member-index splits
+
+  private def writeGzCorpus(n: Int): (String, String) = {
+    val dir = Files.createTempDirectory("warc_gzidx").toString
+    import spark.implicits._
+    val rows = (0L until n.toLong).map { i =>
+      (s"<urn:uuid:rec-$i>", "response", s"http://h.example/$i",
+        "2026-01-01T00:00:00Z", "application/http; msgtype=response",
+        http(s"payload $i " * 40))
+    }.toDF("record_id", "warc_type", "target_uri", "warc_date",
+      "content_type", "payload")
+    WarcWriter.write(rows.coalesce(1), s"$dir/out", gzip = true)
+    val part = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head
+    (dir, part.getAbsolutePath)
+  }
+
+  test("gz member index: writer emits sidecar, planner splits within the file, results match") {
+    val (dir, gzFile) = writeGzCorpus(60)
+    val sidecar = new java.io.File(new java.io.File(gzFile).getParent,
+      s".${new java.io.File(gzFile).getName}.idx")
+    assert(sidecar.exists(), "writer must emit the member-offset sidecar")
+    val truth = readWarc(s"$dir/out").select("record_id").collect()
+      .map(_.getString(0)).sorted.toVector
+    assert(truth.length == 60)
+    val key = "spark.sql.files.maxPartitionBytes"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "4096")
+      // planning pin: more partitions than files, all member-indexed
+      val parts = WarcScan.partitionsFor(WarcScan.listFiles(Seq(s"$dir/out")))
+        .map(_.asInstanceOf[WarcInputPartition])
+      assert(parts.length > 1,
+        s"an indexed gz file must split (got ${parts.length} partition)")
+      assert(parts.forall(p => p.gzipped && p.indexed))
+      val got = readWarc(s"$dir/out").select("record_id").collect()
+        .map(_.getString(0)).sorted.toVector
+      assert(got == truth, s"split gz read diverged: ${got.length} rows")
+    } finally spark.conf.set(key, old)
+  }
+
+  test("gz member index: every adversarial boundary pair covers exactly the member set") {
+    val (dir, gzFile) = writeGzCorpus(24)
+    val fileLen = Files.size(Paths.get(gzFile))
+    val truth = readWarc(s"$dir/out").select("record_id").collect()
+      .map(_.getString(0)).sorted.toVector
+    val schema = StructType(WarcDataSource.schema.filter(_.name == "record_id"))
+    for (cut <- 101L until fileLen by 101L) {
+      val parts = Seq(
+        WarcInputPartition(gzFile, 0L, cut, gzipped = true, indexed = true),
+        WarcInputPartition(gzFile, cut, fileLen - cut, gzipped = true, indexed = true))
+      val got = parts.flatMap { p =>
+        val r = new WarcGzPartitionReader(p, schema, WarcPred(None, Nil))
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        try { while (r.next()) out += r.get().getUTF8String(0).toString }
+        finally r.close()
+        out
+      }.sorted.toVector
+      assert(got == truth, s"boundary at $cut: ${got.length} of ${truth.length} rows")
+    }
+  }
+
+  test("gz member index: provenance offsets identical to the sequential read; fallback without sidecar") {
+    val (dir, gzFile) = writeGzCorpus(20)
+    def offsets(): Map[String, Long] = {
+      import org.apache.spark.sql.functions.col
+      readWarc(s"$dir/out")
+        .select(col("record_id"), col("_record_offset"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val key = "spark.sql.files.maxPartitionBytes"
+    val old = spark.conf.get(key)
+    val indexed = try { spark.conf.set(key, "4096"); offsets() }
+      finally spark.conf.set(key, old)
+    // delete the sidecar: same file must read file-granular, same offsets
+    val sidecar = new java.io.File(new java.io.File(gzFile).getParent,
+      s".${new java.io.File(gzFile).getName}.idx")
+    assert(sidecar.delete())
+    val parts = WarcScan.partitionsFor(WarcScan.listFiles(Seq(s"$dir/out")))
+      .map(_.asInstanceOf[WarcInputPartition])
+    assert(parts.length == 1 && !parts.head.indexed,
+      "without a sidecar the file is one partition")
+    val sequential = offsets()
+    assert(indexed == sequential,
+      "_record_offset must be the uncompressed offset in BOTH read modes")
+  }
+
+  test("gz member index: truncated tail drops only the partial member under split reads") {
+    val (dir, gzFile) = writeGzCorpus(12)
+    // cut the LAST member in half; keep the (now over-long) sidecar
+    val bytes = Files.readAllBytes(Paths.get(gzFile))
+    val idxFile = new java.io.File(new java.io.File(gzFile).getParent,
+      s".${new java.io.File(gzFile).getName}.idx")
+    val lastOff = scala.io.Source.fromFile(idxFile).getLines()
+      .map(_.split("\t")(0).toLong).toSeq.last
+    val cutLen = lastOff + (bytes.length - lastOff) / 2
+    Files.write(Paths.get(gzFile), bytes.take(cutLen.toInt))
+    // the rewrite above bypassed Hadoop's local FS, whose .crc sidecar
+    // is now stale — remove it (the truncation is the point of the test)
+    val crc = new java.io.File(new java.io.File(gzFile).getParent,
+      s".${new java.io.File(gzFile).getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    val key = "spark.sql.files.maxPartitionBytes"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "2048")
+      val ids = readWarc(s"$dir/out").select("record_id").collect()
+        .map(_.getString(0)).sorted.toVector
+      assert(ids == (0 until 11).map(i => s"<urn:uuid:rec-$i>").sorted.toVector,
+        s"split read over the truncated file kept ${ids.length} of 11")
+    } finally spark.conf.set(key, old)
+  }
+
   // ------------------------------------------------- mandatory WARC fields
 
   test("writer synthesizes mandatory WARC-Record-ID and WARC-Date when null (ISO 28500)") {
