@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.XPathExtractExpression.extractXpath
+
+/** sitemaps.org discovery with `<sitemapindex>` recursion — the missing
+  * half of x03's `<urlset>` parse: real sites over 50k URLs publish an
+  * INDEX whose `<sitemap><loc>` entries point at child sitemaps (robots'
+  * `Sitemap:` directive usually names the index). Children may
+  * themselves be indexes (the spec forbids it, crawlers tolerate it), so
+  * expansion is bounded-depth.
+  *
+  * Model: resolution is a LOOKUP, not a fetch — `docs` is the corpus of
+  * already-fetched sitemap documents (url, xml), exactly what
+  * [[graft.crawl.Fetch]] produces from a sitemap frontier; an index
+  * entry whose child was never fetched simply contributes nothing (feed
+  * the child urls back into the next fetch frontier).
+  *
+  * Scale shape: per-row XPath kernels classify and explode; each depth
+  * round is ONE equi-join on the child sitemap url (bounded by
+  * `maxDepth`, a plan-time constant — no iterative driver actions, the
+  * whole expansion is one lazy plan). Entry parsing extracts raw
+  * `<url>` fragments (namespace-redeclared, re-parseable) and re-reads
+  * `loc`/`lastmod` per fragment, so the pairing survives entries with
+  * missing fields — the x03 alignment trap, solved for VARIABLE entry
+  * counts. */
+object Sitemaps {
+
+  private val Ns = Map("sm" -> "http://www.sitemaps.org/schemas/sitemap/0.9")
+
+  /** Page entries of one sitemap corpus, indexes resolved.
+    *
+    * @param roots    frame with `url` — the sitemap urls to start from
+    *                 (robots `Sitemap:` directives, t49's output shape)
+    * @param docs     fetched sitemap documents: `url`, `xml`
+    * @param maxDepth resolution rounds; an index nested deeper than this
+    *                 is left unexpanded (cycles terminate for free)
+    * @return (root, sitemap, loc, lastmod) — `root` the starting url,
+    *         `sitemap` the urlset that contributed the entry, `lastmod`
+    *         null when the entry carries none
+    */
+  def expand(roots: DataFrame, docs: DataFrame, maxDepth: Int = 3): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val corpus = docs.select(col("url").as("sitemap"), col("xml"))
+    var frontier = roots.select(col("url").as("sitemap"))
+      .join(corpus, Seq("sitemap"))
+      .select(col("sitemap").as("root"), col("sitemap"), col("xml"))
+    val isIndex = size(extractXpath(col("xml"), "/sm:sitemapindex", Ns)) > 0
+    def urlsetEntries(f: DataFrame): DataFrame = f
+      .filter(!isIndex)
+      .select(col("root"), col("sitemap"),
+        explode(extractXpath(col("xml"), "/sm:urlset/sm:url", Ns,
+          toText = false)).as("entry"))
+      .select(col("root"), col("sitemap"),
+        element_at(extractXpath(col("entry"), "/sm:url/sm:loc", Ns), 1)
+          .as("loc"),
+        get(extractXpath(col("entry"), "/sm:url/sm:lastmod", Ns), lit(0))
+          .as("lastmod"))
+    val out = Seq.newBuilder[DataFrame]
+    for (_ <- 0 until maxDepth) {
+      out += urlsetEntries(frontier)
+      frontier = frontier
+        .filter(isIndex)
+        .select(col("root"),
+          explode(extractXpath(col("xml"),
+            "/sm:sitemapindex/sm:sitemap/sm:loc", Ns)).as("sitemap"))
+        .join(corpus, Seq("sitemap"))
+        .select(col("root"), col("sitemap"), col("xml"))
+    }
+    out.result().reduce(_ unionByName _)
+  }
+}

@@ -94,6 +94,55 @@ object XmlQueries extends QueryPack {
         .select(col("doc_id"), col("pos"),
           col("e.loc").as("loc"), col("e.lastmod").as("lastmod"))
         .orderBy("doc_id", "pos")
+    }),
+
+    // <sitemapindex> RECURSION (x03's missing half — real sites over 50k
+    // URLs nest sitemaps): per doc, a root index lists a.xml + b.xml;
+    // a.xml is a 2-entry urlset (second entry missing <lastmod> — the
+    // variable-count pairing trap raw-fragment parsing must survive);
+    // b.xml is a urlset for most docs but ANOTHER index (spec-forbidden,
+    // crawler-tolerated nesting) pointing at c.xml when doc_id%10==0.
+    // Sitemaps.expand resolves the chain as bounded-depth lookup joins
+    // against the fetched corpus; the oracle states the grid analytically
+    "x04_sitemap_index" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val k = (col("doc_id") % 7).cast("string")
+      val m = ((col("doc_id") % 9) + 1).cast("string")
+      def u(name: String) =
+        concat(lit("http://s"), k, lit(".com/sm/"), id, lit("/"), lit(name))
+      val base = Tables.documentsBalanced(s, d).select(col("doc_id"))
+      val SmOpen = "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"
+      val IxOpen = "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"
+      val index = base.select(u("index.xml").as("url"), concat(
+        lit(IxOpen + "<sitemap><loc>"), u("a.xml"),
+        lit("</loc><lastmod>2026-01-01</lastmod></sitemap><sitemap><loc>"),
+        u("b.xml"), lit("</loc></sitemap></sitemapindex>")).as("xml"))
+      val a = base.select(u("a.xml").as("url"), concat(
+        lit(SmOpen + "<url><loc>http://s"), k, lit(".com/p/"), id,
+        lit("/1</loc><lastmod>2026-0"), m, lit("-01</lastmod></url>" +
+          "<url><loc>http://s"), k, lit(".com/p/"), id,
+        lit("/2</loc></url></urlset>")).as("xml"))
+      val b = base.select(u("b.xml").as("url"),
+        when(col("doc_id") % 10 === 0, concat(
+          lit(IxOpen + "<sitemap><loc>"), u("c.xml"),
+          lit("</loc></sitemap></sitemapindex>")))
+        .otherwise(concat(
+          lit(SmOpen + "<url><loc>http://s"), k, lit(".com/p/"), id,
+          lit("/3</loc><lastmod>2026-01-15</lastmod></url></urlset>")))
+        .as("xml"))
+      val c = base.filter(col("doc_id") % 10 === 0)
+        .select(u("c.xml").as("url"), concat(
+          lit(SmOpen + "<url><loc>http://s"), k, lit(".com/p/"), id,
+          lit("/4</loc></url></urlset>")).as("xml"))
+      val docs = index.unionByName(a).unionByName(b).unionByName(c)
+      val roots = base.select(u("index.xml").as("url"))
+      graft.ops.Sitemaps.expand(roots, docs, maxDepth = 3)
+        .select(
+          regexp_extract(col("root"), "/sm/(\\d+)/", 1).cast("long")
+            .as("doc_id"),
+          regexp_extract(col("sitemap"), "/([a-z]+\\.xml)$", 1).as("sitemap"),
+          col("loc"), col("lastmod"))
+        .orderBy("doc_id", "sitemap", "loc")
     })
   )
 
@@ -123,6 +172,26 @@ object XmlQueries extends QueryPack {
              ELSE '2026-01-15'
            END AS lastmod
          FROM documents CROSS JOIN (VALUES (0), (1), (2)) AS p(pos)
-         ORDER BY doc_id, pos"""
+         ORDER BY doc_id, pos""",
+
+    // the resolved grid: a.xml yields entries /1 (doc-derived lastmod)
+    // and /2 (none) for every doc; b.xml yields /3 except for %10==0
+    // docs, whose b.xml is a nested index resolving to c.xml's /4
+    "x04_sitemap_index" ->
+      """WITH p AS (
+           SELECT doc_id, 'http://s' || (doc_id % 7) || '.com/p/' || doc_id AS pre
+           FROM documents)
+         SELECT doc_id, sitemap, loc, lastmod FROM (
+           SELECT doc_id, 'a.xml' AS sitemap, pre || '/1' AS loc,
+                  '2026-0' || ((doc_id % 9) + 1) || '-01' AS lastmod FROM p
+           UNION ALL
+           SELECT doc_id, 'a.xml', pre || '/2', NULL FROM p
+           UNION ALL
+           SELECT doc_id, 'b.xml', pre || '/3', '2026-01-15' FROM p
+           WHERE doc_id % 10 <> 0
+           UNION ALL
+           SELECT doc_id, 'c.xml', pre || '/4', NULL FROM p
+           WHERE doc_id % 10 = 0)
+         ORDER BY doc_id, sitemap, loc"""
   )
 }

@@ -388,6 +388,12 @@ class PlanShapeSpec extends SparkSpec {
     // inputs are two distinct sources, so the triple leaf is the
     // fixture's artifact, not the operator's shape
     "t53_crawl_diff" -> 3,
+    // x04's sitemap corpus is a 4-branch union plant of the one fixture
+    // table (index/a/b/c documents), and Sitemaps.expand references the
+    // corpus once per depth round (3) — the 9 leaves are the plant ×
+    // rounds. Production `docs` is ONE fetched table: one leaf per
+    // round, maxDepth-bounded
+    "x04_sitemap_index" -> 9,
     // d12's registered query constructs its batch side from a 3-scan
     // union of the same table; the r12 persisted batch narrow leaves
     // the 3-scan union (cache build) + 3 prior-side consumers
