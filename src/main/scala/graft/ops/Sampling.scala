@@ -20,6 +20,14 @@ import org.apache.spark.sql.functions._
   * honored to ~2.3e-10 granularity. */
 object Sampling {
 
+  /** Distinct-group ceiling for the driver-side rate-table operators
+    * ([[temperatureMix]], [[keepByRates]]): beyond this, the literal
+    * per-group predicate chain and the collected table stop being "a few
+    * KB of language codes" and start being a driver hazard. The value is
+    * far above any real language/source mix and far below where the
+    * expression tree breaks. */
+  val MaxMixGroups: Int = 4096
+
   private def hexThreshold(fraction: Double): String = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
     val buckets = math.round(fraction * (1L << 32)).min(1L << 32)
@@ -133,9 +141,14 @@ object Sampling {
     * can differ between them and yield gapped or duplicate positions
     * instead of a permutation. Persist or localCheckpoint such inputs
     * before calling (not done here unconditionally: materializing the
-    * full corpus to cache is exactly the cost this operator avoids). */
+    * full corpus to cache is exactly the cost this operator avoids).
+    * `validatePermutation = true` makes a violated contract LOUD: it
+    * re-executes the output once and requires positions to be exactly
+    * 0..n-1 (the globalOrdinal `validateTotalOrder` pattern — an opt-in
+    * probe for suspect inputs, not a standing tax). */
   def shuffleIndex(df: DataFrame, key: Column, salt: String = "graft",
-                   numGroups: Int = 0): DataFrame = {
+                   numGroups: Int = 0,
+                   validatePermutation: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val groups = if (numGroups > 0) numGroups
       else math.max(spark.sparkContext.defaultParallelism, 1)
@@ -158,9 +171,22 @@ object Sampling {
     val offDf = totals.map(_._1).zip(prefix).toSeq.toDF("_g", "_goff")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_g").orderBy(col("_h"), key)
-    withHash.join(broadcast(offDf), "_g")
+    val out = withHash.join(broadcast(offDf), "_g")
       .withColumn("position", row_number().over(w).cast("long") + col("_goff") - 1)
       .drop("_h", "_g", "_goff")
+    if (validatePermutation) {
+      val expected = prefix.last
+      val s = out.agg(count(lit(1)).as("n"),
+        min("position").as("lo"), max("position").as("hi"),
+        countDistinct("position").as("d")).collect()(0)
+      val (n, lo, hi, d) = (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3))
+      require(n == expected && (n == 0L || (lo == 0L && hi == n - 1)) && d == n,
+        s"shuffleIndex: positions are not a permutation (rows=$n " +
+          s"counted=$expected range=[$lo,$hi] distinct=$d) — the input " +
+          "changed between the count job and the rank job (the " +
+          "determinism contract above); persist/localCheckpoint it first")
+    }
+    out
   }
 
   /** Global 1-based ordinal under an arbitrary TOTAL ordering — the
@@ -443,11 +469,26 @@ object Sampling {
     * no RNG state, identical output at any partitioning or cluster size. */
   def temperatureMix(df: DataFrame, key: Column, group: Column,
                      target: Long, alpha: Double = 0.5,
-                     salt: String = "graft"): DataFrame = {
+                     salt: String = "graft",
+                     maxGroups: Int = MaxMixGroups): DataFrame = {
+    // the rate table lives on the DRIVER and the membership predicate is
+    // a literal per-group chain: both are sized for bounded group keys
+    // (language, source family — the operator's documented domain). The
+    // limit below bounds the collect itself, then the guard fails loudly
+    // instead of letting a caller who passed `group = domain` on a web
+    // corpus melt the driver
     val counts = df.select(group.cast("string").as("g"))
       .filter(col("g").isNotNull)
       .groupBy("g").agg(count(lit(1)).as("n"))
+      .limit(maxGroups + 1)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    require(counts.size <= maxGroups,
+      s"temperatureMix: more than $maxGroups distinct groups — this " +
+        "operator holds the rate table driver-side and is sized for " +
+        "bounded keys (language, source family). For unbounded keys " +
+        "(domain, url host), cap or bucket the key first: " +
+        "Sampling.capPerGroup for per-key limits, or mix over the " +
+        "t29-style heavy-hitters head (graft_topk) with a tail bucket.")
     if (counts.isEmpty) return df.limit(0)
     df.filter(keepByRates(key, group, temperatureRates(counts, target, alpha),
       salt))
@@ -477,6 +518,11 @@ object Sampling {
     * safe in batch and streaming plans alike. */
   def keepByRates(key: Column, group: Column, rates: Map[String, Double],
                   salt: String = "graft"): Column = {
+    require(rates.size <= MaxMixGroups,
+      s"keepByRates: ${rates.size} groups exceed $MaxMixGroups — the " +
+        "predicate is a literal per-group when-chain (an expression tree " +
+        "this deep breaks analysis long before the driver runs out of " +
+        "memory); bucket or cap the group key first")
     val h = hashKey(key, salt)
     rates.toSeq.sortBy(_._1).foldRight(lit(false): Column) {
       case ((g, rate), acc) =>

@@ -186,7 +186,23 @@ object SolrJsonSink {
     WriteStats(sent.value, skipped.value)
   }
 
-  /** delete-all convenience (solr_json_writer.rb:285-301). */
+  /** Per-id delete (solr_json_writer.rb:285-293 `delete(id)`): posts
+    * `{"delete": "<id>"}` to the update handler, loud on non-2xx. Like
+    * the reference, deletes are NOT auto-committed — call `commitUrl`
+    * separately (or the `commit` CLI command). */
+  def delete(id: String, settings: Settings, transport: SolrTransport): Response = {
+    val mapper = new ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("delete", id): Unit
+    val resp = transport.postJson(s"${coreBaseUrl(settings)}/update",
+      mapper.writeValueAsString(node))
+    if (resp.status < 200 || resp.status >= 300)
+      throw new RuntimeException(
+        s"Solr delete of '$id' failed: HTTP ${resp.status}: ${resp.body}")
+    resp
+  }
+
+  /** delete-all convenience (solr_json_writer.rb:294-301 `delete_all!`). */
   def deleteAll(settings: Settings, transport: SolrTransport): Response = {
     val resp = transport.postJson(s"${coreBaseUrl(settings)}/update",
       """{"delete": { "query": "*:*"}}""")

@@ -680,6 +680,26 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("non-null keys"))
   }
 
+  test("shuffleIndex validatePermutation: deterministic inputs pass, nondeterministic fail loudly") {
+    import spark.implicits._
+    val df = (1L to 300L).toDF("id")
+    assert(Sampling.shuffleIndex(df, col("id"),
+      validatePermutation = true).count() == 300)
+    // an input that CHANGES between the count job and the rank job — the
+    // documented contract violation (".sample without a seed, files
+    // changing mid-run"): keys from a nondeterministic udf re-evaluate
+    // differently per job, so group counts and window ranks disagree
+    val rng = udf(() => scala.util.Random.nextDouble().toString)
+      .asNondeterministic()
+    val unstable = df.withColumn("k", rng())
+    val e = intercept[IllegalArgumentException] {
+      Sampling.shuffleIndex(unstable, col("k"),
+        validatePermutation = true).count()
+    }
+    assert(e.getMessage.contains("not a permutation") &&
+      e.getMessage.contains("determinism"), e.getMessage)
+  }
+
   test("globalOrdinal equals the naive global row_number for any partition count") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1458,6 +1478,30 @@ class OpsSpec extends SparkSpec {
       1000000L).count() == 2090)
     assert(Sampling.temperatureMix(docs.limit(0), col("id"), col("lang"),
       10L).count() == 0)
+  }
+
+  test("temperatureMix refuses unbounded group keys with a usable pointer") {
+    import spark.implicits._
+    // group = the key itself: every row its own group — the web-corpus
+    // `group = domain` misuse the guard exists for
+    val docs = (1L to 500L).toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(docs, col("id"), col("id"), target = 100L,
+        maxGroups = 200)
+    }
+    assert(e.getMessage.contains("200") &&
+      e.getMessage.contains("heavy-hitters"), e.getMessage)
+    // keepByRates guards the literal-chain depth the same way
+    val bigRates = (1 to Sampling.MaxMixGroups + 1)
+      .map(i => s"g$i" -> 0.5).toMap
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.keepByRates(col("id"), col("id"), bigRates)
+    }
+    assert(e2.getMessage.contains("when-chain"), e2.getMessage)
+    // at the boundary it still works
+    assert(Sampling.temperatureMix(
+      docs.withColumn("g", col("id") % 200), col("id"), col("g"),
+      target = 100L, maxGroups = 200).count() > 0)
   }
 
   test("winnow kernel matches the driver function; pairs find planted edits") {

@@ -71,6 +71,27 @@ class SinksSpec extends SparkSpec {
     assert(commits.map(_._1) == Vector("http://s/core/update?commit=true"))
   }
 
+  test("delete(id) posts the single-id delete package to the update handler") {
+    FakeTransport.queue.clear()
+    SolrJsonSink.delete("bib_123", Settings("http://s/core/update/json"),
+      new FakeTransport())
+    val posts = FakeTransport.queue.asScala.toVector
+    assert(posts.map(_._1) == Vector("http://s/core/update"))
+    assert(posts.head._2 == """{"delete":"bib_123"}""")
+    // ids with JSON-hostile characters stay well-formed
+    FakeTransport.queue.clear()
+    SolrJsonSink.delete("""id "quoted"\slash""", Settings("http://s/core"),
+      new FakeTransport())
+    assert(FakeTransport.queue.asScala.head._2 ==
+      """{"delete":"id \"quoted\"\\slash"}""")
+    // non-2xx fails loudly (solr_json_writer.rb:290-292)
+    val e = intercept[RuntimeException] {
+      SolrJsonSink.delete("boom-id", Settings("http://s/core"),
+        new FakeTransport(failBodiesContaining = "boom-id"))
+    }
+    assert(e.getMessage.contains("boom-id") && e.getMessage.contains("500"))
+  }
+
   test("basic auth: URL userinfo splits into credentials + clean URL") {
     import SolrJsonSink.HttpTransport
     assert(HttpTransport.splitUserinfo("http://solr.example/core/update") ===
