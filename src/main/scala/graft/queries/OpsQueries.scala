@@ -1549,7 +1549,7 @@ object OpsQueries extends QueryPack {
     * derived arithmetically from (doc_id, n_chars), so the decoder must
     * PARSE the bytes while the oracle recomputes the planted values.
     * Every 97th payload is truncated garbage (totality is graded). */
-  private def syntheticMedia(s: SparkSession, d: String): DataFrame = {
+  private[queries] def syntheticMedia(s: SparkSession, d: String): DataFrame = {
     val w = (col("doc_id") % 4096 + 1).cast("long")
     val h = (col("n_chars") % 4096 + 1).cast("long")
     val orient = (col("doc_id") % 8 + 1).cast("long")

@@ -175,6 +175,48 @@ object WarcQueries extends QueryPack {
     dir
   }
 
+  /** The multimodal WARC fixture (w04): one response per document whose
+    * body is the mm02 synthetic media payload (real PNG/JPEG header
+    * bytes, planted dims, %97 truncated garbage), plus the mm07
+    * PixelPlants pairs as `/plant/a/<id>` / `/plant/b/<id>` records —
+    * the crawl-shaped packaging of the verified multimodal parts. */
+  private def buildW04(s: SparkSession, d: String): String = {
+    val dir = fixtureDir(d, "w04")
+    if (built(dir, d)) return dir
+    resetDir(dir)
+    import s.implicits._
+    def rec(uri: org.apache.spark.sql.Column,
+            media: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = Seq(
+      lit(null).cast("string").as("record_id"),
+      lit("response").as("warc_type"),
+      uri.as("target_uri"),
+      lit("2026-01-01T00:00:00Z").as("warc_date"),
+      lit("application/http; msgtype=response").as("content_type"),
+      concat(encode(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: application/octet-stream\r\n\r\n"),
+        "UTF-8"), media).as("payload"))
+    val corpus = OpsQueries.syntheticMedia(s, d).select(rec(
+      concat(lit("http://img.example.org/media/"), col("doc_id")),
+      col("payload")): _*)
+    val plants = (0 to 9).map { k =>
+      val (a, b) = PixelPlants.pair(k)
+      (k, a, b)
+    }.toDF("cls", "pa", "pb")
+    val family = Tables.documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") % 11 === 0 && col("doc_id").between(0, 99))
+      .join(broadcast(plants), col("doc_id") === col("cls") * 11)
+    val plantRecs = family.select(rec(
+        concat(lit("http://img.example.org/plant/a/"), col("doc_id")),
+        col("pa")): _*)
+      .unionByName(family.select(rec(
+        concat(lit("http://img.example.org/plant/b/"), col("doc_id")),
+        col("pb")): _*))
+    WarcWriter.write(corpus.unionByName(plantRecs).repartition(2),
+      s"$dir/warc")
+    markBuilt(dir, d)
+    dir
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // WARC read-back: mixed plain (splittable) + record-per-member gz
@@ -241,6 +283,44 @@ object WarcQueries extends QueryPack {
           col("http_content_type"),
           col("payload").cast("string").as("body"))
         .orderBy("doc_id")
+    }),
+
+    // the multimodal twin of w02, crawl-shaped end to end: WARC response
+    // records carrying image bytes → HTTP envelope parse → pixel dHash
+    // near-dup (mm07's machinery over the crawl, +5M plant members of
+    // surfaced same-class pairs drop) → survivors sharded to WebDataset
+    // → shards read back and header-decoded (mm02's machinery over the
+    // round-tripped bytes). Every output row is analytic: corpus dims
+    // are the mm02 plant, /plant/a survivors decode as the 9×8 PNG,
+    // the lone /plant/b survivor (class 8, distance past the threshold)
+    // is a BMP the header decoder honestly reports as unknown
+    "w04_warc_media" -> ((s, d) => {
+      val dir = buildW04(s, d)
+      val id = regexp_extract(col("target_uri"), "/(\\d+)$", 1).cast("long")
+      val media = s.read.format("warc").load(s"$dir/warc")
+        .filter(col("warc_type") === "response")
+        .select(
+          when(col("target_uri").contains("/plant/a/"), id + 4000000L)
+            .when(col("target_uri").contains("/plant/b/"), id + 5000000L)
+            .otherwise(id).as("media_id"),
+          col("payload"))
+      val drops = graft.ops.Multimodal
+        .pixelNearDupPairs(media, "media_id", "payload", maxDistance = 7)
+        .filter(col("id_a") >= 4000000L &&
+          col("id_b") === col("id_a") + 1000000L)
+        .select(col("id_b").as("media_id"))
+      val survivors = media.join(drops, Seq("media_id"), "left_anti")
+      graft.sinks.WebDatasetWriter.writeShards(
+        survivors.withColumn("key", col("media_id").cast("string")),
+        s"$dir/wds", "key", Seq("bin" -> col("payload")), numShards = 4)
+      val back = s.read.format("webdataset").option("path", s"$dir/wds").load()
+        .select(col("key").cast("long").as("media_id"),
+          element_at(col("entries"), "bin").as("payload"))
+      graft.ops.Multimodal.decodeHeaders(back, "media_id", "payload")
+        .select(col("media_id"), col("format").as("fmt"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
+        .orderBy("media_id")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -327,6 +407,30 @@ object WarcQueries extends QueryPack {
                 ELSE '<html><body><p>page ' || doc_id || ' of www.d'
                   || (doc_id % 7) || '.org</p></body></html>'
            END AS body
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    // analytic survivors grid: every corpus record survives (mm02's
+    // planted dims; %97 truncated-garbage family decodes unknown);
+    // /plant/a records all survive as 9×8 PNGs; /plant/b records drop
+    // at classes 0..7 (distance ≤ 7) and 9 (lossy re-encode, distance
+    // 0) — only class 8 (doc 88) survives, a BMP the header decoder
+    // reports unknown
+    "w04_warc_media" ->
+      """SELECT media_id, fmt, width, height FROM (
+           SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 97 = 0 THEN 'unknown'
+                  WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+             CAST(CASE WHEN doc_id % 97 = 0 THEN -1
+                  ELSE doc_id % 4096 + 1 END AS BIGINT) AS width,
+             CAST(CASE WHEN doc_id % 97 = 0 THEN -1
+                  ELSE n_chars % 4096 + 1 END AS BIGINT) AS height
+           FROM documents
+           UNION ALL
+           SELECT doc_id + 4000000, 'png', CAST(9 AS BIGINT), CAST(8 AS BIGINT)
+           FROM documents WHERE doc_id % 11 = 0 AND doc_id BETWEEN 0 AND 99
+           UNION ALL
+           SELECT doc_id + 5000000, 'unknown', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+           FROM documents WHERE doc_id = 88)
+         ORDER BY media_id"""
   )
 }

@@ -344,6 +344,11 @@ class PlanShapeSpec extends SparkSpec {
     // the exactly-once machinery — sit on the graded path) + the
     // read-back planning probe. Marker-cached like w01/w02.
     "w03_crawl_fetch" -> 5,
+    // w04 composes three ACTIONS at construction: the WARC media fixture
+    // write (first time, marker-cached), the pixel near-dup + anti-join
+    // feeding the WebDataset shard write (the graded drop must be
+    // materialized to shards), and the shard read-back planning probe
+    "w04_warc_media" -> 6,
     // t48 composes d11's pageRank (5 join+sum rounds + rank bucketing,
     // d11's documented 26) over edges harvested from generated HTML
     "t48_web_graph" -> 26,
@@ -362,7 +367,9 @@ class PlanShapeSpec extends SparkSpec {
     "t10_pack" -> 3,               // O(groups) driver prefix sums
     "t12_shuffle" -> 2,            // count for the permutation bound
     "t15_lm_bits" -> 3,            // vocab total + top-vocab collects
-    "t16_temperature_mix" -> 2,    // per-lang rate training count
+    // per-lang rate training count; +1 (r15): the MaxMixGroups guard
+    // bounds the collect with a LIMIT, which plans as its own stage
+    "t16_temperature_mix" -> 3,
     "t17_take_budget" -> 3,        // bucket prefix sums
     "t26_corpus_report" -> 6,      // one bounded aggregate per section
     "t31_bpe_budget" -> 3,         // token-count prefix sums
