@@ -45,7 +45,12 @@ final case class FetchedRow(url: String, domain: String, status: Int,
 
 /** Totals for one fetch action, read from accumulators AFTER the job
   * (per-host breakdowns aggregate the audit frame's `attempts`/`status`
-  * columns — metrics ride in the DATA, never a driver-side host map). */
+  * columns — metrics ride in the DATA, never a driver-side host map).
+  * Accumulators increment inside a transformation, so Spark task retries
+  * and speculative attempts DOUBLE-COUNT here even though the archive
+  * output stays exactly-once (first-rename-wins): treat these as
+  * operational telemetry with at-least-once semantics, and derive exact
+  * accounting from the audit frame or the archive itself. */
 final case class FetchStats(attempted: Long, ok: Long, failed: Long,
                             retried: Long, bytes: Long)
 
@@ -99,7 +104,12 @@ object Fetch {
       gzip: Boolean = false,
       warcDate: String = null, // null = job-level stamp (WarcWriter)
       clock: () => Long = () => System.currentTimeMillis(),
-      sleeper: Long => Unit = ms => Thread.sleep(ms))
+      sleeper: Long => Unit = ms => Thread.sleep(ms)) {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
+    require(backoffMs >= 0, s"backoffMs must be >= 0: $backoffMs")
+    require(defaultDelayMs >= 0, s"defaultDelayMs must be >= 0: $defaultDelayMs")
+    require(batchSize >= 1, s"batchSize must be >= 1: $batchSize")
+  }
 
   private def retryable(status: Int): Boolean =
     status == 429 || status >= 500
@@ -224,13 +234,41 @@ object Fetch {
     val spark = frontier.sparkSession
     val ckpt = if (checkpointDir == null) s"$outDir/_fetch_commits" else checkpointDir
     val total = frontier.count()
-    val nBatches = math.max(1L, (total + cfg.batchSize - 1) / cfg.batchSize).toInt
-    val batched = frontier.withColumn("_fetch_batch",
-      pmod(xxhash64(col("url")), lit(nBatches.toLong)))
     val hconf = spark.sessionState.newHadoopConf()
     val ckptPath = new Path(ckpt)
     val fs = ckptPath.getFileSystem(hconf)
     fs.mkdirs(ckptPath): Unit
+    // batch membership is a pure function of (url, nBatches), so a RESUME
+    // must reuse the original nBatches and see the same frontier: the
+    // plan file pins both. A changed batchSize resumes under the recorded
+    // plan (honest resume); a changed frontier fails loudly — remapping
+    // urls across committed batch indexes would silently skip some urls
+    // and duplicate others
+    val planFile = new Path(ckptPath, "plan")
+    val nBatches: Int =
+      if (fs.exists(planFile)) {
+        val in = fs.open(planFile)
+        val line = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().next() finally in.close()
+        val Array(nb, tot) = line.split("\t")
+        require(tot.toLong == total,
+          s"fetch: frontier changed since the checkpoint was written " +
+            s"(${tot.toLong} urls recorded, $total now) — resuming would " +
+            "mis-map urls across committed batches; use a fresh " +
+            "checkpoint/output dir for a new frontier")
+        nb.toInt
+      } else {
+        val nb = math.max(1L, (total + cfg.batchSize - 1) / cfg.batchSize).toInt
+        val tmp = new Path(ckptPath, ".plan.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(s"$nb\t$total\n".getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        if (!fs.rename(tmp, planFile))
+          throw new java.io.IOException(s"fetch: cannot commit plan $planFile")
+        nb
+      }
+    val batched = frontier.withColumn("_fetch_batch",
+      pmod(xxhash64(col("url")), lit(nBatches.toLong)))
     val outPath = new Path(outDir)
     val outFs = outPath.getFileSystem(hconf)
     val counters = new Counters(spark.sparkContext)

@@ -179,7 +179,10 @@ object Sampling {
       val s = out.agg(count(lit(1)).as("n"),
         min("position").as("lo"), max("position").as("hi"),
         countDistinct("position").as("d")).collect()(0)
-      val (n, lo, hi, d) = (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3))
+      val n = s.getLong(0)
+      val d = s.getLong(3)
+      // lo/hi are NULL aggregates on an empty frame — read only when rows exist
+      val (lo, hi) = if (n == 0L) (0L, -1L) else (s.getLong(1), s.getLong(2))
       require(n == expected && (n == 0L || (lo == 0L && hi == n - 1)) && d == n,
         s"shuffleIndex: positions are not a permutation (rows=$n " +
           s"counted=$expected range=[$lo,$hi] distinct=$d) — the input " +
@@ -471,6 +474,11 @@ object Sampling {
                      target: Long, alpha: Double = 0.5,
                      salt: String = "graft",
                      maxGroups: Int = MaxMixGroups): DataFrame = {
+    // the override can only LOWER the cap: keepByRates' literal when-chain
+    // is the binding constraint regardless of how big a table the caller
+    // is willing to collect
+    require(maxGroups >= 1 && maxGroups <= MaxMixGroups,
+      s"maxGroups must be in [1, $MaxMixGroups]: $maxGroups")
     // the rate table lives on the DRIVER and the membership predicate is
     // a literal per-group chain: both are sized for bounded group keys
     // (language, source family — the operator's documented domain). The

@@ -54,10 +54,14 @@ object Sitemaps {
         explode(extractXpath(col("xml"), "/sm:urlset/sm:url", Ns,
           toText = false)).as("entry"))
       .select(col("root"), col("sitemap"),
-        element_at(extractXpath(col("entry"), "/sm:url/sm:loc", Ns), 1)
+        // get(), not element_at(): an entry missing its <loc> (malformed
+        // but seen in the wild) must yield null under ANSI mode, not
+        // fail the job — loc-less entries then drop below
+        get(extractXpath(col("entry"), "/sm:url/sm:loc", Ns), lit(0))
           .as("loc"),
         get(extractXpath(col("entry"), "/sm:url/sm:lastmod", Ns), lit(0))
           .as("lastmod"))
+      .filter(col("loc").isNotNull)
     val out = Seq.newBuilder[DataFrame]
     for (_ <- 0 until maxDepth) {
       out += urlsetEntries(frontier)

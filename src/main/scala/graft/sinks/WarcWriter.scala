@@ -98,7 +98,10 @@ object WarcWriter {
     * Default is overwrite semantics (`clear = true` empties the dir
     * first); `clear = false` appends alongside existing files — the
     * fetch executor's batch mode, where each batch owns a distinct
-    * `prefix` and clears only its own files before a rewrite. */
+    * `prefix` and clears only its own files before a rewrite. EMPTY
+    * partitions write NO file (a politeness repartition routinely leaves
+    * most shuffle partitions empty — 0-byte archives and 0-member
+    * sidecars would be pure noise). */
   def write(df: DataFrame, outDir: String, gzip: Boolean = false,
             prefix: String = "", clear: Boolean = true): Unit = {
     val schema = df.schema
@@ -123,6 +126,8 @@ object WarcWriter {
     if (clear && dfs.exists(dirPath)) dfs.delete(dirPath, true): Unit
     dfs.mkdirs(dirPath): Unit
     df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      if (!rows.hasNext) Iterator.empty[Unit]
+      else {
       val attempt = Option(org.apache.spark.TaskContext.get())
         .map(_.taskAttemptId()).getOrElse(0L)
       val fin = new Path(f"$outDir/${prefix}part-$idx%05d.$ext")
@@ -131,9 +136,10 @@ object WarcWriter {
       // gz mode also writes the member-offset sidecar (one line per
       // member: compressedStart \t uncompressedStart) so readers can
       // SPLIT the file — member-granular parallelism instead of
-      // file-granular (graft.sources.WarcGzIndex)
+      // file-granular (graft.sources.WarcGzIndex). Both temp names share
+      // the `.<prefix>` shape so batch crash-window cleanup sweeps them.
       val idxFin = graft.sources.WarcGzIndex.sidecarPath(fin)
-      val idxTmp = new Path(f"$outDir/..${prefix}part-$idx%05d-attempt-$attempt.$ext.idx.tmp")
+      val idxTmp = new Path(f"$outDir/.${prefix}part-$idx%05d-attempt-$attempt.$ext.idx.tmp")
       val idxLines = if (gzip) new java.lang.StringBuilder(4096) else null
       var cpos = 0L
       var upos = 0L
@@ -174,6 +180,7 @@ object WarcWriter {
         if (gzip) fs.delete(idxTmp, false): Unit
       }
       Iterator.empty[Unit]
+      }
     }.count(): Unit
   }
 }

@@ -181,8 +181,10 @@ private[graft] object WarcGzIndex {
   def sidecarPath(data: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(data.getParent, s".${data.getName}.idx")
 
-  /** (compressedStarts, uncompressedStarts), validated: non-empty,
-    * first compressed offset 0, strictly increasing. */
+  /** (compressedStarts, uncompressedStarts), validated: first compressed
+    * offset 0, strictly increasing. An EMPTY index (zero members — our
+    * writer skips empty partitions, but a third-party sidecar may pair
+    * with a 0-byte file) is valid and reads as zero rows. */
   def read(fs: org.apache.hadoop.fs.FileSystem,
            data: org.apache.hadoop.fs.Path): (Array[Long], Array[Long]) = {
     val p = sidecarPath(data)
@@ -191,8 +193,6 @@ private[graft] object WarcGzIndex {
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .filter(_.nonEmpty).toArray
       finally in.close()
-    if (lines.isEmpty)
-      throw new IOException(s"$p: empty gz member index")
     val c = new Array[Long](lines.length)
     val u = new Array[Long](lines.length)
     var i = 0

@@ -183,8 +183,10 @@ final class WarcScan(paths: Seq[String], required: StructType,
     s"warc(${paths.mkString(",")}) $mode$filt"
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    WarcScan.partitionsFor(WarcScan.listFiles(paths))
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (files, sidecars) = WarcScan.listFilesWithSidecars(paths)
+    WarcScan.partitionsFor(files, Some(sidecars))
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     // session conf captured DRIVER-side: executors have no active session
@@ -203,19 +205,38 @@ object WarcScan {
 
   /** (path, length) of every data file under `paths` (dirs expand one
     * level; Spark-metadata `_`/`.` names skip), deterministic order. */
-  def listFiles(paths: Seq[String]): Seq[(String, Long)] = {
+  def listFiles(paths: Seq[String]): Seq[(String, Long)] =
+    listFilesWithSidecars(paths)._1
+
+  /** Data files PLUS the gz member-index sidecars seen in the SAME
+    * listing — planning must not pay one `exists` RPC per gz file when
+    * the directory listing already named every sidecar. An explicitly
+    * named single FILE (not a directory) gets one sidecar probe, since
+    * its siblings were never listed. */
+  def listFilesWithSidecars(paths: Seq[String]): (Seq[(String, Long)], Set[String]) = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    paths.flatMap { p =>
+    val data = Seq.newBuilder[(String, Long)]
+    val side = Set.newBuilder[String]
+    paths.foreach { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
-      val statuses =
-        if (fs.getFileStatus(path).isDirectory)
-          fs.listStatus(path).toSeq.filter(s => s.isFile &&
-            !s.getPath.getName.startsWith("_") &&
-            !s.getPath.getName.startsWith("."))
-        else Seq(fs.getFileStatus(path))
-      statuses.map(st => (st.getPath.toString, st.getLen))
-    }.sortBy(_._1)
+      if (fs.getFileStatus(path).isDirectory) {
+        fs.listStatus(path).foreach { s =>
+          val n = s.getPath.getName
+          if (s.isFile) {
+            if (n.startsWith("_") || n.startsWith(".")) {
+              if (n.endsWith(".idx")) side += s.getPath.toString
+            } else data += ((s.getPath.toString, s.getLen))
+          }
+        }
+      } else {
+        val st = fs.getFileStatus(path)
+        data += ((st.getPath.toString, st.getLen))
+        val idx = WarcGzIndex.sidecarPath(st.getPath)
+        if (p.endsWith(".gz") && fs.exists(idx)) side += idx.toString
+      }
+    }
+    (data.result().sortBy(_._1), side.result())
   }
 
   /** The one partition-planning rule, shared by the batch scan and the
@@ -227,7 +248,15 @@ object WarcScan {
     * partition per file (gzip members aren't seekable without an index —
     * the file is the parallelism unit, as in every published crawl
     * layout). */
-  def partitionsFor(files: Seq[(String, Long)]): Array[InputPartition] = {
+  def partitionsFor(files: Seq[(String, Long)]): Array[InputPartition] =
+    partitionsFor(files, None)
+
+  /** `sidecars = Some(set)`: membership check against sidecar paths
+    * captured from the listing (the batch scan). `None`: one existence
+    * probe per gz file (the streaming per-batch plan, whose file count
+    * the trigger cap bounds). */
+  def partitionsFor(files: Seq[(String, Long)],
+                    sidecars: Option[Set[String]]): Array[InputPartition] = {
     val maxSplit = SparkSession.active.sessionState.conf.filesMaxPartitionBytes
     val conf = SparkSession.active.sessionState.newHadoopConf()
     def ranges(p: String, len: Long, gz: Boolean, idx: Boolean) =
@@ -238,10 +267,12 @@ object WarcScan {
     files.flatMap { case (p, len) =>
       if (p.endsWith(".gz")) {
         val path = new Path(p)
-        // one existence probe per gz file, driver-side (same class of
-        // metadata RPC as the listing itself)
-        if (path.getFileSystem(conf).exists(WarcGzIndex.sidecarPath(path)))
-          ranges(p, len, gz = true, idx = true)
+        val idxPath = WarcGzIndex.sidecarPath(path)
+        val hasIdx = sidecars match {
+          case Some(s) => s.contains(idxPath.toString)
+          case None => path.getFileSystem(conf).exists(idxPath)
+        }
+        if (hasIdx) ranges(p, len, gz = true, idx = true)
         else Seq(WarcInputPartition(p, 0L, len, gzipped = true))
       } else ranges(p, len, gz = false, idx = false)
     }.toArray

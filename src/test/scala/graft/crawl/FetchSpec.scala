@@ -164,6 +164,47 @@ class FetchSpec extends SparkSpec {
       "the rewritten batch must not duplicate records")
   }
 
+  test("run: the checkpoint plan pins nBatches and the frontier across resumes") {
+    FetchTestState.reset()
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fetch_plan").toString
+    val urls = (0 until 40).map(i => s"http://p.example/p/$i")
+    val frontier = urls.toDF("url")
+    Fetch.run(frontier, s"$dir/out", checkpointDir = null,
+      cfg = logicalCfg(classOf[RecordingTransport], batchSize = 10L)): Unit
+    assert(urls.forall(FetchTestState.counts(_) == 1))
+    // resume with a DIFFERENT batchSize: the recorded plan wins — no
+    // url re-maps, nothing re-fetches
+    val s2 = Fetch.run(frontier, s"$dir/out", checkpointDir = null,
+      cfg = logicalCfg(classOf[RecordingTransport], batchSize = 3L))
+    assert(s2.attempted == 0, "recorded plan must govern the resume")
+    // a CHANGED frontier under the same checkpoint fails loudly instead
+    // of skipping/duplicating urls across committed batch indexes
+    val grown = (urls :+ "http://p.example/p/new").toDF("url")
+    val e = intercept[IllegalArgumentException] {
+      Fetch.run(grown, s"$dir/out", checkpointDir = null,
+        cfg = logicalCfg(classOf[RecordingTransport], batchSize = 10L))
+    }
+    assert(e.getMessage.contains("frontier changed"), e.getMessage)
+    // gzip mode: politeness repartition leaves most partitions empty —
+    // the archive must stay readable (no 0-byte members) and indexed
+    val dir2 = Files.createTempDirectory("fetch_gz").toString
+    Fetch.run(frontier, s"$dir2/out", checkpointDir = null,
+      cfg = logicalCfg(classOf[RecordingTransport], batchSize = 10L)
+        .copy(gzip = true)): Unit
+    import spark.implicits._
+    val back = spark.read.format("warc").load(s"$dir2/out")
+      .select("target_uri").as[String].collect()
+    assert(back.length == 40 && back.toSet == urls.toSet)
+    // config validation is loud, before any job runs
+    intercept[IllegalArgumentException] {
+      logicalCfg(classOf[RecordingTransport], batchSize = 0L)
+    }: Unit
+    intercept[IllegalArgumentException] {
+      logicalCfg(classOf[RecordingTransport], maxAttempts = 0)
+    }: Unit
+  }
+
   test("toWarcRows round-trips through the writer with parsed HTTP envelope") {
     FetchTestState.reset()
     import spark.implicits._

@@ -698,6 +698,9 @@ class OpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not a permutation") &&
       e.getMessage.contains("determinism"), e.getMessage)
+    // an empty input validates clean (no NPE on the null min/max aggregates)
+    assert(Sampling.shuffleIndex(df.limit(0), col("id"),
+      validatePermutation = true).count() == 0)
   }
 
   test("globalOrdinal equals the naive global row_number for any partition count") {
@@ -1502,6 +1505,13 @@ class OpsSpec extends SparkSpec {
     assert(Sampling.temperatureMix(
       docs.withColumn("g", col("id") % 200), col("id"), col("g"),
       target = 100L, maxGroups = 200).count() > 0)
+    // the override can only LOWER the cap (keepByRates' when-chain is the
+    // binding constraint): raising past MaxMixGroups is rejected up front
+    val e3 = intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(docs, col("id"), col("id"), target = 100L,
+        maxGroups = Sampling.MaxMixGroups + 1)
+    }
+    assert(e3.getMessage.contains("maxGroups"), e3.getMessage)
   }
 
   test("winnow kernel matches the driver function; pairs find planted edits") {

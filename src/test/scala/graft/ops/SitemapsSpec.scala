@@ -51,6 +51,16 @@ class SitemapsSpec extends SparkSpec {
         "http://x.example/p/3", None)))
   }
 
+  test("an entry missing <loc> drops instead of failing the job under ANSI mode") {
+    import spark.implicits._
+    val xml = Sm + "<url><lastmod>2026-01-01</lastmod></url>" + // loc-less
+      "<url><loc>http://m.example/ok</loc></url></urlset>"
+    val docs = Seq(("http://m.example/s.xml", xml)).toDF("url", "xml")
+    val roots = Seq("http://m.example/s.xml").toDF("url")
+    val got = Sitemaps.expand(roots, docs).select("loc").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("http://m.example/ok"))
+  }
+
   test("an index nested past maxDepth stays unexpanded (bounded recursion)") {
     import spark.implicits._
     val docs = Seq(

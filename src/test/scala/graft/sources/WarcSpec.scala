@@ -532,6 +532,29 @@ class WarcSpec extends SparkSpec {
       "_record_offset must be the uncompressed offset in BOTH read modes")
   }
 
+  test("empty partitions write no file; an empty third-party sidecar reads as zero rows") {
+    val dir = Files.createTempDirectory("warc_empty").toString
+    import spark.implicits._
+    val rows = (0L until 3L).map { i =>
+      (s"<urn:uuid:rec-$i>", "response", s"http://h.example/$i",
+        "2026-01-01T00:00:00Z", "application/http; msgtype=response",
+        http(s"b $i"))
+    }.toDF("record_id", "warc_type", "target_uri", "warc_date",
+      "content_type", "payload")
+    // 3 rows across 8 partitions: most are empty — no 0-byte archives or
+    // 0-member sidecars may appear (the politeness-repartition shape)
+    WarcWriter.write(rows.repartition(8), s"$dir/out", gzip = true)
+    val files = new java.io.File(s"$dir/out").listFiles()
+    assert(files.forall(_.length > 0), "no 0-byte files allowed")
+    assert(files.count(_.getName.endsWith(".warc.gz")) ==
+      files.count(_.getName.endsWith(".idx")), "sidecar per data file")
+    assert(readWarc(s"$dir/out").count() == 3)
+    // a third-party 0-byte gz with an EMPTY sidecar is valid: zero rows
+    Files.write(Paths.get(s"$dir/out/extra.warc.gz"), Array.emptyByteArray)
+    Files.write(Paths.get(s"$dir/out/.extra.warc.gz.idx"), Array.emptyByteArray)
+    assert(readWarc(s"$dir/out").count() == 3)
+  }
+
   test("gz member index: truncated tail drops only the partial member under split reads") {
     val (dir, gzFile) = writeGzCorpus(12)
     // cut the LAST member in half; keep the (now over-long) sidecar
