@@ -37,22 +37,45 @@ object Sitemaps {
     * @param docs     fetched sitemap documents: `url`, `xml`
     * @param maxDepth resolution rounds; an index nested deeper than this
     *                 is left unexpanded (cycles terminate for free)
+    * @param materialize lazily localCheckpoint each round's analyzed
+    *                 frontier (the d02 knob): the XML parse runs ONCE per
+    *                 round instead of re-executing for every later
+    *                 round's chain (measured ~maxDepth× on x04). Blocks
+    *                 live until session end — the documented trade;
+    *                 `false` is the zero-cache-residue variant that
+    *                 re-parses per depth (spilled-to-disk caching of an
+    *                 analyzed 100 TB sitemap corpus may cost more than
+    *                 3 re-parses — measure at your scale)
     * @return (root, sitemap, loc, lastmod) — `root` the starting url,
     *         `sitemap` the urlset that contributed the entry, `lastmod`
     *         null when the entry carries none
     */
-  def expand(roots: DataFrame, docs: DataFrame, maxDepth: Int = 3): DataFrame = {
+  def expand(roots: DataFrame, docs: DataFrame, maxDepth: Int = 3,
+             materialize: Boolean = true): DataFrame = {
     require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
     val corpus = docs.select(col("url").as("sitemap"), col("xml"))
-    var frontier = roots.select(col("url").as("sitemap"))
+    // ONE select carries all three whole-document extractions, so the
+    // FuseMarcExtracts rule batches them into a single DOM parse per
+    // sitemap per round (split across operators they'd parse the
+    // document once each — measured 3x the runtime at sf0.1)
+    def analyze(f: DataFrame): DataFrame = f.select(
+      col("root"), col("sitemap"),
+      (size(extractXpath(col("xml"), "/sm:sitemapindex", Ns)) > 0)
+        .as("_is_index"),
+      extractXpath(col("xml"), "/sm:sitemapindex/sm:sitemap/sm:loc", Ns)
+        .as("_children"),
+      extractXpath(col("xml"), "/sm:urlset/sm:url", Ns, toText = false)
+        .as("_entries"))
+    def prep(f: DataFrame): DataFrame = {
+      val a = analyze(f)
+      if (materialize) a.localCheckpoint(false) else a
+    }
+    var frontier = prep(roots.select(col("url").as("sitemap"))
       .join(corpus, Seq("sitemap"))
-      .select(col("sitemap").as("root"), col("sitemap"), col("xml"))
-    val isIndex = size(extractXpath(col("xml"), "/sm:sitemapindex", Ns)) > 0
+      .select(col("sitemap").as("root"), col("sitemap"), col("xml")))
     def urlsetEntries(f: DataFrame): DataFrame = f
-      .filter(!isIndex)
-      .select(col("root"), col("sitemap"),
-        explode(extractXpath(col("xml"), "/sm:urlset/sm:url", Ns,
-          toText = false)).as("entry"))
+      .filter(!col("_is_index"))
+      .select(col("root"), col("sitemap"), explode(col("_entries")).as("entry"))
       .select(col("root"), col("sitemap"),
         // get(), not element_at(): an entry missing its <loc> (malformed
         // but seen in the wild) must yield null under ANSI mode, not
@@ -65,13 +88,11 @@ object Sitemaps {
     val out = Seq.newBuilder[DataFrame]
     for (_ <- 0 until maxDepth) {
       out += urlsetEntries(frontier)
-      frontier = frontier
-        .filter(isIndex)
-        .select(col("root"),
-          explode(extractXpath(col("xml"),
-            "/sm:sitemapindex/sm:sitemap/sm:loc", Ns)).as("sitemap"))
+      frontier = prep(frontier
+        .filter(col("_is_index"))
+        .select(col("root"), explode(col("_children")).as("sitemap"))
         .join(corpus, Seq("sitemap"))
-        .select(col("root"), col("sitemap"), col("xml"))
+        .select(col("root"), col("sitemap"), col("xml")))
     }
     out.result().reduce(_ unionByName _)
   }
