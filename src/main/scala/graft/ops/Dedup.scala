@@ -219,11 +219,23 @@ object Dedup {
     * cached signature frame and the candidate checkpoint — callable
     * only after every consumer of the returned pairs has EAGERLY
     * materialized (the candidate checkpoint's lineage is truncated). */
+  /** `edgesOnly = true` returns a CONNECTIVITY-EQUIVALENT edge set
+    * instead of every near-dup pair: identical-text groups contribute a
+    * STAR (rep → member, n-1 edges) instead of C(n,2) pairs, and
+    * verified cross-group pairs stay at REP level instead of expanding
+    * |A|×|B|-way. Components are provably identical (members reach
+    * their rep, reps reach each other), but edge count is linear in the
+    * duplication factor instead of quadratic — on a corpus where every
+    * text occurs 100× (the replicated-crawl shape), the full pair set
+    * is ~10^4× larger and its components fixpoint ran out of aggregate
+    * memory at the 100× scale probe. Dedup/election consumers
+    * ([[nearDupDedup]], [[nearDupDedupBy]]) only need connectivity;
+    * pair-list consumers (d02's graded output) keep the full form. */
   private[graft] def minhashNearDupPairsImpl(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, bands: Int, rowsPerBand: Int,
       shingleN: Int, maxBucketSize: Int,
-      materialize: Boolean): (DataFrame, () => Unit) = {
+      materialize: Boolean, edgesOnly: Boolean = false): (DataFrame, () => Unit) = {
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
 
     // Shuffle discipline, part 0: document bodies NEVER ride a shuffle.
@@ -258,13 +270,20 @@ object Dedup {
 
     // all (a, b) with a < b inside an identical-text group; posexplode the
     // left element first so the pair fan-out parallelizes across tasks
-    // instead of materializing C(n,2) from a single row
-    val intra = groups.filter(size(col("members")) >= 2)
-      .select(posexplode(col("members")).as(Seq("ia", "id_a")), col("members"))
-      .repartition(col("id_a"))
-      .select(col("id_a"),
-        explode(slice(col("members"), col("ia") + lit(2), size(col("members")))).as("id_b"),
-        lit(1.0).as("jaccard"))
+    // instead of materializing C(n,2) from a single row. edgesOnly: the
+    // star (rep → member) — rep_id is the group MIN, so id_a < id_b holds
+    val intra =
+      if (edgesOnly)
+        groups.filter(size(col("members")) >= 2)
+          .select(col("rep_id").as("id_a"),
+            explode(col("members")).as("id_b"), lit(1.0).as("jaccard"))
+          .filter(col("id_a") =!= col("id_b"))
+      else groups.filter(size(col("members")) >= 2)
+        .select(posexplode(col("members")).as(Seq("ia", "id_a")), col("members"))
+        .repartition(col("id_a"))
+        .select(col("id_a"),
+          explode(slice(col("members"), col("ia") + lit(2), size(col("members")))).as("id_b"),
+          lit(1.0).as("jaccard"))
 
     // Shuffle discipline: the band self-join moves ONLY (id, band, bhash)
     // triples — never the shingle arrays. Shingles are attached to just the
@@ -376,14 +395,17 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
     // expand representative pairs to every member pair of the two groups
+    // (edgesOnly: rep-level pairs suffice — members connect via stars)
     val gm = groups.select(col("rep_id"), col("members"))
-    val expanded = repPairs
-      .join(gm.select(col("rep_id").as("id_a"), col("members").as("ma")), "id_a")
-      .join(gm.select(col("rep_id").as("id_b"), col("members").as("mb")), "id_b")
-      .select(explode(col("ma")).as("ea"), col("mb"), col("jaccard"))
-      .select(col("ea"), explode(col("mb")).as("eb"), col("jaccard"))
-      .select(least(col("ea"), col("eb")).as("id_a"),
-        greatest(col("ea"), col("eb")).as("id_b"), col("jaccard"))
+    val expanded =
+      if (edgesOnly) repPairs
+      else repPairs
+        .join(gm.select(col("rep_id").as("id_a"), col("members").as("ma")), "id_a")
+        .join(gm.select(col("rep_id").as("id_b"), col("members").as("mb")), "id_b")
+        .select(explode(col("ma")).as("ea"), col("mb"), col("jaccard"))
+        .select(col("ea"), explode(col("mb")).as("eb"), col("jaccard"))
+        .select(least(col("ea"), col("eb")).as("id_a"),
+          greatest(col("ea"), col("eb")).as("id_b"), col("jaccard"))
 
     val pairs = expanded.unionByName(intra)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
@@ -487,8 +509,12 @@ object Dedup {
     * every row in no cluster). The complete "dedup my corpus" call. */
   def nearDupDedup(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8): DataFrame = {
+    // edgesOnly: dedup needs CONNECTIVITY, not the pair list — star +
+    // rep-level edges keep the components identical while staying linear
+    // in the duplication factor (the 100×-replicated-corpus probe OOM'd
+    // the fixpoint on the quadratic full pair set)
     val (pairs, release) = minhashNearDupPairsImpl(df, idCol, textCol,
-      threshold, 32, 3, 3, 10000, materialize = true)
+      threshold, 32, 3, 3, 10000, materialize = true, edgesOnly = true)
     // connectedComponents EAGERLY materializes the pairs (its edge
     // checkpoint) and returns a checkpoint-backed label frame, so the
     // pair pipeline's cached signature frame and candidate checkpoint
@@ -514,8 +540,9 @@ object Dedup {
     * text never joins the election. */
   def nearDupDedupBy(df: DataFrame, idCol: String, textCol: String,
                      score: Column, threshold: Double = 0.8): DataFrame = {
+    // edgesOnly — see nearDupDedup: identical components, linear edges
     val (pairs, release) = minhashNearDupPairsImpl(df, idCol, textCol,
-      threshold, 32, 3, 3, 10000, materialize = true)
+      threshold, 32, 3, 3, 10000, materialize = true, edgesOnly = true)
     // see nearDupDedup: the fixpoint materializes the pairs; free the
     // pair pipeline's cache blocks before the election runs
     val comps = connectedComponents(pairs, "id_a", "id_b")

@@ -480,6 +480,42 @@ class OpsSpec extends SparkSpec {
     assert(keptNull == Set(1L, 10L), s"got $keptNull")
   }
 
+  test("edgesOnly edge set: identical components to the full pair set, linear in duplication factor") {
+    import spark.implicits._
+    // the 100×-replicated-corpus shape scaled down: every text occurs
+    // k=20 times (k-clique in the full pair graph), plus a near-dup
+    // bridge between two text families — the cross-group expansion case
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma"
+    val k = 20
+    val docs = (
+      (0 until k).map(i => (100L + i, base)) ++            // family A: k copies
+      (0 until k).map(i => (200L + i, base + " tail")) ++  // family B: k near-dups of A
+      Seq((300L, "unrelated content about rivers and mountains and weather patterns"))
+    ).toDF("doc_id", "text")
+    def comps(edgesOnly: Boolean): Map[Long, Long] = {
+      val (pairs, release) = Dedup.minhashNearDupPairsImpl(docs, "doc_id",
+        "text", 0.5, 32, 3, 3, 10000, materialize = true, edgesOnly = edgesOnly)
+      val c = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select("id", "component").as[(Long, Long)].collect().toMap
+      release(); c
+    }
+    val full = comps(edgesOnly = false)
+    val star = comps(edgesOnly = true)
+    assert(star == full, "edgesOnly must yield the SAME component labeling")
+    assert(full.keySet == ((100L until 100L + k) ++ (200L until 200L + k)).toSet)
+    // and the edge COUNT is linear, not quadratic: full ≥ 2·C(k,2), star
+    // ≤ 2(k-1) + rep-level cross pairs
+    val (fullPairs, r1) = Dedup.minhashNearDupPairsImpl(docs, "doc_id",
+      "text", 0.5, 32, 3, 3, 10000, materialize = true, edgesOnly = false)
+    val (starPairs, r2) = Dedup.minhashNearDupPairsImpl(docs, "doc_id",
+      "text", 0.5, 32, 3, 3, 10000, materialize = true, edgesOnly = true)
+    val nFull = fullPairs.count(); val nStar = starPairs.count()
+    r1(); r2()
+    assert(nFull >= 2L * k * (k - 1) / 2, s"full pair set should be quadratic: $nFull")
+    assert(nStar <= 2L * (k - 1) + 4, s"star edge set must stay linear: $nStar")
+  }
+
   test("mm06 plant constants: exact distances 1..8; banding recalls at d, cuts at d-1") {
     import spark.implicits._
     // the offline-chosen (tools/PlantSearch) pairs baked into the mm06
