@@ -18,14 +18,22 @@ import graft.functions.XPathExtractExpression.extractXpath
   * entry whose child was never fetched simply contributes nothing (feed
   * the child urls back into the next fetch frontier).
   *
-  * Scale shape: per-row XPath kernels classify and explode; each depth
-  * round is ONE equi-join on the child sitemap url (bounded by
-  * `maxDepth`, a plan-time constant — no iterative driver actions, the
-  * whole expansion is one lazy plan). Entry parsing extracts raw
-  * `<url>` fragments (namespace-redeclared, re-parseable) and re-reads
-  * `loc`/`lastmod` per fragment, so the pairing survives entries with
-  * missing fields — the x03 alignment trap, solved for VARIABLE entry
-  * counts. */
+  * Scale shape — the corpus is DOM-parsed exactly TWICE, independent of
+  * depth: one fused CLASSIFICATION pass (index flag + child urls, lazily
+  * checkpointed into url-table-sized blocks — the checkpoint doubles as
+  * an optimizer barrier that keeps the fused parse from being torn into
+  * per-consumer extractions by filter pushdown), and one ENTRY pass over
+  * reachable urlset documents only. Reachability from the roots iterates
+  * over the checkpointed link table (maxDepth equi-joins of url pairs —
+  * no re-parsing per round, no corpus-sized cache residue; the naive
+  * round-chained formulation re-parsed the full corpus once per depth
+  * per consumer, or parked corpus-scale fragment blocks in storage).
+  * Entry parsing rides the same document parse: each `<url>` node's
+  * space-joined text is "loc [lastmod] [...]" by the sitemaps.org XSD's
+  * xs:sequence child order, and shape validation (URL-scheme / W3C-date
+  * regexes) keeps missing-field entries from mis-pairing — the x03
+  * alignment trap, solved for VARIABLE entry counts without the
+  * per-fragment DOM re-parse that used to be half the operator's cost. */
 object Sitemaps {
 
   private val Ns = Map("sm" -> "http://www.sitemaps.org/schemas/sitemap/0.9")
@@ -37,63 +45,80 @@ object Sitemaps {
     * @param docs     fetched sitemap documents: `url`, `xml`
     * @param maxDepth resolution rounds; an index nested deeper than this
     *                 is left unexpanded (cycles terminate for free)
-    * @param materialize lazily localCheckpoint each round's analyzed
-    *                 frontier (the d02 knob): the XML parse runs ONCE per
-    *                 round instead of re-executing for every later
-    *                 round's chain (measured ~maxDepth× on x04). Blocks
-    *                 live until session end — the documented trade;
-    *                 `false` is the zero-cache-residue variant that
-    *                 re-parses per depth (spilled-to-disk caching of an
-    *                 analyzed 100 TB sitemap corpus may cost more than
-    *                 3 re-parses — measure at your scale)
     * @return (root, sitemap, loc, lastmod) — `root` the starting url,
     *         `sitemap` the urlset that contributed the entry, `lastmod`
-    *         null when the entry carries none
+    *         null when the entry carries none. A (root, sitemap) pair
+    *         reachable along several index paths contributes its entries
+    *         ONCE (crawler semantics, not per-path multiplicity).
     */
-  def expand(roots: DataFrame, docs: DataFrame, maxDepth: Int = 3,
-             materialize: Boolean = true): DataFrame = {
+  def expand(roots: DataFrame, docs: DataFrame, maxDepth: Int = 3): DataFrame = {
     require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
     val corpus = docs.select(col("url").as("sitemap"), col("xml"))
-    // ONE select carries all three whole-document extractions, so the
-    // FuseMarcExtracts rule batches them into a single DOM parse per
-    // sitemap per round (split across operators they'd parse the
-    // document once each — measured 3x the runtime at sf0.1)
-    def analyze(f: DataFrame): DataFrame = f.select(
-      col("root"), col("sitemap"),
+    // classification pass: both whole-document extractions in ONE select
+    // so the fusion rule batches them into a single DOM parse, and the
+    // LAZY CHECKPOINT doubles as an optimizer barrier — without it,
+    // Catalyst pushes the `_is_index` filters below this project as
+    // standalone extract_xpath predicates, un-fusing the parse into one
+    // per consumer (measured ~3× the runtime). Checkpoint blocks are
+    // (url, bool, url-array) rows — never document bytes or entry
+    // fragments, so the residue stays url-table-sized at any corpus.
+    val classified = corpus.select(col("sitemap"),
       (size(extractXpath(col("xml"), "/sm:sitemapindex", Ns)) > 0)
         .as("_is_index"),
       extractXpath(col("xml"), "/sm:sitemapindex/sm:sitemap/sm:loc", Ns)
-        .as("_children"),
-      extractXpath(col("xml"), "/sm:urlset/sm:url", Ns, toText = false)
-        .as("_entries"))
-    def prep(f: DataFrame): DataFrame = {
-      val a = analyze(f)
-      if (materialize) a.localCheckpoint(false) else a
+        .as("_children"))
+      .localCheckpoint(false)
+    val links = classified.filter(col("_is_index"))
+      .select(col("sitemap").as("_parent"),
+        explode(col("_children")).as("_child"))
+    // reachability over the link table only: depth-k frontier joins cost
+    // url-pair shuffles, no parsing
+    var frontier = roots.select(col("url").as("root"),
+      col("url").as("sitemap")).distinct()
+    val reach = Seq.newBuilder[DataFrame]
+    reach += frontier
+    for (_ <- 1 until maxDepth) {
+      frontier = frontier
+        .join(links, col("sitemap") === col("_parent"))
+        .select(col("root"), col("_child").as("sitemap"))
+        .distinct()
+      reach += frontier
     }
-    var frontier = prep(roots.select(col("url").as("sitemap"))
-      .join(corpus, Seq("sitemap"))
-      .select(col("sitemap").as("root"), col("sitemap"), col("xml")))
-    def urlsetEntries(f: DataFrame): DataFrame = f
-      .filter(!col("_is_index"))
-      .select(col("root"), col("sitemap"), explode(col("_entries")).as("entry"))
+    val reachable = reach.result().reduce(_ unionByName _)
+      .distinct() // a diamond/cycle reaches a sitemap once, not per path
+    // entry pass: parse ONLY reachable non-index documents — the second
+    // and last time any document's bytes are parsed. MERGE hints: the
+    // corpus-derived sides carry xml/derived rows whose size Catalyst
+    // underestimates (synthesized strings vs parquet stats), and letting
+    // them broadcast serializes corpus-scale relation builds through the
+    // driver (measured 9× the wall at 10× data). Shuffling sitemap xml
+    // ONCE is the scale shape — sitemaps are crawl METADATA, a sliver of
+    // corpus bytes, and the entry parse consumes them right after.
+    reachable
+      .join(classified.filter(!col("_is_index")).select(col("sitemap"))
+        .hint("merge"), Seq("sitemap"), "left_semi")
+      .join(corpus.hint("merge"), Seq("sitemap"))
       .select(col("root"), col("sitemap"),
-        // get(), not element_at(): an entry missing its <loc> (malformed
-        // but seen in the wild) must yield null under ANSI mode, not
-        // fail the job — loc-less entries then drop below
-        get(extractXpath(col("entry"), "/sm:url/sm:loc", Ns), lit(0))
-          .as("loc"),
-        get(extractXpath(col("entry"), "/sm:url/sm:lastmod", Ns), lit(0))
-          .as("lastmod"))
+        // to_text of each <url> node: the sitemaps.org XSD declares the
+        // children as an xs:sequence (loc, lastmod, changefreq,
+        // priority), so the space-joined descendant text is
+        // "loc [lastmod] [...]" — ONE document parse yields every
+        // entry, no per-fragment DOM re-parse (which was ~half the
+        // operator's cost). Shape-validated below, so a malformed entry
+        // degrades to a dropped row, never a mis-pairing: locs must
+        // look like absolute URLs, lastmod like a W3C datetime —
+        // changefreq/priority tokens match neither.
+        explode(extractXpath(col("xml"), "/sm:urlset/sm:url", Ns))
+          .as("entry"))
+      .select(col("root"), col("sitemap"),
+        split(col("entry"), " ").as("_toks"))
+      .select(col("root"), col("sitemap"),
+        when(element_at(col("_toks"), 1)
+            .rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"),
+          element_at(col("_toks"), 1)).as("loc"),
+        when(size(col("_toks")) >= 2 &&
+            element_at(col("_toks"), 2).rlike("^\\d{4}-\\d{2}-\\d{2}"),
+          element_at(col("_toks"), 2)).as("lastmod"))
       .filter(col("loc").isNotNull)
-    val out = Seq.newBuilder[DataFrame]
-    for (_ <- 0 until maxDepth) {
-      out += urlsetEntries(frontier)
-      frontier = prep(frontier
-        .filter(col("_is_index"))
-        .select(col("root"), explode(col("_children")).as("sitemap"))
-        .join(corpus, Seq("sitemap"))
-        .select(col("root"), col("sitemap"), col("xml")))
-    }
-    out.result().reduce(_ unionByName _)
   }
 }
