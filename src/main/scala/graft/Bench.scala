@@ -61,6 +61,19 @@ object Bench {
     def jsonMap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jsonMap(results)
+    // In-session AGING is machine-detectable: pass2/pass1 per query plus
+    // the worst ratio. A healthy session is pass-stable (ratios ~1.0 ±
+    // host noise); a ratio drifting past ~1.35 on a non-trivial query
+    // means executions are stranding storage/heap residue that degrades
+    // the queries after them (the r15 disease: x04 7.85 s → 141.3 s on
+    // pass 2 from unreleased persists). Sub-100ms queries are noise-
+    // dominated — the gate consumer should weigh ratios by pass-1 time.
+    val ratios = names.map(n =>
+      n -> (if (p1(n) > 0) p2(n) / p1(n) else 1.0))
+    val worstAged = ratios.filter { case (n, _) => p1(n) >= 0.5 }
+      .sortBy(-_._2).take(1)
+    val maxRatio = worstAged.headOption.map(_._2).getOrElse(1.0)
+    val maxRatioQuery = worstAged.headOption.map(_._1).getOrElse("")
     // per-pass times ride along so a contended host is machine-detectable:
     // uniform p1≈p2 inflation vs the previous round means the HOST was
     // slow, not the code; a one-pass spike on one query is a stall
@@ -77,7 +90,7 @@ object Bench {
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
       .toAbsolutePath.toString
-    val json = s"""{"artifact":"$outPath","metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_totals":$passTotals,"passes":$passes,"sf":"$sfDir"}"""
+    val json = s"""{"artifact":"$outPath","metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_totals":$passTotals,"pass_ratio_max":$maxRatio,"pass_ratio_max_query":"$maxRatioQuery","pass_ratios":${jsonMap(ratios)},"passes":$passes,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
@@ -88,7 +101,7 @@ object Bench {
     // never fit the ~10k-char full JSON, so the full line above is for
     // humans/artifacts and this short one — total + artifact pointer —
     // is what a tail-scraper actually parses.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_in_artifact":${names.length},"artifact":"$outPath"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_in_artifact":${names.length},"pass_ratio_max":$maxRatio,"artifact":"$outPath"}""")
     spark.stop()
   }
 }

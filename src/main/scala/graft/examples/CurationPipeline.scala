@@ -55,9 +55,12 @@ object CurationPipeline {
       // re-executions in the default lazy shape). For INCREMENT-scale
       // inputs that fit executor storage — a corpus-scale batch should
       // stay lazy (text is the big column; at 100 TB you materialize
-      // between stages with a write, not a cache). The cached frame
-      // stays resident until session cleanup (clearCache) — the
-      // documented cost of the knob.
+      // between stages with a write, not a cache). SELF-RELEASING: the
+      // curated output is eagerly materialized and the cached working
+      // set unpersisted before curate() returns, so repeated curations
+      // in one session never accumulate stranded MEMORY_AND_DISK copies
+      // (the r15 in-session decay: every t45/w02 bench execution parked
+      // another corpus-text copy until the whole pool degraded).
       cacheWorkingSet: Boolean = false,
       // repair cp1252/Latin-1 mojibake before canonicalization (the
       // conservative round-trip rule — clean accented text never
@@ -208,8 +211,25 @@ object CurationPipeline {
 
     // 7. split assignment (hashes the id: every copy of a doc lands in
     // the same split — repeats never leak across train/val)
-    repeated.withColumn("split",
+    val out = repeated.withColumn("split",
       Sampling.splitAssign(col(idCol), cfg.splits, cfg.splitSalt))
+
+    // 8. working-set release: with the cache on, EAGERLY materialize the
+    // curated output (one localCheckpoint job — by this point the dedup
+    // stages' internal actions already harvested the cache's block
+    // re-reads) and unpersist the working set here and now. Without
+    // this, every curate() call left a corpus-text MEMORY_AND_DISK copy
+    // resident until clearCache/app exit — on a many-job session the
+    // accumulated copies squeezed the unified pool into spill churn
+    // (the r15 pass-2 decay). The eager copy is increment-sized (the
+    // knob's documented scope) and is reclaimed when the caller drops
+    // the frame; downstream consumers (curateIncrement's dedupAgainst,
+    // the writers) read its blocks instead of re-running the chain.
+    if (cfg.cacheWorkingSet) {
+      val materialized = out.localCheckpoint(true)
+      canon.unpersist(blocking = false)
+      materialized
+    } else out
   }
 
   /** Incremental curation — "today's crawl against the standing corpus",

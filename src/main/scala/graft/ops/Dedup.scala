@@ -193,9 +193,26 @@ object Dedup {
                           bands: Int = 32, rowsPerBand: Int = 3,
                           shingleN: Int = 3,
                           maxBucketSize: Int = 10000,
-                          materialize: Boolean = true): DataFrame =
-    minhashNearDupPairsImpl(df, idCol, textCol, threshold, bands,
-      rowsPerBand, shingleN, maxBucketSize, materialize)._1
+                          materialize: Boolean = true): DataFrame = {
+    val (pairs, release) = minhashNearDupPairsImpl(df, idCol, textCol,
+      threshold, bands, rowsPerBand, shingleN, maxBucketSize, materialize)
+    // SELF-RELEASING under the default: eagerly materialize the pair
+    // list (id pairs + jaccard — metadata-sized at any corpus) and free
+    // the signature persist + candidate checkpoint here and now. A
+    // Dataset-level persist is held by the session's CacheManager with a
+    // STRONG reference — unlike checkpoint RDD blocks it is NEVER
+    // GC-reclaimable, so before this release every default-shape call
+    // stranded a signature-frame copy for the life of the session (the
+    // r15 in-session decay: repeated bench executions squeezed the
+    // unified pool ~2× by pass 2). Callers wanting the lazy tail use
+    // [[minhashNearDupPairsReleasable]] and release themselves.
+    if (!materialize) pairs
+    else {
+      val out = pairs.localCheckpoint(true)
+      release()
+      out
+    }
+  }
 
   /** [[minhashNearDupPairs]] plus the `release` thunk that frees the
     * cached signature frame and the candidate checkpoint — the PUBLIC
@@ -774,7 +791,7 @@ object Dedup {
     // CANDIDATES' fingerprint sets ride the final groupBy exchange.
     // `first(when(...), ignoreNulls)` is deterministic here: exactly one
     // row per (pair, role) matches.
-    cand
+    val pairs = cand
       .select(col("id_a"), col("id_b"),
         explode(array(col("id_a"), col("id_b"))).as("id"))
       .join(fps, "id")
@@ -789,6 +806,16 @@ object Dedup {
         (size(col("fa")) + size(col("fb")) - col("common")))
       .filter(col("overlap") >= threshold)
       .select(col("id_a"), col("id_b"), col("overlap"))
+    // self-releasing default (the minhashNearDupPairs discipline): the
+    // CacheManager holds Dataset persists with strong references, so an
+    // unreleased fps cache stranded per call; materialize the pair list
+    // (metadata-sized) and free the cache before returning
+    if (!materialize) pairs
+    else {
+      val out = pairs.localCheckpoint(true)
+      fps.unpersist(blocking = false)
+      out
+    }
   }
 
   /** Incremental corpus dedup: the rows of `batch` that are neither
@@ -873,7 +900,23 @@ object Dedup {
     val drops = cand.join(newSh, "id").join(oldSh, "pid")
       .filter(jaccardCol(col("sha"), col("shb")) >= threshold)
       .select(col("id")).distinct()
-    val keepIds = freshIds.join(drops, Seq("id"), "left_anti")
+    val keepIds0 = freshIds.join(drops, Seq("id"), "left_anti")
+    // self-releasing default: the survivor ID SET (id-sized, never text)
+    // is eagerly materialized, at which point the batch-side narrow
+    // cache is dead — free it before returning. The CacheManager holds
+    // Dataset persists with strong references (never GC-reclaimed), so
+    // before this release every increment call — including each
+    // streaming micro-batch — stranded a batch-narrow copy for the life
+    // of the session. The returned semi-join stays LAZY: the batch
+    // source re-streams once when the caller acts, and text never
+    // enters storage.
+    val keepIds =
+      if (!materialize) keepIds0
+      else {
+        val ids = keepIds0.localCheckpoint(true)
+        newNarrow.unpersist(blocking = false)
+        ids
+      }
     batch.join(keepIds.select(col("id").as(idCol)), Seq(idCol), "left_semi")
   }
 
@@ -1072,7 +1115,21 @@ object Dedup {
     val drops = cand.join(newSh, "id").join(oldSh, "pid")
       .filter(jaccardCol(col("sha"), col("shb")) >= threshold)
       .select(col("id")).distinct()
-    val keepIds = freshIds.join(drops, Seq("id"), "left_anti")
+    val keepIds0 = freshIds.join(drops, Seq("id"), "left_anti")
+    // self-releasing default (the dedupAgainst discipline): eagerly
+    // materialize the id-sized survivor set, then free the batch-narrow
+    // persist AND the candidate checkpoint — a streaming session runs
+    // this once per micro-batch, and before the release each batch
+    // stranded a CacheManager-held copy for the life of the stream. The
+    // returned semi-join stays lazy; text never enters storage.
+    val keepIds =
+      if (!materialize) keepIds0
+      else {
+        val ids = keepIds0.localCheckpoint(true)
+        newNarrow.unpersist(blocking = false)
+        org.apache.spark.sql.graftbridge.CheckpointBridge.unpersist(cand)
+        ids
+      }
     batch.join(keepIds.select(col("id").as(idCol)), Seq(idCol), "left_semi")
   }
 

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.CheckpointBridge
 
 import graft.functions.XPathExtractExpression.extractXpath
 
@@ -33,7 +34,12 @@ import graft.functions.XPathExtractExpression.extractXpath
   * xs:sequence child order, and shape validation (URL-scheme / W3C-date
   * regexes) keeps missing-field entries from mis-pairing — the x03
   * alignment trap, solved for VARIABLE entry counts without the
-  * per-fragment DOM re-parse that used to be half the operator's cost. */
+  * per-fragment DOM re-parse that used to be half the operator's cost.
+  *
+  * Storage discipline: the result is EAGERLY materialized and the
+  * classification checkpoint released before `expand` returns — the
+  * operator leaves no storage residue beyond its own (metadata-sized)
+  * result, pinned by SitemapsSpec's residue test. */
 object Sitemaps {
 
   private val Ns = Map("sm" -> "http://www.sitemaps.org/schemas/sitemap/0.9")
@@ -94,7 +100,7 @@ object Sitemaps {
     // driver (measured 9× the wall at 10× data). Shuffling sitemap xml
     // ONCE is the scale shape — sitemaps are crawl METADATA, a sliver of
     // corpus bytes, and the entry parse consumes them right after.
-    reachable
+    val lazyOut = reachable
       .join(classified.filter(!col("_is_index")).select(col("sitemap"))
         .hint("merge"), Seq("sitemap"), "left_semi")
       .join(corpus.hint("merge"), Seq("sitemap"))
@@ -120,5 +126,21 @@ object Sitemaps {
             element_at(col("_toks"), 2).rlike("^\\d{4}-\\d{2}-\\d{2}"),
           element_at(col("_toks"), 2)).as("lastmod"))
       .filter(col("loc").isNotNull)
+    // EAGER final materialization, then release the classification
+    // checkpoint here and now (the Graph.pageRank discipline): the one
+    // action fills classified's blocks, every consumer (link table,
+    // non-index semi, entry parse) reads them inside the same job, and
+    // afterwards they are provably dead — without the release, each
+    // expand() call stranded a corpus-classification RDD in executor
+    // storage until GC + ContextCleaner got around to it, which on a
+    // long-lived session (many-query bench JVM, a production cluster
+    // running curation jobs back to back) squeezed the unified pool and
+    // degraded every query that followed (the r15 x04 pass-2 18×).
+    // The operator's only residue is its own result — (root, sitemap,
+    // loc, lastmod) rows, crawl METADATA at a sliver of corpus bytes —
+    // reclaimed when the caller drops the frame.
+    val out = lazyOut.localCheckpoint(true)
+    CheckpointBridge.unpersist(classified)
+    out
   }
 }

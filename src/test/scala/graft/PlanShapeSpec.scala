@@ -300,8 +300,11 @@ class PlanShapeSpec extends SparkSpec {
     // building its RDD materializes the upstream band-join stages;
     // r13: +1 for the eager candidates.count() that both materializes
     // the checkpoint and gates the verify semi-join's broadcast hint
-    // (the ADVICE dup-heavy-corpus driver-OOM hazard)
-    "d02_minhash_neardup" -> 5,
+    // (the ADVICE dup-heavy-corpus driver-OOM hazard); r16: +4 for the
+    // self-releasing eager pair-list materialization (AQE stage jobs)
+    // that frees the signature persist + candidate checkpoint — the
+    // r15 CacheManager-residue fix
+    "d02_minhash_neardup" -> 9,
     "d06_components" -> 12,        // pointer-jumping rounds, one job each
     "d09_semdedup" -> 3,           // auto-k probe + centroid training
     "d10_bloom_decontaminate" -> 3, // bloom filter build over benchmark
@@ -309,9 +312,11 @@ class PlanShapeSpec extends SparkSpec {
     "d14_hits" -> 18,              // hub/authority rounds
     "d16_bfs_levels" -> 16,        // frontier rounds
     // r12: the persisted kernel pass hides d13's file scan behind an
-    // InMemoryRelation (0 visible leaves), so the default budget is 0 —
-    // the one job is the source's file-listing/planning job
-    "d13_winnow_pairs" -> 1,
+    // InMemoryRelation; r16: the self-releasing eager pair-list
+    // materialization (frees the fingerprint persist — CacheManager
+    // residue fix) runs the pair DAG at construction, AQE stage jobs
+    // included
+    "d13_winnow_pairs" -> 5,
     "d17_component_sizes" -> 12,   // shares d06's iterative machinery
     // d06's pointer-jumping rounds + the r12 candidate checkpoint
     // + the r13 broadcast-gating candidates.count()
@@ -323,13 +328,22 @@ class PlanShapeSpec extends SparkSpec {
     // Blooms from the cache (was two stat.bloomFilter source
     // re-executions); (3) cand.count() — materializes the candidate
     // checkpoint and gates the verify semi-join's broadcast hint.
-    // (3) is AQE-multi-job (join stages), hence 5 not 3.
-    "d19_dedup_increment_sigs" -> 5,
+    // (3) is AQE-multi-job (join stages), hence 5 not 3. r16: +5 for
+    // the self-releasing eager survivor-id materialization that frees
+    // the batch-narrow persist + candidate checkpoint per call (the
+    // CacheManager residue fix — a streaming session runs this per
+    // micro-batch)
+    "d19_dedup_increment_sigs" -> 10,
+    // d12's self-releasing survivor-id materialization (dedupAgainst) —
+    // the same r16 residue fix; previously fully lazy (default budget)
+    "d12_dedup_increment" -> 6,
     // the e2e curation capstone runs the full chain at construction:
     // near-dup candidate checkpoint + broadcast-gating count (d02's
     // budget), the empty-benchmark bloomContamination count, and the
-    // component-fixpoint rounds over the planted clone pairs
-    "t45_curate_html" -> 19,
+    // component-fixpoint rounds over the planted clone pairs; r16: +2
+    // for the eager working-set-releasing output materialization
+    // (cacheWorkingSet self-release — the r15 residue fix)
+    "t45_curate_html" -> 21,
     // w01/w02 SYNTHESIZE their WARC input at first construction (the
     // writer actions; at 100 TB the crawl files already exist — this is
     // input generation, not query shape). The build is marker-cached
@@ -337,7 +351,9 @@ class PlanShapeSpec extends SparkSpec {
     // construction in a tmp lifetime pays; w02 additionally runs the
     // t45-documented curation-capstone construction jobs
     "w01_warc_roundtrip" -> 3,
-    "w02_warc_curate" -> 19,
+    // w02 = t45's curation budget over the WARC fixture (same +2 eager
+    // working-set-release materialization as t45)
+    "w02_warc_curate" -> 21,
     // w03's fixture EXECUTES the fetch run at first construction: the
     // frontier count that sizes the commit batches + one WarcWriter
     // action per batch (batchSize pinned small so several batches — and
@@ -349,6 +365,11 @@ class PlanShapeSpec extends SparkSpec {
     // feeding the WebDataset shard write (the graded drop must be
     // materialized to shards), and the shard read-back planning probe
     "w04_warc_media" -> 6,
+    // x04's Sitemaps.expand eagerly materializes its result and releases
+    // the classification checkpoint at construction (the r15 residue
+    // fix): one localCheckpoint action over the 4-branch plant, AQE
+    // stage jobs included
+    "x04_sitemap_index" -> 4,
     // t48 composes d11's pageRank (5 join+sum rounds + rank bucketing,
     // d11's documented 26) over edges harvested from generated HTML
     "t48_web_graph" -> 26,
@@ -397,9 +418,11 @@ class PlanShapeSpec extends SparkSpec {
     "t53_crawl_diff" -> 3,
     // x04's sitemap corpus is a 4-branch union plant of the one fixture
     // table (index/a/b/c documents), and Sitemaps.expand references the
-    // corpus once per depth round (3) — the 9 leaves are the plant ×
-    // rounds. Production `docs` is ONE fetched table: one leaf per
-    // round, maxDepth-bounded
+    // corpus once per depth round (3) — 9 leaves = plant × rounds, all
+    // now executed at construction behind expand's eager residue-releasing
+    // materialization (the returned plan is checkpoint blocks, 0 leaves);
+    // the budget documents the interior shape. Production `docs` is ONE
+    // fetched table: one leaf per round, maxDepth-bounded
     "x04_sitemap_index" -> 9,
     // d12's registered query constructs its batch side from a 3-scan
     // union of the same table; the r12 persisted batch narrow leaves

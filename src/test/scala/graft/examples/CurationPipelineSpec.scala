@@ -115,6 +115,29 @@ class CurationPipelineSpec extends SparkSpec {
     assert(defaultKept - 1L == electKept - 201L)
   }
 
+  test("cacheWorkingSet self-releases: no stranded working-set copy after curate returns") {
+    val sc = spark.sparkContext
+    def settled(): Int = {
+      System.gc()
+      Thread.sleep(200)
+      sc.getPersistentRDDs.size
+    }
+    val before = settled()
+    val out = CurationPipeline.curate(docs, benchmark,
+      cfg = CurationPipeline.Config(cacheWorkingSet = true))
+    // same survivors as the lazy path (the knob is a performance knob)
+    assert(out.select("doc_id").as[Long].collect().toSet
+      .contains(1L))
+    // the working-set persist must be gone by the time curate returns;
+    // only the eagerly-materialized curated output (plus dedup's own
+    // bounded internals, themselves residue-pinned elsewhere) may remain.
+    // r15: every t45/w02 bench execution stranded another MEMORY_AND_DISK
+    // corpus-text copy until the unified pool degraded session-wide.
+    val residue = settled() - before
+    assert(residue <= 1,
+      s"curate(cacheWorkingSet) left $residue persisted RDDs (want <= 1: its own result)")
+  }
+
   test("curateAndWrite produces a (split, lang)-partitioned parquet corpus") {
     val dir = java.nio.file.Files.createTempDirectory("graft-curated").toString
     CurationPipeline.curateAndWrite(docs, benchmark, dir)

@@ -61,6 +61,34 @@ class SitemapsSpec extends SparkSpec {
     assert(got.map(_.getString(0)).toSeq == Seq("http://m.example/ok"))
   }
 
+  test("expand leaves no checkpoint residue beyond its own result (GraphSpec discipline)") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    def settled(): Int = {
+      // let async unpersist RPCs and the ContextCleaner queue drain —
+      // the assertion is about what the operator freed DETERMINISTICALLY
+      System.gc()
+      Thread.sleep(200)
+      sc.getPersistentRDDs.size
+    }
+    val before = settled()
+    val docs = Seq(
+      ("http://r.example/root.xml", index("http://r.example/c.xml")),
+      ("http://r.example/c.xml", urlset("http://r.example/p/1" -> None))
+    ).toDF("url", "xml")
+    val roots = Seq("http://r.example/root.xml").toDF("url")
+    val got = Sitemaps.expand(roots, docs, maxDepth = 3)
+    assert(got.count() == 1)
+    // the classification checkpoint must have been released by expand
+    // itself; only the eagerly-materialized result may remain (r15: the
+    // unreleased checkpoint accumulated per call until the whole
+    // session's unified pool degraded — the x04 pass-2 18×)
+    val residue = settled() - before
+    assert(residue <= 1, s"expand left $residue persisted RDDs (want <= 1: its own result)")
+    // and after the caller drops the result, GC + ContextCleaner can
+    // reclaim everything — the session returns to baseline
+  }
+
   test("an index nested past maxDepth stays unexpanded (bounded recursion)") {
     import spark.implicits._
     val docs = Seq(
