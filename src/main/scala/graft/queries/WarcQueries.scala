@@ -160,11 +160,21 @@ object WarcQueries extends QueryPack {
     * commit-marker batches even at sf0.001 — the exactly-once machinery
     * is on the graded path, not just in its spec. */
   private def buildW03(s: SparkSession, d: String): String = {
-    val dir = fixtureDir(d, "w03")
+    // tag bumped r16: the fixture gained planted /r/ redirects — a new
+    // dir name self-invalidates stale caches on any host (the marker
+    // tokens only the SOURCE parquet, not the fixture-generator code)
+    val dir = fixtureDir(d, "w03r2")
     if (built(dir, d)) return dir
     resetDir(dir)
+    // %13 docs enter the frontier as /r/<id> urls: the synthetic
+    // transport 301-redirects them (relative Location) to /a/<id>, so
+    // the executor's redirect following — resolve, re-fetch, archive
+    // the FINAL response under the ORIGINAL target-uri — is on the
+    // graded path (a %13 ∩ %17 doc redirects onto a 404, also graded)
     val frontier = Tables.documents(s, d).select(
-      concat(lit("http://www.d"), col("doc_id") % 7, lit(".org/a/"),
+      concat(lit("http://www.d"), col("doc_id") % 7,
+        when(col("doc_id") % 13 === 0, lit(".org/r/"))
+          .otherwise(lit(".org/a/")),
         col("doc_id")).as("url"))
     graft.crawl.Fetch.run(frontier, s"$dir/out", checkpointDir = null,
       cfg = graft.crawl.Fetch.Config(
@@ -276,7 +286,7 @@ object WarcQueries extends QueryPack {
       s.read.format("warc").load(s"$dir/out")
         .filter(col("warc_type") === "response")
         .select(
-          regexp_extract(col("target_uri"), "/a/(\\d+)$", 1)
+          regexp_extract(col("target_uri"), "/[ar]/(\\d+)$", 1)
             .cast("long").as("doc_id"),
           col("target_uri").as("url"),
           col("http_status"),
@@ -396,9 +406,13 @@ object WarcQueries extends QueryPack {
     // the synthetic server stated analytically: 404 family at
     // doc_id%17==0, 200 html everywhere else, body a pure function of
     // (doc_id, host)
+    // %13 docs were fetched via a /r/ 301 redirect: the archive keys
+    // them under the ORIGINAL /r/ url, with the FINAL /a/ response
     "w03_crawl_fetch" ->
       """SELECT doc_id,
-           'http://www.d' || (doc_id % 7) || '.org/a/' || doc_id AS url,
+           'http://www.d' || (doc_id % 7) || '.org/'
+             || CASE WHEN doc_id % 13 = 0 THEN 'r' ELSE 'a' END
+             || '/' || doc_id AS url,
            CAST(CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS INT)
              AS http_status,
            CASE WHEN doc_id % 17 = 0 THEN 'text/plain'

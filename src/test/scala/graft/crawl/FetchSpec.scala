@@ -43,6 +43,52 @@ final class FlakyTransport extends FetchTransport {
   }
 }
 
+/** Redirect fixture: paths under /chain hop twice then land on content;
+  * /loop/<i> 301s forever to /loop/<i+1>; /cycle/a and /cycle/b 301 to
+  * each other; /cross 301s to other.example; /rel uses a RELATIVE
+  * Location; /tmpfail's target answers 503. */
+final class RedirectTransport extends FetchTransport {
+  import StandardCharsets.UTF_8
+  override def fetch(url: String, userAgent: String): FetchResponse = {
+    FetchTestState.calls.add((url, FetchTestState.clock.get())): Unit
+    FetchTestState.bump(url): Unit
+    val path = url.substring(url.indexOf("://") + 3).dropWhile(_ != '/')
+    path match {
+      case "/chain/1" => FetchResponse(301, null, Array.emptyByteArray,
+        location = url.replace("/chain/1", "/chain/2"))
+      case "/chain/2" => FetchResponse(302, null, Array.emptyByteArray,
+        location = url.replace("/chain/2", "/chain/final"))
+      case p if p.startsWith("/loop/") =>
+        val i = p.substring(6).toInt
+        FetchResponse(301, null, Array.emptyByteArray,
+          location = url.replace(s"/loop/$i", s"/loop/${i + 1}"))
+      case "/cycle/a" => FetchResponse(301, null, Array.emptyByteArray,
+        location = url.replace("/cycle/a", "/cycle/b"))
+      case "/cycle/b" => FetchResponse(308, null, Array.emptyByteArray,
+        location = url.replace("/cycle/b", "/cycle/a"))
+      case "/cross" => FetchResponse(301, null, Array.emptyByteArray,
+        location = "http://other.example/landed")
+      case "/rel" => FetchResponse(303, null, Array.emptyByteArray,
+        location = "/chain/final")
+      case "/noloc" => FetchResponse(301, null, Array.emptyByteArray)
+      case "/tmpfail" => FetchResponse(302, null, Array.emptyByteArray,
+        location = url.replace("/tmpfail", "/s503"))
+      case "/s503" => FetchResponse(503, "text/plain", Array.emptyByteArray)
+      case p => FetchResponse(200, "text/plain",
+        s"content:$p".getBytes(UTF_8))
+    }
+  }
+}
+
+/** Cross-host gate recorder: denies hops onto blocked.example. */
+object RedirectGates {
+  val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+  val deny: (String, String) => Boolean = (from, to) => {
+    seen.add((from, to)): Unit
+    !to.contains("blocked.example") && !to.contains("other.example")
+  }
+}
+
 /** Fetch executor pins: per-host crawl-delay spacing under a logical
   * clock, retry/backoff attempt accounting, transport-failure audit rows
   * (kept out of the archive), and batch commit-log exactly-once across
@@ -129,7 +175,11 @@ class FetchSpec extends SparkSpec {
     FetchTestState.reset()
     import spark.implicits._
     val dir = Files.createTempDirectory("fetch_run").toString
-    val urls = (0 until 100).map(i => s"http://b.example/p/$i")
+    // ten hosts: batch membership is DOMAIN-derived (one batch owns all
+    // of a host's urls — politeness holds across batch boundaries), so
+    // the fixture needs several hosts for several non-empty batches
+    val urls = for (h <- 0 until 10; i <- 0 until 10)
+      yield s"http://b$h.example/p/$i"
     val frontier = urls.toDF("url")
     val cfg = logicalCfg(classOf[RecordingTransport], batchSize = 30L)
 
@@ -152,9 +202,15 @@ class FetchSpec extends SparkSpec {
     assert(marker.exists()); assert(marker.delete())
     val s3 = Fetch.run(frontier, s"$dir/out", checkpointDir = null, cfg = cfg)
     val batch1 = frontier
-      .withColumn("b", pmod(xxhash64(col("url")), lit(4L)))
+      .withColumn("b", pmod(xxhash64(
+        regexp_extract(col("url"), "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)),
+        lit(4L)))
       .filter(col("b") === 1L).select("url").as[String].collect().toSet
-    assert(batch1.nonEmpty && s3.attempted == batch1.size,
+    // whole hosts re-fetch together: batch 1's url set is a union of
+    // complete hosts (10 urls per member host)
+    assert(batch1.nonEmpty && batch1.size % 10 == 0,
+      s"domain batching must map whole hosts: ${batch1.size}")
+    assert(s3.attempted == batch1.size,
       s"crash-window rerun must re-fetch exactly batch 1 (${batch1.size} urls), got ${s3.attempted}")
     for (u <- urls)
       assert(FetchTestState.counts(u) == (if (batch1(u)) 2 else 1), u)
@@ -186,6 +242,16 @@ class FetchSpec extends SparkSpec {
         cfg = logicalCfg(classOf[RecordingTransport], batchSize = 10L))
     }
     assert(e.getMessage.contains("frontier changed"), e.getMessage)
+    // a SAME-COUNT frontier with one url swapped must also fail: the
+    // plan's content fingerprint (order-independent xxhash64 xor)
+    // catches what the count cannot — silently resuming would never
+    // fetch urls mapped into already-committed batches
+    val swapped = (urls.tail :+ "http://p.example/p/swapped").toDF("url")
+    val e2 = intercept[IllegalArgumentException] {
+      Fetch.run(swapped, s"$dir/out", checkpointDir = null,
+        cfg = logicalCfg(classOf[RecordingTransport], batchSize = 10L))
+    }
+    assert(e2.getMessage.contains("CONTENT changed"), e2.getMessage)
     // gzip mode: politeness repartition leaves most partitions empty —
     // the archive must stay readable (no 0-byte members) and indexed
     val dir2 = Files.createTempDirectory("fetch_gz").toString
@@ -203,6 +269,85 @@ class FetchSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       logicalCfg(classOf[RecordingTransport], maxAttempts = 0)
     }: Unit
+  }
+
+  test("redirects: chains follow to content, caps/cycles/no-location record the 3xx") {
+    FetchTestState.reset()
+    import spark.implicits._
+    val frontier = Seq(
+      "http://rd.example/chain/1",   // 301 -> 302 -> 200
+      "http://rd.example/rel",       // 303 with RELATIVE location
+      "http://rd.example/loop/0",    // infinite: stops at maxRedirects
+      "http://rd.example/cycle/a",   // a <-> b: stops at revisit
+      "http://rd.example/noloc",     // 301 without Location: records
+      "http://rd.example/tmpfail"    // redirects onto a 503: retries there
+    ).toDF("url")
+    val got = Fetch.fetchFrontier(frontier,
+      logicalCfg(classOf[RedirectTransport]).copy(maxRedirects = 3))
+      .collect().map(r => r.getAs[String]("url") ->
+        ((r.getAs[Int]("status"), r.getAs[scala.collection.Seq[String]]("redirects").toList,
+          Option(r.getAs[Array[Byte]]("body"))
+            .map(new String(_, StandardCharsets.UTF_8)).getOrElse(""),
+          r.getAs[Int]("attempts")))).toMap
+
+    val (cs, cchain, cbody, _) = got("http://rd.example/chain/1")
+    assert(cs == 200 && cbody == "content:/chain/final")
+    assert(cchain == Seq("http://rd.example/chain/2",
+      "http://rd.example/chain/final"),
+      s"chain must record resolved hops: $cchain")
+
+    val (rs, rchain, rbody, _) = got("http://rd.example/rel")
+    assert(rs == 200 && rbody == "content:/chain/final")
+    assert(rchain == Seq("http://rd.example/chain/final"),
+      "relative Location must resolve against the current url")
+
+    // capped: /loop/0 -> 1 -> 2 -> 3, then the 301 at /loop/3 records
+    val (ls, lchain, _, _) = got("http://rd.example/loop/0")
+    assert(ls == 301 && lchain.size == 3, s"cap: $ls $lchain")
+
+    // cycle: a -> b, then b's target (a) is already visited -> record b's 308
+    val (ys, ychain, _, _) = got("http://rd.example/cycle/a")
+    assert(ys == 308 && ychain == Seq("http://rd.example/cycle/b"),
+      s"cycle: $ys $ychain")
+
+    val (ns, nchain, _, _) = got("http://rd.example/noloc")
+    assert(ns == 301 && nchain.isEmpty)
+
+    // hop target retries: 302 -> 503 (3 attempts there), 4 attempts total
+    val (ts, _, _, tatt) = got("http://rd.example/tmpfail")
+    assert(ts == 503 && tatt == 4, s"tmpfail: $ts/$tatt")
+
+    // the archive keys redirected rows under the ORIGINAL url
+    val warc = Fetch.toWarcRows(Fetch.fetchFrontier(frontier,
+      logicalCfg(classOf[RedirectTransport]).copy(maxRedirects = 3)))
+      .select("target_uri").as[String].collect().toSet
+    assert(warc.contains("http://rd.example/chain/1") &&
+      !warc.exists(_.contains("/chain/final")),
+      "final responses must archive under the original target-uri")
+  }
+
+  test("redirects: cross-host hops consult the robots re-gate") {
+    FetchTestState.reset()
+    RedirectGates.seen.clear()
+    import spark.implicits._
+    val frontier = Seq("http://rd.example/cross").toDF("url")
+    // denied: the 301 records as-is and the gate saw the hop
+    val denied = Fetch.fetchFrontier(frontier,
+      logicalCfg(classOf[RedirectTransport])
+        .copy(redirectGate = RedirectGates.deny))
+      .collect().head
+    assert(denied.getAs[Int]("status") == 301)
+    assert(denied.getAs[scala.collection.Seq[String]]("redirects").toList.isEmpty)
+    import scala.jdk.CollectionConverters._
+    assert(RedirectGates.seen.asScala.toSeq ==
+      Seq(("http://rd.example/cross", "http://other.example/landed")))
+    // default gate allows: the hop lands on the other host's content
+    val followed = Fetch.fetchFrontier(frontier,
+      logicalCfg(classOf[RedirectTransport]))
+      .collect().head
+    assert(followed.getAs[Int]("status") == 200)
+    assert(new String(followed.getAs[Array[Byte]]("body"),
+      StandardCharsets.UTF_8) == "content:/landed")
   }
 
   test("toWarcRows round-trips through the writer with parsed HTTP envelope") {
