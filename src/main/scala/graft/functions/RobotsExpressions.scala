@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, StringType}
 
@@ -207,6 +207,43 @@ object RobotsKernel {
 
   def crawlDelay(robotsTxt: String, agent: String): java.lang.Double =
     policyForCached(robotsTxt, agent).crawlDelay
+
+  /** `Sitemap:` directive values, in file order, duplicates dropped —
+    * the sitemaps.org discovery seed (sitemaps.org/protocol.html
+    * #submit_robots: the directive is independent of any user-agent
+    * group and may appear anywhere in the file; its value is a FULL
+    * url, unlike the path-valued Allow/Disallow rules). Same line
+    * model as [[policyFor]] (comments strip, CR/CRLF/LF, BOM,
+    * case-insensitive key); values that don't look like absolute
+    * http(s) urls drop — a relative value is a broken directive, not a
+    * fetchable sitemap. */
+  def sitemaps(robotsTxt: String): Array[String] = {
+    if (robotsTxt == null || robotsTxt.isEmpty) return Array.empty
+    val out = new java.util.LinkedHashSet[String]()
+    val lines = robotsTxt.split("\r\n|\r|\n", -1)
+    var li = 0
+    while (li < lines.length) {
+      var line = lines(li)
+      if (li == 0 && line.nonEmpty && line.charAt(0) == '\uFEFF')
+        line = line.substring(1)
+      val hash = line.indexOf('#')
+      if (hash >= 0) line = line.substring(0, hash)
+      line = line.trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val key = line.substring(0, colon).trim
+          .toLowerCase(java.util.Locale.ROOT)
+        if (key == "sitemap") {
+          val value = line.substring(colon + 1).trim
+          val lower = value.toLowerCase(java.util.Locale.ROOT)
+          if (lower.startsWith("http://") || lower.startsWith("https://"))
+            out.add(value): Unit
+        }
+      }
+      li += 1
+    }
+    out.toArray(Array.empty[String])
+  }
 }
 
 /** graft_robots_allowed(robots_txt, path, agent) → boolean. */
@@ -264,7 +301,38 @@ case class RobotsCrawlDelayExpression(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** graft_robots_sitemaps(robots_txt) → array<string> (the `Sitemap:`
+  * directive urls, file order, deduped; empty array when none). */
+case class RobotsSitemapsExpression(child: Expression)
+  extends UnaryExpression with KernelCodegen {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "robots_sitemaps"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"robots_sitemaps expects string, got ${child.dataType.simpleString}")
+
+  override def evalChild(robots: AnyRef): AnyRef = {
+    if (robots == null) return null
+    val urls = RobotsKernel.sitemaps(robots.toString)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      urls.map(org.apache.spark.unsafe.types.UTF8String.fromString(_))
+        .asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object RobotsExpressions {
+
+  def robotsSitemaps(robotsTxt: Column): Column =
+    ColumnBridge.column(RobotsSitemapsExpression(
+      ColumnBridge.expression(robotsTxt)))
 
   def robotsAllowed(robotsTxt: Column, path: Column, agent: Column): Column =
     ColumnBridge.column(RobotsAllowedExpression(

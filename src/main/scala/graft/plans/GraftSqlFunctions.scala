@@ -216,6 +216,12 @@ object GraftSqlFunctions {
         "the agent's selected group, or null when unset",
       { case Seq(r, a) => RobotsCrawlDelayExpression(r, a) }),
 
+    ("graft_robots_sitemaps",
+      "graft_robots_sitemaps(robots_txt) - `Sitemap:` directive urls in file " +
+        "order, deduped (sitemaps.org discovery seeds; group-independent, " +
+        "absolute http(s) urls only)",
+      { case Seq(r) => RobotsSitemapsExpression(r) }),
+
     ("graft_lang_id",
       "graft_lang_id(text) - n-gram heuristic language id over the bundled marker set",
       { case Seq(t) => LangIdExpression(t, graft.ops.TextAnalysis.LangMarkers) }),

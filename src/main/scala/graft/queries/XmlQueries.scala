@@ -143,6 +143,73 @@ object XmlQueries extends QueryPack {
           regexp_extract(col("sitemap"), "/([a-z]+\\.xml)$", 1).as("sitemap"),
           col("loc"), col("lastmod"))
         .orderBy("doc_id", "sitemap", "loc")
+    }),
+
+    // robots `Sitemap:` discovery composed END-TO-END (sitemaps.org
+    // #submit_robots: the directive is the standard discovery seed):
+    // per-HOST robots.txt carries the directive (plus a broken relative
+    // one the extractor must drop and a duplicate it must dedupe) →
+    // robotsSitemaps() seeds the roots → Sitemaps.expand resolves the
+    // host index (one child urlset per doc, built by a 7-key groupBy)
+    // → each discovered page url re-gates against its host's robots
+    // (broadcast join on domain — 7 small texts) → the fetchable
+    // frontier. The /private/ entry per doc is DISCOVERED but dropped
+    // by the gate; only robots-clean urls survive.
+    "x05_robots_discovery" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val k = (col("doc_id") % 7).cast("string")
+      val m = ((col("doc_id") % 9) + 1).cast("string")
+      val base = Tables.documentsBalanced(s, d).select(col("doc_id"))
+      val SmOpen = "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"
+      val IxOpen = "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"
+      val host = concat(lit("s"), k, lit(".com"))
+      val indexUrl = concat(lit("http://"), host, lit("/sitemap-index.xml"))
+      val childUrl = concat(lit("http://"), host, lit("/sm/a-"), id, lit(".xml"))
+      // one robots per HOST (the production shape): directive names the
+      // host's index; a relative directive is broken (dropped); the
+      // duplicate dedupes
+      val robotsTable = base
+        .select(host.as("domain"), indexUrl.as("sm")).distinct()
+        .select(col("domain"), concat(
+          lit("User-agent: *\nDisallow: /private/\n\nSitemap: "), col("sm"),
+          lit("\nSitemap: /broken-relative.xml\nSitemap: "), col("sm"),
+          lit("\n")).as("robots"))
+      val roots = robotsTable.select(explode(
+        graft.functions.RobotsExpressions.robotsSitemaps(col("robots")))
+        .as("url")).distinct()
+      // fetched corpus: 7 host indexes (each listing its docs' child
+      // urlsets, document order by doc_id) + one 3-entry urlset per doc
+      val index = base
+        .select(host.as("domain"), col("doc_id"),
+          concat(lit("<sitemap><loc>"), childUrl, lit("</loc></sitemap>"))
+            .as("frag"))
+        .groupBy(col("domain"))
+        .agg(concat(lit(IxOpen),
+          concat_ws("", array_sort(collect_list(struct(col("doc_id"),
+            col("frag")))).getField("frag")),
+          lit("</sitemapindex>")).as("xml"))
+        .select(concat(lit("http://"), col("domain"),
+          lit("/sitemap-index.xml")).as("url"), col("xml"))
+      val children = base.select(childUrl.as("url"), concat(
+        lit(SmOpen + "<url><loc>http://s"), k, lit(".com/p/"), id,
+        lit("/1</loc><lastmod>2026-0"), m, lit("-01</lastmod></url>" +
+          "<url><loc>http://s"), k, lit(".com/private/"), id,
+        lit("/2</loc></url><url><loc>http://s"), k, lit(".com/p/"), id,
+        lit("/3</loc></url></urlset>")).as("xml"))
+      val corpus = index.unionByName(children)
+      val entries = graft.ops.Sitemaps.expand(roots, corpus, maxDepth = 2)
+      entries
+        .select(col("loc"), col("lastmod"),
+          regexp_extract(col("loc"), "^[a-z]+://([^/]+)", 1).as("domain"),
+          regexp_replace(col("loc"), "^[a-z]+://[^/]+", "").as("path"))
+        .join(broadcast(robotsTable), Seq("domain"))
+        .filter(graft.functions.RobotsExpressions.robotsAllowed(
+          col("robots"), col("path"), lit("graftbot")))
+        .select(
+          regexp_extract(col("loc"), "/(\\d+)/\\d+$", 1).cast("long")
+            .as("doc_id"),
+          col("loc"), col("lastmod"))
+        .orderBy("doc_id", "loc")
     })
   )
 
@@ -192,6 +259,20 @@ object XmlQueries extends QueryPack {
            UNION ALL
            SELECT doc_id, 'c.xml', pre || '/4', NULL FROM p
            WHERE doc_id % 10 = 0)
-         ORDER BY doc_id, sitemap, loc"""
+         ORDER BY doc_id, sitemap, loc""",
+
+    // the fetchable frontier: per doc, /p/<id>/1 (doc-derived lastmod)
+    // and /p/<id>/3 (none) survive; the discovered /private/<id>/2 is
+    // dropped by the robots gate
+    "x05_robots_discovery" ->
+      """WITH p AS (
+           SELECT doc_id, 'http://s' || (doc_id % 7) || '.com/p/' || doc_id AS pre
+           FROM documents)
+         SELECT doc_id, loc, lastmod FROM (
+           SELECT doc_id, pre || '/1' AS loc,
+                  '2026-0' || ((doc_id % 9) + 1) || '-01' AS lastmod FROM p
+           UNION ALL
+           SELECT doc_id, pre || '/3', NULL FROM p)
+         ORDER BY doc_id, loc"""
   )
 }

@@ -370,6 +370,8 @@ class PlanShapeSpec extends SparkSpec {
     // fix): one localCheckpoint action over the 4-branch plant, AQE
     // stage jobs included
     "x04_sitemap_index" -> 4,
+    // x05 runs the same eager expand over its 2-branch discovery corpus
+    "x05_robots_discovery" -> 4,
     // t48 composes d11's pageRank (5 join+sum rounds + rank bucketing,
     // d11's documented 26) over edges harvested from generated HTML
     "t48_web_graph" -> 26,

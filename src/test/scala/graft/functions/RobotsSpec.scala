@@ -81,6 +81,43 @@ class RobotsSpec extends SparkSpec {
     assert(allowed("", "/a"))
   }
 
+  test("Sitemap: directives extract in file order, deduped; broken values drop") {
+    val txt = "﻿# seeds\n" +
+      "User-agent: *\nDisallow: /private/\n" +
+      "Sitemap: http://a.example/s1.xml\r\n" +
+      "sitemap: https://a.example/s2.xml # trailing comment\n" +
+      "Sitemap: /relative-broken.xml\n" +
+      "Sitemap: ftp://a.example/nope.xml\n" +
+      "Sitemap:\n" + // empty value
+      "Sitemap: http://a.example/s1.xml\n" // duplicate
+    assert(RobotsKernel.sitemaps(txt).toSeq == Seq(
+      "http://a.example/s1.xml", "https://a.example/s2.xml"))
+    // the directive is group-independent: inside a foreign UA group too
+    assert(RobotsKernel.sitemaps(
+      "User-agent: nobody\nSitemap: http://b.example/x.xml\n").toSeq ==
+      Seq("http://b.example/x.xml"))
+    assert(RobotsKernel.sitemaps(null).isEmpty)
+    assert(RobotsKernel.sitemaps("").isEmpty)
+    assert(RobotsKernel.sitemaps("User-agent: *\nDisallow: /\n").isEmpty)
+    // and extracting it never disturbs rule matching (it never did —
+    // regression pin for the parser sharing)
+    assert(!allowed("User-agent: *\nSitemap: http://x/s.xml\nDisallow: /p/", "/p/x"))
+  }
+
+  test("graft_robots_sitemaps SQL registration evaluates and is null-safe") {
+    import spark.implicits._
+    val got = Seq(
+      (1L, "Sitemap: http://h.example/a.xml\nSitemap: http://h.example/b.xml"),
+      (2L, "User-agent: *\nDisallow: /"),
+      (3L, null.asInstanceOf[String])).toDF("id", "robots")
+      .selectExpr("id", "graft_robots_sitemaps(robots) AS sm")
+      .orderBy("id").collect()
+    assert(got(0).getAs[scala.collection.Seq[String]]("sm").toList ==
+      List("http://h.example/a.xml", "http://h.example/b.xml"))
+    assert(got(1).getAs[scala.collection.Seq[String]]("sm").isEmpty)
+    assert(got(2).isNullAt(1), "null robots -> null (no file, nothing known)")
+  }
+
   test("SQL registrations evaluate and are null-safe") {
     import spark.implicits._
     val txt = "User-agent: *\nDisallow: /private/\nCrawl-delay: 3"
