@@ -1,0 +1,92 @@
+package graft.tools
+
+import scala.collection.mutable
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
+
+import graft.GraftSession
+
+/** The standing anomaly diagnostic (grew out of the r15 x04 probe —
+  * the tool that would have caught the in-session residue decay before
+  * it shipped): run any set of registered queries back to back for N
+  * passes and print, PER EXECUTION,
+  *
+  *  - wall time and per-stage executor time (top stages by cost),
+  *  - `sc.getPersistentRDDs` count + persisted block memory/disk sizes
+  *    BEFORE and AFTER (the residue axis: a count or byte total that
+  *    climbs across executions is an operator stranding storage),
+  *  - plan shape counters (broadcasts, exchanges, scans),
+  *
+  * so a pass-2 slowdown can be attributed: residue (persisted sizes
+  * climb), plan drift (counters differ), or a genuinely slow stage
+  * (its executor time dominates both passes).
+  *
+  * Usage:
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *     sbt "runMain graft.tools.ProbeQuery x04_sitemap_index[,w02_...] [passes]"
+  */
+object ProbeQuery {
+  def main(args: Array[String]): Unit = {
+    val names = args.headOption.getOrElse("x04_sitemap_index")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val passes = args.lift(1).map(_.toInt).getOrElse(2)
+    val spark = GraftSession.builder("probe-query", "local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sc = spark.sparkContext
+
+    val stageTime = mutable.Map.empty[Int, Long]
+    val stageName = mutable.Map.empty[Int, String]
+    sc.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        stageTime.synchronized {
+          stageTime(e.stageId) = stageTime.getOrElse(e.stageId, 0L) +
+            e.taskMetrics.executorRunTime
+        }
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        stageName.synchronized {
+          stageName(e.stageInfo.stageId) = e.stageInfo.name.take(120)
+        }
+    })
+
+    def storage(): (Int, Long, Long) = {
+      val rdds = sc.getPersistentRDDs
+      val infos = sc.getRDDStorageInfo
+      (rdds.size, infos.map(_.memSize).sum, infos.map(_.diskSize).sum)
+    }
+    def fmtStorage(s: (Int, Long, Long)): String =
+      f"${s._1}%3d persisted RDDs, mem ${s._2 / 1e6}%9.1f MB, disk ${s._3 / 1e6}%9.1f MB"
+
+    for (pass <- 1 to passes; name <- names) {
+      val before = storage()
+      stageTime.synchronized(stageTime.clear())
+      stageName.synchronized(stageName.clear())
+      // construction INSIDE the timer (the Bench runOnce shape): many
+      // operators run their work — internal actions, eager
+      // residue-releasing materializations — at construction time, and
+      // a write-only timer would report block-read times instead
+      val t0 = System.nanoTime()
+      val frame = graft.SparkEntry.queries(name)(spark, d)
+      frame.write.mode("overwrite").format("noop").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      if (pass == 1) {
+        val plan = frame.queryExecution.executedPlan.toString
+        System.err.println(s"[probe] $name plan: " +
+          "broadcasts=" + "BroadcastExchange".r.findAllIn(plan).size +
+          " exchanges=" + "ShuffleExchange".r.findAllIn(plan).size +
+          " scans=" + "FileScan".r.findAllIn(plan).size)
+      }
+      val after = storage()
+      System.err.println(f"[probe] pass $pass $name%-28s wall $wall%7.2f s")
+      System.err.println(s"[probe]   storage before: ${fmtStorage(before)}")
+      System.err.println(s"[probe]   storage after : ${fmtStorage(after)}")
+      val top = stageTime.synchronized(stageTime.toSeq).sortBy(-_._2).take(8)
+      top.foreach { case (id, ms) =>
+        System.err.println(f"[probe]   stage $id%5d ${ms / 1000.0}%8.1f s  " +
+          stageName.synchronized(stageName.getOrElse(id, "?")))
+      }
+    }
+    System.err.println(s"[probe] final storage: ${fmtStorage(storage())}")
+    spark.stop()
+  }
+}
