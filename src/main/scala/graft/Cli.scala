@@ -104,6 +104,7 @@ object Cli {
       //     [-s fetch.batch_size=N] [-s fetch.max_attempts=N]
       //     [-s fetch.backoff_ms=N] [-s fetch.delay_ms=N]
       //     [-s fetch.user_agent=ua] [-s fetch.gzip=true]
+      //     [-s fetch.max_redirects=N] [-s fetch.robots_gate=true]
       //     [-s fetch.checkpoint=dir] frontier.parquet...
       // The archive then re-enters the pipeline via
       //   graft.Cli curate -s curate.stream.format=warc ... warc-out
@@ -120,7 +121,12 @@ object Cli {
           backoffMs = settings.getOrElse("fetch.backoff_ms", "1000").toLong,
           defaultDelayMs = settings.getOrElse("fetch.delay_ms", "0").toLong,
           batchSize = settings.getOrElse("fetch.batch_size", "100000").toLong,
-          gzip = settings.get("fetch.gzip").contains("true")))
+          gzip = settings.get("fetch.gzip").contains("true"),
+          maxRedirects = settings.getOrElse("fetch.max_redirects", "5").toInt,
+          // true = gate cross-host redirect hops on the target's real
+          // robots.txt (fetched via the same transport, memoized)
+          redirectRobotsGate =
+            settings.get("fetch.robots_gate").contains("true")))
       System.err.println(
         s"[graft] fetch: attempted=${stats.attempted} responded=${stats.ok} " +
           s"failed=${stats.failed} retried=${stats.retried} " +

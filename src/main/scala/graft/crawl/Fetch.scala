@@ -124,9 +124,16 @@ object Fetch {
       // being fetched — the robots re-gate point (the frontier was
       // robots-gated for its own hosts only). Args: (fromUrl, toUrl);
       // false = don't follow, record the 3xx as-is. Default allows —
-      // production wires a robots policy here (t49's disallow matcher
-      // over the target host's cached robots.txt).
+      // production either wires a policy here or sets
+      // `redirectRobotsGate` below for the built-in transport-backed
+      // gate.
       redirectGate: (String, String) => Boolean = (_, _) => true,
+      // true = gate cross-host hops with the TARGET authority's real
+      // robots.txt, fetched through the same transport and memoized per
+      // executor JVM (overrides redirectGate). Availability semantics
+      // per RFC 9309 §2.3.1: 200 → parse and evaluate; 4xx (no robots)
+      // → allowed; 5xx or transport failure → assume complete disallow.
+      redirectRobotsGate: Boolean = false,
       clock: () => Long = () => System.currentTimeMillis(),
       sleeper: Long => Unit = ms => Thread.sleep(ms)) {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
@@ -149,6 +156,46 @@ object Fetch {
     if (i < 0) return ""
     url.substring(i + 3).takeWhile(c => c != '/' && c != ':' &&
       c != '?' && c != '#')
+  }
+
+  /** Authority-keyed robots.txt cache for the built-in redirect gate:
+    * one per executor JVM (cross-host redirect targets are few relative
+    * to frontier hosts; the blunt clear at the cap bounds memory
+    * without an LRU dependency). */
+  private val robotsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val RobotsCacheMax = 100000
+  private val DisallowAll = "User-agent: *\nDisallow: /"
+
+  /** The built-in cross-host redirect gate: fetch the target
+    * AUTHORITY's robots.txt through the crawl transport (memoized) and
+    * evaluate the target path with [[graft.functions.RobotsKernel]].
+    * RFC 9309 §2.3.1 availability semantics: 200 parses; 4xx means no
+    * robots (allowed); 5xx/transport failure assumes complete disallow. */
+  private[crawl] def robotsAllowsViaTransport(transport: FetchTransport,
+                                              agent: String,
+                                              url: String): Boolean = {
+    val schemeEnd = url.indexOf("://")
+    if (schemeEnd < 0) return false
+    val authority = url.substring(schemeEnd + 3)
+      .takeWhile(c => c != '/' && c != '?' && c != '#')
+    if (authority.isEmpty) return false
+    val base = url.substring(0, schemeEnd) + "://" + authority
+    if (robotsCache.size > RobotsCacheMax) robotsCache.clear()
+    val robots = robotsCache.computeIfAbsent(base, b => try {
+      val r = transport.fetch(s"$b/robots.txt", agent)
+      if (r.status == 200 && r.body != null)
+        new String(r.body, StandardCharsets.UTF_8)
+      else if (r.status >= 500) DisallowAll
+      else "" // 4xx: no robots.txt -> crawl default (allowed)
+    } catch { case scala.util.control.NonFatal(_) => DisallowAll })
+    val afterAuthority = schemeEnd + 3 + authority.length
+    val path = if (afterAuthority >= url.length) "/"
+      else url.substring(afterAuthority) match {
+        case p if p.startsWith("/") => p
+        case p => "/" + p // ?query / #fragment directly after authority
+      }
+    graft.functions.RobotsKernel.allowed(robots, agent, path)
   }
 
   /** Resolve a Location header against the current url; None when the
@@ -209,6 +256,10 @@ object Fetch {
       .sortWithinPartitions(col("domain"), col("ord"), col("url"))
       .mapPartitions { it =>
         val transport = transportFor(cfg.transportClass)
+        val gate: (String, String) => Boolean =
+          if (cfg.redirectRobotsGate)
+            (_, to) => robotsAllowsViaTransport(transport, cfg.userAgent, to)
+          else cfg.redirectGate
         // rows arrive sorted by domain, so ONE (host, lastFetchAt) pair
         // is all the politeness state a task needs — O(1), not O(hosts)
         var curDomain: String = null
@@ -257,7 +308,7 @@ object Fetch {
               resolveRedirect(currentUrl, resp.location) match {
                 case Some(target) if !visited(target) &&
                     (hostOf(target) == hostOf(currentUrl) ||
-                      cfg.redirectGate(currentUrl, target)) =>
+                      gate(currentUrl, target)) =>
                   // politeness: a same-host hop respects the host's
                   // crawl delay (it is another request to that host); a
                   // cross-host hop is a one-off immediate fetch — the

@@ -872,6 +872,11 @@ object Dedup {
       if (materialize)
         newNarrow0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else newNarrow0
+    // build the cache NOW (the d19 discipline): the survivor-id job
+    // below starts its anti-join and band-join stages CONCURRENTLY, and
+    // two stages racing a cold cache each re-run the batch scan + kernel
+    // build; one count() makes every consumer a block read
+    if (materialize) newNarrow.count(): Unit
     val oldNarrow = narrowOf(prior)
     // stage 1: exact fingerprints — (fp, id) pairs only cross the wire
     val priorFp = oldNarrow.select(col("fp")).distinct()

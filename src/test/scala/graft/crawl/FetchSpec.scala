@@ -68,6 +68,25 @@ final class RedirectTransport extends FetchTransport {
         location = url.replace("/cycle/b", "/cycle/a"))
       case "/cross" => FetchResponse(301, null, Array.emptyByteArray,
         location = "http://other.example/landed")
+      // the built-in robots re-gate fixture: three target hosts with
+      // distinct robots availability (200-with-rules / 404 / 503)
+      case "/to-guarded" => FetchResponse(301, null, Array.emptyByteArray,
+        location = "http://guarded.example/blocked/x")
+      case "/to-guarded-open" => FetchResponse(301, null, Array.emptyByteArray,
+        location = "http://guarded.example/open/x")
+      case "/to-bare" => FetchResponse(301, null, Array.emptyByteArray,
+        location = "http://bare.example/anything")
+      case "/to-flaky-robots" => FetchResponse(301, null, Array.emptyByteArray,
+        location = "http://flakyrobots.example/page")
+      case "/robots.txt" =>
+        val host = url.substring(url.indexOf("://") + 3).takeWhile(_ != '/')
+        host match {
+          case "guarded.example" => FetchResponse(200, "text/plain",
+            "User-agent: *\nDisallow: /blocked/\n".getBytes(UTF_8))
+          case "bare.example" => FetchResponse(404, "text/plain",
+            "no robots".getBytes(UTF_8))
+          case _ => FetchResponse(503, "text/plain", Array.emptyByteArray)
+        }
       case "/rel" => FetchResponse(303, null, Array.emptyByteArray,
         location = "/chain/final")
       case "/noloc" => FetchResponse(301, null, Array.emptyByteArray)
@@ -348,6 +367,36 @@ class FetchSpec extends SparkSpec {
     assert(followed.getAs[Int]("status") == 200)
     assert(new String(followed.getAs[Array[Byte]]("body"),
       StandardCharsets.UTF_8) == "content:/landed")
+  }
+
+  test("redirects: the built-in robots re-gate fetches the target's robots.txt through the transport") {
+    FetchTestState.reset()
+    import spark.implicits._
+    val frontier = Seq(
+      "http://rd.example/to-guarded",      // target disallowed by robots
+      "http://rd.example/to-guarded-open", // target allowed by robots
+      "http://rd.example/to-bare",         // robots 404 -> crawl default
+      "http://rd.example/to-flaky-robots"  // robots 503 -> assume disallow
+    ).toDF("url")
+    val got = Fetch.fetchFrontier(frontier,
+      logicalCfg(classOf[RedirectTransport])
+        .copy(redirectRobotsGate = true))
+      .collect().map(r => r.getAs[String]("url") ->
+        ((r.getAs[Int]("status"),
+          r.getAs[scala.collection.Seq[String]]("redirects").toList))).toMap
+    assert(got("http://rd.example/to-guarded") == ((301, Nil)),
+      "disallowed target: record the 3xx, don't follow")
+    assert(got("http://rd.example/to-guarded-open")._1 == 200)
+    assert(got("http://rd.example/to-bare")._1 == 200,
+      "robots 404 means no robots: crawl default allows")
+    assert(got("http://rd.example/to-flaky-robots") == ((301, Nil)),
+      "robots 5xx: RFC 9309 assume-complete-disallow")
+    // memoized per authority: guarded.example's robots fetched ONCE for
+    // its two hops (may be 0 here if another test in this JVM already
+    // cached it — assert <= 1, the anti-thrash bound)
+    assert(FetchTestState.counts.getOrElse(
+      "http://guarded.example/robots.txt", 0) <= 1,
+      "robots.txt must be fetched at most once per authority per JVM")
   }
 
   test("toWarcRows round-trips through the writer with parsed HTTP envelope") {

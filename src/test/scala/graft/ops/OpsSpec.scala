@@ -926,12 +926,16 @@ class OpsSpec extends SparkSpec {
       val (d12Reads, d12n) =
         measured(Dedup.dedupAgainst(batch, prior, "doc_id", "text", 0.95))
       assert(d12n > 0, "pin data must keep some batch rows")
-      // 2x batch = 1 narrow-feature build (persisted) + the final
-      // full-row fetch of the kept batch rows; 3x prior (fp/bands/sh
-      // consumers — the corpus side is deliberately never cached)
-      assert(d12Reads <= (2 + 3) * half + half / 4,
-        s"d12 default read ${d12Reads} records for $half-row sides " +
-          "(budget 2x batch + 3x prior + slack)")
+      // 2x batch = 1 narrow-feature build (persisted, eagerly counted)
+      // + the final full-row fetch of the kept batch rows; 3x prior
+      // (fp/bands/sh consumers — the corpus side is deliberately never
+      // cached); + d12n survivor-id CACHE-BLOCK reads (r16: the
+      // self-releasing default eagerly checkpoints the id-sized keep
+      // set, and RDD cache reads count toward recordsRead — the price
+      // of freeing the batch-narrow persist deterministically)
+      assert(d12Reads <= (2 + 3) * half + half / 4 + d12n,
+        s"d12 default read ${d12Reads} records for $half-row sides, " +
+          s"$d12n kept (budget 2x batch + 3x prior + kept ids + slack)")
       // survivor election: its overhead over the min-id election must be
       // ONE extra source scan (the score projection — the component
       // repartition collapses both election consumers onto one exchange)
@@ -954,16 +958,19 @@ class OpsSpec extends SparkSpec {
       val sigs = spark.read.parquet(sigDir)
       val (sigReads, _) = measured(
         Dedup.dedupAgainstSignatures(batch, sigs, prior, "doc_id", "text", 0.95))
-      // + half: the checkpointed candidate set's CACHE-block read also
-      // counts toward recordsRead (candidates ≈ one per batch row here);
-      // source scans are 2x batch text (persisted narrow build + final
-      // full-row fetch, r12 default) + 1x prior text + 2x sig table;
-      // r13: + half/4 slack for the broadcast-gating cand.count()'s
-      // re-read of the candidate checkpoint blocks
-      assert(sigReads <= (2 + 1 + 2) * half + half + half / 4,
+      // SOURCE scans are 2x batch text (persisted narrow build + final
+      // full-row fetch) + 1x prior text + 2x sig table; the 4*half
+      // allowance is CACHE-block traffic, which also counts toward
+      // recordsRead: the candidate checkpoint is read by its
+      // broadcast-gating count, the verify join, and the standing-text
+      // semi filter, and r16's self-releasing survivor-id checkpoint is
+      // read by the final fetch (candidates/keeps ≈ one per batch row
+      // here). Cache reads scale with CANDIDATES, never the corpus — a
+      // failure past this budget means a SOURCE subtree stopped sharing.
+      assert(sigReads <= (2 + 1 + 2) * half + 4 * half,
         s"d12-signatures read ${sigReads} records for $half-row sides " +
           "(budget 2x batch text + 1x prior text + 2x signature table " +
-          "+ candidate cache reads)")
+          "+ candidate/keep-set cache reads)")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
