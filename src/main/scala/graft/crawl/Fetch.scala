@@ -128,11 +128,13 @@ object Fetch {
       // `redirectRobotsGate` below for the built-in transport-backed
       // gate.
       redirectGate: (String, String) => Boolean = (_, _) => true,
-      // true = gate cross-host hops with the TARGET authority's real
+      // true = gate cross-ORIGIN hops with the TARGET authority's real
       // robots.txt, fetched through the same transport and memoized per
-      // executor JVM (overrides redirectGate). Availability semantics
-      // per RFC 9309 §2.3.1: 200 → parse and evaluate; 4xx (no robots)
-      // → allowed; 5xx or transport failure → assume complete disallow.
+      // executor JVM (overrides redirectGate). RFC 9309 §2.3.1
+      // semantics: robots.txt redirects follow up to five hops (the
+      // http→https robots hop); 200 → parse and evaluate; 4xx (no
+      // robots) → allowed; 5xx → assume complete disallow; a transport
+      // failure disallows THIS hop but is never cached.
       redirectRobotsGate: Boolean = false,
       clock: () => Long = () => System.currentTimeMillis(),
       sleeper: Long => Unit = ms => Thread.sleep(ms)) {
@@ -142,6 +144,11 @@ object Fetch {
     require(batchSize >= 1, s"batchSize must be >= 1: $batchSize")
     require(maxRedirects >= 0, s"maxRedirects must be >= 0: $maxRedirects")
   }
+
+  /** Names the (batch-membership, fingerprint) formula pair a plan was
+    * written under; bump when either changes so stale plans fail loudly
+    * instead of silently remapping urls across committed batches. */
+  private val BatchingTag = "domain-sumfp-v1"
 
   private def retryable(status: Int): Boolean =
     status == 429 || status >= 500
@@ -158,6 +165,18 @@ object Fetch {
       c != '?' && c != '#')
   }
 
+  /** scheme://authority of a url (port INCLUDED — RFC 9309 scopes
+    * robots.txt per scheme+authority, so http://h/ and http://h:8080/
+    * are different origins with different robots files). The redirect
+    * gate triggers on ORIGIN crossings; politeness stays host-keyed
+    * (one socket budget per machine name). */
+  private[crawl] def originOf(url: String): String = {
+    val i = url.indexOf("://")
+    if (i < 0) return url
+    url.substring(0, i + 3) + url.substring(i + 3)
+      .takeWhile(c => c != '/' && c != '?' && c != '#')
+  }
+
   /** Authority-keyed robots.txt cache for the built-in redirect gate:
     * one per executor JVM (cross-host redirect targets are few relative
     * to frontier hosts; the blunt clear at the cap bounds memory
@@ -172,6 +191,36 @@ object Fetch {
     * evaluate the target path with [[graft.functions.RobotsKernel]].
     * RFC 9309 §2.3.1 availability semantics: 200 parses; 4xx means no
     * robots (allowed); 5xx/transport failure assumes complete disallow. */
+  /** The robots.txt body governing `base` (scheme://authority), fetched
+    * through the transport with RFC 9309 §2.3.1 semantics:
+    *  - robots.txt redirects FOLLOW up to five hops (§2.3.1.2 — the
+    *    ubiquitous http→https robots hop; a NEVER-following transport
+    *    would otherwise read every such host as rule-less and allow
+    *    paths the real file disallows); a cycle or over-cap chain reads
+    *    as no-robots (the §2.3.1.3 Google behavior);
+    *  - 200 → the body; 4xx → no robots (crawl default, allow);
+    *  - 5xx → assume complete disallow (§2.3.1.4). */
+  private def fetchRobotsBody(transport: FetchTransport, agent: String,
+                              base: String): String = {
+    var url = s"$base/robots.txt"
+    var visited = Set(url)
+    var hops = 0
+    while (true) {
+      val r = transport.fetch(url, agent)
+      if (isRedirect(r.status)) {
+        resolveRedirect(url, r.location) match {
+          case Some(t) if hops < 5 && !visited(t) =>
+            visited += t; url = t; hops += 1
+          case _ => return "" // cycle/cap/unresolvable: treat as absent
+        }
+      } else if (r.status == 200 && r.body != null)
+        return new String(r.body, StandardCharsets.UTF_8)
+      else if (r.status >= 500) return DisallowAll
+      else return "" // 4xx: no robots.txt -> crawl default (allowed)
+    }
+    "" // unreachable
+  }
+
   private[crawl] def robotsAllowsViaTransport(transport: FetchTransport,
                                               agent: String,
                                               url: String): Boolean = {
@@ -182,13 +231,19 @@ object Fetch {
     if (authority.isEmpty) return false
     val base = url.substring(0, schemeEnd) + "://" + authority
     if (robotsCache.size > RobotsCacheMax) robotsCache.clear()
-    val robots = robotsCache.computeIfAbsent(base, b => try {
-      val r = transport.fetch(s"$b/robots.txt", agent)
-      if (r.status == 200 && r.body != null)
-        new String(r.body, StandardCharsets.UTF_8)
-      else if (r.status >= 500) DisallowAll
-      else "" // 4xx: no robots.txt -> crawl default (allowed)
-    } catch { case scala.util.control.NonFatal(_) => DisallowAll })
+    // definite outcomes (200/4xx/5xx, settled redirects) CACHE; a
+    // transport failure evaluates as disallow for THIS hop but is NOT
+    // cached — one network blip must not block an authority's
+    // legitimate redirects for the executor's lifetime
+    var robots = robotsCache.get(base)
+    if (robots == null) {
+      robots =
+        try {
+          val body = fetchRobotsBody(transport, agent, base)
+          robotsCache.put(base, body): Unit
+          body
+        } catch { case scala.util.control.NonFatal(_) => DisallowAll }
+    }
     val afterAuthority = schemeEnd + 3 + authority.length
     val path = if (afterAuthority >= url.length) "/"
       else url.substring(afterAuthority) match {
@@ -307,7 +362,7 @@ object Fetch {
                 hops < cfg.maxRedirects) {
               resolveRedirect(currentUrl, resp.location) match {
                 case Some(target) if !visited(target) &&
-                    (hostOf(target) == hostOf(currentUrl) ||
+                    (originOf(target) == originOf(currentUrl) ||
                       gate(currentUrl, target)) =>
                   // politeness: a same-host hop respects the host's
                   // crawl delay (it is another request to that host); a
@@ -375,7 +430,11 @@ object Fetch {
       concat(
         encode(concat(lit("HTTP/1.1 "), col("status").cast("string"),
           lit(" "),
-          coalesce(element_at(typedLit(ReasonPhrase), col("status")),
+          // try_element_at, NOT element_at: under the session's default
+          // ANSI mode a status outside the map (206, 418, 999...) would
+          // THROW and fail the whole archive batch; try_ returns the
+          // null the coalesce exists for
+          coalesce(try_element_at(typedLit(ReasonPhrase), col("status")),
             lit("")),
           lit("\r\nContent-Type: "),
           coalesce(col("content_type"), lit("application/octet-stream")),
@@ -393,16 +452,22 @@ object Fetch {
           cfg: Config): FetchStats = {
     val spark = frontier.sparkSession
     val ckpt = if (checkpointDir == null) s"$outDir/_fetch_commits" else checkpointDir
-    // one pass sizes the frontier AND fingerprints its content: bit_xor
-    // of xxhash64(url) is order-independent, so the plan can verify on
-    // resume that it is looking at the SAME frontier, not merely one of
-    // the same size (a same-count frontier with one url swapped would
-    // otherwise resume silently, and swapped urls hashing into
-    // already-committed batches would never be fetched — silent loss)
+    // one pass sizes the frontier AND fingerprints its content: the SUM
+    // of xxhash64(url) is order-independent AND multiplicity-sensitive
+    // (a bit_xor would cancel even-multiplicity urls — {A,A,B} and
+    // {C,C,B} collide), so the plan can verify on resume that it is
+    // looking at the SAME frontier, not merely one of the same size (a
+    // same-count frontier with one url swapped would otherwise resume
+    // silently, and swapped urls hashing into already-committed batches
+    // would never be fetched — silent loss). decimal(38,0) because a
+    // long SUM overflows — and THROWS under ANSI — on a large frontier;
+    // 2^63-scale hashes times billions of urls stay inside 38 digits.
     val head = frontier.agg(count(lit(1)),
-      expr("bit_xor(xxhash64(url))")).collect()(0)
+      sum(xxhash64(col("url")).cast("decimal(38,0)"))).collect()(0)
     val total = head.getLong(0)
-    val fprint = if (head.isNullAt(1)) 0L else head.getLong(1)
+    val fprint =
+      if (head.isNullAt(1)) "0"
+      else head.getDecimal(1).toBigInteger.toString
     val hconf = spark.sessionState.newHadoopConf()
     val ckptPath = new Path(ckpt)
     val fs = ckptPath.getFileSystem(hconf)
@@ -422,25 +487,35 @@ object Fetch {
           .getLines().next() finally in.close()
         val parts = line.split("\t")
         val (nb, tot) = (parts(0), parts(1))
+        // the BATCHING-FUNCTION tag must match before anything else: a
+        // plan written by a release with different batch membership
+        // (url-hash batching, a different fingerprint formula) CANNOT be
+        // resumed — committed batch indexes would mean different url
+        // sets, re-fetching some urls (duplicates) and never fetching
+        // others (silent loss). Legacy plans fail loudly here.
+        require(parts.length >= 4 && parts(3) == BatchingTag,
+          "fetch: the checkpoint plan was written by a release with a " +
+            s"different batch-membership function (want '$BatchingTag', " +
+            s"plan has '${parts.lift(3).getOrElse("<none>")}') — resuming " +
+            "would remap urls across committed batches; re-run against a " +
+            "fresh checkpoint/output dir")
         require(tot.toLong == total,
           s"fetch: frontier changed since the checkpoint was written " +
             s"(${tot.toLong} urls recorded, $total now) — resuming would " +
             "mis-map urls across committed batches; use a fresh " +
             "checkpoint/output dir for a new frontier")
-        // plans written before the fingerprint field resume on count
-        // alone (honest legacy resume); current plans verify content
-        if (parts.length >= 3)
-          require(parts(2).toLong == fprint,
-            "fetch: frontier CONTENT changed since the checkpoint was " +
-              s"written (same url count $total, different url set) — " +
-              "resuming would skip urls mapped into committed batches; " +
-              "use a fresh checkpoint/output dir for a new frontier")
+        require(parts(2) == fprint,
+          "fetch: frontier CONTENT changed since the checkpoint was " +
+            s"written (same url count $total, different url set) — " +
+            "resuming would skip urls mapped into committed batches; " +
+            "use a fresh checkpoint/output dir for a new frontier")
         nb.toInt
       } else {
         val nb = math.max(1L, (total + cfg.batchSize - 1) / cfg.batchSize).toInt
         val tmp = new Path(ckptPath, ".plan.tmp")
         val out = fs.create(tmp, true)
-        try out.write(s"$nb\t$total\t$fprint\n".getBytes(StandardCharsets.UTF_8))
+        try out.write(s"$nb\t$total\t$fprint\t$BatchingTag\n"
+          .getBytes(StandardCharsets.UTF_8))
         finally out.close()
         if (!fs.rename(tmp, planFile))
           throw new java.io.IOException(s"fetch: cannot commit plan $planFile")

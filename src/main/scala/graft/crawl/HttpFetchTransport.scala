@@ -44,6 +44,26 @@ final class HttpFetchTransport extends FetchTransport {
     .connectTimeout(java.time.Duration.ofSeconds(timeoutSecs))
     .build()
 
+  /** Drain `in` up to the byte cap; past it, abandon the stream and
+    * throw — the cap must hold BEFORE the bytes are buffered (an
+    * after-the-fact length check would have already allocated the
+    * oversized body on the executor heap; the same capped drain guards
+    * the gzip INFLATE, where a kilobyte bomb expands arbitrarily). */
+  private def readCapped(in: java.io.InputStream, what: String,
+                         url: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) {
+      if (out.size + n > maxBodyBytes)
+        throw new java.io.IOException(
+          s"$what exceeds graft.fetch.max_body_bytes=$maxBodyBytes: $url")
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
+    out.toByteArray
+  }
+
   override def fetch(url: String, userAgent: String): FetchResponse = {
     val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       .timeout(java.time.Duration.ofSeconds(timeoutSecs))
@@ -51,21 +71,22 @@ final class HttpFetchTransport extends FetchTransport {
       .header("Accept-Encoding",
         if (tryGzip) "gzip;q=1.0, identity;q=0.5" else "identity")
       .GET().build()
+    // streaming body handler: the cap applies while bytes ARRIVE, never
+    // after an unbounded ofByteArray buffer has already been allocated
     val resp = client.send(req,
-      java.net.http.HttpResponse.BodyHandlers.ofByteArray())
-    val raw = resp.body()
-    if (raw != null && raw.length > maxBodyBytes)
-      throw new java.io.IOException(
-        s"response body ${raw.length} bytes exceeds " +
-          s"graft.fetch.max_body_bytes=$maxBodyBytes: $url")
+      java.net.http.HttpResponse.BodyHandlers.ofInputStream())
+    val raw = {
+      val in = resp.body()
+      try readCapped(in, "response body", url) finally in.close()
+    }
     val gzipped = resp.headers().firstValue("Content-Encoding")
       .orElse("").toLowerCase(java.util.Locale.ROOT).contains("gzip")
     val body =
-      if (!gzipped || raw == null || raw.isEmpty) raw
+      if (!gzipped || raw.isEmpty) raw
       else {
         val in = new java.util.zip.GZIPInputStream(
           new java.io.ByteArrayInputStream(raw))
-        try in.readAllBytes() finally in.close()
+        try readCapped(in, "inflated body", url) finally in.close()
       }
     FetchResponse(
       status = resp.statusCode(),

@@ -75,6 +75,30 @@ object RobotsKernel {
     p
   }
 
+  /** The ONE robots.txt line model, shared by rule parsing and
+    * `Sitemap:` extraction (a fix to a comment/whitespace edge case must
+    * never diverge what the extractor sees from what matching sees):
+    * UTF-8 BOM strips off line 1, `#` comments strip to end-of-line,
+    * CR/CRLF/LF all split, and only `key: value` lines yield \u2014 as
+    * (lowercased trimmed key, trimmed raw value). */
+  private def directives(robotsTxt: String): Iterator[(String, String)] = {
+    val lines = robotsTxt.split("\r\n|\r|\n", -1)
+    Iterator.range(0, lines.length).flatMap { li =>
+      var line = lines(li)
+      if (li == 0 && line.nonEmpty && line.charAt(0) == '\uFEFF')
+        line = line.substring(1)
+      val hash = line.indexOf('#')
+      if (hash >= 0) line = line.substring(0, hash)
+      line = line.trim
+      val colon = line.indexOf(':')
+      if (colon > 0)
+        Some((line.substring(0, colon).trim
+          .toLowerCase(java.util.Locale.ROOT),
+          line.substring(colon + 1).trim))
+      else None
+    }
+  }
+
   def policyFor(robotsTxt: String, agent: String): Policy = {
     if (robotsTxt == null || robotsTxt.isEmpty) return AllowAll
     val want = agent.trim.toLowerCase(java.util.Locale.ROOT)
@@ -85,43 +109,28 @@ object RobotsKernel {
     val groups = new java.util.ArrayList[Group]()
     var open: Group = null // group still accepting user-agent lines
     var inUaRun = false
-    val lines = robotsTxt.split("\r\n|\r|\n", -1)
-    var li = 0
-    while (li < lines.length) {
-      var line = lines(li)
-      if (li == 0 && line.nonEmpty && line.charAt(0) == '\uFEFF')
-        line = line.substring(1)
-      val hash = line.indexOf('#')
-      if (hash >= 0) line = line.substring(0, hash)
-      line = line.trim
-      val colon = line.indexOf(':')
-      if (colon > 0) {
-        val key = line.substring(0, colon).trim
-          .toLowerCase(java.util.Locale.ROOT)
-        val value = line.substring(colon + 1).trim
-        key match {
-          case "user-agent" =>
-            if (!inUaRun) {
-              open = Group(new java.util.ArrayList[String](),
-                new java.util.ArrayList[(Boolean, String)](), null)
-              groups.add(open)
-              inUaRun = true
-            }
-            if (value.nonEmpty)
-              open.uas.add(value.toLowerCase(java.util.Locale.ROOT))
-          case "allow" | "disallow" =>
-            inUaRun = false
-            if (open != null && value.nonEmpty)
-              open.rules.add((key == "allow", value))
-          case "crawl-delay" =>
-            inUaRun = false
-            if (open != null && open.delay == null)
-              try open.delay = java.lang.Double.valueOf(value.toDouble)
-              catch { case _: NumberFormatException => () }
-          case _ => inUaRun = false // sitemap / unknown: group continues
-        }
+    for ((key, value) <- directives(robotsTxt)) {
+      key match {
+        case "user-agent" =>
+          if (!inUaRun) {
+            open = Group(new java.util.ArrayList[String](),
+              new java.util.ArrayList[(Boolean, String)](), null)
+            groups.add(open)
+            inUaRun = true
+          }
+          if (value.nonEmpty)
+            open.uas.add(value.toLowerCase(java.util.Locale.ROOT))
+        case "allow" | "disallow" =>
+          inUaRun = false
+          if (open != null && value.nonEmpty)
+            open.rules.add((key == "allow", value))
+        case "crawl-delay" =>
+          inUaRun = false
+          if (open != null && open.delay == null)
+            try open.delay = java.lang.Double.valueOf(value.toDouble)
+            catch { case _: NumberFormatException => () }
+        case _ => inUaRun = false // sitemap / unknown: group continues
       }
-      li += 1
     }
     // selection: longest UA value that is a prefix of the agent token;
     // '*' groups only as fallback
@@ -220,27 +229,10 @@ object RobotsKernel {
   def sitemaps(robotsTxt: String): Array[String] = {
     if (robotsTxt == null || robotsTxt.isEmpty) return Array.empty
     val out = new java.util.LinkedHashSet[String]()
-    val lines = robotsTxt.split("\r\n|\r|\n", -1)
-    var li = 0
-    while (li < lines.length) {
-      var line = lines(li)
-      if (li == 0 && line.nonEmpty && line.charAt(0) == '\uFEFF')
-        line = line.substring(1)
-      val hash = line.indexOf('#')
-      if (hash >= 0) line = line.substring(0, hash)
-      line = line.trim
-      val colon = line.indexOf(':')
-      if (colon > 0) {
-        val key = line.substring(0, colon).trim
-          .toLowerCase(java.util.Locale.ROOT)
-        if (key == "sitemap") {
-          val value = line.substring(colon + 1).trim
-          val lower = value.toLowerCase(java.util.Locale.ROOT)
-          if (lower.startsWith("http://") || lower.startsWith("https://"))
-            out.add(value): Unit
-        }
-      }
-      li += 1
+    for ((key, value) <- directives(robotsTxt) if key == "sitemap") {
+      val lower = value.toLowerCase(java.util.Locale.ROOT)
+      if (lower.startsWith("http://") || lower.startsWith("https://"))
+        out.add(value): Unit
     }
     out.toArray(Array.empty[String])
   }

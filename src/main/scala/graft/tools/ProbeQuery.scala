@@ -71,9 +71,12 @@ object ProbeQuery {
       val wall = (System.nanoTime() - t0) / 1e9
       if (pass == 1) {
         val plan = frame.queryExecution.executedPlan.toString
+        // shuffles print as bare "Exchange hashpartitioning(...)" (the
+        // node name is Exchange, never ShuffleExchange) — the negative
+        // lookbehind keeps broadcasts out of the shuffle count
         System.err.println(s"[probe] $name plan: " +
           "broadcasts=" + "BroadcastExchange".r.findAllIn(plan).size +
-          " exchanges=" + "ShuffleExchange".r.findAllIn(plan).size +
+          " exchanges=" + "(?<!Broadcast)Exchange".r.findAllIn(plan).size +
           " scans=" + "FileScan".r.findAllIn(plan).size)
       }
       val after = storage()

@@ -68,6 +68,8 @@ final class RedirectTransport extends FetchTransport {
         location = url.replace("/cycle/b", "/cycle/a"))
       case "/cross" => FetchResponse(301, null, Array.emptyByteArray,
         location = "http://other.example/landed")
+      case "/cross-port" => FetchResponse(301, null, Array.emptyByteArray,
+        location = "http://rd.example:8080/landed")
       // the built-in robots re-gate fixture: three target hosts with
       // distinct robots availability (200-with-rules / 404 / 503)
       case "/to-guarded" => FetchResponse(301, null, Array.emptyByteArray,
@@ -78,6 +80,16 @@ final class RedirectTransport extends FetchTransport {
         location = "http://bare.example/anything")
       case "/to-flaky-robots" => FetchResponse(301, null, Array.emptyByteArray,
         location = "http://flakyrobots.example/page")
+      case "/to-redirrobots" => FetchResponse(301, null, Array.emptyByteArray,
+        location = "http://redirrobots.example/blocked/x")
+      case "/to-redirrobots-open" => FetchResponse(301, null, Array.emptyByteArray,
+        location = "http://redirrobots.example/open/x")
+      case "/to-flakonce-1" | "/to-flakonce-2" =>
+        FetchResponse(301, null, Array.emptyByteArray,
+          location = url.replaceAll("/to-flakonce-\\d",
+            "").replace("rd.example", "flakonce.example") + "/page")
+      case "/real-robots.txt" => FetchResponse(200, "text/plain",
+        "User-agent: *\nDisallow: /blocked/\n".getBytes(UTF_8))
       case "/robots.txt" =>
         val host = url.substring(url.indexOf("://") + 3).takeWhile(_ != '/')
         host match {
@@ -85,6 +97,16 @@ final class RedirectTransport extends FetchTransport {
             "User-agent: *\nDisallow: /blocked/\n".getBytes(UTF_8))
           case "bare.example" => FetchResponse(404, "text/plain",
             "no robots".getBytes(UTF_8))
+          // the ubiquitous robots.txt redirect (http->https shape)
+          case "redirrobots.example" => FetchResponse(301, null,
+            Array.emptyByteArray, location = "/real-robots.txt")
+          // throws on the FIRST call, allows afterwards — pins that a
+          // transport failure is not cached as permanent disallow
+          case "flakonce.example" =>
+            if (FetchTestState.bump(s"robots-attempt") == 1)
+              throw new java.io.IOException("robots blip")
+            else FetchResponse(200, "text/plain",
+              "User-agent: *\nAllow: /\n".getBytes(UTF_8))
           case _ => FetchResponse(503, "text/plain", Array.emptyByteArray)
         }
       case "/rel" => FetchResponse(303, null, Array.emptyByteArray,
@@ -397,6 +419,91 @@ class FetchSpec extends SparkSpec {
     assert(FetchTestState.counts.getOrElse(
       "http://guarded.example/robots.txt", 0) <= 1,
       "robots.txt must be fetched at most once per authority per JVM")
+  }
+
+  test("redirects: robots.txt redirects follow; a robots transport blip is never cached") {
+    FetchTestState.reset()
+    import spark.implicits._
+    // redirrobots.example serves robots via a 301 (the http->https
+    // shape): the gate must follow it and read the REAL rules — a
+    // never-following gate would see no rules and allow /blocked/
+    val frontier = Seq(
+      ("http://rd.example/to-redirrobots", 0L),
+      ("http://rd.example/to-redirrobots-open", 1L),
+      // flakonce: robots fetch THROWS once; the failure must deny this
+      // hop without poisoning the cache for the next row
+      ("http://rd.example/to-flakonce-1", 2L),
+      ("http://rd.example/to-flakonce-2", 3L)).toDF("url", "pos")
+    val got = Fetch.fetchFrontier(frontier,
+      logicalCfg(classOf[RedirectTransport])
+        .copy(redirectRobotsGate = true))
+      .collect().map(r => r.getAs[String]("url") -> r.getAs[Int]("status"))
+      .toMap
+    assert(got("http://rd.example/to-redirrobots") == 301,
+      "redirected robots rules must still gate /blocked/")
+    assert(got("http://rd.example/to-redirrobots-open") == 200)
+    assert(got("http://rd.example/to-flakonce-1") == 301,
+      "a robots transport failure denies the hop")
+    assert(got("http://rd.example/to-flakonce-2") == 200,
+      "the failure must not be cached as permanent disallow")
+  }
+
+  test("redirects: a same-hostname different-port hop is a cross-ORIGIN hop (gate consulted)") {
+    FetchTestState.reset()
+    RedirectGates.seen.clear()
+    import spark.implicits._
+    // RFC 9309 scopes robots per scheme+authority: rd.example:8080 has
+    // its own robots file, so the hop must consult the gate even though
+    // the hostname matches
+    val denyPorts: (String, String) => Boolean = (from, to) => {
+      RedirectGates.seen.add((from, to)): Unit
+      false
+    }
+    val row = Fetch.fetchFrontier(
+      Seq("http://rd.example/cross-port").toDF("url"),
+      logicalCfg(classOf[RedirectTransport]).copy(redirectGate = denyPorts))
+      .collect().head
+    assert(row.getAs[Int]("status") == 301)
+    import scala.jdk.CollectionConverters._
+    assert(RedirectGates.seen.asScala.toSeq == Seq(
+      ("http://rd.example/cross-port", "http://rd.example:8080/landed")),
+      "the port-crossing hop must reach the gate")
+  }
+
+  test("run: a plan from a different batching release fails loudly; duplicate urls fingerprint") {
+    FetchTestState.reset()
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fetch_legacy").toString
+    val urls = (0 until 10).map(i => s"http://lg.example/p/$i")
+    Fetch.run(urls.toDF("url"), s"$dir/out", checkpointDir = null,
+      cfg = logicalCfg(classOf[RecordingTransport])): Unit
+    // overwrite the plan with a legacy 2-field line (url-hash era);
+    // drop the Hadoop local-FS checksum sidecar or the read-back fails
+    // on the crc instead of the version check
+    val plan = java.nio.file.Paths.get(s"$dir/out/_fetch_commits/plan")
+    java.nio.file.Files.write(plan, "1\t10\n".getBytes(StandardCharsets.UTF_8)): Unit
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/out/_fetch_commits/.plan.crc")): Unit
+    val e = intercept[IllegalArgumentException] {
+      Fetch.run(urls.toDF("url"), s"$dir/out", checkpointDir = null,
+        cfg = logicalCfg(classOf[RecordingTransport]))
+    }
+    assert(e.getMessage.contains("batch-membership"), e.getMessage)
+
+    // even-multiplicity blindness: {A,A,B} vs {C,C,B} share count AND
+    // xor; the SUM fingerprint must tell them apart
+    val dir2 = Files.createTempDirectory("fetch_dupfp").toString
+    val aab = Seq("http://fp.example/a", "http://fp.example/a",
+      "http://fp.example/b").toDF("url")
+    val ccb = Seq("http://fp.example/c", "http://fp.example/c",
+      "http://fp.example/b").toDF("url")
+    Fetch.run(aab, s"$dir2/out", checkpointDir = null,
+      cfg = logicalCfg(classOf[RecordingTransport])): Unit
+    val e2 = intercept[IllegalArgumentException] {
+      Fetch.run(ccb, s"$dir2/out", checkpointDir = null,
+        cfg = logicalCfg(classOf[RecordingTransport]))
+    }
+    assert(e2.getMessage.contains("CONTENT changed"), e2.getMessage)
   }
 
   test("toWarcRows round-trips through the writer with parsed HTTP envelope") {

@@ -84,6 +84,45 @@ class HttpFetchTransportSpec extends SparkSpec {
     }
   }
 
+  test("body cap: oversized raw bodies and gzip bombs throw instead of buffering") {
+    withServer { (server, port) =>
+      server.createContext("/", new HttpHandler {
+        override def handle(ex: HttpExchange): Unit =
+          ex.getRequestURI.getPath match {
+            case "/big" => // 8 KiB raw, over the 4 KiB cap below
+              respond(ex, 200, Array.fill[Byte](8192)('x'))
+            case "/bomb" => // ~100 bytes compressed, 64 KiB inflated
+              val bos = new java.io.ByteArrayOutputStream()
+              val gz = new java.util.zip.GZIPOutputStream(bos)
+              gz.write(new Array[Byte](65536)); gz.close()
+              respond(ex, 200, bos.toByteArray,
+                "Content-Encoding" -> "gzip")
+            case _ => respond(ex, 200, "small".getBytes(StandardCharsets.UTF_8))
+          }
+      }): Unit
+      val prev = sys.props.put("graft.fetch.max_body_bytes", "4096")
+      try {
+        val t = new HttpFetchTransport // reads the prop at construction
+        val e1 = intercept[java.io.IOException] {
+          t.fetch(s"http://127.0.0.1:$port/big", "ua")
+        }
+        assert(e1.getMessage.contains("max_body_bytes"), e1.getMessage)
+        // the gzip bomb passes the RAW cap (it is tiny on the wire) but
+        // must trip the cap while INFLATING, never after
+        val e2 = intercept[java.io.IOException] {
+          t.fetch(s"http://127.0.0.1:$port/bomb", "ua")
+        }
+        assert(e2.getMessage.contains("inflated body"), e2.getMessage)
+        assert(t.fetch(s"http://127.0.0.1:$port/ok", "ua").status == 200)
+      } finally {
+        prev match {
+          case Some(v) => sys.props.put("graft.fetch.max_body_bytes", v): Unit
+          case None => sys.props.remove("graft.fetch.max_body_bytes"): Unit
+        }
+      }
+    }
+  }
+
   test("transport-level failure throws (the retry contract); fetch executor audits it") {
     // a port with no listener: connect refused -> the trait's THROW path
     val dead = new java.net.ServerSocket(0)
