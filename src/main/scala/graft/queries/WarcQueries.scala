@@ -331,6 +331,27 @@ object WarcQueries extends QueryPack {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"))
         .orderBy("media_id")
+    }),
+
+    // the crawl loop closed over DISCOVERY (w03 fetches a known
+    // frontier; here the frontier is discovered by crawling): seeds →
+    // fetch → parse outlinks from the fetched HTML → canonicalize →
+    // visited anti-join → next round, bounded depth. The synthetic web
+    // is a pure function of the URL, so the oracle states the whole
+    // min-depth reachable set with a recursive CTE — any URL fetched
+    // twice, dropped, mis-resolved, or discovered at the wrong depth
+    // breaks rows or hash
+    "w05_crawl_bfs" -> ((s, d) => {
+      val seeds = Tables.documents(s, d).select(
+        concat(lit("http://site"), (col("doc_id") % 5).cast("string"),
+          lit(".test/p/"), (col("doc_id") % 32).cast("string")).as("url"))
+      graft.crawl.Crawl.bfs(seeds,
+          graft.crawl.Fetch.Config(transportClass =
+            classOf[graft.crawl.SyntheticWebTransport].getName),
+          maxDepth = 3)
+        .select(col("url"), col("depth"), col("status"),
+          md5(col("body")).as("body_md5"))
+        .orderBy("url")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -445,6 +466,40 @@ object WarcQueries extends QueryPack {
            UNION ALL
            SELECT doc_id + 5000000, 'unknown', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
            FROM documents WHERE doc_id = 88)
-         ORDER BY media_id"""
+         ORDER BY media_id""",
+
+    // independent BFS replay: the synthetic web's link function
+    // ((2i+5)%N, (3i+1)%N, host hop; 404s at i%13=0 emit no links —
+    // SyntheticWebTransport.body, constants H=5 N=400) expanded to the
+    // bounded-depth closure by a recursive CTE, min depth per node, and
+    // the page bytes restated character-for-character under md5
+    "w05_crawl_bfs" ->
+      """WITH RECURSIVE
+         seeds AS (
+           SELECT DISTINCT (doc_id % 5) AS h, (doc_id % 32) AS id
+           FROM documents),
+         kinds AS (SELECT unnest([0, 1, 2]) AS k),
+         reach AS (
+           SELECT h, id, 0 AS depth FROM seeds
+           UNION
+           SELECT CASE WHEN k.k = 2 THEN (r.h + 1) % 5 ELSE r.h END,
+                  CASE WHEN k.k = 0 THEN (2 * r.id + 5) % 400
+                       WHEN k.k = 1 THEN (3 * r.id + 1) % 400
+                       ELSE r.id END,
+                  r.depth + 1
+           FROM reach r CROSS JOIN kinds k
+           WHERE r.depth < 3 AND r.id % 13 <> 0),
+         nodes AS (SELECT h, id, MIN(depth) AS depth FROM reach GROUP BY h, id)
+         SELECT 'http://site' || h || '.test/p/' || id AS url,
+           CAST(depth AS INT) AS depth,
+           CAST(CASE WHEN id % 13 = 0 THEN 404 ELSE 200 END AS INT) AS status,
+           md5(CASE WHEN id % 13 = 0 THEN 'gone'
+             ELSE '<html><body><h1>node ' || h || '/' || id
+               || '</h1><a href="/p/' || (2 * id + 5) % 400
+               || '">x</a> <a href="/p/' || (3 * id + 1) % 400
+               || '">y</a> <a href="http://site' || (h + 1) % 5
+               || '.test/p/' || id || '">hop</a></body></html>'
+           END) AS body_md5
+         FROM nodes ORDER BY url"""
   )
 }

@@ -334,9 +334,20 @@ class PlanShapeSpec extends SparkSpec {
     // CacheManager residue fix — a streaming session runs this per
     // micro-batch)
     "d19_dedup_increment_sigs" -> 10,
+    // w05 IS a crawl: construction runs the whole bounded-depth BFS
+    // (fetching is the side effect — it cannot be lazy). Per round
+    // (maxDepth=3 → 4 rounds): eager fetch-archive checkpoint + the
+    // next-frontier count (skipped on the last round), plus the seed
+    // canonicalization and the final consolidation checkpoint. The
+    // budget documents the loop shape; the returned plan is checkpoint
+    // blocks (0 source leaves)
+    "w05_crawl_bfs" -> 12,
     // d12's self-releasing survivor-id materialization (dedupAgainst) —
-    // the same r16 residue fix; previously fully lazy (default budget)
-    "d12_dedup_increment" -> 6,
+    // the same r16 residue fix; previously fully lazy (default budget).
+    // +1 r16: the deterministic batch-narrow cache build (count() before
+    // the survivor job — two stages racing a cold cache each re-ran the
+    // batch scan + kernel build; one job removes the race)
+    "d12_dedup_increment" -> 7,
     // the e2e curation capstone runs the full chain at construction:
     // near-dup candidate checkpoint + broadcast-gating count (d02's
     // budget), the empty-benchmark bloomContamination count, and the
