@@ -68,7 +68,8 @@ object Cli {
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case "process" | "marcout" | "commit" | "curate" | "fetch" if inputs.isEmpty =>
+        case "process" | "marcout" | "commit" | "curate" | "fetch" | "crawl"
+            if inputs.isEmpty =>
           command = args(i)
         case "-i" => i += 1; inputType = args(i)
         case "-o" => i += 1; outDir = args(i)
@@ -131,6 +132,56 @@ object Cli {
         s"[graft] fetch: attempted=${stats.attempted} responded=${stats.ok} " +
           s"failed=${stats.failed} retried=${stats.retried} " +
           s"bytes=${stats.bytes} → $outDir")
+      return
+    }
+
+    if (command == "crawl") {
+      // discovery crawl: seeds parquet in (url column), bounded-depth
+      // BFS over the live web (Crawl.bfs — fetch, parse outlinks,
+      // visited anti-join, iterate), WARC archive + audit parquet out.
+      //   graft.Cli crawl -o crawl-out -s fetch.transport=className
+      //     -s crawl.max_depth=N [-s crawl.scope_prefix=p1,p2,...]
+      //     [-s crawl.max_frontier=N] [fetch.* knobs as for `fetch`]
+      //     seeds.parquet...
+      // Output: crawl-out/warc (flat WARC dir — curate.stream watches
+      // it directly) and crawl-out/audit (url, depth, status, attempts,
+      // error, redirect chain — incl. status=-1 transport failures that
+      // have no WARC record).
+      require(inputs.nonEmpty, "no seed tables given")
+      val transportClass = settings.getOrElse("fetch.transport", sys.error(
+        "-s fetch.transport=className required (a graft.crawl.FetchTransport)"))
+      val seeds = inputs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+      val scope: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        settings.get("crawl.scope_prefix") match {
+          case Some(ps) =>
+            val prefixes = ps.split(",").map(_.trim).filter(_.nonEmpty)
+            u => prefixes.map(u.startsWith(_)).reduce(_ || _)
+          case None => _ => lit(true)
+        }
+      val archive = crawl.Crawl.bfs(seeds,
+        cfg = crawl.Fetch.Config(
+          transportClass = transportClass,
+          userAgent = settings.getOrElse("fetch.user_agent", "graftbot"),
+          maxAttempts = settings.getOrElse("fetch.max_attempts", "3").toInt,
+          backoffMs = settings.getOrElse("fetch.backoff_ms", "1000").toLong,
+          defaultDelayMs = settings.getOrElse("fetch.delay_ms", "0").toLong,
+          maxRedirects = settings.getOrElse("fetch.max_redirects", "5").toInt,
+          redirectRobotsGate =
+            settings.get("fetch.robots_gate").contains("true")),
+        maxDepth = settings.getOrElse("crawl.max_depth", "2").toInt,
+        scope = scope,
+        maxFrontierPerRound = settings.getOrElse("crawl.max_frontier",
+          crawl.Crawl.MaxFrontierPerRound.toString).toLong)
+      sinks.WarcWriter.write(
+        crawl.Fetch.toWarcRows(archive), s"$outDir/warc")
+      archive.select(col("url"), col("depth"), col("status"),
+          col("attempts"), col("error"), col("redirects"))
+        .write.mode("overwrite").parquet(s"$outDir/audit")
+      val total = archive.count()
+      val failed = archive.filter(col("status") < 0).count()
+      System.err.println(
+        s"[graft] crawl: fetched=$total failed=$failed " +
+          s"maxDepth=${settings.getOrElse("crawl.max_depth", "2")} → $outDir")
       return
     }
 

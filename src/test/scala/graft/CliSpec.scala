@@ -510,6 +510,33 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(standing).groupBy("doc_id").count()
       .filter(col("count") > 1).count() == 0, "no doc ever appends twice")
   }
+
+  test("crawl: seeds → discovery BFS → WARC archive + audit parquet") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cli-crawl").toString
+    Seq("http://site0.test/p/1").toDF("url")
+      .coalesce(1).write.parquet(s"$dir/seeds")
+    Cli.run(Seq("crawl", "-o", s"$dir/out",
+      "-s", "fetch.transport=graft.crawl.SyntheticWebTransport",
+      "-s", "crawl.max_depth=1", s"$dir/seeds"),
+      spark, new graft.sinks.FakeTransport())
+    // depth-1 closure of (0,1): links (2·1+5)=7, (3·1+1)=4, host hop
+    val want = Set("http://site0.test/p/1", "http://site0.test/p/7",
+      "http://site0.test/p/4", "http://site1.test/p/1")
+    val audit = spark.read.parquet(s"$dir/out/audit")
+    assert(audit.select("url").as[String].collect().toSet == want)
+    assert(audit.agg(max(col("depth"))).collect()(0).getInt(0) == 1)
+    val archived = spark.read.format("warc").load(s"$dir/out/warc")
+    assert(archived.select("target_uri").as[String].collect().toSet == want)
+    // scope prefix bounds discovery: host-0 only, the /p/1 hop dropped
+    Cli.run(Seq("crawl", "-o", s"$dir/scoped",
+      "-s", "fetch.transport=graft.crawl.SyntheticWebTransport",
+      "-s", "crawl.max_depth=1",
+      "-s", "crawl.scope_prefix=http://site0.test/", s"$dir/seeds"),
+      spark, new graft.sinks.FakeTransport())
+    assert(spark.read.parquet(s"$dir/scoped/audit")
+      .select("url").as[String].collect().toSet == (want - "http://site1.test/p/1"))
+  }
 }
 
 /** Deterministic fetch transport for the CLI crawl-loop golden: each url
