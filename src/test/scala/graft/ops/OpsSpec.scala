@@ -908,9 +908,17 @@ class OpsSpec extends SparkSpec {
       val (d13Reads, d13n) =
         measured(Dedup.winnowNearDupPairs(onDisk, "doc_id", "text", 0.6))
       assert(d13n > 0)
-      assert(d13Reads <= 2 * nRows,
+      // r16: the fingerprint barrier moved from a CacheManager persist
+      // to a GC-reclaimable lazy checkpoint (pushdown + residue, see
+      // winnowNearDupPairs). InMemoryRelation reads were invisible to
+      // recordsRead; checkpoint BLOCK reads count — so the budget is
+      // 1 source scan (the construction-time count that builds the
+      // barrier) + one block read per consumer (hot-count, the reused
+      // self-join exchange, the pair re-attachment join). Text still
+      // leaves the source exactly once.
+      assert(d13Reads <= 4 * nRows,
         s"d13 default read ${d13Reads} records for $nRows rows " +
-          "(budget: 1 kernel-pass scan, persisted; was 3x in r11)")
+          "(budget: 1 kernel-pass source scan + 3 checkpoint-block reads)")
       // d12 reads its two sides from separate stores (the production
       // shape); the r12 default persists the increment-sized batch
       // narrow, so budget = 1x the batch + 3x the prior (was 4+3)
