@@ -27,17 +27,27 @@ import org.w3c.dom.{Attr, Document, Node, NodeList}
   */
 object XmlDom {
 
-  /** Namespace-aware builder with DTD loading off (no network/entity I/O in
-    * executors) and secure processing on. */
-  def newDocumentBuilder(): DocumentBuilder = {
+  // JAXP `*Factory.newInstance()` is a ServiceLoader classpath scan under
+  // a classloader lock: 32 executor threads initializing their per-thread
+  // builders at the start of a parse stage convoy on it (a fresh query
+  // construction re-initializes every thread-local). One configured
+  // factory per JVM; instance creation off it is cheap and guarded by a
+  // short lock (JAXP factories are not thread-safe by contract).
+  private lazy val builderFactory: DocumentBuilderFactory = {
     val f = DocumentBuilderFactory.newInstance()
     f.setNamespaceAware(true)
     f.setFeature(XMLConstants.FEATURE_SECURE_PROCESSING, true)
     f.setFeature("http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
     f.setFeature("http://xml.org/sax/features/external-general-entities", false)
     f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
-    f.newDocumentBuilder()
+    f
   }
+  private lazy val xpathFactory: XPathFactory = XPathFactory.newInstance()
+
+  /** Namespace-aware builder with DTD loading off (no network/entity I/O in
+    * executors) and secure processing on. */
+  def newDocumentBuilder(): DocumentBuilder =
+    builderFactory.synchronized { builderFactory.newDocumentBuilder() }
 
   /** XPath-1.0 namespace context over a prefix→URI map. Unknown prefixes
     * raise, matching Nokogiri's undefined-prefix XPath error. */
@@ -63,7 +73,7 @@ object XmlDom {
   }
 
   def compileXPath(expr: String, ns: Map[String, String]): XPathExpression = {
-    val xp = XPathFactory.newInstance().newXPath()
+    val xp = xpathFactory.synchronized { xpathFactory.newXPath() }
     xp.setNamespaceContext(namespaceContext(ns))
     xp.compile(expr)
   }
