@@ -32,6 +32,18 @@ object GraftSession {
       // on, as Spark 4 ships.
       .config("spark.sql.ansi.enabled",
         sys.env.getOrElse("SPARK_GRAFT_ANSI", "true"))
+      // the generated-class cache defaults to 100 entries; a session
+      // running the whole 158-query registry generates ~1-2k distinct
+      // codegen units PER PASS, so the default thrashes: janino
+      // recompiles continuously for the life of the session and the
+      // resulting class-loading churn re-deoptimizes hot shared JVM
+      // paths (the bench recorded one wandering ~25 s pass-2 stall per
+      // run landing on whichever DOM-parse query hit the deopt storm —
+      // x03 0.86→8.05 s one run, x04 4.8→29.8 s the next, storage
+      // clean both times). 10k entries holds every unit of the full
+      // registry; a production curation session (dozens of distinct
+      // jobs, not 474 query executions) sits far below it either way.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)

@@ -128,6 +128,100 @@ object Crawl {
       .foreach { case (df, _) => CheckpointBridge.unpersist(df) }
     out
   }
+
+  /** The RESTARTABLE production form of [[bfs]]: each round's archive
+    * goes straight to disk through [[Fetch.run]]'s batch commit-log
+    * (exactly-once WARC under `outDir/round_<d>/`), each round's
+    * frontier is persisted as parquet BEFORE fetching
+    * (`outDir/_crawl/frontier_<d>/` — the resume identity
+    * [[Fetch.run]]'s plan fingerprint verifies), and link extraction
+    * reads the round's archive back from disk. Re-running a crashed
+    * crawl with the same `outDir` therefore resumes at the first
+    * unfinished batch of the first unfinished round and never re-fetches
+    * a committed batch — a multi-hour 100 TB crawl survives driver loss
+    * with bounded re-work, where [[bfs]] (checkpoint-barrier rounds in
+    * executor storage) would restart from the seeds.
+    *
+    * Semantics match [[bfs]] (min-depth, one fetch per distinct
+    * canonical URL, `scope`/`maxFrontierPerRound` gates). Differences,
+    * both inherited from [[Fetch.run]]: terminal transport failures are
+    * counted in the returned stats but have no archive record (re-crawl
+    * them with a fresh outDir); archives land per ROUND, so depth is the
+    * directory, not a column. `curate.stream` can watch any round dir.
+    *
+    * Returns one [[FetchStats]] per executed round (resumed rounds
+    * report only the re-fetched crash window — already-committed batches
+    * contribute zero, the [[Fetch.run]] contract). */
+  def run(seeds: DataFrame, outDir: String, cfg: Fetch.Config, maxDepth: Int,
+          scope: Column => Column = _ => lit(true),
+          maxFrontierPerRound: Long = MaxFrontierPerRound): Seq[FetchStats] = {
+    require(maxDepth >= 0, s"maxDepth must be non-negative: $maxDepth")
+    val spark = seeds.sparkSession
+    val hconf = spark.sessionState.newHadoopConf()
+    def frontierDir(d: Int) = s"$outDir/_crawl/frontier_$d"
+    def roundDir(d: Int) = s"$outDir/round_$d"
+    def complete(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+      p.getFileSystem(hconf).exists(p)
+    }
+    var stats = Vector.empty[FetchStats]
+    var visitedDirs = Vector.empty[String]
+    var frontier = seeds
+      .select(TextAnalysis.canonicalUrl(col("url")).as("url"))
+      .filter(col("url").isNotNull).distinct()
+    var depth = 0
+    var drained = false
+    while (!drained) {
+      val fDir = frontierDir(depth)
+      // the persisted parquet IS the round's identity: on resume it is
+      // read back VERBATIM (recomputing it from a prior round's archive
+      // yields the same multiset, but the disk copy is what Fetch.run's
+      // plan fingerprint was recorded against); a partial write (no
+      // _SUCCESS) is overwritten
+      if (!complete(fDir))
+        frontier.write.mode("overwrite").parquet(fDir)
+      val persisted = spark.read.parquet(fDir)
+      if (depth == 0 && persisted.isEmpty) return stats // nothing to crawl
+      visitedDirs :+= fDir
+      stats :+= Fetch.run(persisted, roundDir(depth),
+        checkpointDir = s"$outDir/_crawl/commits_$depth", cfg)
+      if (depth == maxDepth) drained = true
+      else {
+        val links = spark.read.format("warc").load(roundDir(depth))
+          .filter(col("warc_type") === "response" &&
+            col("http_status").between(200, 299) &&
+            col("http_content_type").startsWith("text/html"))
+          .select(col("target_uri").as("base"),
+            explode(TextAnalysis.htmlLinks(col("payload").cast("string")))
+              .as("link"))
+          .select(TextAnalysis.canonicalUrl(
+            TextAnalysis.resolveUrl(col("base"), col("link.url"))).as("url"))
+          .filter(col("url").isNotNull &&
+            (col("url").startsWith("http://") ||
+              col("url").startsWith("https://")) &&
+            scope(col("url")))
+          .distinct()
+        val visited = visitedDirs.map(spark.read.parquet(_))
+          .reduce(_ unionByName _)
+        val next = links.join(visited, Seq("url"), "left_anti")
+        // cheap double-execution: both actions read url-sized frames off
+        // disk-backed rounds (the archive scan is the only corpus-sized
+        // leaf, and it prunes to 2xx-html rows either way)
+        val n = next.count()
+        if (n > maxFrontierPerRound)
+          throw new IllegalArgumentException(
+            s"crawl frontier exploded: round ${depth + 1} discovered $n " +
+              s"new URLs (bound $maxFrontierPerRound). Tighten `scope` " +
+              "(host allowlist / path prefix) or raise " +
+              "maxFrontierPerRound if the storage budget genuinely " +
+              "covers it.")
+        drained = n == 0L
+        frontier = next
+        depth += 1
+      }
+    }
+    stats
+  }
 }
 
 /** Deterministic LINKED web for tests and the graded w05 fixture: the

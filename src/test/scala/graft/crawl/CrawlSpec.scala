@@ -6,6 +6,13 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
+/** Throws on any call — proves a resumed crawl never touches the wire.
+  * Top-level so Class.forName can see it. */
+final class NeverTransport extends FetchTransport {
+  override def fetch(url: String, userAgent: String): FetchResponse =
+    throw new IllegalStateException(s"resume must not fetch: $url")
+}
+
 class CrawlSpec extends SparkSpec {
   import SyntheticWebTransport.{H, N}
 
@@ -129,6 +136,51 @@ class CrawlSpec extends SparkSpec {
     assert(out.count() == 0)
     assert(out.columns.toSeq.contains("depth"))
     assert(out.columns.toSeq.contains("body"))
+  }
+
+  test("run: per-round disk archives equal the in-memory bfs, depth by depth") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("crawl-run").toString
+    val seeds = Seq(url(0, 1), url(3, 2)).toDF("url")
+    val stats = Crawl.run(seeds, out, cfg, maxDepth = 2)
+    assert(stats.size == 3)
+    val mem = Crawl.bfs(seeds, cfg, maxDepth = 2)
+      .select("url", "depth", "status", "body").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        new String(r.getAs[Array[Byte]](3), "UTF-8"))).toSet
+    val disk = (0 to 2).flatMap { d =>
+      spark.read.format("warc").load(s"$out/round_$d")
+        .select("target_uri", "http_status", "payload").collect()
+        .map(r => (r.getString(0), d, r.getInt(1),
+          new String(r.getAs[Array[Byte]](2), "UTF-8")))
+    }.toSet
+    assert(disk == mem)
+  }
+
+  test("run: a completed crawl resumes as a no-op — zero transport calls") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("crawl-rerun").toString
+    val seeds = Seq(url(0, 1)).toDF("url")
+    Crawl.run(seeds, out, cfg, maxDepth = 2)
+    // same outDir, a transport that throws on ANY call: every batch of
+    // every round is committed, so the re-run must finish without one
+    val stats = Crawl.run(seeds, out, Fetch.Config(
+      transportClass = classOf[NeverTransport].getName,
+      maxAttempts = 1), maxDepth = 2)
+    assert(stats.forall(s => s.attempted == 0 && s.failed == 0))
+  }
+
+  test("run: extending a finished crawl fetches only the NEW rounds") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("crawl-extend").toString
+    val seeds = Seq(url(0, 1)).toDF("url")
+    Crawl.run(seeds, out, cfg, maxDepth = 0)
+    val before = SyntheticWebTransport.calls.get()
+    Crawl.run(seeds, out, cfg, maxDepth = 2)
+    val fetched = SyntheticWebTransport.calls.get() - before
+    val full = closure(Seq((0L, 1L)), 2)
+    assert(fetched == full.size - 1, // everything except the depth-0 seed
+      s"resume refetched round 0 ($fetched calls, want ${full.size - 1})")
   }
 
   test("crawl loop leaves no checkpoint residue beyond the result") {
