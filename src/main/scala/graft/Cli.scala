@@ -137,16 +137,21 @@ object Cli {
 
     if (command == "crawl") {
       // discovery crawl: seeds parquet in (url column), bounded-depth
-      // BFS over the live web (Crawl.bfs — fetch, parse outlinks,
-      // visited anti-join, iterate), WARC archive + audit parquet out.
+      // BFS over the live web (fetch, parse outlinks, visited anti-join,
+      // iterate), WARC archive out.
       //   graft.Cli crawl -o crawl-out -s fetch.transport=className
       //     -s crawl.max_depth=N [-s crawl.scope_prefix=p1,p2,...]
-      //     [-s crawl.max_frontier=N] [fetch.* knobs as for `fetch`]
-      //     seeds.parquet...
-      // Output: crawl-out/warc (flat WARC dir — curate.stream watches
-      // it directly) and crawl-out/audit (url, depth, status, attempts,
-      // error, redirect chain — incl. status=-1 transport failures that
-      // have no WARC record).
+      //     [-s crawl.max_frontier=N] [-s crawl.restartable=true]
+      //     [fetch.* knobs as for `fetch`] seeds.parquet...
+      // Default (in-memory rounds): crawl-out/warc (flat WARC dir —
+      // curate.stream watches it directly) + crawl-out/audit (url,
+      // depth, status, attempts, error, redirect chain — incl.
+      // status=-1 transport failures that have no WARC record).
+      // crawl.restartable=true routes through Crawl.run instead: WARC
+      // lands per round (crawl-out/round_<d>/) through the batch
+      // commit-log, frontiers persist under crawl-out/_crawl/, and
+      // RE-RUNNING the same command after a crash resumes at the first
+      // unfinished batch — the form a long production crawl wants.
       require(inputs.nonEmpty, "no seed tables given")
       val transportClass = settings.getOrElse("fetch.transport", sys.error(
         "-s fetch.transport=className required (a graft.crawl.FetchTransport)"))
@@ -158,30 +163,40 @@ object Cli {
             u => prefixes.map(u.startsWith(_)).reduce(_ || _)
           case None => _ => lit(true)
         }
-      val archive = crawl.Crawl.bfs(seeds,
-        cfg = crawl.Fetch.Config(
-          transportClass = transportClass,
-          userAgent = settings.getOrElse("fetch.user_agent", "graftbot"),
-          maxAttempts = settings.getOrElse("fetch.max_attempts", "3").toInt,
-          backoffMs = settings.getOrElse("fetch.backoff_ms", "1000").toLong,
-          defaultDelayMs = settings.getOrElse("fetch.delay_ms", "0").toLong,
-          maxRedirects = settings.getOrElse("fetch.max_redirects", "5").toInt,
-          redirectRobotsGate =
-            settings.get("fetch.robots_gate").contains("true")),
-        maxDepth = settings.getOrElse("crawl.max_depth", "2").toInt,
-        scope = scope,
-        maxFrontierPerRound = settings.getOrElse("crawl.max_frontier",
-          crawl.Crawl.MaxFrontierPerRound.toString).toLong)
-      sinks.WarcWriter.write(
-        crawl.Fetch.toWarcRows(archive), s"$outDir/warc")
-      archive.select(col("url"), col("depth"), col("status"),
-          col("attempts"), col("error"), col("redirects"))
-        .write.mode("overwrite").parquet(s"$outDir/audit")
-      val total = archive.count()
-      val failed = archive.filter(col("status") < 0).count()
-      System.err.println(
-        s"[graft] crawl: fetched=$total failed=$failed " +
-          s"maxDepth=${settings.getOrElse("crawl.max_depth", "2")} → $outDir")
+      val cfg = crawl.Fetch.Config(
+        transportClass = transportClass,
+        userAgent = settings.getOrElse("fetch.user_agent", "graftbot"),
+        maxAttempts = settings.getOrElse("fetch.max_attempts", "3").toInt,
+        backoffMs = settings.getOrElse("fetch.backoff_ms", "1000").toLong,
+        defaultDelayMs = settings.getOrElse("fetch.delay_ms", "0").toLong,
+        maxRedirects = settings.getOrElse("fetch.max_redirects", "5").toInt,
+        redirectRobotsGate =
+          settings.get("fetch.robots_gate").contains("true"))
+      val maxDepth = settings.getOrElse("crawl.max_depth", "2").toInt
+      val maxFrontier = settings.getOrElse("crawl.max_frontier",
+        crawl.Crawl.MaxFrontierPerRound.toString).toLong
+      if (settings.get("crawl.restartable").contains("true")) {
+        val stats = crawl.Crawl.run(seeds, outDir, cfg, maxDepth,
+          scope = scope, maxFrontierPerRound = maxFrontier)
+        System.err.println(
+          s"[graft] crawl (restartable): rounds=${stats.size} " +
+            s"attempted=${stats.map(_.attempted).sum} " +
+            s"failed=${stats.map(_.failed).sum} " +
+            s"bytes=${stats.map(_.bytes).sum} maxDepth=$maxDepth → $outDir")
+      } else {
+        val archive = crawl.Crawl.bfs(seeds, cfg, maxDepth,
+          scope = scope, maxFrontierPerRound = maxFrontier)
+        sinks.WarcWriter.write(
+          crawl.Fetch.toWarcRows(archive), s"$outDir/warc")
+        archive.select(col("url"), col("depth"), col("status"),
+            col("attempts"), col("error"), col("redirects"))
+          .write.mode("overwrite").parquet(s"$outDir/audit")
+        val total = archive.count()
+        val failed = archive.filter(col("status") < 0).count()
+        System.err.println(
+          s"[graft] crawl: fetched=$total failed=$failed " +
+            s"maxDepth=$maxDepth → $outDir")
+      }
       return
     }
 

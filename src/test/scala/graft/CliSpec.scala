@@ -537,6 +537,29 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/scoped/audit")
       .select("url").as[String].collect().toSet == (want - "http://site1.test/p/1"))
   }
+
+  test("crawl restartable: per-round WARC on disk; re-run resumes as a no-op") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cli-crawl-r").toString
+    Seq("http://site0.test/p/1").toDF("url")
+      .coalesce(1).write.parquet(s"$dir/seeds")
+    def run(transport: String): Unit = Cli.run(Seq("crawl", "-o", s"$dir/out",
+      "-s", s"fetch.transport=$transport",
+      "-s", "crawl.max_depth=1", "-s", "crawl.restartable=true",
+      s"$dir/seeds"), spark, new graft.sinks.FakeTransport())
+    run("graft.crawl.SyntheticWebTransport")
+    val round0 = spark.read.format("warc").load(s"$dir/out/round_0")
+    val round1 = spark.read.format("warc").load(s"$dir/out/round_1")
+    assert(round0.select("target_uri").as[String].collect().toSeq ==
+      Seq("http://site0.test/p/1"))
+    assert(round1.select("target_uri").as[String].collect().toSet ==
+      Set("http://site0.test/p/7", "http://site0.test/p/4",
+        "http://site1.test/p/1"))
+    // the same command after a "crash" completes without touching the
+    // wire: every batch of every round is committed
+    run(classOf[graft.crawl.NeverTransport].getName)
+    assert(spark.read.format("warc").load(s"$dir/out/round_1").count() == 3)
+  }
 }
 
 /** Deterministic fetch transport for the CLI crawl-loop golden: each url
