@@ -127,7 +127,10 @@ object Cli {
           // true = gate cross-host redirect hops on the target's real
           // robots.txt (fetched via the same transport, memoized)
           redirectRobotsGate =
-            settings.get("fetch.robots_gate").contains("true")))
+            settings.get("fetch.robots_gate").contains("true"),
+          maxHostFailures =
+            settings.getOrElse("fetch.host_failure_budget", "0").toInt,
+          warcHops = settings.get("fetch.warc_hops").contains("true")))
       System.err.println(
         s"[graft] fetch: attempted=${stats.attempted} responded=${stats.ok} " +
           s"failed=${stats.failed} retried=${stats.retried} " +
@@ -142,7 +145,11 @@ object Cli {
       //   graft.Cli crawl -o crawl-out -s fetch.transport=className
       //     -s crawl.max_depth=N [-s crawl.scope_prefix=p1,p2,...]
       //     [-s crawl.max_frontier=N] [-s crawl.restartable=true]
-      //     [fetch.* knobs as for `fetch`] seeds.parquet...
+      //     [-s crawl.recrawl_failures=true (no seeds: re-queue the
+      //      restartable crawl's terminal-failure tombstones in place)]
+      //     [fetch.* knobs as for `fetch`, incl. fetch.batch_size /
+      //      fetch.gzip / fetch.host_failure_budget / fetch.warc_hops]
+      //     seeds.parquet...
       // Default (in-memory rounds): crawl-out/warc (flat WARC dir —
       // curate.stream watches it directly) + crawl-out/audit (url,
       // depth, status, attempts, error, redirect chain — incl.
@@ -152,10 +159,8 @@ object Cli {
       // commit-log, frontiers persist under crawl-out/_crawl/, and
       // RE-RUNNING the same command after a crash resumes at the first
       // unfinished batch — the form a long production crawl wants.
-      require(inputs.nonEmpty, "no seed tables given")
       val transportClass = settings.getOrElse("fetch.transport", sys.error(
         "-s fetch.transport=className required (a graft.crawl.FetchTransport)"))
-      val seeds = inputs.map(spark.read.parquet(_)).reduce(_ unionByName _)
       val scope: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         settings.get("crawl.scope_prefix") match {
           case Some(ps) =>
@@ -163,18 +168,39 @@ object Cli {
             u => prefixes.map(u.startsWith(_)).reduce(_ || _)
           case None => _ => lit(true)
         }
+      // the full fetch.* knob set, exactly as the `fetch` command wires
+      // it — in the restartable path batch_size directly controls the
+      // commit-log crash window and gzip the archive compression, so a
+      // crawl-block omission would silently pin a long crawl to defaults
       val cfg = crawl.Fetch.Config(
         transportClass = transportClass,
         userAgent = settings.getOrElse("fetch.user_agent", "graftbot"),
         maxAttempts = settings.getOrElse("fetch.max_attempts", "3").toInt,
         backoffMs = settings.getOrElse("fetch.backoff_ms", "1000").toLong,
         defaultDelayMs = settings.getOrElse("fetch.delay_ms", "0").toLong,
+        batchSize = settings.getOrElse("fetch.batch_size", "100000").toLong,
+        gzip = settings.get("fetch.gzip").contains("true"),
         maxRedirects = settings.getOrElse("fetch.max_redirects", "5").toInt,
         redirectRobotsGate =
-          settings.get("fetch.robots_gate").contains("true"))
+          settings.get("fetch.robots_gate").contains("true"),
+        maxHostFailures =
+          settings.getOrElse("fetch.host_failure_budget", "0").toInt,
+        warcHops = settings.get("fetch.warc_hops").contains("true"))
       val maxDepth = settings.getOrElse("crawl.max_depth", "2").toInt
       val maxFrontier = settings.getOrElse("crawl.max_frontier",
         crawl.Crawl.MaxFrontierPerRound.toString).toLong
+      if (settings.get("crawl.recrawl_failures").contains("true")) {
+        // -s crawl.recrawl_failures=true: no seeds — re-queue the
+        // persisted tombstones of the restartable crawl at -o outDir
+        val stats = crawl.Crawl.recrawlFailures(outDir, cfg)
+        System.err.println(
+          s"[graft] recrawl: attempted=${stats.attempted} " +
+            s"responded=${stats.ok} failed=${stats.failed} " +
+            s"retried=${stats.retried} bytes=${stats.bytes} → $outDir")
+        return
+      }
+      require(inputs.nonEmpty, "no seed tables given")
+      val seeds = inputs.map(spark.read.parquet(_)).reduce(_ unionByName _)
       if (settings.get("crawl.restartable").contains("true")) {
         val stats = crawl.Crawl.run(seeds, outDir, cfg, maxDepth,
           scope = scope, maxFrontierPerRound = maxFrontier)

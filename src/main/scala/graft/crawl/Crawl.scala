@@ -36,6 +36,43 @@ object Crawl {
     * the crawl, and every further round multiplies the damage. */
   val MaxFrontierPerRound: Long = 50000000L
 
+  /** Canonicalized link urls of one fetched round, resolved against the
+    * page's FINAL address: a page reached through redirects resolves its
+    * relative links against the last hop target, not the request url
+    * (`/a` redirected to `/docs/index.html` linking `x.html` means
+    * `/docs/x.html`). `try_element_at` (never `element_at`): an empty
+    * chain must read null under ANSI, not throw. */
+  private def roundLinks(pages: DataFrame, scope: Column => Column): DataFrame =
+    pages
+      .select(
+        coalesce(try_element_at(col("redirects"), lit(-1)), col("url")).as("base"),
+        explode(TextAnalysis.htmlLinks(col("body").cast("string")))
+          .as("link"))
+      .select(TextAnalysis.canonicalUrl(
+        TextAnalysis.resolveUrl(col("base"), col("link.url"))).as("url"))
+      .filter(col("url").isNotNull &&
+        (col("url").startsWith("http://") ||
+          col("url").startsWith("https://")) &&
+        scope(col("url")))
+      .distinct()
+
+  /** Every url a round's redirect chains passed THROUGH or landed on —
+    * each was fetched (and the landing page archived under its original
+    * request url), so all of them belong in the visited set: a link to a
+    * redirect target must not re-fetch a page the crawl already has. */
+  private def hopUrls(fetched: DataFrame): DataFrame =
+    fetched
+      .select(explode(col("redirects")).as("hop"))
+      .select(TextAnalysis.canonicalUrl(col("hop")).as("url"))
+      .filter(col("url").isNotNull).distinct()
+
+  /** Per-host politeness high-water marks of one round's fetches
+    * (`fetched_at` = 0 rows made no HTTP exchange and carry no mark). */
+  private def roundMarks(fetched: DataFrame): DataFrame =
+    fetched.filter(col("fetched_at") > 0L)
+      .groupBy(col("domain"))
+      .agg(max(col("fetched_at")).as("last_fetch_ms"))
+
   /** Fetched rows ([[FetchedRow]] columns) + `depth` (BFS hop at which
     * the URL was first discovered; seeds are depth 0). One row per
     * distinct canonical URL — a URL reachable from many parents fetches
@@ -62,70 +99,110 @@ object Crawl {
       .filter(col("url").isNotNull).distinct()
       .localCheckpoint(false)
     var visited = frontier
+    var marks: DataFrame = null // accumulated (domain, last_fetch_ms)
     var prevFrontier: DataFrame = null
     var prevVisited: DataFrame = null
+    var prevMarks: DataFrame = null
+    var pending: Seq[DataFrame] = Nil // mid-round frames not yet in slots
     var rounds = Vector.empty[DataFrame]
     var depth = 0
     // round 0 always runs — on an empty seed set it fetches nothing and
     // the output is the (correctly-schemad) empty archive, total for free
     var drained = false
-    while (depth <= maxDepth && !drained) {
-      // EAGER: fetching is the externally-visible side effect — it must
-      // run exactly once per round, here, not wherever a lazy plan
-      // happens to first act on it (and never AGAIN on a downstream
-      // re-execution: the checkpoint truncates lineage at the archive)
-      val fetched = Fetch.fetchFrontier(frontier, cfg)
-        .withColumn("depth", lit(depth))
-        .localCheckpoint(true)
-      rounds :+= fetched
-      if (depth == maxDepth) drained = true
-      else {
-        val next = fetched
-          .filter(col("status").between(200, 299) &&
-            col("content_type").startsWith("text/html"))
-          .select(col("url").as("base"),
-            explode(TextAnalysis.htmlLinks(col("body").cast("string")))
-              .as("link"))
-          .select(TextAnalysis.canonicalUrl(
-            TextAnalysis.resolveUrl(col("base"), col("link.url"))).as("url"))
-          .filter(col("url").isNotNull &&
-            (col("url").startsWith("http://") ||
-              col("url").startsWith("https://")) &&
-            scope(col("url")))
-          .distinct()
-          .join(visited, Seq("url"), "left_anti")
-          .localCheckpoint(false)
-        val n = next.count() // materializes; doubles as the runaway gauge
-        drained = n == 0L
-        if (n > maxFrontierPerRound)
-          throw new IllegalArgumentException(
-            s"crawl frontier exploded: round ${depth + 1} discovered $n new " +
-              s"URLs (bound $maxFrontierPerRound). Tighten `scope` (host " +
-              "allowlist / path prefix) or raise maxFrontierPerRound if the " +
-              "storage budget genuinely covers it.")
-        if (drained) CheckpointBridge.unpersist(next)
-        else {
-          // the round before last is provably dead (this round's frames
-          // are materialized); free it deterministically
-          if (prevFrontier ne null) CheckpointBridge.unpersist(prevFrontier)
-          if ((prevVisited ne null) && (prevVisited ne prevFrontier))
-            CheckpointBridge.unpersist(prevVisited)
-          prevFrontier = frontier
-          prevVisited = visited
-          visited = visited.union(next).localCheckpoint(false)
-          frontier = next
-        }
-      }
-      depth += 1
+    // every loop frame, deduped by reference (visited aliases frontier in
+    // round 0), freed on BOTH exits — the result path after the final
+    // union is materialized, and the throw path (frontier explosion, a
+    // failed round), where the stranded frames are by definition the
+    // biggest of the crawl
+    def freeAll(): Unit = {
+      val live = (rounds ++ Seq(prevFrontier, prevVisited, prevMarks,
+        frontier, visited, marks) ++ pending).filter(_ ne null)
+      live.zipWithIndex
+        .filter { case (df, i) => live.take(i).forall(_ ne df) }
+        .foreach { case (df, _) => CheckpointBridge.unpersist(df) }
     }
+    try {
+      while (depth <= maxDepth && !drained) {
+        // EAGER: fetching is the externally-visible side effect — it must
+        // run exactly once per round, here, not wherever a lazy plan
+        // happens to first act on it (and never AGAIN on a downstream
+        // re-execution: the checkpoint truncates lineage at the archive)
+        val fetched = Fetch.fetchFrontier(frontier, cfg)
+          .withColumn("depth", lit(depth))
+          .localCheckpoint(true)
+        rounds :+= fetched
+        if (depth == maxDepth) drained = true
+        else {
+          val pages = fetched
+            .filter(col("status").between(200, 299) &&
+              col("content_type").startsWith("text/html"))
+          // visited ∪ this round's hop urls gates discovery; the union is
+          // what future rounds must remember, so it IS the next visited
+          val seen = visited.union(hopUrls(fetched)).localCheckpoint(false)
+          // accumulated politeness floors: max mark per host across all
+          // rounds so far — a host resurfacing rounds later still waits
+          // out its crawl-delay from its LAST actual fetch. Only when a
+          // delay is actually configured: inside the loop the only
+          // politeness source is cfg.defaultDelayMs (discovered
+          // frontiers carry no crawl_delay_ms column), so with no delay
+          // the floors would join as dead weight — one aggregation
+          // shuffle per round for a column [[Fetch]] would ignore.
+          val newMarks =
+            if (cfg.defaultDelayMs <= 0) null
+            else (if (marks == null) roundMarks(fetched)
+              else marks.unionByName(roundMarks(fetched))
+                .groupBy(col("domain"))
+                .agg(max(col("last_fetch_ms")).as("last_fetch_ms")))
+              .localCheckpoint(false)
+          val fresh = roundLinks(pages, scope)
+            .join(seen, Seq("url"), "left_anti")
+          val next =
+            (if (newMarks == null) fresh
+             else fresh
+               .withColumn("domain", Fetch.urlDomain(col("url")))
+               .join(newMarks, Seq("domain"), "left")
+               .select(col("url"), col("domain"), col("last_fetch_ms")))
+              .localCheckpoint(false)
+          pending = Seq(seen, newMarks, next).filter(_ ne null)
+          val n = next.count() // materializes; doubles as the runaway gauge
+          drained = n == 0L
+          if (n > maxFrontierPerRound)
+            throw new IllegalArgumentException(
+              s"crawl frontier exploded: round ${depth + 1} discovered $n new " +
+                s"URLs (bound $maxFrontierPerRound). Tighten `scope` (host " +
+                "allowlist / path prefix) or raise maxFrontierPerRound if the " +
+                "storage budget genuinely covers it.")
+          if (drained) {
+            CheckpointBridge.unpersist(next)
+            CheckpointBridge.unpersist(seen)
+            if (newMarks ne null) CheckpointBridge.unpersist(newMarks)
+            pending = Nil
+          } else {
+            // the round before last is provably dead (this round's frames
+            // are materialized); free it deterministically
+            if (prevFrontier ne null) CheckpointBridge.unpersist(prevFrontier)
+            if ((prevVisited ne null) && (prevVisited ne prevFrontier))
+              CheckpointBridge.unpersist(prevVisited)
+            if (prevMarks ne null) CheckpointBridge.unpersist(prevMarks)
+            prevFrontier = frontier
+            prevVisited = visited
+            prevMarks = marks
+            visited = visited.union(next.select("url")).union(hopUrls(fetched))
+              .localCheckpoint(false)
+            CheckpointBridge.unpersist(seen) // superseded by new visited
+            pending = Nil
+            marks = newMarks
+            frontier = next
+          }
+        }
+        depth += 1
+      }
+    } catch { case t: Throwable => freeAll(); throw t }
     // EAGER final materialization, then free every loop frame — the
     // per-round archives, the frontier/visited chain — so the session
     // settles back to (exactly) the one result checkpoint
     val out = rounds.reduce(_ unionByName _).localCheckpoint(true)
-    val live = rounds ++ Seq(prevFrontier, prevVisited, frontier, visited)
-    live.filter(_ ne null).zipWithIndex
-      .filter { case (df, i) => live.take(i).forall(_ ne df) }
-      .foreach { case (df, _) => CheckpointBridge.unpersist(df) }
+    freeAll()
     out
   }
 
@@ -143,11 +220,16 @@ object Crawl {
     * executor storage) would restart from the seeds.
     *
     * Semantics match [[bfs]] (min-depth, one fetch per distinct
-    * canonical URL, `scope`/`maxFrontierPerRound` gates). Differences,
-    * both inherited from [[Fetch.run]]: terminal transport failures are
-    * counted in the returned stats but have no archive record (re-crawl
-    * them with a fresh outDir); archives land per ROUND, so depth is the
-    * directory, not a column. `curate.stream` can watch any round dir.
+    * canonical URL, redirect-aware link resolution and visited set,
+    * cross-round politeness floors, `scope`/`maxFrontierPerRound`
+    * gates). Archives land per ROUND, so depth is the directory, not a
+    * column; `curate.stream` can watch any round dir. Each round also
+    * persists an AUDIT sidecar (`_crawl/audit_<d>/`, every fetched row
+    * minus the body — the [[Fetch.run]] `auditDir` contract) and a
+    * FAILURE tombstone table (`_crawl/failures_<d>/`: url, domain,
+    * attempts, error, round — the audit's status −1 rows), so terminal
+    * transport failures are never lost: [[recrawlFailures]] re-queues
+    * exactly them through the same commit-log machinery, in place.
     *
     * Returns one [[FetchStats]] per executed round (resumed rounds
     * report only the re-fetched crash window — already-committed batches
@@ -160,12 +242,14 @@ object Crawl {
     val hconf = spark.sessionState.newHadoopConf()
     def frontierDir(d: Int) = s"$outDir/_crawl/frontier_$d"
     def roundDir(d: Int) = s"$outDir/round_$d"
+    def auditGlob(d: Int) = s"$outDir/_crawl/audit_$d/batch-*"
     def complete(dir: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
       p.getFileSystem(hconf).exists(p)
     }
     var stats = Vector.empty[FetchStats]
     var visitedDirs = Vector.empty[String]
+    var auditGlobs = Vector.empty[String]
     var frontier = seeds
       .select(TextAnalysis.canonicalUrl(col("url")).as("url"))
       .filter(col("url").isNotNull).distinct()
@@ -184,26 +268,72 @@ object Crawl {
       if (depth == 0 && persisted.isEmpty) return stats // nothing to crawl
       visitedDirs :+= fDir
       stats :+= Fetch.run(persisted, roundDir(depth),
-        checkpointDir = s"$outDir/_crawl/commits_$depth", cfg)
+        checkpointDir = s"$outDir/_crawl/commits_$depth", cfg,
+        auditDir = s"$outDir/_crawl/audit_$depth")
+      auditGlobs :+= auditGlob(depth)
+      val audit = spark.read.parquet(auditGlob(depth))
+      // terminal failures as RE-QUEUEABLE tombstones, not a scaladoc
+      // apology: everything status −1 (transport failures after all
+      // attempts, host-budget skips) lands as parquet the recrawl can
+      // feed back through the commit-log. Idempotent on resume
+      // (overwrite of the same derivation from the same audit).
+      audit.filter(col("status") === -1)
+        .select(col("url"), col("domain"), col("attempts"), col("error"),
+          lit(depth).as("round"))
+        .write.mode("overwrite").parquet(s"$outDir/_crawl/failures_$depth")
       if (depth == maxDepth) drained = true
       else {
-        val links = spark.read.format("warc").load(roundDir(depth))
+        // link extraction in the SCAN stage (url, link) — bodies never
+        // shuffle; the redirect-chain join that picks each page's
+        // resolution base joins url-sized rows only
+        val rawLinks = spark.read.format("warc").load(roundDir(depth))
           .filter(col("warc_type") === "response" &&
             col("http_status").between(200, 299) &&
             col("http_content_type").startsWith("text/html"))
-          .select(col("target_uri").as("base"),
+          .select(col("target_uri").as("url"),
             explode(TextAnalysis.htmlLinks(col("payload").cast("string")))
               .as("link"))
-          .select(TextAnalysis.canonicalUrl(
-            TextAnalysis.resolveUrl(col("base"), col("link.url"))).as("url"))
+        val chains = audit.select(col("url"),
+          coalesce(try_element_at(col("redirects"), lit(-1)), col("url"))
+            .as("base"))
+        val links = rawLinks.join(chains, Seq("url"), "left")
+          .select(TextAnalysis.canonicalUrl(TextAnalysis.resolveUrl(
+            coalesce(col("base"), col("url")), col("link.url"))).as("url"))
           .filter(col("url").isNotNull &&
             (col("url").startsWith("http://") ||
               col("url").startsWith("https://")) &&
             scope(col("url")))
           .distinct()
-        val visited = visitedDirs.map(spark.read.parquet(_))
+        // visited = every frontier url ever queued + every url a redirect
+        // chain passed through (each was fetched; the landing page is
+        // archived under its request url)
+        val visited = visitedDirs.map(spark.read.parquet(_).select("url"))
           .reduce(_ unionByName _)
-        val next = links.join(visited, Seq("url"), "left_anti")
+          .unionByName(auditGlobs.map { g =>
+            spark.read.parquet(g)
+              .select(explode(col("redirects")).as("hop"))
+              .select(TextAnalysis.canonicalUrl(col("hop")).as("url"))
+              .filter(col("url").isNotNull)
+          }.reduce(_ unionByName _))
+        // cross-round politeness floors: each host's max fetched_at over
+        // every audited round so far rides into the next frontier as
+        // last_fetch_ms ([[Fetch]] delays the host's first fetch of
+        // round d+1 to floor + crawl-delay). Skipped when no delay is
+        // configured — the loop's only politeness source is
+        // cfg.defaultDelayMs, so the floors would be dead weight.
+        val fresh = links.join(visited, Seq("url"), "left_anti")
+        val next =
+          if (cfg.defaultDelayMs <= 0) fresh
+          else {
+            val marks = auditGlobs.map(spark.read.parquet(_))
+              .reduce(_ unionByName _)
+              .filter(col("fetched_at") > 0L)
+              .groupBy(col("domain"))
+              .agg(max(col("fetched_at")).as("last_fetch_ms"))
+            fresh.withColumn("domain", Fetch.urlDomain(col("url")))
+              .join(marks, Seq("domain"), "left")
+              .select(col("url"), col("domain"), col("last_fetch_ms"))
+          }
         // cheap double-execution: both actions read url-sized frames off
         // disk-backed rounds (the archive scan is the only corpus-sized
         // leaf, and it prunes to 2xx-html rows either way)
@@ -221,6 +351,85 @@ object Crawl {
       }
     }
     stats
+  }
+
+  /** Re-queue every terminal fetch failure of a [[run]] crawl (and of
+    * previous recrawl attempts) through the SAME outDir — no fresh
+    * directory, no re-crawl of what already succeeded. One call executes
+    * one retry attempt `r`:
+    *
+    *  - pending = distinct urls across every `_crawl/failures_*` table
+    *    minus urls a previous attempt already fetched successfully
+    *    (status ≥ 0 in a `_crawl/retry_audit_*` sidecar — a 404 is a
+    *    successful FETCH; only status −1 stays pending);
+    *  - the attempt's frontier persists to `_crawl/retry_frontier_<r>`
+    *    (the resume identity), the archive lands in `outDir/retry_<r>/`
+    *    through [[Fetch.run]]'s batch commit-log with its own audit
+    *    sidecar, still-failing urls become `_crawl/failures_retry_<r>`
+    *    (the NEXT call's feed), and a `_crawl/retry_<r>.done` marker
+    *    commits the attempt;
+    *  - a crashed attempt resumes in place (frontier parquet + commit
+    *    log, exactly like a crashed round); a call with nothing pending
+    *    returns zero stats and writes nothing.
+    *
+    * Recovered pages are archived but NOT link-expanded: their outlinks
+    * were never part of the crawl's committed frontier identity, and
+    * depth accounting for late-recovered pages is ambiguous — widen
+    * `maxDepth` on the original run for more reach instead. */
+  def recrawlFailures(outDir: String, cfg: Fetch.Config): FetchStats = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val hconf = spark.sessionState.newHadoopConf()
+    val crawlPath = new org.apache.hadoop.fs.Path(s"$outDir/_crawl")
+    val fs = crawlPath.getFileSystem(hconf)
+    require(fs.exists(crawlPath),
+      s"recrawlFailures: $outDir has no _crawl state — it is not a " +
+        "Crawl.run output directory")
+    def doneMarker(r: Int) =
+      new org.apache.hadoop.fs.Path(crawlPath, s"retry_$r.done")
+    var r = 0
+    while (fs.exists(doneMarker(r))) r += 1
+    val frontierDir = s"$outDir/_crawl/retry_frontier_$r"
+    val frontierDone = new org.apache.hadoop.fs.Path(frontierDir, "_SUCCESS")
+    if (!fs.exists(frontierDone)) {
+      // not a crashed attempt to resume — compute this attempt's pending
+      // set from the persisted tombstones and previous retry audits
+      val failureDirs = fs.globStatus(
+          new org.apache.hadoop.fs.Path(crawlPath, "failures_*"))
+        .filter(_.isDirectory).map(_.getPath.toString).sorted.toSeq
+      if (failureDirs.isEmpty) return FetchStats(0L, 0L, 0L, 0L, 0L)
+      val failed = failureDirs.map(spark.read.parquet(_).select("url"))
+        .reduce(_ unionByName _).distinct()
+      val retryAudits = fs.globStatus(
+          new org.apache.hadoop.fs.Path(crawlPath, "retry_audit_*"))
+        .filter(_.isDirectory).map(_.getPath.toString + "/batch-*").sorted.toSeq
+      val pending =
+        if (retryAudits.isEmpty) failed
+        else failed.join(
+          retryAudits.map(spark.read.parquet(_)).reduce(_ unionByName _)
+            .filter(col("status") >= 0).select("url"),
+          Seq("url"), "left_anti")
+      if (pending.isEmpty) return FetchStats(0L, 0L, 0L, 0L, 0L)
+      pending.write.mode("overwrite").parquet(frontierDir)
+    }
+    val frontier = spark.read.parquet(frontierDir)
+    val st = Fetch.run(frontier, s"$outDir/retry_$r",
+      checkpointDir = s"$outDir/_crawl/retry_commits_$r", cfg,
+      auditDir = s"$outDir/_crawl/retry_audit_$r")
+    // still-failing urls feed the NEXT attempt
+    spark.read.parquet(s"$outDir/_crawl/retry_audit_$r/batch-*")
+      .filter(col("status") === -1)
+      .select(col("url"), col("domain"), col("attempts"), col("error"),
+        lit(-1 - r).as("round"))
+      .write.mode("overwrite").parquet(s"$outDir/_crawl/failures_retry_$r")
+    // atomic commit of the attempt (tmp + rename, the marker pattern)
+    val tmp = new org.apache.hadoop.fs.Path(crawlPath, s".retry_$r.done.tmp")
+    val out = fs.create(tmp, true)
+    try out.write("done\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, doneMarker(r)))
+      throw new java.io.IOException(
+        s"recrawlFailures: cannot commit marker ${doneMarker(r)}")
+    st
   }
 }
 

@@ -35,22 +35,42 @@ trait FetchTransport extends Serializable {
 }
 
 /** One frontier row, normalized. `delayMs` is the host's politeness
-  * interval (robots crawl-delay), `ord` the within-host fetch order. */
+  * interval (robots crawl-delay), `ord` the within-host fetch order,
+  * `lastMs` the host's politeness floor carried in from a PREVIOUS
+  * fetch action (`last_fetch_ms` frontier column; 0 = no floor): the
+  * host's first fetch here waits until `lastMs + delayMs`, so
+  * crawl-delay spacing holds ACROSS rounds of a multi-round crawl, not
+  * just within one action. */
 final case class FetchTask(url: String, domain: String, delayMs: Long,
-                           ord: Long)
+                           ord: Long, lastMs: Long = 0L)
+
+/** One redirect hop the executor FOLLOWED: the url that answered 3xx,
+  * that response's status/content-type, and the resolved Location it
+  * was followed to — enough to synthesize a per-hop WARC record
+  * ([[Fetch.toWarcRows]] `includeHops`). Hop response BODIES are
+  * deliberately not carried (3xx bodies are boilerplate; the chain is
+  * url-sized so it can ride every shuffle for free). */
+final case class Hop(url: String, status: Int, content_type: String,
+                     location: String)
 
 /** One fetch outcome. `status = -1` = transport failure after all
   * attempts (`error` holds the last message); such rows never become
   * WARC records but stay in the audit frame. `url` is always the
   * ORIGINAL frontier url — when redirects were followed, `redirects`
-  * holds the resolved hop targets in order and status/content_type/body
-  * describe the FINAL hop's response (archived under the original
-  * target-uri, the WARC crawler convention); `attempts` counts HTTP
-  * attempts across every hop. */
+  * holds the resolved hop targets in order ([[Hop]] detail per hop in
+  * `hops`) and status/content_type/body describe the FINAL hop's
+  * response (archived under the original target-uri, the WARC crawler
+  * convention); `attempts` counts HTTP attempts across every hop.
+  * `fetched_at` is the executor clock right after the row's last HTTP
+  * exchange — the politeness high-water mark a later round feeds back
+  * as `last_fetch_ms` (0 on budget-skipped rows, which made no
+  * exchange). */
 final case class FetchedRow(url: String, domain: String, status: Int,
                             content_type: String, body: Array[Byte],
                             attempts: Int, error: String,
-                            redirects: Seq[String] = Nil)
+                            redirects: Seq[String] = Nil,
+                            fetched_at: Long = 0L,
+                            hops: Seq[Hop] = Nil)
 
 /** Totals for one fetch action, read from accumulators AFTER the job
   * (per-host breakdowns aggregate the audit frame's `attempts`/`status`
@@ -136,6 +156,22 @@ object Fetch {
       // robots) → allowed; 5xx → assume complete disallow; a transport
       // failure disallows THIS hop but is never cached.
       redirectRobotsGate: Boolean = false,
+      // per-host failure budget: after this many CONSECUTIVE terminal
+      // failures on one host (transport failure, or a retryable status
+      // still standing after maxAttempts — the dead-host signatures),
+      // the host's remaining URLs in the task short-circuit to audited
+      // skips (status -1, attempts 0, error names the budget) instead
+      // of burning maxAttempts × backoff each on a host that is down.
+      // Skips are tombstones: [[Crawl.recrawlFailures]] re-queues them.
+      // A success resets the host's counter. 0 = unlimited (default).
+      maxHostFailures: Int = 0,
+      // true = toWarcRows (and therefore run()) also emits one WARC
+      // response record per FOLLOWED redirect hop — the synthesized
+      // 3xx envelope (status line + Location) under the hop's own
+      // target-uri, the ISO 28500 shape external replay tooling
+      // expects. Default off: the final-response-under-original-uri
+      // convention alone, byte-compatible with pre-r17 archives.
+      warcHops: Boolean = false,
       clock: () => Long = () => System.currentTimeMillis(),
       sleeper: Long => Unit = ms => Thread.sleep(ms)) {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
@@ -143,6 +179,8 @@ object Fetch {
     require(defaultDelayMs >= 0, s"defaultDelayMs must be >= 0: $defaultDelayMs")
     require(batchSize >= 1, s"batchSize must be >= 1: $batchSize")
     require(maxRedirects >= 0, s"maxRedirects must be >= 0: $maxRedirects")
+    require(maxHostFailures >= 0,
+      s"maxHostFailures must be >= 0 (0 = unlimited): $maxHostFailures")
   }
 
   /** Names the (batch-membership, fingerprint) formula pair a plan was
@@ -277,12 +315,17 @@ object Fetch {
   /** Normalize a frontier to [[FetchTask]]s: `url` is required; `domain`
     * derives from the URL when absent; `crawl_delay_ms` and `pos` (the
     * fairInterleave politeness position) are honored when present. */
+  /** Column-side host-of-url — the one regex politeness partitioning,
+    * batch membership, and the crawl loop's watermark join all share
+    * (they must agree on what "a host" is). */
+  private[crawl] def urlDomain(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+
   /** The frontier's host column: explicit `domain` when present, else
-    * derived from the url (shared by politeness partitioning and batch
-    * membership, which must agree on what "a host" is). */
+    * derived from the url. */
   private def domainExpr(frontier: DataFrame): org.apache.spark.sql.Column =
     if (frontier.columns.contains("domain")) col("domain")
-    else regexp_extract(col("url"), "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    else urlDomain(col("url"))
 
   private def tasks(frontier: DataFrame, cfg: Config): Dataset[FetchTask] = {
     import frontier.sparkSession.implicits._
@@ -294,8 +337,16 @@ object Fetch {
         lit(cfg.defaultDelayMs))
       else lit(cfg.defaultDelayMs)
     val ord = if (cols("pos")) col("pos").cast("long") else xxhash64(col("url"))
+    // cross-round politeness floor: a `last_fetch_ms` column (the host's
+    // high-water mark from a previous action — Crawl threads it from the
+    // prior round's audit) delays the host's FIRST fetch here to
+    // last_fetch_ms + delayMs. 0/null = no floor.
+    val lastMs =
+      if (cols("last_fetch_ms")) coalesce(col("last_fetch_ms").cast("long"),
+        lit(0L))
+      else lit(0L)
     frontier.select(col("url").cast("string").as("url"), domain.as("domain"),
-      delay.as("delayMs"), ord.as("ord")).as[FetchTask]
+      delay.as("delayMs"), ord.as("ord"), lastMs.as("lastMs")).as[FetchTask]
   }
 
   /** Fetch every frontier row once, politely, with retry/backoff. Lazy —
@@ -315,22 +366,49 @@ object Fetch {
           if (cfg.redirectRobotsGate)
             (_, to) => robotsAllowsViaTransport(transport, cfg.userAgent, to)
           else cfg.redirectGate
-        // rows arrive sorted by domain, so ONE (host, lastFetchAt) pair
-        // is all the politeness state a task needs — O(1), not O(hosts)
+        // rows arrive sorted by domain, so ONE (host, lastFetchAt,
+        // consecutive-failure count) triple is all the politeness +
+        // budget state a task needs — O(1), not O(hosts). haveLast
+        // distinguishes "no prior fetch" from a genuine floor: within a
+        // host it flips true after the first fetch; across actions the
+        // frontier's last_fetch_ms floor (when > 0) seeds it, so the
+        // host's first fetch of THIS round still honors the spacing
+        // from its last fetch of the PREVIOUS round.
         var curDomain: String = null
         var lastAt = 0L
+        var haveLast = false
+        var hostFails = 0
         it.map { t =>
-          if (t.domain == curDomain && t.delayMs > 0) {
+          if (t.domain != curDomain) {
+            curDomain = t.domain
+            lastAt = t.lastMs
+            haveLast = t.lastMs > 0L
+            hostFails = 0
+          }
+          if (haveLast && t.delayMs > 0) {
             val wait = lastAt + t.delayMs - cfg.clock()
             if (wait > 0) cfg.sleeper(wait)
-          } else curDomain = t.domain
+          }
           c.attempted.add(1)
+          if (cfg.maxHostFailures > 0 && hostFails >= cfg.maxHostFailures) {
+            // dead-host short-circuit: the budget is spent — audit the
+            // row as a skip (a re-queueable tombstone) without touching
+            // the wire. attempts=0 and fetched_at=0 record honestly
+            // that no exchange happened (so the row also never moves
+            // the host's politeness high-water mark).
+            c.failed.add(1)
+            FetchedRow(t.url, t.domain, -1, null, null, 0,
+              s"skipped: host failure budget (${cfg.maxHostFailures}) " +
+                s"exhausted by consecutive terminal failures on ${t.domain}",
+              Nil, 0L, Nil)
+          } else {
           // hop loop: each hop runs the full retry/backoff cycle; a 3xx
           // with a resolvable Location follows (cycle-safe, hop-capped,
           // robots-regated on host crossings), anything else records
           var currentUrl = t.url
           var hops = 0
           var chain = Vector.empty[String]
+          var hopRecs = Vector.empty[Hop]
           var visited = Set(t.url)
           var totalAttempts = 0
           var resp: FetchResponse = null
@@ -373,6 +451,8 @@ object Fetch {
                     cfg.sleeper(t.delayMs)
                   visited += target
                   chain :+= target
+                  hopRecs :+= Hop(currentUrl, resp.status,
+                    resp.contentType, target)
                   currentUrl = target
                   hops += 1
                   following = true
@@ -382,16 +462,24 @@ object Fetch {
             }
           }
           lastAt = cfg.clock()
+          haveLast = true
+          // budget accounting: terminal = no response at all, or a
+          // retryable status (429/5xx) still standing after the retry
+          // cycle — the signatures of a host that is DOWN, not a page
+          // that is missing (a 404 is a healthy host answering)
+          if (resp == null || retryable(resp.status)) hostFails += 1
+          else hostFails = 0
           if (resp != null) {
             c.ok.add(1)
             c.bytes.add(if (resp.body == null) 0L else resp.body.length.toLong)
             FetchedRow(t.url, t.domain, resp.status, resp.contentType,
               if (resp.body == null) Array.emptyByteArray else resp.body,
-              totalAttempts, null, chain)
+              totalAttempts, null, chain, lastAt, hopRecs)
           } else {
             c.failed.add(1)
             FetchedRow(t.url, t.domain, -1, null, null, totalAttempts, err,
-              chain)
+              chain, lastAt, hopRecs)
+          }
           }
         }
       }.toDF()
@@ -412,44 +500,89 @@ object Fetch {
     500 -> "Internal Server Error", 502 -> "Bad Gateway",
     503 -> "Service Unavailable", 504 -> "Gateway Timeout")
 
+  /** Synthesized HTTP/1.1 status line (+ CRLF) for a status column —
+    * shared by the final-response and per-hop record shapes. */
+  private def statusLine(status: org.apache.spark.sql.Column) =
+    concat(lit("HTTP/1.1 "), status.cast("string"),
+      lit(" "),
+      // try_element_at, NOT element_at: under the session's default
+      // ANSI mode a status outside the map (206, 418, 999...) would
+      // THROW and fail the whole archive batch; try_ returns the
+      // null the coalesce exists for
+      coalesce(try_element_at(typedLit(ReasonPhrase), status), lit("")),
+      lit("\r\n"))
+
   /** Fetched rows → WARC-writer columns. Transport failures (status -1)
     * have no response to archive and are dropped here — they remain in
     * the audit frame for the caller. The envelope is synthesized from
     * the transport's (status, content-type, body) triple; record ids
     * and dates are the writer's mandatory-field machinery. Redirected
     * rows archive the FINAL response under the ORIGINAL target-uri
-    * (the audit frame's `redirects` column holds the chain). */
-  def toWarcRows(fetched: DataFrame, warcDate: String = null): DataFrame =
-    fetched.filter(col("status") >= 0).select(
+    * (the audit frame's `redirects` column holds the chain); with
+    * `includeHops` each FOLLOWED hop additionally archives as its own
+    * response record — the 3xx envelope (status line + Location,
+    * ISO 28500 §6 response shape) under the hop's own target-uri — so
+    * external replay tooling sees the complete chain. */
+  def toWarcRows(fetched: DataFrame, warcDate: String = null,
+                 includeHops: Boolean = false): DataFrame = {
+    val date = (if (warcDate == null) lit(null).cast("string")
+      else lit(warcDate)).as("warc_date")
+    val finals = fetched.filter(col("status") >= 0).select(
       lit(null).cast("string").as("record_id"),
       lit("response").as("warc_type"),
       col("url").as("target_uri"),
-      (if (warcDate == null) lit(null).cast("string") else lit(warcDate))
-        .as("warc_date"),
+      date,
       lit("application/http; msgtype=response").as("content_type"),
       concat(
-        encode(concat(lit("HTTP/1.1 "), col("status").cast("string"),
-          lit(" "),
-          // try_element_at, NOT element_at: under the session's default
-          // ANSI mode a status outside the map (206, 418, 999...) would
-          // THROW and fail the whole archive batch; try_ returns the
-          // null the coalesce exists for
-          coalesce(try_element_at(typedLit(ReasonPhrase), col("status")),
-            lit("")),
-          lit("\r\nContent-Type: "),
+        encode(concat(statusLine(col("status")),
+          lit("Content-Type: "),
           coalesce(col("content_type"), lit("application/octet-stream")),
           lit("\r\n\r\n")), "UTF-8"),
         col("body")).as("payload"))
+    if (!includeHops) finals
+    else finals.unionByName(
+      // one record per followed hop: the hop's REQUEST url is the
+      // record's target-uri, the payload the synthesized 3xx envelope
+      // (empty body — hop bodies are not carried, by FetchedRow design)
+      fetched.filter(size(col("hops")) > 0)
+        .select(explode(col("hops")).as("h"))
+        .select(
+          lit(null).cast("string").as("record_id"),
+          lit("response").as("warc_type"),
+          col("h.url").as("target_uri"),
+          date,
+          lit("application/http; msgtype=response").as("content_type"),
+          encode(concat(statusLine(col("h.status")),
+            lit("Location: "), col("h.location"),
+            lit("\r\nContent-Type: "),
+            coalesce(col("h.content_type"), lit("application/octet-stream")),
+            lit("\r\n\r\n")), "UTF-8").as("payload")))
+  }
 
   /** Execute the frontier against `cfg.transportClass` and archive the
     * responses as WARC under `outDir` (flat — directly readable by
     * `spark.read.format("warc")` and watchable by `curate.stream`), with
     * batch-granular exactly-once via commit markers in
     * `outDir/_fetch_commits` (override with `checkpointDir`). Returns
-    * the totals for THIS invocation (already-committed batches skip). */
+    * the totals for THIS invocation (already-committed batches skip).
+    *
+    * `auditDir` (optional): per-batch parquet of the audit frame — every
+    * [[FetchedRow]] column except `body` (url, domain, status,
+    * content_type, attempts, error, redirects, fetched_at, hops) under
+    * `auditDir/batch-<i>/`. This is what the WARC archive cannot carry:
+    * status -1 transport failures (the re-queueable tombstone feed),
+    * redirect chains (link-resolution bases + visited-set members), and
+    * per-host fetch times (cross-round politeness floors). Covered by
+    * the same commit marker as the batch's WARC shards: a crash-window
+    * batch overwrites its own audit dir on re-fetch, so audit and
+    * archive can never disagree about a committed batch. Costs one
+    * extra materialization barrier per batch (the fetch runs ONCE into
+    * a checkpoint; archive and audit both read the blocks — fetching is
+    * a side effect, so two independent executions would double-fetch). */
   def run(frontier: DataFrame, outDir: String,
           checkpointDir: String = null,
-          cfg: Config): FetchStats = {
+          cfg: Config,
+          auditDir: String = null): FetchStats = {
     val spark = frontier.sparkSession
     val ckpt = if (checkpointDir == null) s"$outDir/_fetch_commits" else checkpointDir
     // one pass sizes the frontier AND fingerprints its content: the SUM
@@ -550,8 +683,22 @@ object Fetch {
         val fetched = fetchInternal(
           batched.filter(col("_fetch_batch") === i).drop("_fetch_batch"),
           cfg, counters)
-        WarcWriter.write(toWarcRows(fetched, cfg.warcDate), outDir,
-          gzip = cfg.gzip, prefix = prefix, clear = false)
+        if (auditDir == null)
+          WarcWriter.write(toWarcRows(fetched, cfg.warcDate, cfg.warcHops),
+            outDir, gzip = cfg.gzip, prefix = prefix, clear = false)
+        else {
+          // two consumers, one side effect: checkpoint the batch so the
+          // fetch executes exactly once, then write archive + audit from
+          // the blocks; release them before the marker commits
+          val once = fetched.localCheckpoint(true)
+          try {
+            WarcWriter.write(toWarcRows(once, cfg.warcDate, cfg.warcHops),
+              outDir, gzip = cfg.gzip, prefix = prefix, clear = false)
+            once.drop("body").write.mode("overwrite")
+              .parquet(f"$auditDir/batch-$i%05d")
+          } finally
+            org.apache.spark.sql.graftbridge.CheckpointBridge.unpersist(once)
+        }
         // atomic commit: tmp + rename, the stream metadata-log pattern
         val tmp = new Path(ckptPath, f".batch-$i%05d.tmp")
         val out = fs.create(tmp, true)

@@ -13,6 +13,79 @@ final class NeverTransport extends FetchTransport {
     throw new IllegalStateException(s"resume must not fetch: $url")
 }
 
+/** A five-page web with a redirect in the middle, for the two
+  * redirect-discovery contracts: (1) a page reached THROUGH a redirect
+  * resolves its relative links against the final hop target, and (2)
+  * every url a chain passed through joins the visited set (a later
+  * direct link to the redirect target must not re-fetch it).
+  *
+  *   /p/1            200, links /r/2 and /p/3
+  *   /r/2            301 → /d/sub/index.html
+  *   /d/sub/index.html  200, RELATIVE link "x.html"
+  *   /d/sub/x.html   200, leaf
+  *   /p/3            200, links /d/sub/index.html directly
+  */
+final class RedirectWebTransport extends FetchTransport {
+  import java.nio.charset.StandardCharsets.UTF_8
+  private def html(body: String) = FetchResponse(200,
+    "text/html; charset=utf-8",
+    s"<html><body>$body</body></html>".getBytes(UTF_8))
+  override def fetch(url: String, userAgent: String): FetchResponse = {
+    RedirectWebTransport.calls.add(url): Unit
+    url.substring(url.indexOf("://") + 3).dropWhile(_ != '/') match {
+      case "/p/1" => html("""<a href="/r/2">a</a> <a href="/p/3">b</a>""")
+      case "/r/2" => FetchResponse(301, null, Array.emptyByteArray,
+        location = "/d/sub/index.html")
+      case "/d/sub/index.html" => html("""<a href="x.html">rel</a>""")
+      case "/d/sub/x.html" => html("leaf")
+      case "/p/3" => html("""<a href="/d/sub/index.html">c</a>""")
+      case p => FetchResponse(404, "text/plain", s"no:$p".getBytes(UTF_8))
+    }
+  }
+}
+object RedirectWebTransport {
+  val calls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
+/** The synthetic web with TOGGLABLE transport failures: while
+  * [[BrittleWebTransport.broken]], urls whose id % 7 == 0 throw (a
+  * transient network condition); after the flag clears they answer
+  * normally — the recrawl-tombstone fixture. */
+final class BrittleWebTransport extends FetchTransport {
+  private val real = new SyntheticWebTransport
+  override def fetch(url: String, userAgent: String): FetchResponse = {
+    BrittleWebTransport.calls.add(url): Unit
+    if (BrittleWebTransport.broken) {
+      val m = "/p/(\\d+)$".r.findFirstMatchIn(url)
+      if (m.exists(_.group(1).toLong % 7 == 0))
+        throw new java.io.IOException(s"transient: $url")
+    }
+    real.fetch(url, userAgent)
+  }
+}
+object BrittleWebTransport {
+  @volatile var broken = true
+  val calls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
+/** One-host chain /p/1 → /p/2 → /p/3 …, recording (url, logical clock)
+  * per call — the cross-round politeness fixture (single host, so the
+  * global logical clock never races across tasks). */
+final class ChainWebTransport extends FetchTransport {
+  import java.nio.charset.StandardCharsets.UTF_8
+  override def fetch(url: String, userAgent: String): FetchResponse = {
+    ChainWebTransport.calls.add((url, FetchTestState.clock.get())): Unit
+    val i = url.substring(url.lastIndexOf('/') + 1).toInt
+    FetchResponse(200, "text/html",
+      s"""<html><body><a href="/p/${i + 1}">n</a></body></html>"""
+        .getBytes(UTF_8))
+  }
+}
+object ChainWebTransport {
+  val calls =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+}
+
 class CrawlSpec extends SparkSpec {
   import SyntheticWebTransport.{H, N}
 
@@ -181,6 +254,147 @@ class CrawlSpec extends SparkSpec {
     val full = closure(Seq((0L, 1L)), 2)
     assert(fetched == full.size - 1, // everything except the depth-0 seed
       s"resume refetched round 0 ($fetched calls, want ${full.size - 1})")
+  }
+
+  private def rw(path: String) = s"http://rw.test$path"
+
+  test("bfs: redirect targets resolve links and join the visited set") {
+    import spark.implicits._
+    RedirectWebTransport.calls.clear()
+    val out = Crawl.bfs(Seq(rw("/p/1")).toDF("url"),
+      Fetch.Config(transportClass = classOf[RedirectWebTransport].getName),
+      maxDepth = 3)
+    val got = out.select("url", "depth", "status").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    // /r/2 archives under its request url with the FINAL response;
+    // /d/sub/index.html never appears as a row of its own (it is the
+    // redirect landing, reached only through /r/2 and /p/3's link);
+    // /d/sub/x.html exists ONLY if the relative link "x.html" resolved
+    // against the redirect TARGET (against /r/2 it would be /r/x.html,
+    // a 404 page that answers, so the wrong crawl would differ)
+    assert(got == Set(
+      (rw("/p/1"), 0, 200),
+      (rw("/r/2"), 1, 200),
+      (rw("/p/3"), 1, 200),
+      (rw("/d/sub/x.html"), 2, 200)), s"got: $got")
+    import scala.jdk.CollectionConverters._
+    val calls = RedirectWebTransport.calls.asScala.toSeq
+    assert(calls.count(_ == rw("/d/sub/index.html")) == 1,
+      "the redirect landing must fetch exactly once (visited via the hop " +
+        s"chain — /p/3's direct link must not re-fetch it): $calls")
+    assert(calls.size == 5, s"5 exchanges total: $calls")
+  }
+
+  test("run: redirect targets resolve links and join the visited set (audit-carried)") {
+    import spark.implicits._
+    RedirectWebTransport.calls.clear()
+    val out = java.nio.file.Files.createTempDirectory("crawl-redir").toString
+    Crawl.run(Seq(rw("/p/1")).toDF("url"), out,
+      Fetch.Config(transportClass = classOf[RedirectWebTransport].getName),
+      maxDepth = 3): Unit
+    val round2 = spark.read.format("warc").load(s"$out/round_2")
+      .select("target_uri").as[String].collect().toSeq
+    assert(round2 == Seq(rw("/d/sub/x.html")),
+      s"round 2 must be exactly the relative link resolved against the " +
+        s"redirect target: $round2")
+    assert(!new java.io.File(s"$out/round_3").exists(),
+      "round 3 must drain (x.html is a leaf)")
+    import scala.jdk.CollectionConverters._
+    val calls = RedirectWebTransport.calls.asScala.toSeq
+    assert(calls.count(_ == rw("/d/sub/index.html")) == 1,
+      s"the redirect landing must fetch exactly once: $calls")
+    assert(calls.size == 5, s"5 exchanges total: $calls")
+    // the tombstone tables exist (and are empty — nothing failed)
+    for (d <- 0 to 2)
+      assert(spark.read.parquet(s"$out/_crawl/failures_$d").count() == 0)
+  }
+
+  test("run: terminal failures persist as tombstones; recrawlFailures re-queues exactly them") {
+    import spark.implicits._
+    BrittleWebTransport.broken = true
+    BrittleWebTransport.calls.clear()
+    val out = java.nio.file.Files.createTempDirectory("crawl-tomb").toString
+    val cfg = Fetch.Config(
+      transportClass = classOf[BrittleWebTransport].getName,
+      maxAttempts = 1, backoffMs = 1L)
+    // (0,1) links (0,7), (0,4), (1,1); while broken, id%7==0 throws —
+    // round 1 loses exactly site0/p/7 to a transport failure
+    val stats = Crawl.run(Seq(url(0, 1)).toDF("url"), out, cfg, maxDepth = 1)
+    assert(stats.size == 2)
+    assert(stats(1).attempted == 3 && stats(1).ok == 2 && stats(1).failed == 1)
+    assert(spark.read.parquet(s"$out/_crawl/failures_0").count() == 0)
+    val tomb = spark.read.parquet(s"$out/_crawl/failures_1").collect()
+    assert(tomb.length == 1)
+    assert(tomb(0).getAs[String]("url") == url(0, 7))
+    assert(tomb(0).getAs[String]("error").contains("transient"))
+    assert(tomb(0).getAs[Int]("round") == 1)
+
+    // the network recovers: one recrawl attempt fetches ONLY the tombstone
+    BrittleWebTransport.broken = false
+    val before = BrittleWebTransport.calls.size
+    val r = Crawl.recrawlFailures(out, cfg)
+    assert(r.attempted == 1 && r.ok == 1 && r.failed == 0,
+      s"recrawl must attempt exactly the tombstone: $r")
+    import scala.jdk.CollectionConverters._
+    val recrawled = BrittleWebTransport.calls.asScala.toSeq.drop(before)
+    assert(recrawled == Seq(url(0, 7)), s"recrawled: $recrawled")
+    val retry = spark.read.format("warc").load(s"$out/retry_0")
+      .select("target_uri", "http_status").collect()
+      .map(rr => (rr.getString(0), rr.getInt(1))).toSeq
+    assert(retry == Seq((url(0, 7), 200)),
+      s"the recovered page must archive in the retry round: $retry")
+    assert(spark.read.parquet(s"$out/_crawl/failures_retry_0").count() == 0,
+      "nothing still failing after recovery")
+    // stats reconcile across the two runs: every frontier url accounted
+    // once — round fetches (2 ok + 1 failed) + retry (1 ok)
+    assert(stats(1).ok + r.ok == 3 && stats(1).attempted == 3)
+
+    // idempotence: a second call finds nothing pending, touches nothing
+    val before2 = BrittleWebTransport.calls.size
+    val r2 = Crawl.recrawlFailures(out, cfg)
+    assert(r2 == FetchStats(0L, 0L, 0L, 0L, 0L), s"nothing pending: $r2")
+    assert(BrittleWebTransport.calls.size == before2,
+      "an empty recrawl must not touch the wire")
+  }
+
+  test("bfs: crawl-delay politeness spans rounds (floor from the previous round)") {
+    import spark.implicits._
+    FetchTestState.reset()
+    FetchTestState.clock.set(1000L)
+    ChainWebTransport.calls.clear()
+    val cfg = Fetch.Config(
+      transportClass = classOf[ChainWebTransport].getName,
+      defaultDelayMs = 500L,
+      clock = () => FetchTestState.clock.get(),
+      sleeper = ms => { FetchTestState.clock.addAndGet(ms): Unit })
+    Crawl.bfs(Seq("http://ch.test/p/1").toDF("url"), cfg,
+      maxDepth = 1).count(): Unit
+    import scala.jdk.CollectionConverters._
+    val calls = ChainWebTransport.calls.asScala.toSeq
+    assert(calls == Seq(("http://ch.test/p/1", 1000L),
+      ("http://ch.test/p/2", 1500L)),
+      s"round 1's first fetch of the host must wait out the crawl-delay " +
+        s"from round 0's fetch: $calls")
+  }
+
+  test("run: crawl-delay politeness spans rounds through the audit sidecar") {
+    import spark.implicits._
+    FetchTestState.reset()
+    FetchTestState.clock.set(1000L)
+    ChainWebTransport.calls.clear()
+    val out = java.nio.file.Files.createTempDirectory("crawl-polite").toString
+    val cfg = Fetch.Config(
+      transportClass = classOf[ChainWebTransport].getName,
+      defaultDelayMs = 500L,
+      clock = () => FetchTestState.clock.get(),
+      sleeper = ms => { FetchTestState.clock.addAndGet(ms): Unit })
+    Crawl.run(Seq("http://ch.test/p/1").toDF("url"), out, cfg,
+      maxDepth = 1): Unit
+    import scala.jdk.CollectionConverters._
+    val calls = ChainWebTransport.calls.asScala.toSeq
+    assert(calls == Seq(("http://ch.test/p/1", 1000L),
+      ("http://ch.test/p/2", 1500L)),
+      s"the floor must survive the parquet round-trip: $calls")
   }
 
   test("crawl loop leaves no checkpoint residue beyond the result") {

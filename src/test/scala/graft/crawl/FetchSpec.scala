@@ -527,4 +527,165 @@ class FetchSpec extends SparkSpec {
         == s"page:${r.getAs[String]("target_uri")}")
     }
   }
+
+  test("host failure budget: a dead host short-circuits to audited skips, healthy hosts unaffected") {
+    FetchTestState.reset()
+    import spark.implicits._
+    // host A: 100% 5xx; host B: healthy; host C: fail,OK,fail,fail — the
+    // mid-sequence success must reset the consecutive counter, so the
+    // budget of 2 never trips on C (no url there ever skips)
+    val frontier = (
+      (0 until 10).map(i => (s"http://a.example/s503/$i", i.toLong)) ++
+      (0 until 5).map(i => (s"http://b.example/ok/$i", i.toLong)) ++
+      Seq((s"http://c.example/dead/0", 0L), (s"http://c.example/ok/1", 1L),
+        (s"http://c.example/dead/2", 2L), (s"http://c.example/dead/3", 3L))
+    ).toDF("url", "pos")
+    val cfg = logicalCfg(classOf[FlakyTransport], maxAttempts = 2)
+      .copy(maxHostFailures = 2)
+    val rows = Fetch.fetchFrontier(frontier, cfg).collect()
+      .map(r => r.getAs[String]("url") ->
+        ((r.getAs[Int]("status"), r.getAs[Int]("attempts"),
+          Option(r.getAs[String]("error")).getOrElse("")))).toMap
+    assert(rows.size == 19)
+    // host A: the first two urls (pos order) burn the budget, the rest skip
+    for (i <- 0 until 10) {
+      val (st, att, err) = rows(s"http://a.example/s503/$i")
+      if (i < 2) assert((st, att) == (503, 2), s"a/$i: $st/$att")
+      else {
+        assert((st, att) == (-1, 0), s"a/$i must be a budget skip: $st/$att")
+        assert(err.contains("host failure budget"), err)
+        assert(FetchTestState.counts.get(s"http://a.example/s503/$i").isEmpty,
+          s"a/$i must never touch the wire")
+      }
+    }
+    // host B: untouched by A's budget
+    for (i <- 0 until 5)
+      assert(rows(s"http://b.example/ok/$i")._1 == 200)
+    // host C: every dead url genuinely attempted (attempts==2 — a budget
+    // skip would show 0), because the ok/1 success reset the counter
+    assert(rows("http://c.example/ok/1")._1 == 200)
+    for (i <- Seq(0, 2, 3))
+      assert((rows(s"http://c.example/dead/$i")._1,
+        rows(s"http://c.example/dead/$i")._2) == ((-1, 2)),
+        s"c/$i: ${rows(s"http://c.example/dead/$i")}")
+  }
+
+  test("cross-round politeness: a last_fetch_ms floor delays the host's FIRST fetch") {
+    FetchTestState.reset()
+    FetchTestState.clock.set(1000L)
+    import spark.implicits._
+    // host f1 carries a floor from a 'previous round' at t=900 with
+    // crawl_delay 300: its FIRST fetch must wait until 1200, and
+    // within-round spacing still applies after it. (One host per call —
+    // the logical clock is global, so a second host's sleeps would race.)
+    val withFloor = Seq(
+      ("http://f1.example/p/0", 900L, 0L),
+      ("http://f1.example/p/1", 900L, 1L))
+      .toDF("url", "last_fetch_ms", "pos")
+      .withColumn("crawl_delay_ms", lit(300L))
+    Fetch.fetchFrontier(withFloor, logicalCfg(classOf[RecordingTransport]))
+      .count(): Unit
+    import scala.jdk.CollectionConverters._
+    val at = FetchTestState.calls.asScala.toSeq.toMap
+    assert(at("http://f1.example/p/0") == 1200L,
+      s"floor must delay the first fetch: ${at("http://f1.example/p/0")}")
+    assert(at("http://f1.example/p/1") == 1500L,
+      s"within-round spacing after the floor: ${at("http://f1.example/p/1")}")
+    // no floor (0/absent) = original semantics: first fetch is immediate
+    FetchTestState.reset()
+    FetchTestState.clock.set(1000L)
+    val noFloor = Seq(("http://f2.example/p/0", 0L, 0L))
+      .toDF("url", "last_fetch_ms", "pos")
+      .withColumn("crawl_delay_ms", lit(300L))
+    Fetch.fetchFrontier(noFloor, logicalCfg(classOf[RecordingTransport]))
+      .count(): Unit
+    val at2 = FetchTestState.calls.asScala.toSeq.toMap
+    assert(at2("http://f2.example/p/0") == 1000L,
+      s"no floor, no wait: ${at2("http://f2.example/p/0")}")
+  }
+
+  test("per-hop WARC records: includeHops archives the 3xx envelope per followed hop") {
+    FetchTestState.reset()
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fetch_hops").toString
+    val frontier = Seq("http://rd.example/chain/1",
+      "http://rd.example/plain").toDF("url")
+    Fetch.run(frontier, s"$dir/out", checkpointDir = null,
+      cfg = logicalCfg(classOf[RedirectTransport]).copy(warcHops = true)): Unit
+    val got = spark.read.format("warc").load(s"$dir/out")
+      .select("target_uri", "http_status", "warc_type", "payload")
+      .collect()
+      .map(r => (r.getAs[String]("target_uri"), r.getAs[Int]("http_status"),
+        r.getAs[String]("warc_type"),
+        new String(r.getAs[Array[Byte]]("payload"), StandardCharsets.UTF_8)))
+      .toSet
+    // the chain's request url carries the FINAL response (the standing
+    // convention) AND its own 301 hop record; the intermediate hop its
+    // 302; hop payloads are envelope-only (empty body after the parse)
+    assert(got == Set(
+      ("http://rd.example/chain/1", 200, "response", "content:/chain/final"),
+      ("http://rd.example/chain/1", 301, "response", ""),
+      ("http://rd.example/chain/2", 302, "response", ""),
+      ("http://rd.example/plain", 200, "response", "content:/plain")),
+      s"got: $got")
+    // the raw record bytes carry the Location header per ISO 28500 §6
+    val raw = new java.io.File(s"$dir/out").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".warc"))
+      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath),
+        StandardCharsets.ISO_8859_1)).mkString
+    assert(raw.contains("HTTP/1.1 301 Moved Permanently\r\n" +
+      "Location: http://rd.example/chain/2"),
+      "hop 1's envelope must carry its status line + Location")
+    assert(raw.contains("HTTP/1.1 302 Found\r\n" +
+      "Location: http://rd.example/chain/final"),
+      "hop 2's envelope must carry its status line + Location")
+    // default (warcHops=false) stays byte-compatible: finals only
+    val dir2 = Files.createTempDirectory("fetch_nohops").toString
+    Fetch.run(frontier, s"$dir2/out", checkpointDir = null,
+      cfg = logicalCfg(classOf[RedirectTransport])): Unit
+    assert(spark.read.format("warc").load(s"$dir2/out").count() == 2)
+  }
+
+  test("run: the audit sidecar lands per batch, commits with the batch, and carries chains/failures/marks") {
+    FetchTestState.reset()
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fetch_audit").toString
+    // FlakyTransport covers ok/failure rows; chains ride through a
+    // second RedirectTransport run below (one transport per run)
+    val urls = Seq("http://au.example/ok/1", "http://au.example/dead/2")
+    val s1 = Fetch.run(urls.take(2).toDF("url"), s"$dir/out",
+      checkpointDir = null,
+      cfg = logicalCfg(classOf[FlakyTransport], maxAttempts = 2),
+      auditDir = s"$dir/audit")
+    assert(s1.attempted == 2 && s1.ok == 1 && s1.failed == 1)
+    val audit = spark.read.parquet(s"$dir/audit/batch-*")
+    assert(audit.columns.toSet ==
+      Set("url", "domain", "status", "content_type", "attempts", "error",
+        "redirects", "fetched_at", "hops"),
+      "audit = FetchedRow minus body")
+    val byUrl = audit.collect().map(r => r.getAs[String]("url") -> r).toMap
+    assert(byUrl("http://au.example/ok/1").getAs[Int]("status") == 200)
+    val dead = byUrl("http://au.example/dead/2")
+    assert(dead.getAs[Int]("status") == -1 &&
+      dead.getAs[String]("error").contains("connect refused"))
+    assert(byUrl.values.forall(_.getAs[Long]("fetched_at") >= 0L))
+    // a completed run's resume must not rewrite audit (no re-fetch)
+    val s2 = Fetch.run(urls.take(2).toDF("url"), s"$dir/out",
+      checkpointDir = null,
+      cfg = logicalCfg(classOf[FlakyTransport], maxAttempts = 2),
+      auditDir = s"$dir/audit")
+    assert(s2.attempted == 0)
+    // redirect chains ride in the audit (the crawl loop's resolution base)
+    val dir2 = Files.createTempDirectory("fetch_audit2").toString
+    Fetch.run(Seq("http://rd.example/chain/1").toDF("url"), s"$dir2/out",
+      checkpointDir = null, cfg = logicalCfg(classOf[RedirectTransport]),
+      auditDir = s"$dir2/audit"): Unit
+    val chain = spark.read.parquet(s"$dir2/audit/batch-*").collect()(0)
+    assert(chain.getAs[scala.collection.Seq[String]]("redirects").toList ==
+      List("http://rd.example/chain/2", "http://rd.example/chain/final"))
+    val hops = chain.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("hops")
+    assert(hops.map(h => (h.getAs[String]("url"), h.getAs[Int]("status"))).toList ==
+      List(("http://rd.example/chain/1", 301),
+        ("http://rd.example/chain/2", 302)))
+  }
 }
