@@ -47,39 +47,52 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     names.foreach(runOnce)
-    // Two timed passes, report each query's MINIMUM — the steady-state
-    // time, same statistic benchmark-ips reports via max ips. A single
-    // pass is contaminated by a wandering 1-3 s stall (host scheduling /
-    // major GC) that lands on a different query every run; the min of two
-    // passes is stable to ±5%. System.gc() between queries keeps one
-    // query's collection debris out of the next one's window and lets
-    // Spark's ContextCleaner reclaim dead localCheckpoint blocks.
+    // N timed passes (SPARK_GRAFT_BENCH_PASSES, default 2), report each
+    // query's MINIMUM — the steady-state time, same statistic
+    // benchmark-ips reports via max ips. A single pass is contaminated
+    // by a wandering 1-3 s stall (host scheduling / major GC) that lands
+    // on a different query every run; the min across passes is stable to
+    // ±5%. System.gc() between queries keeps one query's collection
+    // debris out of the next one's window and lets Spark's
+    // ContextCleaner reclaim dead localCheckpoint blocks.
     def timedPass(): Map[String, Double] =
       names.map { n => System.gc(); n -> runOnce(n) }.toMap
-    val (p1, p2) = (timedPass(), timedPass())
-    val results = names.map(n => n -> math.min(p1(n), p2(n)))
+    val nPasses = math.max(2, sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_PASSES", "2").toInt)
+    val allPasses = Seq.fill(nPasses)(timedPass())
+    val results = names.map(n => n -> allPasses.map(_(n)).min)
     def jsonMap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jsonMap(results)
-    // In-session AGING is machine-detectable: pass2/pass1 per query plus
-    // the worst ratio. A healthy session is pass-stable (ratios ~1.0 ±
-    // host noise); a ratio drifting past ~1.35 on a non-trivial query
-    // means executions are stranding storage/heap residue that degrades
-    // the queries after them (the r15 disease: x04 7.85 s → 141.3 s on
-    // pass 2 from unreleased persists). Sub-100ms queries are noise-
-    // dominated — the gate consumer should weigh ratios by pass-1 time.
-    val ratios = names.map(n =>
-      n -> (if (p1(n) > 0) p2(n) / p1(n) else 1.0))
-    val worstAged = ratios.filter { case (n, _) => p1(n) >= 0.5 }
+    // In-session AGING is machine-detectable through a per-query pass
+    // ratio. With 2 passes it is the raw pass2/pass1; with 3+ it is
+    // median/min — robust to the one-off host stall that a 2-pass ratio
+    // cannot distinguish from genuine decay (the r16 adjudication tail:
+    // 13 sub-second queries over 1.35 on single-pass noise). Genuine
+    // decay (the r15 disease: unreleased persists degrading every later
+    // execution, x04 7.85 s → 141.3 s) inflates the MEDIAN of repeated
+    // passes, which a lone spike cannot. A healthy session's ratios sit
+    // ~1.0 ± host noise; the gate is ≤1.35 on queries ≥0.5 s.
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val ratios = names.map { n =>
+      val ts = allPasses.map(_(n))
+      n -> (if (nPasses == 2) { if (ts(0) > 0) ts(1) / ts(0) else 1.0 }
+            else if (ts.min > 0) median(ts) / ts.min else 1.0)
+    }
+    val worstAged = ratios.filter { case (n, _) => allPasses.head(n) >= 0.5 }
       .sortBy(-_._2).take(1)
     val maxRatio = worstAged.headOption.map(_._2).getOrElse(1.0)
     val maxRatioQuery = worstAged.headOption.map(_._1).getOrElse("")
     // per-pass times ride along so a contended host is machine-detectable:
-    // uniform p1≈p2 inflation vs the previous round means the HOST was
-    // slow, not the code; a one-pass spike on one query is a stall
-    val passes = Seq(p1, p2)
+    // uniform cross-pass inflation vs the previous round means the HOST
+    // was slow, not the code; a one-pass spike on one query is a stall
+    val passes = allPasses
       .map(p => jsonMap(names.map(n => n -> p(n)))).mkString("[", ",", "]")
-    val passTotals = Seq(p1, p2).map(_.values.sum).mkString("[", ",", "]")
+    val passTotals = allPasses.map(_.values.sum).mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // the full JSON as a FILE artifact, so consumers can ingest the result
     // directly instead of scraping it out of sbt's interleaved stdout

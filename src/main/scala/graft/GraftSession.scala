@@ -43,7 +43,12 @@ object GraftSession {
       // clean both times). 10k entries holds every unit of the full
       // registry; a production curation session (dozens of distinct
       // jobs, not 474 query executions) sits far below it either way.
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // SPARK_GRAFT_CODEGEN_CACHE overrides for diagnosis: ProbeQuery's
+      // JVM axis run with a deliberately tiny cache (e.g. 2) reproduces
+      // the thrash signature (janino compile count climbing per pass)
+      // on demand, so the next wandering stall has a one-run contrast.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)

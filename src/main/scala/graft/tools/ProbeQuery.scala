@@ -16,10 +16,20 @@ import graft.GraftSession
   *    BEFORE and AFTER (the residue axis: a count or byte total that
   *    climbs across executions is an operator stranding storage),
   *  - plan shape counters (broadcasts, exchanges, scans),
+  *  - the JVM axis (new r17 — the instrument the r16 decay post-mortem
+  *    lacked: two of its four causes were invisible to storage):
+  *    per-execution deltas of janino codegen compilations + generated
+  *    bytecode (`CodegenMetrics`), classes loaded, and JIT compile time.
+  *    A codegen-cache thrash shows as a compile count that KEEPS
+  *    climbing on pass 2+ (steady state should re-compile ~nothing);
+  *    a deopt convoy shows as JIT ms climbing while compiles stay flat.
+  *    Reproduce the thrash signature on demand with
+  *    `SPARK_GRAFT_CODEGEN_CACHE=2` (GraftSession override),
   *
   * so a pass-2 slowdown can be attributed: residue (persisted sizes
-  * climb), plan drift (counters differ), or a genuinely slow stage
-  * (its executor time dominates both passes).
+  * climb), plan drift (counters differ), JVM churn (compiles/class
+  * loads climb), or a genuinely slow stage (its executor time dominates
+  * both passes).
   *
   * Usage:
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
@@ -57,8 +67,21 @@ object ProbeQuery {
     def fmtStorage(s: (Int, Long, Long)): String =
       f"${s._1}%3d persisted RDDs, mem ${s._2 / 1e6}%9.1f MB, disk ${s._3 / 1e6}%9.1f MB"
 
+    // JVM axis: (janino compilations, generated classes, classes
+    // loaded, JIT compile ms) — read as totals, printed as deltas
+    import org.apache.spark.metrics.source.CodegenMetrics
+    val clBean = java.lang.management.ManagementFactory.getClassLoadingMXBean
+    val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    def jvm(): (Long, Long, Long, Long) = (
+      CodegenMetrics.METRIC_COMPILATION_TIME.getCount,
+      CodegenMetrics.METRIC_GENERATED_CLASS_BYTECODE_SIZE.getCount,
+      clBean.getTotalLoadedClassCount,
+      if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
+        jitBean.getTotalCompilationTime else 0L)
+
     for (pass <- 1 to passes; name <- names) {
       val before = storage()
+      val jvmBefore = jvm()
       stageTime.synchronized(stageTime.clear())
       stageName.synchronized(stageName.clear())
       // construction INSIDE the timer (the Bench runOnce shape): many
@@ -80,9 +103,15 @@ object ProbeQuery {
           " scans=" + "FileScan".r.findAllIn(plan).size)
       }
       val after = storage()
+      val jvmAfter = jvm()
       System.err.println(f"[probe] pass $pass $name%-28s wall $wall%7.2f s")
       System.err.println(s"[probe]   storage before: ${fmtStorage(before)}")
       System.err.println(s"[probe]   storage after : ${fmtStorage(after)}")
+      System.err.println(
+        f"[probe]   jvm: +${jvmAfter._1 - jvmBefore._1}%4d codegen compiles, " +
+          f"+${jvmAfter._2 - jvmBefore._2}%5d generated classes, " +
+          f"+${jvmAfter._3 - jvmBefore._3}%5d classes loaded, " +
+          f"+${jvmAfter._4 - jvmBefore._4}%5d JIT ms")
       val top = stageTime.synchronized(stageTime.toSeq).sortBy(-_._2).take(8)
       top.foreach { case (id, ms) =>
         System.err.println(f"[probe]   stage $id%5d ${ms / 1000.0}%8.1f s  " +
