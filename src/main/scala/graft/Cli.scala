@@ -340,17 +340,10 @@ object Cli {
             val reader = spark.readStream.format("warc")
             settings.get("curate.stream.max_files_per_trigger")
               .foreach(n => reader.option("maxFilesPerTrigger", n))
-            reader.load(inputs.head)
-              .filter(col("warc_type") === "response")
-              // crawls carry 404/5xx error pages, redirect stubs, 204
-              // empties, and 206 byte-range fragments as response
-              // records; only COMPLETE 200 content is corpus material
-              .filter(col("http_status") === 200)
-              .select(xxhash64(col("target_uri")).as("doc_id"),
-                ops.TextAnalysis.decodeHttpText(col("payload"),
-                  col("http_content_type")).as("text"))
-              .withColumn("lang", ops.TextAnalysis.langId(
-                ops.TextAnalysis.htmlToText(col("text"))))
+            // the shared crawl-entry projection (IncrementalCuration
+            // scaladoc documents the shape) — the integration spec
+            // drives the identical code path over Crawl.run's rounds
+            streaming.IncrementalCuration.warcDocs(reader.load(inputs.head))
           case other => sys.error(
             s"curate.stream.format: unknown format '$other' (parquet|warc)")
         }

@@ -220,20 +220,31 @@ object WarcScan {
     paths.foreach { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
-      if (fs.getFileStatus(path).isDirectory) {
-        fs.listStatus(path).foreach { s =>
-          val n = s.getPath.getName
-          if (s.isFile) {
-            if (n.startsWith("_") || n.startsWith(".")) {
-              if (n.endsWith(".idx")) side += s.getPath.toString
-            } else data += ((s.getPath.toString, s.getLen))
+      // glob paths expand first (`crawl-out/round_*` — the shape
+      // `curate.stream` watches when Crawl.run lands one WARC dir per
+      // round); an as-yet-matchless glob lists empty rather than
+      // throwing, so a stream can start BEFORE the crawl's first round
+      // commits and admit new round dirs as they appear
+      val roots: Seq[org.apache.hadoop.fs.FileStatus] =
+        if (p.exists(c => "*?[{".contains(c)))
+          Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Nil)
+        else Seq(fs.getFileStatus(path))
+      roots.foreach { root =>
+        if (root.isDirectory) {
+          fs.listStatus(root.getPath).foreach { s =>
+            val n = s.getPath.getName
+            if (s.isFile) {
+              if (n.startsWith("_") || n.startsWith(".")) {
+                if (n.endsWith(".idx")) side += s.getPath.toString
+              } else data += ((s.getPath.toString, s.getLen))
+            }
           }
+        } else {
+          data += ((root.getPath.toString, root.getLen))
+          val idx = WarcGzIndex.sidecarPath(root.getPath)
+          if (root.getPath.getName.endsWith(".gz") && fs.exists(idx))
+            side += idx.toString
         }
-      } else {
-        val st = fs.getFileStatus(path)
-        data += ((st.getPath.toString, st.getLen))
-        val idx = WarcGzIndex.sidecarPath(st.getPath)
-        if (p.endsWith(".gz") && fs.exists(idx)) side += idx.toString
       }
     }
     (data.result().sortBy(_._1), side.result())

@@ -34,6 +34,25 @@ import graft.sinks.CorpusWriter
   * rows). */
 object IncrementalCuration {
 
+  /** WARC response records → the (doc_id, text, lang) curation input —
+    * the `curate.stream.format=warc` projection, shared by the CLI and
+    * the crawl→curation integration path so both drive identical code:
+    * only COMPLETE 200 content (crawls carry 404/5xx error pages,
+    * redirect stubs, 204 empties, 206 fragments as response records),
+    * doc_id = 64-bit hash of the target URI (collisions quarantine via
+    * the standing corpus's doc_id mechanism), charset-sniffed decode,
+    * lang classified on a one-off extraction of the decoded HTML
+    * (`cfg.htmlInput` re-extracts inside curate — increment-sized
+    * double work). Works on batch and streaming frames alike. */
+  def warcDocs(warc: DataFrame): DataFrame =
+    warc.filter(col("warc_type") === "response")
+      .filter(col("http_status") === 200)
+      .select(xxhash64(col("target_uri")).as("doc_id"),
+        graft.ops.TextAnalysis.decodeHttpText(col("payload"),
+          col("http_content_type")).as("text"))
+      .withColumn("lang", graft.ops.TextAnalysis.langId(
+        graft.ops.TextAnalysis.htmlToText(col("text"))))
+
   /** One micro-batch: curate, dedup against the standing corpus at
     * `standingDir`, append delta + signatures. Bootstraps a missing/
     * empty standing corpus from the first batch. Returns rows appended.
