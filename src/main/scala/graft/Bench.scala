@@ -46,7 +46,10 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    names.foreach(runOnce)
+    names.foreach { n =>
+      val t = runOnce(n)
+      System.err.println(f"[bench] warmup $n%-28s ${t}%9.3f s")
+    }
     // N timed passes (SPARK_GRAFT_BENCH_PASSES, default 2), report each
     // query's MINIMUM — the steady-state time, same statistic
     // benchmark-ips reports via max ips. A single pass is contaminated
@@ -55,11 +58,19 @@ object Bench {
     // ±5%. System.gc() between queries keeps one query's collection
     // debris out of the next one's window and lets Spark's
     // ContextCleaner reclaim dead localCheckpoint blocks.
-    def timedPass(): Map[String, Double] =
-      names.map { n => System.gc(); n -> runOnce(n) }.toMap
+    // per-query progress on STDERR (stdout stays the one-line JSON
+    // contract): at sf10 a full-registry pass runs >20 min, and a silent
+    // bench is indistinguishable from a hung one
+    def timedPass(pass: Int): Map[String, Double] =
+      names.map { n =>
+        System.gc()
+        val t = runOnce(n)
+        System.err.println(f"[bench] pass $pass $n%-28s ${t}%9.3f s")
+        n -> t
+      }.toMap
     val nPasses = math.max(2, sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_PASSES", "2").toInt)
-    val allPasses = Seq.fill(nPasses)(timedPass())
+    val allPasses = (1 to nPasses).map(p => timedPass(p))
     val results = names.map(n => n -> allPasses.map(_(n)).min)
     def jsonMap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

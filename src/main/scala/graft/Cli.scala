@@ -33,6 +33,38 @@ import graft.sources.MarcIo
   */
 object Cli {
 
+  /** The full `fetch.*` knob set, shared by the `fetch` and `crawl`
+    * commands — one source of truth so a knob added for one can never be
+    * silently dropped by the other (the r16 ADVICE class of bug). Any
+    * setting under `fetch.transport.<k>` bridges to the executor System
+    * property `graft.fetch.<k>` via [[crawl.Fetch.Config.transportProps]]
+    * — the knobs no-arg transports like [[crawl.HttpFetchTransport]] read
+    * at construction (timeout_secs, gzip, max_body_bytes) — so transport
+    * tuning rides `-s` settings instead of
+    * `spark.executor.extraJavaOptions`. */
+  private[graft] def fetchConfig(
+      settings: collection.Map[String, String]): crawl.Fetch.Config =
+    crawl.Fetch.Config(
+      transportClass = settings.getOrElse("fetch.transport", sys.error(
+        "-s fetch.transport=className required (a graft.crawl.FetchTransport)")),
+      userAgent = settings.getOrElse("fetch.user_agent", "graftbot"),
+      maxAttempts = settings.getOrElse("fetch.max_attempts", "3").toInt,
+      backoffMs = settings.getOrElse("fetch.backoff_ms", "1000").toLong,
+      defaultDelayMs = settings.getOrElse("fetch.delay_ms", "0").toLong,
+      batchSize = settings.getOrElse("fetch.batch_size", "100000").toLong,
+      gzip = settings.get("fetch.gzip").contains("true"),
+      maxRedirects = settings.getOrElse("fetch.max_redirects", "5").toInt,
+      // true = gate cross-host redirect hops on the target's real
+      // robots.txt (fetched via the same transport, memoized)
+      redirectRobotsGate = settings.get("fetch.robots_gate").contains("true"),
+      maxHostFailures =
+        settings.getOrElse("fetch.host_failure_budget", "0").toInt,
+      warcHops = settings.get("fetch.warc_hops").contains("true"),
+      transportProps = settings.collect {
+        case (k, v) if k.startsWith("fetch.transport.") =>
+          ("graft.fetch." + k.stripPrefix("fetch.transport.")) -> v
+      }.toMap)
+
   final case class ExitCode(code: Int) extends RuntimeException(s"exit $code")
 
   def main(args: Array[String]): Unit = {
@@ -106,31 +138,17 @@ object Cli {
       //     [-s fetch.backoff_ms=N] [-s fetch.delay_ms=N]
       //     [-s fetch.user_agent=ua] [-s fetch.gzip=true]
       //     [-s fetch.max_redirects=N] [-s fetch.robots_gate=true]
+      //     [-s fetch.transport.<k>=v (→ executor System property
+      //      graft.fetch.<k>: HttpFetchTransport's timeout_secs / gzip /
+      //      max_body_bytes)]
       //     [-s fetch.checkpoint=dir] frontier.parquet...
       // The archive then re-enters the pipeline via
       //   graft.Cli curate -s curate.stream.format=warc ... warc-out
       require(inputs.nonEmpty, "no frontier tables given")
-      val transportClass = settings.getOrElse("fetch.transport", sys.error(
-        "-s fetch.transport=className required (a graft.crawl.FetchTransport)"))
       val frontier = inputs.map(spark.read.parquet(_)).reduce(_ unionByName _)
       val stats = crawl.Fetch.run(frontier, outDir,
         checkpointDir = settings.get("fetch.checkpoint").orNull,
-        cfg = crawl.Fetch.Config(
-          transportClass = transportClass,
-          userAgent = settings.getOrElse("fetch.user_agent", "graftbot"),
-          maxAttempts = settings.getOrElse("fetch.max_attempts", "3").toInt,
-          backoffMs = settings.getOrElse("fetch.backoff_ms", "1000").toLong,
-          defaultDelayMs = settings.getOrElse("fetch.delay_ms", "0").toLong,
-          batchSize = settings.getOrElse("fetch.batch_size", "100000").toLong,
-          gzip = settings.get("fetch.gzip").contains("true"),
-          maxRedirects = settings.getOrElse("fetch.max_redirects", "5").toInt,
-          // true = gate cross-host redirect hops on the target's real
-          // robots.txt (fetched via the same transport, memoized)
-          redirectRobotsGate =
-            settings.get("fetch.robots_gate").contains("true"),
-          maxHostFailures =
-            settings.getOrElse("fetch.host_failure_budget", "0").toInt,
-          warcHops = settings.get("fetch.warc_hops").contains("true")))
+        cfg = fetchConfig(settings))
       System.err.println(
         s"[graft] fetch: attempted=${stats.attempted} responded=${stats.ok} " +
           s"failed=${stats.failed} retried=${stats.retried} " +
@@ -148,7 +166,8 @@ object Cli {
       //     [-s crawl.recrawl_failures=true (no seeds: re-queue the
       //      restartable crawl's terminal-failure tombstones in place)]
       //     [fetch.* knobs as for `fetch`, incl. fetch.batch_size /
-      //      fetch.gzip / fetch.host_failure_budget / fetch.warc_hops]
+      //      fetch.gzip / fetch.host_failure_budget / fetch.warc_hops /
+      //      fetch.transport.<k>=v]
       //     seeds.parquet...
       // Default (in-memory rounds): crawl-out/warc (flat WARC dir —
       // curate.stream watches it directly) + crawl-out/audit (url,
@@ -159,8 +178,6 @@ object Cli {
       // commit-log, frontiers persist under crawl-out/_crawl/, and
       // RE-RUNNING the same command after a crash resumes at the first
       // unfinished batch — the form a long production crawl wants.
-      val transportClass = settings.getOrElse("fetch.transport", sys.error(
-        "-s fetch.transport=className required (a graft.crawl.FetchTransport)"))
       val scope: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         settings.get("crawl.scope_prefix") match {
           case Some(ps) =>
@@ -168,24 +185,7 @@ object Cli {
             u => prefixes.map(u.startsWith(_)).reduce(_ || _)
           case None => _ => lit(true)
         }
-      // the full fetch.* knob set, exactly as the `fetch` command wires
-      // it — in the restartable path batch_size directly controls the
-      // commit-log crash window and gzip the archive compression, so a
-      // crawl-block omission would silently pin a long crawl to defaults
-      val cfg = crawl.Fetch.Config(
-        transportClass = transportClass,
-        userAgent = settings.getOrElse("fetch.user_agent", "graftbot"),
-        maxAttempts = settings.getOrElse("fetch.max_attempts", "3").toInt,
-        backoffMs = settings.getOrElse("fetch.backoff_ms", "1000").toLong,
-        defaultDelayMs = settings.getOrElse("fetch.delay_ms", "0").toLong,
-        batchSize = settings.getOrElse("fetch.batch_size", "100000").toLong,
-        gzip = settings.get("fetch.gzip").contains("true"),
-        maxRedirects = settings.getOrElse("fetch.max_redirects", "5").toInt,
-        redirectRobotsGate =
-          settings.get("fetch.robots_gate").contains("true"),
-        maxHostFailures =
-          settings.getOrElse("fetch.host_failure_budget", "0").toInt,
-        warcHops = settings.get("fetch.warc_hops").contains("true"))
+      val cfg = fetchConfig(settings)
       val maxDepth = settings.getOrElse("crawl.max_depth", "2").toInt
       val maxFrontier = settings.getOrElse("crawl.max_frontier",
         crawl.Crawl.MaxFrontierPerRound.toString).toLong

@@ -78,6 +78,13 @@ object Crawl {
     * distinct canonical URL — a URL reachable from many parents fetches
     * once, at its minimum depth.
     *
+    * Storage shape: every round's archive stays in EXECUTOR STORAGE
+    * (checkpoint blocks) until the final union — the peak footprint is
+    * the whole crawl, because the whole crawl IS the return value.
+    * Fine for scoped crawls that fit the cluster's storage memory; a
+    * corpus-sized crawl belongs on [[run]], which lands each round on
+    * disk and keeps only url-sized frames in executor storage.
+    *
     * @param seeds    frame with a `url` column (canonicalized here)
     * @param cfg      transport/politeness config, per [[Fetch.Config]]
     * @param maxDepth rounds past the seeds (0 = fetch seeds only)

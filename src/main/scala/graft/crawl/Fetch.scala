@@ -116,14 +116,36 @@ final case class FetchStats(attempted: Long, ok: Long, failed: Long,
   * testable with a logical clock and the graded fixture never stalls. */
 object Fetch {
 
-  /** Class-name → instance, one per JVM (executor-side lookup — the
-    * instance never serializes, so transports may hold sockets/pools). */
+  /** (Class-name, frozen props) → instance, one per JVM (executor-side
+    * lookup — the instance never serializes, so transports may hold
+    * sockets/pools). `props` ([[Config.transportProps]]) are published
+    * as System properties FOR THE DURATION OF CONSTRUCTION only (then
+    * restored, under a lock — two jobs' constructions on one executor
+    * can't interleave and a no-props job can never read a stale knob),
+    * and participate in the cache key, so differing knobs never share
+    * an instance. */
   private val transports =
     new java.util.concurrent.ConcurrentHashMap[String, FetchTransport]()
-  def transportFor(className: String): FetchTransport =
-    transports.computeIfAbsent(className, cn =>
-      Class.forName(cn).getDeclaredConstructor().newInstance()
-        .asInstanceOf[FetchTransport])
+  private val constructLock = new Object
+  def transportFor(className: String,
+                   props: Map[String, String] = Map.empty): FetchTransport = {
+    val key = className +
+      props.toSeq.sorted.map { case (k, v) => s";$k=$v" }.mkString
+    val cached = transports.get(key)
+    if (cached != null) cached
+    else constructLock.synchronized {
+      transports.computeIfAbsent(key, _ => {
+        val saved = props.keys.map(k => k -> sys.props.get(k)).toMap
+        props.foreach { case (k, v) => System.setProperty(k, v) }
+        try Class.forName(className).getDeclaredConstructor().newInstance()
+          .asInstanceOf[FetchTransport]
+        finally saved.foreach {
+          case (k, Some(v)) => System.setProperty(k, v): Unit
+          case (k, None) => System.clearProperty(k): Unit
+        }
+      })
+    }
+  }
 
   final case class Config(
       transportClass: String,
@@ -172,6 +194,15 @@ object Fetch {
       // expects. Default off: the final-response-under-original-uri
       // convention alone, byte-compatible with pre-r17 archives.
       warcHops: Boolean = false,
+      // executor-side transport knobs: published as System properties
+      // on the executor JVM for the DURATION of the transport's no-arg
+      // construction (then restored; keyed into the per-JVM instance
+      // cache — [[transportFor]]), so settings like
+      // `fetch.transport.timeout_secs` reach [[HttpFetchTransport]]'s
+      // `graft.fetch.*` props without spark.executor.extraJavaOptions
+      // plumbing. Visible at construction only: a transport must read
+      // its props into fields eagerly (HttpFetchTransport does).
+      transportProps: Map[String, String] = Map.empty,
       clock: () => Long = () => System.currentTimeMillis(),
       sleeper: Long => Unit = ms => Thread.sleep(ms)) {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
@@ -361,7 +392,7 @@ object Fetch {
       .repartition(col("domain"))
       .sortWithinPartitions(col("domain"), col("ord"), col("url"))
       .mapPartitions { it =>
-        val transport = transportFor(cfg.transportClass)
+        val transport = transportFor(cfg.transportClass, cfg.transportProps)
         val gate: (String, String) => Boolean =
           if (cfg.redirectRobotsGate)
             (_, to) => robotsAllowsViaTransport(transport, cfg.userAgent, to)

@@ -17,7 +17,11 @@ package graft.crawl
   *
   * Configuration (the trait requires a no-arg constructor, so knobs are
   * system properties, the [[graft.streaming.HttpOaiPageFetcher]]
-  * precedent — set them in `spark.executor.extraJavaOptions`):
+  * precedent). Two ways to set them: the settings bridge —
+  * `-s fetch.transport.<k>=v` / [[Fetch.Config.transportProps]], which
+  * publishes `graft.fetch.<k>` on the executor right before this
+  * constructor runs — or `spark.executor.extraJavaOptions` for static
+  * cluster-wide defaults:
   *  - `graft.fetch.timeout_secs` (default 10): per-request timeout;
   *  - `graft.fetch.gzip` (default true): negotiate gzip;
   *  - `graft.fetch.max_body_bytes` (default 16 MiB): a response body

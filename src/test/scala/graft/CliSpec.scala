@@ -560,6 +560,28 @@ class CliSpec extends SparkSpec {
     run(classOf[graft.crawl.NeverTransport].getName)
     assert(spark.read.format("warc").load(s"$dir/out/round_1").count() == 3)
   }
+
+  test("fetchConfig: one source of truth for fetch.* knobs; fetch.transport.<k> bridges to graft.fetch.<k>") {
+    val cfg = Cli.fetchConfig(Map(
+      "fetch.transport" -> "graft.crawl.HttpFetchTransport",
+      "fetch.user_agent" -> "ua-x",
+      "fetch.batch_size" -> "77",
+      "fetch.gzip" -> "true",
+      "fetch.max_redirects" -> "2",
+      "fetch.host_failure_budget" -> "4",
+      "fetch.warc_hops" -> "true",
+      "fetch.transport.timeout_secs" -> "7",
+      "fetch.transport.max_body_bytes" -> "1024",
+      "unrelated.setting" -> "ignored"))
+    assert(cfg.transportClass == "graft.crawl.HttpFetchTransport")
+    assert(cfg.userAgent == "ua-x" && cfg.batchSize == 77L && cfg.gzip)
+    assert(cfg.maxRedirects == 2 && cfg.maxHostFailures == 4 && cfg.warcHops)
+    assert(cfg.transportProps == Map(
+      "graft.fetch.timeout_secs" -> "7",
+      "graft.fetch.max_body_bytes" -> "1024"))
+    // `fetch.transport` itself is the class name, never a prop
+    assert(!cfg.transportProps.contains("graft.fetch."))
+  }
 }
 
 /** Deterministic fetch transport for the CLI crawl-loop golden: each url

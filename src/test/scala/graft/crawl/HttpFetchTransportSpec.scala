@@ -123,6 +123,42 @@ class HttpFetchTransportSpec extends SparkSpec {
     }
   }
 
+  test("transportProps bridge: Config knobs reach the no-arg constructor; differing props never share an instance") {
+    withServer { (server, port) =>
+      server.createContext("/", new HttpHandler {
+        override def handle(ex: HttpExchange): Unit =
+          respond(ex, 200, Array.fill[Byte](8192)('x'),
+            "Content-Type" -> "text/plain")
+      }): Unit
+      import spark.implicits._
+      val url = s"http://127.0.0.1:$port/big"
+      val before = sys.props.get("graft.fetch.max_body_bytes")
+      // capped via the settings bridge (no extraJavaOptions, no pre-set
+      // system property): the 8 KiB body trips the 1 KiB cap inside the
+      // transport -> transport failure -> audited status -1
+      val capped = Fetch.fetchFrontier(Seq(url).toDF("url"),
+        Fetch.Config(
+          transportClass = classOf[HttpFetchTransport].getName,
+          maxAttempts = 1,
+          transportProps = Map("graft.fetch.max_body_bytes" -> "1024")))
+        .select("status", "error").collect()
+      assert(capped.length == 1 && capped(0).getInt(0) == -1)
+      assert(capped(0).getString(1).contains("max_body_bytes"))
+      // publication is scoped to the construction window — nothing may
+      // bleed into the JVM afterwards (or into other configs' transports)
+      assert(sys.props.get("graft.fetch.max_body_bytes") == before,
+        "transportProps must restore the JVM property after construction")
+      // the SAME class with default props in the same JVM must get a
+      // DIFFERENT instance (props key the cache), which reads the body
+      val open = Fetch.fetchFrontier(Seq(url).toDF("url"),
+        Fetch.Config(
+          transportClass = classOf[HttpFetchTransport].getName,
+          maxAttempts = 1))
+        .select("status").collect()
+      assert(open.length == 1 && open(0).getInt(0) == 200)
+    }
+  }
+
   test("transport-level failure throws (the retry contract); fetch executor audits it") {
     // a port with no listener: connect refused -> the trait's THROW path
     val dead = new java.net.ServerSocket(0)
