@@ -149,41 +149,113 @@ object Similarity {
     graft.functions.SignLshBucketsExpression.signLshBuckets(
       vec, numPlanes, numTables, dim, seedBase)
 
+  /** Identical-vector collapse around a candidate-pair ANN path: group
+    * each side by the (double-cast) vector, generate candidates over
+    * DISTINCT vectors only, score each distinct pair once, then expand
+    * back to ids and rank. Exact under [[rankTopK]]'s (cosine desc, id
+    * asc) order, because copies of one vector are interchangeable except
+    * for id: a corpus group's k+1 smallest ids are the only copies that
+    * can reach ANY query's top-k (the +1 spare covers the one self-match
+    * a query id can exclude), and they ride a bounded aggregate
+    * (score −id; exact for |id| < 2^53).
+    *
+    * This is the 100 TB shape: a crawled-embedding corpus is massively
+    * EXACT-duplicated, and without the collapse the candidate-pair count
+    * is QUADRATIC in the duplication factor (100-way duplicates =
+    * 10,000× the pairs, whose vector re-attach joins then shuffle
+    * corpus-sized payloads — the sf10 full-registry bench filled 78 GB
+    * of spill and died on exactly this). With it, candidate generation
+    * and scoring are duplication-independent, and only id-sized rows
+    * expand at the end.
+    *
+    * `candidatePairs` receives the two distinct-vector frames as
+    * (id, vec) — vec already cast array<double>, id = the group's
+    * smallest member id — and returns (qkey, ckey) candidate pairs. */
+  private def collapsedTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int)(
+      candidatePairs: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    import graft.functions.TopKAggregate
+    // distinct corpus vectors: key = smallest member id; cids = the k+1
+    // smallest member ids, ascending (topk orders by −id desc = id asc)
+    // Lazily checkpointed (the Dedup candidate-set shape): each distinct
+    // frame feeds BOTH candidate generation and the scoring join —
+    // without a barrier the corpus dedup aggregate would execute per
+    // consumer (two full corpus scans at 100 TB). Frames are
+    // distinct-vector-sized; blocks release on GC.
+    val dc = corpus
+      .groupBy(col(vecCol).cast("array<double>").as("cv"))
+      .agg(TopKAggregate.topk(-col(idCol).cast("double"),
+        col(idCol).cast("long"), k + 1).as("top"))
+      .select(col("cv"), expr("transform(top, x -> x.id)").as("cids"))
+      .withColumn("ckey", element_at(col("cids"), 1))
+      .localCheckpoint(false)
+    val dq = queries
+      .groupBy(col(vecCol).cast("array<double>").as("qv"))
+      .agg(min(col(idCol).cast("long")).as("qkey"))
+      .localCheckpoint(false)
+    val pairs = candidatePairs(
+      dc.select(col("ckey").as("id"), col("cv").as("vec")),
+      dq.select(col("qkey").as("id"), col("qv").as("vec")))
+    // score once per distinct pair. Vectors re-attach BY ID from the
+    // ORIGINAL frames (the exactReRank shape): ckey/qkey are real member
+    // ids, and id-keyed equi-joins let the planner broadcast from real
+    // source stats — the checkpointed distinct frames carry no stats, so
+    // joining their vectors directly would force a sort-merge moving
+    // vector payloads. Each vector crosses the wire at most once.
+    val cv = corpus.select(col(idCol).cast("long").as("ckey"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val qv = queries.select(col(idCol).cast("long").as("qkey"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = pairs
+      .join(qv, "qkey")
+      .join(cv, "ckey")
+      .select(col("qkey"), col("ckey"),
+        safeCosine(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
+      // the group id-list rides an id-keyed join: array<long>, ≤ k+1
+      // elements — a bounded id tuple, never a vector payload
+      .join(dc.select(col("ckey"), col("cids")), "ckey")
+    // expand: every query id of a distinct query vector sees its group's
+    // candidates (vector-equality equi-join — the one place the vector IS
+    // the key; |Q| id-plus-vector rows cross once, linear); self-matches
+    // drop per id (the k+1 spare covers the one id a query can exclude)
+    val queryIds = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .join(dq, "qv")
+      .select(col("query_id"), col("qkey"))
+    val expanded = queryIds
+      .join(scored, "qkey")
+      .select(col("query_id"), explode(col("cids")).as("neighbor_id"),
+        col("cosine"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    rankTopK(expanded, k)
+  }
+
   /** Approximate top-k: bucket corpus and queries by sign-LSH, join within
     * buckets (optionally with multi-probe via numTables different seeds),
     * exact cosine re-rank inside the candidate set.
     *
-    * Shuffle discipline (the s04/d02 pattern): the numTables bucket joins
-    * and the candidate dedup move ONLY (table, bucket, id) tuples — the
-    * embedding arrays are re-attached by id-equi-join to just the
-    * deduplicated candidate pairs, so each vector crosses the wire once
-    * instead of numTables times. */
+    * Shuffle discipline (the s04/d02 pattern, plus [[collapsedTopK]]):
+    * buckets are computed per DISTINCT vector (identical vectors share
+    * every bucket of every table, so collapsing first changes nothing
+    * about the candidate set), the bucket joins move only (table, bucket,
+    * id) tuples, and vectors attach once per distinct candidate pair. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              numPlanes: Int = 12, numTables: Int = 4, dim: Int = 64): DataFrame = {
-    def bucketed(df: DataFrame, outId: String) = df.select(
-      col(idCol).as(outId),
-      posexplode(allTableBuckets(col(vecCol).cast("array<double>"),
-        numPlanes, numTables, dim, seedBase = 42)).as(Seq("table", "bucket")))
-    val candidates = bucketed(corpus, "neighbor_id")
-      .join(bucketed(queries, "query_id"), Seq("table", "bucket"))
-      .select(col("query_id"), col("neighbor_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
-    // vectors (and norms, computed once per row) join back onto candidates
-    val cv = corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("cn", norm(col("cv")))
-    val qv = queries.select(col(idCol).as("query_id"),
-        col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("qn", norm(col("qv")))
-    val scored = candidates
-      .join(qv, "query_id")
-      .join(cv, "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"),
-        safeCosine(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
-    rankTopK(scored, k)
-  }
+              numPlanes: Int = 12, numTables: Int = 4, dim: Int = 64): DataFrame =
+    collapsedTopK(corpus, queries, idCol, vecCol, k) { (c, q) =>
+      def bucketed(df: DataFrame, outId: String) = df.select(
+        col("id").as(outId),
+        posexplode(allTableBuckets(col("vec"),
+          numPlanes, numTables, dim, seedBase = 42)).as(Seq("table", "bucket")))
+      bucketed(c, "ckey")
+        .join(bucketed(q, "qkey"), Seq("table", "bucket"))
+        .select(col("qkey"), col("ckey"))
+        .dropDuplicates("qkey", "ckey")
+    }
 
   /** IVF (inverted-file) ANN: a coarse quantizer of `nlist` centroids
     * partitions the corpus into cells; each query probes its `nprobe`
@@ -209,35 +281,21 @@ object Similarity {
     if (centroids.isEmpty) return emptyTopK(corpus, queries, idCol, k)
 
     // cell assignment is a narrow map (one kernel pass over the broadcast
-    // centroid matrix — graft.functions.IvfCellsExpression); the cell join
-    // then moves ONLY (cell, id) pairs — a corpus row lives in exactly one
-    // cell and a query probes distinct cells, so (query, neighbor) pairs
-    // are already unique and need no dedup shuffle
-    def cellsOf(vec: Column, n: Int): Column =
-      graft.functions.IvfCellsExpression.ivfCells(vec, centroids, n)
-    val cIds = corpus.select(col(idCol).as("neighbor_id"),
-        element_at(cellsOf(col(vecCol).cast("array<double>"), 1), 1).as("cell"))
-    val qIds = queries.select(col(idCol).as("query_id"),
-        explode(cellsOf(col(vecCol).cast("array<double>"), nprobe)).as("cell"))
-    val candidates = cIds.join(qIds, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"))
-
-    // vectors re-attach by id-equi-join to the candidate pairs (the
-    // s04/d02 pattern): each embedding crosses the wire once, not once per
-    // probed cell; norms are computed once per row before the join
-    val cv = corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("cn", norm(col("cv")))
-    val qv = queries.select(col(idCol).as("query_id"),
-        col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("qn", norm(col("qv")))
-    val scored = candidates
-      .join(qv, "query_id")
-      .join(cv, "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"),
-        safeCosine(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
-    rankTopK(scored, k)
+    // centroid matrix — graft.functions.IvfCellsExpression) computed per
+    // DISTINCT vector (identical vectors share their argmin cell, so the
+    // collapse changes nothing about the candidate set); the cell join
+    // moves ONLY (cell, id) pairs — a distinct corpus vector lives in
+    // exactly one cell and a distinct query probes distinct cells, so
+    // (qkey, ckey) pairs are already unique and need no dedup shuffle
+    collapsedTopK(corpus, queries, idCol, vecCol, k) { (c, q) =>
+      def cellsOf(vec: Column, n: Int): Column =
+        graft.functions.IvfCellsExpression.ivfCells(vec, centroids, n)
+      val cIds = c.select(col("id").as("ckey"),
+        element_at(cellsOf(col("vec"), 1), 1).as("cell"))
+      val qIds = q.select(col("id").as("qkey"),
+        explode(cellsOf(col("vec"), nprobe)).as("cell"))
+      cIds.join(qIds, Seq("cell")).select(col("qkey"), col("ckey"))
+    }
   }
 
   /** [[ivfTopK]] with nlist derived from the corpus size: nlist = √n
@@ -267,11 +325,21 @@ object Similarity {
     else lloyd(sample, nlist, iters)
   }
 
-  /** Seeded deterministic vector sample collected to the driver. */
+  /** Seeded deterministic vector sample collected to the driver, over the
+    * DISTINCT vectors. Distinct-first matters on a duplicated corpus (the
+    * crawled shape): a value-hash sort groups identical vectors
+    * adjacently, so a top-`sampleSize` slice of the RAW corpus covers
+    * only sampleSize/dupFactor distinct vectors — at 100-way duplication
+    * the IVF quantizer then trains on ~1% of the vector space, collapses
+    * most cells, and per-query candidate lists blow up by the duplication
+    * factor (measured at sf10: 610k candidate pairs vs 18k, s03 73 s vs
+    * 7 s). The hash rides the raw double array — no per-element string
+    * cast on the sort key (that cast alone was 115 s of executor time at
+    * 200k×64). */
   private def sampleVectors(corpus: DataFrame, vecCol: String,
                             sampleSize: Int, seed: Int): Array[Array[Double]] =
-    corpus.select(col(vecCol).cast("array<double>"))
-      .orderBy(xxhash64(col(vecCol).cast("array<string>").cast("string"), lit(seed)))
+    corpus.select(col(vecCol).cast("array<double>").as("v")).distinct()
+      .orderBy(xxhash64(col("v"), lit(seed)))
       .limit(sampleSize)
       .collect().map(_.getSeq[Double](0).toArray)
 

@@ -115,14 +115,22 @@ class PlanShapeSpec extends SparkSpec {
       // balanced() round-robin rebalance of a single-split LOCAL scan
       // (production multi-split inputs pass that gate untouched) — but
       // they must never ride a structural shuffle (join keys, groupBy):
-      // those move only id/bucket/score tuples or bounded topk buffers
+      // those move only id/bucket/score tuples or bounded topk buffers.
+      // The guard targets FLOATING arrays (vector payloads) specifically:
+      // the identical-vector collapse legitimately moves bounded id
+      // LISTS (array<long>, ≤ k+1 group-member ids) across id-keyed
+      // joins, which are id tuples, not vectors
       import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+      import org.apache.spark.sql.types.{DoubleType, FloatType}
       plan.foreach {
         case e: ShuffleExchangeExec
             if !e.outputPartitioning.isInstanceOf[RoundRobinPartitioning] =>
-          val arrays = e.output.filter(_.dataType.isInstanceOf[ArrayType])
+          val arrays = e.output.filter(_.dataType match {
+            case ArrayType(DoubleType | FloatType, _) => true
+            case _ => false
+          })
           assert(arrays.isEmpty,
-            s"$q: array attrs ${arrays.map(_.name).mkString(",")} cross a shuffle:\n${e.treeString}")
+            s"$q: vector attrs ${arrays.map(_.name).mkString(",")} cross a shuffle:\n${e.treeString}")
         case _ =>
       }
     }
