@@ -46,7 +46,12 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // System.gc() between queries here too (not just in timed passes):
+    // shuffle files of a finished query are reclaimed by ContextCleaner
+    // only after their dependencies are GC'd, and a 158-query warmup at
+    // sf10 otherwise accumulates tens of GB of dead spill on disk
     names.foreach { n =>
+      System.gc()
       val t = runOnce(n)
       System.err.println(f"[bench] warmup $n%-28s ${t}%9.3f s")
     }
