@@ -1248,27 +1248,73 @@ object Dedup {
     * binary-payload ([[Multimodal.binaryNearDupPairs]]) paths. Same
     * scale shape either way: candidates meet only on equal
     * (chunk-index, chunk-value) — an equi-join, never a cross join —
-    * and only (id, sig, chunk) triples shuffle. */
+    * and only (id, sig, chunk) triples shuffle.
+    *
+    * Identical-signature collapse (the [[Similarity.cosineNearDupPairs]]
+    * rationale with a scalar key): chunking, the chunk self-join, the
+    * global (ga, gb) dedup, and the hamming verification all run per
+    * DISTINCT signature; member-id lists expand only at the very end.
+    * On a duplicated corpus (a crawled image set IS one) the old per-id
+    * form generated candidate rows QUADRATIC in the duplication factor
+    * (d copies of one signature co-bucket in every chunk → d²·chunks
+    * rows into the dedup shuffle — mm07 measured 90 s at sf10 on
+    * exactly this). The OUTPUT is still every qualifying id pair —
+    * quadratic in the duplication by the operator's definition — but
+    * it is produced by exploding bounded member lists, not shuffled.
+    *
+    * Precondition: ids are unique. A duplicate id row with a DIFFERENT
+    * signature lives in two groups, and a pair reachable through both
+    * keeps both groups' distances (the old form kept one arbitrarily). */
   def simhashPairsFromSigs(sigs: DataFrame, maxDistance: Int): DataFrame = {
+    // one row per distinct signature; barrier: feeds chunking (both
+    // sides of the self-join via the shared exchange) and both
+    // expansions — without it the signature subtree (and its kernel
+    // source scan) would execute once per consumer
+    val groups = sigs
+      .groupBy(col("sig"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .withColumn("gkey", element_at(col("ids"), 1))
+      .localCheckpoint(false)
     // the explicit (ci, cv) repartition puts a canonically-identical
     // exchange under BOTH sides of the chunk self-join, so ReusedExchange
-    // executes the signature subtree — and its kernel source scan —
-    // exactly once at any scale (the d02/d13 discipline; without it
-    // AQE's small-scale broadcast choice leaves one side exchange-free
-    // and the scan runs twice)
-    val buckets = sigs.select(col("id"), col("sig"),
+    // executes the chunking subtree exactly once at any scale (the
+    // d02/d13 discipline; without it AQE's small-scale broadcast choice
+    // leaves one side exchange-free and the subtree runs twice)
+    val buckets = groups.select(col("gkey"), col("sig"),
       posexplode(array(simhashChunkCols(col("sig"), maxDistance): _*)).as(Seq("ci", "cv")))
       .repartition(col("ci"), col("cv"))
-
-    buckets.alias("a").join(buckets.alias("b"),
+    // cross-group: verify once per distinct signature pair, then expand
+    // to id pairs (groups are disjoint over unique ids, so least/greatest
+    // orients each pair exactly once; equal-id pairs — duplicate input
+    // ids meeting across groups — drop, as the old a.id < b.id form did)
+    val gpairs = buckets.alias("a").join(buckets.alias("b"),
         col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.gkey") < col("b.gkey"))
+      .select(col("a.gkey").as("ga"), col("b.gkey").as("gb"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("id_a", "id_b")
+      .dropDuplicates("ga", "gb")
       .withColumn("distance", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("distance") <= maxDistance)
-      .select(col("id_a"), col("id_b"), col("distance"))
+      .select(col("ga"), col("gb"), col("distance"))
+    val vids = groups.select(col("gkey"), col("ids"))
+    val cross = gpairs
+      .join(vids.select(col("gkey").as("ga"), col("ids").as("ids_a")), "ga")
+      .join(vids.select(col("gkey").as("gb"), col("ids").as("ids_b")), "gb")
+      .select(explode(col("ids_a")).as("a"), col("ids_b"), col("distance"))
+      .select(col("a"), explode(col("ids_b")).as("b"), col("distance"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("id_a"),
+        greatest(col("a"), col("b")).as("id_b"), col("distance"))
+    // within-group: identical signatures share every chunk of every
+    // table, so the old form always co-bucketed them; the distance is
+    // COMPUTED by the same bit_count(a ^ b) the old per-pair verify
+    // evaluated (= 0 ≤ maxDistance), never assumed
+    val within = groups.filter(size(col("ids")) >= 2)
+      .withColumn("distance", bit_count(col("sig").bitwiseXOR(col("sig"))))
+      .select(explode(col("ids")).as("id_a"), col("ids"), col("distance"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"), col("distance"))
+      .filter(col("id_a") < col("id_b"))
+    cross.unionByName(within)
   }
 
   /** Driver reference for [[graft.functions.BinarySimhashExpression]]
@@ -1339,13 +1385,27 @@ object Dedup {
         "is an all-pairs cross join — at scale, block first)")
     val recs = df.select(blockCols.map(col) :+ col(idCol).as("_id") :+
       col(textCol).as("_t"): _*)
-    val uAll = recs.select(blockCols.map(col) :+ col("_t"): _*).distinct()
+    // one row per distinct (block, text) carrying its member-id list —
+    // the simhashPairsFromSigs collapse with a string key. The old tail
+    // joined the FULL n-row frame back twice, keyed on (block, text):
+    // every text string crossed two more shuffles and every verdict row
+    // fanned out through join-match expansion (d08's planted 100-way
+    // duplication measured 205 s at sf10 on exactly this). Here the
+    // verdict joins are u-sized and the quadratic-by-definition output
+    // is produced by exploding bounded member lists, not shuffled.
+    // Barrier: feeds the oversize audit, both self-join sides, and both
+    // expansion joins — without it the aggregate re-runs per consumer.
+    val members = recs
+      .groupBy(blockCols.map(col) :+ col("_t"): _*)
+      .agg(sort_array(collect_list(col("_id"))).as("_ids"))
+      .localCheckpoint(false)
     // normally-empty, pathologically tiny: broadcasts into an anti-join
-    val oversized = uAll.groupBy(blockCols.map(col): _*)
+    val oversized = members.groupBy(blockCols.map(col): _*)
       .agg(count(lit(1)).as("_bsize"))
       .filter(col("_bsize") > maxBlockSize)
       .select(blockCols.map(col): _*)
-    val u = uAll.join(broadcast(oversized), blockCols, "left_anti")
+    val u = members.join(broadcast(oversized), blockCols, "left_anti")
+      .select(blockCols.map(col) :+ col("_t"): _*)
     // unordered distinct name pairs: strictly-ordered pairs once each,
     // plus the diagonal (equal names — dist 0 without a comparison)
     val namePairs = u.select(blockCols.map(col) :+ col("_t").as("_ta"): _*)
@@ -1355,19 +1415,24 @@ object Dedup {
       .withColumn("dist", when(col("_ta") === col("_tb"), lit(0))
         .otherwise(levenshtein(col("_ta"), col("_tb"), maxDist)))
       .filter(col("dist") >= 0) // bounded form returns -1 past the cap
-    // expand verdicts to id pairs. A strict (na < nb) verdict yields each
-    // unordered id pair exactly once (normalized via least/greatest — the
-    // a-side id is NOT always the smaller); the diagonal yields each
-    // within-group pair twice plus self-pairs, so it keeps id_a < id_b.
-    namePairs
-      .join(recs.select(blockCols.map(col) :+ col("_id").as("id_a") :+
-        col("_t").as("_ta"): _*), blockCols :+ "_ta")
-      .join(recs.select(blockCols.map(col) :+ col("_id").as("id_b") :+
-        col("_t").as("_tb"): _*), blockCols :+ "_tb")
-      .filter(when(col("_ta") === col("_tb"), col("id_a") < col("id_b"))
-        .otherwise(lit(true)))
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
+    // expand verdicts to id pairs via the member lists. A strict
+    // (na < nb) verdict yields each unordered id pair exactly once
+    // (normalized via least/greatest — the a-side id is NOT always the
+    // smaller); the diagonal yields each within-group pair once via
+    // id_a < id_b.
+    val expanded = namePairs
+      .join(members.select(blockCols.map(col) :+ col("_t").as("_ta") :+
+        col("_ids").as("ids_a"): _*), blockCols :+ "_ta")
+      .join(members.select(blockCols.map(col) :+ col("_t").as("_tb") :+
+        col("_ids").as("ids_b"): _*), blockCols :+ "_tb")
+      .select(col("_ta") === col("_tb"), col("ids_a"), col("ids_b"), col("dist"))
+      .toDF("_diag", "ids_a", "ids_b", "dist")
+      .select(col("_diag"), explode(col("ids_a")).as("a"), col("ids_b"), col("dist"))
+      .select(col("_diag"), col("a"), explode(col("ids_b")).as("b"), col("dist"))
+    expanded
+      .filter(when(col("_diag"), col("a") < col("b")).otherwise(lit(true)))
+      .select(least(col("a"), col("b")).as("id_a"),
+        greatest(col("a"), col("b")).as("id_b"), col("dist"))
   }
 
   /** The blocks [[fuzzyDupPairs]] would exclude at `maxBlockSize` —

@@ -170,12 +170,22 @@ object Similarity {
     *
     * `candidatePairs` receives the two distinct-vector frames as
     * (id, vec) — vec already cast array<double>, id = the group's
-    * smallest member id — and returns (qkey, ckey) candidate pairs. */
-  private def collapsedTopK(
+    * smallest member id — and returns (qkey, ckey) candidate pairs.
+    *
+    * Preconditions (both enforced or documented loudly, not silent):
+    * ids must be an INTEGRAL type — groups key on long-cast ids, so a
+    * string id would cast to null and a fractional one would collapse
+    * distinct ids ([[requireIntegralId]] throws at plan time) — and ids
+    * must be unique (a duplicated id could occupy two of a group's k+1
+    * slots; `array_distinct` below drops the repeat from the expansion,
+    * but the slot it ate is not recoverable). */
+  private[ops] def collapsedTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int)(
       candidatePairs: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     import graft.functions.TopKAggregate
+    requireIntegralId(corpus, idCol, "collapsedTopK (lshTopK/ivfTopK)")
+    requireIntegralId(queries, idCol, "collapsedTopK (lshTopK/ivfTopK)")
     // distinct corpus vectors: key = smallest member id; cids = the k+1
     // smallest member ids, ascending (topk orders by −id desc = id asc)
     // Lazily checkpointed (the Dedup candidate-set shape): each distinct
@@ -228,10 +238,31 @@ object Similarity {
       .select(col("query_id"), col("qkey"))
     val expanded = queryIds
       .join(scored, "qkey")
-      .select(col("query_id"), explode(col("cids")).as("neighbor_id"),
+      // array_distinct: belt-and-braces for duplicated input ids (a
+      // repeat inside one group would emit a neighbor twice and occupy
+      // two top-k slots); a no-op on unique ids, bounded ≤ k+1 elements
+      .select(col("query_id"),
+        explode(array_distinct(col("cids"))).as("neighbor_id"),
         col("cosine"))
       .filter(col("query_id") =!= col("neighbor_id"))
     rankTopK(expanded, k)
+  }
+
+  /** Loud plan-time guard for the long-keyed collapse paths: a string id
+    * would cast to null (every group keyed null → one giant group, wrong
+    * answers with no error) and a fractional id would collapse distinct
+    * ids onto one long. bruteForceTopK/pqTopK/quantizedTopK keep the
+    * caller's id type and take no such cast — use those for non-integral
+    * ids. */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$op requires an integral id column (byte/short/int/long), got " +
+        s"'$idCol': ${dt.simpleString}. The identical-vector collapse keys " +
+        "groups on long-cast ids; a non-integral id would cast to " +
+        "null/lossy and silently corrupt results. Use bruteForceTopK/" +
+        "pqTopK/quantizedTopK for non-integral ids.")
   }
 
   /** Approximate top-k: bucket corpus and queries by sign-LSH, join within
@@ -278,7 +309,14 @@ object Similarity {
               nlist: Int = 16, nprobe: Int = 2, lloydIters: Int = 5,
               sampleSize: Int = 512, seed: Int = 42): DataFrame = {
     val centroids = trainCentroids(corpus, vecCol, nlist, lloydIters, sampleSize, seed)
-    if (centroids.isEmpty) return emptyTopK(corpus, queries, idCol, k)
+    // pre-cast ids to long so the empty short-circuit's schema agrees
+    // with the non-empty collapsedTopK path, which long-casts ids —
+    // per-shard unions break exactly when one shard is empty and the
+    // two paths disagree on the id type
+    if (centroids.isEmpty)
+      return emptyTopK(
+        corpus.select(col(idCol).cast("long").as(idCol)),
+        queries.select(col(idCol).cast("long").as(idCol)), idCol, k)
 
     // cell assignment is a narrow map (one kernel pass over the broadcast
     // centroid matrix — graft.functions.IvfCellsExpression) computed per
@@ -567,6 +605,7 @@ object Similarity {
                          threshold: Double = 0.95,
                          numPlanes: Int = 10, numTables: Int = 6,
                          dim: Int = 64): DataFrame = {
+    requireIntegralId(df, idCol, "cosineNearDupPairs")
     // one row per distinct vector; barrier: feeds bucketing, both sides
     // of the verify join, and the within-group expansion
     val groups = df

@@ -116,17 +116,22 @@ class PlanShapeSpec extends SparkSpec {
       // (production multi-split inputs pass that gate untouched) — but
       // they must never ride a structural shuffle (join keys, groupBy):
       // those move only id/bucket/score tuples or bounded topk buffers.
-      // The guard targets FLOATING arrays (vector payloads) specifically:
-      // the identical-vector collapse legitimately moves bounded id
-      // LISTS (array<long>, ≤ k+1 group-member ids) across id-keyed
-      // joins, which are id tuples, not vectors
+      // The one exemption is array<long> — the identical-vector
+      // collapse legitimately moves bounded id LISTS (≤ k+1
+      // group-member ids) across id-keyed joins, which are id tuples,
+      // not vectors. Everything else (float/double vectors, strings,
+      // nested arrays) stays under the guard. Note the collapse's
+      // vector-keyed groupBy itself hides behind a localCheckpoint
+      // LogicalRDD boundary, so THIS plan cannot see it; its one
+      // vector shuffle is distinct-vector-sized by construction.
       import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
-      import org.apache.spark.sql.types.{DoubleType, FloatType}
+      import org.apache.spark.sql.types.LongType
       plan.foreach {
         case e: ShuffleExchangeExec
             if !e.outputPartitioning.isInstanceOf[RoundRobinPartitioning] =>
           val arrays = e.output.filter(_.dataType match {
-            case ArrayType(DoubleType | FloatType, _) => true
+            case ArrayType(LongType, _) => false
+            case ArrayType(_, _) => true
             case _ => false
           })
           assert(arrays.isEmpty,
@@ -417,8 +422,19 @@ class PlanShapeSpec extends SparkSpec {
     "t31_bpe_budget" -> 3,         // token-count prefix sums
     "t33_dsir_weights" -> 2,       // bucket-weight model collect
     "t37_lm_bigram_bits" -> 2,     // ONE grouping-sets marginal collect
-    "mm06_binary_neardup_nonzero" -> 2, // 8-row plant-table broadcast build
-    "mm07_pixel_neardup" -> 2)     // 10-row pixel-plant broadcast build
+    // r18: the identical-signature collapse lazily localCheckpoints a
+    // distinct-sig group frame; building its RDD materializes the
+    // signature aggregate (AQE stage jobs) at construction — and hides
+    // the file scan behind a LogicalRDD, so the default
+    // perSource budget would be 0
+    "d04_simhash_neardup" -> 1,
+    // r18: same shape — the distinct-(block, text) member frame
+    "d08_fuzzy_pairs" -> 1,
+    "mm05_binary_neardup" -> 1,
+    // mm06/mm07: the prior 8/10-row plant-table broadcast builds (2)
+    // + the r18 group-checkpoint construction jobs
+    "mm06_binary_neardup_nonzero" -> 4,
+    "mm07_pixel_neardup" -> 4)
   private val scanBudget: Map[String, Int] = Map(
     // near-dup pipelines: fingerprint/band/verify stages re-reference the
     // narrow scan; exchanges are reused at runtime, the leaf count is the
