@@ -59,6 +59,8 @@ object Cli {
       redirectRobotsGate = settings.get("fetch.robots_gate").contains("true"),
       maxHostFailures =
         settings.getOrElse("fetch.host_failure_budget", "0").toInt,
+      maxPerHostPerRound =
+        settings.getOrElse("fetch.max_per_host_per_round", "0").toLong,
       warcHops = settings.get("fetch.warc_hops").contains("true"),
       transportProps = settings.collect {
         case (k, v) if k.startsWith("fetch.transport.") =>
@@ -138,6 +140,8 @@ object Cli {
       //     [-s fetch.backoff_ms=N] [-s fetch.delay_ms=N]
       //     [-s fetch.user_agent=ua] [-s fetch.gzip=true]
       //     [-s fetch.max_redirects=N] [-s fetch.robots_gate=true]
+      //     [-s fetch.max_per_host_per_round=N (defer a host's overflow
+      //      beyond N rows per action — Zipf-host round-latency cap)]
       //     [-s fetch.transport.<k>=v (→ executor System property
       //      graft.fetch.<k>: HttpFetchTransport's timeout_secs / gzip /
       //      max_body_bytes)]

@@ -76,14 +76,22 @@ object Crawl {
   /** Fetched rows ([[FetchedRow]] columns) + `depth` (BFS hop at which
     * the URL was first discovered; seeds are depth 0). One row per
     * distinct canonical URL — a URL reachable from many parents fetches
-    * once, at its minimum depth.
+    * once, at its minimum depth. With a per-host round cap
+    * ([[Fetch.Config.maxPerHostPerRound]]) a capped host's overflow
+    * URLs re-queue into the NEXT round's frontier (they archive at the
+    * depth they are actually fetched, not discovered); overflow still
+    * pending when `maxDepth` lands stays in the output as
+    * status [[Fetch.StatusDeferred]] marker rows — nothing is silently
+    * dropped, and re-running with a larger `maxDepth` picks them up.
     *
-    * Storage shape: every round's archive stays in EXECUTOR STORAGE
-    * (checkpoint blocks) until the final union — the peak footprint is
-    * the whole crawl, because the whole crawl IS the return value.
-    * Fine for scoped crawls that fit the cluster's storage memory; a
-    * corpus-sized crawl belongs on [[run]], which lands each round on
-    * disk and keeps only url-sized frames in executor storage.
+    * Storage shape: every round's archive localCheckpoints at
+    * DISK_ONLY — executor MEMORY holds only the url-sized loop frames
+    * (frontier / visited / marks); the body-sized rounds live on local
+    * disk until the final union reads them back once. Peak memory is
+    * therefore ~one round's working set, not the whole crawl; peak
+    * DISK is the crawl itself (it is the return value). A corpus-sized
+    * crawl still belongs on [[run]], which lands rounds on durable
+    * storage and survives driver loss.
     *
     * @param seeds    frame with a `url` column (canonicalized here)
     * @param cfg      transport/politeness config, per [[Fetch.Config]]
@@ -134,10 +142,18 @@ object Crawl {
         // run exactly once per round, here, not wherever a lazy plan
         // happens to first act on it (and never AGAIN on a downstream
         // re-execution: the checkpoint truncates lineage at the archive)
+        // DISK_ONLY: the archive is read exactly twice (link extraction
+        // now, the final union later) — body-sized blocks have no
+        // business in storage memory squeezing the execution pool
         val fetched = Fetch.fetchFrontier(frontier, cfg)
           .withColumn("depth", lit(depth))
-          .localCheckpoint(true)
-        rounds :+= fetched
+          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        // mid-crawl, cap-deferred rows leave the archive (they re-fetch
+        // next round — keeping them would duplicate their url); at the
+        // final depth they stay as status-marker rows (nothing lost)
+        rounds :+= (if (cfg.maxPerHostPerRound > 0 && depth < maxDepth)
+          fetched.filter(col("status") =!= Fetch.StatusDeferred)
+        else fetched)
         if (depth == maxDepth) drained = true
         else {
           val pages = fetched
@@ -161,8 +177,17 @@ object Crawl {
                 .groupBy(col("domain"))
                 .agg(max(col("last_fetch_ms")).as("last_fetch_ms")))
               .localCheckpoint(false)
-          val fresh = roundLinks(pages, scope)
+          val discovered = roundLinks(pages, scope)
             .join(seen, Seq("url"), "left_anti")
+          // cap-deferred overflow re-queues here: already visited (it
+          // was in THIS round's frontier), so disjoint from the
+          // anti-joined links; scope does not re-apply (it was already
+          // admitted once)
+          val fresh =
+            if (cfg.maxPerHostPerRound <= 0) discovered
+            else discovered.unionByName(
+              fetched.filter(col("status") === Fetch.StatusDeferred)
+                .select("url"))
           val next =
             (if (newMarks == null) fresh
              else fresh
@@ -229,7 +254,11 @@ object Crawl {
     * Semantics match [[bfs]] (min-depth, one fetch per distinct
     * canonical URL, redirect-aware link resolution and visited set,
     * cross-round politeness floors, `scope`/`maxFrontierPerRound`
-    * gates). Archives land per ROUND, so depth is the directory, not a
+    * gates, per-host-cap overflow re-queued into the next round —
+    * overflow still pending when `maxDepth` lands stays visible as
+    * status [[Fetch.StatusDeferred]] rows in the final round's audit,
+    * and re-running the same outDir with a larger `maxDepth` fetches
+    * it). Archives land per ROUND, so depth is the directory, not a
     * column; `curate.stream` can watch any round dir. Each round also
     * persists an AUDIT sidecar (`_crawl/audit_<d>/`, every fetched row
     * minus the body — the [[Fetch.run]] `auditDir` contract) and a
@@ -328,7 +357,15 @@ object Crawl {
         // round d+1 to floor + crawl-delay). Skipped when no delay is
         // configured — the loop's only politeness source is
         // cfg.defaultDelayMs, so the floors would be dead weight.
-        val fresh = links.join(visited, Seq("url"), "left_anti")
+        val discovered = links.join(visited, Seq("url"), "left_anti")
+        // per-host-cap overflow re-queues into the next round: already
+        // in visited (it sat in this round's persisted frontier), so
+        // disjoint from the anti-joined links
+        val fresh =
+          if (cfg.maxPerHostPerRound <= 0) discovered
+          else discovered.unionByName(
+            audit.filter(col("status") === Fetch.StatusDeferred)
+              .select("url"))
         val next =
           if (cfg.defaultDelayMs <= 0) fresh
           else {
@@ -369,6 +406,14 @@ object Crawl {
     *    minus urls a previous attempt already fetched successfully
     *    (status ≥ 0 in a `_crawl/retry_audit_*` sidecar — a 404 is a
     *    successful FETCH; only status −1 stays pending);
+    *  - when `cfg.defaultDelayMs > 0` the attempt's frontier carries
+    *    politeness floors: each host's max `fetched_at` across EVERY
+    *    audit so far (crawl rounds + previous retries), escalated by
+    *    `attempt_index × delay` — so a just-crawled recovering host is
+    *    not hammered the moment the crawl ends (first retry of a host
+    *    fetched at T waits to ≥ T + D), and consecutive attempts back
+    *    off linearly (attempt r waits to ≥ T + (r+1)·D) instead of
+    *    re-fetching a still-failing host as fast as the caller loops;
     *  - the attempt's frontier persists to `_crawl/retry_frontier_<r>`
     *    (the resume identity), the archive lands in `outDir/retry_<r>/`
     *    through [[Fetch.run]]'s batch commit-log with its own audit
@@ -416,7 +461,33 @@ object Crawl {
             .filter(col("status") >= 0).select("url"),
           Seq("url"), "left_anti")
       if (pending.isEmpty) return FetchStats(0L, 0L, 0L, 0L, 0L)
-      pending.write.mode("overwrite").parquet(frontierDir)
+      val frontierOut =
+        if (cfg.defaultDelayMs <= 0) pending
+        else {
+          // floors from EVERY audit so far — crawl rounds and previous
+          // retry attempts alike (a host attempt r−1 actually touched
+          // moved its own floor; one it skipped keeps the crawl's).
+          // Escalation: tasks() waits to last_fetch_ms + delay, so
+          // last_fetch_ms = floor + r·delay makes attempt r first fire
+          // at ≥ floor + (r+1)·delay — linear backoff per attempt.
+          // Null floor (host never made an exchange) stays null → no
+          // wait, matching the loop's convention.
+          val markGlobs =
+            (fs.globStatus(new org.apache.hadoop.fs.Path(crawlPath, "audit_*")) ++
+              fs.globStatus(new org.apache.hadoop.fs.Path(crawlPath, "retry_audit_*")))
+              .filter(_.isDirectory).map(_.getPath.toString + "/batch-*").toSeq
+          val marks = markGlobs.map(spark.read.parquet(_))
+            .reduce(_ unionByName _)
+            .filter(col("fetched_at") > 0L)
+            .groupBy(col("domain"))
+            .agg(max(col("fetched_at")).as("floor"))
+          pending.withColumn("domain", Fetch.urlDomain(col("url")))
+            .join(marks, Seq("domain"), "left")
+            .select(col("url"), col("domain"),
+              (col("floor") + lit(r.toLong * cfg.defaultDelayMs))
+                .as("last_fetch_ms"))
+        }
+      frontierOut.write.mode("overwrite").parquet(frontierDir)
     }
     val frontier = spark.read.parquet(frontierDir)
     val st = Fetch.run(frontier, s"$outDir/retry_$r",

@@ -29,7 +29,14 @@ final case class FetchResponse(status: Int, contentType: String,
   * errors) — the retry loop treats exceptions and retryable statuses
   * (429, 5xx) alike, everything else records as-is. Implementations must
   * have a public no-arg constructor (resolved by class name, one instance
-  * per executor JVM — the natural home for a connection pool). */
+  * per executor JVM — the natural home for a connection pool).
+  *
+  * Configuration contract: [[Fetch.Config.transportProps]] are published
+  * as System properties ONLY for the duration of the no-arg construction
+  * (then restored — [[Fetch.transportFor]]). An implementation that wants
+  * them must therefore read its `graft.fetch.*` properties EAGERLY into
+  * fields in its constructor ([[HttpFetchTransport]] does); a lazy or
+  * per-call `sys.props` read observes restored/foreign values. */
 trait FetchTransport extends Serializable {
   def fetch(url: String, userAgent: String): FetchResponse
 }
@@ -79,9 +86,13 @@ final case class FetchedRow(url: String, domain: String, status: Int,
   * and speculative attempts DOUBLE-COUNT here even though the archive
   * output stays exactly-once (first-rename-wins): treat these as
   * operational telemetry with at-least-once semantics, and derive exact
-  * accounting from the audit frame or the archive itself. */
+  * accounting from the audit frame or the archive itself. `deferred`
+  * counts rows the per-host round cap pushed to the next round
+  * ([[Fetch.Config.maxPerHostPerRound]]) — neither attempted nor
+  * failed: no exchange happened and nothing is lost. */
 final case class FetchStats(attempted: Long, ok: Long, failed: Long,
-                            retried: Long, bytes: Long)
+                            retried: Long, bytes: Long,
+                            deferred: Long = 0L)
 
 /** The crawl-loop fetch executor: politeness-ordered frontier in
   * (t51/t52's output shape), WARC archive out — the missing edge that
@@ -125,12 +136,15 @@ object Fetch {
     * and participate in the cache key, so differing knobs never share
     * an instance. */
   private val transports =
-    new java.util.concurrent.ConcurrentHashMap[String, FetchTransport]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Seq[(String, String)]),
+      FetchTransport]()
   private val constructLock = new Object
   def transportFor(className: String,
                    props: Map[String, String] = Map.empty): FetchTransport = {
-    val key = className +
-      props.toSeq.sorted.map { case (k, v) => s";$k=$v" }.mkString
+    // structured key, never string concatenation: a value containing
+    // ';' or '=' must not collide two distinct prop maps onto one
+    // cached instance ({a -> "b;c=d"} vs {a -> "b", c -> "d"})
+    val key = (className, props.toSeq.sorted)
     val cached = transports.get(key)
     if (cached != null) cached
     else constructLock.synchronized {
@@ -187,6 +201,18 @@ object Fetch {
       // Skips are tombstones: [[Crawl.recrawlFailures]] re-queues them.
       // A success resets the host's counter. 0 = unlimited (default).
       maxHostFailures: Int = 0,
+      // per-host per-ACTION frontier cap: a host with more queued URLs
+      // than this fetches only its first `maxPerHostPerRound` (in
+      // politeness `ord` order); the overflow rows short-circuit to
+      // audited DEFERRALS (status [[Fetch.StatusDeferred]], attempts 0,
+      // zero wire calls) that [[Crawl]] feeds into the NEXT round's
+      // frontier. Why: politeness gives one task a whole host, so a
+      // 1M-URL host under a 1 s crawl-delay is ~11.6 days of serial
+      // fetching in ONE task while every other core idles — real
+      // frontiers are Zipf over hosts. The cap trades depth purity for
+      // round latency (a deferred URL archives in the round it is
+      // actually fetched). 0 = unlimited (default).
+      maxPerHostPerRound: Long = 0L,
       // true = toWarcRows (and therefore run()) also emits one WARC
       // response record per FOLLOWED redirect hop — the synthesized
       // 3xx envelope (status line + Location) under the hop's own
@@ -212,7 +238,16 @@ object Fetch {
     require(maxRedirects >= 0, s"maxRedirects must be >= 0: $maxRedirects")
     require(maxHostFailures >= 0,
       s"maxHostFailures must be >= 0 (0 = unlimited): $maxHostFailures")
+    require(maxPerHostPerRound >= 0,
+      s"maxPerHostPerRound must be >= 0 (0 = unlimited): $maxPerHostPerRound")
   }
+
+  /** `status` of a row the per-host round cap DEFERRED: no exchange
+    * happened and none will this action — [[Crawl]] re-queues the row in
+    * the next round's frontier. Distinct from −1 (terminal failure):
+    * deferred rows are neither tombstones ([[Crawl.recrawlFailures]]
+    * ignores them) nor archive records ([[toWarcRows]] drops status<0). */
+  val StatusDeferred: Int = -2
 
   /** Names the (batch-membership, fingerprint) formula pair a plan was
     * written under; bump when either changes so stale plans fail loudly
@@ -339,8 +374,10 @@ object Fetch {
     val failed: LongAccumulator = sc.longAccumulator("graft.fetch.failed")
     val retried: LongAccumulator = sc.longAccumulator("graft.fetch.retried")
     val bytes: LongAccumulator = sc.longAccumulator("graft.fetch.bytes")
+    val deferred: LongAccumulator = sc.longAccumulator("graft.fetch.deferred")
     def stats: FetchStats =
-      FetchStats(attempted.value, ok.value, failed.value, retried.value, bytes.value)
+      FetchStats(attempted.value, ok.value, failed.value, retried.value,
+        bytes.value, deferred.value)
   }
 
   /** Normalize a frontier to [[FetchTask]]s: `url` is required; `domain`
@@ -409,13 +446,29 @@ object Fetch {
         var lastAt = 0L
         var haveLast = false
         var hostFails = 0
+        var hostRows = 0L
         it.map { t =>
           if (t.domain != curDomain) {
             curDomain = t.domain
             lastAt = t.lastMs
             haveLast = t.lastMs > 0L
             hostFails = 0
+            hostRows = 0L
           }
+          hostRows += 1
+          if (cfg.maxPerHostPerRound > 0 && hostRows > cfg.maxPerHostPerRound) {
+            // per-host round cap: the host's first maxPerHostPerRound
+            // rows (politeness `ord` order — rows arrive sorted) fetch;
+            // the overflow defers to the next round with zero wire
+            // calls, zero sleeps, and no politeness high-water movement
+            // (attempts 0, fetched_at 0). BEFORE the delay sleep: a
+            // deferred row makes no exchange, so it owes no spacing.
+            c.deferred.add(1)
+            FetchedRow(t.url, t.domain, StatusDeferred, null, null, 0,
+              s"deferred: per-host round cap (${cfg.maxPerHostPerRound}) " +
+                s"reached on ${t.domain}",
+              Nil, 0L, Nil)
+          } else {
           if (haveLast && t.delayMs > 0) {
             val wait = lastAt + t.delayMs - cfg.clock()
             if (wait > 0) cfg.sleeper(wait)
@@ -510,6 +563,7 @@ object Fetch {
             c.failed.add(1)
             FetchedRow(t.url, t.domain, -1, null, null, totalAttempts, err,
               chain, lastAt, hopRecs)
+          }
           }
           }
         }

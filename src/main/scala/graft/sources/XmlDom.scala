@@ -204,11 +204,29 @@ object XmlDom {
     }
   }
 
+  // the same one-configured-factory-per-JVM discipline as
+  // builderFactory/xpathFactory — serialize() used to run
+  // `TransformerFactory.newInstance()` (a ServiceLoader classpath scan
+  // under a classloader lock) PER SERIALIZED NODE, which on a 32-thread
+  // XML scan is thousands of synchronized classpath scans per second:
+  // pure overhead, and exactly the classloading-churn signature the
+  // wandering pass-2 deopt convoys pointed at. One factory; one
+  // Transformer per thread (Transformers are reusable but not
+  // thread-safe, the JAXP contract).
+  private lazy val transformerFactory: TransformerFactory =
+    TransformerFactory.newInstance()
+  private val localTransformer =
+    ThreadLocal.withInitial[javax.xml.transform.Transformer] { () =>
+      val t = transformerFactory.synchronized {
+        transformerFactory.newTransformer()
+      }
+      t.setOutputProperty(OutputKeys.OMIT_XML_DECLARATION, "yes")
+      t
+    }
+
   def serialize(doc: Document): String = {
-    val t = TransformerFactory.newInstance().newTransformer()
-    t.setOutputProperty(OutputKeys.OMIT_XML_DECLARATION, "yes")
     val w = new StringWriter()
-    t.transform(new DOMSource(doc), new StreamResult(w))
+    localTransformer.get().transform(new DOMSource(doc), new StreamResult(w))
     w.toString
   }
 }

@@ -86,6 +86,51 @@ object ChainWebTransport {
     new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
 }
 
+/** One host; /p/1 answers 200 with a link to /p/2; /p/2 THROWS while
+  * [[FloorBrittleTransport.broken]] and answers 200 after — records
+  * (url, logical clock) per call: the recrawl floors/backoff fixture. */
+final class FloorBrittleTransport extends FetchTransport {
+  import java.nio.charset.StandardCharsets.UTF_8
+  override def fetch(url: String, userAgent: String): FetchResponse = {
+    FloorBrittleTransport.calls.add((url, FetchTestState.clock.get())): Unit
+    if (url.endsWith("/p/2")) {
+      if (FloorBrittleTransport.broken)
+        throw new java.io.IOException(s"down: $url")
+      FetchResponse(200, "text/html", "<html>up</html>".getBytes(UTF_8))
+    } else
+      FetchResponse(200, "text/html",
+        """<html><a href="/p/2">n</a></html>""".getBytes(UTF_8))
+  }
+}
+object FloorBrittleTransport {
+  @volatile var broken = true
+  val calls = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+}
+
+/** 256 KB bodies in a 4-page chain, snapshotting which persisted RDDs
+  * hold MEMORY blocks at every fetch — the bfs DISK_ONLY round pin:
+  * while round d is fetching, rounds 0..d-1 are persisted, and none of
+  * their body-sized blocks may sit in storage memory. Tests run one
+  * JVM, so the executor-side hook can read the driver's block stats. */
+final class BigBodyChainTransport extends FetchTransport {
+  import BigBodyChainTransport._
+  override def fetch(url: String, userAgent: String): FetchResponse = {
+    val sc = org.apache.spark.SparkContext.getOrCreate()
+    sc.getRDDStorageInfo
+      .filter(i => i.memSize > 64 * 1024 && !preExisting.contains(i.id))
+      .foreach(i => memoryResidents.add(s"rdd ${i.id} memSize=${i.memSize}"))
+    val i = url.substring(url.lastIndexOf('/') + 1).toInt
+    val next = if (i < 4) s"""<a href="/p/${i + 1}">n</a>""" else ""
+    FetchResponse(200, "text/html; charset=utf-8",
+      (s"<html><body>$next<pre>" + "x" * (256 * 1024) + "</pre></body></html>")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+}
+object BigBodyChainTransport {
+  @volatile var preExisting: Set[Int] = Set.empty
+  val memoryResidents = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
 class CrawlSpec extends SparkSpec {
   import SyntheticWebTransport.{H, N}
 
@@ -395,6 +440,166 @@ class CrawlSpec extends SparkSpec {
     assert(calls == Seq(("http://ch.test/p/1", 1000L),
       ("http://ch.test/p/2", 1500L)),
       s"the floor must survive the parquet round-trip: $calls")
+  }
+
+  test("bfs: per-host cap defers overflow to later rounds, politeness floors intact") {
+    import spark.implicits._
+    FetchTestState.reset()
+    FetchTestState.clock.set(1000L)
+    val cfg = Fetch.Config(
+      transportClass = classOf[RecordingTransport].getName,
+      defaultDelayMs = 500L,
+      maxPerHostPerRound = 1L,
+      clock = () => FetchTestState.clock.get(),
+      sleeper = ms => { FetchTestState.clock.addAndGet(ms): Unit })
+    val seeds = (1 to 3).map(i => s"http://cap.test/p/$i").toDF("url")
+    val out = Crawl.bfs(seeds, cfg, maxDepth = 3)
+    val rows = out.select("url", "depth", "status").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(rows.length == 3 && rows.forall(_._3 == 200),
+      s"all three urls fetch eventually, no deferred residue: ${rows.toSeq}")
+    assert(rows.map(_._2).sorted.toSeq == Seq(0, 1, 2),
+      "one url per round under cap 1 — depth records the FETCH round")
+    import scala.jdk.CollectionConverters._
+    val times = FetchTestState.calls.asScala.toSeq.map(_._2).sorted
+    assert(times == Seq(1000L, 1500L, 2000L),
+      s"a deferred url's round must still wait out the host's crawl-delay " +
+        s"floor from the round that fetched: $times")
+  }
+
+  test("bfs: capped crawl drains to the same archive as uncapped, one fetch per URL") {
+    import spark.implicits._
+    // ids < 60 on host 0: a 9-url closed subweb (4 rounds uncapped)
+    val scope: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      u => u.rlike("^http://site0\\.test/p/([0-9]|[1-5][0-9])$")
+    val seeds = Seq(url(0, 1)).toDF("url")
+    def archive(c: Fetch.Config, depth: Int) =
+      Crawl.bfs(seeds, c, maxDepth = depth, scope = scope)
+        .select("url", "status", "body").collect()
+        .map(r => (r.getString(0), r.getInt(1),
+          new String(r.getAs[Array[Byte]](2), "UTF-8"))).toSet
+    val before = SyntheticWebTransport.calls.get()
+    val plain = archive(cfg, 10)
+    val mid = SyntheticWebTransport.calls.get()
+    val capped = archive(cfg.copy(maxPerHostPerRound = 2L), 12)
+    val after = SyntheticWebTransport.calls.get()
+    assert(plain.size == 9, s"subweb size: ${plain.size}")
+    assert(capped == plain,
+      "cap changes WHEN a url fetches, never WHETHER (both crawls drain)")
+    assert(mid - before == 9 && after - mid == 9,
+      "exactly one transport call per reachable url, capped or not")
+  }
+
+  test("bfs: cap overflow still pending at maxDepth stays as deferred marker rows") {
+    import spark.implicits._
+    val seeds = (1 to 3).map(i => s"http://trunc.test/p/$i").toDF("url")
+    val out = Crawl.bfs(seeds,
+      Fetch.Config(transportClass = classOf[RecordingTransport].getName,
+        maxPerHostPerRound = 1L),
+      maxDepth = 0)
+    val byStatus = out.select("status").as[Int].collect().toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(byStatus == Map(200 -> 1, Fetch.StatusDeferred -> 2),
+      s"nothing silently lost at truncation: $byStatus")
+  }
+
+  test("run: cap-deferred urls archive in the round they fetch; extending picks up leftovers") {
+    import spark.implicits._
+    FetchTestState.reset()
+    val dir = java.nio.file.Files.createTempDirectory("crawl-cap").toString
+    val seeds = (1 to 3).map(i => s"http://rcap.test/p/$i").toDF("url")
+    val cfg = Fetch.Config(
+      transportClass = classOf[RecordingTransport].getName,
+      maxPerHostPerRound = 1L)
+    Crawl.run(seeds, dir, cfg, maxDepth = 1): Unit
+    def uris(d: Int) = spark.read.format("warc").load(s"$dir/round_$d")
+      .select("target_uri").as[String].collect().toSeq
+    assert(uris(0).size == 1 && uris(1).size == 1,
+      "cap 1: exactly one url per round")
+    // deferred rows are visible in the final round's audit, not tombstoned
+    assert(spark.read.parquet(s"$dir/_crawl/audit_1/batch-*")
+      .filter(col("status") === Fetch.StatusDeferred).count() == 1)
+    assert(spark.read.parquet(s"$dir/_crawl/failures_1").count() == 0,
+      "deferred is not failed")
+    // extending the same outDir fetches exactly the leftover
+    Crawl.run(seeds, dir, cfg, maxDepth = 2): Unit
+    val all = (0 to 2).flatMap(uris)
+    assert(all.toSet == (1 to 3).map(i => s"http://rcap.test/p/$i").toSet &&
+      all.size == 3, s"every url archived exactly once across rounds: $all")
+    assert((1 to 3).forall(i =>
+      FetchTestState.counts(s"http://rcap.test/p/$i") == 1),
+      "the extend run must not re-fetch committed rounds")
+  }
+
+  test("recrawlFailures: politeness floors from all audits, linear backoff per attempt") {
+    import spark.implicits._
+    FetchTestState.reset()
+    FetchTestState.clock.set(1000L)
+    FloorBrittleTransport.broken = true
+    FloorBrittleTransport.calls.clear()
+    val dir = java.nio.file.Files.createTempDirectory("crawl-floors").toString
+    val cfg = Fetch.Config(
+      transportClass = classOf[FloorBrittleTransport].getName,
+      maxAttempts = 1, backoffMs = 1L, defaultDelayMs = 500L,
+      clock = () => FetchTestState.clock.get(),
+      sleeper = ms => { FetchTestState.clock.addAndGet(ms): Unit })
+    // round 0: /p/1 at t=1000; round 1: /p/2 at 1500 (floor) -> FAILS
+    Crawl.run(Seq("http://fb.test/p/1").toDF("url"), dir, cfg, maxDepth = 1): Unit
+    // attempt 0 while down: floor 1500 -> fires at 2000 (T + D)
+    assert(Crawl.recrawlFailures(dir, cfg).failed == 1)
+    // attempt 1 while down: floor 2000, + 1x backoff -> fires at 3000 (T' + 2D)
+    assert(Crawl.recrawlFailures(dir, cfg).failed == 1)
+    FloorBrittleTransport.broken = false
+    // attempt 2 recovered: floor 3000, + 2x backoff -> fires at 4500 (T'' + 3D)
+    assert(Crawl.recrawlFailures(dir, cfg).ok == 1)
+    import scala.jdk.CollectionConverters._
+    val p2 = FloorBrittleTransport.calls.asScala.toSeq
+      .filter(_._1.endsWith("/p/2")).map(_._2)
+    assert(p2 == Seq(1500L, 2000L, 3000L, 4500L),
+      s"each retry attempt must wait floor + (attempt+1) x delay: $p2")
+  }
+
+  test("run: a resumed/extended crawl reconstructs politeness floors from on-disk audits") {
+    import spark.implicits._
+    FetchTestState.reset()
+    FetchTestState.clock.set(1000L)
+    ChainWebTransport.calls.clear()
+    val dir = java.nio.file.Files.createTempDirectory("crawl-refloor").toString
+    val cfg = Fetch.Config(
+      transportClass = classOf[ChainWebTransport].getName,
+      defaultDelayMs = 500L,
+      clock = () => FetchTestState.clock.get(),
+      sleeper = ms => { FetchTestState.clock.addAndGet(ms): Unit })
+    // first process stops after round 0 (maxDepth=0) — the same on-disk
+    // state as a crash between rounds (round 0 committed, frontier_1
+    // absent); the second process extends and must rebuild the floor
+    // from audit_0, not start round 1 floorless
+    Crawl.run(Seq("http://ch.test/p/1").toDF("url"), dir, cfg, maxDepth = 0): Unit
+    Crawl.run(Seq("http://ch.test/p/1").toDF("url"), dir, cfg, maxDepth = 1): Unit
+    import scala.jdk.CollectionConverters._
+    val calls = ChainWebTransport.calls.asScala.toSeq
+    assert(calls == Seq(("http://ch.test/p/1", 1000L),
+      ("http://ch.test/p/2", 1500L)),
+      s"the resumed round's first fetch must honor the recovered floor: $calls")
+  }
+
+  test("bfs: round archives live on disk, never in storage memory") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    BigBodyChainTransport.preExisting =
+      sc.getRDDStorageInfo.filter(_.memSize > 64 * 1024).map(_.id).toSet
+    BigBodyChainTransport.memoryResidents.clear()
+    val out = Crawl.bfs(Seq("http://big.test/p/1").toDF("url"),
+      Fetch.Config(transportClass = classOf[BigBodyChainTransport].getName),
+      maxDepth = 3)
+    assert(out.count() == 4)
+    assert(out.select(min(length(col("body")))).collect()(0).getInt(0) >
+      256 * 1024, "bodies are genuinely body-sized")
+    import scala.jdk.CollectionConverters._
+    val residents = BigBodyChainTransport.memoryResidents.asScala.toSeq.distinct
+    assert(residents.isEmpty,
+      s"while a round fetches, earlier rounds' body blocks must be " +
+        s"DISK_ONLY, not in storage memory: $residents")
   }
 
   test("crawl loop leaves no checkpoint residue beyond the result") {

@@ -688,4 +688,60 @@ class FetchSpec extends SparkSpec {
       List(("http://rd.example/chain/1", 301),
         ("http://rd.example/chain/2", 302)))
   }
+
+  test("per-host round cap: overflow defers in priority order with zero wire calls, other hosts unaffected") {
+    FetchTestState.reset()
+    import spark.implicits._
+    // Zipf shape: one host floods the frontier, a small host rides along
+    val frontier = ((0 until 50).map(i =>
+      (s"http://big.example/p/$i", "big.example", 0L, i.toLong)) ++
+      (0 until 3).map(i =>
+        (s"http://small.example/p/$i", "small.example", 0L, i.toLong)))
+      .toDF("url", "domain", "crawl_delay_ms", "pos")
+    val cfg = logicalCfg(classOf[RecordingTransport])
+      .copy(maxPerHostPerRound = 10L)
+    val fetched = Fetch.fetchFrontier(frontier, cfg)
+    fetched.cache()
+    try {
+      val rows = fetched.collect()
+      assert(rows.length == 53, "every frontier row is accounted for")
+      val (big, small) = rows.partition(_.getAs[String]("domain") == "big.example")
+      assert(small.forall(_.getAs[Int]("status") == 200),
+        "the small host must be untouched by the big host's cap")
+      val (done, deferred) = big.partition(_.getAs[Int]("status") == 200)
+      assert(done.length == 10 && deferred.length == 40,
+        s"cap 10 on 50 urls: got ${done.length} fetched / ${deferred.length} deferred")
+      // the 10 FETCHED rows are the host's priority head (pos 0-9)
+      assert(done.map(_.getAs[String]("url").split("/").last.toInt).sorted.toSeq ==
+        (0 until 10), "the cap must keep the politeness-order head")
+      deferred.foreach { r =>
+        assert(r.getAs[Int]("status") == Fetch.StatusDeferred)
+        assert(r.getAs[Int]("attempts") == 0, "deferred rows make no exchange")
+        assert(r.getAs[Long]("fetched_at") == 0L,
+          "deferred rows must not move the politeness high-water mark")
+        assert(r.getAs[String]("error").contains("per-host round cap"))
+      }
+      // zero wire calls for the overflow: exactly 13 transport calls
+      assert(FetchTestState.calls.size == 13,
+        s"wire calls: ${FetchTestState.calls.size} (want 10 + 3)")
+      // deferred rows are neither archive records nor failure tombstones
+      assert(Fetch.toWarcRows(fetched).count() == 13)
+    } finally { fetched.unpersist(); () }
+  }
+
+  test("per-host round cap: run() counts deferrals in stats, separate from attempted/failed") {
+    FetchTestState.reset()
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fetch_cap").toString
+    val frontier = (0 until 8).map(i => s"http://capped.example/p/$i").toDF("url")
+    val st = Fetch.run(frontier, s"$dir/out", checkpointDir = null,
+      cfg = logicalCfg(classOf[RecordingTransport]).copy(maxPerHostPerRound = 3L),
+      auditDir = s"$dir/audit")
+    assert(st.attempted == 3 && st.ok == 3 && st.failed == 0 && st.deferred == 5,
+      s"stats must separate deferrals: $st")
+    assert(spark.read.format("warc").load(s"$dir/out").count() == 3)
+    assert(spark.read.parquet(s"$dir/audit/batch-*")
+      .filter(col("status") === Fetch.StatusDeferred).count() == 5,
+      "the audit carries the deferred rows for the crawl loop to re-queue")
+  }
 }
