@@ -79,9 +79,34 @@ object ProbeQuery {
       if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
         jitBean.getTotalCompilationTime else 0L)
 
+    // CPU/GC axis (r18 — the instrument the x03 pass-2 adjudication
+    // needed: its stage's executorRunTime inflated 5x with ZERO
+    // residue/codegen/classload movement, which only GC debt or
+    // hypervisor steal can explain): per-execution deltas of total GC
+    // ms (all collector beans), GC count, and process CPU ms. Inflated
+    // executorRunTime with flat process-CPU = the host stole the cores
+    // (steal/contention); inflated run time WITH matching GC ms = the
+    // prior load's tenured garbage landing on this query's
+    // allocation-heavy stage; inflated run time with matching
+    // process-CPU but flat GC = genuinely more compute (plan drift —
+    // cross-check the stage counters).
+    import scala.jdk.CollectionConverters._
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def cpuGc(): (Long, Long, Long) = (
+      gcBeans.map(_.getCollectionTime).sum,
+      gcBeans.map(_.getCollectionCount).sum,
+      osBean match {
+        case o: com.sun.management.OperatingSystemMXBean =>
+          o.getProcessCpuTime / 1000000L
+        case _ => 0L
+      })
+
     for (pass <- 1 to passes; name <- names) {
       val before = storage()
       val jvmBefore = jvm()
+      val cpuGcBefore = cpuGc()
       stageTime.synchronized(stageTime.clear())
       stageName.synchronized(stageName.clear())
       // construction INSIDE the timer (the Bench runOnce shape): many
@@ -112,6 +137,12 @@ object ProbeQuery {
           f"+${jvmAfter._2 - jvmBefore._2}%5d generated classes, " +
           f"+${jvmAfter._3 - jvmBefore._3}%5d classes loaded, " +
           f"+${jvmAfter._4 - jvmBefore._4}%5d JIT ms")
+      val cpuGcAfter = cpuGc()
+      System.err.println(
+        f"[probe]   cpu/gc: +${cpuGcAfter._3 - cpuGcBefore._3}%7d process-CPU ms, " +
+          f"+${cpuGcAfter._1 - cpuGcBefore._1}%6d GC ms, " +
+          f"+${cpuGcAfter._2 - cpuGcBefore._2}%4d GC cycles " +
+          f"(wall-CPU parity ${ (cpuGcAfter._3 - cpuGcBefore._3) / 1000.0 / (wall * 32) }%5.2f of 32 cores)")
       val top = stageTime.synchronized(stageTime.toSeq).sortBy(-_._2).take(8)
       top.foreach { case (id, ms) =>
         System.err.println(f"[probe]   stage $id%5d ${ms / 1000.0}%8.1f s  " +
