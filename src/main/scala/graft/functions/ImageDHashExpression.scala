@@ -55,8 +55,38 @@ object ImageDHashExpression {
   def imageDHash(payload: Column): Column =
     ColumnBridge.column(ImageDHashExpression(ColumnBridge.expression(payload)))
 
+  /** ImageIO's default stream cache is a TEMP FILE per read — on a
+    * corpus where most payloads are undecodable noise that is a disk
+    * round-trip per ROW just to learn "not an image". Memory-cached
+    * streams decode bit-identically (the cache only buffers bytes for
+    * reader seeks); JVM-global, set once. */
+  private lazy val memoryCachedStreams: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** Fast reject before reader probing: the JDK's bundled readers
+    * (PNG/JPEG/GIF/BMP/TIFF/WBMP) each anchor on a leading magic, so a
+    * payload matching none of them cannot decode — `ImageIO.read` would
+    * iterate every registered reader (stream create + probe + reset)
+    * just to return null. WBMP's "magic" is the weakest (type byte 0,
+    * fix-header byte 0), kept bit-exact so the decodable set — and
+    * therefore every signature — is unchanged. */
+  private[graft] def maybeImage(bytes: Array[Byte]): Boolean = {
+    if (bytes.length < 4) return false
+    val b0 = bytes(0) & 0xFF; val b1 = bytes(1) & 0xFF
+    val b2 = bytes(2) & 0xFF; val b3 = bytes(3) & 0xFF
+    (b0 == 0x89 && b1 == 'P' && b2 == 'N' && b3 == 'G') || // PNG
+    (b0 == 0xFF && b1 == 0xD8 && b2 == 0xFF) ||            // JPEG
+    (b0 == 'G' && b1 == 'I' && b2 == 'F' && b3 == '8') ||  // GIF
+    (b0 == 'B' && b1 == 'M') ||                            // BMP
+    (b0 == 'I' && b1 == 'I' && b2 == 0x2A && b3 == 0) ||   // TIFF LE
+    (b0 == 'M' && b1 == 'M' && b2 == 0 && b3 == 0x2A) ||   // TIFF BE
+    (b0 == 0 && b1 == 0)                                   // WBMP
+  }
+
   /** Driver-callable kernel: None = undecodable. */
   def dhash(bytes: Array[Byte]): Option[Long] = {
+    if (!maybeImage(bytes)) return None
+    memoryCachedStreams
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case _: Throwable => null }

@@ -590,6 +590,13 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.pixelNearDupPairs(junk, "id", "payload").count() == 0)
     val sigs = junk.select(ImageDHashExpression.imageDHash(col("payload"))).collect()
     assert(sigs.forall(_.isNullAt(0)))
+    // the magic prefilter must not narrow the decodable set — every
+    // plant encode (PNG, BMP, lossy JPEG) passes it (the Some() results
+    // above prove it transitively); printable text is rejected before
+    // any reader probing
+    assert(ImageDHashExpression.maybeImage(ja) &&
+      ImageDHashExpression.maybeImage(jb))
+    assert(!ImageDHashExpression.maybeImage("not an image".getBytes("UTF-8")))
   }
 
   test("salted join equals plain join on a skewed key distribution") {
