@@ -31,6 +31,21 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // running (the host has 128 GiB). 24g keeps the old-gen churn off the
   // timed path; SPARK_DRIVER_MEM still overrides for constrained hosts.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Pin the heap and pre-touch it: G1 UNCOMMITS regions after a full GC
+  // (Bench runs System.gc() between queries, so the heap shrinks after
+  // every query) and RE-COMMITTING those pages on this shared host
+  // intermittently costs ~50x the normal CPU — kernel page-commit storms
+  // that land on whichever allocation-heavy stage (DOM/DTM parses above
+  // all) next grows the heap. That is the "wandering stall" the bench
+  // kept recording (x01 19s in r8, x03/x04 pass-2 spikes in r15-r18):
+  // reproduced OUTSIDE Spark with a 30-line JAXP storm (identical work
+  // 2.6 vs 142 process-CPU-s across rounds, flat GC/JIT) and eliminated
+  // by Xms=Xmx + AlwaysPreTouch (25/25 rounds flat) — see BASELINE.md
+  // round-18 "page-commit storms" section. Costs one ~3-8 s pre-touch
+  // at JVM start (untimed) and holds the full heap RSS for the JVM's
+  // life — the right trade for a benchmarking/test JVM on a 128 GiB box.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+AlwaysPreTouch",
   // the 111-query bench generates thousands of whole-stage-codegen
   // classes across its 3 passes; at the JDK-17 default 240m the code
   // cache sweeper starts flushing HOT third-party methods (Xerces DOM
