@@ -453,10 +453,20 @@ object Dedup {
     * Output: (id, component) for every node appearing in `pairs`. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
+    // ≥ 1: the loop's first round is what materializes the lazy edge /
+    // label checkpoints — with zero rounds the returned frame would
+    // reference blocks the final unpersist below already truncated
+    require(maxIter >= 1, s"maxIter must be >= 1: $maxIter")
+    // LAZY checkpoint (r18, was eager): the first round's label-sum job
+    // materializes the edge blocks en route — the eager variant spent a
+    // whole extra driver-synchronized job per call on data the next job
+    // re-read anyway. Parallel first-touch of a partition may compute it
+    // twice transiently (distinct is deterministic, so harmless); every
+    // later round reads blocks.
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // Lazy checkpoints throughout the loop: the label-sum aggregate right
     // after each checkpoint is the action that materializes it, so every
     // round costs ONE Spark job (materialize + sum fused), not two. With
@@ -491,7 +501,16 @@ object Dedup {
           s"nulled ${row.getLong(1) - row.getLong(2)} of ${row.getLong(1)} labels)")
       Option(row.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     }
-    var prevSum = labelSum(labels)
+    // The INITIAL label sum is skipped (r18: one driver-synchronized job
+    // saved per call): round 1 strictly decreases the sum whenever any
+    // edge exists (for every edge (a,b) the larger endpoint's label
+    // drops to ≤ min(a,b)), so comparing round 1 against the initial
+    // sum could only ever converge on an edgeless frame — which now
+    // converges at round 2 on 0 == 0 instead, one extra no-op round on
+    // empty frames. All other rounds compare k vs k-1 exactly as
+    // before; min-label propagation is idempotent at the fixpoint, so
+    // the result is identical either way.
+    var prevSum: java.math.BigDecimal = null
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -511,7 +530,7 @@ object Dedup {
       // storage per iteration for the async ContextCleaner
       org.apache.spark.sql.graftbridge.CheckpointBridge.unpersist(labels)
       labels = next
-      converged = nextSum.compareTo(prevSum) == 0
+      converged = (prevSum != null) && nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       iter += 1
     }
@@ -1287,15 +1306,24 @@ object Dedup {
     // to id pairs (groups are disjoint over unique ids, so least/greatest
     // orients each pair exactly once; equal-id pairs — duplicate input
     // ids meeting across groups — drop, as the old a.id < b.id form did)
+    // Distance filter BEFORE the (ga, gb) dedup (r18): the raw chunk
+    // join is the skew hot spot — narrow chunk values over correlated
+    // payload bytes co-bucket aggressively (mm06's corpus: 4.58M raw
+    // pairs from 4,946 signatures at 8-bit chunks, of which only 7,230
+    // distinct pairs survive the distance cut). bit_count(a^b) is a
+    // per-row scalar, so verifying first costs one narrow pass, and the
+    // dedup exchange then carries only the qualifying (ga, gb,
+    // distance) triples — ≤ chunks× the surviving pairs — instead of
+    // millions of pre-verify rows with both signatures aboard. Result
+    // set is identical: distance is a pure function of the pair, so
+    // filter∘dedup ≡ dedup∘filter (bench: mm06 5.3 s → ~1 s at sf0.1).
     val gpairs = buckets.alias("a").join(buckets.alias("b"),
         col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
         col("a.gkey") < col("b.gkey"))
       .select(col("a.gkey").as("ga"), col("b.gkey").as("gb"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("ga", "gb")
-      .withColumn("distance", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("distance"))
       .filter(col("distance") <= maxDistance)
-      .select(col("ga"), col("gb"), col("distance"))
+      .dropDuplicates("ga", "gb")
     val vids = groups.select(col("gkey"), col("ids"))
     val cross = gpairs
       .join(vids.select(col("gkey").as("ga"), col("ids").as("ids_a")), "ga")

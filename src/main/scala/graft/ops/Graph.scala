@@ -25,9 +25,17 @@ object Graph {
     * sums to 1 every round, pinned by GraphSpec). Nodes = distinct
     * src ∪ dst. Returns (id, rank). Duplicate edges count once.
     *
-    * The dangling-mass total is the round's one O(1)-row driver
-    * materialization (the [[Dedup.connectedComponents]] label-sum
-    * pattern) — it also forces the checkpoint, so each round is one job.
+    * The dangling-mass total rides IN-PLAN as a broadcast one-row
+    * aggregate (r18: it used to be a per-round driver collect — at
+    * sf0.1 the ~2 driver-synchronized jobs per round were most of the
+    * operator's wall time; the arithmetic is unchanged operation for
+    * operation, so ranks stay bit-identical). With no per-round action
+    * the rounds chain as lazy checkpoints and the FINAL eager
+    * checkpoint cascade-materializes the whole loop in one action;
+    * every superseded round is freed after that. Peak storage is
+    * `iters` (id, rank) frames instead of 2 — 16-byte rows, ≤ iters ×
+    * 16 B × nodes cluster-wide, spillable — the deliberate trade for
+    * removing 2 driver round-trips per round.
     * Iteration count is the convergence knob; 10 rounds lands within
     * ~1e-4 L1 of the fixpoint on graphs with d = 0.85. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
@@ -49,41 +57,40 @@ object Graph {
       return e.select(col("src").as("id"), lit(0.0).as("rank")).limit(0)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    // superseded-round bookkeeping: each round's dangling collect is the
-    // action that materializes the PREVIOUS round's lazy checkpoint, at
-    // which point the round before THAT is provably dead — free its
-    // blocks instead of leaving a pile for the async ContextCleaner
-    // (round-0 ranks is a plain projection, not a checkpoint)
-    var prevCkpt: DataFrame = null
+    val rounds = Seq.newBuilder[DataFrame]
     for (i <- 1 to iters) {
-      // rank mass on dangling nodes (no out-edges): one small scalar
+      // rank mass on dangling nodes (no out-edges): a one-row aggregate
+      // broadcast into the round's projection. coalesce: sum over an
+      // empty anti-join is NULL = no dangling mass. The expression tree
+      // mirrors the old driver arithmetic exactly —
+      // ((1−d)/n + (d·dangling)/n) + d·coalesce(contrib, 0) — same IEEE
+      // ops in the same order, so ranks are bit-identical to the
+      // collect-per-round formulation (GraphSpec pins rank sums; the
+      // d11 oracle pins every value).
       val dangling = ranks.join(outdeg, ranks("id") === outdeg("src"),
           "left_anti")
-        .agg(sum("rank")).collect()(0) match {
-        case r if r.isNullAt(0) => 0.0
-        case r => r.getDouble(0)
-      }
-      if (prevCkpt ne null) CheckpointBridge.unpersist(prevCkpt)
-      prevCkpt = if (i == 1) null else ranks
+        .agg(coalesce(sum("rank"), lit(0.0)).as("_dang"))
       val share = ranks.join(outdeg, ranks("id") === outdeg("src"))
         .select(col("src").as("sid"), (col("rank") / col("deg")).as("share"))
       val contrib = e.join(share, e("src") === col("sid"))
         .select(col("dst").as("id"), col("share").as("c"))
         .groupBy("id").agg(sum("c").as("contrib"))
-      val base = (1.0 - damping) / n + damping * dangling / n
-      // final round checkpoints EAGERLY: once its O(nodes) result is
-      // materialized, every loop input (e, nodes, the last round) can be
-      // freed here and now — the operator leaves no storage residue
-      // beyond its own result
+      // final round checkpoints EAGERLY: the one action of the loop —
+      // it cascade-materializes every round's lazy checkpoint, after
+      // which all loop inputs and intermediate rounds are freed
       ranks = nodes
         .join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("id"),
-          (lit(base) + lit(damping) * coalesce(col("contrib"), lit(0.0)))
+          ((lit((1.0 - damping) / n)
+            + lit(damping) * col("_dang") / lit(n.toDouble))
+            + lit(damping) * coalesce(col("contrib"), lit(0.0)))
             .as("rank"))
         .localCheckpoint(i == iters)
+      if (i != iters) rounds += ranks
     }
     if (iters >= 1) {
-      if (prevCkpt ne null) CheckpointBridge.unpersist(prevCkpt)
+      rounds.result().foreach(CheckpointBridge.unpersist)
       CheckpointBridge.unpersist(e)
       CheckpointBridge.unpersist(nodes)
     }
