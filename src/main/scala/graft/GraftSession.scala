@@ -49,6 +49,20 @@ object GraftSession {
       // on demand, so the next wandering stall has a one-run contrast.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
+      // Below the bypass threshold Spark's shuffle writer opens ONE FILE
+      // PER REDUCE PARTITION per map task and then concatenates them
+      // (BypassMergeSortShuffleWriter.writePartitionedData →
+      // copyFileStreamNIO) — thread dumps of the x04 bench showed the
+      // executor pool dominated by exactly that file plumbing, not by
+      // query work: 32 map tasks × 32 reduce files × ~6 exchanges of
+      // KB-scale data is thousands of file create/write/concat calls
+      // per query. Production clusters run hundreds-to-thousands of
+      // shuffle partitions, PAST the default threshold (200), so they
+      // use the serialized sort writer (one spill file + index per map
+      // task) — forcing that writer here makes local shuffles take the
+      // same code path production takes instead of a
+      // small-partition-count special case (x04 3.4 → 2.0 s at sf0.1).
+      .config("spark.shuffle.sort.bypassMergeThreshold", "8")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)

@@ -41,12 +41,21 @@ case class XPathExtractExpression(
   override def prettyName: String = "extract_xpath"
 
   @transient private lazy val work = new XmlWork(xpath, namespaces)
+  // Fast path (r18): simple child paths walk the DOM directly — the
+  // javax evaluation copies the whole document into a fresh DTM table
+  // per evaluate() call, ~10× the parse cost on small documents (see
+  // [[graft.sources.XPathLite]]). None = unsupported shape → javax,
+  // identical semantics either way (spec-pinned equivalence).
+  @transient private lazy val lite = graft.sources.XPathLite.compile(xpath, namespaces)
 
   override def evalChild(childValue: AnyRef): AnyRef = {
     val xml = childValue.asInstanceOf[UTF8String]
     if (xml == null) return new GenericArrayData(Array.empty[Any])
     val doc = XmlDom.parse(work.builder, xml.getBytes)
-    val nodes = XmlDom.evalNodes(work.compiled, doc)
+    val nodes = lite match {
+      case Some(c) => c.eval(doc)
+      case None    => XmlDom.evalNodes(work.compiled, doc)
+    }
     val out = nodes.map { n =>
       val s = if (toText) XmlDom.nodeToText(n) else XmlDom.serializeSubtree(n)
       UTF8String.fromString(s): Any
@@ -86,10 +95,22 @@ case class XPathExtractBatch(
   override def nullable: Boolean = false
   override def prettyName: String = "extract_xpath_batch"
 
+  // Per-entry fast path (r18, see [[graft.sources.XPathLite]]): entries
+  // whose xpath fits the simple-child-path grammar walk the DOM
+  // directly; the rest keep the javax evaluation (which pays a full
+  // document→DTM copy PER evaluate call). Mixed batches are fine — all
+  // entries share the one DOM parse either way.
+  @transient private lazy val lites =
+    entries.map(e => graft.sources.XPathLite.compile(e._1, namespaces)).toArray
   @transient private lazy val local =
     ThreadLocal.withInitial[(javax.xml.parsers.DocumentBuilder, Array[javax.xml.xpath.XPathExpression])] { () =>
+      // compile the javax form only for entries the walker rejected —
+      // never pay ServiceLoader/compile work the fast path makes dead
       (XmlDom.newDocumentBuilder(),
-        entries.map(e => XmlDom.compileXPath(e._1, namespaces)).toArray)
+        entries.zipWithIndex.map { case (e, i) =>
+          if (lites(i).isDefined) null
+          else XmlDom.compileXPath(e._1, namespaces)
+        }.toArray)
     }
 
   override def evalChild(childValue: AnyRef): AnyRef = {
@@ -105,7 +126,11 @@ case class XPathExtractBatch(
       var i = 0
       while (i < n) {
         val toText = entries(i)._2
-        val vals = XmlDom.evalNodes(compiled(i), doc).map { node =>
+        val nodes = lites(i) match {
+          case Some(c) => c.eval(doc)
+          case None    => XmlDom.evalNodes(compiled(i), doc)
+        }
+        val vals = nodes.map { node =>
           val s = if (toText) XmlDom.nodeToText(node) else XmlDom.serializeSubtree(node)
           UTF8String.fromString(s): Any
         }
