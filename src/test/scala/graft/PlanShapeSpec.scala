@@ -318,7 +318,8 @@ class PlanShapeSpec extends SparkSpec {
     // that frees the signature persist + candidate checkpoint — the
     // r15 CacheManager-residue fix
     "d02_minhash_neardup" -> 9,
-    "d06_components" -> 12,        // pointer-jumping rounds, one job each
+    "d06_components" -> 10,        // pointer-jumping rounds, one job each
+    // (r18: lazy edge checkpoint + skipped initial label sum, −2 jobs)
     "d09_semdedup" -> 3,           // auto-k probe + centroid training
     "d10_bloom_decontaminate" -> 3, // bloom filter build over benchmark
     "d11_pagerank" -> 26,          // 5 join+sum rounds + rank bucketing
@@ -330,10 +331,10 @@ class PlanShapeSpec extends SparkSpec {
     // residue fix) runs the pair DAG at construction, AQE stage jobs
     // included
     "d13_winnow_pairs" -> 5,
-    "d17_component_sizes" -> 12,   // shares d06's iterative machinery
+    "d17_component_sizes" -> 10,   // shares d06's iterative machinery (r18 −2)
     // d06's pointer-jumping rounds + the r12 candidate checkpoint
     // + the r13 broadcast-gating candidates.count()
-    "d18_neardup_keep_best" -> 14,
+    "d18_neardup_keep_best" -> 11, // r18: components trim rides along
     // r13 eager prefilter shape, three actions: (1) newNarrow.count()
     // — the job that builds the persisted narrow cache AND yields the
     // exact Bloom sizing (estimate-based sizing measured ~0.8 fpp =
@@ -367,7 +368,7 @@ class PlanShapeSpec extends SparkSpec {
     // component-fixpoint rounds over the planted clone pairs; r16: +2
     // for the eager working-set-releasing output materialization
     // (cacheWorkingSet self-release — the r15 residue fix)
-    "t45_curate_html" -> 21,
+    "t45_curate_html" -> 19,   // r18: components trim inside nearDupDedup
     // w01/w02 SYNTHESIZE their WARC input at first construction (the
     // writer actions; at 100 TB the crawl files already exist — this is
     // input generation, not query shape). The build is marker-cached
@@ -377,7 +378,8 @@ class PlanShapeSpec extends SparkSpec {
     "w01_warc_roundtrip" -> 3,
     // w02 = t45's curation budget over the WARC fixture (same +2 eager
     // working-set-release materialization as t45)
-    "w02_warc_curate" -> 21,
+    "w02_warc_curate" -> 17,   // r18: components trim (16 measured + 1 margin
+    // for the marker-rebuild first construction)
     // w03's fixture EXECUTES the fetch run at first construction: the
     // frontier count that sizes the commit batches + one WarcWriter
     // action per batch (batchSize pinned small so several batches — and
