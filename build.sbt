@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains print machine-parseable one-line JSON contracts
+// on stdout. sbt's default LoggedOutput wraps every forked-process line
+// in "[info] " and appends its own "[success] Total time ..." line, which
+// defeats any consumer that json-parses the process's final stdout line
+// (BENCH_r15..r18 all have parsed:null for exactly this reason).
+// StdoutOutput passes the forked JVM's stdout/stderr through verbatim,
+// and showSuccess drops the trailing [success] banner, so the bench's
+// one-line JSON is the true final line of the sbt process's stdout.
+outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

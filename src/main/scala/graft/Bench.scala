@@ -127,13 +127,22 @@ object Bench {
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: $e") }
-    println(json)
-    // LAST stdout line is a COMPACT parseable summary: stdout consumers
-    // that keep only a bounded tail (the driver holds 2000 chars) can
-    // never fit the ~10k-char full JSON, so the full line above is for
-    // humans/artifacts and this short one — total + artifact pointer —
-    // is what a tail-scraper actually parses.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_in_artifact":${names.length},"pass_ratio_max":$maxRatio,"artifact":"$outPath"}""")
+    // stop the session BEFORE the contract lines: Spark's shutdown logging
+    // must not interleave after the JSON in a merged stdout+stderr capture
     spark.stop()
+    // COMPACT summary first (total + artifact pointer) for consumers that
+    // keep only a bounded output tail and scan it line-by-line.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_in_artifact":${names.length},"pass_ratio_max":$maxRatio,"artifact":"$outPath"}""")
+    // Greppable sentinel carrying the FULL record (per-query map included)
+    // for consumers that grep rather than tail.
+    println(s"GRAFT_BENCH_JSON: $json")
+    // The TRUE FINAL stdout line is the full one-line JSON contract —
+    // metric/value/unit/queries/sf — so a consumer that json-parses the
+    // process's last line gets the per-query map, not just the total.
+    // (build.sbt sets outputStrategy := StdoutOutput and showSuccess :=
+    // false so sbt neither prefixes this line with "[info] " nor appends
+    // a "[success]" banner after it — BENCH_r15..r18 all failed to parse
+    // because of exactly those two sbt decorations.)
+    println(json)
   }
 }

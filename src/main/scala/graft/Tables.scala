@@ -18,13 +18,28 @@ object Tables {
   // hundreds of ms per query execution. One resolved frame per
   // (session, path) is what a catalog/metastore table gives production
   // jobs. It holds NO row data — every action still recomputes from
-  // the parquet files (this is metadata reuse, not result caching);
-  // WeakHashMap keying drops entries with their session. Callers that
-  // rewrite a path mid-session must go through `spark.read` directly
-  // (none of the driver-provided tables are ever rewritten in-session).
-  private val relCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+  // the parquet files (this is metadata reuse, not result caching).
+  // Callers that rewrite a path mid-session must go through
+  // `spark.read` directly (none of the driver-provided tables are ever
+  // rewritten in-session).
+  //
+  // Retention (r19 ADVICE fix): the r18 shape was a WeakHashMap keyed by
+  // session — but every cached DataFrame strongly references its
+  // SparkSession, so the value map kept the weak key reachable and
+  // nothing ever evicted. A bounded access-order LRU makes retention
+  // explicit instead of fictional: at most MaxSessions sessions' memos
+  // are held (a dead session's few plan handles linger only until
+  // MaxSessions newer sessions appear — bounded, not a leak).
+  private val MaxSessions = 8
+  private val relCache =
+    new java.util.LinkedHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, DataFrame]](
+        16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession,
+            java.util.concurrent.ConcurrentHashMap[String, DataFrame]]) =
+        size > MaxSessions
+    }
 
   private def memo(spark: SparkSession, key: String)(
       build: => DataFrame): DataFrame = {
@@ -36,7 +51,19 @@ object Tables {
       }
       mm
     }
-    m.computeIfAbsent(key, _ => build)
+    // NOT computeIfAbsent: the build runs Spark jobs (footer read, split
+    // probe) and documentsBalanced's build re-enters memo() for the
+    // documents load — a nested computeIfAbsent on the same map is a
+    // documented CHM hazard (JDK-8062841) and would hold a bin lock
+    // across a Spark job. Build OUTSIDE any lock; a duplicate concurrent
+    // build is harmless (pure metadata) and putIfAbsent keeps the winner.
+    val got = m.get(key)
+    if (got != null) got
+    else {
+      val built = build
+      val prev = m.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -35,6 +35,15 @@ object Dedup {
     * plan shape. */
   private[graft] var MaxBroadcastCandidatePairs: Long = 4L * 1000 * 1000
 
+  /** Measured rows/distinct-texts ratio at or above which the minhash
+    * band kernel runs on REP rows only (one extra semi-filtered text
+    * scan) instead of on every row (r19, VERDICT item 4). The kernel
+    * (shingling + bands×rowsPerBand hashes per shingle) costs ~20× a
+    * parquet text read per row, so the split pays from ~5% duplication;
+    * 1.25 keeps a safety margin for corpora where the extra read is
+    * the whole cost. `var` only so specs can exercise both shapes. */
+  private[graft] var RepOnlyKernelDupFactor: Double = 1.25
+
   /** Broadcast-hint `ids` when the measured candidate count is within
     * [[MaxBroadcastCandidatePairs]]; a negative count means "unknown"
     * (zero-cache variants have no cheap count) and keeps the hint —
@@ -257,33 +266,48 @@ object Dedup {
 
     // Shuffle discipline, part 0: document bodies NEVER ride a shuffle.
     // The fingerprint and the band signature (primitive-array kernel
-    // expression; band index = array position) are both computed in the
-    // narrow scan stage, so every downstream shuffle moves only ids,
+    // expression; band index = array position) are both computed in
+    // narrow scan stages, so every downstream shuffle moves only ids,
     // 16-byte fingerprints, band triples, or candidate shingle sets —
     // at 100 TB the alternative (groupBy first(text)) is a full-corpus
-    // shuffle of raw text. The cost is recomputing the signature for
-    // exact-duplicate rows instead of once per distinct text; duplicates
-    // are a small fraction of a real corpus, raw text is not.
-    val sigs0 = base.select(col("id"), md5(col("text")).as("fp"),
-      graft.functions.MinhashBandsExpression.minhashBands(
-        col("text"), bands, rowsPerBand, shingleN).as("bands"))
-    val sigs =
-      if (materialize)
-        sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else sigs0
+    // shuffle of raw text.
+    //
+    // r19 (VERDICT item 4): the fingerprint pass is SPLIT from the band
+    // kernel. The band self-join only ever consumes REP rows (one per
+    // distinct text — the r17 collapse), yet the r18 shape ran the
+    // expensive band kernel (shingling + bands×rowsPerBand hashes per
+    // shingle) on EVERY row and discarded duplicate rows' bands in the
+    // rep semi-join afterwards. Now the cheap md5 pass runs first, the
+    // duplication it measures gates the kernel placement, and on a
+    // duplicated corpus (the crawled shape) the kernel runs on reps
+    // only — at the 100× sf10 replication that is 1% of the rows.
+    val fps = base.select(col("id"), md5(col("text")).as("fp"))
 
     // Degenerate-corpus hardening, part 1: collapse exact-identical texts
-    // FIRST (fingerprint groupBy — Catalyst prunes `bands` off this
-    // branch, so it shuffles (fp, id) pairs only). A corpus of N identical
-    // documents would otherwise put all N rows into the SAME bucket of
-    // every band — a single quadratic join cell. LSH sees one
-    // representative per distinct text; identical-text pairs (jaccard
-    // exactly 1.0) are emitted directly from the groups, and cross-group
-    // verified pairs expand back to group members at the end.
-    val groups = sigs
+    // FIRST (fingerprint groupBy — shuffles (fp, id) pairs only). A
+    // corpus of N identical documents would otherwise put all N rows
+    // into the SAME bucket of every band — a single quadratic join
+    // cell. LSH sees one representative per distinct text;
+    // identical-text pairs (jaccard exactly 1.0) are emitted directly
+    // from the groups, and cross-group verified pairs expand back to
+    // group members at the end. Checkpointed: three consumers (intra,
+    // rep ids, member expansion) would otherwise re-run the aggregate.
+    val groups0 = fps
       .groupBy(col("fp"))
       .agg(sort_array(collect_list(col("id"))).as("members"),
         min(col("id")).as("rep_id"))
+    val groups =
+      if (materialize) groups0.localCheckpoint(false) else groups0
+
+    // ONE action materializes the groups checkpoint AND measures the
+    // corpus duplication for the kernel-placement gate below (the
+    // zero-cache variant keeps the lazy all-rows shape — no cheap count
+    // exists without the checkpoint).
+    val (nGroups, nRows) =
+      if (materialize) {
+        val r = groups.agg(count(lit(1)), sum(size(col("members")))).collect()(0)
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      } else (-1L, -1L)
 
     // all (a, b) with a < b inside an identical-text group; posexplode the
     // left element first so the pair fan-out parallelizes across tasks
@@ -315,8 +339,29 @@ object Dedup {
     // bands a true near-dup pair is overwhelmingly likely to meet in
     // another, smaller bucket.
     val repIds = groups.select(col("rep_id").as("id"))
-    val bucketsRaw = sigs.select(col("id"), col("bands"))
-      .join(repIds, Seq("id"), "left_semi") // moves (id, 32 ints), not text
+    // Band-kernel placement, gated on the MEASURED duplication:
+    //  - no duplication (nRows == nGroups): every row is its own rep —
+    //    kernel on the full scan, no rep semi-join at all;
+    //  - high duplication (≥ RepOnlyKernelDupFactor): kernel on reps
+    //    ONLY — the rep-id set semi-filters the text scan BEFORE the
+    //    kernel (conditional broadcast, the candIds discipline), so
+    //    duplicate rows never pay shingling+hashing. Costs one extra
+    //    text read vs fusing fp+bands into one scan; the kernel is
+    //    ~20× a parquet text read per row, so the split pays for
+    //    itself from ~5% duplication up;
+    //  - low/unknown duplication (and the zero-cache variant): kernel
+    //    on the full scan, reps filtered after — the r18 shape.
+    def bandsOf(d: DataFrame): DataFrame = d.select(col("id"),
+      graft.functions.MinhashBandsExpression.minhashBands(
+        col("text"), bands, rowsPerBand, shingleN).as("bands"))
+    val repBands =
+      if (nRows >= 0 && nRows == nGroups)
+        bandsOf(base)
+      else if (nRows >= 0 && nRows >= RepOnlyKernelDupFactor * nGroups)
+        bandsOf(base.join(maybeBroadcast(repIds, nGroups), Seq("id"), "left_semi"))
+      else
+        bandsOf(base).join(repIds, Seq("id"), "left_semi") // (id, 32 ints), not text
+    val bucketsRaw = repBands
       .select(col("id"),
         posexplode(col("bands")).as(Seq("band", "bhash")))
     // Oversized buckets via groupBy, not count().over(Window): the window
@@ -367,7 +412,7 @@ object Dedup {
     // unconditionally (documented caller tradeoff).
     val nCandPairs = if (materialize) candidates.count() else -1L
 
-    // The SECOND (and last) text scan: shingle sets exist only for
+    // The LAST text scan: shingle sets exist only for
     // candidate documents — the candidate-id set semi-filters the scan
     // (AQE broadcasts it; candidate ids are a sliver of the corpus), so
     // non-candidate rows never pay the shingle kernel and shingles
@@ -428,7 +473,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     val release: () => Unit =
       if (materialize) { () =>
-        sigs.unpersist(blocking = false)
+        org.apache.spark.sql.graftbridge.CheckpointBridge.unpersist(groups)
         org.apache.spark.sql.graftbridge.CheckpointBridge.unpersist(candidates)
       } else () => ()
     (pairs, release)
@@ -1282,8 +1327,11 @@ object Dedup {
     * it is produced by exploding bounded member lists, not shuffled.
     *
     * Precondition: ids are unique. A duplicate id row with a DIFFERENT
-    * signature lives in two groups, and a pair reachable through both
-    * keeps both groups' distances (the old form kept one arbitrarily). */
+    * signature lives in two groups; since r18's filter-before-dedup
+    * order, a (ga, gb) pair reachable through both is kept if ANY
+    * reachable sig pair is within distance, with ONE arbitrary
+    * qualifying distance retained by the dropDuplicates (the pre-r18
+    * form kept one arbitrary sig pair's verdict, qualifying or not). */
   def simhashPairsFromSigs(sigs: DataFrame, maxDistance: Int): DataFrame = {
     // one row per distinct signature; barrier: feeds chunking (both
     // sides of the self-join via the shared exchange) and both
@@ -1305,7 +1353,12 @@ object Dedup {
     // cross-group: verify once per distinct signature pair, then expand
     // to id pairs (groups are disjoint over unique ids, so least/greatest
     // orients each pair exactly once; equal-id pairs — duplicate input
-    // ids meeting across groups — drop, as the old a.id < b.id form did)
+    // ids meeting across groups — drop, as the old a.id < b.id form did).
+    // Duplicate-id precondition violation (unique ids documented): with
+    // the filter-first order below, a (ga, gb) pair is KEPT if ANY sig
+    // pair reachable through the duplicate id qualifies, and ONE
+    // arbitrary qualifying distance is retained by the dedup — the old
+    // dedup-first order kept one arbitrary sig pair's verdict instead.
     // Distance filter BEFORE the (ga, gb) dedup (r18): the raw chunk
     // join is the skew hot spot — narrow chunk values over correlated
     // payload bytes co-bucket aggressively (mm06's corpus: 4.58M raw

@@ -29,17 +29,21 @@ object Graph {
     * aggregate (r18: it used to be a per-round driver collect — at
     * sf0.1 the ~2 driver-synchronized jobs per round were most of the
     * operator's wall time; the arithmetic is unchanged operation for
-    * operation, so ranks stay bit-identical). With no per-round action
-    * the rounds chain as lazy checkpoints and the FINAL eager
-    * checkpoint cascade-materializes the whole loop in one action;
-    * every superseded round is freed after that. Peak storage is
-    * `iters` (id, rank) frames instead of 2 — 16-byte rows, ≤ iters ×
-    * 16 B × nodes cluster-wide, spillable — the deliberate trade for
-    * removing 2 driver round-trips per round.
+    * operation, so ranks stay bit-identical). Rounds chain as LAZY
+    * checkpoints; every CheckpointEvery-th round (and the final one)
+    * checkpoints EAGERLY, cascade-materializing the lazy rounds behind
+    * it, after which those superseded frames are freed immediately
+    * (r19: the r18 shape cascaded only at the END, holding all `iters`
+    * checkpointed rank frames at peak — fine at sf10 but real storage
+    * pressure and a wide executor-loss blast radius on a 100 TB-class
+    * graph). Peak storage is now ≤ CheckpointEvery (id, rank) frames —
+    * 16-byte rows, spillable — for ceil(iters/CheckpointEvery) driver
+    * round-trips instead of 1 (and instead of the pre-r18 2·iters).
     * Iteration count is the convergence knob; 10 rounds lands within
     * ~1e-4 L1 of the fixpoint on graphs with d = 0.85. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val CheckpointEvery = 4
     require(iters >= 0, s"iters must be non-negative: $iters")
     require(damping >= 0.0 && damping < 1.0,
       s"damping must be in [0, 1): $damping")
@@ -57,7 +61,10 @@ object Graph {
       return e.select(col("src").as("id"), lit(0.0).as("rank")).limit(0)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    val rounds = Seq.newBuilder[DataFrame]
+    // rounds since (and including) the last eager checkpoint; all of them
+    // are provably materialized and superseded once the next eager round
+    // completes, so they free right there instead of at loop exit
+    var pending: List[DataFrame] = Nil
     for (i <- 1 to iters) {
       // rank mass on dangling nodes (no out-edges): a one-row aggregate
       // broadcast into the round's projection. coalesce: sum over an
@@ -75,9 +82,11 @@ object Graph {
       val contrib = e.join(share, e("src") === col("sid"))
         .select(col("dst").as("id"), col("share").as("c"))
         .groupBy("id").agg(sum("c").as("contrib"))
-      // final round checkpoints EAGERLY: the one action of the loop —
-      // it cascade-materializes every round's lazy checkpoint, after
-      // which all loop inputs and intermediate rounds are freed
+      // every CheckpointEvery-th round (and the final one) checkpoints
+      // EAGERLY: its action cascade-materializes the lazy rounds behind
+      // it, after which those frames are superseded and freed on the
+      // spot — peak storage stays ≤ CheckpointEvery rank frames
+      val eager = i == iters || i % CheckpointEvery == 0
       ranks = nodes
         .join(contrib, Seq("id"), "left")
         .crossJoin(broadcast(dangling))
@@ -86,11 +95,15 @@ object Graph {
             + lit(damping) * col("_dang") / lit(n.toDouble))
             + lit(damping) * coalesce(col("contrib"), lit(0.0)))
             .as("rank"))
-        .localCheckpoint(i == iters)
-      if (i != iters) rounds += ranks
+        .localCheckpoint(eager)
+      if (eager) {
+        pending.foreach(CheckpointBridge.unpersist)
+        pending = List(ranks)
+      } else pending = pending :+ ranks
     }
     if (iters >= 1) {
-      rounds.result().foreach(CheckpointBridge.unpersist)
+      // pending holds only the final (returned) frame here — every
+      // superseded round was freed at its eager checkpoint
       CheckpointBridge.unpersist(e)
       CheckpointBridge.unpersist(nodes)
     }
@@ -210,16 +223,23 @@ object Graph {
     var prevVisited: DataFrame = null
     var prevFrontier: DataFrame = null
     var hop = 1
-    var drained = frontier.isEmpty
+    // count()==0, not isEmpty (r19): on a LAZY localCheckpoint frame,
+    // isEmpty's executeTake(1) job computes only the partitions the take
+    // touches and the checkpoint machinery then launches a SECOND job
+    // for the missing partitions (LocalRDDCheckpointData.doCheckpoint);
+    // count() computes every partition in the one job — emptiness test
+    // and full materialization share a single driver action per hop
+    var drained = frontier.count() == 0L
     while (hop <= maxHops && !drained) {
       val next = frontier.join(e, frontier("id") === e("src"))
         .select(col("dst").as("id")).distinct()
         .join(visited, Seq("id"), "left_anti")
         .withColumn("level", lit(hop))
         .localCheckpoint(false)
-      // materializes `next` (and, through the anti-join, the current
-      // visited checkpoint) — the round before last is provably dead
-      drained = next.isEmpty
+      // the count materializes `next` (and, through the anti-join, the
+      // current visited checkpoint) — the round before last is provably
+      // dead
+      drained = next.count() == 0L
       if (drained) CheckpointBridge.unpersist(next)
       else {
         if (prevFrontier ne null) CheckpointBridge.unpersist(prevFrontier)

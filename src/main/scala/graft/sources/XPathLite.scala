@@ -142,8 +142,16 @@ object XPathLite {
             case null => null
             case pr   => ns.getOrElse(pr, return None)
           }
-          val pos = if (posStr == null) 0 else posStr.toInt
-          if (pos < 0) return None
+          // Positional predicates: the internal sentinel pos=0 means "all
+          // matches", but XPath 1.0 defines a literal e[0] as the EMPTY
+          // node-set — that shape (and any position too long for Int)
+          // must fall back to javax rather than silently matching all.
+          val pos = posStr match {
+            case null                  => 0
+            case s if s.length > 9     => return None // would overflow Int
+            case s                     => s.toInt
+          }
+          if (posStr != null && pos == 0) return None // literal [0]: javax
           if (pos > 0 && descendant && i == 0) return None // per-parent grouping
           steps += Step(uri, local, pos)
         case _ => return None

@@ -814,7 +814,42 @@ class OpsSpec extends SparkSpec {
       s"total order must not warn, got: '$quiet'")
   }
 
-  test("minhash default vs zero-residue: identical pairs, text scanned exactly twice") {
+  test("minhash rep-only band-kernel gate: identical pairs on every duplication level (r19)") {
+    // The r19 kernel-placement gate has three branches — no duplication
+    // (kernel on the full scan, no rep semi-join), low duplication
+    // (< RepOnlyKernelDupFactor: kernel on all rows, reps filtered
+    // after) and high duplication (kernel on reps only, semi-filtered
+    // scan). Each branch must emit the exact pair set of the ungated
+    // lazy shape.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def corpus(copiesOf: Int => Int): org.apache.spark.sql.DataFrame = {
+      val texts = (1 to 120).flatMap { i =>
+        val words = Seq.fill(25)(s"w${i}_${rnd.nextInt(40)}").mkString(" ")
+        // a planted near-copy (one extra token) + exact copies per gate
+        (words + " tail") +: Seq.fill(copiesOf(i))(words)
+      }
+      texts.zipWithIndex.map { case (t, ix) => (ix.toLong, t) }
+        .toDF("doc_id", "text").localCheckpoint(true)
+    }
+    def pairSet(df: org.apache.spark.sql.DataFrame, mat: Boolean) =
+      Dedup.minhashNearDupPairs(df, "doc_id", "text", threshold = 0.5,
+          materialize = mat)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val shapes = Seq(
+      "none (ratio 1.0, full-scan fast path)" -> corpus(_ => 1),
+      "low (ratio ~1.05, all-rows kernel path)" -> corpus(i => if (i % 10 == 0) 2 else 1),
+      "high (ratio ~2.5, rep-only kernel path)" -> corpus(_ => 4))
+    for ((label, df) <- shapes) {
+      val eager = pairSet(df, mat = true)
+      val lazyP = pairSet(df, mat = false)
+      assert(eager.nonEmpty, s"$label: pin corpus must produce pairs")
+      assert(eager == lazyP, s"$label: gated default shape must emit " +
+        "the identical pair set to the ungated lazy shape")
+    }
+  }
+
+  test("minhash default vs zero-residue: identical pairs, bounded source reads") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     val dir = java.nio.file.Files.createTempDirectory("mhmat").toString
     val rnd = new scala.util.Random(5)
@@ -844,14 +879,17 @@ class OpsSpec extends SparkSpec {
       Thread.sleep(300) // drain the async listener bus
       assert(got == expected, "materialized pipeline must emit identical pairs")
       assert(expected.nonEmpty)
-      // DEFAULT shape: 2 text scans (signature build + candidate-only
-      // shingle verify = 600 records) + the candidate checkpoint's
-      // cache-block reads (bounded by the pair count; RDD cache reads
-      // count toward recordsRead, InMemoryRelation reads do not) —
-      // the zero-residue plan reads the source 6x
-      assert(recs.get() <= 2 * 300 + 4 * expected.size,
+      // DEFAULT shape (r19 split-kernel): 3 text scans — fingerprint
+      // pass, band-kernel pass (this corpus has no exact duplicates, so
+      // the gate takes the all-rows path), candidate-only shingle
+      // verify = 900 records — plus the groups checkpoint's block reads
+      // (≤ 3 consumers × distinct texts; RDD cache reads count toward
+      // recordsRead, the r18 persist's InMemoryRelation reads did not)
+      // and the candidate checkpoint's reads (bounded by the pair
+      // count). The r11 zero-residue plan read the source 6x.
+      assert(recs.get() <= 3 * 300 + 3 * 300 + 4 * expected.size,
         s"default mode read ${recs.get()} records " +
-          s"(expected ~${2 * 300} + candidate cache)")
+          s"(expected ~${3 * 300} source + groups/candidate cache)")
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       spark.catalog.clearCache()
@@ -898,14 +936,16 @@ class OpsSpec extends SparkSpec {
       val (d02Reads, d02n) =
         measured(Dedup.minhashNearDupPairs(onDisk, "doc_id", "text", 0.5))
       assert(d02n > 0, "pin data must produce near-dup pairs")
-      // the r12 default: 2 source scans (signature build + candidate-only
-      // shingle verify) + the candidate checkpoint's cache-block reads
+      // the r19 default: 3 source scans (fingerprint pass, band-kernel
+      // pass — all-rows here, no exact dups — and the candidate-only
+      // shingle verify) + the groups checkpoint's block reads (≤3
+      // consumers × distinct texts) + the candidate checkpoint's reads
       // (bounded by the pair count — RDD cache reads count toward
-      // recordsRead; the persisted signature frame's InMemoryRelation
-      // reads do not). The r11 default read 6x.
-      assert(d02Reads <= 2 * nRows + 4 * d02n,
+      // recordsRead; the r18 signature persist's InMemoryRelation reads
+      // did not). The r11 default read 6x.
+      assert(d02Reads <= 3 * nRows + 3 * nRows + 4 * d02n,
         s"d02 default read ${d02Reads} records for $nRows rows " +
-          "(budget 2x source + candidate cache)")
+          "(budget 3x source + groups/candidate cache)")
       val (d04Reads, d04n) =
         measured(Dedup.simhashNearDupPairs(onDisk, "doc_id", "text", 7))
       assert(d04n > 0)

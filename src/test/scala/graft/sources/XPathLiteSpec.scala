@@ -111,6 +111,23 @@ class XPathLiteSpec extends AnyFunSuite {
       assert(XPathLite.compile(xp, ns).isEmpty, s"should reject: $xp")
   }
 
+  test("literal [0] and oversized positions fall back to javax (r19 ADVICE)") {
+    // XPath 1.0: e[0] is the EMPTY node-set — the walker's pos=0 sentinel
+    // means "all matches", so a literal [0] must compile to None (javax
+    // then returns the correct empty result), never be misread as "all".
+    assert(XPathLite.compile("/sm:urlset/sm:url[0]/sm:loc", Sm).isEmpty)
+    assert(XPathLite.compile("/sm:urlset/sm:url[0]", Sm).isEmpty)
+    assert(XPathLite.compile("/sm:urlset/sm:url[00]", Sm).isEmpty)
+    // positions longer than 9 digits would overflow Int — fallback, not a
+    // NumberFormatException out of compile()
+    assert(XPathLite.compile("/sm:urlset/sm:url[12345678901]", Sm).isEmpty)
+    // the javax path agrees: [0] selects nothing
+    val xml = """<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"><url><loc>u</loc></url></urlset>"""
+    assert(viaJavax(xml, "/sm:urlset/sm:url[0]/sm:loc", Sm).isEmpty)
+    // sanity: [1] stays in-grammar and matches
+    assert(viaLite(xml, "/sm:urlset/sm:url[1]/sm:loc", Sm).get == Seq("u"))
+  }
+
   test("randomized sitemap corpora agree with javax on the hot paths") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 60) {
